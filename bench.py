@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline declared queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as plan-build + execution to completion via a count-style
+action (``df.write.format("noop")`` semantics via foreach-less count) — we use
+``df.collect()`` only for small results and ``df.count()`` for wide ones to
+avoid driver materialization costs dominating the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mdio_cpp_spark.plans import REGISTRY
+from mdio_cpp_spark.session import get_spark
+
+# Wide outputs are counted (execution without driver materialization);
+# everything else is collected (results are small).
+_COUNT_ONLY = {
+    "q07_project",
+    "w01_row_number",
+    "w02_running_sum",
+    "j02_semi_join",
+    "asof01_event_order",
+    "st02_sessionize",
+    "d03_simhash",
+    "t01_lang_id",
+    "t02_quality_score",
+    "t03_token_count",
+    "t04_fingerprint",
+    "mm01_binary_meta",
+    "d01_dedup_exact",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("mdio-bench")
+
+    names = sys.argv[1:] or sorted(REGISTRY)
+    timings: dict[str, float] = {}
+    for name in names:
+        d = REGISTRY[name]
+        t0 = time.time()
+        df = d.spark(spark, sf_dir)
+        if name in _COUNT_ONLY:
+            df.count()
+        else:
+            df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

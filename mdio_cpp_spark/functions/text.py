@@ -1,0 +1,102 @@
+"""Text-analysis column functions — tokenize, token count, shingles,
+fingerprint, quality features, language-ID heuristic.
+
+All built from ``pyspark.sql.functions`` (JVM-side, codegen'd) — no Python
+UDFs. Every function here has an exact ANSI-SQL twin used by the DuckDB
+oracles in ``plans/``: the formulas are written to be bit-identical across
+engines (md5 hex strings, integer token counts, double arithmetic with a
+fixed evaluation order).
+
+The reference has no text surface (pure array store, SURVEY §2.5); this is
+north-star extension work per BASELINE.json — the operators a large-scale
+training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens(text: str | Column) -> Column:
+    """Lowercase word tokens; empty strings (leading/trailing separators)
+    removed. Oracle twin: list_filter(regexp_split_to_array(lower(t), re), x -> x <> '')."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != F.lit(""))
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """All n-word shingles (space-joined), in order. Requires size >= n;
+    callers should filter shorter docs first."""
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def count_token(toks: Column, word: str) -> Column:
+    """Occurrences of an exact token (frequency-weighted)."""
+    return F.size(F.filter(toks, lambda x: x == F.lit(word)))
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Document fingerprint: md5 over the sorted distinct token set —
+    order-insensitive content hash (the scalable analog of a rolling hash:
+    identical docs up to word order collide)."""
+    t = F.array_sort(F.array_distinct(tokens(text)))
+    return F.md5(F.concat_ws(" ", t))
+
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+}
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Marker-token hit counts per language (n-gram heuristic)."""
+    out = {}
+    for lang, markers in _LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            c = count_token(toks, m)
+            s = c if s is None else (s + c)
+        out[lang] = s
+    return out
+
+
+def lang_id(text: str | Column) -> Column:
+    """Deterministic argmax of marker scores, ties resolved in the fixed
+    order en > de > fr > es (greater-or-equal chain)."""
+    s = lang_scores(tokens(text))
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), F.lit("en"))
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), F.lit("de"))
+        .when(s["fr"] >= s["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def quality_score(text: str | Column) -> Column:
+    """Composite [0,1] quality score: length factor × (1 − punctuation
+    ratio) × stopword-density factor. Fixed evaluation order, all double."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_tok = F.size(toks).cast("double")
+    len_c = F.length(c).cast("double")
+    punct = len_c - F.length(F.regexp_replace(c, "[.,;:!?]", "")).cast("double")
+    punct_ratio = punct / len_c
+    stop_hits = (count_token(toks, "the") + count_token(toks, "a") + count_token(toks, "of")).cast("double")
+    stop_ratio = stop_hits / n_tok
+    return F.round(
+        F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        * (F.lit(1.0) - punct_ratio)
+        * (F.lit(0.5) + F.least(stop_ratio, F.lit(0.5))),
+        4,
+    )

@@ -1,0 +1,30 @@
+"""Vector column functions over ``array<float>`` embedding columns.
+
+Dot products / norms / cosine via ``zip_with`` + ``aggregate`` — JVM-side
+higher-order functions, no UDF, no driver collect. Elements are cast to
+double *before* multiplying and summed left-to-right, which makes the result
+bit-identical to the DuckDB oracle formulation
+``list_sum(list_transform(range(1, len+1), i -> a[i]::DOUBLE * b[i]::DOUBLE))``.
+
+Scale note: for top-k similarity the cross product is (queries × corpus);
+keep the query side broadcastable and the corpus side partitioned — see
+operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

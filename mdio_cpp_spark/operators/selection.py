@@ -1,0 +1,145 @@
+"""Selection operators: the Spark equivalents of the reference's core query
+surface — index-based slicing (``isel``) and value-based selection (``sel``).
+
+Reference semantics being reproduced (file:line in /root/reference):
+  * ``Dataset::isel`` — half-open ``[start, stop)`` hyper-rectangle slice,
+    clamped to the domain (mdio/variable.h:1211-1232, mdio/dataset.h:423-470).
+  * stride support — ``step > 1`` via strided index transforms
+    (mdio/variable.h:1348-1351; test mdio/dataset_test.cc:436-560).
+  * duplicate-label slices — multiple ranges on one dimension concatenated
+    (mdio/variable.h:1357-1396) → an OR of range predicates here.
+  * ``Dataset::sel`` — value-based point / range / list selection on a 1-D
+    dimension coordinate (mdio/dataset.h:552-885). The reference's linear
+    coordinate scan + per-index isel rewrite collapses into a plain predicate
+    that Catalyst pushes into the scan; its error semantics (value not found →
+    absl::InvalidArgument, dataset.h:840-847; duplicated range endpoint →
+    error, dataset.h:824-838) are available behind ``strict=True``.
+
+Everything here stays JVM-side (built-in functions only) so predicates reach
+parquet as ``PushedFilters`` and survive whole-stage codegen. At 100 TB the
+difference between these filters being pushed into the scan vs. evaluated
+post-scan is the whole game — no UDFs in this module, ever.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def isel_predicate(
+    col: str | Column,
+    start: int | None = None,
+    stop: int | None = None,
+    step: int = 1,
+) -> Column:
+    """Half-open ``[start, stop)`` index predicate with optional stride.
+
+    Clamping (variable.h:1211-1232) is implicit: a predicate never reads out
+    of domain, so out-of-range bounds simply match nothing extra.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pred = F.lit(True)
+    if start is not None:
+        pred = pred & (c >= F.lit(start))
+    if stop is not None:
+        pred = pred & (c < F.lit(stop))
+    if step > 1:
+        origin = start if start is not None else 0
+        pred = pred & (((c - F.lit(origin)) % F.lit(step)) == 0)
+    return pred
+
+
+def isel(df: DataFrame, col: str, start=None, stop=None, step: int = 1) -> DataFrame:
+    """Index-based slice of a long-form table (Q1/Q2 in SURVEY §2.2)."""
+    return df.filter(isel_predicate(col, start, stop, step))
+
+
+def isel_multi(df: DataFrame, col: str, ranges: Sequence[tuple[int, int]]) -> DataFrame:
+    """Multiple ranges on one dimension — the reference slices each range and
+    ``tensorstore::Concat``s (variable.h:1357-1396); here a single OR-of-ranges
+    predicate gives Catalyst one scan instead of N scans + union (Q3)."""
+    if not ranges:
+        return df.filter(F.lit(False))
+    pred = None
+    for lo, hi in ranges:
+        p = isel_predicate(col, lo, hi)
+        pred = p if pred is None else (pred | p)
+    return df.filter(pred)
+
+
+def sel_value(df: DataFrame, col: str, value, strict: bool = False) -> DataFrame:
+    """Value-based point selection (Q4; dataset.h:639-755).
+
+    ``strict=True`` reproduces the reference's value-not-found error
+    (dataset.h:840-847) at the cost of one action — off by default so the
+    query stays a single lazy plan.
+    """
+    out = df.filter(F.col(col) == F.lit(value))
+    if strict and out.limit(1).count() == 0:
+        raise ValueError(f"sel: value {value!r} not found in coordinate {col!r}")
+    return out
+
+
+def sel_range(df: DataFrame, col: str, lo, hi, strict: bool = False) -> DataFrame:
+    """Value-based range selection, inclusive of both endpoints — the
+    reference finds the stop index and adds +1 (dataset.h:872-876), making
+    sel ranges stop-inclusive unlike isel (Q5).
+
+    ``strict=True`` reproduces the duplicate-endpoint error
+    (dataset.h:824-838): the endpoint value must occur exactly once in the
+    coordinate.
+    """
+    if strict:
+        for v in (lo, hi):
+            n = df.filter(F.col(col) == F.lit(v)).count()
+            if n == 0:
+                raise ValueError(f"sel: endpoint {v!r} not found in {col!r}")
+            if n > 1:
+                raise ValueError(f"sel: endpoint {v!r} duplicated in {col!r}")
+    return df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+
+
+def sel_isin(df: DataFrame, col: str, values: Sequence, strict: bool = False) -> DataFrame:
+    """Membership-list selection (Q6; dataset.h:756-786 — gated Unimplemented
+    in the reference, fully supported here). Duplicate values in the request
+    are rejected like dataset.h:584-609."""
+    if len(set(values)) != len(values):
+        raise ValueError("sel: duplicate values in membership list")
+    out = df.filter(F.col(col).isin(list(values)))
+    if strict:
+        found = {r[0] for r in out.select(col).distinct().collect()}
+        missing = [v for v in values if v not in found]
+        if missing:
+            raise ValueError(f"sel: values not found in {col!r}: {missing}")
+    return out
+
+
+def project(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Column pruning — ``Dataset::operator[]`` (Q7; dataset.h:896-925).
+    Catalyst propagates the pruned ReadSchema into the parquet scan."""
+    return df.select(*cols)
+
+
+def select_field(df: DataFrame, struct_col: str, field: str, alias: str | None = None) -> DataFrame:
+    """Struct-field projection — ``Dataset::SelectField`` (Q8;
+    dataset.h:1131-1262). The reference re-opens the array with a field
+    selector; Spark prunes nested fields natively, so this is a one-line
+    nested projection."""
+    return df.withColumn(alias or field, F.col(f"{struct_col}.{field}")).drop(struct_col)
+
+
+def coordinate_filter(df: DataFrame, *preds: Column) -> DataFrame:
+    """Conjunctive coordinate-variable filter — the Spark form of
+    ``CoordinateSelector::filterByCoordinate`` (Q10;
+    coordinate_selector.h:302-503). The reference walks cells with an odometer
+    building maximal contiguous runs because it lacks a row-wise executor;
+    here successive filters are just ANDed predicates in one scan, and the
+    run-compression machinery (including its non-hyper-rectangular-match bug,
+    coordinate_selector.h:106-112) is unnecessary."""
+    out = df
+    for p in preds:
+        out = out.filter(p)
+    return out

@@ -1,0 +1,48 @@
+"""Sorting / top-k operators.
+
+Reference semantics (file:line in /root/reference):
+  * ``CoordinateSelector::sortSelectionByKey`` — stable sort by a key
+    variable; chained calls build a multi-key sort least-significant-key
+    first (std::stable_sort, mdio/coordinate_selector.h:122-188).
+  * peak/trough tracking — running argmax of a value with coordinate lookup
+    (examples/seismic_reader/main.cc:71-127).
+
+Spark's ``orderBy`` is a range-partitioned distributed sort (sample → range
+boundaries → shuffle → per-partition sort), so a multi-key sort is one pass
+listing all keys most-significant first — equivalent to the reference's
+chained least-significant-first stable sorts. Top-k avoids the global sort
+entirely: Catalyst plans ``TakeOrderedAndProject`` (per-partition heap + merge
+of k·P candidates), which at 100 TB is the difference between shuffling the
+table and shuffling k rows per partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sort_by_keys(df: DataFrame, keys: Sequence[str | Column], ascending: bool = True) -> DataFrame:
+    """Multi-key sort (S0). ``keys`` are most-significant first, matching
+    the *net effect* of the reference's chained least-significant-first
+    stable sorts (coordinate_selector.h:162-166)."""
+    cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    if not ascending:
+        cols = [c.desc() for c in cols]
+    return df.orderBy(*cols)
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """Top-k by explicit ordering (S2). ``orderBy().limit(k)`` lets Catalyst
+    plan TakeOrderedAndProject — no global sort materialized."""
+    return df.orderBy(*order).limit(k)
+
+
+def argmax(df: DataFrame, value_col: str, tiebreak: Sequence[str], out_cols: Sequence[str]) -> DataFrame:
+    """Coordinate-of-the-maximum (seismic_reader's peak tracking): returns the
+    ``out_cols`` of the single row maximizing ``value_col``, ties broken by
+    ``tiebreak`` ascending — deterministic, unlike a bare max_by."""
+    order = [F.col(value_col).desc(), *[F.col(t).asc() for t in tiebreak]]
+    return df.orderBy(*order).limit(1).select(*out_cols)

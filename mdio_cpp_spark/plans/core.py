@@ -1,0 +1,482 @@
+"""Core declared queries — the reference's own operator inventory
+(SURVEY §2.2 selection, §2.3 sorts, §2.4 stats) plus the relational
+categories the Spark engine adds (§2.5: joins, windows, rollup, set ops,
+as-of). Each query cites the reference operator it covers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mdio_cpp_spark.catalog import table
+from mdio_cpp_spark.operators import joins, selection, sorting, stats
+from mdio_cpp_spark.plans.base import declared
+from mdio_cpp_spark.session import tune
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- §2.2 Q1-Q10
+
+@declared(
+    "q01_isel_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_orderkey >= 100 AND l_orderkey < 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 Dataset::isel — half-open index slice (dataset.h:423-470)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = selection.isel(li, "l_orderkey", 100, 200)
+    return selection.project(out, ["l_orderkey", "l_linenumber", "l_quantity"]).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+@declared(
+    "q02_isel_stride",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderkey < 1000
+    ORDER BY o_orderkey
+    """,
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 isel with stride (variable.h:1348-1351; dataset_test.cc:436-560)."""
+    o = _t(spark, sf_dir, "orders")
+    return selection.isel(o, "o_orderkey", start=0, stop=1000, step=2).select("o_orderkey").orderBy("o_orderkey")
+
+
+@declared(
+    "q03_isel_multirange",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE (o_orderkey >= 10 AND o_orderkey < 20) OR (o_orderkey >= 50 AND o_orderkey < 60)
+    ORDER BY o_orderkey
+    """,
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 duplicate-label slice → OR-of-ranges (variable.h:1357-1396)."""
+    o = _t(spark, sf_dir, "orders")
+    out = selection.isel_multi(o, "o_orderkey", [(10, 20), (50, 60)])
+    return out.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+
+
+@declared(
+    "q04_sel_value",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey FROM customer
+    WHERE c_nationkey = 7 ORDER BY c_custkey
+    """,
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 Dataset::sel point lookup (dataset.h:639-755)."""
+    c = _t(spark, sf_dir, "customer")
+    return selection.sel_value(c, "c_nationkey", 7).select("c_custkey", "c_name", "c_nationkey").orderBy("c_custkey")
+
+
+@declared(
+    "q05_sel_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1995-06-01' AND TIMESTAMP '1995-08-31'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 Dataset::sel value range — stop-inclusive (dataset.h:872-876)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = selection.sel_range(li, "l_shipdate", "1995-06-01", "1995-08-31")
+    return out.select("l_orderkey", "l_linenumber", "l_extendedprice").orderBy("l_orderkey", "l_linenumber")
+
+
+@declared(
+    "q06_sel_isin",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_14')
+    ORDER BY n_nationkey
+    """,
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 Dataset::sel membership list (dataset.h:756-786; duplicate values
+    rejected per dataset.h:584-609)."""
+    n = _t(spark, sf_dir, "nation")
+    out = selection.sel_isin(n, "n_name", ["NATION_3", "NATION_7", "NATION_14"])
+    return out.select("n_nationkey", "n_name").orderBy("n_nationkey")
+
+
+@declared(
+    "q07_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 Dataset::operator[] — column pruning (dataset.h:896-925); the
+    pruned ReadSchema reaches the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return selection.project(li, ["l_orderkey", "l_linenumber", "l_discount"]).orderBy("l_orderkey", "l_linenumber")
+
+
+@declared(
+    "q08_select_field",
+    oracle="""
+    SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey
+    """,
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 Dataset::SelectField — struct-field projection (dataset.h:1131-1262).
+    The reference re-opens the array with a field selector; Spark prunes the
+    nested field natively. A struct column is synthesized here to exercise
+    the nested projection path."""
+    o = _t(spark, sf_dir, "orders")
+    hdr = o.select("o_orderkey", F.struct("o_orderdate", "o_orderpriority").alias("hdr"))
+    return selection.select_field(hdr, "hdr", "o_orderdate").orderBy("o_orderkey")
+
+
+@declared(
+    "q09_slice_cached",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_orderkey >= 500 AND l_orderkey < 600
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 VariableData::slice — slice of a materialized (cached) array
+    (variable.h:1745-1790). Spark analog: filter over a persisted DataFrame."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    return selection.isel(li, "l_orderkey", 500, 600).orderBy("l_orderkey", "l_linenumber")
+
+
+@declared(
+    "q10_coord_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 CoordinateSelector::filterByCoordinate — conjunctive coordinate
+    predicates (coordinate_selector.h:302-503); no run-building needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = selection.coordinate_filter(li, F.col("l_returnflag") == "R", F.col("l_linestatus") == "F")
+    return out.select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber")
+
+
+# ------------------------------------------------------------------ §2.3 S0/S2
+
+@declared(
+    "s00_multikey_sort",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    ORDER BY s_nationkey ASC, s_acctbal ASC, s_suppkey ASC
+    """,
+)
+def s00(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S0 sortSelectionByKey — multi-key stable sort
+    (coordinate_selector.h:122-188)."""
+    s = _t(spark, sf_dir, "supplier")
+    return sorting.sort_by_keys(
+        s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+        ["s_nationkey", "s_acctbal", "s_suppkey"],
+    )
+
+
+@declared(
+    "s02_argmax_top1",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 1
+    """,
+)
+def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 peak tracking — coordinate of the max value
+    (examples/seismic_reader/main.cc:71-127); plans TakeOrderedAndProject,
+    not a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    return sorting.argmax(li, "l_extendedprice", ["l_orderkey", "l_linenumber"], ["l_orderkey", "l_linenumber"])
+
+
+# ------------------------------------------------------------------ §2.4 stats
+
+@declared(
+    "a01_summary_stats",
+    oracle="""
+    SELECT COUNT(l_quantity) AS cnt, MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+           ROUND(SUM(l_quantity), 2) AS sum_v,
+           ROUND(SUM(l_quantity * l_quantity), 2) AS sum_sq
+    FROM lineitem
+    """,
+)
+def a01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 SummaryStats — count/min/max/sum/sumSquares (stats.h:229-335);
+    computed in double, single-pass partial aggregation."""
+    return stats.summary_stats(_t(spark, sf_dir, "lineitem"), "l_quantity")
+
+
+@declared(
+    "a02_centered_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(l_quantity / 10) AS INTEGER) AS bin, COUNT(*) AS cnt
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def a02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 CenteredBinHistogram (stats.h:109-161) — fixed-width bucketing;
+    shuffle cardinality = #bins."""
+    return stats.centered_bin_histogram(_t(spark, sf_dir, "lineitem"), "l_quantity", 10.0)
+
+
+@declared(
+    "a03_edge_histogram",
+    oracle="""
+    SELECT bin, lo, hi, COUNT(*) AS cnt FROM (
+      SELECT CASE WHEN l_quantity >= 1 AND l_quantity < 10 THEN 0
+                  WHEN l_quantity >= 10 AND l_quantity < 25 THEN 1
+                  WHEN l_quantity >= 25 AND l_quantity < 40 THEN 2
+                  WHEN l_quantity >= 40 AND l_quantity < 51 THEN 3 END AS bin,
+             CASE WHEN l_quantity >= 1 AND l_quantity < 10 THEN CAST(1.0 AS DOUBLE)
+                  WHEN l_quantity >= 10 AND l_quantity < 25 THEN CAST(10.0 AS DOUBLE)
+                  WHEN l_quantity >= 25 AND l_quantity < 40 THEN CAST(25.0 AS DOUBLE)
+                  WHEN l_quantity >= 40 AND l_quantity < 51 THEN CAST(40.0 AS DOUBLE) END AS lo,
+             CASE WHEN l_quantity >= 1 AND l_quantity < 10 THEN CAST(10.0 AS DOUBLE)
+                  WHEN l_quantity >= 10 AND l_quantity < 25 THEN CAST(25.0 AS DOUBLE)
+                  WHEN l_quantity >= 25 AND l_quantity < 40 THEN CAST(40.0 AS DOUBLE)
+                  WHEN l_quantity >= 40 AND l_quantity < 51 THEN CAST(51.0 AS DOUBLE) END AS hi
+      FROM lineitem
+    ) WHERE bin IS NOT NULL
+    GROUP BY bin, lo, hi ORDER BY bin
+    """,
+)
+def a03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 EdgeDefinedHistogram (stats.h:163-227) — explicit half-open edges."""
+    return stats.edge_binned_histogram(_t(spark, sf_dir, "lineitem"), "l_quantity", [1.0, 10.0, 25.0, 40.0, 51.0])
+
+
+@declared(
+    "a04_num_samples",
+    oracle="SELECT COUNT(*) AS n FROM lineitem",
+)
+def a04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 Variable::num_samples (variable.h:1153-1162)."""
+    return stats.num_samples(_t(spark, sf_dir, "lineitem"))
+
+
+@declared(
+    "a05_get_intervals",
+    oracle="""
+    SELECT 'o_custkey' AS dim, CAST(MIN(o_custkey) AS BIGINT) AS lo, CAST(MAX(o_custkey) + 1 AS BIGINT) AS hi FROM orders
+    UNION ALL
+    SELECT 'o_orderkey' AS dim, CAST(MIN(o_orderkey) AS BIGINT) AS lo, CAST(MAX(o_orderkey) + 1 AS BIGINT) AS hi FROM orders
+    ORDER BY dim
+    """,
+)
+def a05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 get_intervals — per-dimension [min, max+1) domain
+    (variable.h:1652-1698, dataset.h:264-287); one scan for all dims."""
+    return stats.get_intervals(_t(spark, sf_dir, "orders"), ["o_custkey", "o_orderkey"])
+
+
+# ---------------------------------------------------- §2.5 joins / windows / sets
+
+@declared(
+    "j01_broadcast_join_agg",
+    oracle="""
+    SELECT n_name, ROUND(SUM(o_totalprice), 2) AS total_price, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def j01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-alignment join (dataset.h:439-447 analog) with broadcast
+    dims: nation/customer broadcast, the fact table never shuffles for the
+    join — only the 25-row aggregate shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = joins.dim_align_join(o, c, on=[o.o_custkey == c.c_custkey]).join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("n_name")
+    )
+
+
+@declared(
+    "j02_semi_join",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def j02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return joins.semi_join(c.select("c_custkey"), o, on="c_custkey").orderBy("c_custkey")
+
+
+@declared(
+    "j03_anti_join",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+)
+def j03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no urgent orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return joins.anti_join(c.select("c_custkey"), o, on="c_custkey").orderBy("c_custkey")
+
+
+@declared(
+    "w01_row_number",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+    FROM orders ORDER BY o_custkey, rn
+    """,
+)
+def w01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: per-key ordered row numbering."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", F.row_number().over(w).cast("long").alias("rn"))
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@declared(
+    "w02_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING), 2) AS running
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def w02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: per-key running sum (frame-ordered accumulation)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running"))
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@declared(
+    "g01_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP over two keys (absent in reference; built-in)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@declared(
+    "set01_intersect",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT
+    SELECT s_nationkey AS k FROM supplier
+    ORDER BY k
+    """,
+)
+def set01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: INTERSECT (distinct)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s).orderBy("k")
+
+
+@declared(
+    "set02_except",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT
+    SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 8000
+    ORDER BY k
+    """,
+)
+def set02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: EXCEPT (distinct) — nations with customers but no
+    high-balance supplier."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select(F.col("s_nationkey").alias("k"))
+    )
+    return c.subtract(s).orderBy("k")
+
+
+@declared(
+    "set03_union_all_count",
+    oracle="""
+    SELECT k, COUNT(*) AS cnt FROM (
+      SELECT c_nationkey AS k FROM customer
+      UNION ALL
+      SELECT s_nationkey AS k FROM supplier
+    ) GROUP BY k ORDER BY k
+    """,
+)
+def set03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: UNION ALL (the reference's tensorstore::Concat analog,
+    variable.h:1390-1391) + count."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.unionByName(s).groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).orderBy("k")
+
+
+@declared(
+    "asof01_event_order",
+    oracle="""
+    SELECT e.event_id, o.o_orderdate AS asof_date
+    FROM events e ASOF JOIN orders o ON e.ts >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+)
+def asof01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — strict extension of the reference's exact-match sel
+    (dataset.h:840-847 errors on missing values; as-of matches the latest
+    prior). Union + ordered-window formulation, no cross product."""
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    o = table(spark, sf_dir, "orders").select("o_orderdate")
+    out = joins.asof_join(e, o, "ts", "o_orderdate", ["o_orderdate"])
+    return out.select("event_id", F.col("o_orderdate").alias("asof_date")).orderBy("event_id")

@@ -1,0 +1,400 @@
+"""North-star pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing, event-stream analytics (batch twins of the streaming
+transforms). BASELINE.json's "LLM-data-pipeline operators".
+
+Every oracle here is generated from the same constants (marker words, LSH
+hyperplanes, band counts) as the Spark plan, so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mdio_cpp_spark.catalog import table
+from mdio_cpp_spark.functions import hashing, text, vectors
+from mdio_cpp_spark.operators import dedup, similarity
+from mdio_cpp_spark.plans.base import declared
+from mdio_cpp_spark.session import tune
+from mdio_cpp_spark.streaming import events as ev
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return table(spark, sf_dir, name)
+
+
+# SQL fragments shared by the DuckDB oracles -------------------------------
+
+_DD_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _dd_hits(word: str, toks: str = "w") -> str:
+    return f"len(list_filter({toks}, x -> x = '{word}'))"
+
+
+def _dd_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+
+
+def _dd_cosine(a: str, b: str) -> str:
+    return f"({_dd_dot(a, b)}) / (sqrt({_dd_dot(a, a)}) * sqrt({_dd_dot(b, b)}))"
+
+
+def _dd_planes_cte(n_planes: int, dim: int) -> str:
+    """VALUES CTE of the deterministic sign-LSH hyperplanes — the same
+    literals the Spark plan embeds (functions.hashing.hyperplane_weights)."""
+    planes = hashing.hyperplane_weights(n_planes, dim)
+    rows = ",\n      ".join(
+        f"({p}, [{', '.join(str(x) for x in row)}]::DOUBLE[])" for p, row in enumerate(planes)
+    )
+    return f"planes(p, w) AS (VALUES\n      {rows})"
+
+
+def _dd_bucket(vec: str) -> str:
+    proj = _dd_dot(vec, "w")
+    return (
+        f"string_agg(CASE WHEN ({proj}) >= 0 THEN '1' ELSE '0' END, '' ORDER BY p)"
+    )
+
+
+# ------------------------------------------------------------------- dedup
+
+@declared(
+    "d01_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS dup_cnt
+    FROM documents GROUP BY 1 ORDER BY keep_id
+    """,
+)
+def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content hash; shuffle carries (hash, id), never
+    document bodies."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(d, "doc_id", "text").orderBy("keep_id")
+
+
+_MH_BANDS, _MH_ROWS = 4, 4
+
+
+def _dd_minhash_sql() -> str:
+    k = _MH_BANDS * _MH_ROWS
+    mh_cols = ",\n        ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{j}:' || s)), 'min') AS mh{j}" for j in range(k)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh{b * _MH_ROWS} || mh{b * _MH_ROWS + 1} || mh{b * _MH_ROWS + 2} || mh{b * _MH_ROWS + 3}) AS bh FROM mh"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_DD_TOKS} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM toks WHERE len(w) >= 3
+    ), mh AS (
+      SELECT doc_id,
+        {mh_cols}
+      FROM sh
+    ), bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+@declared("d02_minhash_lsh", oracle=_dd_minhash_sql())
+def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle → 16 seeded minhashes → 4 bands
+    of 4 → bucket equi-join. Only (band, hash, id) tuples shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@declared(
+    "d03_simhash",
+    oracle=f"""
+    SELECT doc_id, CAST(p.pos AS INTEGER) AS pos,
+           CASE WHEN SUM(CASE WHEN substr(md5(tok), CAST(p.pos AS INTEGER), 1) >= '8' THEN 1 ELSE -1 END) > 0
+                THEN 1 ELSE 0 END AS bit
+    FROM (SELECT doc_id, unnest({_DD_TOKS}) AS tok FROM documents) t
+    CROSS JOIN (SELECT unnest(range(1, 17)) AS pos) p
+    GROUP BY doc_id, p.pos ORDER BY doc_id, pos
+    """,
+)
+def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature in long form (doc_id, pos, bit), 16 bits from md5
+    hex-digit votes; map-side explode + one (id, pos) groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_bits(d, "doc_id", "text", n_bits=16).orderBy("doc_id", "pos")
+
+
+@declared(
+    "d04_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, {_DD_TOKS} AS w FROM documents) WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    ORDER BY doc_a
+    """,
+)
+def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard verification on candidate pairs (adjacent doc ids as
+    the deterministic candidate set for the gate)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    sh = d.filter(F.size(toks) >= 3).select(
+        "doc_id", F.array_distinct(text.word_shingles(toks, 3)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select("doc_a", "doc_b", F.round(dedup.ngram_jaccard(F.col("sa"), F.col("sb")), 6).alias("jac"))
+        .orderBy("doc_a")
+    )
+
+
+# τ=0.30: the synthetic embeddings are near-orthogonal random vectors (max
+# in-bucket cosine ≈ 0.39 at sf0.01), so a production-style 0.9 threshold
+# matches nothing; 0.30 exercises the verify stage with a real candidate set.
+_ND_PLANES, _ND_DIM, _ND_TAU = 8, 64, 0.30
+
+
+@declared(
+    "d05_embed_neardup",
+    oracle=f"""
+    WITH {_dd_planes_cte(_ND_PLANES, _ND_DIM)},
+    b AS (
+      SELECT vec_id, embedding, {_dd_bucket("embedding")} AS bk
+      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding
+    )
+    SELECT doc_a, doc_b, cos FROM (
+      SELECT a.vec_id AS doc_a, c.vec_id AS doc_b,
+             ROUND({_dd_cosine("a.embedding", "c.embedding")}, 4) AS cos
+      FROM b a JOIN b c ON a.bk = c.bk AND a.vec_id < c.vec_id
+    ) WHERE cos >= {_ND_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH bucket equi-join, exact cosine
+    verify within buckets only."""
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(
+        e, "vec_id", "embedding", dim=_ND_DIM, n_planes=_ND_PLANES, threshold=_ND_TAU
+    ).orderBy("doc_a", "doc_b")
+
+
+# -------------------------------------------------------------- similarity
+
+@declared(
+    "v01_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 3)
+    SELECT q_id, vec_id, cos, rk FROM (
+      SELECT q_id, vec_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+      FROM (
+        SELECT q.q_id, e.vec_id, ROUND({_dd_cosine("q.qv", "e.embedding")}, 4) AS cos
+        FROM q, embeddings e WHERE e.vec_id <> q.q_id
+      )
+    ) WHERE rk <= 5 ORDER BY q_id, rk
+    """,
+)
+def v01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (queries broadcast, corpus partitioned;
+    ranking on rounded cosine with id tiebreak for determinism)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    return similarity.cosine_topk(e, q, "vec_id", "embedding", k=5).orderBy("q_id", "rk")
+
+
+_ANN_PLANES = 4
+
+
+@declared(
+    "v02_lsh_ann",
+    oracle=f"""
+    WITH {_dd_planes_cte(_ANN_PLANES, _ND_DIM)},
+    b AS (
+      SELECT vec_id, embedding, {_dd_bucket("embedding")} AS bk
+      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, bk FROM b WHERE vec_id < 3)
+    SELECT q_id, vec_id, cos, rk FROM (
+      SELECT q_id, vec_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+      FROM (
+        SELECT q.q_id, e.vec_id, ROUND({_dd_cosine("q.qv", "e.embedding")}, 4) AS cos
+        FROM q JOIN b e ON e.bk = q.bk AND e.vec_id <> q.q_id
+      )
+    ) WHERE rk <= 5 ORDER BY q_id, rk
+    """,
+)
+def v02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: sign-LSH bucket restriction then exact rank within
+    the bucket — the corpus×queries product becomes an equi-join."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    return similarity.lsh_topk(e, q, "vec_id", "embedding", dim=_ND_DIM, k=5, n_planes=_ANN_PLANES).orderBy(
+        "q_id", "rk"
+    )
+
+
+# ------------------------------------------------------------ text analysis
+
+def _dd_lang_sql() -> str:
+    score = {
+        lang: " + ".join(_dd_hits(m) for m in markers)
+        for lang, markers in text._LANG_MARKERS.items()
+    }
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {score['en']} AS s_en, {score['de']} AS s_de,
+             {score['fr']} AS s_fr, {score['es']} AS s_es
+      FROM (SELECT doc_id, lang, {_DD_TOKS} AS w FROM documents)
+    )
+    SELECT doc_id,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang,
+           lang
+    FROM s ORDER BY doc_id
+    """
+
+
+@declared("t01_lang_id", oracle=_dd_lang_sql())
+def t01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token scores, deterministic argmax."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.lang_id("text").alias("pred_lang"), "lang").orderBy("doc_id")
+
+
+@declared(
+    "t02_quality_score",
+    oracle=f"""
+    SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+           ROUND(
+             LEAST(CAST(1.0 AS DOUBLE), CAST(len(w) AS DOUBLE) / CAST(100.0 AS DOUBLE))
+             * (CAST(1.0 AS DOUBLE) - (CAST(length(text) AS DOUBLE)
+                 - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)) / CAST(length(text) AS DOUBLE))
+             * (CAST(0.5 AS DOUBLE) + LEAST(
+                  CAST({_dd_hits("the")} + {_dd_hits("a")} + {_dd_hits("of")} AS DOUBLE) / CAST(len(w) AS DOUBLE),
+                  CAST(0.5 AS DOUBLE))),
+             4) AS score
+    FROM (SELECT doc_id, text, {_DD_TOKS} AS w FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def t02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length factor × (1 − punct ratio) × stopword factor."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tok"),
+        text.quality_score("text").alias("score"),
+    ).orderBy("doc_id")
+
+
+@declared(
+    "t03_token_count",
+    oracle=f"""
+    SELECT doc_id, CAST(len({_DD_TOKS}) AS BIGINT) AS n_tok,
+           CAST(length(text) AS BIGINT) AS len_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def t03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace/punct split) + char length."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tok"),
+        F.length("text").cast("long").alias("len_chars"),
+    ).orderBy("doc_id")
+
+
+@declared(
+    "t04_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5(array_to_string(list_sort(list_distinct({_DD_TOKS})), ' ')) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+# ------------------------------------------------------------- multimodal
+
+@declared(
+    "mm01_binary_meta",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nbytes, md5(text) AS content_hash
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload column + typed metadata
+    (byte length, content hash). Decode/feature-extract stages live in
+    sources/multimodal.py as mapInPandas stubs."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("nbytes"),
+        F.md5("text").alias("content_hash"),
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------------------- streaming (batch twins)
+
+@declared(
+    "st01_event_window_agg",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS ws, event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation — the batch twin of the
+    structured-streaming transform (same function, see streaming/events.py)."""
+    e = _t(spark, sf_dir, "events")
+    return ev.windowed_event_agg(e, "1 minute").orderBy("ws", "event_type")
+
+
+@declared(
+    "st02_sessionize",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000 THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+    ) ORDER BY user_id, event_id
+    """,
+)
+def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap), microsecond-exact arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    return ev.sessionize(e, gap_seconds=1800).orderBy("user_id", "event_id")

