@@ -37,7 +37,7 @@ _COUNT_ONLY = {
     "t04_fingerprint",
     "mm01_binary_meta",
     "d01_dedup_exact",
-)
+}
 
 
 def main() -> None:

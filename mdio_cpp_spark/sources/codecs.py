@@ -1,0 +1,105 @@
+"""Per-chunk compression codecs.
+
+The reference accepts only Blosc (dataset_factory.h:295-297,344-346) because
+TensorStore ships it. This container has no blosc/numcodecs wheel, so the
+engine's own stores default to stdlib codecs (zlib/gzip) and blosc support is
+gated behind an import-try: reading a blosc-compressed store raises a clear
+error here but works wherever ``blosc`` is installed.
+
+Zarr v2 compressor JSON: ``null`` | {"id": "zlib"|"gzip"|"blosc", ...}.
+Zarr v3 codec chain: [{"name": "bytes", ...}, {"name": "gzip"|"zstd", ...}].
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from typing import Any
+
+try:  # optional, not in this container
+    import blosc as _blosc  # type: ignore
+except ImportError:  # pragma: no cover
+    _blosc = None
+
+
+class CodecError(RuntimeError):
+    pass
+
+
+def compress_v2(data: bytes, compressor: dict | None) -> bytes:
+    if compressor is None:
+        return data
+    cid = compressor.get("id")
+    if cid == "zlib":
+        return zlib.compress(data, compressor.get("level", 5))
+    if cid == "gzip":
+        return gzip.compress(data, compresslevel=compressor.get("level", 5))
+    if cid == "blosc":
+        if _blosc is None:
+            raise CodecError("blosc not installed in this environment; use zlib/gzip")
+        return _blosc.compress(
+            data,
+            typesize=compressor.get("typesize", 8) or 8,
+            cname=compressor.get("cname", "lz4"),
+            clevel=compressor.get("clevel", 5),
+            shuffle=compressor.get("shuffle", 1),
+        )
+    raise CodecError(f"unsupported v2 compressor {cid!r}")
+
+
+def decompress_v2(data: bytes, compressor: dict | None) -> bytes:
+    if compressor is None:
+        return data
+    cid = compressor.get("id")
+    if cid == "zlib":
+        return zlib.decompress(data)
+    if cid == "gzip":
+        return gzip.decompress(data)
+    if cid == "blosc":
+        if _blosc is None:
+            raise CodecError("blosc not installed in this environment; cannot read this store")
+        return _blosc.decompress(data)
+    raise CodecError(f"unsupported v2 compressor {cid!r}")
+
+
+def compress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
+    """Apply a v3 codec chain (bytes→bytes stages only; the array→bytes
+    'bytes' codec is handled by the caller's C-order serialization)."""
+    for codec in codecs:
+        name = codec.get("name")
+        conf = codec.get("configuration") or {}
+        if name == "bytes":
+            if conf.get("endian", "little") != "little":
+                raise CodecError("big-endian 'bytes' codec not supported")
+            continue
+        if name == "gzip":
+            data = gzip.compress(data, compresslevel=conf.get("level", 5))
+        elif name == "zlib":
+            data = zlib.compress(data, conf.get("level", 5))
+        elif name == "blosc":
+            if _blosc is None:
+                raise CodecError("blosc not installed in this environment")
+            data = _blosc.compress(data, typesize=conf.get("typesize", 8) or 8,
+                                   cname=conf.get("cname", "lz4"),
+                                   clevel=conf.get("clevel", 5))
+        else:
+            raise CodecError(f"unsupported v3 codec {name!r}")
+    return data
+
+
+def decompress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
+    for codec in reversed(codecs):
+        name = codec.get("name")
+        if name == "bytes":
+            continue
+        if name == "gzip":
+            data = gzip.decompress(data)
+        elif name == "zlib":
+            data = zlib.decompress(data)
+        elif name == "blosc":
+            if _blosc is None:
+                raise CodecError("blosc not installed in this environment")
+            data = _blosc.decompress(data)
+        else:
+            raise CodecError(f"unsupported v3 codec {name!r}")
+    return data

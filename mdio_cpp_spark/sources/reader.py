@@ -1,0 +1,259 @@
+"""Spark scan over a Zarr array: chunk-pruned, fill-synthesizing, long-form.
+
+The Dataset::Open → isel → Read() pipeline (reference dataset.h:941-1118,
+variable.h:1079-1103) re-expressed for Spark's execution model:
+
+  * ALL metadata I/O happens once on the driver (consolidated .zmetadata /
+    zarr.json walk — zarr_v2.h:467-482).
+  * **Chunk pruning** (SURVEY §4 — "THE key custom piece"): the driver
+    intersects the requested per-dimension index ranges with the chunk grid
+    and plans only the overlapping chunks. A `sel`/`isel` predicate therefore
+    never touches non-overlapping chunks — the Zarr analog of parquet
+    partition pruning.
+  * The chunk manifest is never materialized on the driver: the plan is
+    ``spark.range(n_pruned_chunks)`` and each task unravels its linear ids
+    into chunk coordinates. At 100 TB (~12M chunks of 8 MiB) the manifest
+    stays a lazy range — no driver memory, no createDataFrame of millions of
+    rows.
+  * Executors decode chunks via the pure-Python store (codecs.py) into
+    vectorized numpy, emitted through Arrow batches (mapInPandas). Absent
+    chunks synthesize the fill value (dataset_factory.h:500-545 semantics)
+    without reading anything.
+  * Output is long/tidy form: one row per cell, dimension-index columns
+    (int64) + value column(s). Struct dtypes emit one column per (selected)
+    field — nested-field pruning happens at decode time, replacing the
+    reference's re-open dance (dataset.h:1131-1262).
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from mdio_cpp_spark.schema.types import SCALAR_TYPES
+from mdio_cpp_spark.sources.zarr_store import ZarrArrayMeta, ZarrStore, _clamped_box
+
+__all__ = ["scan_array", "plan_chunks", "scan_schema"]
+
+# widenings applied on decode so Spark sees a supported type (SURVEY §1.2)
+_NUMPY_TO_SPARK_CAST = {
+    "float16": ("float32", T.FloatType()),
+    "uint8": ("int16", T.ShortType()),
+    "uint16": ("int32", T.IntegerType()),
+    "uint32": ("int64", T.LongType()),
+}
+
+
+def _scalar_spark_type(np_dt: np.dtype) -> T.DataType:
+    if np_dt.name in _NUMPY_TO_SPARK_CAST:
+        return _NUMPY_TO_SPARK_CAST[np_dt.name][1]
+    if np_dt.name == "uint64":
+        return T.DecimalType(20, 0)
+    if np_dt.name in SCALAR_TYPES:
+        return SCALAR_TYPES[np_dt.name].spark
+    if np_dt.kind == "U" or np_dt.kind == "S":
+        return T.StringType()
+    if np_dt.kind == "M":
+        return T.TimestampType()
+    raise TypeError(f"unsupported dtype {np_dt}")
+
+
+def _convert_values(vals: np.ndarray) -> Any:
+    """numpy → pandas column with the Spark-facing type."""
+    name = vals.dtype.name
+    if name in _NUMPY_TO_SPARK_CAST:
+        return vals.astype(_NUMPY_TO_SPARK_CAST[name][0])
+    if name == "uint64":
+        return pd.Series([Decimal(int(v)) for v in vals], dtype=object)
+    if vals.dtype.kind == "S":
+        return pd.Series([v.decode("utf-8", "replace") for v in vals], dtype=object)
+    if vals.dtype.kind == "U":
+        return pd.Series(vals.astype(object))
+    return vals
+
+
+def _dim_names(meta: ZarrArrayMeta) -> list[str]:
+    return [meta.dims[d] if d < len(meta.dims) and meta.dims[d] else f"dim_{d}" for d in range(meta.ndim)]
+
+
+def scan_schema(meta: ZarrArrayMeta, fields: list[str] | None = None, value_col: str = "value") -> T.StructType:
+    """Spark schema of the long-form scan output."""
+    out = [T.StructField(d, T.LongType(), False) for d in _dim_names(meta)]
+    if meta.is_struct:
+        names = fields or list(meta.np_dtype.names)
+        for n in names:
+            out.append(T.StructField(n, _scalar_spark_type(meta.np_dtype.fields[n][0]), True))
+    elif meta.np_dtype.kind == "c":
+        base = T.FloatType() if meta.np_dtype.itemsize == 8 else T.DoubleType()
+        out.append(T.StructField(f"{value_col}_re", base, True))
+        out.append(T.StructField(f"{value_col}_im", base, True))
+    else:
+        out.append(T.StructField(value_col, _scalar_spark_type(meta.np_dtype), True))
+    return T.StructType(out)
+
+
+def _normalize_ranges(
+    meta: ZarrArrayMeta, ranges: dict[str, tuple] | None
+) -> tuple[tuple[tuple[int, int], ...], tuple[int, ...], tuple[int, ...]]:
+    """→ (clamped half-open box, per-dim step, per-dim stride origin)."""
+    box2: dict[str, tuple[int, int]] = {}
+    steps: dict[str, int] = {}
+    if ranges:
+        for k, v in ranges.items():
+            if len(v) == 3:
+                lo, hi, st = v
+            else:
+                lo, hi = v
+                st = 1
+            if st < 1:
+                raise ValueError(f"step must be >= 1 for {k!r}")
+            box2[k] = (lo, hi)
+            steps[k] = int(st)
+    box = _clamped_box(meta, box2)
+    names = _dim_names(meta)
+    step_t = tuple(steps.get(n, 1) for n in names)
+    origin_t = tuple(box[d][0] for d in range(meta.ndim))
+    return box, step_t, origin_t
+
+
+def plan_chunks(
+    meta: ZarrArrayMeta, ranges: dict[str, tuple] | None = None
+) -> tuple[list[range], int]:
+    """Pruned chunk grid: per-dim chunk-index ranges + total pruned count.
+    Pure driver-side planning — this is what the pruning tests assert on."""
+    box, _, _ = _normalize_ranges(meta, ranges)
+    if any(hi <= lo for lo, hi in box):
+        return [range(0) for _ in range(meta.ndim)], 0
+    per_dim = [
+        range(box[d][0] // meta.chunks[d], (box[d][1] - 1) // meta.chunks[d] + 1)
+        for d in range(meta.ndim)
+    ]
+    return per_dim, int(np.prod([len(r) for r in per_dim])) if per_dim else 0
+
+
+def scan_array(
+    spark: SparkSession,
+    root: str,
+    var: str,
+    ranges: dict[str, tuple] | None = None,
+    fields: list[str] | None = None,
+    value_col: str = "value",
+    chunks_per_task: int = 4,
+) -> DataFrame:
+    """Scan one Zarr array into a long-form DataFrame with chunk pruning.
+
+    ``ranges`` maps dimension label → (start, stop[, step]) half-open index
+    ranges (isel semantics, dataset.h:423-546; stride per variable.h:1348).
+    ``fields`` selects struct-dtype fields (SelectField analog).
+    """
+    store = ZarrStore.open(root)
+    meta = store.array_meta(var)
+    if meta.header_only and meta.np_dtype.fields is None and meta.np_dtype.kind in "OV":
+        raise TypeError(f"array {var!r} is metadata-only (dtype {meta.np_dtype})")
+    box, steps, _ = _normalize_ranges(meta, ranges)
+    per_dim, n_chunks = plan_chunks(meta, ranges)
+    out_schema = scan_schema(meta, fields, value_col)
+    dim_names = _dim_names(meta)
+
+    if n_chunks == 0:
+        return spark.createDataFrame([], out_schema)
+
+    grid_lens = [len(r) for r in per_dim]
+    grid_starts = [r.start for r in per_dim]
+    root_path, version = store.root, store.version
+    sel_fields = list(fields) if fields else (list(meta.np_dtype.names) if meta.is_struct else None)
+    shape, chunks = meta.shape, meta.chunks
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # executor-side: open the store lazily once per task
+        task_store = ZarrStore(root_path, version)
+        for pdf in batches:
+            for linear in pdf["id"].to_numpy():
+                # unravel linear id → chunk coords within the pruned grid
+                coords = []
+                rem = int(linear)
+                for L in reversed(grid_lens):
+                    coords.append(rem % L)
+                    rem //= L
+                coords = tuple(
+                    grid_starts[d] + c for d, c in enumerate(reversed(coords))
+                )
+                yield _decode_chunk_to_pdf(
+                    task_store, meta, coords, box, steps, dim_names, sel_fields, value_col
+                )
+
+    n_parts = max(1, math.ceil(n_chunks / max(1, chunks_per_task)))
+    manifest = spark.range(0, n_chunks, numPartitions=n_parts)
+    return manifest.mapInPandas(decode, schema=out_schema)
+
+
+def _decode_chunk_to_pdf(
+    store: ZarrStore,
+    meta: ZarrArrayMeta,
+    coords: tuple[int, ...],
+    box: tuple[tuple[int, int], ...],
+    steps: tuple[int, ...],
+    dim_names: list[str],
+    sel_fields: list[str] | None,
+    value_col: str,
+) -> pd.DataFrame:
+    """Decode one chunk (or synthesize fill) into the long-form pandas frame,
+    fully vectorized: per-dim global index arrays → meshgrid → ravel."""
+    origin = tuple(c * s for c, s in zip(coords, meta.chunks))
+    gsel: list[np.ndarray] = []
+    lsel: list[np.ndarray] = []
+    for d in range(meta.ndim):
+        lo = max(box[d][0], origin[d])
+        hi = min(box[d][1], origin[d] + meta.chunks[d], meta.shape[d])
+        g = np.arange(lo, hi, dtype=np.int64)
+        if steps[d] > 1:
+            g = g[(g - box[d][0]) % steps[d] == 0]
+        gsel.append(g)
+        lsel.append(g - origin[d])
+    n = int(np.prod([len(g) for g in gsel])) if gsel else 0
+    cols: dict[str, Any] = {}
+    if n == 0:
+        empty = {name: np.empty(0, dtype=np.int64) for name in dim_names}
+        return pd.DataFrame(empty | _empty_value_cols(meta, sel_fields, value_col))
+    mesh = np.meshgrid(*gsel, indexing="ij") if meta.ndim > 1 else [gsel[0]]
+    for name, m in zip(dim_names, mesh):
+        cols[name] = m.ravel()
+
+    block = store.decode_chunk(meta, coords)
+    if block is None:
+        # fill synthesis: unwritten chunk, no I/O (dataset_factory.h:500-545)
+        fill = meta.fill_scalar()
+        if meta.is_struct:
+            vals = np.full(n, fill, dtype=meta.np_dtype)
+        else:
+            vals = np.full(n, fill, dtype=meta.np_dtype)
+    else:
+        vals = block[np.ix_(*lsel)].ravel() if meta.ndim > 1 else block[lsel[0]]
+
+    if meta.is_struct:
+        for f in sel_fields or []:
+            cols[f] = _convert_values(np.ascontiguousarray(vals[f]))
+    elif meta.np_dtype.kind == "c":
+        cols[f"{value_col}_re"] = np.real(vals)
+        cols[f"{value_col}_im"] = np.imag(vals)
+    else:
+        cols[value_col] = _convert_values(vals)
+    return pd.DataFrame(cols)
+
+
+def _empty_value_cols(meta: ZarrArrayMeta, sel_fields: list[str] | None, value_col: str) -> dict:
+    if meta.is_struct:
+        return {f: np.empty(0, dtype=meta.np_dtype.fields[f][0]) for f in sel_fields or []}
+    if meta.np_dtype.kind == "c":
+        base = np.float32 if meta.np_dtype.itemsize == 8 else np.float64
+        return {f"{value_col}_re": np.empty(0, base), f"{value_col}_im": np.empty(0, base)}
+    if meta.np_dtype.name == "uint64":
+        return {value_col: pd.Series(dtype=object)}
+    np_out = _NUMPY_TO_SPARK_CAST.get(meta.np_dtype.name, (meta.np_dtype.name,))[0]
+    return {value_col: np.empty(0, dtype=np_out)}

@@ -1,0 +1,575 @@
+"""Pure-Python Zarr v2/v3 store: metadata, chunks, consolidated metadata.
+
+This is the format substrate for the Spark scan/write paths (reader.py /
+writer.py) and the driver-side oracle reader. Behavior mirrored from the
+reference (never its code):
+
+  * path → driver scheme split: ``file://`` / ``gs://`` / ``s3://``
+    (zarr/zarr_driver.h:225-231). Only local paths are usable in this
+    container; cloud schemes raise with the mapping documented (IO10 —
+    on a real cluster the same chunk keys resolve over s3a/gcs Hadoop FS
+    or fsspec).
+  * version probe: try ``zarr.json`` (v3) then ``.zgroup`` (v2)
+    (zarr_driver.h:97-128).
+  * v2 consolidated metadata: one ``.zmetadata`` read replaces N per-array
+    reads (zarr_v2.h:221-309,467-482); v3 walks child ``zarr.json`` files
+    (zarr_v3.h:539-625).
+  * header-only dtypes (numpy kinds U/S/O/M/m) are flagged, reproducing the
+    reference's metadata-only rule (zarr_v2.h:139-162).
+  * dimension labels: v2 uses the public xarray ``_ARRAY_DIMENSIONS`` attr
+    convention; v3 uses the spec's ``dimension_names``.
+
+Chunks are C-order serialized, padded to full chunk shape at array edges
+(Zarr spec), compressed per codecs.py. Missing chunk == fill value.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import math
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Any, Iterator
+
+import numpy as np
+
+from mdio_cpp_spark.sources import codecs as _codecs
+from mdio_cpp_spark.schema.types import (
+    HEADER_ONLY_KINDS,
+    SCALAR_TYPES,
+    decode_fill_json,
+    encode_fill_json,
+    fill_value_for,
+    parse_v2_dtype,
+    struct_numpy_dtype,
+    v2_dtype_str,
+    v3_dtype_name,
+)
+
+CLOUD_SCHEMES = ("gs://", "s3://")
+
+
+def parse_store_path(path: str) -> str:
+    """Resolve a store path, mirroring the reference's driver inference
+    (zarr_driver.h:225-231). Local ``file://`` or bare paths pass through;
+    gs://-/s3:// raise here (no cloud SDK in this container) with the
+    production mapping documented in the module docstring."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    for scheme in CLOUD_SCHEMES:
+        if path.startswith(scheme):
+            raise NotImplementedError(
+                f"{scheme} stores need a cloud filesystem (fsspec/Hadoop FS); "
+                "not available in this environment — use a local path"
+            )
+    return path
+
+
+@dataclass
+class ZarrArrayMeta:
+    """Metadata for one Zarr array (the reference's per-variable spec,
+    variable.h:583-790 analog). Picklable — shipped to executors inside
+    scan/write closures."""
+
+    name: str
+    shape: tuple[int, ...]
+    chunks: tuple[int, ...]
+    np_dtype: np.dtype
+    mdio_type: str | None            # MDIO scalar name; None for struct dtypes
+    fill: Any                        # numpy scalar/void or None
+    zarr_version: int = 2
+    compressor: dict | None = None   # v2
+    v3_codecs: list = field(default_factory=list)
+    order: str = "C"
+    separator: str = "."
+    dims: tuple[str, ...] = ()
+    attrs: dict = field(default_factory=dict)
+    header_only: bool = False
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def is_struct(self) -> bool:
+        return self.np_dtype.fields is not None
+
+    def grid_shape(self) -> tuple[int, ...]:
+        return tuple(-(-s // c) for s, c in zip(self.shape, self.chunks))
+
+    def nchunks(self) -> int:
+        return int(np.prod(self.grid_shape())) if self.shape else 0
+
+    def chunk_key(self, coords: tuple[int, ...]) -> str:
+        if self.zarr_version == 3:
+            return f"{self.name}/c/" + "/".join(str(c) for c in coords)
+        return f"{self.name}/" + self.separator.join(str(c) for c in coords)
+
+    def fill_scalar(self) -> Any:
+        """Fill as a numpy scalar; None (v2 bool null) degrades to False."""
+        if self.fill is None:
+            return self.np_dtype.type(0) if not self.is_struct else np.zeros((), self.np_dtype)[()]
+        return self.fill
+
+
+def _v2_array_json(meta: ZarrArrayMeta) -> dict:
+    if meta.is_struct:
+        dtype_json: Any = [[n, meta.np_dtype.fields[n][0].str] for n in meta.np_dtype.names]
+    elif meta.mdio_type is not None:
+        dtype_json = v2_dtype_str(meta.mdio_type)
+    else:
+        dtype_json = meta.np_dtype.str
+    return {
+        "zarr_format": 2,
+        "shape": list(meta.shape),
+        "chunks": list(meta.chunks),
+        "dtype": dtype_json,
+        "compressor": meta.compressor,
+        "fill_value": encode_fill_json(
+            None if meta.fill is None
+            else (meta.fill.item() if hasattr(meta.fill, "item") and not meta.is_struct else meta.fill)
+        ) if not meta.is_struct else _struct_fill_b64(meta),
+        "order": meta.order,
+        "filters": None,
+        "dimension_separator": meta.separator,
+    }
+
+
+def _struct_fill_b64(meta: ZarrArrayMeta) -> str:
+    import base64
+
+    if meta.fill is None:
+        raw = b"\x00" * meta.np_dtype.itemsize
+    else:
+        raw = bytes(np.asarray(meta.fill, dtype=meta.np_dtype).tobytes())
+    return base64.b64encode(raw).decode("ascii")
+
+
+def _v3_array_json(meta: ZarrArrayMeta) -> dict:
+    if meta.is_struct:
+        raise NotImplementedError("struct dtypes target Zarr v2 stores")
+    fill = meta.fill_scalar()
+    return {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(meta.shape),
+        "data_type": v3_dtype_name(meta.mdio_type) if meta.mdio_type else meta.np_dtype.name,
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": list(meta.chunks)}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": encode_fill_json(fill.item() if hasattr(fill, "item") else fill),
+        "codecs": meta.v3_codecs or [{"name": "bytes", "configuration": {"endian": "little"}}],
+        "attributes": meta.attrs,
+        "dimension_names": list(meta.dims) if meta.dims else None,
+    }
+
+
+def _meta_from_v2(name: str, zarray: dict, zattrs: dict) -> ZarrArrayMeta:
+    mdio_name, np_dt, header_only = parse_v2_dtype(zarray["dtype"])
+    fill = decode_fill_json(zarray.get("fill_value"), np_dt)
+    dims = tuple(zattrs.get("_ARRAY_DIMENSIONS", ()))
+    return ZarrArrayMeta(
+        name=name,
+        shape=tuple(zarray["shape"]),
+        chunks=tuple(zarray["chunks"]),
+        np_dtype=np_dt,
+        mdio_type=mdio_name,
+        fill=fill,
+        zarr_version=2,
+        compressor=zarray.get("compressor"),
+        order=zarray.get("order", "C"),
+        separator=zarray.get("dimension_separator", "."),
+        dims=dims,
+        attrs=zattrs,
+        header_only=header_only,
+    )
+
+
+def _meta_from_v3(name: str, zjson: dict) -> ZarrArrayMeta:
+    data_type = zjson["data_type"]
+    if data_type in SCALAR_TYPES or any(t.v3 == data_type for t in SCALAR_TYPES.values()):
+        mdio_name = data_type
+        np_dt = np.dtype(SCALAR_TYPES[mdio_name].numpy)
+        header_only = False
+    else:
+        np_dt = np.dtype(data_type)
+        mdio_name = None
+        header_only = np_dt.kind in HEADER_ONLY_KINDS
+    fill = decode_fill_json(zjson.get("fill_value"), np_dt)
+    return ZarrArrayMeta(
+        name=name,
+        shape=tuple(zjson["shape"]),
+        chunks=tuple(zjson["chunk_grid"]["configuration"]["chunk_shape"]),
+        np_dtype=np_dt,
+        mdio_type=mdio_name,
+        fill=fill,
+        zarr_version=3,
+        v3_codecs=list(zjson.get("codecs", [])),
+        separator=zjson.get("chunk_key_encoding", {}).get("configuration", {}).get("separator", "/"),
+        dims=tuple(zjson.get("dimension_names") or ()),
+        attrs=dict(zjson.get("attributes", {})),
+        header_only=header_only,
+    )
+
+
+class ZarrStore:
+    """A Zarr v2/v3 group on a local filesystem (Dataset::Open's kvstore
+    analog, dataset.h:101-127)."""
+
+    def __init__(self, root: str, version: int, attrs: dict | None = None):
+        self.root = parse_store_path(root)
+        self.version = version
+        self.attrs = attrs if attrs is not None else {}
+
+    # ------------------------------------------------------------- lifecycle
+
+    @classmethod
+    def probe_version(cls, root: str) -> int:
+        """zarr.json → v3, else .zgroup/.zmetadata → v2 (zarr_driver.h:97-128)."""
+        root = parse_store_path(root)
+        if os.path.exists(os.path.join(root, "zarr.json")):
+            return 3
+        if os.path.exists(os.path.join(root, ".zgroup")) or os.path.exists(
+            os.path.join(root, ".zmetadata")
+        ):
+            return 2
+        raise FileNotFoundError(f"no Zarr store at {root!r} (no zarr.json or .zgroup)")
+
+    @classmethod
+    def open(cls, root: str) -> "ZarrStore":
+        version = cls.probe_version(root)
+        store = cls(root, version)
+        store.attrs = store._read_root_attrs()
+        return store
+
+    @classmethod
+    def create(cls, root: str, version: int = 2, attrs: dict | None = None) -> "ZarrStore":
+        root_fs = parse_store_path(root)
+        os.makedirs(root_fs, exist_ok=True)
+        store = cls(root_fs, version, attrs or {})
+        if version == 2:
+            store._write_json(".zgroup", {"zarr_format": 2})
+            store._write_json(".zattrs", store.attrs)
+        else:
+            store._write_json(
+                "zarr.json",
+                {"zarr_format": 3, "node_type": "group", "attributes": store.attrs},
+            )
+        return store
+
+    def delete(self) -> None:
+        """Validate-then-delete the whole store (utils/delete.h:38-81)."""
+        self.probe_version(self.root)  # raises if not a store
+        shutil.rmtree(self.root)
+
+    # ------------------------------------------------------------- raw kv I/O
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+    def _write_json(self, key: str, obj: Any) -> None:
+        path = self._path(key)
+        os.makedirs(os.path.dirname(path) or self.root, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(obj, f, indent=2, allow_nan=False, default=_json_default)
+
+    def _read_json(self, key: str) -> Any:
+        with open(self._path(key)) as f:
+            return json.load(f)
+
+    def read_bytes(self, key: str) -> bytes | None:
+        path = self._path(key)
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_bytes(self, key: str, data: bytes) -> None:
+        path = self._path(key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic publish per chunk
+
+    def _read_root_attrs(self) -> dict:
+        if self.version == 2:
+            consolidated = self._consolidated()
+            if consolidated is not None and ".zattrs" in consolidated:
+                return consolidated[".zattrs"]
+            try:
+                return self._read_json(".zattrs")
+            except FileNotFoundError:
+                return {}
+        obj = self._read_json("zarr.json")
+        return dict(obj.get("attributes", {}))
+
+    # ------------------------------------------------------------- metadata
+
+    def _consolidated(self) -> dict | None:
+        try:
+            obj = self._read_json(".zmetadata")
+        except FileNotFoundError:
+            return None
+        return obj.get("metadata")
+
+    def arrays(self) -> dict[str, ZarrArrayMeta]:
+        """All arrays in the store. v2 prefers the consolidated .zmetadata
+        (one read — zarr_v2.h:467-482); v3 walks child zarr.json files
+        (zarr_v3.h:539-625)."""
+        out: dict[str, ZarrArrayMeta] = {}
+        if self.version == 2:
+            consolidated = self._consolidated()
+            if consolidated is not None:
+                for key, val in consolidated.items():
+                    if key.endswith("/.zarray"):
+                        name = key[: -len("/.zarray")]
+                        zattrs = consolidated.get(f"{name}/.zattrs", {})
+                        out[name] = _meta_from_v2(name, val, zattrs)
+                return out
+            for entry in sorted(os.listdir(self.root)):
+                if os.path.exists(self._path(f"{entry}/.zarray")):
+                    zarray = self._read_json(f"{entry}/.zarray")
+                    try:
+                        zattrs = self._read_json(f"{entry}/.zattrs")
+                    except FileNotFoundError:
+                        zattrs = {}
+                    out[entry] = _meta_from_v2(entry, zarray, zattrs)
+            return out
+        for entry in sorted(os.listdir(self.root)):
+            node = self._path(f"{entry}/zarr.json")
+            if os.path.exists(node):
+                obj = self._read_json(f"{entry}/zarr.json")
+                if obj.get("node_type") == "array":
+                    out[entry] = _meta_from_v3(entry, obj)
+        return out
+
+    def array_meta(self, name: str) -> ZarrArrayMeta:
+        metas = self.arrays()
+        if name not in metas:
+            raise KeyError(f"no array {name!r} in store {self.root!r}")
+        return metas[name]
+
+    def create_array(
+        self,
+        name: str,
+        shape: tuple[int, ...] | list[int],
+        chunks: tuple[int, ...] | list[int],
+        dtype: Any,  # MDIO scalar name | {"fields": [...]} | np.dtype
+        dims: tuple[str, ...] | list[str] = (),
+        attrs: dict | None = None,
+        compressor: dict | None = None,
+        fill: Any = "auto",
+    ) -> ZarrArrayMeta:
+        """Create one array with MDIO fill semantics (IO2/IO3 analog)."""
+        attrs = dict(attrs or {})
+        if isinstance(dtype, dict) and "fields" in dtype:
+            np_dt = struct_numpy_dtype(dtype["fields"])
+            mdio_name = None
+        elif isinstance(dtype, str) and dtype in SCALAR_TYPES:
+            np_dt = np.dtype(SCALAR_TYPES[dtype].numpy)
+            mdio_name = dtype
+        else:
+            np_dt = np.dtype(dtype)
+            mdio_name = np_dt.name if np_dt.name in SCALAR_TYPES else None
+        if fill == "auto":
+            raw_fill = fill_value_for(
+                dtype if (isinstance(dtype, dict) or isinstance(dtype, str) and dtype in SCALAR_TYPES)
+                else np_dt.name,
+                self.version,
+            )
+            fill_np = decode_fill_json(raw_fill, np_dt) if raw_fill is not None else None
+        else:
+            fill_np = None if fill is None else np.asarray(fill, np_dt)[()] if not np.isscalar(fill) else np_dt.type(fill)
+        meta = ZarrArrayMeta(
+            name=name,
+            shape=tuple(int(s) for s in shape),
+            chunks=tuple(int(c) for c in chunks),
+            np_dtype=np_dt,
+            mdio_type=mdio_name,
+            fill=fill_np,
+            zarr_version=self.version,
+            compressor=compressor if self.version == 2 else None,
+            v3_codecs=(
+                [{"name": "bytes", "configuration": {"endian": "little"}}]
+                + ([{"name": compressor["id"], "configuration": {"level": compressor.get("level", 5)}}]
+                   if compressor else [])
+            ) if self.version == 3 else [],
+            separator="." if self.version == 2 else "/",
+            dims=tuple(dims),
+            attrs=attrs,
+            header_only=np_dt.kind in HEADER_ONLY_KINDS,
+        )
+        if self.version == 2:
+            if meta.dims:
+                meta.attrs.setdefault("_ARRAY_DIMENSIONS", list(meta.dims))
+            self._write_json(f"{name}/.zarray", _v2_array_json(meta))
+            self._write_json(f"{name}/.zattrs", meta.attrs)
+            # keep the consolidated view coherent if one was already published
+            if os.path.exists(self._path(".zmetadata")):
+                self.consolidate()
+        else:
+            self._write_json(f"{name}/zarr.json", _v3_array_json(meta))
+        return meta
+
+    def update_array_attrs(self, name: str, attrs: dict) -> None:
+        """Replace an array's attributes wholesale (the reference's
+        UserAttributes snapshot swap, stats.h:408-490 / variable.h:1522-1614).
+        Publish via consolidate() (IO7)."""
+        if self.version == 2:
+            meta = self.array_meta(name)
+            if meta.dims:
+                attrs = {"_ARRAY_DIMENSIONS": list(meta.dims), **attrs}
+            self._write_json(f"{name}/.zattrs", attrs)
+        else:
+            obj = self._read_json(f"{name}/zarr.json")
+            obj["attributes"] = attrs
+            self._write_json(f"{name}/zarr.json", obj)
+
+    def update_root_attrs(self, attrs: dict) -> None:
+        self.attrs = dict(attrs)
+        if self.version == 2:
+            self._write_json(".zattrs", self.attrs)
+        else:
+            obj = self._read_json("zarr.json")
+            obj["attributes"] = self.attrs
+            self._write_json("zarr.json", obj)
+
+    def consolidate(self) -> None:
+        """(Re)build .zmetadata from the per-array files — the single-read
+        open path (zarr_v2.h:221-309). No-op for v3 (no consolidated spec;
+        open() walks the tree)."""
+        if self.version != 2:
+            return
+        metadata: dict[str, Any] = {".zgroup": {"zarr_format": 2}}
+        try:
+            metadata[".zattrs"] = self._read_json(".zattrs")
+        except FileNotFoundError:
+            pass
+        for entry in sorted(os.listdir(self.root)):
+            if os.path.exists(self._path(f"{entry}/.zarray")):
+                metadata[f"{entry}/.zarray"] = self._read_json(f"{entry}/.zarray")
+                try:
+                    metadata[f"{entry}/.zattrs"] = self._read_json(f"{entry}/.zattrs")
+                except FileNotFoundError:
+                    pass
+        self._write_json(".zmetadata", {"zarr_consolidated_format": 1, "metadata": metadata})
+
+    # ------------------------------------------------------------- chunk I/O
+
+    def decode_chunk(self, meta: ZarrArrayMeta, coords: tuple[int, ...]) -> np.ndarray | None:
+        """Read+decode one chunk; None if absent (fill semantics upstream)."""
+        raw = self.read_bytes(meta.chunk_key(coords))
+        if raw is None:
+            return None
+        if meta.zarr_version == 2:
+            raw = _codecs.decompress_v2(raw, meta.compressor)
+        else:
+            raw = _codecs.decompress_v3(raw, meta.v3_codecs)
+        arr = np.frombuffer(raw, dtype=meta.np_dtype)
+        return arr.reshape(meta.chunks, order=meta.order)
+
+    def encode_chunk(self, meta: ZarrArrayMeta, block: np.ndarray) -> bytes:
+        if tuple(block.shape) != meta.chunks:
+            raise ValueError(f"chunk block shape {block.shape} != chunk shape {meta.chunks}")
+        raw = np.ascontiguousarray(block, dtype=meta.np_dtype).tobytes(order=meta.order)
+        if meta.zarr_version == 2:
+            return _codecs.compress_v2(raw, meta.compressor)
+        return _codecs.compress_v3(raw, meta.v3_codecs)
+
+    def write_chunk(self, meta: ZarrArrayMeta, coords: tuple[int, ...], block: np.ndarray) -> None:
+        self.write_bytes(meta.chunk_key(coords), self.encode_chunk(meta, block))
+
+    # ----------------------------------------------- driver-side array reads
+
+    def read_array(self, name: str, ranges: dict[str, tuple[int, int]] | None = None) -> np.ndarray:
+        """Materialize an array (or a half-open sliced box of it) on the
+        driver — the Variable::Read analog for SMALL arrays (dimension
+        coordinates, header variables). Large-array scans go through the
+        Spark reader instead."""
+        meta = self.array_meta(name)
+        sel = _clamped_box(meta, ranges)
+        out_shape = tuple(hi - lo for lo, hi in sel)
+        out = np.full(out_shape, meta.fill_scalar(), dtype=meta.np_dtype)
+        for coords in chunks_overlapping(meta, sel):
+            block = self.decode_chunk(meta, coords)
+            origin = tuple(c * s for c, s in zip(coords, meta.chunks))
+            src_sel, dst_sel = [], []
+            for d in range(meta.ndim):
+                lo = max(sel[d][0], origin[d])
+                hi = min(sel[d][1], origin[d] + meta.chunks[d])
+                src_sel.append(slice(lo - origin[d], hi - origin[d]))
+                dst_sel.append(slice(lo - sel[d][0], hi - sel[d][0]))
+            if block is None:
+                continue  # already fill-initialized
+            out[tuple(dst_sel)] = block[tuple(src_sel)]
+        return out
+
+    def write_array_numpy(self, name: str, arr: np.ndarray, origin: tuple[int, ...] | None = None) -> None:
+        """Driver-side chunk-aligned write of a (sub-)array. Used for small
+        arrays (dimension coordinates) and tests; the Spark writer handles
+        scale. Unaligned origins do read-modify-write per touched chunk —
+        single-writer only (the reference flags concurrent unaligned writes
+        as UB, USER_GUIDE 'Write')."""
+        meta = self.array_meta(name)
+        origin = origin or tuple(0 for _ in meta.shape)
+        box = tuple((o, o + s) for o, s in zip(origin, arr.shape))
+        for coords in chunks_overlapping(meta, box):
+            corigin = tuple(c * s for c, s in zip(coords, meta.chunks))
+            block = self.decode_chunk(meta, coords)
+            if block is None:
+                block = np.full(meta.chunks, meta.fill_scalar(), dtype=meta.np_dtype)
+            else:
+                block = block.copy()
+            src_sel, dst_sel = [], []
+            for d in range(meta.ndim):
+                lo = max(box[d][0], corigin[d])
+                hi = min(box[d][1], corigin[d] + meta.chunks[d])
+                dst_sel.append(slice(lo - corigin[d], hi - corigin[d]))
+                src_sel.append(slice(lo - box[d][0], hi - box[d][0]))
+            block[tuple(dst_sel)] = arr[tuple(src_sel)]
+            self.write_chunk(meta, coords, block)
+
+
+def _clamped_box(
+    meta: ZarrArrayMeta, ranges: dict[str, tuple[int, int]] | None
+) -> tuple[tuple[int, int], ...]:
+    """Half-open per-dim box, clamped to the domain (variable.h:1211-1232)."""
+    sel = []
+    for d in range(meta.ndim):
+        label = meta.dims[d] if d < len(meta.dims) else str(d)
+        lo, hi = 0, meta.shape[d]
+        if ranges and label in ranges:
+            rlo, rhi = ranges[label]
+            lo, hi = max(0, int(rlo)), min(meta.shape[d], int(rhi))
+            hi = max(lo, hi)
+        sel.append((lo, hi))
+    return tuple(sel)
+
+
+def chunks_overlapping(
+    meta: ZarrArrayMeta, box: tuple[tuple[int, int], ...]
+) -> Iterator[tuple[int, ...]]:
+    """Chunk coordinates intersecting a half-open box — the chunk-pruning
+    primitive (SURVEY §4: dim-range predicate → chunk-id list)."""
+    if any(hi <= lo for lo, hi in box):
+        return
+    per_dim = []
+    for d in range(meta.ndim):
+        lo, hi = box[d]
+        per_dim.append(range(lo // meta.chunks[d], (hi - 1) // meta.chunks[d] + 1))
+    yield from itertools.product(*per_dim)
+
+
+def _json_default(obj: Any):
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        v = float(obj)
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    raise TypeError(f"not JSON serializable: {type(obj)}")
