@@ -1,0 +1,424 @@
+"""Declared queries over REAL Zarr stores (SURVEY §2.1 IO1–IO9, Q8, A6).
+
+Each query scans an MDIO/Zarr store that is built deterministically from the
+driver's ``orders``/``lineitem`` parquet — so the DuckDB oracle can recompute
+the expected result from the same parquet with pure SQL. The mapping is:
+row r of ``orders`` ordered by ``o_orderkey`` lands at index ``i = r-1`` of
+every 1-D array (``ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1`` in SQL).
+This makes every store query a *round-trip oracle*: parquet → Spark
+chunk-aligned zarr write (IO5) → distributed chunk-pruned zarr scan (IO4) →
+must hash-match SQL over the original parquet.
+
+Stores are cached under ``/root/repo/.zarr_cache/<sf>/`` behind a build
+marker; the build itself exercises IO2 (from_json + validation) and IO5
+(Spark writer). Store sizes adapt to the sf (pure functions of the orders
+row count, mirrored exactly in each oracle's scalar subqueries), so the same
+queries are valid from sf0.001 to sf100.
+
+Scale notes: every scan here plans only the chunks its index ranges touch
+(reader.py pruning); the build's one shuffle is the chunk-id repartition —
+the theoretical minimum for a re-chunking write.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mdio_cpp_spark.catalog import table
+from mdio_cpp_spark.model import MdioDataset
+from mdio_cpp_spark.plans.base import declared
+from mdio_cpp_spark.session import tune
+from mdio_cpp_spark.sources.zarr_store import ZarrStore
+from mdio_cpp_spark.utils.trim import trim_dataset
+
+CACHE_ROOT = "/root/repo/.zarr_cache"
+BUILD_TAG = "v1"  # bump to invalidate cached stores after builder changes
+CHUNK = 2048
+GRID_C = 64       # grid2d column count; rows adapt to sf (cap 128)
+TRIM_KEEP_FRAC = 2  # trim store keeps N_trim // 2 rows
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def _base(sf_dir: str) -> str:
+    return os.path.join(CACHE_ROOT, _sf_tag(sf_dir))
+
+
+def _orders_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders with the deterministic array index i = rank(o_orderkey) - 1.
+
+    Build-time only: the global row_number window is a one-off indexing cost
+    (at true scale you'd zipWithIndex per sorted partition once); every
+    GRADED query reads the stored index back instead."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return o.select(
+        (F.row_number().over(w) - 1).cast("long").alias("i"),
+        "o_orderkey", "o_custkey", "o_totalprice",
+    )
+
+
+def ensure_stores(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently build every store for this sf; returns the cache base."""
+    base = _base(sf_dir)
+    marker = os.path.join(base, f".built_{BUILD_TAG}")
+    if os.path.exists(marker):
+        return base
+    tune(spark)
+    os.makedirs(base, exist_ok=True)
+    ords = _orders_indexed(spark, sf_dir).cache()
+    n = ords.count()
+
+    # ---- main v2 store: from_json (IO2) + Spark chunk-aligned writes (IO5)
+    main = os.path.join(base, "orders_v2.zarr")
+    n_lq = 10000
+    spec = {
+        "metadata": {"name": "orders_mdio", "apiVersion": "1.0.0",
+                     "attributes": {"source": "driver orders.parquet"}},
+        "variables": [
+            {"name": "i", "dataType": "int64",
+             "dimensions": [{"name": "i", "size": n}],
+             "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [CHUNK]}}}},
+            {"name": "price", "dataType": "float64", "dimensions": ["i"],
+             "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [CHUNK]}}},
+             "compressor": {"name": "blosc", "algorithm": "zstd"}},
+            {"name": "sparse", "dataType": "int32", "dimensions": ["i"],
+             "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [CHUNK]}}}},
+            {"name": "hdr",
+             "dataType": {"fields": [{"name": "ck", "format": "int32"},
+                                     {"name": "ok2", "format": "int64"}]},
+             "dimensions": ["i"],
+             "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [CHUNK]}}}},
+            {"name": "j", "dataType": "int64",
+             "dimensions": [{"name": "j", "size": n_lq}],
+             "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [CHUNK]}}}},
+            {"name": "lq", "dataType": "float64", "dimensions": ["j"],
+             "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [CHUNK]}}}},
+        ],
+    }
+    if not os.path.exists(os.path.join(main, ".zmetadata")):
+        ds = MdioDataset.from_json(spec, main)
+        ds.var("i").write_df(ords.select("i", F.col("o_orderkey").alias("v")), value_cols="v")
+        ds.var("price").write_df(ords.select("i", F.col("o_totalprice").alias("v")), value_cols="v")
+        # sparse: only even-numbered chunks written → odd chunks read as fill
+        ds.var("sparse").write_df(
+            ords.filter((F.expr(f"i div {CHUNK}") % 2) == 0)
+            .select("i", F.col("o_custkey").cast("int").alias("v")),
+            value_cols="v",
+        )
+        ds.var("hdr").write_df(
+            ords.select("i", F.col("o_custkey").cast("int").alias("ck"),
+                        (F.col("o_orderkey") * 2).cast("long").alias("ok2")),
+            value_cols={"ck": "ck", "ok2": "ok2"},
+        )
+        ds.var("j").write_df(
+            ords.filter(F.col("i") < n_lq).select(F.col("i").alias("j"), F.col("i").alias("v")),
+            value_cols="v",
+        )
+        # lq intentionally left unwritten — zarr09 writes it per run (IO5 gate)
+
+    # ---- 2-D grid store: both-dim chunk pruning
+    grid = os.path.join(base, "grid_v2.zarr")
+    rows = min(n // GRID_C, 128)
+    if rows >= 1 and not os.path.exists(os.path.join(grid, ".zmetadata")):
+        gspec = {
+            "metadata": {"name": "grid_mdio", "apiVersion": "1.0.0"},
+            "variables": [
+                {"name": "row", "dataType": "int64", "dimensions": [{"name": "row", "size": rows}]},
+                {"name": "col", "dataType": "int64", "dimensions": [{"name": "col", "size": GRID_C}]},
+                {"name": "grid", "dataType": "float64",
+                 "dimensions": [{"name": "row", "size": rows}, {"name": "col", "size": GRID_C}],
+                 "metadata": {"chunkGrid": {"name": "regular",
+                                            "configuration": {"chunkShape": [32, 32]}}}},
+            ],
+        }
+        gds = MdioDataset.from_json(gspec, grid)
+        cells = ords.filter(F.col("i") < rows * GRID_C).select(
+            F.expr(f"i div {GRID_C}").alias("row"),
+            (F.col("i") % GRID_C).alias("col"),
+            F.col("o_totalprice").alias("v"),
+        )
+        gds.var("grid").write_df(cells, value_cols="v")
+        gds.var("row").write_df(
+            ords.filter(F.col("i") < rows).select(F.col("i").alias("row"), F.col("i").alias("v")),
+            value_cols="v")
+        gds.var("col").write_df(
+            ords.filter(F.col("i") < GRID_C).select(F.col("i").alias("col"), F.col("i").alias("v")),
+            value_cols="v")
+
+    # ---- v3 store (zarr.json layout, gzip codec)
+    v3 = os.path.join(base, "orders_v3.zarr")
+    if not os.path.exists(os.path.join(v3, "zarr.json")):
+        st3 = ZarrStore.create(v3, version=3, attrs={"name": "orders_v3"})
+        st3.create_array("price", shape=(n,), chunks=(CHUNK,), dtype="float64",
+                         dims=("i",), compressor={"id": "gzip", "level": 4})
+        from mdio_cpp_spark.sources.writer import write_array as _wa
+
+        _wa(ords.select("i", F.col("o_totalprice").alias("value")), v3, "price")
+
+    # ---- trim store: built then destructively trimmed (IO8)
+    trim = os.path.join(base, "trim_v2.zarr")
+    n_trim = min(n, 12000)
+    if not os.path.exists(os.path.join(trim, ".zmetadata")):
+        tspec = {
+            "metadata": {"name": "trim_mdio", "apiVersion": "1.0.0"},
+            "variables": [
+                {"name": "i", "dataType": "int64",
+                 "dimensions": [{"name": "i", "size": n_trim}],
+                 "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [CHUNK]}}}},
+                {"name": "price", "dataType": "float64", "dimensions": ["i"],
+                 "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [CHUNK]}}}},
+            ],
+        }
+        tds = MdioDataset.from_json(tspec, trim)
+        sub = ords.filter(F.col("i") < n_trim)
+        tds.var("i").write_df(sub.select("i", F.col("o_orderkey").alias("v")), value_cols="v")
+        tds.var("price").write_df(sub.select("i", F.col("o_totalprice").alias("v")), value_cols="v")
+        trim_dataset(trim, i=n_trim // TRIM_KEEP_FRAC)
+
+    ords.unpersist()
+    with open(marker, "w") as f:
+        f.write(BUILD_TAG)
+    return base
+
+
+def _main_store(spark: SparkSession, sf_dir: str) -> str:
+    return os.path.join(ensure_stores(spark, sf_dir), "orders_v2.zarr")
+
+
+# --------------------------------------------------------------- IO1/IO4: scan
+
+@declared(
+    "zarr01_scan",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS price FROM
+      (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 1000 AND rn - 1 < 9000
+    ORDER BY i
+    """,
+)
+def zarr01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO1+IO4: Dataset::Open + chunk-parallel Read of an isel slice
+    (dataset.h:941-1118, variable.h:1079-1103). Only chunks intersecting
+    [1000, 9000) are planned (chunk pruning, SURVEY §4)."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    return ds.isel(i=(1000, 9000)).to_df(spark, "price", value_col="price").orderBy("i")
+
+
+@declared(
+    "zarr02_isel_stride",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS price FROM
+      (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 1000 AND rn - 1 < 9000 AND ((rn - 1) - 1000) % 5 = 0
+    ORDER BY i
+    """,
+)
+def zarr02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO4+Q2: strided isel over stored chunks (variable.h:1348-1351;
+    dataset_test.cc:436-560 pins the semantics)."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    return ds.isel(i=(1000, 9000, 5)).to_df(spark, "price", value_col="price").orderBy("i")
+
+
+@declared(
+    "zarr03_fill_sparse",
+    oracle=f"""
+    SELECT CAST(rn - 1 AS BIGINT) AS i,
+           CAST(CASE WHEN ((rn - 1) // {CHUNK}) % 2 = 0 THEN o_custkey
+                     ELSE 2147483647 END AS INTEGER) AS v
+    FROM (SELECT o_custkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    ORDER BY i
+    """,
+)
+def zarr03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-value synthesis: odd chunks were never written, so they read back
+    as the int32 fill (type max — dataset_factory.h:500-545; behavior pinned
+    by dataset_test.cc:436-560 iselWithStride). No I/O for absent chunks."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    return ds.to_df(spark, "sparse", value_col="v").orderBy("i")
+
+
+@declared(
+    "zarr04_sel_range",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS price FROM
+      (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= CAST((SELECT COUNT(*) FROM orders) AS BIGINT) // 10
+      AND rn - 1 <= CAST((SELECT COUNT(*) FROM orders) AS BIGINT) // 2
+    ORDER BY i
+    """,
+)
+def zarr04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 on real storage: value-based sel range on the dimension coordinate
+    (o_orderkey values), stop-INCLUSIVE, unique-endpoint checked
+    (dataset.h:787-885). The coordinate scan is driver-side (small 1-D array,
+    same judgment as the reference's single-thread scan, dataset.h:552-629);
+    the data read is the pruned distributed scan."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    coord = ds.store.read_array("i")
+    n = len(coord)
+    lo_val, hi_val = int(coord[n // 10]), int(coord[n // 2])
+    return (
+        ds.sel(i=(lo_val, hi_val))
+        .to_df(spark, "price", value_col="price")
+        .orderBy("i")
+    )
+
+
+@declared(
+    "zarr05_grid2d",
+    oracle=f"""
+    WITH n AS (SELECT LEAST(CAST((SELECT COUNT(*) FROM orders) AS BIGINT) // {GRID_C}, 128) AS rows_),
+    cells AS (
+      SELECT CAST((rn - 1) // {GRID_C} AS BIGINT) AS row, CAST((rn - 1) % {GRID_C} AS BIGINT) AS col,
+             o_totalprice AS v
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < (SELECT rows_ FROM n) * {GRID_C}
+    )
+    SELECT row, col, v FROM cells
+    WHERE row >= 8 AND row < 40 AND col >= 16 AND col < 48
+    ORDER BY row, col
+    """,
+)
+def zarr05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D array scan with BOTH-dimension chunk pruning: a (row, col) box
+    over 32×32 chunks plans only the intersecting chunk rectangle — the
+    hyper-rectangle slice of dataset.h:423-470 at its natural rank."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "grid_v2.zarr"))
+    return (
+        ds.isel(row=(8, 40), col=(16, 48))
+        .to_df(spark, "grid", value_col="v")
+        .orderBy("row", "col")
+    )
+
+
+@declared(
+    "zarr06_select_field",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, CAST(o_orderkey * 2 AS BIGINT) AS ok2 FROM
+      (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 2000 AND rn - 1 < 12000
+    ORDER BY i
+    """,
+)
+def zarr06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 on real stored struct data: SelectField picks ONE field of the
+    record-dtype array at decode time (dataset.h:1131-1262) — the other
+    field's bytes are never shipped past the decoder. Replaces round 1's
+    synthesized-struct stand-in."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    return (
+        ds.isel(i=(2000, 12000))
+        .select_field(spark, "hdr", "ok2")
+        .orderBy("i")
+    )
+
+
+@declared(
+    "zarr07_v3_scan",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS price FROM
+      (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 500 AND rn - 1 < 7500
+    ORDER BY i
+    """,
+)
+def zarr07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr v3 layout (zarr.json metadata tree, c/-prefixed chunk keys, gzip
+    codec chain) through the same pruned scan — the version parametrization
+    the reference tests everywhere (TEST_P over v2/v3, dataset_test.cc:49-60)."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "orders_v3.zarr"))
+    return ds.isel(i=(500, 7500)).to_df(spark, "price", value_col="price").orderBy("i")
+
+
+@declared(
+    "zarr08_trim_scan",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS price FROM
+      (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 < LEAST(CAST((SELECT COUNT(*) FROM orders) AS BIGINT), 12000) // 2
+    ORDER BY i
+    """,
+)
+def zarr08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO8: scan of a dataset destructively trimmed to half its rows
+    (utils/trim.h:45-117 — shape metadata shrunk, out-of-bounds chunk files
+    deleted). A full scan sees exactly the kept domain."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "trim_v2.zarr"))
+    return ds.to_df(spark, "price", value_col="price").orderBy("i")
+
+
+@declared(
+    "zarr09_write_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(v) AS BIGINT) AS cnt, ROUND(SUM(v), 2) AS sum_v,
+           MIN(v) AS min_v, MAX(v) AS max_v
+    FROM (SELECT l_quantity AS v, ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+          FROM lineitem)
+    WHERE rn <= 10000
+    """,
+)
+def zarr09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO5 write gate: lineitem quantities → Spark chunk-aligned zarr write
+    (each chunk owned by exactly one task — no read-modify-write, the UB the
+    reference warns about) → re-scan → aggregate. The stored bytes, not the
+    source DataFrame, produce the answer."""
+    store = _main_store(spark, sf_dir)
+    ds = MdioDataset.open(store)
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    src = (
+        li.select("l_quantity", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10000)
+        .select((F.col("rn") - 1).cast("long").alias("j"),
+                F.col("l_quantity").cast("double").alias("v"))
+    )
+    ds.var("lq").write_df(src, value_cols="v")
+    back = MdioDataset.open(store).isel(j=(0, src.count())).to_df(spark, "lq", value_col="v")
+    return back.agg(
+        F.count("v").alias("cnt"),
+        F.round(F.sum("v"), 2).alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+@declared(
+    "zarr10_stats_commit",
+    oracle="""
+    SELECT CAST(COUNT(o_totalprice) AS BIGINT) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS sum_v,
+           MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+    FROM orders
+    """,
+)
+def zarr10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+IO7: SummaryStats computed by the engine, committed to the store's
+    attributes (UserAttributes swap + CommitMetadata, stats.h:408-490,
+    dataset.h:1269-1416), then READ BACK from the reopened store — the
+    emitted row comes from the published metadata, not the computation."""
+    store = _main_store(spark, sf_dir)
+    ds = MdioDataset.open(store)
+    row = (
+        ds.to_df(spark, "price", value_col="v")
+        .agg(F.count("v").alias("cnt"), F.round(F.sum("v"), 2).alias("sum_v"),
+             F.min("v").alias("min_v"), F.max("v").alias("max_v"))
+        .collect()[0]
+    )
+    ds.set_stats("price", {"count": row["cnt"], "sum": row["sum_v"],
+                           "min": row["min_v"], "max": row["max_v"]})
+    ds.commit_metadata()
+    stats = MdioDataset.open(store).var("price").attrs["statsV1"]
+    return spark.createDataFrame(
+        [(int(stats["count"]), float(stats["sum"]), float(stats["min"]), float(stats["max"]))],
+        "cnt bigint, sum_v double, min_v double, max_v double",
+    )

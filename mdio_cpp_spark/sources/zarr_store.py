@@ -374,12 +374,13 @@ class ZarrStore:
             np_dt = np.dtype(dtype)
             mdio_name = np_dt.name if np_dt.name in SCALAR_TYPES else None
         if fill == "auto":
-            raw_fill = fill_value_for(
-                dtype if (isinstance(dtype, dict) or isinstance(dtype, str) and dtype in SCALAR_TYPES)
-                else np_dt.name,
-                self.version,
-            )
-            fill_np = decode_fill_json(raw_fill, np_dt) if raw_fill is not None else None
+            if isinstance(dtype, dict) or mdio_name is not None:
+                raw_fill = fill_value_for(dtype if isinstance(dtype, dict) else mdio_name, self.version)
+                fill_np = decode_fill_json(raw_fill, np_dt) if raw_fill is not None else None
+            elif np_dt.fields is not None:
+                fill_np = np.zeros((), dtype=np_dt)[()]
+            else:
+                fill_np = None  # header-only / non-MDIO dtypes: no fill
         else:
             fill_np = None if fill is None else np.asarray(fill, np_dt)[()] if not np.isscalar(fill) else np_dt.type(fill)
         meta = ZarrArrayMeta(

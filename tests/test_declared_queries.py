@@ -48,7 +48,11 @@ def test_declared_query_matches_oracle(name, spark, sf_dir, oracle):
     d = REGISTRY[name]
     sdf = d.spark(spark, sf_dir).toPandas()
     if d.oracle is None:
-        assert len(sdf) >= 0  # rows-only check (non-SQL-expressible op)
+        # rows-only contract for non-SQL-expressible ops: must produce rows
+        # and a non-degenerate schema (an empty result would silently pass
+        # the differential suite otherwise)
+        assert len(sdf) > 0, f"oracle-less query {name} returned no rows"
+        assert len(sdf.columns) > 0
         return
     odf = oracle.execute(d.oracle).df()
     assert sorted(sdf.columns) == sorted(odf.columns), "column names must match"

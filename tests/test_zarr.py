@@ -1,0 +1,272 @@
+"""Zarr format layer + MdioDataset tests, mirroring the reference's test
+strategy (SURVEY §5): per-component units (validator error paths, fill-value
+table — dataset_validator_test.cc / dataset_factory_test.cc analogs),
+operator-level slice semantics (dataset_test.cc:395-921), v2/v3
+parametrization (TEST_P pattern), and the cross-implementation differential:
+what the Spark writer produces, the independent pure-Python store reader must
+reproduce, and vice versa (acceptance_test.cc:1350-1597 analog — the
+zarr-python/xarray oracles aren't installed in this container, so the two
+internal independent paths play the roles)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from mdio_cpp_spark.model import MdioDataset, SelError
+from mdio_cpp_spark.schema.types import fill_value_for
+from mdio_cpp_spark.schema.validation import SpecValidationError, validate_dataset_spec
+from mdio_cpp_spark.sources.reader import plan_chunks, scan_array
+from mdio_cpp_spark.sources.writer import dense_fill_frame, write_array
+from mdio_cpp_spark.sources.zarr_store import ZarrStore
+from mdio_cpp_spark.utils import delete_dataset, trim_dataset
+
+TMP = "/root/repo/.zarr_cache/_tests"
+
+
+def _fresh(name: str) -> str:
+    path = os.path.join(TMP, name)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+# ------------------------------------------------------------ schema / fills
+
+def test_fill_value_table():
+    # dataset_factory.h:500-545 semantics
+    assert fill_value_for("int32") == 2**31 - 1
+    assert fill_value_for("uint16") == 2**16 - 1
+    assert np.isnan(fill_value_for("float64"))
+    assert fill_value_for("bool", 2) is None
+    assert fill_value_for("bool", 3) is False
+    import base64
+
+    raw = base64.b64decode(fill_value_for({"fields": [{"name": "a", "format": "int32"},
+                                                      {"name": "b", "format": "float64"}]}))
+    assert raw == b"\x00" * 12
+
+
+def test_validation_error_paths():
+    ok = {
+        "metadata": {"name": "d", "apiVersion": "1.0.0"},
+        "variables": [
+            {"name": "x", "dataType": "uint32", "dimensions": [{"name": "x", "size": 8}]},
+            {"name": "v", "dataType": "float32", "dimensions": ["x"],
+             "coordinates": ["x"]},
+        ],
+    }
+    validate_dataset_spec(ok)
+    bad_dim = {**ok, "variables": [
+        {"name": "v", "dataType": "float32", "dimensions": [{"name": "y", "size": 4}]}]}
+    with pytest.raises(SpecValidationError, match="not a dimension coordinate"):
+        validate_dataset_spec(bad_dim)
+    bad_coord = {**ok, "variables": [
+        ok["variables"][0],
+        {**ok["variables"][1], "coordinates": ["ghost"]}]}
+    with pytest.raises(SpecValidationError, match="not a Variable"):
+        validate_dataset_spec(bad_coord)
+    conflict = {**ok, "variables": [
+        ok["variables"][0],
+        {"name": "v", "dataType": "float32", "dimensions": [{"name": "x", "size": 9}]}]}
+    with pytest.raises(SpecValidationError, match="conflicting sizes"):
+        validate_dataset_spec(conflict)
+    bad_type = {**ok, "variables": [
+        {"name": "x", "dataType": "float128", "dimensions": [{"name": "x", "size": 8}]}]}
+    with pytest.raises(SpecValidationError, match="unsupported dataType"):
+        validate_dataset_spec(bad_type)
+    # legacy compressor keys normalize (validator.h:101-105)
+    legacy = {**ok}
+    legacy["variables"] = [dict(ok["variables"][0]),
+                           {**ok["variables"][1], "compressor": {"name": "blosc", "algorithm": "zstd", "level": 3}}]
+    spec = validate_dataset_spec(legacy)
+    assert spec["variables"][1]["compressor"]["cname"] == "zstd"
+    assert spec["variables"][1]["compressor"]["clevel"] == 3
+
+
+# ------------------------------------------------------------- store roundtrip
+
+@pytest.mark.parametrize("version", [2, 3])
+def test_store_roundtrip_versions(version):
+    root = _fresh(f"rt_v{version}")
+    st = ZarrStore.create(root, version=version)
+    st.create_array("a", shape=(300,), chunks=(64,), dtype="float32", dims=("i",),
+                    compressor={"id": "zlib" if version == 2 else "gzip", "level": 5})
+    arr = np.linspace(0, 1, 300, dtype="f4")
+    st.write_array_numpy("a", arr)
+    st.consolidate()
+    st2 = ZarrStore.open(root)
+    assert st2.version == version
+    assert np.array_equal(st2.read_array("a"), arr)
+    # partial chunk at the edge: 300 = 4*64 + 44 → last chunk padded
+    assert st2.array_meta("a").grid_shape() == (5,)
+
+
+def test_unwritten_chunks_read_fill():
+    # iselWithStride behavior pin (dataset_test.cc:436-560): unwritten cells
+    # come back as the dtype's fill
+    root = _fresh("fill")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("u", shape=(100,), chunks=(10,), dtype="uint32", dims=("i",))
+    st.write_array_numpy("u", np.arange(10, dtype="u4"), origin=(40,))
+    got = st.read_array("u")
+    assert (got[:40] == 2**32 - 1).all()
+    assert np.array_equal(got[40:50], np.arange(10))
+    assert (got[50:] == 2**32 - 1).all()
+
+
+# ------------------------------------------------------------ dataset model
+
+def _toy_ds(path: str) -> MdioDataset:
+    spec = {
+        "metadata": {"name": "toy", "apiVersion": "1.0.0"},
+        "variables": [
+            {"name": "img", "dataType": "float32",
+             "dimensions": [{"name": "il", "size": 48}, {"name": "xl", "size": 24}],
+             "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [16, 16]}}},
+             "coordinates": ["il", "xl"]},
+            {"name": "il", "dataType": "int64", "dimensions": [{"name": "il", "size": 48}]},
+            {"name": "xl", "dataType": "int64", "dimensions": [{"name": "xl", "size": 24}]},
+        ],
+    }
+    ds = MdioDataset.from_json(spec, path)
+    ds.store.write_array_numpy("il", np.arange(100, 148, dtype="i8"))
+    ds.store.write_array_numpy("xl", np.arange(0, 48, 2, dtype="i8"))
+    ds.store.write_array_numpy("img", np.arange(48 * 24, dtype="f4").reshape(48, 24))
+    return MdioDataset.open(path)
+
+
+def test_isel_clamps_and_prunes():
+    ds = _toy_ds(_fresh("toy1"))
+    v = ds.isel(il=(8, 40), xl=(0, 10)).var("img")
+    # il chunks 0..2 (3), xl chunk 0 (1) → 3 of 6 total
+    assert v.planned_chunks() == 3
+    assert ds.var("img").planned_chunks() == 6
+    # clamped beyond domain (variable.h:1211-1232)
+    assert ds.isel(il=(40, 400)).var("img").get_intervals()["il"] == (40, 48)
+    arr = ds.isel(il=(8, 40), xl=(0, 10)).var("img").read()
+    assert arr.shape == (32, 10)
+
+
+def test_sel_semantics_match_reference():
+    ds = _toy_ds(_fresh("toy2"))
+    # range: inclusive stop (dataset.h:872-876)
+    out = ds.sel(il=(110, 120))
+    assert out.var("img").get_intervals()["il"] == (10, 21)
+    # missing point value errors (dataset.h:840-847)
+    with pytest.raises(SelError, match="not found"):
+        ds.sel(il=99999)
+    # membership list gated (dataset.h:675-684)
+    with pytest.raises(SelError, match="unimplemented"):
+        ds.sel(il=[110, 112])
+    # non-dimension-coordinate label rejected
+    with pytest.raises(SelError, match="dimension coordinate"):
+        ds.sel(img=1.0)
+    # duplicate endpoints error (dataset.h:824-838)
+    ds.store.write_array_numpy("xl", np.zeros(24, dtype="i8"))
+    ds2 = MdioDataset.open(ds.path)
+    with pytest.raises(SelError, match="exactly one"):
+        ds2.sel(xl=(0, 0))
+
+
+def test_sel_point_multi_occurrence_runs():
+    # ALL occurrences kept, one range per contiguous run (dataset.h:737-755)
+    root = _fresh("toy3")
+    ds = _toy_ds(root)
+    coord = np.arange(100, 148, dtype="i8")
+    coord[5:8] = 7
+    coord[20:22] = 7
+    ds.store.write_array_numpy("il", coord)
+    ds = MdioDataset.open(root)
+    out = ds.sel(il=7)
+    assert out._runs["il"] == [(5, 8), (20, 22)]
+    assert out.var("img").planned_chunks() == 4  # 2 runs × 2 xl-chunks? (runs in il-chunk 0 and 1)
+
+
+def test_metadata_commit_staging():
+    ds = _toy_ds(_fresh("toy4"))
+    ds.set_stats("img", {"count": 1, "sum": 2.0})
+    ds.set_units("img", {"length": "m"})
+    ds.update_attrs(None, owner="tests")
+    assert "statsV1" not in ds.store.arrays()["img"].attrs  # staged, unpublished
+    ds.commit_metadata()
+    re = MdioDataset.open(ds.path)
+    assert re.var("img").attrs["statsV1"]["count"] == 1
+    assert re.var("img").attrs["unitsV1"] == {"length": "m"}
+    assert re.store.attrs["owner"] == "tests"
+
+
+def test_trim_and_delete():
+    root = _fresh("toy5")
+    ds = _toy_ds(root)
+    report = trim_dataset(root, il=20)
+    assert report["img"] == 2  # il-chunks 2 beyond ceil(20/16)=2 → coords 2 × 2 xl-chunks... wholly-beyond rows 32..47
+    re = MdioDataset.open(root)
+    assert re.var("img").meta.shape == (20, 24)
+    assert np.array_equal(re.var("img").read(), np.arange(48 * 24, dtype="f4").reshape(48, 24)[:20])
+    with pytest.raises(ValueError, match="cannot grow"):
+        trim_dataset(root, il=100)
+    delete_dataset(root)
+    assert not os.path.exists(root)
+    with pytest.raises(FileNotFoundError):
+        delete_dataset(root)
+
+
+def test_header_only_flagging():
+    # string dtypes flagged metadata-only like the reference (zarr_v2.h:139-162)
+    root = _fresh("hdr")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("txt", shape=(4,), chunks=(4,), dtype=np.dtype("<U8"), dims=("i",))
+    assert st.array_meta("txt").header_only
+
+
+# ------------------------------------------------------------- spark paths
+
+def test_spark_scan_stride_and_fill(spark):
+    root = _fresh("sp1")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("v", shape=(500,), chunks=(100,), dtype="int32", dims=("i",),
+                    compressor={"id": "zlib", "level": 3})
+    st.write_array_numpy("v", np.arange(300, dtype="i4"), origin=(0,))
+    st.consolidate()
+    pdf = (
+        scan_array(spark, root, "v", ranges={"i": (50, 450, 4)})
+        .orderBy("i").toPandas()
+    )
+    idx = np.arange(50, 450, 4)
+    exp = np.where(idx < 300, idx, 2**31 - 1)
+    assert np.array_equal(pdf["i"], idx)
+    assert np.array_equal(pdf["value"], exp)
+
+
+def test_spark_write_then_pure_python_read(spark):
+    # differential: Spark chunk-aligned writer vs independent numpy reader
+    root = _fresh("sp2")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("w", shape=(1000,), chunks=(128,), dtype="float64", dims=("i",))
+    from pyspark.sql import functions as F
+
+    src = dense_fill_frame(spark, (1000,), ["i"], 0.0).withColumn("value", F.col("i") * 0.75)
+    report = write_array(src, root, "w")
+    assert report["chunks_written"] == 8 and report["cells_written"] == 1000
+    assert np.allclose(ZarrStore.open(root).read_array("w"), np.arange(1000) * 0.75)
+
+
+def test_plan_chunks_empty_selection():
+    root = _fresh("sp3")
+    st = ZarrStore.create(root, version=2)
+    meta = st.create_array("v", shape=(100,), chunks=(10,), dtype="int32", dims=("i",))
+    assert plan_chunks(meta, {"i": (200, 300)})[1] == 0
+
+
+# ------------------------------------------------------------- harness guards
+
+def test_bench_and_entry_importable():
+    # the round-1 failure mode: a SyntaxError in bench.py killed the perf
+    # gate; compile both harness files so it can never ship again
+    import py_compile
+
+    py_compile.compile("/root/repo/bench.py", doraise=True)
+    py_compile.compile("/root/repo/__spark_entry__.py", doraise=True)
