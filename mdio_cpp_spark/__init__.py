@@ -12,11 +12,14 @@ the north-star contract in BASELINE.json.
 Layout:
   session    — SparkSession factory tuned for the target cluster shape
   catalog    — test-table loaders / temp-view registration
-  model      — MdioDataset / MdioVariable (the reference's data model on DataFrames)
+  model      — MdioDataset / MdioVariable: open/from_json, lazy isel/sel,
+               staged attrs + commit_metadata (the reference's data model)
   operators/ — selection (isel/sel), sorting, stats, joins, dedup, similarity
   functions/ — column-level helpers (text, hashing, vectors) — all JVM-side
-  sources/   — Zarr v2 read/write path (chunk-pruned scan, chunk-aligned write)
-  schema/    — MDIO JSON dataset-spec validation + Spark type mapping
+  sources/   — Zarr v2/v3 store + chunk-pruned Spark scan + chunk-aligned
+               writer + multimodal binary plumbing
+  schema/    — MDIO JSON dataset-spec validation + type/fill-value mapping
+  utils/     — trim/delete dataset lifecycle
   plans/     — the declared-query registry (Spark plan + DuckDB oracle SQL)
   streaming/ — Structured Streaming transforms (shared batch/stream logic)
 """

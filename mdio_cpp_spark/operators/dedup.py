@@ -29,6 +29,19 @@ from pyspark.sql import functions as F
 from mdio_cpp_spark.functions import hashing, text, vectors
 
 
+def ensure_map_parallelism(df: DataFrame) -> DataFrame:
+    """Spread rows across the cluster before expensive map-side work.
+
+    Small single-file inputs plan as ONE partition, serializing the whole
+    signature computation; a round-robin repartition fixes that. On real
+    multi-file datasets the input is already parallel and this is a no-op
+    (the partition count check avoids an always-on shuffle of bodies)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """Exact duplicate groups by content hash: (h, keep_id, dup_cnt).
     keep_id = min id in the group (the canonical survivor)."""
@@ -44,21 +57,38 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     return df.join(w_keep, df[id_col] == F.col("keep_id"), "left_semi")
 
 
-def minhash_signature_cols(text_col: Column, num_hashes: int, shingle_n: int = 3) -> list[Column]:
-    """MinHash signature as ``num_hashes`` columns (mh0..mh{k-1}), computed
-    from distinct word shingles. Map-side only."""
-    sh = F.array_distinct(text.word_shingles(text.tokens(text_col), shingle_n))
-    return [hashing.minhash(sh, j).alias(f"mh{j}") for j in range(num_hashes)]
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature (id, mh0..mh{k-1}) via explode → hash → min-agg.
+
+    Plan shape matters enormously here: computing k ``array_min(transform(
+    shingles, md5))`` columns inlines the whole tokenize+shingle pipeline k
+    times and evaluates it in Catalyst's INTERPRETED higher-order-function
+    path (~100× slower than codegen). Instead: build the shingle array once,
+    EXPLODE it, compute the k seeded md5s per (doc, shingle) row inside
+    whole-stage codegen, and take per-doc mins with a partial-aggregating
+    groupBy — the shuffle carries one k-hash row per doc per partition, never
+    shingles or bodies."""
+    toks = text.tokens(text_col)
+    base = ensure_map_parallelism(df.filter(F.size(toks) >= shingle_n))
+    exploded = base.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(text.word_shingles(toks, shingle_n))).alias("__s"),
+    )
+    hashed = exploded.select(
+        id_col, *[hashing.seeded_md5(F.col("__s"), j).alias(f"__h{j}") for j in range(num_hashes)]
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{j}").alias(f"mh{j}") for j in range(num_hashes)]
+    )
 
 
 def minhash_bands(df: DataFrame, id_col: str, text_col: str, bands: int, rows: int, shingle_n: int = 3) -> DataFrame:
     """(id, band, bh) — one row per LSH band; bh = md5 of the concatenated
     band slice of the signature. Docs with < shingle_n tokens are dropped."""
     k = bands * rows
-    toks = text.tokens(text_col)
-    sig = df.filter(F.size(toks) >= shingle_n).select(
-        F.col(id_col), *minhash_signature_cols(F.col(text_col), k, shingle_n)
-    )
+    sig = minhash_signatures(df, id_col, text_col, k, shingle_n)
     band_structs = F.array(
         *[
             F.struct(
@@ -73,16 +103,42 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str, bands: int, rows: i
     )
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str, bands: int = 4, rows: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    rows: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Distinct candidate near-dup pairs (doc_a < doc_b) via MinHash banding.
-    The join key is (band, bh): only same-bucket docs ever meet."""
+
+    Pairs are generated from GROUPED buckets rather than a self-join: one
+    groupBy on (band, bh) collects ids per bucket, then pairs expand
+    map-side. This computes the signatures exactly once (a self-join would
+    recompute the whole minhash pipeline for both sides) and shuffles only
+    (band, bh, id) — never document bodies.
+
+    ``max_bucket`` hardens against degenerate buckets (mass-duplicated
+    boilerplate makes one bucket O(k²)): buckets larger than the cap are
+    truncated to their ``max_bucket`` smallest ids (deterministic), bounding
+    any single task's pair expansion. None = exact/uncapped (the oracle-
+    matched default)."""
     b = minhash_bands(df, id_col, text_col, bands, rows)
-    a = b.select(F.col(id_col).alias("doc_a"), "band", "bh")
-    c = b.select(F.col(id_col).alias("doc_b"), "band", "bh")
+    buckets = (
+        b.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.select("band", "bh", F.slice("ids", 1, max_bucket).alias("ids"))
+    pairs = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a AS doc_a, b AS doc_b))))"
+    )
     return (
-        a.join(c, on=["band", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -95,7 +151,7 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) ->
     Frequency-weighted (every occurrence votes). Map-side explode + one
     groupBy on (id, pos) — shuffle carries counts, not text.
     """
-    toks = df.select(F.col(id_col), F.explode(text.tokens(text_col)).alias("tok"))
+    toks = ensure_map_parallelism(df).select(F.col(id_col), F.explode(text.tokens(text_col)).alias("tok"))
     votes = toks.select(
         id_col,
         F.explode(F.sequence(F.lit(1), F.lit(n_bits))).alias("pos"),

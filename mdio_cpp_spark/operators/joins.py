@@ -57,40 +57,95 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     partition_keys: Sequence[str] = (),
+    how: str = "inner",
+    bucket_seconds: int = 86_400,
 ) -> DataFrame:
     """As-of join: for each left row, the values from the latest right row
     with ``right_ts <= left_ts`` (inclusive), optionally per partition key.
 
-    Implementation: tag and union both sides, sort by (keys, ts, side) with
-    the right side ordered first at equal timestamps (inclusive match), then
-    ``last(value, ignorenulls=True)`` over an unbounded-preceding window
-    carries the most recent right values forward onto left rows. One shuffle,
-    linear work — the standard distributed as-of formulation.
+    Semantics match DuckDB/standard ASOF JOIN: ``how='inner'`` (default)
+    drops left rows with no prior right row; ``how='left'`` keeps them with
+    NULL values. All carried values come from the SAME right row (they are
+    carried as one struct, never per-column).
+
+    Scale design — no single-partition window, even keyless:
+
+      1. Tag and union both sides; assign each row a coarse time bucket
+         ``floor(ts / bucket_seconds)``.
+      2. In-bucket carry: window partitioned by (keys, bucket) — thousands
+         of parallel partitions instead of one. Right rows order before left
+         rows at equal timestamps (inclusive match).
+      3. Cross-bucket carry: the latest right struct per (keys, bucket) —
+         a tiny aggregate, |buckets| rows — is cumulated over a
+         buckets-only window (rowsBetween up to -1 → strictly earlier
+         buckets) and joined back on (keys, bucket). That window sees one
+         row per bucket, so even the keyless case is trivially small.
+      4. Result = coalesce(in-bucket carry, previous-bucket carry).
+
+    Cost: one full shuffle of left ∪ right on (keys, bucket) + one tiny
+    boundary shuffle — the distributed as-of at its minimum data movement.
     """
     keys = list(partition_keys)
     lcols = [c for c in left.columns]
+    rv_struct = F.struct(*[F.col(v) for v in value_cols])
+    rv_type = "struct<" + ",".join(
+        f"{v}:{right.schema[v].dataType.simpleString()}" for v in value_cols
+    ) + ">"
     l_tagged = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__v_{v}") for v in value_cols],
+        F.lit(None).cast(rv_type).alias("__rv"),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+        rv_struct.alias("__rv"),
     )
-    u = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+    u = l_tagged.unionByName(r_tagged).withColumn(
+        "__b", F.floor(F.unix_micros(F.col("__ts").cast("timestamp")) / F.lit(bucket_seconds * 1_000_000))
+    )
+
+    # 2. in-bucket carry (parallel across buckets; deterministic tie-break on
+    #    the value struct itself for equal (ts, side))
+    w_in = (
+        Window.partitionBy(*keys, "__b")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__rv").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.select(
-        *lcols,
-        F.col("__side"),
-        *[F.last(f"__v_{v}", ignorenulls=True).over(w).alias(v) for v in value_cols],
+        *lcols, "__side", "__b",
+        F.last("__rv", ignorenulls=True).over(w_in).alias("__rv_in"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+
+    # 3. boundary table: latest right struct per bucket, cumulated across
+    #    strictly-earlier buckets (|buckets| rows — tiny by construction)
+    buckets = u.select(*keys, "__b").distinct()
+    b_last = (
+        u.filter(F.col("__side") == 0)
+        .groupBy(*keys, "__b")
+        .agg(F.max_by("__rv", F.struct(F.col("__ts"), F.col("__rv"))).alias("__rv_last"))
+    )
+    w_b = Window.partitionBy(*keys).orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        buckets.join(b_last, on=keys + ["__b"], how="left")
+        .select(*keys, "__b", F.last("__rv_last", ignorenulls=True).over(w_b).alias("__rv_prev"))
+    )
+
+    # 4. merge; the big side is already hash-partitioned by (keys, __b) from
+    #    the window, so AQE reuses the exchange; carry side is tiny
+    out = (
+        carried.filter(F.col("__side") == 1)
+        .join(carry, on=keys + ["__b"], how="left")
+        .withColumn("__rv_final", F.coalesce(F.col("__rv_in"), F.col("__rv_prev")))
+    )
+    if how == "inner":
+        out = out.filter(F.col("__rv_final").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    return out.select(
+        *lcols,
+        *[F.col("__rv_final").getField(v).alias(v) for v in value_cols],
+    )

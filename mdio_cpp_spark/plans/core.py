@@ -299,13 +299,14 @@ def a05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dimension-alignment join (dataset.h:439-447 analog) with broadcast
-    dims: nation/customer broadcast, the fact table never shuffles for the
-    join — only the 25-row aggregate shuffles."""
+    """Dimension-alignment join (dataset.h:439-447 analog). nation (25 rows,
+    sf-independent) is broadcast; customer is sf-PROPORTIONAL (15M rows at
+    sf100), so it is NOT size-blind-broadcast — AQE picks the strategy from
+    runtime stats and can still broadcast it when it actually fits."""
     o = _t(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    j = joins.dim_align_join(o, c, on=[o.o_custkey == c.c_custkey]).join(
+    j = joins.dim_align_join(o, c, on=[o.o_custkey == c.c_custkey], broadcast_dim=False).join(
         F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
     )
     return (
@@ -475,8 +476,31 @@ def set03(spark: SparkSession, sf_dir: str) -> DataFrame:
 def asof01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join — strict extension of the reference's exact-match sel
     (dataset.h:840-847 errors on missing values; as-of matches the latest
-    prior). Union + ordered-window formulation, no cross product."""
+    prior). Inner semantics matching DuckDB ASOF JOIN. Time-bucketed
+    windows — no single-partition WindowExec even with no partition keys."""
     e = _t(spark, sf_dir, "events").select("event_id", "ts")
     o = table(spark, sf_dir, "orders").select("o_orderdate")
-    out = joins.asof_join(e, o, "ts", "o_orderdate", ["o_orderdate"])
+    out = joins.asof_join(e, o, "ts", "o_orderdate", ["o_orderdate"], how="inner")
     return out.select("event_id", F.col("o_orderdate").alias("asof_date")).orderBy("event_id")
+
+
+@declared(
+    "asof02_left",
+    oracle="""
+    SELECT e.event_id, o.rts AS asof_ts
+    FROM events e ASOF LEFT JOIN
+         (SELECT o_orderdate + INTERVAL 29 YEAR + INTERVAL 5 DAY AS rts FROM orders) o
+      ON e.ts >= o.rts
+    ORDER BY e.event_id
+    """,
+)
+def asof02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left as-of join: left rows preceding every right timestamp are KEPT
+    with NULL carried values (how='left'); the shifted right side guarantees
+    such rows exist, pinning the inner/left divergence."""
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    o = table(spark, sf_dir, "orders").select(
+        F.expr("o_orderdate + INTERVAL 29 YEAR + INTERVAL 5 DAY").alias("rts")
+    )
+    out = joins.asof_join(e, o, "ts", "rts", ["rts"], how="left")
+    return out.select("event_id", F.col("rts").alias("asof_ts")).orderBy("event_id")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from mdio_cpp_spark.catalog import table
 from mdio_cpp_spark.functions import hashing, text, vectors
 from mdio_cpp_spark.operators import dedup, similarity
+from mdio_cpp_spark.sources import multimodal
 from mdio_cpp_spark.plans.base import declared
 from mdio_cpp_spark.session import tune
 from mdio_cpp_spark.streaming import events as ev
@@ -134,34 +135,41 @@ def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_bits(d, "doc_id", "text", n_bits=16).orderBy("doc_id", "pos")
 
 
-@declared(
-    "d04_ngram_jaccard",
-    oracle=f"""
-    WITH sh AS (
+def _dd_jaccard_on_candidates_sql() -> str:
+    """Jaccard verify over the SAME candidate set d02 emits (minhash bands),
+    making d02 → d04 a real LSH-then-verify pipeline in both engines."""
+    return f"""
+    WITH cand AS ({_dd_minhash_sql().replace("ORDER BY doc_a, doc_b", "")}),
+    sh2 AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS sh
       FROM (SELECT doc_id, {_DD_TOKS} AS w FROM documents) WHERE len(w) >= 3
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    SELECT c.doc_a, c.doc_b,
            ROUND(len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
-    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-    ORDER BY doc_a
-    """,
-)
+    FROM cand c JOIN sh2 a ON a.doc_id = c.doc_a JOIN sh2 b ON b.doc_id = c.doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
+@declared("d04_ngram_jaccard", oracle=_dd_jaccard_on_candidates_sql())
 def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard verification on candidate pairs (adjacent doc ids as
-    the deterministic candidate set for the gate)."""
+    """N-gram Jaccard VERIFY stage consuming d02's LSH candidate pairs —
+    exact similarity computed only for bucket-collision pairs, never all
+    pairs (the 100 TB dedup shape: candidates ≪ n², verify is an equi-join
+    of shingle sets onto the candidate list)."""
     d = _t(spark, sf_dir, "documents")
+    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS)
     toks = text.tokens("text")
-    sh = d.filter(F.size(toks) >= 3).select(
+    sh = dedup.ensure_map_parallelism(d.filter(F.size(toks) >= 3)).select(
         "doc_id", F.array_distinct(text.word_shingles(toks, 3)).alias("sh")
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
     return (
-        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        cand.join(a, on="doc_a").join(b, on="doc_b")
         .select("doc_a", "doc_b", F.round(dedup.ngram_jaccard(F.col("sa"), F.col("sb")), 6).alias("jac"))
-        .orderBy("doc_a")
+        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -350,8 +358,8 @@ def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload column + typed metadata
-    (byte length, content hash). Decode/feature-extract stages live in
-    sources/multimodal.py as mapInPandas stubs."""
+    (byte length, content hash). Decode/feature-extract stages are mm02/mm03
+    (sources/multimodal.py mapInPandas)."""
     d = _t(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "UTF-8")
     return d.select(
@@ -359,6 +367,50 @@ def mm01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).cast("long").alias("nbytes"),
         F.md5("text").alias("content_hash"),
     ).orderBy("doc_id")
+
+
+# hex-digit value, shared by the mm02/mm03 oracles (matches the Python
+# decoder's int(hexdigit, 16))
+def _dd_hexv(pos: int) -> str:
+    return f"(strpos('0123456789abcdef', substr(md5(text), {pos}, 1)) - 1)"
+
+
+@declared(
+    "mm02_decode_meta",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(64 + 16 * {_dd_hexv(1)} + {_dd_hexv(2)} AS INTEGER) AS width,
+           CAST(64 + 16 * {_dd_hexv(3)} + {_dd_hexv(4)} AS INTEGER) AS height,
+           CAST(1 + {_dd_hexv(5)} % 3 AS INTEGER) AS channels,
+           ROUND((16 * {_dd_hexv(6)} + {_dd_hexv(7)}) / 255.0, 4) AS mean_intensity
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode stage over binary payloads: Arrow-batched mapInPandas,
+    one pass, no shuffle. The codec is the documented deterministic fake
+    (no image wheel in this container) — the oracle pins the full plumbing:
+    payload bytes → decoder → typed metadata row."""
+    d = _t(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary_payload(d, "doc_id", "text")
+    return multimodal.decode_image_meta(payloads).orderBy("doc_id")
+
+
+@declared(
+    "mm03_frame_sample",
+    oracle=f"""
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(f * 1000 + octet_length(encode(text)) % 1000 AS BIGINT) AS byte_offset
+    FROM documents, unnest(range(2 + {_dd_hexv(1)} % 3)) AS t(f)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage for video-like payloads: map-side explode to
+    (doc_id, frame_idx, byte_offset); frame count derives from the payload."""
+    d = _t(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary_payload(d, "doc_id", "text")
+    return multimodal.sample_frames(payloads, frame_stride=1000).orderBy("doc_id", "frame_idx")
 
 
 # ------------------------------------------------------- streaming (batch twins)

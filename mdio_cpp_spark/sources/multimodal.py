@@ -1,0 +1,114 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design (SURVEY M8 / BASELINE north-star): media is an opaque ``binary``
+column plus typed metadata columns; decode / feature-extract / frame-sample
+run as Arrow-batched ``mapInPandas`` stages so each task handles a batch of
+payloads without ever collecting them to the driver.
+
+This container ships no image/audio wheels, so the actual codec call is
+gated: when PIL/soundfile exist they decode for real; otherwise the decoder
+is a DETERMINISTIC FAKE — metadata derived from the payload's md5 so tests
+and oracles can pin every value. The Spark-side plumbing (schemas, batch
+iteration, partitioning) is identical in both modes; swapping in the real
+decoder changes one inner function.
+
+Scale notes: payload bytes move exactly once (scan → decode task); metadata
+extraction is map-only (no shuffle); frame sampling explodes map-side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # real decoder, absent in this container
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:  # pragma: no cover
+    _PIL_Image = None
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, width int, height int, channels int, mean_intensity double"
+)
+FRAME_SCHEMA = "doc_id long, frame_idx int, byte_offset long"
+
+_HEX = "0123456789abcdef"
+
+
+def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Opaque binary payload + byte-length metadata (the storage contract:
+    media is bytes + typed metadata, never parsed strings)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("nbytes"),
+    )
+
+
+def _fake_image_meta(doc_id: int, payload: bytes) -> tuple:
+    """Deterministic fake decode: md5-derived dims/stats. Every value is
+    reproducible in SQL (hex-digit arithmetic), which is what lets the
+    declared queries pin this path with a DuckDB oracle."""
+    h = hashlib.md5(payload).hexdigest()
+    hv = [_HEX.index(c) for c in h[:8]]
+    width = 64 + (16 * hv[0] + hv[1])
+    height = 64 + (16 * hv[2] + hv[3])
+    channels = 1 + (hv[4] % 3)
+    mean_intensity = round((16 * hv[5] + hv[6]) / 255.0, 4)
+    return doc_id, width, height, channels, mean_intensity
+
+
+def decode_image_meta(df: DataFrame) -> DataFrame:
+    """Decode stage: (doc_id, payload) → typed image metadata, Arrow-batched.
+
+    With PIL installed the real codec runs; without it the deterministic
+    fake produces md5-derived metadata (clearly marked — NOT real pixels).
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if _PIL_Image is not None:  # pragma: no cover — not in container
+                    try:
+                        import io
+
+                        img = _PIL_Image.open(io.BytesIO(data))
+                        px = img.convert("L")
+                        hist = px.histogram()
+                        total = sum(i * c for i, c in enumerate(hist))
+                        cnt = max(1, sum(hist))
+                        rows.append((int(doc_id), img.width, img.height,
+                                     len(img.getbands()), round(total / cnt / 255.0, 4)))
+                        continue
+                    except Exception:
+                        pass  # not a decodable image — fall through to fake
+                rows.append(_fake_image_meta(int(doc_id), data))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "channels", "mean_intensity"])
+
+    return df.select("doc_id", "payload").mapInPandas(decode, schema=IMAGE_META_SCHEMA)
+
+
+def sample_frames(df: DataFrame, frame_stride: int = 1000) -> DataFrame:
+    """Frame-sampling stage for video-like payloads: each payload yields
+    ``n_frames`` (payload-derived) evenly-strided byte offsets. Map-side
+    explode — no shuffle; the row count is bounded by n_frames ≤ 4."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, offs = [], [], []
+            for doc_id, payload, nbytes in zip(pdf["doc_id"], pdf["payload"], pdf["nbytes"]):
+                h = hashlib.md5(bytes(payload)).hexdigest()
+                n_frames = 2 + (_HEX.index(h[0]) % 3)
+                for i in range(n_frames):
+                    ids.append(int(doc_id))
+                    fidx.append(i)
+                    offs.append(i * frame_stride + int(nbytes) % frame_stride)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": fidx, "byte_offset": offs})
+
+    return df.select("doc_id", "payload", "nbytes").mapInPandas(sample, schema=FRAME_SCHEMA)

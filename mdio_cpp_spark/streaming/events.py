@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+# events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet reader
+# rejects as a timestamp; the stream schema reads it as long (nanosAsLong)
+# and converts to a microsecond timestamp — the same workaround as the batch
+# path (catalog.py), so batch and stream see identical values.
+EVENTS_RAW_SCHEMA = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
 
 
 def windowed_event_agg(events: DataFrame, window: str = "1 minute") -> DataFrame:
@@ -55,7 +59,16 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based streaming source over the events parquet (one-shot with
     Trigger.availableNow in tests; identical shape to a Kafka source in prod)."""
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source monitors a DIRECTORY; events.parquet is a single
+    # file, so stream the parent dir with a glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def stream_windowed_agg(spark: SparkSession, sf_dir: str, window: str = "1 minute") -> DataFrame:

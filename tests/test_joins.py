@@ -1,0 +1,70 @@
+"""As-of join unit tests: per-key carry, inner-vs-left, same-row struct
+guarantee, bucket-boundary carry (values crossing many empty buckets)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from mdio_cpp_spark.operators.joins import asof_join
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts(1, 5)), (2, "a", _ts(3)), (3, "b", _ts(2)), (4, "b", _ts(9)),
+         (5, "a", _ts(1, 0))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(1, 1), 10.0, 100.0), ("a", _ts(2), 20.0, 200.0),
+         ("b", _ts(5), 30.0, 300.0)],
+        "k string, rts timestamp, v1 double, v2 double",
+    )
+    return left, right
+
+
+def test_asof_per_key_inner(frames, spark):
+    left, right = frames
+    out = asof_join(left, right, "ts", "rts", ["v1", "v2"], partition_keys=["k"],
+                    how="inner", bucket_seconds=86_400).orderBy("id").collect()
+    # id=5 (ts before first 'a' right row) and id=3 (before first 'b') dropped
+    assert [r["id"] for r in out] == [1, 2, 4]
+    assert [(r["v1"], r["v2"]) for r in out] == [(10.0, 100.0), (20.0, 200.0), (30.0, 300.0)]
+
+
+def test_asof_per_key_left_keeps_unmatched(frames, spark):
+    left, right = frames
+    out = asof_join(left, right, "ts", "rts", ["v1", "v2"], partition_keys=["k"],
+                    how="left", bucket_seconds=86_400).orderBy("id").collect()
+    assert [r["id"] for r in out] == [1, 2, 3, 4, 5]
+    by_id = {r["id"]: (r["v1"], r["v2"]) for r in out}
+    assert by_id[3] == (None, None) and by_id[5] == (None, None)
+    # id=4 matched across 3 empty buckets (days 6-8) — boundary carry works
+    assert by_id[4] == (30.0, 300.0)
+
+
+def test_asof_values_from_same_right_row(spark):
+    # v1/v2 must come from ONE right row even when a later row has a NULL v2
+    left = spark.createDataFrame([(1, _ts(4))], "id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(_ts(1), 1.0, 11.0), (_ts(2), 2.0, None)],
+        "rts timestamp, v1 double, v2 double",
+    )
+    row = asof_join(left, right, "ts", "rts", ["v1", "v2"], how="inner",
+                    bucket_seconds=86_400).collect()[0]
+    # latest right row is (2.0, NULL) — per-column carry would wrongly give
+    # (2.0, 11.0); struct carry gives the actual row
+    assert (row["v1"], row["v2"]) == (2.0, None)
+
+
+def test_asof_bad_how(frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="how"):
+        asof_join(left, right, "ts", "rts", ["v1"], how="full")
