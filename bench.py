@@ -37,6 +37,7 @@ _COUNT_ONLY = {
     "t04_fingerprint",
     "mm01_binary_meta",
     "d01_dedup_exact",
+    "zarr03_fill_sparse",
 }
 
 
@@ -52,6 +53,13 @@ def main() -> None:
         from mdio_cpp_spark.plans.zarr_queries import ensure_stores
 
         ensure_stores(spark, sf_dir)
+    # steady-state warmup outside the timed region: JVM parquet reader init
+    # and the Python-worker pool for Arrow stages (one-time ~5 s costs that
+    # would otherwise land on whichever query happens to run first)
+    spark.range(64, numPartitions=64).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     timings: dict[str, float] = {}
     for name in names:
         d = REGISTRY[name]

@@ -31,11 +31,12 @@ from mdio_cpp_spark.catalog import table
 from mdio_cpp_spark.model import MdioDataset
 from mdio_cpp_spark.plans.base import declared
 from mdio_cpp_spark.session import tune
+from mdio_cpp_spark.sources.writer import dense_fill_frame
 from mdio_cpp_spark.sources.zarr_store import ZarrStore
 from mdio_cpp_spark.utils.trim import trim_dataset
 
 CACHE_ROOT = "/root/repo/.zarr_cache"
-BUILD_TAG = "v1"  # bump to invalidate cached stores after builder changes
+BUILD_TAG = "v2"  # bump to invalidate cached stores after builder changes
 CHUNK = 2048
 GRID_C = 64       # grid2d column count; rows adapt to sf (cap 128)
 TRIM_KEEP_FRAC = 2  # trim store keeps N_trim // 2 rows
@@ -69,6 +70,11 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(base, f".built_{BUILD_TAG}")
     if os.path.exists(marker):
         return base
+    # stale or partial cache from an older builder: rebuild from scratch so
+    # the BUILD_TAG bump actually invalidates every store
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
     tune(spark)
     os.makedirs(base, exist_ok=True)
     ords = _orders_indexed(spark, sf_dir).cache()
@@ -94,6 +100,8 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> str:
                                      {"name": "ok2", "format": "int64"}]},
              "dimensions": ["i"],
              "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [CHUNK]}}}},
+            {"name": "cpx", "dataType": "complex128", "dimensions": ["i"],
+             "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [CHUNK]}}}},
             {"name": "j", "dataType": "int64",
              "dimensions": [{"name": "j", "size": n_lq}],
              "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [CHUNK]}}}},
@@ -115,6 +123,11 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> str:
             ords.select("i", F.col("o_custkey").cast("int").alias("ck"),
                         (F.col("o_orderkey") * 2).cast("long").alias("ok2")),
             value_cols={"ck": "ck", "ok2": "ok2"},
+        )
+        ds.var("cpx").write_df(
+            ords.select("i", F.col("o_totalprice").alias("re"),
+                        F.col("o_custkey").cast("double").alias("im")),
+            value_cols={"re": "re", "im": "im"},
         )
         ds.var("j").write_df(
             ords.filter(F.col("i") < n_lq).select(F.col("i").alias("j"), F.col("i").alias("v")),
@@ -421,4 +434,59 @@ def zarr10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(stats["count"]), float(stats["sum"]), float(stats["min"]), float(stats["max"]))],
         "cnt bigint, sum_v double, min_v double, max_v double",
+    )
+
+
+@declared(
+    "zarr11_complex_scan",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS value_re,
+           CAST(o_custkey AS DOUBLE) AS value_im
+    FROM (SELECT o_totalprice, o_custkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 3000 AND rn - 1 < 9000
+    ORDER BY i
+    """,
+)
+def zarr11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """complex128 dtype (impl.h:163-179): stored as interleaved doubles,
+    scanned into (value_re, value_im) columns — Spark has no complex type,
+    so the pair IS the mapping (SURVEY §1.2). Fill is [NaN, NaN]."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    return ds.isel(i=(3000, 9000)).to_df(spark, "cpx").orderBy("i")
+
+
+@declared(
+    "zarr12_list_variables",
+    oracle="""
+    SELECT v FROM (VALUES ('cpx'), ('hdr'), ('i'), ('j'), ('lq'), ('price'), ('sparse')) AS t(v)
+    ORDER BY v
+    """,
+)
+def zarr12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: deterministic sorted variable listing
+    (variable_collection.h:148-155) from the consolidated metadata — one
+    driver read, no scan."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    return spark.createDataFrame([(v,) for v in ds.list_variables()], "v string").orderBy("v")
+
+
+@declared(
+    "zarr13_fill_dense",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS cnt,
+           CAST((SELECT COUNT(*) FROM orders) * ((SELECT COUNT(*) FROM orders) - 1) // 2 AS BIGINT) AS sum_i,
+           CAST(-1.0 AS DOUBLE) AS fill_v
+    """,
+)
+def zarr13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO6 from_variable (variable.h:1954-1995): a dense fill-initialized
+    logical grid sized to the dataset domain — lazy spark.range unravel, no
+    materialized buffer anywhere (the reference allocates; we stream)."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    n = ds.domain()["i"]
+    dense = dense_fill_frame(spark, (n,), ["i"], -1.0, value_col="v")
+    return dense.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("i").alias("sum_i"),
+        F.max("v").alias("fill_v"),
     )

@@ -158,7 +158,9 @@ def fill_value_for(name_or_fields: Any, zarr_version: int = 2) -> Any:
 
 def encode_fill_json(fill: Any) -> Any:
     """Encode a fill value for .zarray JSON (NaN → the string 'NaN' per the
-    Zarr v2 spec; everything else passes through)."""
+    Zarr v2 spec; complex → [re, im] pair; everything else passes through)."""
+    if isinstance(fill, complex):
+        return [encode_fill_json(fill.real), encode_fill_json(fill.imag)]
     if isinstance(fill, float) and math.isnan(fill):
         return "NaN"
     if isinstance(fill, list):

@@ -62,6 +62,10 @@ def write_array(
         if not isinstance(value_cols, dict):
             raise ValueError("struct arrays need value_cols mapping field -> column")
         field_cols = dict(value_cols)
+    elif meta.np_dtype.kind == "c":
+        if not isinstance(value_cols, dict) or set(value_cols) != {"re", "im"}:
+            raise ValueError("complex arrays need value_cols={'re': col, 'im': col}")
+        field_cols = dict(value_cols)
     else:
         field_cols = {"__scalar__": value_cols if isinstance(value_cols, str) else next(iter(value_cols.values()))}
 
@@ -92,6 +96,10 @@ def write_array(
         if meta.is_struct:
             for fname, colname in field_cols.items():
                 block[fname][local] = _to_numpy_values(pdf[colname], meta.np_dtype.fields[fname][0])
+        elif meta.np_dtype.kind == "c":
+            re = pdf[field_cols["re"]].to_numpy(dtype=np.float64)
+            im = pdf[field_cols["im"]].to_numpy(dtype=np.float64)
+            block[local] = (re + 1j * im).astype(meta.np_dtype)
         else:
             colname = field_cols["__scalar__"]
             block[local] = _to_numpy_values(pdf[colname], meta.np_dtype)

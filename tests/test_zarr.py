@@ -261,6 +261,37 @@ def test_plan_chunks_empty_selection():
     assert plan_chunks(meta, {"i": (200, 300)})[1] == 0
 
 
+def test_uint64_scans_as_decimal(spark):
+    # SURVEY §1.2: Spark has no unsigned 64-bit — uint64 widens to
+    # Decimal(20,0); values above int64 max must survive exactly
+    from decimal import Decimal
+
+    root = _fresh("u64")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("u", shape=(10,), chunks=(4,), dtype="uint64", dims=("i",))
+    st.write_array_numpy("u", np.arange(2**63, 2**63 + 10, dtype="u8"))
+    st.consolidate()
+    pdf = scan_array(spark, root, "u").orderBy("i").toPandas()
+    assert pdf["value"].iloc[3] == Decimal(2**63 + 3)
+    # fill reads back as uint64 max
+    assert st.array_meta("u").fill == 2**64 - 1
+
+
+def test_complex_roundtrip_spark_write(spark):
+    from pyspark.sql import functions as F
+
+    root = _fresh("cpx")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("c", shape=(200,), chunks=(64,), dtype="complex128", dims=("i",))
+    src = dense_fill_frame(spark, (200,), ["i"], 0.0).select(
+        "i", (F.col("i") * 0.5).alias("re"), (-F.col("i")).cast("double").alias("im")
+    )
+    write_array(src, root, "c", value_cols={"re": "re", "im": "im"})
+    back = ZarrStore.open(root).read_array("c")
+    assert np.allclose(back.real, np.arange(200) * 0.5)
+    assert np.allclose(back.imag, -np.arange(200))
+
+
 # ------------------------------------------------------------- harness guards
 
 def test_bench_and_entry_importable():
