@@ -287,6 +287,32 @@ def a05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.get_intervals(_t(spark, sf_dir, "orders"), ["o_custkey", "o_orderkey"])
 
 
+@declared(
+    "cs01_fluent_pipeline",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_returnflag = 'R' AND l_linestatus = 'F' AND l_quantity >= 30
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def cs01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 fluent pipeline — ReadDataVariables(names, filter, filter, sort,
+    sort) (coordinate_selector.h:94-288): conjunctive filters + chained
+    least-significant-first sorts + multi-column read, emitted as one
+    declarative Catalyst plan (filters reach the scan as PushedFilters)."""
+    from mdio_cpp_spark.operators.coordinate_query import CoordinateQuery
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        CoordinateQuery(li)
+        .filter_by(F.col("l_returnflag") == "R", F.col("l_linestatus") == "F")
+        .filter_by(F.col("l_quantity") >= 30)
+        .sort_by("l_linenumber")   # least significant first, like the reference
+        .sort_by("l_orderkey")
+        .read("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
 # ---------------------------------------------------- §2.5 joins / windows / sets
 
 @declared(
