@@ -61,28 +61,32 @@ def main() -> None:
     ).count()
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         d = REGISTRY[name]
         t0 = time.time()
-        df = d.spark(spark, sf_dir)
-        if name in _COUNT_ONLY:
-            df.count()
-        else:
-            df.collect()
+        try:
+            df = d.spark(spark, sf_dir)
+            if name in _COUNT_ONLY:
+                df.count()
+            else:
+                df.collect()
+        except Exception as e:  # one broken query must not kill the gate
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            continue
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "declared_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

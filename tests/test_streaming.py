@@ -32,3 +32,44 @@ def test_stream_windowed_agg_matches_batch(spark, sf_dir):
     streamed = spark.sql("SELECT * FROM stream_parity").orderBy("ws", "event_type").collect()
     assert len(streamed) == len(batch) and len(batch) > 0
     assert streamed == batch
+
+
+def test_session_window_counts_match_batch_sessionize(spark, sf_dir):
+    """Stateful streaming sessionization (F.session_window, 30-min gap) must
+    agree with the batch lag/running-sum formulation on the per-user session
+    COUNT — the two formulations label sessions differently but must carve
+    the same boundaries."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.catalog import table
+    from mdio_cpp_spark.streaming.events import sessionize, stream_events
+
+    batch = (
+        sessionize(table(spark, sf_dir, "events"), gap_seconds=1800)
+        .groupBy("user_id")
+        .agg(F.max("session_seq").alias("n_sessions"))
+    )
+    stream = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    with tempfile.TemporaryDirectory(dir="/root/repo/.zarr_cache") as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("sess_parity")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    streamed = (
+        spark.sql("SELECT user_id, COUNT(*) AS n_sessions FROM sess_parity GROUP BY user_id")
+    )
+    b = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
+    s = {r["user_id"]: r["n_sessions"] for r in streamed.collect()}
+    assert b == s and len(b) > 0
