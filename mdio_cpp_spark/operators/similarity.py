@@ -70,3 +70,60 @@ def lsh_topk(
         .select("q_id", "vec_id", F.round(vectors.cosine(F.col("qv"), F.col("cv")), 4).alias("cos"))
     )
     return _ranked(pairs, k)
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame
+) -> DataFrame:
+    """Nearest-centroid (coarse-quantizer) assignment: broadcast the K
+    centroids, compute K cosines map-side, keep the argmax per vector
+    (max_by over a (cos, cid) struct — deterministic tie-break on larger
+    cid). One partial-aggregating groupBy; the corpus never shuffles its
+    vectors anywhere else."""
+    cents = F.broadcast(centroids)
+    scored = df.select(
+        F.col(id_col), F.col(vec_col)
+    ).join(cents, how="cross").select(
+        id_col, vec_col,
+        F.col("cid"),
+        F.round(vectors.cosine(F.col(vec_col), F.col("cv")), 6).alias("__cc"),
+    )
+    return scored.groupBy(id_col, vec_col).agg(
+        F.max_by("cid", F.struct(F.col("__cc"), F.col("cid"))).alias("cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 8,
+) -> DataFrame:
+    """IVF approximate top-k — the inverted-file scale path.
+
+    Coarse quantizer: the first ``n_cells`` corpus vectors (by id) act as
+    deterministic centroids ("training" = take K exemplars; swapping in
+    k-means centroids changes nothing structurally). Every vector is
+    assigned to its nearest centroid's cell; a query searches ONLY its own
+    cell (single-probe). Per-query work drops from O(N) to O(N/n_cells);
+    the cell assignment is a broadcast cross-score, so the corpus shuffles
+    once, keyed by cell, and never moves again."""
+    cents = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    c_assigned = ivf_assign(corpus, id_col, vec_col, cents).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv2"), "cell"
+    )
+    q_assigned = F.broadcast(
+        ivf_assign(queries, id_col, vec_col, cents).select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "cell"
+        )
+    )
+    pairs = (
+        c_assigned.join(q_assigned, on="cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(vectors.cosine(F.col("qv"), F.col("cv2")), 4).alias("cos"))
+    )
+    return _ranked(pairs, k)

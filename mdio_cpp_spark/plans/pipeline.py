@@ -260,6 +260,42 @@ def v02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CELLS = 8
+
+
+@declared(
+    "v03_ivf_topk",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_IVF_CELLS}),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid, ROUND({_dd_cosine("e.embedding", "c.cv")}, 6) AS cc
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT vec_id, embedding, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid DESC) AS r
+        FROM scored
+      ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, cell FROM assign WHERE vec_id < 3)
+    SELECT q_id, vec_id, cos, rk FROM (
+      SELECT q.q_id, e.vec_id, ROUND({_dd_cosine("q.qv", "e.embedding")}, 4) AS cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id
+                  ORDER BY ROUND({_dd_cosine("q.qv", "e.embedding")}, 4) DESC, e.vec_id) AS BIGINT) AS rk
+      FROM q JOIN assign e ON e.cell = q.cell AND e.vec_id <> q.q_id
+    ) WHERE rk <= 5 ORDER BY q_id, rk
+    """,
+)
+def v03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k — the inverted-file ANN scale path (single-probe): K
+    deterministic centroids broadcast, corpus assigned map-side, queries
+    search only their own cell. Per-query work O(N/K) instead of O(N)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    return similarity.ivf_topk(e, q, "vec_id", "embedding", k=5, n_cells=_IVF_CELLS).orderBy("q_id", "rk")
+
+
 # ------------------------------------------------------------ text analysis
 
 def _dd_lang_sql() -> str:

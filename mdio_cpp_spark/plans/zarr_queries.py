@@ -388,15 +388,21 @@ def zarr09(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _main_store(spark, sf_dir)
     ds = MdioDataset.open(store)
     li = table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    src = (
-        li.select("l_quantity", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= 10000)
-        .select((F.col("rn") - 1).cast("long").alias("j"),
-                F.col("l_quantity").cast("double").alias("v"))
+    # take-ordered limit (parallel partial sort) BEFORE numbering, so the
+    # single-partition row_number window only ever sees <= 10000 rows
+    sub = (
+        li.select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(10000)
     )
-    ds.var("lq").write_df(src, value_cols="v")
-    back = MdioDataset.open(store).isel(j=(0, src.count())).to_df(spark, "lq", value_col="v")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    src = sub.select(
+        (F.row_number().over(w) - 1).cast("long").alias("j"),
+        F.col("l_quantity").cast("double").alias("v"),
+    )
+    report = ds.var("lq").write_df(src, value_cols="v")
+    n_written = int(report["cells_written"])
+    back = MdioDataset.open(store).isel(j=(0, n_written)).to_df(spark, "lq", value_col="v")
     return back.agg(
         F.count("v").alias("cnt"),
         F.round(F.sum("v"), 2).alias("sum_v"),
