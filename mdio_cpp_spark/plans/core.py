@@ -437,6 +437,92 @@ def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "g02_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: CUBE with grouping_id disambiguating real NULLs from
+    subtotal rows (absent in reference; built-in)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().cast("long").alias("gid"), F.count(F.lit(1)).alias("cnt"))
+        .select("l_returnflag", "l_linestatus", "gid", "cnt")
+        .orderBy("gid", F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@declared(
+    "w03_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_cnt
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def w03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window with a RANGE (value-based) frame — peers within 100 key units,
+    not a fixed row count."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-100, 0)
+    return (
+        o.select("o_custkey", "o_orderkey", F.count(F.lit(1)).over(w).cast("long").alias("near_cnt"))
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@declared(
+    "t05_date_parts",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+           COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + time-grouped aggregate (scalar date functions
+    — absent in reference, built-in here)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("yr", "qtr")
+    )
+
+
+@declared(
+    "a06_distinct_agg",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    """,
+)
+def a06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (SURVEY notes the reference has none) — two
+    count-distincts in one pass; Spark expands to partial aggregates, no
+    driver-side distinct."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_cust"),
+        F.countDistinct("o_orderpriority").cast("long").alias("n_prio"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+
+
+@declared(
     "set01_intersect",
     oracle="""
     SELECT c_nationkey AS k FROM customer

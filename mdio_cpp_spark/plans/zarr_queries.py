@@ -440,7 +440,7 @@ def zarr10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(stats["count"]), float(stats["sum"]), float(stats["min"]), float(stats["max"]))],
         "cnt bigint, sum_v double, min_v double, max_v double",
-    )
+    ).coalesce(1)
 
 
 @declared(
@@ -473,7 +473,8 @@ def zarr12(spark: SparkSession, sf_dir: str) -> DataFrame:
     (variable_collection.h:148-155) from the consolidated metadata — one
     driver read, no scan."""
     ds = MdioDataset.open(_main_store(spark, sf_dir))
-    return spark.createDataFrame([(v,) for v in ds.list_variables()], "v string").orderBy("v")
+    # coalesce(1): 7 driver-local rows don't need 32 parallelize slices
+    return spark.createDataFrame([(v,) for v in ds.list_variables()], "v string").coalesce(1).orderBy("v")
 
 
 @declared(
