@@ -24,6 +24,11 @@ _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for toPandas / pandas_udf exchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Bigger Arrow batches for the chunked-write path: the default 10k rows
+    # per batch makes applyInPandas reassemble a 1M-cell chunk from ~100
+    # Python-side concats (measured 4.4x slower end-to-end). ~12 MB batches
+    # at 24 B/row keep per-task memory trivial.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "500000",
 }
 
 

@@ -69,41 +69,52 @@ def write_array(
     else:
         field_cols = {"__scalar__": value_cols if isinstance(value_cols, str) else next(iter(value_cols.values()))}
 
+    # shuffle payload: chunk-id keys + ONE linear in-chunk offset + values.
+    # Shipping the composite offset instead of N dimension columns cuts the
+    # shuffle by 8(N-1) bytes/cell and turns the executor-side scatter into
+    # a single flat fancy-index assignment.
     ckey_cols = [f"__c{d}" for d in range(meta.ndim)]
+    strides = []
+    acc = 1
+    for c in reversed(meta.chunks):
+        strides.append(acc)
+        acc *= int(c)
+    strides = list(reversed(strides))  # C-order strides in cells
+    off_expr = None
+    for d, dim in enumerate(dim_names):
+        term = (F.col(dim) % F.lit(int(meta.chunks[d]))) * F.lit(strides[d])
+        off_expr = term if off_expr is None else off_expr + term
     keyed = df.select(
-        *[F.col(c) for c in dim_names],
+        off_expr.cast("long").alias("__off"),
         *[F.col(c) for c in field_cols.values()],
         *[
-            F.floor(F.col(dim) / F.lit(int(meta.chunks[d]))).cast("long").alias(ckey_cols[d])
+            F.expr(f"{dim} div {int(meta.chunks[d])}").alias(ckey_cols[d])
             for d, dim in enumerate(dim_names)
         ],
     )
 
     root_path, version = store.root, store.version
     out_schema = ", ".join([f"{c} long" for c in ckey_cols] + ["cells long"])
+    n_cells_chunk = int(np.prod(meta.chunks))
 
     def write_chunk_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         coords = tuple(int(k) for k in key)
         task_store = ZarrStore(root_path, version)
-        origin = tuple(c * s for c, s in zip(coords, meta.chunks))
-        block = np.full(meta.chunks, meta.fill_scalar(), dtype=meta.np_dtype)
-        local = tuple(
-            pdf[dim].to_numpy(dtype=np.int64) - origin[d] for d, dim in enumerate(dim_names)
-        )
-        for d in range(meta.ndim):
-            if len(local[d]) and (local[d].min() < 0 or local[d].max() >= meta.chunks[d]):
-                raise ValueError(f"row outside chunk {coords} along {dim_names[d]}")
+        off = pdf["__off"].to_numpy(dtype=np.int64)
+        if len(off) and (off.min() < 0 or off.max() >= n_cells_chunk):
+            raise ValueError(f"row outside chunk {coords}")
+        flat = np.full(n_cells_chunk, meta.fill_scalar(), dtype=meta.np_dtype)
         if meta.is_struct:
             for fname, colname in field_cols.items():
-                block[fname][local] = _to_numpy_values(pdf[colname], meta.np_dtype.fields[fname][0])
+                flat[fname][off] = _to_numpy_values(pdf[colname], meta.np_dtype.fields[fname][0])
         elif meta.np_dtype.kind == "c":
             re = pdf[field_cols["re"]].to_numpy(dtype=np.float64)
             im = pdf[field_cols["im"]].to_numpy(dtype=np.float64)
-            block[local] = (re + 1j * im).astype(meta.np_dtype)
+            flat[off] = (re + 1j * im).astype(meta.np_dtype)
         else:
             colname = field_cols["__scalar__"]
-            block[local] = _to_numpy_values(pdf[colname], meta.np_dtype)
-        task_store.write_chunk(meta, coords, block)
+            flat[off] = _to_numpy_values(pdf[colname], meta.np_dtype)
+        task_store.write_chunk(meta, coords, flat.reshape(meta.chunks))
         return pd.DataFrame({**{c: [coords[d]] for d, c in enumerate(ckey_cols)}, "cells": [len(pdf)]})
 
     report = (
