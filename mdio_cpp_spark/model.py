@@ -118,13 +118,15 @@ class MdioVariable:
             pass
         return combos
 
-    def to_df(self, spark: SparkSession, fields: list[str] | None = None, value_col: str = "value") -> DataFrame:
+    def to_df(self, spark: SparkSession, fields: list[str] | None = None, value_col: str = "value",
+              value_filter: tuple | None = None) -> DataFrame:
         """Distributed chunk-pruned scan of the selected domain (IO4).
         Multi-run selections union one pruned scan per contiguous run
-        (tensorstore::Concat analog, variable.h:1390-1391)."""
+        (tensorstore::Concat analog, variable.h:1390-1391). ``value_filter``
+        pushes a value predicate into the decoder (see sources/reader.py)."""
         dfs = [
             scan_array(spark, self.dataset.path, self.name, ranges=r or None,
-                       fields=fields, value_col=value_col)
+                       fields=fields, value_col=value_col, value_filter=value_filter)
             for r in self._range_combos()
         ]
         out = dfs[0]

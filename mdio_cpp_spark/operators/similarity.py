@@ -72,6 +72,47 @@ def lsh_topk(
     return _ranked(pairs, k)
 
 
+def _flip_bit(bk, p: int, n: int):
+    """Flip bit p (0-based) of an n-char '0'/'1' bucket string."""
+    return F.concat(
+        F.substring(bk, 1, p),
+        F.when(F.substring(bk, p + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+        F.substring(bk, p + 2, n - p - 1),
+    )
+
+
+def lsh_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    n_probes: int = 3,
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query searches its own bucket PLUS the
+    ``n_probes - 1`` Hamming-distance-1 neighbor buckets (flip one sign
+    bit). Standard recall lever: more planes → smaller buckets → cheaper
+    exact ranking, with multi-probe recovering the recall that bucket
+    shrinkage loses — all still equi-joins, never a cross product. Probe
+    buckets are distinct strings and each corpus vector lives in exactly one
+    bucket, so no candidate dedup is needed."""
+    bucket = sign_lsh_bucket(F.col(vec_col), dim, n_planes)
+    q0 = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), bucket.alias("bk0"))
+    probes = F.array(
+        F.col("bk0"), *[_flip_bit(F.col("bk0"), p, n_planes) for p in range(n_probes - 1)]
+    )
+    q = F.broadcast(q0.select("q_id", "qv", F.explode(probes).alias("bk")))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"), bucket.alias("bk"))
+    pairs = (
+        c.join(q, on="bk")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(vectors.cosine(F.col("qv"), F.col("cv")), 4).alias("cos"))
+    )
+    return _ranked(pairs, k)
+
+
 def ivf_assign(
     df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame
 ) -> DataFrame:

@@ -260,6 +260,50 @@ def v02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MP_PLANES, _MP_PROBES = 6, 3
+
+
+def _dd_multiprobe_sql() -> str:
+    flip = lambda p: (
+        f"substr(bk, 1, {p}) || (CASE WHEN substr(bk, {p + 1}, 1) = '1' THEN '0' ELSE '1' END) "
+        f"|| substr(bk, {p + 2}, {_MP_PLANES - p - 1})"
+    )
+    probe_selects = "\n      UNION ALL ".join(
+        ["SELECT q_id, qv, bk FROM q0"]
+        + [f"SELECT q_id, qv, {flip(p)} AS bk FROM q0" for p in range(_MP_PROBES - 1)]
+    )
+    return f"""
+    WITH {_dd_planes_cte(_MP_PLANES, _ND_DIM)},
+    b AS (
+      SELECT vec_id, embedding, {_dd_bucket("embedding")} AS bk
+      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding
+    ),
+    q0 AS (SELECT vec_id AS q_id, embedding AS qv, bk FROM b WHERE vec_id < 3),
+    probes AS (
+      {probe_selects}
+    )
+    SELECT q_id, vec_id, cos, rk FROM (
+      SELECT q_id, vec_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+      FROM (
+        SELECT p.q_id, e.vec_id, ROUND({_dd_cosine("p.qv", "e.embedding")}, 4) AS cos
+        FROM probes p JOIN b e ON e.bk = p.bk AND e.vec_id <> p.q_id
+      )
+    ) WHERE rk <= 5 ORDER BY q_id, rk
+    """
+
+
+@declared("v04_lsh_multiprobe", oracle=_dd_multiprobe_sql())
+def v04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: exact bucket + 2 Hamming-1 neighbor probes —
+    recall recovery for narrow buckets, still pure equi-joins."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    return similarity.lsh_topk_multiprobe(
+        e, q, "vec_id", "embedding", dim=_ND_DIM, k=5, n_planes=_MP_PLANES, n_probes=_MP_PROBES
+    ).orderBy("q_id", "rk")
+
+
 _IVF_CELLS = 8
 
 

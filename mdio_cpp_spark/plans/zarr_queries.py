@@ -462,6 +462,29 @@ def zarr11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "zarr14_value_filter",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS price FROM
+      (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 2000 AND rn - 1 < 14000 AND o_totalprice >= 250000.0
+    ORDER BY i
+    """,
+)
+def zarr14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-predicate pushdown past the Python boundary: the >= filter runs
+    in numpy INSIDE the chunk decoder, so non-matching cells never cross the
+    Arrow transfer or reach the JVM — chunk pruning handles the dims, this
+    handles the values (the full pushdown story for the custom source)."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    return (
+        ds.isel(i=(2000, 14000))
+        .var("price")
+        .to_df(spark, value_col="price", value_filter=(">=", 250000.0))
+        .orderBy("i")
+    )
+
+
+@declared(
     "zarr12_list_variables",
     oracle="""
     SELECT v FROM (VALUES ('cpx'), ('hdr'), ('i'), ('j'), ('lq'), ('price'), ('sparse')) AS t(v)

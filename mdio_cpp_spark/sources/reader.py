@@ -137,6 +137,17 @@ def plan_chunks(
     return per_dim, int(np.prod([len(r) for r in per_dim])) if per_dim else 0
 
 
+# value predicates pushable into the decoder: op name → numpy comparator
+_VALUE_OPS = {
+    ">=": lambda v, x: v >= x,
+    ">": lambda v, x: v > x,
+    "<=": lambda v, x: v <= x,
+    "<": lambda v, x: v < x,
+    "==": lambda v, x: v == x,
+    "!=": lambda v, x: v != x,
+}
+
+
 def scan_array(
     spark: SparkSession,
     root: str,
@@ -145,12 +156,18 @@ def scan_array(
     fields: list[str] | None = None,
     value_col: str = "value",
     chunks_per_task: int = 4,
+    value_filter: tuple[str, Any] | None = None,
 ) -> DataFrame:
     """Scan one Zarr array into a long-form DataFrame with chunk pruning.
 
     ``ranges`` maps dimension label → (start, stop[, step]) half-open index
     ranges (isel semantics, dataset.h:423-546; stride per variable.h:1348).
     ``fields`` selects struct-dtype fields (SelectField analog).
+    ``value_filter`` = (op, literal) with op in >=,>,<=,<,==,!= — applied to
+    the VALUE inside the decoder (numpy, before the Arrow boundary), so
+    non-matching cells never ship to the JVM. The Catalyst analog of filter
+    pushdown, extended past the Python worker; a whole-chunk skip falls out
+    for fill-only chunks whose fill fails the predicate.
     """
     store = ZarrStore.open(root)
     meta = store.array_meta(var)
@@ -168,7 +185,11 @@ def scan_array(
     grid_starts = [r.start for r in per_dim]
     root_path, version = store.root, store.version
     sel_fields = list(fields) if fields else (list(meta.np_dtype.names) if meta.is_struct else None)
-    shape, chunks = meta.shape, meta.chunks
+    if value_filter is not None:
+        if meta.is_struct or meta.np_dtype.kind == "c":
+            raise ValueError("value_filter applies to scalar arrays only")
+        if value_filter[0] not in _VALUE_OPS:
+            raise ValueError(f"unsupported value_filter op {value_filter[0]!r}")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # executor-side: open the store lazily once per task
@@ -184,9 +205,15 @@ def scan_array(
                 coords = tuple(
                     grid_starts[d] + c for d, c in enumerate(reversed(coords))
                 )
-                yield _decode_chunk_to_pdf(
+                out = _decode_chunk_to_pdf(
                     task_store, meta, coords, box, steps, dim_names, sel_fields, value_col
                 )
+                if value_filter is not None and len(out):
+                    mask = _VALUE_OPS[value_filter[0]](
+                        out[value_col].to_numpy(), value_filter[1]
+                    )
+                    out = out[mask]
+                yield out
 
     n_parts = max(1, math.ceil(n_chunks / max(1, chunks_per_task)))
     manifest = spark.range(0, n_chunks, numPartitions=n_parts)
