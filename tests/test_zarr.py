@@ -241,17 +241,46 @@ def test_spark_scan_stride_and_fill(spark):
     assert np.array_equal(pdf["value"], exp)
 
 
-def test_spark_write_then_pure_python_read(spark):
-    # differential: Spark chunk-aligned writer vs independent numpy reader
-    root = _fresh("sp2")
-    st = ZarrStore.create(root, version=2)
-    st.create_array("w", shape=(1000,), chunks=(128,), dtype="float64", dims=("i",))
+@pytest.mark.parametrize("version", [2, 3])
+def test_spark_write_then_pure_python_read(spark, version):
+    # differential: Spark chunk-aligned writer vs independent numpy reader,
+    # TEST_P over both zarr versions like the reference's suites
+    root = _fresh(f"sp2_v{version}")
+    st = ZarrStore.create(root, version=version)
+    st.create_array("w", shape=(1000,), chunks=(128,), dtype="float64", dims=("i",),
+                    compressor={"id": "zlib" if version == 2 else "gzip", "level": 2})
+    st.consolidate()
     from pyspark.sql import functions as F
 
     src = dense_fill_frame(spark, (1000,), ["i"], 0.0).withColumn("value", F.col("i") * 0.75)
     report = write_array(src, root, "w")
     assert report["chunks_written"] == 8 and report["cells_written"] == 1000
     assert np.allclose(ZarrStore.open(root).read_array("w"), np.arange(1000) * 0.75)
+
+
+def test_scan_rejects_header_only_and_empty_selection(spark):
+    root = _fresh("sp4")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("txt", shape=(4,), chunks=(4,), dtype=np.dtype("|O"), dims=("i",))
+    st.create_array("v", shape=(100,), chunks=(10,), dtype="int32", dims=("i",))
+    st.consolidate()
+    with pytest.raises(TypeError, match="metadata-only"):
+        scan_array(spark, root, "txt")
+    # empty selection → empty DataFrame with the right schema, zero tasks
+    empty = scan_array(spark, root, "v", ranges={"i": (500, 600)})
+    assert empty.count() == 0 and empty.columns == ["i", "value"]
+
+
+def test_value_filter_pushdown(spark):
+    root = _fresh("sp5")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("v", shape=(1000,), chunks=(100,), dtype="float64", dims=("i",))
+    st.write_array_numpy("v", np.arange(1000, dtype="f8"))
+    st.consolidate()
+    got = scan_array(spark, root, "v", value_filter=(">=", 990.0)).orderBy("i").toPandas()
+    assert list(got["value"]) == [float(x) for x in range(990, 1000)]
+    with pytest.raises(ValueError, match="op"):
+        scan_array(spark, root, "v", value_filter=("~", 1.0))
 
 
 def test_plan_chunks_empty_selection():
