@@ -36,7 +36,7 @@ from mdio_cpp_spark.sources.zarr_store import ZarrStore
 from mdio_cpp_spark.utils.trim import trim_dataset
 
 CACHE_ROOT = "/root/repo/.zarr_cache"
-BUILD_TAG = "v2"  # bump to invalidate cached stores after builder changes
+BUILD_TAG = "v3"  # bump to invalidate cached stores after builder changes
 CHUNK = 2048
 GRID_C = 64       # grid2d column count; rows adapt to sf (cap 128)
 TRIM_KEEP_FRAC = 2  # trim store keeps N_trim // 2 rows
@@ -100,6 +100,8 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> str:
                                      {"name": "ok2", "format": "int64"}]},
              "dimensions": ["i"],
              "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [CHUNK]}}}},
+            {"name": "u64", "dataType": "uint64", "dimensions": ["i"],
+             "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [CHUNK]}}}},
             {"name": "cpx", "dataType": "complex128", "dimensions": ["i"],
              "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [CHUNK]}}}},
             {"name": "j", "dataType": "int64",
@@ -123,6 +125,16 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> str:
             ords.select("i", F.col("o_custkey").cast("int").alias("ck"),
                         (F.col("o_orderkey") * 2).cast("long").alias("ok2")),
             value_cols={"ck": "ck", "ok2": "ok2"},
+        )
+        # uint64 beyond int64 range: decimal arithmetic on the build side,
+        # np.uint64 storage — exercises the unsigned widening policy
+        ds.var("u64").write_df(
+            ords.select(
+                "i",
+                (F.col("o_orderkey").cast("decimal(20,0)")
+                 + F.lit("9223372036854775808").cast("decimal(20,0)")).alias("v"),
+            ),
+            value_cols="v",
         )
         ds.var("cpx").write_df(
             ords.select("i", F.col("o_totalprice").alias("re"),
@@ -487,7 +499,7 @@ def zarr14(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "zarr12_list_variables",
     oracle="""
-    SELECT v FROM (VALUES ('cpx'), ('hdr'), ('i'), ('j'), ('lq'), ('price'), ('sparse')) AS t(v)
+    SELECT v FROM (VALUES ('cpx'), ('hdr'), ('i'), ('j'), ('lq'), ('price'), ('sparse'), ('u64')) AS t(v)
     ORDER BY v
     """,
 )
@@ -498,6 +510,30 @@ def zarr12(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = MdioDataset.open(_main_store(spark, sf_dir))
     # coalesce(1): 7 driver-local rows don't need 32 parallelize slices
     return spark.createDataFrame([(v,) for v in ds.list_variables()], "v string").coalesce(1).orderBy("v")
+
+
+@declared(
+    "zarr15_uint64_scan",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i,
+           CAST(CAST(o_orderkey AS HUGEINT) + 9223372036854775808 AS VARCHAR) AS v
+    FROM (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 4000 AND rn - 1 < 9000
+    ORDER BY i
+    """,
+)
+def zarr15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uint64 widening policy (SURVEY §1.2): values above int64 max stored
+    as native uint64, scanned into Decimal(20,0) — emitted as exact digit
+    strings because DuckDB's pandas bridge degrades DECIMAL to float64
+    (stringification is the only lossless cross-engine comparison)."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    return (
+        ds.isel(i=(4000, 9000))
+        .to_df(spark, "u64", value_col="v")
+        .select("i", F.col("v").cast("string").alias("v"))
+        .orderBy("i")
+    )
 
 
 @declared(
