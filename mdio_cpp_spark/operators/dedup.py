@@ -76,8 +76,16 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(F.array_distinct(text.word_shingles(toks, shingle_n))).alias("__s"),
     )
+    # hash family: 8-hex (32-bit) slices of ceil(k/4) seeded md5s — 4 family
+    # members per md5 evaluation (md5 is the expensive part; codegen's
+    # subexpression elimination computes each seeded md5 once per row).
+    # Lexicographic min of hex slices == numeric min (hashing.py contract).
     hashed = exploded.select(
-        id_col, *[hashing.seeded_md5(F.col("__s"), j).alias(f"__h{j}") for j in range(num_hashes)]
+        id_col,
+        *[
+            F.substring(hashing.seeded_md5(F.col("__s"), j // 4), 1 + 8 * (j % 4), 8).alias(f"__h{j}")
+            for j in range(num_hashes)
+        ],
     )
     return hashed.groupBy(id_col).agg(
         *[F.min(f"__h{j}").alias(f"mh{j}") for j in range(num_hashes)]

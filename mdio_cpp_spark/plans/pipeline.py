@@ -80,8 +80,11 @@ _MH_BANDS, _MH_ROWS = 4, 4
 
 def _dd_minhash_sql() -> str:
     k = _MH_BANDS * _MH_ROWS
+    # family member j = 8-hex slice j%4 of md5 seeded with j//4 — mirrors
+    # operators/dedup.minhash_signatures exactly
     mh_cols = ",\n        ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{j}:' || s)), 'min') AS mh{j}" for j in range(k)
+        f"list_aggregate(list_transform(sh, s -> substr(md5('{j // 4}:' || s), {1 + 8 * (j % 4)}, 8)), 'min') AS mh{j}"
+        for j in range(k)
     )
     band_selects = "\n      UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5(mh{b * _MH_ROWS} || mh{b * _MH_ROWS + 1} || mh{b * _MH_ROWS + 2} || mh{b * _MH_ROWS + 3}) AS bh FROM mh"
