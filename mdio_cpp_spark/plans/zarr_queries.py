@@ -537,6 +537,33 @@ def zarr15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "zarr16_datasource",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS value FROM
+      (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 6000 AND rn - 1 < 13000
+    ORDER BY i
+    """,
+)
+def zarr16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO1/IO4 through the registered Python Data Source:
+    spark.read.format('mdio') with a plain .filter() — Catalyst hands the
+    dim predicates to the reader's pushFilters, which consumes them into
+    chunk pruning (the DataSourceV2-style integration, SURVEY §4)."""
+    from mdio_cpp_spark.sources.datasource import register
+
+    store = _main_store(spark, sf_dir)
+    register(spark)
+    return (
+        spark.read.format("mdio")
+        .option("path", store).option("variable", "price")
+        .load()
+        .filter((F.col("i") >= 6000) & (F.col("i") < 13000))
+        .orderBy("i")
+    )
+
+
+@declared(
     "zarr13_fill_dense",
     oracle="""
     SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS cnt,

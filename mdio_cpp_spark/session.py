@@ -29,6 +29,8 @@ _RUNTIME_CONF = {
     # Python-side concats (measured 4.4x slower end-to-end). ~12 MB batches
     # at 24 B/row keep per-task memory trivial.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "500000",
+    # let the mdio Python DataSource consume dim predicates for chunk pruning
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

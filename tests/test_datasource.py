@@ -1,0 +1,72 @@
+"""Python Data Source (format('mdio')) tests: registration, filter pushdown
+→ chunk pruning, struct field selection, unconsumed-filter handoff."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql.datasource import EqualTo, GreaterThan, GreaterThanOrEqual, LessThan
+
+from mdio_cpp_spark.sources.datasource import MdioDataSource, register
+from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+ROOT = "/root/repo/.zarr_cache/_tests/ds"
+
+
+@pytest.fixture(scope="module")
+def store():
+    shutil.rmtree(ROOT, ignore_errors=True)
+    st = ZarrStore.create(ROOT, version=2)
+    st.create_array("v", shape=(5000,), chunks=(500,), dtype="float64", dims=("i",))
+    st.write_array_numpy("v", np.arange(5000, dtype="f8"))
+    st.create_array("h", shape=(100,), chunks=(50,), dtype={"fields": [
+        {"name": "a", "format": "int32"}, {"name": "b", "format": "int64"}]}, dims=("i",))
+    rec = np.zeros(100, dtype=[("a", "<i4"), ("b", "<i8")])
+    rec["a"] = np.arange(100)
+    rec["b"] = np.arange(100) * 7
+    st.write_array_numpy("h", rec)
+    st.consolidate()
+    return ROOT
+
+
+def test_read_with_pushdown(spark, store):
+    register(spark)
+    df = spark.read.format("mdio").option("path", store).option("variable", "v").load()
+    got = df.filter("i >= 1200 AND i < 1800 AND value % 2 = 0").orderBy("i").collect()
+    assert [r["i"] for r in got] == list(range(1200, 1800, 2))
+
+
+def test_pushdown_prunes_partitions(store):
+    src = MdioDataSource({"path": store, "variable": "v"})
+    r = src.reader(src.schema())
+    assert len(r.partitions()) == 10
+    rest = list(r.pushFilters([
+        GreaterThanOrEqual(("i",), 1200), LessThan(("i",), 1800),
+        GreaterThan(("value",), 3.0),  # value filters are NOT consumed
+    ]))
+    assert rest == [GreaterThan(("value",), 3.0)]
+    assert len(r.partitions()) == 2  # chunks 2 and 3
+    # equality → single chunk
+    r2 = src.reader(src.schema())
+    list(r2.pushFilters([EqualTo(("i",), 4999)]))
+    assert len(r2.partitions()) == 1
+
+
+def test_struct_field_option(spark, store):
+    register(spark)
+    df = (
+        spark.read.format("mdio")
+        .option("path", store).option("variable", "h").option("fields", "b")
+        .load()
+    )
+    assert df.columns == ["i", "b"]
+    got = df.filter("i < 5").orderBy("i").collect()
+    assert [r["b"] for r in got] == [0, 7, 14, 21, 28]
+
+
+def test_missing_options(spark):
+    register(spark)
+    with pytest.raises(Exception, match="path"):
+        spark.read.format("mdio").load().collect()
