@@ -145,6 +145,8 @@ class MdioReader(DataSourceReader):
     # -------------------------------------------------------------- execute
 
     def read(self, partition: MdioChunkPartition) -> Iterator[pa.RecordBatch]:
+        if partition is None:  # empty selection: partitions() returned []
+            return
         store = ZarrStore(self.root, self.version)
         box = self._box()
         steps = tuple(1 for _ in self.dim_names)
