@@ -73,3 +73,42 @@ def test_session_window_counts_match_batch_sessionize(spark, sf_dir):
     b = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
     s = {r["user_id"]: r["n_sessions"] for r in streamed.collect()}
     assert b == s and len(b) > 0
+
+
+def test_applyInPandasWithState_matches_batch(spark, sf_dir):
+    """Custom stateful operator (explicit GroupState) — the final state per
+    user after draining the stream must equal the batch aggregate."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.catalog import table
+    from mdio_cpp_spark.streaming.events import stream_events
+    from mdio_cpp_spark.streaming.stateful import running_user_totals
+
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    stream = running_user_totals(stream_events(spark, sf_dir))
+    with tempfile.TemporaryDirectory(dir="/root/repo/.zarr_cache") as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("state_parity")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    # update mode can emit a key several times (one per micro-batch); the
+    # LAST emission per key is the final state — max n_events wins
+    rows = spark.sql(
+        "SELECT user_id, MAX_BY(n_events, n_events) n, MAX_BY(sum_value, n_events) s "
+        "FROM state_parity GROUP BY user_id"
+    ).collect()
+    streamed = {r["user_id"]: (r["n"], r["s"]) for r in rows}
+    assert streamed == batch and len(batch) > 0
