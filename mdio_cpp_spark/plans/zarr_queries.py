@@ -66,6 +66,9 @@ def _orders_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ensure_stores(spark: SparkSession, sf_dir: str) -> str:
     """Idempotently build every store for this sf; returns the cache base."""
+    tune(spark)  # runtime confs (AQE, arrow batches, python pushdown) —
+    # needed on the cached path too: an externally-created session may lack
+    # spark.sql.python.filterPushdown.enabled for zarr16's DataSource read
     base = _base(sf_dir)
     marker = os.path.join(base, f".built_{BUILD_TAG}")
     if os.path.exists(marker):
@@ -75,7 +78,6 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> str:
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)
-    tune(spark)
     os.makedirs(base, exist_ok=True)
     ords = _orders_indexed(spark, sf_dir).cache()
     n = ords.count()
