@@ -215,7 +215,13 @@ def scan_array(
                     out = out[mask]
                 yield out
 
-    n_parts = max(1, math.ceil(n_chunks / max(1, chunks_per_task)))
+    # partition count: ~chunks_per_task chunks each, but capped at 64× the
+    # cluster parallelism — a petascale array (~12M chunks) must not become
+    # millions of scheduler tasks; beyond the cap, tasks simply decode more
+    # chunks sequentially (the cap scales with the cluster, so a 1000-executor
+    # cluster still fans out to ~2M-chunk-capable task counts)
+    cap = 64 * max(1, spark.sparkContext.defaultParallelism)
+    n_parts = min(max(1, math.ceil(n_chunks / max(1, chunks_per_task))), cap)
     manifest = spark.range(0, n_chunks, numPartitions=n_parts)
     return manifest.mapInPandas(decode, schema=out_schema)
 
