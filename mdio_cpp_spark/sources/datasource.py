@@ -47,12 +47,31 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from mdio_cpp_spark.sources.reader import _decode_chunk_to_pdf, _dim_names, scan_schema
-from mdio_cpp_spark.sources.zarr_store import ZarrStore, _clamped_box, chunks_overlapping
+from mdio_cpp_spark.sources.zarr_store import ZarrStore, _clamped_box
 
 
 class MdioChunkPartition(InputPartition):
-    def __init__(self, coords: tuple[int, ...]):
-        self.coords = coords
+    """A contiguous RANGE of linear chunk ids within the pruned grid — one
+    partition object per task, not per chunk, so a petascale array (millions
+    of chunks) plans thousands of partitions, each decoding a slice of the
+    grid. (grid_starts, grid_lens) define the pruned per-dim chunk ranges;
+    linear ids unravel C-order within that grid."""
+
+    def __init__(self, start: int, end: int, grid_starts: tuple[int, ...], grid_lens: tuple[int, ...]):
+        self.start = start
+        self.end = end
+        self.grid_starts = grid_starts
+        self.grid_lens = grid_lens
+
+    def coords_iter(self):
+        for linear in range(self.start, self.end):
+            rem, coords = linear, []
+            for length in reversed(self.grid_lens):
+                coords.append(rem % length)
+                rem //= length
+            yield tuple(
+                self.grid_starts[d] + c for d, c in enumerate(reversed(coords))
+            )
 
 
 class MdioDataSource(DataSource):
@@ -136,11 +155,25 @@ class MdioReader(DataSourceReader):
 
     # ------------------------------------------------------------- planning
 
-    def partitions(self) -> list[MdioChunkPartition]:
+    def partitions(self, chunks_per_task: int = 4, max_tasks: int = 4096) -> list[MdioChunkPartition]:
         box = self._box()
         if any(hi <= lo for lo, hi in box):
             return []
-        return [MdioChunkPartition(c) for c in chunks_overlapping(self.meta, box)]
+        per_dim = [
+            range(box[d][0] // self.meta.chunks[d], (box[d][1] - 1) // self.meta.chunks[d] + 1)
+            for d in range(self.meta.ndim)
+        ]
+        grid_starts = tuple(r.start for r in per_dim)
+        grid_lens = tuple(len(r) for r in per_dim)
+        n_chunks = 1
+        for length in grid_lens:
+            n_chunks *= length
+        n_parts = min(max(1, -(-n_chunks // chunks_per_task)), max_tasks)
+        per_part = -(-n_chunks // n_parts)
+        return [
+            MdioChunkPartition(s, min(s + per_part, n_chunks), grid_starts, grid_lens)
+            for s in range(0, n_chunks, per_part)
+        ]
 
     # -------------------------------------------------------------- execute
 
@@ -150,11 +183,12 @@ class MdioReader(DataSourceReader):
         store = ZarrStore(self.root, self.version)
         box = self._box()
         steps = tuple(1 for _ in self.dim_names)
-        pdf = _decode_chunk_to_pdf(
-            store, self.meta, partition.coords, box, steps,
-            self.dim_names, self.fields, self.value_col,
-        )
-        yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+        for coords in partition.coords_iter():
+            pdf = _decode_chunk_to_pdf(
+                store, self.meta, coords, box, steps,
+                self.dim_names, self.fields, self.value_col,
+            )
+            yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
 
 
 def register(spark) -> None:

@@ -38,20 +38,26 @@ def test_read_with_pushdown(spark, store):
     assert [r["i"] for r in got] == list(range(1200, 1800, 2))
 
 
+def _planned_chunks(reader):
+    return sum(p.end - p.start for p in reader.partitions())
+
+
 def test_pushdown_prunes_partitions(store):
     src = MdioDataSource({"path": store, "variable": "v"})
     r = src.reader(src.schema())
-    assert len(r.partitions()) == 10
+    assert _planned_chunks(r) == 10
     rest = list(r.pushFilters([
         GreaterThanOrEqual(("i",), 1200), LessThan(("i",), 1800),
         GreaterThan(("value",), 3.0),  # value filters are NOT consumed
     ]))
     assert rest == [GreaterThan(("value",), 3.0)]
-    assert len(r.partitions()) == 2  # chunks 2 and 3
+    assert _planned_chunks(r) == 2  # chunks 2 and 3
     # equality → single chunk
     r2 = src.reader(src.schema())
     list(r2.pushFilters([EqualTo(("i",), 4999)]))
-    assert len(r2.partitions()) == 1
+    assert _planned_chunks(r2) == 1
+    # petascale guard: partition COUNT is bounded even for huge chunk grids
+    assert len(r2.partitions()) <= 4096
 
 
 def test_struct_field_option(spark, store):
