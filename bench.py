@@ -53,6 +53,16 @@ def main() -> None:
         from mdio_cpp_spark.plans.zarr_queries import ensure_stores
 
         ensure_stores(spark, sf_dir)
+        # the Python DataSource planning worker is a separate cold-start;
+        # warm it with a one-chunk read so zarr16 measures the query
+        from mdio_cpp_spark.sources.datasource import register
+
+        register(spark)
+        (
+            spark.read.format("mdio")
+            .option("path", f"{os.path.join(ensure_stores(spark, sf_dir), 'orders_v2.zarr')}")
+            .option("variable", "price").load().filter("i < 10").count()
+        )
     # steady-state warmup outside the timed region: JVM parquet reader init
     # and the Python-worker pool for Arrow stages (one-time ~5 s costs that
     # would otherwise land on whichever query happens to run first)

@@ -360,6 +360,51 @@ class MdioDataset:
         at decode time — no re-open dance."""
         return self.var(var).to_df(spark, fields=[field])
 
+    def to_df_with_coords(
+        self, spark: SparkSession, var: str, coords: dict[str, str],
+        value_col: str = "value",
+    ) -> DataFrame:
+        """Scan a variable with coordinate VALUES joined on (the dataset's
+        coordinate map, dataset.h:1056-1115): for each ``{dim_or_coord_var:
+        alias}``, the 1-D coordinate variable's values are broadcast-joined
+        onto the data scan by the shared dimension column. Coordinates are
+        small by construction (1-D), so the data never shuffles — this is
+        the reference's implicit dimension alignment as a broadcast
+        equi-join (SURVEY §1.1)."""
+        from pyspark.sql import functions as F
+
+        out = self.to_df(spark, var, value_col=value_col)
+        for cvar, alias in coords.items():
+            meta = self._metas.get(cvar)
+            if meta is None or meta.ndim != 1:
+                raise KeyError(f"coordinate {cvar!r} must be a 1-D variable")
+            dim = meta.dims[0] if meta.dims else cvar
+            cdf = scan_array(spark, self.path, cvar, value_col=alias).select(dim, alias)
+            out = out.join(F.broadcast(cdf), on=dim)
+        return out
+
+    def register_views(self, spark: SparkSession, prefix: str = "mdio_") -> list[str]:
+        """Register every scannable variable as a temp view over the
+        ``format('mdio')`` DataSource — the engine's SQL surface
+        (``SELECT … FROM mdio_<var> WHERE dim …`` prunes chunks through
+        pushFilters). Returns the view names."""
+        from mdio_cpp_spark.sources.datasource import register
+
+        register(spark)
+        names = []
+        for name, meta in self._metas.items():
+            if meta.header_only and meta.np_dtype.kind in "OV":
+                continue
+            view = f"{prefix}{name}"
+            (
+                spark.read.format("mdio")
+                .option("path", self.path).option("variable", name)
+                .load()
+                .createOrReplaceTempView(view)
+            )
+            names.append(view)
+        return names
+
 
 def _contiguous_runs(hits: np.ndarray) -> list[tuple[int, int]]:
     """Sorted hit indices → half-open contiguous runs."""

@@ -566,6 +566,54 @@ def zarr16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "zarr17_coord_join",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, CAST(o_orderkey AS BIGINT) AS okey,
+           o_totalprice AS price
+    FROM (SELECT o_orderkey, o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 5000 AND rn - 1 < 11000
+    ORDER BY i
+    """,
+)
+def zarr17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coordinate map (dataset.h:1056-1115): scan ``price`` with the
+    dimension coordinate's VALUES (o_orderkey) broadcast-joined on — the
+    reference's implicit dimension alignment as a broadcast equi-join; the
+    data side never shuffles."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    return (
+        ds.isel(i=(5000, 11000))
+        .to_df_with_coords(spark, "price", coords={"i": "okey"}, value_col="price")
+        .select("i", "okey", "price")
+        .orderBy("i")
+    )
+
+
+@declared(
+    "zarr18_sql_view",
+    oracle=f"""
+    SELECT CAST(((rn - 1) // {CHUNK}) AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 < 8192
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def zarr18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-over-store: the variable registered as a temp view over
+    format('mdio'); a plain spark.sql WHERE prunes chunks through
+    pushFilters. Per-chunk aggregate — the engine's SQL surface end-to-end."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    ds.register_views(spark)
+    return spark.sql(f"""
+        SELECT (i div {CHUNK}) AS chunk_id, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total
+        FROM mdio_price WHERE i < 8192
+        GROUP BY 1 ORDER BY 1
+    """)
+
+
+@declared(
     "zarr13_fill_dense",
     oracle="""
     SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS cnt,
