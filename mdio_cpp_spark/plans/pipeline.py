@@ -164,13 +164,22 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS)
     toks = text.tokens("text")
-    sh = dedup.ensure_map_parallelism(d.filter(F.size(toks) >= 3)).select(
-        "doc_id", F.array_distinct(text.word_shingles(toks, 3)).alias("sh")
-    )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    base = dedup.ensure_map_parallelism(d.filter(F.size(toks) >= 3))
+
+    def side(pair_col: str, out_id: str, out_sh: str) -> DataFrame:
+        # semi-join on id BEFORE building shingle arrays: Catalyst pushes the
+        # broadcast semi-join below the (expensive) shingle projection, so
+        # only candidate docs — a small fraction of the corpus — ever pay it
+        ids = cand.select(F.col(pair_col).alias("doc_id")).distinct()
+        docs = base.join(F.broadcast(ids), on="doc_id", how="left_semi")
+        return docs.select(
+            F.col("doc_id").alias(out_id),
+            F.array_distinct(text.word_shingles(toks, 3)).alias(out_sh),
+        )
+
     return (
-        cand.join(a, on="doc_a").join(b, on="doc_b")
+        cand.join(side("doc_a", "doc_a", "sa"), on="doc_a")
+        .join(side("doc_b", "doc_b", "sb"), on="doc_b")
         .select("doc_a", "doc_b", F.round(dedup.ngram_jaccard(F.col("sa"), F.col("sb")), 6).alias("jac"))
         .orderBy("doc_a", "doc_b")
     )
