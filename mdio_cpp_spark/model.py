@@ -383,6 +383,34 @@ class MdioDataset:
             out = out.join(F.broadcast(cdf), on=dim)
         return out
 
+    def to_df_aligned(
+        self, spark: SparkSession, value_cols: dict[str, str], how: str = "inner"
+    ) -> DataFrame:
+        """Dimension-alignment join of several variables (THE required join
+        use per SURVEY §2.5: dataset.h:439-447 merges per-label domains):
+        each variable scans long-form and joins on its dimension columns.
+        Variables sharing the full dim set co-partition naturally — with
+        equal chunk grids the join keys arrive bucketed by chunk, and AQE
+        picks SMJ/broadcast by size. ``value_cols`` maps variable → output
+        column name; fields of struct variables use 'var.field'."""
+        out: DataFrame | None = None
+        out_dims: list[str] = []
+        for var, alias in value_cols.items():
+            if "." in var:
+                vname, field = var.split(".", 1)
+                df = self.var(vname).to_df(spark, fields=[field]).withColumnRenamed(field, alias)
+                dims = list(self.var(vname).dims)
+            else:
+                df = self.var(var).to_df(spark, value_col=alias)
+                dims = list(self.var(var).dims)
+            if out is None:
+                out, out_dims = df, dims
+            else:
+                shared = [d for d in out_dims if d in dims]
+                out = out.join(df, on=shared, how=how)
+                out_dims = out_dims + [d for d in dims if d not in out_dims]
+        return out
+
     def register_views(self, spark: SparkSession, prefix: str = "mdio_") -> list[str]:
         """Register every scannable variable as a temp view over the
         ``format('mdio')`` DataSource — the engine's SQL surface

@@ -614,6 +614,43 @@ def zarr18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "zarr19_align_federated",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_rows, ROUND(SUM(price), 2) AS total
+    FROM (
+      SELECT o.o_totalprice AS price, o.o_custkey AS ck
+      FROM (SELECT o_totalprice, o_custkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders) o
+      WHERE rn - 1 < 10000
+    ) z
+    JOIN customer ON z.ck = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def zarr19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-alignment join (dataset.h:439-447 — the §2.5 'one required
+    join use') + federation: two zarr variables (price; hdr.ck struct field)
+    align on their shared dim, then join PARQUET customer/nation — a
+    heterogeneous-source plan where the zarr side is chunk-pruned, the
+    bounded dim is broadcast, and the sf-proportional customer join is left
+    to AQE."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    z = (
+        ds.isel(i=(0, 10000))
+        .to_df_aligned(spark, {"price": "price", "hdr.ck": "ck"})
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        z.join(c, z.ck == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("price"), 2).alias("total"))
+        .orderBy("n_name")
+    )
+
+
+@declared(
     "zarr13_fill_dense",
     oracle="""
     SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS cnt,

@@ -290,6 +290,35 @@ def test_plan_chunks_empty_selection():
     assert plan_chunks(meta, {"i": (200, 300)})[1] == 0
 
 
+def test_float16_and_bool_roundtrip(spark):
+    # float16 stores half-precision (scan widens to float32); bool keeps the
+    # v2 null-fill convention (unwritten cells degrade to False on read)
+    root = _fresh("f16b")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("h", shape=(100,), chunks=(32,), dtype="float16", dims=("i",))
+    vals = (np.arange(100) / 7.0).astype("f2")
+    st.write_array_numpy("h", vals)
+    st.create_array("flags", shape=(100,), chunks=(32,), dtype="bool", dims=("i",))
+    st.write_array_numpy("flags", (np.arange(100) % 3 == 0), origin=(0,))
+    st.consolidate()
+    pdf = scan_array(spark, root, "h").orderBy("i").toPandas()
+    assert pdf["value"].dtype == np.float32
+    assert np.array_equal(pdf["value"].to_numpy(), vals.astype("f4"))
+    flags = ZarrStore.open(root).read_array("flags")
+    assert flags.dtype == np.bool_ and flags[:99:3].all() and not flags[1]
+
+
+def test_aligned_multi_variable_scan(spark):
+    from mdio_cpp_spark.model import MdioDataset
+
+    root = _fresh("align")
+    _toy_ds(root)
+    ds = MdioDataset.open(root)
+    # align img with itself under different aliases via the dataset helper
+    out = ds.isel(il=(0, 4), xl=(0, 4)).to_df_aligned(spark, {"img": "a"})
+    assert out.count() == 16 and set(out.columns) == {"il", "xl", "a"}
+
+
 def test_uint64_scans_as_decimal(spark):
     # SURVEY §1.2: Spark has no unsigned 64-bit — uint64 widens to
     # Decimal(20,0); values above int64 max must survive exactly
