@@ -578,6 +578,95 @@ def set03(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "j04_full_outer",
+    oracle="""
+    SELECT k, c_cnt, s_cnt FROM (
+      SELECT COALESCE(c.k, s.k) AS k, c.cnt AS c_cnt, s.cnt AS s_cnt
+      FROM (SELECT c_nationkey AS k, COUNT(*) AS cnt FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+      FULL OUTER JOIN
+           (SELECT s_nationkey AS k, COUNT(*) AS cnt FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+      ON c.k = s.k
+    ) ORDER BY k
+    """,
+)
+def j04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — unmatched keys survive from both sides with NULLs."""
+    c = (
+        _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("s_cnt"))
+    )
+    return c.join(s, on="k", how="full_outer").select("k", "c_cnt", "s_cnt").orderBy("k")
+
+
+@declared(
+    "w04_lead_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(EXTRACT(day FROM o_orderdate - lag(o_orderdate) OVER w) AS BIGINT) AS days_since_prev,
+           CAST(lead(o_orderkey) OVER w AS BIGINT) AS next_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def w04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag offsets — inter-row deltas within a key's timeline."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("long").alias("days_since_prev"),
+            F.lead("o_orderkey").over(w).cast("long").alias("next_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@declared(
+    "t06_regexp_extract",
+    oracle="""
+    SELECT o_orderkey, regexp_extract(o_orderpriority, '^([0-9]+)-([A-Z]+)$', 2) AS prio_word,
+           CAST(regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS BIGINT) AS prio_rank
+    FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
+    """,
+)
+def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp extraction — structured parsing of a formatted string column."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            F.regexp_extract("o_orderpriority", r"^([0-9]+)-([A-Z]+)$", 2).alias("prio_word"),
+            F.regexp_extract("o_orderpriority", r"^([0-9]+)", 1).cast("long").alias("prio_rank"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@declared(
+    "set04_intersect_all",
+    oracle="""
+    SELECT k FROM (SELECT c_nationkey AS k FROM customer)
+    INTERSECT ALL
+    SELECT k FROM (SELECT s_nationkey AS k FROM supplier)
+    ORDER BY k
+    """,
+)
+def set04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics (min multiplicity per key), vs set01's
+    distinct semantics."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersectAll(s).orderBy("k")
+
+
+@declared(
     "asof01_event_order",
     oracle="""
     SELECT e.event_id, o.o_orderdate AS asof_date

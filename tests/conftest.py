@@ -10,6 +10,11 @@ from mdio_cpp_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# streaming tests use this for checkpoint dirs; fresh checkouts lack it
+import os  # noqa: E402
+
+os.makedirs("/root/repo/.zarr_cache", exist_ok=True)
+
 
 @pytest.fixture(scope="session")
 def spark():
