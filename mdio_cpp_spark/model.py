@@ -81,16 +81,40 @@ class MdioVariable:
 
     def get_intervals(self) -> dict[str, tuple[int, int]]:
         """Per-dimension half-open [lo, hi) of the selected domain
-        (variable.h:1652-1698)."""
+        (variable.h:1652-1698). A dimension holding a non-contiguous
+        multi-run selection cannot be summarized by one interval — raise
+        instead of silently returning the unselected domain; use
+        ``interval_runs()`` for the per-run breakdown."""
         out = {}
         for d, dim in enumerate(self.dims):
+            if dim in self.dataset._runs:
+                raise SelError(
+                    f"get_intervals: {dim!r} carries a non-contiguous multi-run "
+                    "selection; use interval_runs()"
+                )
             lo, hi, _ = self.dataset._ranges.get(dim, (0, self.meta.shape[d], 1))
             out[dim] = (max(0, lo), min(self.meta.shape[d], hi))
+        return out
+
+    def interval_runs(self) -> dict[str, list[tuple[int, int]]]:
+        """Per-dimension list of half-open runs — the multi-run-aware form of
+        ``get_intervals`` (single-interval dims return a one-element list)."""
+        out: dict[str, list[tuple[int, int]]] = {}
+        for d, dim in enumerate(self.dims):
+            if dim in self.dataset._runs:
+                out[dim] = list(self.dataset._runs[dim])
+            else:
+                lo, hi, _ = self.dataset._ranges.get(dim, (0, self.meta.shape[d], 1))
+                out[dim] = [(max(0, lo), min(self.meta.shape[d], hi))]
         return out
 
     def _selected_sizes(self) -> dict[str, int]:
         out = {}
         for d, dim in enumerate(self.dims):
+            if dim in self.dataset._runs:
+                # multi-run point sel: selected size is the sum of run lengths
+                out[dim] = sum(hi - lo for lo, hi in self.dataset._runs[dim])
+                continue
             lo, hi, step = self.dataset._ranges.get(dim, (0, self.meta.shape[d], 1))
             lo, hi = max(0, lo), min(self.meta.shape[d], hi)
             out[dim] = max(0, -(-(hi - lo) // step))
@@ -136,9 +160,31 @@ class MdioVariable:
 
     def read(self) -> np.ndarray:
         """Driver-side materialization (VariableData analog) — small arrays
-        only; the distributed path is ``to_df``."""
-        iv = self.get_intervals()
-        return self.dataset.store.read_array(self.name, {d: iv[d] for d in self.dims})
+        only; the distributed path is ``to_df``. Multi-run selections on one
+        dimension read per-run and concatenate (all occurrences kept, like
+        the reference's per-index isel list); runs on >1 dimension have no
+        dense rectangular materialization — use ``to_df``."""
+        run_dims = [d for d in self.dims if d in self.dataset._runs]
+        base: dict[str, tuple[int, int]] = {}
+        for d, dim in enumerate(self.dims):
+            if dim in self.dataset._runs:
+                continue
+            lo, hi, _ = self.dataset._ranges.get(dim, (0, self.meta.shape[d], 1))
+            base[dim] = (max(0, lo), min(self.meta.shape[d], hi))
+        if not run_dims:
+            return self.dataset.store.read_array(self.name, base)
+        if len(run_dims) > 1:
+            raise SelError(
+                "read(): multi-run selections on more than one dimension have "
+                "no rectangular materialization; use to_df()"
+            )
+        dim = run_dims[0]
+        axis = list(self.dims).index(dim)
+        parts = [
+            self.dataset.store.read_array(self.name, {**base, dim: (lo, hi)})
+            for lo, hi in self.dataset._runs[dim]
+        ]
+        return np.concatenate(parts, axis=axis)
 
     def planned_chunks(self) -> int:
         """How many chunks the current selection will touch (pruning probe)."""

@@ -21,9 +21,42 @@ try:  # optional, not in this container
 except ImportError:  # pragma: no cover
     _blosc = None
 
+# zstd is the de-facto default codec for externally-written Zarr v3 stores.
+# Python 3.14+ ships compression.zstd in the stdlib; earlier interpreters can
+# have the `zstandard` wheel. Neither is in this container (probe log in
+# tests/INTEROP_PROBE.md) so the branch stays import-gated.
+_zstd_compress = _zstd_decompress = None
+try:  # pragma: no cover - stdlib on 3.14+
+    from compression import zstd as _stdlib_zstd  # type: ignore
+
+    def _zstd_compress(data: bytes, level: int) -> bytes:
+        return _stdlib_zstd.compress(data, level)
+
+    def _zstd_decompress(data: bytes) -> bytes:
+        return _stdlib_zstd.decompress(data)
+except ImportError:
+    try:  # pragma: no cover - optional wheel
+        import zstandard as _zstandard  # type: ignore
+
+        def _zstd_compress(data: bytes, level: int) -> bytes:
+            return _zstandard.ZstdCompressor(level=level).compress(data)
+
+        def _zstd_decompress(data: bytes) -> bytes:
+            return _zstandard.ZstdDecompressor().decompress(data)
+    except ImportError:
+        pass
+
 
 class CodecError(RuntimeError):
     pass
+
+
+def _blosc_shuffle(val: Any) -> int:
+    """Map a v3 blosc ``shuffle`` config (spec: ``noshuffle``/``shuffle``/
+    ``bitshuffle``, or a v2-style int) to the blosc wheel's int constant."""
+    if isinstance(val, int):
+        return val
+    return {"noshuffle": 0, "shuffle": 1, "bitshuffle": 2}.get(str(val), 1)
 
 
 def compress_v2(data: bytes, compressor: dict | None) -> bytes:
@@ -76,12 +109,17 @@ def compress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
             data = gzip.compress(data, compresslevel=conf.get("level", 5))
         elif name == "zlib":
             data = zlib.compress(data, conf.get("level", 5))
+        elif name == "zstd":
+            if _zstd_compress is None:
+                raise CodecError("zstd codec needs compression.zstd (py3.14+) or the zstandard wheel")
+            data = _zstd_compress(data, conf.get("level", 3))
         elif name == "blosc":
             if _blosc is None:
                 raise CodecError("blosc not installed in this environment")
             data = _blosc.compress(data, typesize=conf.get("typesize", 8) or 8,
                                    cname=conf.get("cname", "lz4"),
-                                   clevel=conf.get("clevel", 5))
+                                   clevel=conf.get("clevel", 5),
+                                   shuffle=_blosc_shuffle(conf.get("shuffle", "shuffle")))
         else:
             raise CodecError(f"unsupported v3 codec {name!r}")
     return data
@@ -96,6 +134,10 @@ def decompress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
             data = gzip.decompress(data)
         elif name == "zlib":
             data = zlib.decompress(data)
+        elif name == "zstd":
+            if _zstd_decompress is None:
+                raise CodecError("zstd codec needs compression.zstd (py3.14+) or the zstandard wheel")
+            data = _zstd_decompress(data)
         elif name == "blosc":
             if _blosc is None:
                 raise CodecError("blosc not installed in this environment")

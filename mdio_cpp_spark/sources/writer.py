@@ -4,9 +4,12 @@ The reference's write path (Variable::Write, variable.h:1127-1134) warns that
 unaligned concurrent writes are UB (USER_GUIDE "Write"); its recommended
 pattern is whole-chunk-aligned writes. Spark gives us that guarantee
 structurally: group rows by chunk id — ``floor(dim_i / chunk_i)`` — so each
-chunk is assembled and written by EXACTLY ONE task (no read-modify-write, no
-write conflicts). The shuffle carries only (dims, value) rows that actually
-exist; unwritten chunks stay absent and read back as fill.
+chunk is assembled and written by EXACTLY ONE task (no write conflicts). The
+shuffle carries only (dims, value) rows that actually exist; unwritten chunks
+stay absent and read back as fill. A chunk that already exists on disk is
+read-modify-written so a partial-coverage write preserves previously-written
+cells (the reference's Variable::Write touches only the written region) —
+single-writer-per-chunk makes the RMW race-free.
 
 Scale shape: one shuffle keyed by chunk id (dominated by data size, the
 theoretical minimum for a re-chunking write), then embarrassingly parallel
@@ -103,7 +106,12 @@ def write_array(
         off = pdf["__off"].to_numpy(dtype=np.int64)
         if len(off) and (off.min() < 0 or off.max() >= n_cells_chunk):
             raise ValueError(f"row outside chunk {coords}")
-        flat = np.full(n_cells_chunk, meta.fill_scalar(), dtype=meta.np_dtype)
+        existing = task_store.decode_chunk(meta, coords)
+        if existing is None:
+            flat = np.full(n_cells_chunk, meta.fill_scalar(), dtype=meta.np_dtype)
+        else:
+            # partial-coverage overwrite keeps prior cells (RMW)
+            flat = existing.reshape(-1, order=meta.order).copy()
         if meta.is_struct:
             for fname, colname in field_cols.items():
                 flat[fname][off] = _to_numpy_values(pdf[colname], meta.np_dtype.fields[fname][0])

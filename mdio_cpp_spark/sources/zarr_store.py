@@ -288,10 +288,20 @@ class ZarrStore:
     def write_bytes(self, key: str, data: bytes) -> None:
         path = self._path(key)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, path)  # atomic publish per chunk
+        # Unique tmp name per writer: a speculative/zombie retry of the same
+        # chunk task must not interleave into a shared tmp file and publish a
+        # torn chunk. os.replace of a private tmp is last-writer-wins, atomic.
+        tmp = f"{path}.{os.getpid()}.{id(data) & 0xFFFFFF:x}.tmp"
+        try:
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)  # atomic publish per chunk
+        finally:
+            if os.path.exists(tmp):  # pragma: no cover - only on error paths
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
 
     def _read_root_attrs(self) -> dict:
         if self.version == 2:
@@ -539,7 +549,10 @@ def _clamped_box(
     """Half-open per-dim box, clamped to the domain (variable.h:1211-1232)."""
     sel = []
     for d in range(meta.ndim):
-        label = meta.dims[d] if d < len(meta.dims) else str(d)
+        # Fallback naming MUST match reader/writer (`dim_{d}`) so range keys
+        # consumed from pushed filters on unlabeled dims are actually applied
+        # instead of silently ignored.
+        label = meta.dims[d] if d < len(meta.dims) and meta.dims[d] else f"dim_{d}"
         lo, hi = 0, meta.shape[d]
         if ranges and label in ranges:
             rlo, rhi = ranges[label]

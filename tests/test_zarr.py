@@ -350,6 +350,85 @@ def test_complex_roundtrip_spark_write(spark):
     assert np.allclose(back.imag, -np.arange(200))
 
 
+def test_partial_write_preserves_existing_cells(spark):
+    # Variable::Write touches only the written region: a second write that
+    # partially covers a chunk must NOT reset the chunk's other cells to fill
+    from pyspark.sql import functions as F
+
+    root = _fresh("rmw")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("w", shape=(100,), chunks=(50,), dtype="float64", dims=("i",))
+    st.consolidate()
+    first = dense_fill_frame(spark, (100,), ["i"], 0.0).withColumn("value", F.col("i") * 1.0)
+    write_array(first, root, "w")
+    # second write covers only i in [10, 20) of chunk 0
+    second = first.filter((F.col("i") >= 10) & (F.col("i") < 20)).withColumn(
+        "value", F.col("i") + 1000.0
+    )
+    write_array(second, root, "w")
+    got = ZarrStore.open(root).read_array("w")
+    exp = np.arange(100, dtype="f8")
+    exp[10:20] += 1000.0
+    assert np.array_equal(got, exp)
+
+
+def test_unlabeled_dim_ranges_apply():
+    # regression: fallback label mismatch ('0' vs 'dim_0') silently dropped
+    # range filters for arrays without dimension labels
+    root = _fresh("nolabel")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("v", shape=(100,), chunks=(10,), dtype="int32", dims=())
+    st.write_array_numpy("v", np.arange(100, dtype="i4"))
+    st.consolidate()
+    got = ZarrStore.open(root).read_array("v", ranges={"dim_0": (30, 40)})
+    assert np.array_equal(got, np.arange(30, 40))
+
+
+def test_unlabeled_dim_scan_filters(spark):
+    root = _fresh("nolabel2")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("v", shape=(100,), chunks=(10,), dtype="int32", dims=())
+    st.write_array_numpy("v", np.arange(100, dtype="i4"))
+    st.consolidate()
+    pdf = scan_array(spark, root, "v", ranges={"dim_0": (30, 40)}).orderBy("dim_0").toPandas()
+    assert list(pdf["value"]) == list(range(30, 40))
+
+
+def test_multi_run_sel_read_and_counts():
+    # regression: _runs was ignored by read()/num_samples()/get_intervals()
+    root = _fresh("runs2")
+    ds = _toy_ds(root)
+    coord = np.arange(100, 148, dtype="i8")
+    coord[5:8] = 7
+    coord[20:22] = 7
+    ds.store.write_array_numpy("il", coord)
+    ds = MdioDataset.open(root)
+    sel = ds.sel(il=7)
+    v = sel.var("img")
+    assert v.num_samples() == (3 + 2) * 24
+    with pytest.raises(SelError, match="multi-run"):
+        v.get_intervals()
+    assert v.interval_runs()["il"] == [(5, 8), (20, 22)]
+    arr = v.read()
+    full = np.arange(48 * 24, dtype="f4").reshape(48, 24)
+    assert np.array_equal(arr, np.concatenate([full[5:8], full[20:22]], axis=0))
+
+
+def test_zstd_codec_gated():
+    from mdio_cpp_spark.sources import codecs
+
+    if codecs._zstd_compress is None:
+        with pytest.raises(codecs.CodecError, match="zstd"):
+            codecs.compress_v3(b"x" * 64, [{"name": "zstd", "configuration": {}}])
+    else:  # pragma: no cover - env-dependent
+        out = codecs.compress_v3(b"x" * 64, [{"name": "zstd", "configuration": {}}])
+        assert codecs.decompress_v3(out, [{"name": "zstd", "configuration": {}}]) == b"x" * 64
+    # v3 blosc shuffle names map to the wheel's int constants
+    assert codecs._blosc_shuffle("noshuffle") == 0
+    assert codecs._blosc_shuffle("bitshuffle") == 2
+    assert codecs._blosc_shuffle(1) == 1
+
+
 # ------------------------------------------------------------- harness guards
 
 def test_bench_and_entry_importable():
