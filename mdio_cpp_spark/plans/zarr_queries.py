@@ -50,17 +50,52 @@ def _base(sf_dir: str) -> str:
     return os.path.join(CACHE_ROOT, _sf_tag(sf_dir))
 
 
-def _orders_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orders with the deterministic array index i = rank(o_orderkey) - 1.
+def _zip_index(df: DataFrame, sort_keys: list[str], bucket_expr, out_col: str) -> DataFrame:
+    """Global dense 0-based index ordered by ``sort_keys`` with NO
+    single-partition window — the DataFrame form of zipWithIndex.
 
-    Build-time only: the global row_number window is a one-off indexing cost
-    (at true scale you'd zipWithIndex per sorted partition once); every
-    GRADED query reads the stored index back instead."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    return o.select(
-        (F.row_number().over(w) - 1).cast("long").alias("i"),
-        "o_orderkey", "o_custkey", "o_totalprice",
+    Three light jobs: (1) approx-quantile boundaries of ``bucket_expr`` (a
+    numeric expression order-consistent with the sort keys) — collected once,
+    baked into the plan as literals, so the partition assignment is
+    deterministic across the later jobs with no persist; (2) per-bucket
+    counts → cumulative offsets (driver holds nparts ints); (3) the indexed
+    scan itself: row_number over a PARTITIONED window + broadcast offset
+    join. Every stage is parallel, so this survives the 100× scale-up that
+    a global ``Window.orderBy`` (single-partition WindowExec) would not."""
+    spark = df.sparkSession
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    tagged = df.withColumn("__k", bucket_expr.cast("double"))
+    bounds: list[float] = []
+    if nparts > 1:
+        qs = [i / nparts for i in range(1, nparts)]
+        bounds = sorted(set(tagged.approxQuantile("__k", qs, 0.01)))
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col("__k") > F.lit(float(b))).cast("int")
+    tagged = tagged.withColumn("__pid", pid)
+    counts = {
+        r["__pid"]: r["n"]
+        for r in tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offs, acc = [], 0
+    for p in sorted(counts):
+        offs.append((p, acc))
+        acc += counts[p]
+    off_df = spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*sort_keys)
+    return (
+        tagged.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, (F.row_number().over(w) - 1 + F.col("__off")).cast("long"))
+        .drop("__k", "__pid", "__off")
+    )
+
+
+def _orders_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders with the deterministic array index i = rank(o_orderkey) - 1,
+    computed scalably by _zip_index (no single-partition window)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return _zip_index(o, ["o_orderkey"], F.col("o_orderkey"), "i").select(
+        "i", "o_orderkey", "o_custkey", "o_totalprice"
     )
 
 
@@ -114,34 +149,37 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> str:
         ],
     }
     if not os.path.exists(os.path.join(main, ".zmetadata")):
+        from mdio_cpp_spark.sources.writer import write_arrays
+
         ds = MdioDataset.from_json(spec, main)
-        ds.var("i").write_df(ords.select("i", F.col("o_orderkey").alias("v")), value_cols="v")
-        ds.var("price").write_df(ords.select("i", F.col("o_totalprice").alias("v")), value_cols="v")
-        # sparse: only even-numbered chunks written → odd chunks read as fill
+        # every variable on the shared i-grid lands in ONE chunk-keyed
+        # shuffle (write_arrays) — the build used to pay 5 shuffles here
+        wide = ords.select(
+            "i",
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_custkey").cast("int").alias("ck"),
+            (F.col("o_orderkey") * 2).cast("long").alias("ok2"),
+            # uint64 beyond int64 range: decimal arithmetic on the build
+            # side, np.uint64 storage — exercises the unsigned widening
+            (F.col("o_orderkey").cast("decimal(20,0)")
+             + F.lit("9223372036854775808").cast("decimal(20,0)")).alias("u64v"),
+            F.col("o_custkey").cast("double").alias("im"),
+        )
+        write_arrays(wide, main, {
+            "i": "okey",
+            "price": "price",
+            "hdr": {"ck": "ck", "ok2": "ok2"},
+            "u64": "u64v",
+            "cpx": {"re": "price", "im": "im"},
+        }, consolidate=False)
+        # sparse: only even-numbered chunks written → odd chunks stay ABSENT
+        # on disk and read as fill (kept out of the fused write on purpose —
+        # the fused write would materialize the odd chunks)
         ds.var("sparse").write_df(
             ords.filter((F.expr(f"i div {CHUNK}") % 2) == 0)
             .select("i", F.col("o_custkey").cast("int").alias("v")),
             value_cols="v",
-        )
-        ds.var("hdr").write_df(
-            ords.select("i", F.col("o_custkey").cast("int").alias("ck"),
-                        (F.col("o_orderkey") * 2).cast("long").alias("ok2")),
-            value_cols={"ck": "ck", "ok2": "ok2"},
-        )
-        # uint64 beyond int64 range: decimal arithmetic on the build side,
-        # np.uint64 storage — exercises the unsigned widening policy
-        ds.var("u64").write_df(
-            ords.select(
-                "i",
-                (F.col("o_orderkey").cast("decimal(20,0)")
-                 + F.lit("9223372036854775808").cast("decimal(20,0)")).alias("v"),
-            ),
-            value_cols="v",
-        )
-        ds.var("cpx").write_df(
-            ords.select("i", F.col("o_totalprice").alias("re"),
-                        F.col("o_custkey").cast("double").alias("im")),
-            value_cols={"re": "re", "im": "im"},
         )
         ds.var("j").write_df(
             ords.filter(F.col("i") < n_lq).select(F.col("i").alias("j"), F.col("i").alias("v")),
@@ -202,10 +240,12 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> str:
                  "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [CHUNK]}}}},
             ],
         }
-        tds = MdioDataset.from_json(tspec, trim)
-        sub = ords.filter(F.col("i") < n_trim)
-        tds.var("i").write_df(sub.select("i", F.col("o_orderkey").alias("v")), value_cols="v")
-        tds.var("price").write_df(sub.select("i", F.col("o_totalprice").alias("v")), value_cols="v")
+        from mdio_cpp_spark.sources.writer import write_arrays
+
+        MdioDataset.from_json(tspec, trim)
+        sub = ords.filter(F.col("i") < n_trim).select(
+            "i", F.col("o_orderkey").alias("okey"), F.col("o_totalprice").alias("price"))
+        write_arrays(sub, trim, {"i": "okey", "price": "price"})
         trim_dataset(trim, i=n_trim // TRIM_KEEP_FRAC)
 
     ords.unpersist()
@@ -402,18 +442,19 @@ def zarr09(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _main_store(spark, sf_dir)
     ds = MdioDataset.open(store)
     li = table(spark, sf_dir, "lineitem")
-    # take-ordered limit (parallel partial sort) BEFORE numbering, so the
-    # single-partition row_number window only ever sees <= 10000 rows
+    # take-ordered limit (parallel partial sort) BEFORE numbering; the index
+    # itself comes from _zip_index — partitioned windows only, no WindowExec
+    # single-partition warning anywhere in the build
     sub = (
         li.select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
         .limit(10000)
     )
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    src = sub.select(
-        (F.row_number().over(w) - 1).cast("long").alias("j"),
-        F.col("l_quantity").cast("double").alias("v"),
-    )
+    # l_linenumber is 1..7, so okey*10+line is order-consistent and unique
+    src = _zip_index(
+        sub, ["l_orderkey", "l_linenumber"],
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"), "j",
+    ).select("j", F.col("l_quantity").cast("double").alias("v"))
     report = ds.var("lq").write_df(src, value_cols="v")
     n_written = int(report["cells_written"])
     back = MdioDataset.open(store).isel(j=(0, n_written)).to_df(spark, "lq", value_col="v")

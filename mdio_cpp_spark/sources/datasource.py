@@ -155,7 +155,18 @@ class MdioReader(DataSourceReader):
 
     # ------------------------------------------------------------- planning
 
-    def partitions(self, chunks_per_task: int = 4, max_tasks: int = 4096) -> list[MdioChunkPartition]:
+    def partitions(self, chunks_per_task: int = 4, max_tasks: int | None = None) -> list[MdioChunkPartition]:
+        if max_tasks is None:
+            # scale the split cap with the cluster (same rule as
+            # reader.py's scan cap): 64 tasks per core keeps a petascale
+            # array's task count bounded WITHOUT capping a 1000-executor
+            # cluster at a constant — planning runs on the driver, so the
+            # active session is available here
+            from pyspark.sql import SparkSession
+
+            active = SparkSession.getActiveSession()
+            par = active.sparkContext.defaultParallelism if active else 64
+            max_tasks = 64 * max(1, par)
         box = self._box()
         if any(hi <= lo for lo, hi in box):
             return []

@@ -65,16 +65,25 @@ def _scalar_spark_type(np_dt: np.dtype) -> T.DataType:
 
 
 def _convert_values(vals: np.ndarray) -> Any:
-    """numpy → pandas column with the Spark-facing type."""
+    """numpy → pandas column with the Spark-facing type. Everything here is
+    vectorized — no per-cell Python loop in the scan hot path."""
     name = vals.dtype.name
     if name in _NUMPY_TO_SPARK_CAST:
         return vals.astype(_NUMPY_TO_SPARK_CAST[name][0])
     if name == "uint64":
-        return pd.Series([Decimal(int(v)) for v in vals], dtype=object)
+        # uint64 → Decimal(20,0): one C-side Arrow cast, kept Arrow-backed so
+        # the pandas→Arrow hop at the mapInPandas boundary is zero-copy
+        import pyarrow as pa
+
+        arrow = pa.array(vals).cast(pa.decimal128(20, 0))
+        return pd.Series(arrow, dtype=pd.ArrowDtype(pa.decimal128(20, 0)))
     if vals.dtype.kind == "S":
-        return pd.Series([v.decode("utf-8", "replace") for v in vals], dtype=object)
+        # vectorized bytes→str decode (C loop in numpy, not Python)
+        return pd.Series(np.char.decode(vals, "utf-8", "replace").astype(object))
     if vals.dtype.kind == "U":
         return pd.Series(vals.astype(object))
+    if vals.dtype.kind == "M":
+        return pd.Series(vals.astype("datetime64[us]"))
     return vals
 
 

@@ -28,14 +28,44 @@ from pyspark.sql import functions as F
 
 from mdio_cpp_spark.sources.zarr_store import ZarrArrayMeta, ZarrStore
 
-__all__ = ["write_array", "dense_fill_frame"]
+__all__ = ["write_array", "write_arrays", "dense_fill_frame"]
 
 
 def _to_numpy_values(col: pd.Series, np_dt: np.dtype) -> np.ndarray:
     """Inverse of the reader's widenings: Spark column → storage dtype."""
     if np_dt.name == "uint64":
-        return np.array([int(v) for v in col], dtype=np.uint64)
+        import pyarrow as pa
+
+        # vectorized decimal→uint64 (C-side Arrow cast, no per-row int())
+        arr = pa.Array.from_pandas(col, type=pa.decimal128(20, 0))
+        return arr.cast(pa.uint64()).to_numpy(zero_copy_only=False)
     return col.to_numpy().astype(np_dt, copy=False)
+
+
+def _field_cols(meta: ZarrArrayMeta, value_cols: dict[str, str] | str) -> dict[str, str]:
+    """Normalize a value_cols spec to {field_or_scalar: df column}."""
+    if meta.is_struct:
+        if not isinstance(value_cols, dict):
+            raise ValueError("struct arrays need value_cols mapping field -> column")
+        return dict(value_cols)
+    if meta.np_dtype.kind == "c":
+        if not isinstance(value_cols, dict) or set(value_cols) != {"re", "im"}:
+            raise ValueError("complex arrays need value_cols={'re': col, 'im': col}")
+        return dict(value_cols)
+    return {"__scalar__": value_cols if isinstance(value_cols, str) else next(iter(value_cols.values()))}
+
+
+def _scatter_into(meta: ZarrArrayMeta, flat: np.ndarray, off: np.ndarray,
+                  pdf: pd.DataFrame, field_cols: dict[str, str]) -> None:
+    if meta.is_struct:
+        for fname, colname in field_cols.items():
+            flat[fname][off] = _to_numpy_values(pdf[colname], meta.np_dtype.fields[fname][0])
+    elif meta.np_dtype.kind == "c":
+        re = pdf[field_cols["re"]].to_numpy(dtype=np.float64)
+        im = pdf[field_cols["im"]].to_numpy(dtype=np.float64)
+        flat[off] = (re + 1j * im).astype(meta.np_dtype)
+    else:
+        flat[off] = _to_numpy_values(pdf[field_cols["__scalar__"]], meta.np_dtype)
 
 
 def write_array(
@@ -55,50 +85,76 @@ def write_array(
     Returns a write report {chunks_written, cells_written}. The report
     aggregation is the action that drives the distributed write.
     """
+    report = write_arrays(df, root, {var: value_cols}, consolidate=consolidate)
+    return {"chunks_written": report["chunks_written"], "cells_written": report["cells_written"]}
+
+
+def write_arrays(
+    df: DataFrame,
+    root: str,
+    specs: dict[str, dict[str, str] | str],
+    consolidate: bool = True,
+) -> dict[str, Any]:
+    """Write SEVERAL variables sharing one dimension grid in ONE shuffle.
+
+    ``specs`` maps variable name → value_cols (same forms as write_array).
+    All variables must have identical dims and chunk shapes — then the chunk
+    grouping key is shared, so N variables cost one chunk-keyed shuffle
+    instead of N (the dominant cost of a multi-variable ingest at scale; the
+    reference writes variables independently because its writes are
+    node-local, variable.h:1127-1134 — on a cluster, fusing the shuffle is
+    the right plan).
+
+    Cells absent from ``df`` keep the fill; existing chunks are RMW'd.
+    Returns {chunks_written, cells_written} (chunks counted once per
+    (variable, chunk) pair; cells once per input row per variable).
+    """
     store = ZarrStore.open(root)
-    meta = store.array_meta(var)
-    dim_names = [meta.dims[d] if d < len(meta.dims) and meta.dims[d] else f"dim_{d}" for d in range(meta.ndim)]
+    metas = {v: store.array_meta(v) for v in specs}
+    first = next(iter(metas.values()))
+    dim_names = [
+        first.dims[d] if d < len(first.dims) and first.dims[d] else f"dim_{d}"
+        for d in range(first.ndim)
+    ]
+    for v, m in metas.items():
+        if m.chunks != first.chunks or tuple(m.dims) != tuple(first.dims):
+            raise ValueError(
+                f"write_arrays needs a shared grid: {v!r} has dims={m.dims} "
+                f"chunks={m.chunks}, expected dims={first.dims} chunks={first.chunks}"
+            )
     for d in dim_names:
         if d not in df.columns:
             raise ValueError(f"missing dimension column {d!r}; df has {df.columns}")
-    if meta.is_struct:
-        if not isinstance(value_cols, dict):
-            raise ValueError("struct arrays need value_cols mapping field -> column")
-        field_cols = dict(value_cols)
-    elif meta.np_dtype.kind == "c":
-        if not isinstance(value_cols, dict) or set(value_cols) != {"re", "im"}:
-            raise ValueError("complex arrays need value_cols={'re': col, 'im': col}")
-        field_cols = dict(value_cols)
-    else:
-        field_cols = {"__scalar__": value_cols if isinstance(value_cols, str) else next(iter(value_cols.values()))}
+    fields_by_var = {v: _field_cols(metas[v], vc) for v, vc in specs.items()}
 
-    # shuffle payload: chunk-id keys + ONE linear in-chunk offset + values.
-    # Shipping the composite offset instead of N dimension columns cuts the
-    # shuffle by 8(N-1) bytes/cell and turns the executor-side scatter into
-    # a single flat fancy-index assignment.
-    ckey_cols = [f"__c{d}" for d in range(meta.ndim)]
+    # shuffle payload: chunk-id keys + ONE linear in-chunk offset + all value
+    # columns. Shipping the composite offset instead of N dimension columns
+    # cuts the shuffle by 8(N-1) bytes/cell and turns the executor-side
+    # scatter into a single flat fancy-index assignment per variable.
+    ckey_cols = [f"__c{d}" for d in range(first.ndim)]
     strides = []
     acc = 1
-    for c in reversed(meta.chunks):
+    for c in reversed(first.chunks):
         strides.append(acc)
         acc *= int(c)
     strides = list(reversed(strides))  # C-order strides in cells
     off_expr = None
     for d, dim in enumerate(dim_names):
-        term = (F.col(dim) % F.lit(int(meta.chunks[d]))) * F.lit(strides[d])
+        term = (F.col(dim) % F.lit(int(first.chunks[d]))) * F.lit(strides[d])
         off_expr = term if off_expr is None else off_expr + term
+    value_src_cols = sorted({c for fc in fields_by_var.values() for c in fc.values()})
     keyed = df.select(
         off_expr.cast("long").alias("__off"),
-        *[F.col(c) for c in field_cols.values()],
+        *[F.col(c) for c in value_src_cols],
         *[
-            F.expr(f"{dim} div {int(meta.chunks[d])}").alias(ckey_cols[d])
+            F.expr(f"{dim} div {int(first.chunks[d])}").alias(ckey_cols[d])
             for d, dim in enumerate(dim_names)
         ],
     )
 
     root_path, version = store.root, store.version
-    out_schema = ", ".join([f"{c} long" for c in ckey_cols] + ["cells long"])
-    n_cells_chunk = int(np.prod(meta.chunks))
+    out_schema = ", ".join([f"{c} long" for c in ckey_cols] + ["chunks long", "cells long"])
+    n_cells_chunk = int(np.prod(first.chunks))
 
     def write_chunk_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         coords = tuple(int(k) for k in key)
@@ -106,29 +162,24 @@ def write_array(
         off = pdf["__off"].to_numpy(dtype=np.int64)
         if len(off) and (off.min() < 0 or off.max() >= n_cells_chunk):
             raise ValueError(f"row outside chunk {coords}")
-        existing = task_store.decode_chunk(meta, coords)
-        if existing is None:
-            flat = np.full(n_cells_chunk, meta.fill_scalar(), dtype=meta.np_dtype)
-        else:
-            # partial-coverage overwrite keeps prior cells (RMW)
-            flat = existing.reshape(-1, order=meta.order).copy()
-        if meta.is_struct:
-            for fname, colname in field_cols.items():
-                flat[fname][off] = _to_numpy_values(pdf[colname], meta.np_dtype.fields[fname][0])
-        elif meta.np_dtype.kind == "c":
-            re = pdf[field_cols["re"]].to_numpy(dtype=np.float64)
-            im = pdf[field_cols["im"]].to_numpy(dtype=np.float64)
-            flat[off] = (re + 1j * im).astype(meta.np_dtype)
-        else:
-            colname = field_cols["__scalar__"]
-            flat[off] = _to_numpy_values(pdf[colname], meta.np_dtype)
-        task_store.write_chunk(meta, coords, flat.reshape(meta.chunks))
-        return pd.DataFrame({**{c: [coords[d]] for d, c in enumerate(ckey_cols)}, "cells": [len(pdf)]})
+        for var, meta in metas.items():
+            existing = task_store.decode_chunk(meta, coords)
+            if existing is None:
+                flat = np.full(n_cells_chunk, meta.fill_scalar(), dtype=meta.np_dtype)
+            else:
+                # partial-coverage overwrite keeps prior cells (RMW)
+                flat = existing.reshape(-1, order=meta.order).copy()
+            _scatter_into(meta, flat, off, pdf, fields_by_var[var])
+            task_store.write_chunk(meta, coords, flat.reshape(meta.chunks))
+        return pd.DataFrame({
+            **{c: [coords[d]] for d, c in enumerate(ckey_cols)},
+            "chunks": [len(metas)], "cells": [len(pdf) * len(metas)],
+        })
 
     report = (
         keyed.groupBy(*ckey_cols)
         .applyInPandas(write_chunk_group, schema=out_schema)
-        .agg(F.count(F.lit(1)).alias("chunks"), F.sum("cells").alias("cells"))
+        .agg(F.sum("chunks").alias("chunks"), F.sum("cells").alias("cells"))
         .collect()[0]
     )
     if consolidate:

@@ -60,6 +60,33 @@ def test_pushdown_prunes_partitions(store):
     assert len(r2.partitions()) <= 4096
 
 
+def test_split_cap_scales_with_cluster(spark):
+    # synthetic 1M-chunk grid: the split cap must scale with the cluster's
+    # parallelism (64×cores), never a constant, and the RANGE partitions must
+    # cover every chunk exactly once
+    from mdio_cpp_spark.sources.datasource import MdioReader
+    from mdio_cpp_spark.sources.zarr_store import ZarrArrayMeta
+
+    meta = ZarrArrayMeta(
+        name="big", shape=(32_000, 32_000), chunks=(32, 32),
+        np_dtype=np.dtype("f4"), mdio_type="float32", fill=np.float32("nan"),
+        zarr_version=2, dims=("il", "xl"),
+    )
+
+    class _FakeStore:
+        root, version = "/nonexistent", 2
+
+    r = MdioReader(_FakeStore(), meta, {})
+    parts = r.partitions()
+    n_chunks = 1000 * 1000
+    par = spark.sparkContext.defaultParallelism
+    assert len(parts) <= 64 * par
+    assert sum(p.end - p.start for p in parts) == n_chunks
+    assert parts[0].start == 0 and parts[-1].end == n_chunks
+    for a, b in zip(parts, parts[1:]):
+        assert a.end == b.start
+
+
 def test_struct_field_option(spark, store):
     register(spark)
     df = (

@@ -429,6 +429,25 @@ def test_zstd_codec_gated():
     assert codecs._blosc_shuffle(1) == 1
 
 
+def test_decode_paths_vectorized():
+    # uint64/|S decode must be vectorized (no per-cell Python loop): 1M cells
+    # in well under a second, Arrow-backed decimal output
+    import time
+
+    from mdio_cpp_spark.sources.reader import _convert_values
+
+    vals = np.arange(2**63, 2**63 + 1_000_000, dtype="u8")
+    t0 = time.time()
+    s = _convert_values(vals)
+    took = time.time() - t0
+    assert took < 1.0, f"uint64 decode took {took:.2f}s for 1M cells — loop crept back in"
+    assert str(s.dtype).startswith("decimal128")
+    assert int(s.iloc[3]) == 2**63 + 3
+    b = np.array([b"abc", b"d\xff"], dtype="S3")
+    out = _convert_values(b)
+    assert list(out) == ["abc", "d�"]
+
+
 # ------------------------------------------------------------- harness guards
 
 def test_bench_and_entry_importable():
