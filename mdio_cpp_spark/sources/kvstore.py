@@ -1,0 +1,225 @@
+"""Key-value store seam under the Zarr layer (IO10).
+
+The reference reaches file/GCS/S3 through TensorStore's kvstore abstraction
+(dataset.h:101-127; driver inference zarr_driver.h:225-274). This module is
+that seam for our engine: every byte ZarrStore touches goes through a
+``KVStore``, selected from the path's scheme:
+
+  * bare paths / ``file://``  → ``LocalKVStore`` (os-level, atomic publish)
+  * ``memory://<bucket>/…``   → ``MemoryKVStore`` (process-local dict; the
+    fake filesystem the cloud-path unit tests run against)
+  * ``gs://`` / ``s3://`` /
+    any fsspec scheme          → ``FsspecKVStore`` when the ``fsspec`` wheel
+    (plus gcsfs/s3fs) is importable; otherwise a clear NotImplementedError
+    naming the missing wheel. Nothing else in the engine changes — the same
+    chunk keys resolve over the cloud filesystem.
+
+Instances are cheap and picklable-by-construction: executors rebuild them
+from the root string (scan/write closures ship only (root, version)), so no
+file handles or clients cross the serialization boundary.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Iterable
+
+CLOUD_SCHEMES = ("gs://", "s3://", "gcs://", "s3a://", "abfs://", "az://")
+
+
+class KVStore:
+    """Minimal store interface: string keys, bytes values, one-level listing."""
+
+    root: str
+
+    def read(self, key: str) -> bytes | None:
+        raise NotImplementedError
+
+    def write(self, key: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def exists(self, key: str) -> bool:
+        raise NotImplementedError
+
+    def delete(self, key: str) -> bool:
+        """Delete one key; False if absent."""
+        raise NotImplementedError
+
+    def list_dir(self, prefix: str = "") -> list[str]:
+        """Sorted immediate child names under ``prefix`` (dirs and keys)."""
+        raise NotImplementedError
+
+    def delete_all(self) -> None:
+        """Remove the whole store (kvstore::DeleteRange analog)."""
+        raise NotImplementedError
+
+
+class LocalKVStore(KVStore):
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.root, key) if key else self.root
+
+    def read(self, key: str) -> bytes | None:
+        path = self._path(key)
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write(self, key: str, data: bytes) -> None:
+        path = self._path(key)
+        os.makedirs(os.path.dirname(path) or self.root, exist_ok=True)
+        # Unique tmp name per writer: a speculative/zombie retry of the same
+        # chunk task must not interleave into a shared tmp file and publish a
+        # torn chunk. os.replace of a private tmp is last-writer-wins, atomic.
+        tmp = f"{path}.{os.getpid()}.{threading.get_ident() & 0xFFFFFF:x}.tmp"
+        try:
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):  # pragma: no cover - only on error paths
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+
+    def exists(self, key: str) -> bool:
+        return os.path.exists(self._path(key))
+
+    def delete(self, key: str) -> bool:
+        try:
+            os.remove(self._path(key))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def list_dir(self, prefix: str = "") -> list[str]:
+        path = self._path(prefix)
+        if not os.path.isdir(path):
+            return []
+        return sorted(os.listdir(path))
+
+    def delete_all(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.root)
+
+
+class MemoryKVStore(KVStore):
+    """Shared in-process fake filesystem, addressed as ``memory://bucket/…``.
+    Used by the cloud-path unit tests: exercises every non-local code path
+    (scheme routing, prefix listing, no os.path anywhere) without a cloud
+    SDK. Executor-side rebuild from the root string sees the same bucket
+    only within one process — fine for local[n] Spark, which is where the
+    tests run."""
+
+    _buckets: dict[str, dict[str, bytes]] = {}
+    _lock = threading.Lock()
+
+    def __init__(self, root: str):
+        self.root = root
+        name = root[len("memory://"):].strip("/")
+        with MemoryKVStore._lock:
+            self._data = MemoryKVStore._buckets.setdefault(name, {})
+
+    def read(self, key: str) -> bytes | None:
+        return self._data.get(key)
+
+    def write(self, key: str, data: bytes) -> None:
+        with MemoryKVStore._lock:
+            self._data[key] = bytes(data)
+
+    def exists(self, key: str) -> bool:
+        if key in self._data:
+            return True
+        pref = key.rstrip("/") + "/"
+        return any(k.startswith(pref) for k in self._data)
+
+    def delete(self, key: str) -> bool:
+        with MemoryKVStore._lock:
+            return self._data.pop(key, None) is not None
+
+    def list_dir(self, prefix: str = "") -> list[str]:
+        pref = prefix.rstrip("/") + "/" if prefix else ""
+        out: set[str] = set()
+        for k in self._data:
+            if k.startswith(pref):
+                out.add(k[len(pref):].split("/", 1)[0])
+        return sorted(out)
+
+    def delete_all(self) -> None:
+        with MemoryKVStore._lock:
+            self._data.clear()
+
+
+class FsspecKVStore(KVStore):
+    """Cloud store via fsspec (gs://, s3://, …). Selected automatically when
+    the wheel is importable; each executor builds its own filesystem client
+    lazily from the root string."""
+
+    def __init__(self, root: str):
+        import fsspec  # gated at open_kvstore; re-import is cheap (cached)
+
+        self.root = root.rstrip("/")
+        self._fs, self._base = fsspec.core.url_to_fs(self.root)
+
+    def _path(self, key: str) -> str:
+        return f"{self._base}/{key}" if key else self._base
+
+    def read(self, key: str) -> bytes | None:
+        try:
+            with self._fs.open(self._path(key), "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def write(self, key: str, data: bytes) -> None:
+        # object stores publish atomically on close; no tmp-rename dance
+        with self._fs.open(self._path(key), "wb") as f:
+            f.write(data)
+
+    def exists(self, key: str) -> bool:
+        return self._fs.exists(self._path(key))
+
+    def delete(self, key: str) -> bool:
+        try:
+            self._fs.rm_file(self._path(key))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def list_dir(self, prefix: str = "") -> list[str]:
+        base = self._path(prefix)
+        try:
+            entries = self._fs.ls(base, detail=False)
+        except FileNotFoundError:
+            return []
+        return sorted(e.rstrip("/").rsplit("/", 1)[-1] for e in entries)
+
+    def delete_all(self) -> None:
+        self._fs.rm(self._base, recursive=True)
+
+
+def open_kvstore(path: str) -> KVStore:
+    """Scheme-routed store factory (zarr_driver.h:225-274 analog)."""
+    if path.startswith("memory://"):
+        return MemoryKVStore(path)
+    if path.startswith("file://"):
+        return LocalKVStore(path[len("file://"):])
+    for scheme in CLOUD_SCHEMES:
+        if path.startswith(scheme):
+            try:
+                import fsspec  # noqa: F401
+            except ImportError:
+                raise NotImplementedError(
+                    f"{scheme} stores need the fsspec wheel (plus gcsfs/s3fs); "
+                    "not installed in this environment — install fsspec or use "
+                    "a local path. The engine's store layer is scheme-routed, "
+                    "so no other change is needed."
+                ) from None
+            return FsspecKVStore(path)
+    return LocalKVStore(path)

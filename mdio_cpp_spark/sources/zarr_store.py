@@ -28,14 +28,13 @@ from __future__ import annotations
 import itertools
 import json
 import math
-import os
-import shutil
 from dataclasses import dataclass, field
 from typing import Any, Iterator
 
 import numpy as np
 
 from mdio_cpp_spark.sources import codecs as _codecs
+from mdio_cpp_spark.sources.kvstore import CLOUD_SCHEMES, KVStore, open_kvstore
 from mdio_cpp_spark.schema.types import (
     HEADER_ONLY_KINDS,
     SCALAR_TYPES,
@@ -48,22 +47,13 @@ from mdio_cpp_spark.schema.types import (
     v3_dtype_name,
 )
 
-CLOUD_SCHEMES = ("gs://", "s3://")
-
-
 def parse_store_path(path: str) -> str:
-    """Resolve a store path, mirroring the reference's driver inference
-    (zarr_driver.h:225-231). Local ``file://`` or bare paths pass through;
-    gs://-/s3:// raise here (no cloud SDK in this container) with the
-    production mapping documented in the module docstring."""
+    """Normalize a store path for the KV layer (zarr_driver.h:225-231
+    analog). file:// strips to a local path; cloud/memory schemes pass
+    through — open_kvstore routes them (fsspec when importable, a clear
+    NotImplementedError otherwise)."""
     if path.startswith("file://"):
         return path[len("file://"):]
-    for scheme in CLOUD_SCHEMES:
-        if path.startswith(scheme):
-            raise NotImplementedError(
-                f"{scheme} stores need a cloud filesystem (fsspec/Hadoop FS); "
-                "not available in this environment — use a local path"
-            )
     return path
 
 
@@ -221,18 +211,17 @@ class ZarrStore:
         self.root = parse_store_path(root)
         self.version = version
         self.attrs = attrs if attrs is not None else {}
+        self._kv: KVStore = open_kvstore(self.root)
 
     # ------------------------------------------------------------- lifecycle
 
     @classmethod
     def probe_version(cls, root: str) -> int:
         """zarr.json → v3, else .zgroup/.zmetadata → v2 (zarr_driver.h:97-128)."""
-        root = parse_store_path(root)
-        if os.path.exists(os.path.join(root, "zarr.json")):
+        kv = open_kvstore(parse_store_path(root))
+        if kv.exists("zarr.json"):
             return 3
-        if os.path.exists(os.path.join(root, ".zgroup")) or os.path.exists(
-            os.path.join(root, ".zmetadata")
-        ):
+        if kv.exists(".zgroup") or kv.exists(".zmetadata"):
             return 2
         raise FileNotFoundError(f"no Zarr store at {root!r} (no zarr.json or .zgroup)")
 
@@ -245,9 +234,7 @@ class ZarrStore:
 
     @classmethod
     def create(cls, root: str, version: int = 2, attrs: dict | None = None) -> "ZarrStore":
-        root_fs = parse_store_path(root)
-        os.makedirs(root_fs, exist_ok=True)
-        store = cls(root_fs, version, attrs or {})
+        store = cls(root, version, attrs or {})
         if version == 2:
             store._write_json(".zgroup", {"zarr_format": 2})
             store._write_json(".zattrs", store.attrs)
@@ -261,47 +248,25 @@ class ZarrStore:
     def delete(self) -> None:
         """Validate-then-delete the whole store (utils/delete.h:38-81)."""
         self.probe_version(self.root)  # raises if not a store
-        shutil.rmtree(self.root)
+        self._kv.delete_all()
 
     # ------------------------------------------------------------- raw kv I/O
 
-    def _path(self, key: str) -> str:
-        return os.path.join(self.root, key)
-
     def _write_json(self, key: str, obj: Any) -> None:
-        path = self._path(key)
-        os.makedirs(os.path.dirname(path) or self.root, exist_ok=True)
-        with open(path, "w") as f:
-            json.dump(obj, f, indent=2, allow_nan=False, default=_json_default)
+        payload = json.dumps(obj, indent=2, allow_nan=False, default=_json_default)
+        self._kv.write(key, payload.encode("utf-8"))
 
     def _read_json(self, key: str) -> Any:
-        with open(self._path(key)) as f:
-            return json.load(f)
+        raw = self._kv.read(key)
+        if raw is None:
+            raise FileNotFoundError(f"{self.root}/{key}")
+        return json.loads(raw)
 
     def read_bytes(self, key: str) -> bytes | None:
-        path = self._path(key)
-        if not os.path.exists(path):
-            return None
-        with open(path, "rb") as f:
-            return f.read()
+        return self._kv.read(key)
 
     def write_bytes(self, key: str, data: bytes) -> None:
-        path = self._path(key)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        # Unique tmp name per writer: a speculative/zombie retry of the same
-        # chunk task must not interleave into a shared tmp file and publish a
-        # torn chunk. os.replace of a private tmp is last-writer-wins, atomic.
-        tmp = f"{path}.{os.getpid()}.{id(data) & 0xFFFFFF:x}.tmp"
-        try:
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, path)  # atomic publish per chunk
-        finally:
-            if os.path.exists(tmp):  # pragma: no cover - only on error paths
-                try:
-                    os.remove(tmp)
-                except OSError:
-                    pass
+        self._kv.write(key, data)  # atomic publish per chunk (kvstore layer)
 
     def _read_root_attrs(self) -> dict:
         if self.version == 2:
@@ -338,8 +303,8 @@ class ZarrStore:
                         zattrs = consolidated.get(f"{name}/.zattrs", {})
                         out[name] = _meta_from_v2(name, val, zattrs)
                 return out
-            for entry in sorted(os.listdir(self.root)):
-                if os.path.exists(self._path(f"{entry}/.zarray")):
+            for entry in self._kv.list_dir():
+                if self._kv.exists(f"{entry}/.zarray"):
                     zarray = self._read_json(f"{entry}/.zarray")
                     try:
                         zattrs = self._read_json(f"{entry}/.zattrs")
@@ -347,9 +312,8 @@ class ZarrStore:
                         zattrs = {}
                     out[entry] = _meta_from_v2(entry, zarray, zattrs)
             return out
-        for entry in sorted(os.listdir(self.root)):
-            node = self._path(f"{entry}/zarr.json")
-            if os.path.exists(node):
+        for entry in self._kv.list_dir():
+            if self._kv.exists(f"{entry}/zarr.json"):
                 obj = self._read_json(f"{entry}/zarr.json")
                 if obj.get("node_type") == "array":
                     out[entry] = _meta_from_v3(entry, obj)
@@ -418,7 +382,7 @@ class ZarrStore:
             self._write_json(f"{name}/.zarray", _v2_array_json(meta))
             self._write_json(f"{name}/.zattrs", meta.attrs)
             # keep the consolidated view coherent if one was already published
-            if os.path.exists(self._path(".zmetadata")):
+            if self._kv.exists(".zmetadata"):
                 self.consolidate()
         else:
             self._write_json(f"{name}/zarr.json", _v3_array_json(meta))
@@ -458,8 +422,8 @@ class ZarrStore:
             metadata[".zattrs"] = self._read_json(".zattrs")
         except FileNotFoundError:
             pass
-        for entry in sorted(os.listdir(self.root)):
-            if os.path.exists(self._path(f"{entry}/.zarray")):
+        for entry in self._kv.list_dir():
+            if self._kv.exists(f"{entry}/.zarray"):
                 metadata[f"{entry}/.zarray"] = self._read_json(f"{entry}/.zarray")
                 try:
                     metadata[f"{entry}/.zattrs"] = self._read_json(f"{entry}/.zattrs")

@@ -13,8 +13,6 @@ at the end (the reference's CommitMetadata-on-trim path).
 
 from __future__ import annotations
 
-import os
-
 from mdio_cpp_spark.sources.zarr_store import ZarrStore
 
 
@@ -48,9 +46,7 @@ def trim_dataset(path: str, delete_chunks: bool = True, **new_sizes: int) -> dic
             full_box = tuple((0, s) for s in meta.shape)
             for coords in chunks_overlapping(meta, full_box):
                 if any(coords[d] >= keep_grid[d] or new_shape[d] == 0 for d in range(meta.ndim)):
-                    key = store._path(meta.chunk_key(coords))
-                    if os.path.exists(key):
-                        os.remove(key)
+                    if store._kv.delete(meta.chunk_key(coords)):
                         deleted += 1
         # rewrite shape metadata
         if store.version == 2:
