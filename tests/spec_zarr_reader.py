@@ -1,0 +1,178 @@
+"""Independent Zarr reader written FROM THE PUBLIC SPECS, for interop tests.
+
+This module deliberately imports NOTHING from mdio_cpp_spark — it is the
+stand-in for a third-party reader (zarr-python is uninstallable in this
+container, see INTEROP_PROBE.md). Everything here is derived from:
+
+  * Zarr v2 storage spec: `.zgroup`/`.zarray`/`.zattrs` JSON documents,
+    chunk keys "<i>.<j>" joined by `dimension_separator`, C/F order, raw
+    little/big-endian typed buffers, per-chunk compressor JSON
+    ({"id": "zlib"|"gzip", ...}), `fill_value` for absent chunks, edge
+    chunks padded to full chunk shape.
+  * Zarr v3 core spec: `zarr.json` per node, `chunk_grid.configuration.
+    chunk_shape`, chunk keys "c/<i>/<j>" per the default chunk-key encoding,
+    codec chain [{"name": "bytes"|"gzip"|"zlib", ...}], `data_type` names,
+    `fill_value`.
+
+If our writer and this reader agree on every value, our bytes follow the
+spec as both implementations independently understand it.
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import json
+import os
+import zlib
+
+import numpy as np
+
+_V3_DTYPES = {
+    "bool": "|b1",
+    "int8": "|i1", "int16": "<i2", "int32": "<i4", "int64": "<i8",
+    "uint8": "|u1", "uint16": "<u2", "uint32": "<u4", "uint64": "<u8",
+    "float16": "<f2", "float32": "<f4", "float64": "<f8",
+    "complex64": "<c8", "complex128": "<c16",
+}
+
+
+def _np_dtype_v2(dtype_json) -> np.dtype:
+    if isinstance(dtype_json, list):  # structured: [["name", "<i4"], ...]
+        return np.dtype([(str(n), str(f)) for n, f in dtype_json])
+    return np.dtype(str(dtype_json))
+
+
+def _fill_np(fill_json, dt: np.dtype):
+    if fill_json is None:
+        return None
+    if dt.fields is not None:  # v2 struct fill: base64 of raw bytes
+        raw = base64.b64decode(fill_json)
+        return np.frombuffer(raw, dtype=dt)[0]
+    if isinstance(fill_json, str) and fill_json in ("NaN", "Infinity", "-Infinity"):
+        return dt.type(float(fill_json.replace("Infinity", "inf")))
+    if dt.kind == "c" and isinstance(fill_json, (list, tuple)):
+        re, im = (float(x) if not isinstance(x, str) else float(x.replace("Infinity", "inf"))
+                  for x in fill_json)
+        return dt.type(complex(re, im))
+    return dt.type(fill_json)
+
+
+def _decompress(raw: bytes, compressor, v3_codecs) -> bytes:
+    if compressor is not None:  # v2
+        cid = compressor.get("id")
+        if cid == "zlib":
+            return zlib.decompress(raw)
+        if cid == "gzip":
+            return gzip.decompress(raw)
+        raise ValueError(f"spec reader: unsupported v2 compressor {cid}")
+    for codec in reversed(v3_codecs or []):
+        name = codec.get("name")
+        if name == "bytes":
+            continue
+        elif name == "gzip":
+            raw = gzip.decompress(raw)
+        elif name == "zlib":
+            raw = zlib.decompress(raw)
+        else:
+            raise ValueError(f"spec reader: unsupported v3 codec {name}")
+    return raw
+
+
+def read_zarr_array(root: str, name: str) -> np.ndarray:
+    """Read one array of a Zarr v2 or v3 group from raw files into numpy."""
+    if os.path.exists(os.path.join(root, "zarr.json")):
+        return _read_v3(root, name)
+    return _read_v2(root, name)
+
+
+def read_group_attrs(root: str) -> dict:
+    if os.path.exists(os.path.join(root, "zarr.json")):
+        with open(os.path.join(root, "zarr.json")) as f:
+            return dict(json.load(f).get("attributes", {}))
+    try:
+        with open(os.path.join(root, ".zattrs")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def read_array_attrs(root: str, name: str) -> dict:
+    if os.path.exists(os.path.join(root, "zarr.json")):
+        with open(os.path.join(root, name, "zarr.json")) as f:
+            return dict(json.load(f).get("attributes", {}))
+    try:
+        with open(os.path.join(root, name, ".zattrs")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _assemble(shape, chunks, dt, fill, order, chunk_bytes_fn) -> np.ndarray:
+    if fill is None:
+        out = np.zeros(shape, dtype=dt)
+    else:
+        out = np.full(shape, fill, dtype=dt)
+    grid = [max(1, -(-s // c)) for s, c in zip(shape, chunks)]
+    for coords in np.ndindex(*grid):
+        raw = chunk_bytes_fn(coords)
+        if raw is None:
+            continue
+        block = np.frombuffer(raw, dtype=dt).reshape(chunks, order=order)
+        sel = tuple(
+            slice(c * ch, min((c + 1) * ch, s))
+            for c, ch, s in zip(coords, chunks, shape)
+        )
+        trim = tuple(slice(0, sl.stop - sl.start) for sl in sel)
+        out[sel] = block[trim]
+    return out
+
+
+def _read_v2(root: str, name: str) -> np.ndarray:
+    adir = os.path.join(root, name)
+    with open(os.path.join(adir, ".zarray")) as f:
+        zarray = json.load(f)
+    assert zarray["zarr_format"] == 2
+    dt = _np_dtype_v2(zarray["dtype"])
+    shape = tuple(zarray["shape"])
+    chunks = tuple(zarray["chunks"])
+    order = zarray.get("order", "C")
+    sep = zarray.get("dimension_separator", ".")
+    fill = _fill_np(zarray.get("fill_value"), dt)
+    compressor = zarray.get("compressor")
+
+    def chunk_bytes(coords):
+        path = os.path.join(adir, sep.join(str(c) for c in coords))
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return _decompress(f.read(), compressor, None)
+
+    return _assemble(shape, chunks, dt, fill, order, chunk_bytes)
+
+
+def _read_v3(root: str, name: str) -> np.ndarray:
+    adir = os.path.join(root, name)
+    with open(os.path.join(adir, "zarr.json")) as f:
+        zjson = json.load(f)
+    assert zjson["zarr_format"] == 3 and zjson["node_type"] == "array"
+    dt = np.dtype(_V3_DTYPES[zjson["data_type"]])
+    shape = tuple(zjson["shape"])
+    grid_conf = zjson["chunk_grid"]
+    assert grid_conf["name"] == "regular"
+    chunks = tuple(grid_conf["configuration"]["chunk_shape"])
+    sep = zjson.get("chunk_key_encoding", {}).get("configuration", {}).get("separator", "/")
+    fill = _fill_np(zjson.get("fill_value"), dt)
+    codecs = zjson.get("codecs", [])
+    for codec in codecs:  # default 'bytes' codec: little-endian only here
+        if codec.get("name") == "bytes":
+            assert codec.get("configuration", {}).get("endian", "little") == "little"
+
+    def chunk_bytes(coords):
+        path = os.path.join(adir, "c", sep.join(str(c) for c in coords))
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return _decompress(f.read(), None, codecs)
+
+    return _assemble(shape, chunks, dt, fill, "C", chunk_bytes)

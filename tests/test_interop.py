@@ -1,0 +1,155 @@
+"""Writer-vs-foreign-reader differential (the reference's interop pattern:
+regression_tests/xarray_compatibility_test.py, acceptance_test.cc:1350-1597).
+
+Our writer emits a store; an INDEPENDENT spec-derived reader
+(spec_zarr_reader.py — stdlib+numpy only, no mdio_cpp_spark imports) parses
+the raw bytes and must reproduce every value. zarr-python equality tests are
+included behind importorskip, activating wherever the real wheel exists
+(uninstallable here — see INTEROP_PROBE.md)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from mdio_cpp_spark.sources.writer import dense_fill_frame, write_array
+from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+from tests import spec_zarr_reader as specr
+
+TMP = "/root/repo/.zarr_cache/_tests/interop"
+
+
+def _fresh(name: str) -> str:
+    path = os.path.join(TMP, name)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def test_spec_reader_is_independent():
+    # the oracle must not share code with the implementation under test
+    import tests.spec_zarr_reader as m
+
+    src = open(m.__file__).read()
+    assert "mdio_cpp_spark" not in src.replace("imports NOTHING from mdio_cpp_spark", "")
+
+
+@pytest.mark.parametrize("version", [2, 3])
+@pytest.mark.parametrize("mdio_type,np_dt,vals", [
+    ("float32", "f4", np.linspace(-1, 1, 300).astype("f4")),
+    ("int64", "i8", np.arange(-150, 150, dtype="i8")),
+    ("uint16", "u2", (np.arange(300) % 60000).astype("u2")),
+    ("float64", "f8", np.arange(300, dtype="f8") * 0.125),
+])
+def test_scalar_roundtrip_via_spec_reader(version, mdio_type, np_dt, vals):
+    root = _fresh(f"scalar_{mdio_type}_v{version}")
+    st = ZarrStore.create(root, version=version)
+    st.create_array("a", shape=(300,), chunks=(64,), dtype=mdio_type, dims=("i",),
+                    compressor={"id": "zlib" if version == 2 else "gzip", "level": 5})
+    st.write_array_numpy("a", vals)
+    st.consolidate()
+    got = specr.read_zarr_array(root, "a")
+    assert got.dtype == np.dtype(np_dt)
+    assert np.array_equal(got, vals)
+
+
+@pytest.mark.parametrize("version", [2, 3])
+def test_fill_and_edge_chunks_via_spec_reader(version):
+    # absent chunks must read as the declared fill; edge chunk padded per spec
+    root = _fresh(f"fill_v{version}")
+    st = ZarrStore.create(root, version=version)
+    st.create_array("u", shape=(150,), chunks=(64,), dtype="uint32", dims=("i",))
+    st.write_array_numpy("u", np.arange(10, dtype="u4"), origin=(70,))  # chunk 1 only
+    st.consolidate()
+    got = specr.read_zarr_array(root, "u")
+    assert (got[:64] == 2**32 - 1).all()          # chunk 0 absent → fill
+    assert np.array_equal(got[70:80], np.arange(10))
+    assert (got[128:] == 2**32 - 1).all()          # edge chunk (22 cells)
+
+
+def test_struct_v2_via_spec_reader():
+    root = _fresh("struct_v2")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("h", shape=(100,), chunks=(32,), dtype={"fields": [
+        {"name": "ck", "format": "int32"}, {"name": "ok", "format": "int64"}]},
+        dims=("i",), compressor={"id": "zlib", "level": 3})
+    rec = np.zeros(100, dtype=[("ck", "<i4"), ("ok", "<i8")])
+    rec["ck"] = np.arange(100)
+    rec["ok"] = np.arange(100) * 31
+    st.write_array_numpy("h", rec)
+    st.consolidate()
+    got = specr.read_zarr_array(root, "h")
+    assert got.dtype.names == ("ck", "ok")
+    assert np.array_equal(got["ck"], rec["ck"]) and np.array_equal(got["ok"], rec["ok"])
+
+
+@pytest.mark.parametrize("version", [2, 3])
+def test_complex_and_float16_via_spec_reader(version):
+    root = _fresh(f"cpx_v{version}")
+    st = ZarrStore.create(root, version=version)
+    st.create_array("c", shape=(80,), chunks=(32,), dtype="complex128", dims=("i",))
+    vals = np.arange(80) * 0.5 - 1j * np.arange(80)
+    st.write_array_numpy("c", vals.astype("c16"))
+    st.create_array("h", shape=(80,), chunks=(32,), dtype="float16", dims=("i",))
+    st.write_array_numpy("h", (np.arange(80) / 7).astype("f2"))
+    st.consolidate()
+    assert np.array_equal(specr.read_zarr_array(root, "c"), vals.astype("c16"))
+    assert np.array_equal(specr.read_zarr_array(root, "h"), (np.arange(80) / 7).astype("f2"))
+
+
+@pytest.mark.parametrize("version", [2, 3])
+def test_spark_write_via_spec_reader(spark, version):
+    # the DISTRIBUTED writer's bytes, not just the driver-side helper
+    from pyspark.sql import functions as F
+
+    root = _fresh(f"spark_v{version}")
+    st = ZarrStore.create(root, version=version)
+    st.create_array("w", shape=(1000,), chunks=(128,), dtype="float64", dims=("i",),
+                    compressor={"id": "zlib" if version == 2 else "gzip", "level": 2})
+    st.consolidate()
+    src = dense_fill_frame(spark, (1000,), ["i"], 0.0).withColumn("value", F.col("i") * 0.75)
+    write_array(src, root, "w")
+    got = specr.read_zarr_array(root, "w")
+    assert np.allclose(got, np.arange(1000) * 0.75)
+
+
+def test_2d_grid_via_spec_reader():
+    root = _fresh("grid2d")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("g", shape=(50, 70), chunks=(16, 32), dtype="float32", dims=("r", "c"),
+                    compressor={"id": "gzip", "level": 1})
+    vals = np.arange(50 * 70, dtype="f4").reshape(50, 70)
+    st.write_array_numpy("g", vals)
+    st.consolidate()
+    assert np.array_equal(specr.read_zarr_array(root, "g"), vals)
+
+
+def test_attrs_roundtrip_via_spec_reader():
+    root = _fresh("attrs")
+    st = ZarrStore.create(root, version=2, attrs={"name": "interop", "apiVersion": "1.0.0"})
+    st.create_array("a", shape=(8,), chunks=(8,), dtype="int32", dims=("i",))
+    st.update_array_attrs("a", {"statsV1": {"count": 8}, "_ARRAY_DIMENSIONS": ["i"]})
+    st.consolidate()
+    assert specr.read_group_attrs(root)["name"] == "interop"
+    attrs = specr.read_array_attrs(root, "a")
+    assert attrs["statsV1"] == {"count": 8}
+    assert attrs["_ARRAY_DIMENSIONS"] == ["i"]  # xarray dim-label convention
+
+
+# --------- true third-party oracle, active wherever the wheel exists --------
+
+@pytest.mark.parametrize("version", [2, 3])
+def test_zarr_python_readback(version):
+    zarr = pytest.importorskip("zarr")
+    root = _fresh(f"zarrpy_v{version}")
+    st = ZarrStore.create(root, version=version)
+    st.create_array("a", shape=(300,), chunks=(64,), dtype="float32", dims=("i",),
+                    compressor={"id": "zlib" if version == 2 else "gzip", "level": 5})
+    vals = np.linspace(0, 1, 300, dtype="f4")
+    st.write_array_numpy("a", vals)
+    st.consolidate()
+    grp = zarr.open(root, mode="r")
+    assert np.array_equal(np.asarray(grp["a"]), vals)
