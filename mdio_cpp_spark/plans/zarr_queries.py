@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -36,7 +38,7 @@ from mdio_cpp_spark.sources.zarr_store import ZarrStore
 from mdio_cpp_spark.utils.trim import trim_dataset
 
 CACHE_ROOT = "/root/repo/.zarr_cache"
-BUILD_TAG = "v3"  # bump to invalidate cached stores after builder changes
+BUILD_TAG = "v4"  # bump to invalidate cached stores after builder changes
 CHUNK = 2048
 GRID_C = 64       # grid2d column count; rows adapt to sf (cap 128)
 TRIM_KEEP_FRAC = 2  # trim store keeps N_trim // 2 rows
@@ -93,9 +95,11 @@ def _zip_index(df: DataFrame, sort_keys: list[str], bucket_expr, out_col: str) -
 def _orders_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders with the deterministic array index i = rank(o_orderkey) - 1,
     computed scalably by _zip_index (no single-partition window)."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
     return _zip_index(o, ["o_orderkey"], F.col("o_orderkey"), "i").select(
-        "i", "o_orderkey", "o_custkey", "o_totalprice"
+        "i", "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"
     )
 
 
@@ -173,6 +177,22 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> str:
             "u64": "u64v",
             "cpx": {"re": "price", "im": "im"},
         }, consolidate=False)
+        # string/datetime stored arrays (SURVEY §1.2 upgrade: the reference
+        # treats numpy kinds U/M as header-only, zarr_v2.h:139-162; our scan
+        # reads them natively) — created outside the MDIO spec (not MDIO
+        # scalar types), written in one fused shuffle
+        st_main = ds.store
+        st_main.create_array("pr", shape=(n,), chunks=(CHUNK,),
+                             dtype=np.dtype("<U15"), dims=("i",),
+                             compressor={"id": "zlib", "level": 5})
+        st_main.create_array("od", shape=(n,), chunks=(CHUNK,),
+                             dtype=np.dtype("<M8[us]"), dims=("i",),
+                             compressor={"id": "zlib", "level": 5})
+        write_arrays(
+            ords.select("i", F.col("o_orderpriority").alias("prv"),
+                        F.col("o_orderdate").alias("odv")),
+            main, {"pr": "prv", "od": "odv"}, consolidate=False,
+        )
         # sparse: only even-numbered chunks written → odd chunks stay ABSENT
         # on disk and read as fill (kept out of the fused write on purpose —
         # the fused write would materialize the odd chunks)
@@ -219,12 +239,21 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> str:
     # ---- v3 store (zarr.json layout, gzip codec)
     v3 = os.path.join(base, "orders_v3.zarr")
     if not os.path.exists(os.path.join(v3, "zarr.json")):
+        from mdio_cpp_spark.sources.writer import write_arrays as _was
+
         st3 = ZarrStore.create(v3, version=3, attrs={"name": "orders_v3"})
         st3.create_array("price", shape=(n,), chunks=(CHUNK,), dtype="float64",
                          dims=("i",), compressor={"id": "gzip", "level": 4})
-        from mdio_cpp_spark.sources.writer import write_array as _wa
-
-        _wa(ords.select("i", F.col("o_totalprice").alias("value")), v3, "price")
+        # struct dtype ON v3 (zarr_v3.h:81-131 field-list layout) — zarr21
+        st3.create_array("hdr", shape=(n,), chunks=(CHUNK,), dtype={"fields": [
+            {"name": "ck", "format": "int32"}, {"name": "ok2", "format": "int64"}]},
+            dims=("i",), compressor={"id": "gzip", "level": 4})
+        _was(
+            ords.select("i", F.col("o_totalprice").alias("price"),
+                        F.col("o_custkey").cast("int").alias("ck"),
+                        (F.col("o_orderkey") * 2).cast("long").alias("ok2")),
+            v3, {"price": "price", "hdr": {"ck": "ck", "ok2": "ok2"}},
+        )
 
     # ---- trim store: built then destructively trimmed (IO8)
     trim = os.path.join(base, "trim_v2.zarr")
@@ -542,7 +571,8 @@ def zarr14(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "zarr12_list_variables",
     oracle="""
-    SELECT v FROM (VALUES ('cpx'), ('hdr'), ('i'), ('j'), ('lq'), ('price'), ('sparse'), ('u64')) AS t(v)
+    SELECT v FROM (VALUES ('cpx'), ('hdr'), ('i'), ('j'), ('lq'), ('od'), ('pr'),
+                          ('price'), ('sparse'), ('u64')) AS t(v)
     ORDER BY v
     """,
 )
@@ -688,6 +718,54 @@ def zarr19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("price"), 2).alias("total"))
         .orderBy("n_name")
+    )
+
+
+@declared(
+    "zarr20_string_datetime_scan",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, o_orderpriority AS pr,
+           STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od
+    FROM (SELECT o_orderpriority, o_orderdate,
+                 ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 100 AND rn - 1 < 5100
+    ORDER BY i
+    """,
+)
+def zarr20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + datetime STORED arrays scanned natively (SURVEY §1.2
+    upgrade): the reference flags numpy kinds U/M header-only and refuses to
+    open them as arrays (zarr_v2.h:139-162, header_variable.h:100-248); our
+    scan decodes fixed-width UCS4 and datetime64 chunks into
+    StringType/TimestampType columns through the same pruned path. Output
+    formats the timestamp to dodge cross-engine timestamp rendering."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    out = ds.isel(i=(100, 5100)).to_df_aligned(spark, {"pr": "pr", "od": "od_ts"})
+    return out.select(
+        "i", "pr", F.date_format("od_ts", "yyyy-MM-dd HH:mm:ss").alias("od")
+    ).orderBy("i")
+
+
+@declared(
+    "zarr21_struct_v3",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, CAST(o_orderkey * 2 AS BIGINT) AS ok2 FROM
+      (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 3000 AND rn - 1 < 11000
+    ORDER BY i
+    """,
+)
+def zarr21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 on Zarr v3: struct (record) dtype stored with the v3 field-list
+    data_type layout ({"name": "struct", "configuration": {"fields": …}},
+    zarr_v3.h:81-131), one field selected at decode time. The v2 twin is
+    zarr06 — together they parametrize SelectField over both versions."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "orders_v3.zarr"))
+    return (
+        ds.isel(i=(3000, 11000))
+        .select_field(spark, "hdr", "ok2")
+        .orderBy("i")
     )
 
 

@@ -297,5 +297,9 @@ def _empty_value_cols(meta: ZarrArrayMeta, sel_fields: list[str] | None, value_c
         return {f"{value_col}_re": np.empty(0, base), f"{value_col}_im": np.empty(0, base)}
     if meta.np_dtype.name == "uint64":
         return {value_col: pd.Series(dtype=object)}
+    if meta.np_dtype.kind in "SU":
+        return {value_col: pd.Series(dtype=object)}
+    if meta.np_dtype.kind == "M":
+        return {value_col: pd.Series(dtype="datetime64[us]")}
     np_out = _NUMPY_TO_SPARK_CAST.get(meta.np_dtype.name, (meta.np_dtype.name,))[0]
     return {value_col: np.empty(0, dtype=np_out)}

@@ -98,9 +98,11 @@ class ZarrArrayMeta:
         return f"{self.name}/" + self.separator.join(str(c) for c in coords)
 
     def fill_scalar(self) -> Any:
-        """Fill as a numpy scalar; None (v2 bool null) degrades to False."""
+        """Fill as a numpy scalar; None (v2 bool null) degrades to the
+        dtype's zero (False / '' / epoch — np.zeros handles every kind,
+        including datetime64 where ``dtype.type(0)`` needs an explicit unit)."""
         if self.fill is None:
-            return self.np_dtype.type(0) if not self.is_struct else np.zeros((), self.np_dtype)[()]
+            return np.zeros((), self.np_dtype)[()]
         return self.fill
 
 
@@ -139,16 +141,30 @@ def _struct_fill_b64(meta: ZarrArrayMeta) -> str:
 
 def _v3_array_json(meta: ZarrArrayMeta) -> dict:
     if meta.is_struct:
-        raise NotImplementedError("struct dtypes target Zarr v2 stores")
-    fill = meta.fill_scalar()
+        # v3 struct data_type: {"name": "struct", "configuration": {"fields":
+        # [{"name": …, "data_type": …}, …]}} (zarr_v3.h:81-131); fill is the
+        # base64 of the packed record bytes, like the v2 struct fill
+        data_type: Any = {
+            "name": "struct",
+            "configuration": {"fields": [
+                {"name": n,
+                 "data_type": np.dtype(meta.np_dtype.fields[n][0]).name}
+                for n in meta.np_dtype.names
+            ]},
+        }
+        fill_json: Any = _struct_fill_b64(meta)
+    else:
+        data_type = v3_dtype_name(meta.mdio_type) if meta.mdio_type else meta.np_dtype.name
+        fill = meta.fill_scalar()
+        fill_json = encode_fill_json(fill.item() if hasattr(fill, "item") else fill)
     return {
         "zarr_format": 3,
         "node_type": "array",
         "shape": list(meta.shape),
-        "data_type": v3_dtype_name(meta.mdio_type) if meta.mdio_type else meta.np_dtype.name,
+        "data_type": data_type,
         "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": list(meta.chunks)}},
         "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
-        "fill_value": encode_fill_json(fill.item() if hasattr(fill, "item") else fill),
+        "fill_value": fill_json,
         "codecs": meta.v3_codecs or [{"name": "bytes", "configuration": {"endian": "little"}}],
         "attributes": meta.attrs,
         "dimension_names": list(meta.dims) if meta.dims else None,
@@ -176,9 +192,34 @@ def _meta_from_v2(name: str, zarray: dict, zattrs: dict) -> ZarrArrayMeta:
     )
 
 
+def _v3_struct_fields(data_type: Any) -> list[tuple[str, str]] | None:
+    """Parse a v3 struct data_type into [(field, scalar_name)], accepting the
+    current object layout and the legacy array-of-pairs (zarr_v3.h:103-128).
+    None if not structured."""
+    if (
+        isinstance(data_type, dict)
+        and data_type.get("name") == "struct"
+        and isinstance(data_type.get("configuration", {}).get("fields"), list)
+    ):
+        return [
+            (str(f["name"]), str(f["data_type"]))
+            for f in data_type["configuration"]["fields"]
+        ]
+    if isinstance(data_type, list) and data_type and isinstance(data_type[0], (list, tuple)):
+        return [(str(f[0]), str(f[1])) for f in data_type]
+    return None
+
+
 def _meta_from_v3(name: str, zjson: dict) -> ZarrArrayMeta:
     data_type = zjson["data_type"]
-    if data_type in SCALAR_TYPES or any(t.v3 == data_type for t in SCALAR_TYPES.values()):
+    struct_fields = _v3_struct_fields(data_type)
+    if struct_fields is not None:
+        np_dt = struct_numpy_dtype(
+            [{"name": n, "format": t} for n, t in struct_fields]
+        )
+        mdio_name = None
+        header_only = False
+    elif data_type in SCALAR_TYPES or any(t.v3 == data_type for t in SCALAR_TYPES.values()):
         mdio_name = data_type
         np_dt = np.dtype(SCALAR_TYPES[mdio_name].numpy)
         header_only = False

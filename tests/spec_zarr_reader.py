@@ -156,7 +156,18 @@ def _read_v3(root: str, name: str) -> np.ndarray:
     with open(os.path.join(adir, "zarr.json")) as f:
         zjson = json.load(f)
     assert zjson["zarr_format"] == 3 and zjson["node_type"] == "array"
-    dt = np.dtype(_V3_DTYPES[zjson["data_type"]])
+    data_type = zjson["data_type"]
+    if isinstance(data_type, dict) and data_type.get("name") == "struct":
+        # v3 structured data_type: {"name": "struct", "configuration":
+        # {"fields": [{"name": ..., "data_type": ...}, ...]}}
+        dt = np.dtype([
+            (str(f["name"]), _V3_DTYPES[f["data_type"]])
+            for f in data_type["configuration"]["fields"]
+        ])
+    elif isinstance(data_type, list):  # legacy array-of-pairs layout
+        dt = np.dtype([(str(n), _V3_DTYPES[t]) for n, t in data_type])
+    else:
+        dt = np.dtype(_V3_DTYPES[data_type])
     shape = tuple(zjson["shape"])
     grid_conf = zjson["chunk_grid"]
     assert grid_conf["name"] == "regular"

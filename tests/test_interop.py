@@ -70,12 +70,13 @@ def test_fill_and_edge_chunks_via_spec_reader(version):
     assert (got[128:] == 2**32 - 1).all()          # edge chunk (22 cells)
 
 
-def test_struct_v2_via_spec_reader():
-    root = _fresh("struct_v2")
-    st = ZarrStore.create(root, version=2)
+@pytest.mark.parametrize("version", [2, 3])
+def test_struct_via_spec_reader(version):
+    root = _fresh(f"struct_v{version}")
+    st = ZarrStore.create(root, version=version)
     st.create_array("h", shape=(100,), chunks=(32,), dtype={"fields": [
         {"name": "ck", "format": "int32"}, {"name": "ok", "format": "int64"}]},
-        dims=("i",), compressor={"id": "zlib", "level": 3})
+        dims=("i",), compressor={"id": "zlib" if version == 2 else "gzip", "level": 3})
     rec = np.zeros(100, dtype=[("ck", "<i4"), ("ok", "<i8")])
     rec["ck"] = np.arange(100)
     rec["ok"] = np.arange(100) * 31
@@ -84,6 +85,22 @@ def test_struct_v2_via_spec_reader():
     got = specr.read_zarr_array(root, "h")
     assert got.dtype.names == ("ck", "ok")
     assert np.array_equal(got["ck"], rec["ck"]) and np.array_equal(got["ok"], rec["ok"])
+
+
+def test_string_datetime_arrays_via_spec_reader():
+    # SURVEY §1.2 upgrade: U/M stored arrays (header-only in the reference)
+    root = _fresh("strdt")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("s", shape=(40,), chunks=(16,), dtype=np.dtype("<U8"), dims=("i",),
+                    compressor={"id": "zlib", "level": 1})
+    svals = np.array([f"row-{i}" for i in range(40)], dtype="<U8")
+    st.write_array_numpy("s", svals)
+    st.create_array("t", shape=(40,), chunks=(16,), dtype=np.dtype("<M8[us]"), dims=("i",))
+    tvals = (np.datetime64("2020-01-01", "us") + np.arange(40) * np.timedelta64(1, "D")).astype("<M8[us]")
+    st.write_array_numpy("t", tvals)
+    st.consolidate()
+    assert np.array_equal(specr.read_zarr_array(root, "s"), svals)
+    assert np.array_equal(specr.read_zarr_array(root, "t"), tvals)
 
 
 @pytest.mark.parametrize("version", [2, 3])

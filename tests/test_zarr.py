@@ -429,6 +429,42 @@ def test_zstd_codec_gated():
     assert codecs._blosc_shuffle(1) == 1
 
 
+@pytest.mark.parametrize("version", [2, 3])
+def test_struct_scan_both_versions(spark, version):
+    # SelectField over v2 AND v3 struct layouts (zarr_v3.h:81-131 field list)
+    root = _fresh(f"struct_scan_v{version}")
+    st = ZarrStore.create(root, version=version)
+    st.create_array("h", shape=(200,), chunks=(64,), dtype={"fields": [
+        {"name": "a", "format": "int32"}, {"name": "b", "format": "float64"}]},
+        dims=("i",), compressor={"id": "zlib" if version == 2 else "gzip", "level": 2})
+    rec = np.zeros(200, dtype=[("a", "<i4"), ("b", "<f8")])
+    rec["a"] = np.arange(200)
+    rec["b"] = np.arange(200) * 0.25
+    st.write_array_numpy("h", rec)
+    st.consolidate()
+    pdf = scan_array(spark, root, "h", fields=["b"], ranges={"i": (50, 150)}).orderBy("i").toPandas()
+    assert list(pdf.columns) == ["i", "b"]
+    assert np.allclose(pdf["b"], np.arange(50, 150) * 0.25)
+    # reopen parses the stored field list back to the same record dtype
+    assert ZarrStore.open(root).array_meta("h").np_dtype == rec.dtype
+
+
+def test_string_datetime_spark_scan(spark):
+    root = _fresh("strdt_scan")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("s", shape=(100,), chunks=(32,), dtype=np.dtype("<U10"), dims=("i",))
+    st.write_array_numpy("s", np.array([f"p-{i}" for i in range(100)], dtype="<U10"))
+    st.create_array("t", shape=(100,), chunks=(32,), dtype=np.dtype("<M8[us]"), dims=("i",))
+    tv = (np.datetime64("2021-06-01T12:00:00", "us")
+          + np.arange(100) * np.timedelta64(1, "h")).astype("<M8[us]")
+    st.write_array_numpy("t", tv)
+    st.consolidate()
+    ps = scan_array(spark, root, "s", ranges={"i": (10, 20)}).orderBy("i").toPandas()
+    assert list(ps["value"]) == [f"p-{i}" for i in range(10, 20)]
+    pt = scan_array(spark, root, "t", ranges={"i": (0, 5)}).orderBy("i").toPandas()
+    assert list(pt["value"].astype("datetime64[us]")) == list(tv[:5])
+
+
 def test_decode_paths_vectorized():
     # uint64/|S decode must be vectorized (no per-cell Python loop): 1M cells
     # in well under a second, Arrow-backed decimal output
