@@ -70,21 +70,31 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # n>=3 runs per query, report the per-query MEDIAN: this box's load
+    # varies by ~3x between rounds, and medians + the recorded load average
+    # keep round-over-round comparisons honest
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    load_start = os.getloadavg()[0]
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         d = REGISTRY[name]
-        t0 = time.time()
-        try:
-            df = d.spark(spark, sf_dir)
-            if name in _COUNT_ONLY:
-                df.count()
-            else:
-                df.collect()
-        except Exception as e:  # one broken query must not kill the gate
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
-            continue
-        timings[name] = round(time.time() - t0, 3)
+        samples: list[float] = []
+        for _ in range(runs):
+            t0 = time.time()
+            try:
+                df = d.spark(spark, sf_dir)
+                if name in _COUNT_ONLY:
+                    df.count()
+                else:
+                    df.collect()
+            except Exception as e:  # one broken query must not kill the gate
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                samples = []
+                break
+            samples.append(time.time() - t0)
+        if samples:
+            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -93,6 +103,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": runs,
+        "load1_start": round(load_start, 2),
+        "load1_end": round(os.getloadavg()[0], 2),
     }
     if errors:
         out["errors"] = errors
