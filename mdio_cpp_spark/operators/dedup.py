@@ -34,9 +34,16 @@ def ensure_map_parallelism(df: DataFrame) -> DataFrame:
 
     Small single-file inputs plan as ONE partition, serializing the whole
     signature computation; a round-robin repartition fixes that. On real
-    multi-file datasets the input is already parallel and this is a no-op
-    (the partition count check avoids an always-on shuffle of bodies)."""
+    multi-file datasets the input is already parallel and this is a no-op.
+    The no-op check is file-count first (analysis only — cheap) and falls
+    back to the physical-plan partition probe only for few-file inputs, so
+    the common at-scale path never forces physical planning per call."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:  # non-file sources: fall through to the probe
+        pass
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -414,6 +414,21 @@ def test_multi_run_sel_read_and_counts():
     assert np.array_equal(arr, np.concatenate([full[5:8], full[20:22]], axis=0))
 
 
+def test_blosc_codec_branch():
+    # conditional: runs the real blosc roundtrip wherever the wheel exists,
+    # and pins the v2/v3 config mapping (incl. the v3 shuffle names) here
+    blosc = pytest.importorskip("blosc")  # noqa: F841
+    from mdio_cpp_spark.sources import codecs
+
+    payload = bytes(range(256)) * 64
+    comp_v2 = {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "typesize": 8}
+    assert codecs.decompress_v2(codecs.compress_v2(payload, comp_v2), comp_v2) == payload
+    chain = [{"name": "bytes", "configuration": {"endian": "little"}},
+             {"name": "blosc", "configuration": {"cname": "zstd", "clevel": 3,
+                                                 "shuffle": "bitshuffle", "typesize": 4}}]
+    assert codecs.decompress_v3(codecs.compress_v3(payload, chain), chain) == payload
+
+
 def test_zstd_codec_gated():
     from mdio_cpp_spark.sources import codecs
 
