@@ -224,3 +224,59 @@ def sign_lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
         proj = vectors.dot(vec, w)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over candidate near-dup pairs → (doc_id,
+    cluster_id), cluster_id = MIN doc id reachable through the pair graph.
+
+    The at-scale dedup endgame: LSH emits PAIRS, but survivorship decisions
+    need CLUSTERS (keep one doc per component). Iterative min-label
+    propagation: each round every node adopts the smallest label among
+    itself and its neighbors — a join + groupBy per round, all stages
+    parallel, converging in O(component diameter) rounds (dup clusters are
+    shallow in practice; ``max_iter`` bounds the pathological chain). The
+    driver sees only the per-round changed-count (one scalar action) — the
+    label table itself never leaves the cluster.
+
+    Caching: each round persists its label table and unpersists the prior
+    one, so round N+1 reads a materialized round N instead of recomputing
+    the whole lineage (the standard iterative-algorithm pattern on Spark)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    prev_cache = None
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+                (F.col("nlbl") < F.col("lbl")).alias("chg"),
+            )
+        ).persist()
+        # this count MATERIALIZES `updated` into the cache; only then is the
+        # previous round's cache safe to drop (unpersisting earlier would
+        # silently rebuild the whole multi-round lineage every iteration)
+        changed = updated.filter(F.col("chg")).limit(1).count()
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = updated
+        labels = updated.select("node", "lbl")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))

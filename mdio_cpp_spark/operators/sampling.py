@@ -1,0 +1,72 @@
+"""Sampling and sequence-packing operators for training-data pipelines.
+
+North-star extension work (no reference analog — the reference is an array
+store; these are the corpus-curation stages a 100 TB text pipeline runs
+between dedup and training):
+
+  * stratified_hash_sample — DETERMINISTIC per-stratum downsampling by a
+    content-stable hash of the id. Unlike ``df.sample`` (seeded RNG over
+    partition layout), the keep/drop decision is a pure function of the row,
+    so it is reproducible across cluster sizes, partitionings, and engines —
+    which is also what makes it oracle-checkable in SQL.
+  * sequence_packing — assign documents to fixed-token-budget packs (the
+    "sequence packing" step before LLM training). Deterministic shard-local
+    greedy: shard by id-hash, order by id within shard, running token total,
+    pack = floor(start_offset / budget). Every stage is a partitioned
+    window — no global sort, no single-partition stage; shards are
+    independent exactly like the downstream data-loader workers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def hash_fraction(id_col: Column) -> Column:
+    """Stable uniform-ish value in [0, 4096) from the first 3 md5 hex digits
+    of the id string — enough resolution for per-mille sampling rates and
+    cheap to mirror in any engine with md5."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 3), 16, 10).cast("long")
+
+
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, stratum_col: str, rates: dict[str, float], default_rate: float = 1.0
+) -> DataFrame:
+    """Keep each row iff hash_fraction(id) < rate(stratum) * 4096.
+
+    ``rates`` maps stratum value → keep probability. Pure map-side filter —
+    no shuffle, no RNG state, no driver involvement; rebalancing a corpus by
+    language/source at 100 TB is a single scan."""
+    frac = hash_fraction(F.col(id_col))
+    rate: Column = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(rate)
+    return df.filter(frac < (rate * 4096.0))
+
+
+def sequence_packing(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column,
+    budget: int,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Assign each document a (shard, pack_id, start_off) under a fixed token
+    budget per pack.
+
+    Shard-local greedy in id order: pack_id = floor(cumulative-start / budget)
+    — a document beginning before a budget boundary stays in that pack (the
+    streaming-packing convention; oversize docs spill past the boundary and
+    the next doc starts a new pack). Windows partition by shard, so
+    parallelism = n_shards regardless of corpus size; at 100 TB you set
+    n_shards to the data-loader's file-shard count."""
+    shard = F.pmod(F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast("long"),
+                   F.lit(n_shards)).alias("shard")
+    base = df.select(F.col(id_col), shard, token_count_col.alias("n_tok"))
+    w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("start_off")
+    return base.select(
+        id_col, "shard", "n_tok", start
+    ).withColumn("pack_id", F.expr(f"start_off div {int(budget)}"))

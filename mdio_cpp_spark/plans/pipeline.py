@@ -352,6 +352,114 @@ def v03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, q, "vec_id", "embedding", k=5, n_cells=_IVF_CELLS).orderBy("q_id", "rk")
 
 
+def _dd_clusters_sql() -> str:
+    """Connected components over d02's candidate pairs via a recursive CTE —
+    min reachable doc id per node (the SQL twin of iterative min-label
+    propagation)."""
+    cand = _dd_minhash_sql().replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+    WITH RECURSIVE cand AS ({cand}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    walk(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY node ORDER BY doc_id
+    """
+
+
+@declared("d06_dup_clusters", oracle=_dd_clusters_sql())
+def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from d02's candidate pairs: iterative min-label
+    propagation (connected components) — survivorship needs components, not
+    pairs. Each round is a parallel join+groupBy; the driver sees only a
+    changed-count scalar. Oracle: recursive CTE computing min reachable id."""
+    from mdio_cpp_spark.operators.dedup import duplicate_clusters, lsh_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS)
+    return duplicate_clusters(pairs).orderBy("doc_id")
+
+
+def _dd_hexv_of(expr: str, pos: int) -> str:
+    return f"(strpos('0123456789abcdef', substr(md5({expr}), {pos}, 1)) - 1)"
+
+
+_SMP_RATES = {"en": 0.25}
+_SMP_DEFAULT = 0.75
+
+
+def _dd_sample_sql() -> str:
+    e = "CAST(doc_id AS VARCHAR)"
+    frac = f"(256 * {_dd_hexv_of(e, 1)} + 16 * {_dd_hexv_of(e, 2)} + {_dd_hexv_of(e, 3)})"
+    rate = f"CASE WHEN lang = 'en' THEN {_SMP_RATES['en']} ELSE {_SMP_DEFAULT} END"
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {frac} < ({rate}) * 4096.0
+    ORDER BY doc_id
+    """
+
+
+@declared("s03_stratified_sample", oracle=_dd_sample_sql())
+def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified DETERMINISTIC downsampling: keep iff id-hash fraction <
+    per-stratum rate (en kept at 25%, everything else 75%). Pure map-side
+    filter — reproducible across partitionings and engines, unlike seeded
+    df.sample; the corpus-rebalancing primitive at 100 TB."""
+    from mdio_cpp_spark.operators.sampling import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        stratified_hash_sample(d, "doc_id", "lang", _SMP_RATES, default_rate=_SMP_DEFAULT)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_PACK_BUDGET, _PACK_SHARDS = 256, 16
+
+
+def _dd_packing_sql() -> str:
+    e = "CAST(doc_id AS VARCHAR)"
+    shard = (
+        f"((4096 * {_dd_hexv_of(e, 1)} + 256 * {_dd_hexv_of(e, 2)} "
+        f"+ 16 * {_dd_hexv_of(e, 3)} + {_dd_hexv_of(e, 4)}) % {_PACK_SHARDS})"
+    )
+    return f"""
+    SELECT doc_id, shard, n_tok, CAST(start_off AS BIGINT) AS start_off,
+           CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, shard, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      FROM (
+        SELECT doc_id, CAST({shard} AS BIGINT) AS shard,
+               CAST(len({_DD_TOKS}) AS BIGINT) AS n_tok
+        FROM documents
+      )
+    ) ORDER BY doc_id
+    """
+
+
+@declared("p01_sequence_packing", oracle=_dd_packing_sql())
+def p01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under a fixed token budget (the pre-training batch
+    assembly step): shard by id-hash, shard-local running token offset,
+    pack_id = start_off div budget. Windows partition by shard — no global
+    sort, parallelism = shard count at any corpus size."""
+    from mdio_cpp_spark.operators.sampling import sequence_packing
+
+    d = _t(spark, sf_dir, "documents")
+    return sequence_packing(
+        d, "doc_id", text.token_count("text"), budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------------------ text analysis
 
 def _dd_lang_sql() -> str:

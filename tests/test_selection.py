@@ -82,3 +82,43 @@ def test_select_field_prunes_struct(orders):
 def test_filter_pushdown_reaches_parquet_scan(orders):
     plan = selection.isel(orders, "o_orderkey", 100, 200)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+# ---------------------------------------------------- pipeline extension ops
+
+def test_duplicate_clusters_components(spark):
+    from mdio_cpp_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (20, 21), (3, 4)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7, 20: 20, 21: 20}
+
+
+def test_stratified_hash_sample_deterministic(spark):
+    from mdio_cpp_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = stratified_hash_sample(df, "doc_id", "lang", {"en": 0.25}, default_rate=0.75)
+    pdf = out.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    # rates are approximate (hash-uniform), determinism is exact
+    assert 150 < pdf["en"] < 350 and 650 < pdf["de"] < 850
+    again = stratified_hash_sample(df.repartition(7), "doc_id", "lang", {"en": 0.25}, 0.75)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(r["doc_id"] for r in again.collect())
+
+
+def test_sequence_packing_budget(spark):
+    from mdio_cpp_spark.operators.sampling import sequence_packing
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = sequence_packing(df, "doc_id", F.lit(100), budget=256, n_shards=4).toPandas()
+    # within each shard, pack_id is nondecreasing in doc order and start
+    # offsets step by exactly n_tok
+    for _, g in out.sort_values("doc_id").groupby("shard"):
+        starts = g["start_off"].to_numpy()
+        assert (starts[1:] - starts[:-1] == 100).all()
+        assert (g["pack_id"].to_numpy() == starts // 256).all()
