@@ -457,16 +457,23 @@ class MdioDataset:
                 out_dims = out_dims + [d for d in dims if d not in out_dims]
         return out
 
-    def register_views(self, spark: SparkSession, prefix: str = "mdio_") -> list[str]:
-        """Register every scannable variable as a temp view over the
+    def register_views(
+        self, spark: SparkSession, prefix: str = "mdio_",
+        variables: Sequence[str] | None = None,
+    ) -> list[str]:
+        """Register scannable variables as temp views over the
         ``format('mdio')`` DataSource — the engine's SQL surface
         (``SELECT … FROM mdio_<var> WHERE dim …`` prunes chunks through
-        pushFilters). Returns the view names."""
+        pushFilters). ``variables`` restricts the set (each registration
+        costs a Python-worker schema round-trip, so register what you
+        query). Returns the view names."""
         from mdio_cpp_spark.sources.datasource import register
 
         register(spark)
         names = []
         for name, meta in self._metas.items():
+            if variables is not None and name not in variables:
+                continue
             if meta.header_only and meta.np_dtype.kind in "OV":
                 continue
             view = f"{prefix}{name}"

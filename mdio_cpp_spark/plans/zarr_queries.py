@@ -521,10 +521,12 @@ def zarr10(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "min": row["min_v"], "max": row["max_v"]})
     ds.commit_metadata()
     stats = MdioDataset.open(store).var("price").attrs["statsV1"]
-    return spark.createDataFrame(
-        [(int(stats["count"]), float(stats["sum"]), float(stats["min"]), float(stats["max"]))],
-        "cnt bigint, sum_v double, min_v double, max_v double",
-    ).coalesce(1)
+    return spark.range(1).select(
+        F.lit(int(stats["count"])).cast("bigint").alias("cnt"),
+        F.lit(float(stats["sum"])).alias("sum_v"),
+        F.lit(float(stats["min"])).alias("min_v"),
+        F.lit(float(stats["max"])).alias("max_v"),
+    )
 
 
 @declared(
@@ -581,8 +583,14 @@ def zarr12(spark: SparkSession, sf_dir: str) -> DataFrame:
     (variable_collection.h:148-155) from the consolidated metadata — one
     driver read, no scan."""
     ds = MdioDataset.open(_main_store(spark, sf_dir))
-    # coalesce(1): 7 driver-local rows don't need 32 parallelize slices
-    return spark.createDataFrame([(v,) for v in ds.list_variables()], "v string").coalesce(1).orderBy("v")
+    # literal array + explode keeps this JVM-only: createDataFrame over a
+    # Python list would round-trip through parallelize + a Python worker
+    # (~1.5 s of overhead for 10 rows)
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*[F.lit(v) for v in ds.list_variables()])).alias("v"))
+        .orderBy("v")
+    )
 
 
 @declared(
@@ -675,7 +683,7 @@ def zarr18(spark: SparkSession, sf_dir: str) -> DataFrame:
     format('mdio'); a plain spark.sql WHERE prunes chunks through
     pushFilters. Per-chunk aggregate — the engine's SQL surface end-to-end."""
     ds = MdioDataset.open(_main_store(spark, sf_dir))
-    ds.register_views(spark)
+    ds.register_views(spark, variables=["price"])
     return spark.sql(f"""
         SELECT (i div {CHUNK}) AS chunk_id, COUNT(*) AS n,
                ROUND(SUM(value), 2) AS total
