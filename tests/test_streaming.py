@@ -112,3 +112,38 @@ def test_applyInPandasWithState_matches_batch(spark, sf_dir):
     ).collect()
     streamed = {r["user_id"]: (r["n"], r["s"]) for r in rows}
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_write_array_ingest(spark, tmp_path):
+    """Streaming micro-batches land in a zarr array through the chunk-aligned
+    writer; cross-batch partial-chunk coverage must merge (RMW), and the
+    result must equal a single batch write of the same rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+    from mdio_cpp_spark.streaming.ingest import stream_write_array
+
+    src_dir = str(tmp_path / "src")
+    n = 500
+    # 5 parquet files → availableNow processes them as micro-batches
+    for part in range(5):
+        (
+            spark.range(part * 100, (part + 1) * 100)
+            .select(F.col("id").alias("i"), (F.col("id") * 2.0).alias("value"))
+            .coalesce(1)
+            .write.mode("append").parquet(src_dir)
+        )
+    root = str(tmp_path / "ingest.zarr")
+    st = ZarrStore.create(root, version=2)
+    # chunk=150 straddles every batch boundary → exercises cross-batch RMW
+    st.create_array("v", shape=(n,), chunks=(150,), dtype="float64", dims=("i",))
+    st.consolidate()
+    stream = (
+        spark.readStream.schema("i long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_write_array(stream, root, "v", checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert np.array_equal(ZarrStore.open(root).read_array("v"), np.arange(n) * 2.0)
