@@ -156,17 +156,16 @@ class MdioReader(DataSourceReader):
     # ------------------------------------------------------------- planning
 
     def partitions(self, chunks_per_task: int = 4, max_tasks: int | None = None) -> list[MdioChunkPartition]:
-        if max_tasks is None:
-            # scale the split cap with the cluster (same rule as
-            # reader.py's scan cap): 64 tasks per core keeps a petascale
-            # array's task count bounded WITHOUT capping a 1000-executor
-            # cluster at a constant — planning runs on the driver, so the
-            # active session is available here
-            from pyspark.sql import SparkSession
+        # scale the split cap with the cluster (same rule as reader.py's
+        # scan cap): 64 tasks per core keeps a petascale array's task count
+        # bounded WITHOUT capping a 1000-executor cluster at a constant —
+        # planning runs on the driver, so the active session is available
+        from pyspark.sql import SparkSession
 
-            active = SparkSession.getActiveSession()
-            par = active.sparkContext.defaultParallelism if active else 64
-            max_tasks = 64 * max(1, par)
+        active = SparkSession.getActiveSession()
+        par = max(1, active.sparkContext.defaultParallelism if active else 64)
+        if max_tasks is None:
+            max_tasks = 64 * par
         box = self._box()
         if any(hi <= lo for lo, hi in box):
             return []
@@ -179,7 +178,10 @@ class MdioReader(DataSourceReader):
         n_chunks = 1
         for length in grid_lens:
             n_chunks *= length
-        n_parts = min(max(1, -(-n_chunks // chunks_per_task)), max_tasks)
+        # never fewer tasks than cores while chunks remain (small scans
+        # should still use the whole cluster)
+        n_parts = max(1, -(-n_chunks // chunks_per_task))
+        n_parts = min(max(n_parts, min(n_chunks, par)), max_tasks)
         per_part = -(-n_chunks // n_parts)
         return [
             MdioChunkPartition(s, min(s + per_part, n_chunks), grid_starts, grid_lens)

@@ -224,13 +224,16 @@ def scan_array(
                     out = out[mask]
                 yield out
 
-    # partition count: ~chunks_per_task chunks each, but capped at 64× the
-    # cluster parallelism — a petascale array (~12M chunks) must not become
-    # millions of scheduler tasks; beyond the cap, tasks simply decode more
-    # chunks sequentially (the cap scales with the cluster, so a 1000-executor
-    # cluster still fans out to ~2M-chunk-capable task counts)
-    cap = 64 * max(1, spark.sparkContext.defaultParallelism)
-    n_parts = min(max(1, math.ceil(n_chunks / max(1, chunks_per_task))), cap)
+    # partition count: ~chunks_per_task chunks each, but never fewer tasks
+    # than cores while chunks remain (small scans should still use the whole
+    # cluster), and capped at 64× the cluster parallelism — a petascale
+    # array (~12M chunks) must not become millions of scheduler tasks;
+    # beyond the cap, tasks simply decode more chunks sequentially (the cap
+    # scales with the cluster, so a 1000-executor cluster still fans out)
+    par = max(1, spark.sparkContext.defaultParallelism)
+    cap = 64 * par
+    n_parts = max(1, math.ceil(n_chunks / max(1, chunks_per_task)))
+    n_parts = min(max(n_parts, min(n_chunks, par)), cap)
     manifest = spark.range(0, n_chunks, numPartitions=n_parts)
     return manifest.mapInPandas(decode, schema=out_schema)
 
