@@ -69,3 +69,70 @@ def test_roundtrip_with_fill(case):
         assert np.array_equal(got, exp, equal_nan=True)
     else:
         assert np.array_equal(got, exp)
+
+
+@st.composite
+def overlapping_writes_case(draw):
+    shape = (draw(st.integers(8, 60)),)
+    chunks = (draw(st.integers(1, shape[0])),)
+    n_writes = draw(st.integers(2, 4))
+    writes = []
+    for _ in range(n_writes):
+        o = draw(st.integers(0, shape[0] - 1))
+        s = draw(st.integers(1, shape[0] - o))
+        writes.append((o, s))
+    return shape, chunks, writes
+
+
+@settings(max_examples=40, deadline=None)
+@given(overlapping_writes_case())
+def test_sequential_overlapping_writes_rmw(case):
+    """ANY sequence of overlapping region writes must behave like numpy
+    assignment order — the RMW guarantee: later writes win where regions
+    overlap, earlier data survives everywhere else (never reset to fill)."""
+    shape, chunks, writes = case
+    root = os.path.join(TMP, "rmw")
+    shutil.rmtree(root, ignore_errors=True)
+    store = ZarrStore.create(root, version=2)
+    meta = store.create_array("a", shape=shape, chunks=chunks, dtype="float64",
+                              dims=("i",), compressor={"id": "zlib", "level": 1})
+    expected = np.full(shape, meta.fill_scalar(), dtype="f8")
+    for w, (o, s) in enumerate(writes):
+        data = np.arange(s, dtype="f8") + 1000.0 * (w + 1)
+        store.write_array_numpy("a", data, origin=(o,))
+        expected[o:o + s] = data
+    store.consolidate()
+    got = ZarrStore.open(root).read_array("a")
+    assert np.array_equal(got, expected, equal_nan=True)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_multi_run_point_sel_matches_numpy(data):
+    """sel(point) with repeated coordinate values over ANY placement must
+    read back exactly the rows numpy fancy-indexing selects."""
+    from mdio_cpp_spark.model import MdioDataset
+
+    n = data.draw(st.integers(6, 40))
+    value = 7
+    coord = np.arange(100, 100 + n, dtype="i8")
+    hit_idx = sorted(data.draw(st.sets(st.integers(0, n - 1), min_size=1, max_size=6)))
+    coord[hit_idx] = value
+    root = os.path.join(TMP, "runs")
+    shutil.rmtree(root, ignore_errors=True)
+    spec = {
+        "metadata": {"name": "m", "apiVersion": "1.0.0"},
+        "variables": [
+            {"name": "i", "dataType": "int64", "dimensions": [{"name": "i", "size": n}]},
+            {"name": "v", "dataType": "float64", "dimensions": ["i"], "coordinates": ["i"]},
+        ],
+    }
+    ds = MdioDataset.from_json(spec, root)
+    ds.store.write_array_numpy("i", coord)
+    vals = np.arange(n, dtype="f8") * 1.5
+    ds.store.write_array_numpy("v", vals)
+    ds = MdioDataset.open(root)
+    sel = ds.sel(i=value)
+    got = sel.var("v").read()
+    assert np.array_equal(got, vals[np.flatnonzero(coord == value)])
+    assert sel.var("v").num_samples() == len(hit_idx)
