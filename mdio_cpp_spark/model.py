@@ -102,7 +102,7 @@ class MdioVariable:
         out: dict[str, list[tuple[int, int]]] = {}
         for d, dim in enumerate(self.dims):
             if dim in self.dataset._runs:
-                out[dim] = list(self.dataset._runs[dim])
+                out[dim] = self._effective_runs(dim, d)
             else:
                 lo, hi, _ = self.dataset._ranges.get(dim, (0, self.meta.shape[d], 1))
                 out[dim] = [(max(0, lo), min(self.meta.shape[d], hi))]
@@ -113,12 +113,23 @@ class MdioVariable:
         for d, dim in enumerate(self.dims):
             if dim in self.dataset._runs:
                 # multi-run point sel: selected size is the sum of run lengths
-                out[dim] = sum(hi - lo for lo, hi in self.dataset._runs[dim])
+                out[dim] = sum(hi - lo for lo, hi in self._effective_runs(dim, d))
                 continue
             lo, hi, step = self.dataset._ranges.get(dim, (0, self.meta.shape[d], 1))
             lo, hi = max(0, lo), min(self.meta.shape[d], hi)
             out[dim] = max(0, -(-(hi - lo) // step))
         return out
+
+    def _effective_runs(self, dim: str, d: int) -> list[tuple[int, int]]:
+        """Runs for a dim, intersected with any isel range composed on top
+        (a sel-multi-run followed by isel on the same label must honor
+        both); empty-intersection runs drop out."""
+        runs = self.dataset._runs[dim]
+        if dim not in self.dataset._ranges:
+            return list(runs)
+        rlo, rhi, _ = self.dataset._ranges[dim]
+        out = [(max(lo, rlo), min(hi, rhi)) for lo, hi in runs]
+        return [(lo, hi) for lo, hi in out if hi > lo]
 
     def _range_combos(self) -> list[dict[str, tuple]]:
         """Expand the selection into per-scan range dicts: the base box plus
@@ -126,12 +137,19 @@ class MdioVariable:
         like the reference (impl.h:181-186; vector form windows beyond it)."""
         import itertools as _it
 
-        base = {d: self.dataset._ranges[d] for d in self.dims if d in self.dataset._ranges}
         run_dims = [d for d in self.dims if d in self.dataset._runs]
+        base = {
+            d: self.dataset._ranges[d]
+            for d in self.dims
+            if d in self.dataset._ranges and d not in run_dims
+        }
         if not run_dims:
             return [base]
+        per_dim_runs = [
+            self._effective_runs(d, list(self.dims).index(d)) for d in run_dims
+        ]
         combos = []
-        for combo in _it.product(*[self.dataset._runs[d] for d in run_dims]):
+        for combo in _it.product(*per_dim_runs):
             r = dict(base)
             for d, (lo, hi) in zip(run_dims, combo):
                 r[d] = (lo, hi)
@@ -182,8 +200,12 @@ class MdioVariable:
         axis = list(self.dims).index(dim)
         parts = [
             self.dataset.store.read_array(self.name, {**base, dim: (lo, hi)})
-            for lo, hi in self.dataset._runs[dim]
+            for lo, hi in self._effective_runs(dim, axis)
         ]
+        if not parts:
+            shape = list(self.meta.shape)
+            shape[axis] = 0
+            return np.empty(shape, dtype=self.meta.np_dtype)
         return np.concatenate(parts, axis=axis)
 
     def planned_chunks(self) -> int:

@@ -508,3 +508,25 @@ def test_bench_and_entry_importable():
 
     py_compile.compile("/root/repo/bench.py", doraise=True)
     py_compile.compile("/root/repo/__spark_entry__.py", doraise=True)
+
+
+def test_multi_run_sel_composes_with_isel():
+    # sel(point, multi-run) then isel on the SAME dim must intersect, not
+    # ignore the range
+    root = _fresh("runs3")
+    ds = _toy_ds(root)
+    coord = np.arange(100, 148, dtype="i8")
+    coord[5:8] = 7
+    coord[20:22] = 7
+    ds.store.write_array_numpy("il", coord)
+    ds = MdioDataset.open(root)
+    sel = ds.sel(il=7).isel(il=(0, 21))
+    v = sel.var("img")
+    assert v.interval_runs()["il"] == [(5, 8), (20, 21)]
+    assert v.num_samples() == (3 + 1) * 24
+    full = np.arange(48 * 24, dtype="f4").reshape(48, 24)
+    assert np.array_equal(v.read(), np.concatenate([full[5:8], full[20:21]]))
+    # disjoint isel → empty selection
+    empty = ds.sel(il=7).isel(il=(30, 40)).var("img")
+    assert empty.num_samples() == 0
+    assert empty.read().shape == (0, 24)
