@@ -79,6 +79,73 @@ def test_store_lifecycle_over_memory_fs(version):
         ZarrStore.open(root)
 
 
+def test_fsspec_backend_with_stub_module(monkeypatch):
+    """Exercise FsspecKVStore's actual code path by injecting a minimal
+    fsspec stand-in into sys.modules — proves the gs://-s3:// branch works
+    end-to-end the moment a real fsspec wheel appears, not just that the
+    router raises without one."""
+    import io
+    import sys
+    import types
+
+    files: dict[str, bytes] = {}
+
+    class _FakeFS:
+        def open(self, path, mode="rb"):
+            if "r" in mode:
+                if path not in files:
+                    raise FileNotFoundError(path)
+                return io.BytesIO(files[path])
+            buf = io.BytesIO()
+            orig_close = buf.close
+
+            def close():
+                files[path] = buf.getvalue()
+                orig_close()
+
+            buf.close = close
+            return buf
+
+        def exists(self, path):
+            return path in files or any(k.startswith(path.rstrip("/") + "/") for k in files)
+
+        def rm_file(self, path):
+            if path not in files:
+                raise FileNotFoundError(path)
+            del files[path]
+
+        def ls(self, path, detail=False):
+            pref = path.rstrip("/") + "/"
+            out = {pref + k[len(pref):].split("/", 1)[0] for k in files if k.startswith(pref)}
+            if not out and path not in files:
+                raise FileNotFoundError(path)
+            return sorted(out)
+
+        def rm(self, path, recursive=False):
+            pref = path.rstrip("/") + "/"
+            for k in [k for k in files if k.startswith(pref) or k == path]:
+                del files[k]
+
+    fake = types.ModuleType("fsspec")
+    fake.core = types.SimpleNamespace(
+        url_to_fs=lambda url: (_FakeFS(), url.split("://", 1)[1])
+    )
+    monkeypatch.setitem(sys.modules, "fsspec", fake)
+
+    root = "gs://bucket/store"
+    st = ZarrStore.create(root, version=2)
+    st.create_array("a", shape=(100,), chunks=(32,), dtype="int32", dims=("i",),
+                    compressor={"id": "zlib", "level": 1})
+    st.write_array_numpy("a", np.arange(100, dtype="i4"))
+    st.consolidate()
+    st2 = ZarrStore.open(root)
+    assert np.array_equal(st2.read_array("a", ranges={"i": (10, 20)}), np.arange(10, 20))
+    report = trim_dataset(root, i=40)
+    assert report["a"] == 2  # chunks 2,3 wholly beyond ceil(40/32)=2
+    delete_dataset(root)
+    assert not files
+
+
 def test_dataset_model_over_memory_fs():
     root = "memory://ds1/toy"
     open_kvstore(root).delete_all()
