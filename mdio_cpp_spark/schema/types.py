@@ -104,9 +104,9 @@ def parse_v2_dtype(dtype: Any) -> tuple[str | None, np.dtype, bool]:
     header_only = np_dt.kind in HEADER_ONLY_KINDS
     name = _V2_TO_NAME.get(s)
     if name is None and not header_only:
-        # normalize e.g. ">f4" → reject big-endian, else map via numpy name
-        if s.startswith(">"):
-            raise ValueError(f"big-endian dtype {s!r} not supported")
+        # big-endian stores (some external zarr writers emit them) keep the
+        # stored byte order in np_dtype — the chunk decoder byteswaps to
+        # native after frombuffer; the mdio scalar name is order-independent
         name = np_dt.name if np_dt.name in SCALAR_TYPES else None
     return name, np_dt, header_only
 

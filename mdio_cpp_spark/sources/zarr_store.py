@@ -66,9 +66,10 @@ class ZarrArrayMeta:
     name: str
     shape: tuple[int, ...]
     chunks: tuple[int, ...]
-    np_dtype: np.dtype
+    np_dtype: np.dtype               # NATIVE byte order (what callers see)
     mdio_type: str | None            # MDIO scalar name; None for struct dtypes
     fill: Any                        # numpy scalar/void or None
+    stored_dtype: Any = None         # on-disk dtype when it differs (big-endian)
     zarr_version: int = 2
     compressor: dict | None = None   # v2
     v3_codecs: list = field(default_factory=list)
@@ -172,7 +173,20 @@ def _v3_array_json(meta: ZarrArrayMeta) -> dict:
 
 
 def _meta_from_v2(name: str, zarray: dict, zattrs: dict) -> ZarrArrayMeta:
+    if zarray.get("filters"):
+        # a filter chain we don't implement would decode to garbage — refuse
+        # loudly rather than return wrong values (delta/quantize etc.)
+        raise NotImplementedError(
+            f"array {name!r} uses v2 filters {zarray['filters']!r}; "
+            "filter chains are not supported"
+        )
     mdio_name, np_dt, header_only = parse_v2_dtype(zarray["dtype"])
+    stored = None
+    if np_dt.fields is None and np_dt.byteorder == ">":
+        # external big-endian store: keep the on-disk dtype for the decoder,
+        # surface the native one everywhere else
+        stored = np_dt
+        np_dt = np_dt.newbyteorder("=")
     fill = decode_fill_json(zarray.get("fill_value"), np_dt)
     dims = tuple(zattrs.get("_ARRAY_DIMENSIONS", ()))
     return ZarrArrayMeta(
@@ -182,6 +196,7 @@ def _meta_from_v2(name: str, zarray: dict, zattrs: dict) -> ZarrArrayMeta:
         np_dtype=np_dt,
         mdio_type=mdio_name,
         fill=fill,
+        stored_dtype=stored,
         zarr_version=2,
         compressor=zarray.get("compressor"),
         order=zarray.get("order", "C"),
@@ -483,7 +498,9 @@ class ZarrStore:
             raw = _codecs.decompress_v2(raw, meta.compressor)
         else:
             raw = _codecs.decompress_v3(raw, meta.v3_codecs)
-        arr = np.frombuffer(raw, dtype=meta.np_dtype)
+        arr = np.frombuffer(raw, dtype=meta.stored_dtype or meta.np_dtype)
+        if meta.stored_dtype is not None:
+            arr = arr.astype(meta.np_dtype)  # byteswap big-endian → native
         return arr.reshape(meta.chunks, order=meta.order)
 
     def encode_chunk(self, meta: ZarrArrayMeta, block: np.ndarray) -> bytes:

@@ -530,3 +530,44 @@ def test_multi_run_sel_composes_with_isel():
     empty = ds.sel(il=7).isel(il=(30, 40)).var("img")
     assert empty.num_samples() == 0
     assert empty.read().shape == (0, 24)
+
+
+def test_big_endian_external_store_reads(spark):
+    # an externally-written >i4 store must read back byteswapped to native
+    import json
+    import zlib
+
+    root = _fresh("bigend")
+    os.makedirs(os.path.join(root, "v"), exist_ok=True)
+    with open(os.path.join(root, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    zarray = {"zarr_format": 2, "shape": [10], "chunks": [10], "dtype": ">i4",
+              "compressor": {"id": "zlib", "level": 1}, "fill_value": 0,
+              "order": "C", "filters": None, "dimension_separator": "."}
+    with open(os.path.join(root, "v", ".zarray"), "w") as f:
+        json.dump(zarray, f)
+    vals = np.arange(10, dtype=">i4")
+    with open(os.path.join(root, "v", "0"), "wb") as f:
+        f.write(zlib.compress(vals.tobytes()))
+    st = ZarrStore.open(root)
+    meta = st.array_meta("v")
+    assert meta.np_dtype == np.dtype("<i4") or meta.np_dtype == np.dtype("int32")
+    assert np.array_equal(st.read_array("v"), np.arange(10))
+    pdf = scan_array(spark, root, "v").orderBy("dim_0").toPandas()
+    assert list(pdf["value"]) == list(range(10))
+
+
+def test_v2_filters_rejected():
+    import json
+
+    root = _fresh("filters")
+    os.makedirs(os.path.join(root, "v"), exist_ok=True)
+    with open(os.path.join(root, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    zarray = {"zarr_format": 2, "shape": [10], "chunks": [10], "dtype": "<i4",
+              "compressor": None, "fill_value": 0, "order": "C",
+              "filters": [{"id": "delta", "dtype": "<i4"}]}
+    with open(os.path.join(root, "v", ".zarray"), "w") as f:
+        json.dump(zarray, f)
+    with pytest.raises(NotImplementedError, match="filters"):
+        ZarrStore.open(root).array_meta("v")
