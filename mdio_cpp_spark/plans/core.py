@@ -628,6 +628,61 @@ def w04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "w05_ntile_percent_rank",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist() OVER w, 6) AS cd
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+def w05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile quartiles + percent_rank + cume_dist per
+    nation — partitioned windows only."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        s.select(
+            "s_suppkey",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@declared(
+    "a07_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped percentiles (linear interpolation) — Spark's
+    `percentile` matches DuckDB's quantile_cont bit-for-bit after rounding.
+    At 100 TB you'd flip to approx_percentile; the exact form is the oracle
+    gate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@declared(
     "t06_regexp_extract",
     oracle="""
     SELECT o_orderkey, regexp_extract(o_orderpriority, '^([0-9]+)-([A-Z]+)$', 2) AS prio_word,
