@@ -329,6 +329,31 @@ class MdioDataset:
             out._ranges[dim] = (max(lo, plo), min(hi, phi), max(step, pstep))
         return out
 
+    def isel_multi(self, **ranges: Sequence[tuple[int, int]]) -> "MdioDataset":
+        """Multiple index ranges on one dimension — the reference's
+        duplicate-label slice path (Variable::slice with repeated labels →
+        per-range slice + tensorstore::Concat, variable.h:1357-1396). Ranges
+        must be half-open, ascending, non-overlapping; the scan unions one
+        pruned sub-scan per range (same machinery as multi-run ``sel``)."""
+        out = self._copy_with()
+        for dim, runs in ranges.items():
+            norm: list[tuple[int, int]] = []
+            prev = -1
+            for r in runs:
+                lo, hi = int(r[0]), int(r[1])
+                if lo < 0 or hi < lo:
+                    raise ValueError(f"bad range ({lo}, {hi}) for {dim!r}")
+                if lo <= prev:
+                    raise ValueError(
+                        f"isel_multi ranges for {dim!r} must be ascending and "
+                        "non-overlapping"
+                    )
+                prev = hi - 1
+                if hi > lo:
+                    norm.append((lo, hi))
+            out._runs[dim] = norm
+        return out
+
     def _dim_coordinate(self, label: str) -> np.ndarray:
         meta = self._metas.get(label)
         if meta is None or meta.ndim != 1 or (meta.dims and meta.dims[0] != label):

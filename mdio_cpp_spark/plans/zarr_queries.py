@@ -778,6 +778,30 @@ def zarr21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "zarr22_multirange_isel",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS price FROM
+      (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE (rn - 1 >= 500 AND rn - 1 < 1500)
+       OR (rn - 1 >= 6000 AND rn - 1 < 6500)
+       OR (rn - 1 >= 9000 AND rn - 1 < 9100)
+    ORDER BY i
+    """,
+)
+def zarr22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 at the store level: MULTIPLE index ranges on one dimension
+    (the reference's duplicate-label slice → per-range slice + Concat,
+    variable.h:1357-1396). Each range scans only its own chunks; the plan is
+    a union of three pruned scans, nothing in between is read."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    return (
+        ds.isel_multi(i=[(500, 1500), (6000, 6500), (9000, 9100)])
+        .to_df(spark, "price", value_col="price")
+        .orderBy("i")
+    )
+
+
+@declared(
     "zarr13_fill_dense",
     oracle="""
     SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS cnt,

@@ -571,3 +571,17 @@ def test_v2_filters_rejected():
         json.dump(zarray, f)
     with pytest.raises(NotImplementedError, match="filters"):
         ZarrStore.open(root).array_meta("v")
+
+
+def test_isel_multi_ranges():
+    root = _fresh("multi")
+    ds = _toy_ds(root)
+    sel = ds.isel_multi(il=[(2, 6), (20, 30)])
+    v = sel.var("img")
+    assert v.num_samples() == (4 + 10) * 24
+    full = np.arange(48 * 24, dtype="f4").reshape(48, 24)
+    assert np.array_equal(v.read(), np.concatenate([full[2:6], full[20:30]]))
+    with pytest.raises(ValueError, match="ascending"):
+        ds.isel_multi(il=[(10, 20), (5, 8)])
+    with pytest.raises(ValueError, match="ascending"):
+        ds.isel_multi(il=[(0, 10), (9, 15)])  # overlap
