@@ -465,9 +465,10 @@ def zarr08(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def zarr09(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IO5 write gate: lineitem quantities → Spark chunk-aligned zarr write
-    (each chunk owned by exactly one task — no read-modify-write, the UB the
-    reference warns about) → re-scan → aggregate. The stored bytes, not the
-    source DataFrame, produce the answer."""
+    (each chunk owned by exactly one task, so the concurrent-write UB the
+    reference warns about cannot happen; existing chunks RMW'd by their
+    single owner) → re-scan → aggregate. The stored bytes, not the source
+    DataFrame, produce the answer."""
     store = _main_store(spark, sf_dir)
     ds = MdioDataset.open(store)
     li = table(spark, sf_dir, "lineitem")
