@@ -102,7 +102,7 @@ class MdioVariable:
         out: dict[str, list[tuple[int, int]]] = {}
         for d, dim in enumerate(self.dims):
             if dim in self.dataset._runs:
-                out[dim] = self._effective_runs(dim, d)
+                out[dim] = self._effective_runs(dim)
             else:
                 lo, hi, _ = self.dataset._ranges.get(dim, (0, self.meta.shape[d], 1))
                 out[dim] = [(max(0, lo), min(self.meta.shape[d], hi))]
@@ -113,14 +113,14 @@ class MdioVariable:
         for d, dim in enumerate(self.dims):
             if dim in self.dataset._runs:
                 # multi-run point sel: selected size is the sum of run lengths
-                out[dim] = sum(hi - lo for lo, hi in self._effective_runs(dim, d))
+                out[dim] = sum(hi - lo for lo, hi in self._effective_runs(dim))
                 continue
             lo, hi, step = self.dataset._ranges.get(dim, (0, self.meta.shape[d], 1))
             lo, hi = max(0, lo), min(self.meta.shape[d], hi)
             out[dim] = max(0, -(-(hi - lo) // step))
         return out
 
-    def _effective_runs(self, dim: str, d: int) -> list[tuple[int, int]]:
+    def _effective_runs(self, dim: str) -> list[tuple[int, int]]:
         """Runs for a dim, intersected with any isel range composed on top
         (a sel-multi-run followed by isel on the same label must honor
         both); empty-intersection runs drop out."""
@@ -146,7 +146,7 @@ class MdioVariable:
         if not run_dims:
             return [base]
         per_dim_runs = [
-            self._effective_runs(d, list(self.dims).index(d)) for d in run_dims
+            self._effective_runs(d) for d in run_dims
         ]
         combos = []
         for combo in _it.product(*per_dim_runs):
@@ -200,7 +200,7 @@ class MdioVariable:
         axis = list(self.dims).index(dim)
         parts = [
             self.dataset.store.read_array(self.name, {**base, dim: (lo, hi)})
-            for lo, hi in self._effective_runs(dim, axis)
+            for lo, hi in self._effective_runs(dim)
         ]
         if not parts:
             shape = list(self.meta.shape)

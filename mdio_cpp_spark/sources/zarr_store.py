@@ -181,6 +181,13 @@ def _meta_from_v2(name: str, zarray: dict, zattrs: dict) -> ZarrArrayMeta:
             "filter chains are not supported"
         )
     mdio_name, np_dt, header_only = parse_v2_dtype(zarray["dtype"])
+    if np_dt.fields is not None and any(
+        np_dt.fields[n][0].byteorder == ">" for n in np_dt.names
+    ):
+        # a BE struct field would decode silently wrong — refuse loudly
+        raise NotImplementedError(
+            f"array {name!r} has big-endian struct fields; not supported"
+        )
     stored = None
     if np_dt.fields is None and np_dt.byteorder == ">":
         # external big-endian store: keep the on-disk dtype for the decoder,
