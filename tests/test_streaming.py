@@ -147,3 +147,70 @@ def test_stream_write_array_ingest(spark, tmp_path):
     q = stream_write_array(stream, root, "v", checkpoint=str(tmp_path / "ckpt"))
     q.awaitTermination(120)
     assert np.array_equal(ZarrStore.open(root).read_array("v"), np.arange(n) * 2.0)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: an event arriving in a
+    later micro-batch but timestamped far before the advanced watermark is
+    dropped — its window never emits, on-time counts are unaffected.
+
+    Uses a LIVE processingTime trigger on purpose: in this Spark build,
+    Trigger.AvailableNow pre-plans its micro-batches and does NOT apply the
+    late-record filter between them (numRowsDroppedByWatermark stays 0 and
+    the stale window emits) — verified empirically; the live trigger shows
+    the documented drop behavior."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.streaming.events import windowed_event_agg
+
+    src = str(tmp_path / "late_src")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts_s string, value double"
+        ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "value",
+                 F.lit("click").alias("event_type"))
+
+    mk([(i, f"2024-01-01 10:{m:02d}:30", 1.0) for i, m in enumerate([0, 1, 2, 30, 31])]) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    out = windowed_event_agg(stream, "1 minute")
+    q = (
+        out.writeStream.format("memory").queryName("late_test")
+        .outputMode("append").trigger(processingTime="500 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        def wait_rows(target, timeout=60):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if sum(p["numInputRows"] for p in q.recentProgress) >= target:
+                    return
+                time.sleep(0.5)
+            raise TimeoutError(f"stream never processed {target} rows")
+
+        wait_rows(5)  # watermark now 10:21:30
+        # a whole day late — far beyond the 10-minute allowance
+        mk([(99, "2023-12-31 09:00:30", 7.0)]).coalesce(1).write.mode("append").parquet(src)
+        wait_rows(6)
+        time.sleep(2)  # one more tick so the batch's metrics land
+    finally:
+        q.stop()
+    dropped = sum(
+        (p.get("stateOperators") or [{}])[0].get("numRowsDroppedByWatermark") or 0
+        for p in q.recentProgress
+    )
+    assert dropped >= 1
+    rows = {r["ws"].strftime("%m-%d %H:%M"): r["n_events"] for r in spark.sql(
+        "SELECT * FROM late_test").collect()}
+    assert rows.get("01-01 10:00") == 1 and rows.get("01-01 10:01") == 1
+    assert not any(k.startswith("12-31") for k in rows)
