@@ -616,6 +616,38 @@ def mm03(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- streaming (batch twins)
 
 @declared(
+    "st03_interval_join",
+    oracle="""
+    SELECT a.event_id AS sid, b.event_id AS eid, a.user_id AS user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'signup' AND b.event_type = 'error'
+     AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 1 AND 1800000000
+    ORDER BY sid, eid
+    """,
+)
+def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (signup → error within 30 min per user) — the batch
+    twin of the watermarked stream-stream join (streaming/events.py
+    interval_join; parity pinned in test_streaming). Equi-join on user +
+    µs-exact range predicate."""
+    e = _t(spark, sf_dir, "events")
+    out = ev.interval_join(
+        e.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts"),
+        e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts"),
+        key="user_id", time_col="ts", max_gap_seconds=1800,
+    )
+    return (
+        out.select(
+            F.col("l_event_id").alias("sid"),
+            F.col("r_event_id").alias("eid"),
+            F.col("l_user_id").alias("user_id"),
+        )
+        .orderBy("sid", "eid")
+    )
+
+
+@declared(
     "st01_event_window_agg",
     oracle="""
     SELECT date_trunc('minute', ts) AS ws, event_type, COUNT(*) AS n_events,

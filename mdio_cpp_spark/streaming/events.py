@@ -56,6 +56,28 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def interval_join(
+    left: DataFrame, right: DataFrame, key: str, time_col: str, max_gap_seconds: int
+) -> DataFrame:
+    """Per-key interval join: each left event pairs with right events of the
+    same key STRICTLY after it and within ``max_gap_seconds`` — the
+    stream-stream join shape (watermarks on both sides bound the state the
+    join must buffer; in batch it is an equi-join + range predicate, which
+    Spark executes as a sort-merge join with the range as a post-filter).
+    Microsecond-exact arithmetic so the DuckDB oracle matches bit-for-bit.
+
+    Returns (left columns prefixed l_, right columns prefixed r_)."""
+    lt = left.select(*[F.col(c).alias(f"l_{c}") for c in left.columns])
+    rt = right.select(*[F.col(c).alias(f"r_{c}") for c in right.columns])
+    gap = F.unix_micros(F.col(f"r_{time_col}")) - F.unix_micros(F.col(f"l_{time_col}"))
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (gap > 0)
+        & (gap <= max_gap_seconds * 1_000_000)
+    )
+    return lt.join(rt, cond)
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based streaming source over the events parquet (one-shot with
     Trigger.availableNow in tests; identical shape to a Kafka source in prod)."""

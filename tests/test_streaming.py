@@ -214,3 +214,39 @@ def test_watermark_drops_late_events(spark, tmp_path):
         "SELECT * FROM late_test").collect()}
     assert rows.get("01-01 10:00") == 1 and rows.get("01-01 10:01") == 1
     assert not any(k.startswith("12-31") for k in rows)
+
+
+def test_stream_stream_interval_join_parity(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join (availableNow) must produce
+    exactly the batch interval_join rows — inner-join results are emittable
+    without waiting for watermark closure, so the one-shot run is complete."""
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.catalog import table
+    from mdio_cpp_spark.streaming.events import interval_join, stream_events
+
+    batch = table(spark, sf_dir, "events")
+    expected = sorted(
+        (r["l_event_id"], r["r_event_id"])
+        for r in interval_join(
+            batch.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts"),
+            batch.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts"),
+            key="user_id", time_col="ts", max_gap_seconds=1800,
+        ).collect()
+    )
+
+    src = stream_events(spark, sf_dir)
+    left = (src.filter(F.col("event_type") == "signup")
+            .select("event_id", "user_id", "ts").withWatermark("ts", "1 hour"))
+    right = (src.filter(F.col("event_type") == "error")
+             .select("event_id", "user_id", "ts").withWatermark("ts", "1 hour"))
+    joined = interval_join(left, right, key="user_id", time_col="ts", max_gap_seconds=1800)
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted((r["l_event_id"], r["r_event_id"]) for r in spark.sql("SELECT * FROM ssj").collect())
+    assert got == expected and len(got) > 0
