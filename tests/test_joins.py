@@ -68,3 +68,44 @@ def test_asof_bad_how(frames):
     left, right = frames
     with pytest.raises(ValueError, match="how"):
         asof_join(left, right, "ts", "rts", ["v1"], how="full")
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides of a recurring join key eliminates the join
+    shuffle entirely — the co-location pattern for repeated big-big joins at
+    scale. Asserts the physical plan has NO Exchange above either scan and
+    that results match the plain join."""
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.catalog import table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path / 'wh'}'")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        (
+            table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+            .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+            .mode("overwrite").saveAsTable("bktdb.cust_b")
+        )
+        (
+            table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+            .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .mode("overwrite").saveAsTable("bktdb.ord_b")
+        )
+        c = spark.table("bktdb.cust_b")
+        o = spark.table("bktdb.ord_b")
+        joined = c.join(o, c.c_custkey == o.o_custkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        expected = (
+            table(spark, sf_dir, "customer")
+            .join(table(spark, sf_dir, "orders"),
+                  F.col("c_custkey") == F.col("o_custkey"))
+            .count()
+        )
+        assert joined.count() == expected and expected > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bktdb.cust_b")
+        spark.sql("DROP TABLE IF EXISTS bktdb.ord_b")
+        spark.sql("DROP DATABASE IF EXISTS bktdb")
