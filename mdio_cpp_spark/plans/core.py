@@ -458,6 +458,41 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["urgent", "high", "medium", "notspec", "low"]
+
+
+def _dd_pivot_sql() -> str:
+    cols = ",\n           ".join(
+        f"ROUND(SUM(CASE WHEN o_orderpriority = '{p}' THEN o_totalprice END), 2) AS {a}"
+        for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+    )
+    return f"""
+    SELECT o_orderstatus,
+           {cols}
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """
+
+
+@declared("g03_pivot", oracle=_dd_pivot_sql())
+def g03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order-priority columns per order status (absent in reference;
+    built-in groupBy().pivot()). The value list is passed explicitly, so no
+    extra distinct-values job runs and the output schema is static — the
+    form that scales (one shuffle, map-side partial aggs per pivot cell)."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    renamed = p.select(
+        "o_orderstatus",
+        *[F.col(f"`{v}`").alias(a) for v, a in zip(_PRIORITIES, _PRIORITY_ALIASES)],
+    )
+    return renamed.orderBy("o_orderstatus")
+
+
 @declared(
     "w03_range_frame",
     oracle="""

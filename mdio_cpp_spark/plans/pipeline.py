@@ -547,6 +547,146 @@ def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", text.fingerprint("text").alias("fp")).orderBy("doc_id")
 
 
+def _dd_tfidf_sql() -> str:
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, t AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({_DD_TOKS}) AS t FROM documents)
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS tfidf
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, n.n_docs,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC
+             ) AS rn
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rn = 1 ORDER BY doc_id
+    """
+
+
+@declared("t07_tfidf", oracle=_dd_tfidf_sql())
+def t07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: per-doc term frequencies x corpus inverse document frequency;
+    returns each doc's top term. Ranking is by the integer triple
+    (tf DESC, df ASC, term ASC) — the same order tf*ln(N/df) induces for a
+    fixed tf, but deterministic across engines (no float comparisons in the
+    window sort); the float tfidf itself is display-rounded to 4dp.
+
+    Scale shape: explode -> (doc,term) partial-agg count (map-side combine),
+    df is a second agg over the already-reduced tf table, N broadcasts as a
+    1-row frame, and the per-doc window partitions on doc_id (high
+    cardinality — no single-partition sort). The tf⋈df join shuffles on term;
+    stopword-grade heavy hitters skew it, which AQE skew-join splits."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(text.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                4,
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "t08_heavy_hitters",
+    oracle=f"""
+    SELECT t AS term, COUNT(*) AS cnt
+    FROM (SELECT unnest({_DD_TOKS}) AS t FROM documents)
+    GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT 20
+    """,
+)
+def t08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-20 tokens by frequency, ties broken by term.
+    Map-side partial counts make the shuffle vocabulary-sized regardless of
+    corpus size; TakeOrderedAndProject keeps the top-k off the driver until
+    the final 20 rows."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(text.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+_CURATE_MIN_SCORE, _CURATE_TOK_LO, _CURATE_TOK_HI = 0.2, 10, 1000
+
+
+def _dd_curation_sql() -> str:
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text, CAST(len(w) AS BIGINT) AS n_tok,
+             ROUND(
+               LEAST(CAST(1.0 AS DOUBLE), CAST(len(w) AS DOUBLE) / CAST(100.0 AS DOUBLE))
+               * (CAST(1.0 AS DOUBLE) - (CAST(length(text) AS DOUBLE)
+                   - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)) / CAST(length(text) AS DOUBLE))
+               * (CAST(0.5 AS DOUBLE) + LEAST(
+                    CAST({_dd_hits("the")} + {_dd_hits("a")} + {_dd_hits("of")} AS DOUBLE) / CAST(len(w) AS DOUBLE),
+                    CAST(0.5 AS DOUBLE))),
+               4) AS score
+      FROM (SELECT doc_id, text, {_DD_TOKS} AS w FROM documents)
+    )
+    SELECT doc_id, n_tok, score FROM (
+      SELECT doc_id, n_tok, score,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM scored
+      WHERE score >= {_CURATE_MIN_SCORE}
+        AND n_tok BETWEEN {_CURATE_TOK_LO} AND {_CURATE_TOK_HI}
+    ) WHERE rn = 1 ORDER BY doc_id
+    """
+
+
+@declared("p02_corpus_curation", oracle=_dd_curation_sql())
+def p02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation step a pre-training pipeline runs before packing:
+    quality gate (score >= 0.2, already 4dp-rounded so the threshold compare
+    is engine-stable) + length gate, then exact dedup keeping the lowest
+    doc_id per content hash. Filters run BEFORE the dedup shuffle, so the
+    md5-partitioned window only sees survivors; the window key (content
+    hash) has near-unique cardinality — no skew, no global sort."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        text.token_count("text").alias("n_tok"),
+        text.quality_score("text").alias("score"),
+    ).filter(
+        (F.col("score") >= _CURATE_MIN_SCORE)
+        & F.col("n_tok").between(_CURATE_TOK_LO, _CURATE_TOK_HI)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tok", "score")
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 @declared(
