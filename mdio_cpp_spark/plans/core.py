@@ -612,6 +612,44 @@ def set03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionByName(s).groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).orderBy("k")
 
 
+_QTY_BINS = [(0, 1.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 40.0), (3, 40.0, 51.0)]
+
+
+def _dd_range_join_sql() -> str:
+    rows = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _QTY_BINS)
+    return f"""
+    WITH bins(b_id, lo, hi) AS (VALUES {rows})
+    SELECT CAST(b_id AS BIGINT) AS b_id, COUNT(*) AS cnt,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN bins ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@declared("j05_range_join", oracle=_dd_range_join_sql())
+def j05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: fact rows against a broadcast interval table.
+    With a handful of arbitrary intervals the right physical plan IS a
+    broadcast nested-loop — each row tests |bins| predicates map-side, no
+    shuffle before the partial agg. (Uniform bins would instead be a
+    computed width_bucket key; overlapping genome-style intervals an
+    interval tree. The broadcast NLJ is the general-purpose form.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    bins = spark.createDataFrame(_QTY_BINS, "b_id long, lo double, hi double")
+    return (
+        li.join(
+            F.broadcast(bins),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("b_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("b_id")
+    )
+
+
 @declared(
     "j04_full_outer",
     oracle="""
@@ -712,6 +750,36 @@ def a07(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
             F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
             F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@declared(
+    "a08_stat_moments",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics: grouped stddev/variance plus two-column
+    correlation and covariance. All four merge as distributed co-moments
+    (Chan et al. pairwise update) — one partial agg, one vocabulary-sized
+    shuffle; rounding absorbs the accumulation-order ulps vs the
+    single-threaded oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qp"),
         )
         .orderBy("l_returnflag")
     )
