@@ -822,3 +822,24 @@ def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap), microsecond-exact arithmetic."""
     e = _t(spark, sf_dir, "events")
     return ev.sessionize(e, gap_seconds=1800).orderBy("user_id", "event_id")
+
+
+@declared(
+    "st04_stream_dedup",
+    oracle="""
+    SELECT DISTINCT event_id, user_id, event_type, value
+    FROM (SELECT event_id, user_id, event_type, value FROM events
+          UNION ALL
+          SELECT event_id, user_id, event_type, value FROM events)
+    ORDER BY event_id
+    """,
+)
+def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery dedup: the input is the event stream delivered
+    twice (UNION ALL simulates a Kafka replay); dedup by event_id restores
+    exactly-once. Batch twin of streaming/events.py dedup_events — the
+    streaming side (watermark-bounded state) is parity-pinned in
+    test_streaming. Copies are identical rows, so keep-any is deterministic;
+    the dedup is one hash aggregate on the id, map-side partial first."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    return ev.dedup_events(e.unionAll(e)).orderBy("event_id")

@@ -78,6 +78,23 @@ def interval_join(
     return lt.join(rt, cond)
 
 
+def dedup_events(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Exactly-once projection under at-least-once delivery: drop redelivered
+    events by event_id. All copies of a redelivered event are byte-identical,
+    so keep-any semantics is deterministic. On a stream, the watermark bounds
+    the dedup state store — ids older than the watermark are evicted, which
+    is the standard Kafka-replay dedup shape; in batch the same call is a
+    hash aggregate on event_id.
+
+    The streaming path keys on (event_id, ts): Spark only evicts dedup state
+    when the event-time column is part of the dedup key, and redelivered
+    copies carry the original ts, so adding it changes nothing semantically
+    while keeping state bounded by the watermark."""
+    if watermark is not None:
+        return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+    return events.dropDuplicates(["event_id"])
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based streaming source over the events parquet (one-shot with
     Trigger.availableNow in tests; identical shape to a Kafka source in prod)."""

@@ -250,3 +250,41 @@ def test_stream_stream_interval_join_parity(spark, sf_dir, tmp_path):
     q.awaitTermination(180)
     got = sorted((r["l_event_id"], r["r_event_id"]) for r in spark.sql("SELECT * FROM ssj").collect())
     assert got == expected and len(got) > 0
+
+
+def test_stream_dedup_parity(spark, sf_dir, tmp_path):
+    """Watermarked streaming dedup over a replayed source (the same events
+    file delivered twice) must restore exactly the batch-distinct row set —
+    the at-least-once → exactly-once recovery dedup_events implements."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.catalog import table
+    from mdio_cpp_spark.streaming.events import EVENTS_RAW_SCHEMA, dedup_events
+
+    src_dir = tmp_path / "replayed"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "delivery_1.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "delivery_2.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")  # deliveries arrive as separate micro-batches
+        .load(str(src_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        dedup_events(raw, watermark="1 hour")
+        .select("event_id")
+        .writeStream.format("memory").queryName("dedup_test")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_test").collect())
+    expected = sorted(r["event_id"] for r in table(spark, sf_dir, "events").collect())
+    assert got == expected and len(got) > 0
