@@ -822,3 +822,41 @@ def zarr13(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("i").alias("sum_i"),
         F.max("v").alias("fill_v"),
     )
+
+
+@declared(
+    "zarr23_axis_reduce",
+    oracle=f"""
+    WITH n AS (SELECT LEAST(CAST((SELECT COUNT(*) FROM orders) AS BIGINT) // {GRID_C}, 128) AS rows_),
+    cells AS (
+      SELECT CAST((rn - 1) // {GRID_C} AS BIGINT) AS row, CAST((rn - 1) % {GRID_C} AS BIGINT) AS col,
+             o_totalprice AS v
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < (SELECT rows_ FROM n) * {GRID_C}
+    )
+    SELECT row, COUNT(*) AS n_cells,
+           ROUND(SUM(v), 2) / COUNT(*) AS mean_v, ROUND(SUM(v), 2) AS sum_v
+    FROM cells WHERE row < 64 GROUP BY row ORDER BY row
+    """,
+)
+def zarr23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axis reduction over a stored 2-D array: mean/sum of each row across
+    the full col extent (the xarray ``arr.mean(dim='col')`` shape; the
+    reference stops at whole-variable SummaryStats, stats.h:229-335 — a
+    per-remaining-dim reduce is the array-analytics upgrade). The row slice
+    prunes chunks first, then the reduce is a partial agg keyed on the
+    surviving dim — the shuffle carries one row per (row, partial), never
+    cell data."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "grid_v2.zarr"))
+    return (
+        ds.isel(row=(0, 64))
+        .to_df(spark, "grid", value_col="v")
+        .groupBy("row")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            (F.round(F.sum("v"), 2) / F.count(F.lit(1))).alias("mean_v"),
+            F.round(F.sum("v"), 2).alias("sum_v"),
+        )
+        .orderBy("row")
+    )
