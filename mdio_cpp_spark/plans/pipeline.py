@@ -843,3 +843,28 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup is one hash aggregate on the id, map-side partial first."""
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
     return ev.dedup_events(e.unionAll(e)).orderBy("event_id")
+
+
+@declared(
+    "t09_json_props",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_hi, CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+    WHERE k > 50 GROUP BY event_type ORDER BY event_type
+    """,
+)
+def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload parsing: from_json over the event props
+    column with an explicit schema (no schema inference job), field
+    extraction, then filter + aggregate. The parse is a JVM-side expression
+    inside whole-stage codegen — per-row JSON in Python would be the
+    anti-pattern."""
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k bigint").getField("k")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_hi"), F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )
