@@ -786,6 +786,29 @@ def a08(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "s04_salted_agg",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-phase salted aggregation on a 3-key (maximally skewed)
+    grouping: phase 1 shuffles on (key, salt) so each hot key spreads across
+    n_salts reducers, phase 2 merges n_salts rows per key. Deterministic
+    xxhash64 salt — identical across retries. Same answer as the plain
+    GROUP BY (the oracle), by construction."""
+    from mdio_cpp_spark.operators.skew import salted_agg_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        salted_agg_count(li, ["l_returnflag"], n_salts=8)
+        .withColumn("cnt", F.col("cnt").cast("long"))
+        .orderBy("l_returnflag")
+    )
+
+
+@declared(
     "t06_regexp_extract",
     oracle="""
     SELECT o_orderkey, regexp_extract(o_orderpriority, '^([0-9]+)-([A-Z]+)$', 2) AS prio_word,
