@@ -580,7 +580,14 @@ def t07(spark: SparkSession, sf_dir: str) -> DataFrame:
     df is a second agg over the already-reduced tf table, N broadcasts as a
     1-row frame, and the per-doc window partitions on doc_id (high
     cardinality — no single-partition sort). The tf⋈df join shuffles on term;
-    stopword-grade heavy hitters skew it, which AQE skew-join splits."""
+    stopword-grade heavy hitters skew it, which AQE skew-join splits. (The
+    window-over-term alternative would scan once but puts every doc holding
+    a stopword in ONE window partition — an OOM at corpus scale, so the
+    join shape is deliberate.)
+
+    tf is a diamond node (feeds both df and the join) and Spark re-derives
+    it — two scans of documents. That is the right one-shot trade; a
+    multi-query pipeline would persist tf (DISK_ONLY) or write it out."""
     from pyspark.sql.window import Window
 
     d = _t(spark, sf_dir, "documents")

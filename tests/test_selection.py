@@ -122,3 +122,24 @@ def test_sequence_packing_budget(spark):
         starts = g["start_off"].to_numpy()
         assert (starts[1:] - starts[:-1] == 100).all()
         assert (g["pack_id"].to_numpy() == starts // 256).all()
+
+
+def test_new_pipeline_query_plan_shapes(spark, sf_dir):
+    """Plan-quality pins for the corpus queries: the top-1-per-group filter
+    must run as WindowGroupLimit (partial before the shuffle), windows must
+    be hash-partitioned (never SinglePartition), and p02's quality filter
+    must evaluate at the scan, before any exchange."""
+    from mdio_cpp_spark.plans import REGISTRY
+
+    t = (
+        REGISTRY["t07_tfidf"].spark(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in t and "hashpartitioning(doc_id" in t
+
+    p = (
+        REGISTRY["p02_corpus_curation"].spark(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in p
+    assert "DataFilters: [(round" in p  # quality gate computed map-side at the scan
