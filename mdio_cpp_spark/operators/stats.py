@@ -20,9 +20,10 @@ shape. Histograms group on a derived bin id, so cardinality of the shuffle is
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -104,4 +105,103 @@ def get_intervals(df: DataFrame, dims: Sequence[str]) -> DataFrame:
         row.select(F.explode(structs).alias("iv"))
         .select("iv.dim", "iv.lo", "iv.hi")
         .orderBy("dim")
+    )
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group: str,
+    col: str,
+    ps: Sequence[tuple[float, str]],
+    round_to: int = 4,
+) -> DataFrame:
+    """EXACT grouped percentiles (quantile_cont linear interpolation) with
+    no per-group value buffering anywhere — the 100 TB-safe alternative to
+    Spark's ``percentile`` UDAF, which holds every value of a group in one
+    reducer's memory (an OOM when a group has billions of rows).
+
+    All stages are parallel and spill-free in state:
+      1. ``groupBy(group, col)`` counts — the only full shuffle, carrying
+         one row per DISTINCT (group, value), partially aggregated map-side.
+      2. Grouped parallel prefix-sum of the counts (the zipWithIndex
+         pattern): values bucket into uniform [min, max] range slices
+         (boundaries baked as literals from one cheap min/max agg;
+         value-uniform data balances well — a pathologically skewed column
+         would swap in approx-quantile boundaries, same machinery),
+         per-(group, bucket) subtotals collect to the driver
+         (G x nparts ints), running offsets broadcast back, and the
+         within-bucket cumulative sum runs in a (group, bucket)-PARTITIONED
+         window — never one partition per group. Per-group totals fall out
+         of the same subtotals — no extra pass.
+      3. Target ranks (n-1)*p broadcast as literal rows; the counts rows
+         covering floor/ceil ranks are filtered out and linearly
+         interpolated: v_lo + frac * (v_hi - v_lo) — the same formula (and
+         evaluation order) as Spark's Percentile and DuckDB quantile_cont.
+
+    ``ps`` is a list of (fraction, output_column_name).
+    """
+    spark = df.sparkSession
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    counts = df.groupBy(group, col).agg(F.count(F.lit(1)).alias("__c"))
+
+    lo_hi = df.agg(F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))).first()
+    vmin, vmax = lo_hi[0], lo_hi[1]
+    bounds: list[float] = []
+    if nparts > 1 and vmin is not None and vmax > vmin:
+        step = (vmax - vmin) / nparts
+        bounds = [vmin + i * step for i in range(1, nparts)]
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col(col).cast("double") > F.lit(float(b))).cast("int")
+    counts = counts.withColumn("__pid", pid)
+
+    sub = counts.groupBy(group, "__pid").agg(F.sum("__c").alias("__s")).collect()
+    per_group: dict = {}
+    for r in sub:
+        per_group.setdefault(r[group], {})[r["__pid"]] = r["__s"]
+    offs = []
+    for g, d in per_group.items():
+        acc = 0
+        for b in sorted(d):
+            offs.append((g, b, acc))
+            acc += d[b]
+    off_df = spark.createDataFrame(offs, [group, "__pid", "__off"])
+
+    w = Window.partitionBy(group, "__pid").orderBy(col)
+    cum = (
+        counts.join(F.broadcast(off_df), [group, "__pid"])
+        .withColumn("__hi_rank", F.sum("__c").over(w) + F.col("__off"))
+        .withColumn("__lo_rank", F.col("__hi_rank") - F.col("__c"))
+    )
+
+    totals = {g: sum(d.values()) for g, d in per_group.items()}
+    tgt_rows = []
+    for g, n in totals.items():
+        for p, name in ps:
+            rank = float(n - 1) * float(p)
+            tgt_rows.append((g, name, rank, int(math.floor(rank)), int(math.ceil(rank))))
+    tgt = spark.createDataFrame(tgt_rows, [group, "__name", "__rank", "__fl", "__ce"])
+
+    covers_fl = (F.col("__lo_rank") <= F.col("__fl")) & (F.col("__fl") < F.col("__hi_rank"))
+    covers_ce = (F.col("__lo_rank") <= F.col("__ce")) & (F.col("__ce") < F.col("__hi_rank"))
+    res = (
+        cum.join(F.broadcast(tgt), group)
+        .where(covers_fl | covers_ce)  # ≤2 rows per (group, p) survive
+        .groupBy(group, "__name")
+        .agg(
+            F.max(F.when(covers_fl, F.col(col))).alias("__v_lo"),
+            F.max(F.when(covers_ce, F.col(col))).alias("__v_hi"),
+            F.max("__rank").alias("__rank"),
+        )
+        .withColumn(
+            "__val",
+            F.col("__v_lo")
+            + (F.col("__rank") - F.floor("__rank")) * (F.col("__v_hi") - F.col("__v_lo")),
+        )
+    )
+    return res.groupBy(group).agg(
+        *[
+            F.round(F.max(F.when(F.col("__name") == name, F.col("__val"))), round_to).alias(name)
+            for _, name in ps
+        ]
     )

@@ -739,20 +739,17 @@ def w05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT grouped percentiles (linear interpolation) — Spark's
-    `percentile` matches DuckDB's quantile_cont bit-for-bit after rounding.
-    At 100 TB you'd flip to approx_percentile; the exact form is the oracle
-    gate."""
+    """EXACT grouped percentiles (quantile_cont interpolation), computed by
+    the scalable operator (stats.grouped_percentiles): distinct-value
+    counts + grouped parallel prefix-sum + rank lookup — no per-group value
+    buffer anywhere, unlike Spark's `percentile` UDAF which holds every
+    group value on one reducer. Same interpolation formula as the DuckDB
+    oracle, rounded to 4dp."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
-        )
-        .orderBy("l_returnflag")
-    )
+    return stats.grouped_percentiles(
+        li, "l_returnflag", "l_extendedprice",
+        [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")],
+    ).orderBy("l_returnflag")
 
 
 @declared(

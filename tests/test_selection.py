@@ -143,3 +143,31 @@ def test_new_pipeline_query_plan_shapes(spark, sf_dir):
     )
     assert "WindowGroupLimit" in p
     assert "DataFilters: [(round" in p  # quality gate computed map-side at the scan
+
+
+def test_grouped_percentiles_matches_udaf(spark):
+    """grouped_percentiles (distributed rank lookup) must agree with Spark's
+    percentile UDAF on duplicate-heavy data and on a single-row group."""
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.operators.stats import grouped_percentiles
+
+    rows = [("a", float(v)) for v in [1, 1, 1, 2, 2, 3, 10, 10, 50, 100]]
+    rows += [("b", float(v)) for v in range(1, 8)]
+    rows += [("c", 42.0)]  # n=1: every percentile is the single value
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    got = {
+        r["g"]: (r["p50"], r["p90"])
+        for r in grouped_percentiles(df, "g", "v", [(0.5, "p50"), (0.9, "p90")]).collect()
+    }
+    want = {
+        r["g"]: (r["p50"], r["p90"])
+        for r in df.groupBy("g")
+        .agg(
+            F.round(F.expr("percentile(v, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(v, 0.9)"), 4).alias("p90"),
+        )
+        .collect()
+    }
+    assert got == want and set(got) == {"a", "b", "c"}
