@@ -760,6 +760,27 @@ def mm03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(payloads, frame_stride=1000).orderBy("doc_id", "frame_idx")
 
 
+@declared(
+    "mm04_resize",
+    oracle=f"""
+    SELECT doc_id, CAST(64 AS INTEGER) AS out_w, CAST(48 AS INTEGER) AS out_h,
+           CAST(octet_length(encode(text)) * (64 * 48)
+                // ((64 + 16 * {_dd_hexv(1)} + {_dd_hexv(2)})
+                    * (64 + 16 * {_dd_hexv(3)} + {_dd_hexv(4)})) AS BIGINT) AS out_nbytes,
+           md5(text || ':64x48') AS content_hash
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage for image payloads: fixed target geometry, Arrow-batched
+    mapInPandas, payload moves exactly once, no shuffle. Deterministic fake
+    codec (area-ratio byte scaling + geometry-tagged hash) with the real-PIL
+    branch gated — same plumbing either way."""
+    d = _t(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary_payload(d, "doc_id", "text")
+    return multimodal.resize_image(payloads, 64, 48).orderBy("doc_id")
+
+
 # ------------------------------------------------------- streaming (batch twins)
 
 @declared(

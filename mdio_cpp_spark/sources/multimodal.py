@@ -94,6 +94,49 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(decode, schema=IMAGE_META_SCHEMA)
 
 
+RESIZED_SCHEMA = "doc_id long, out_w int, out_h int, out_nbytes long, content_hash string"
+
+
+def resize_image(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize stage: (doc_id, payload) → resized-payload metadata at a fixed
+    target geometry, Arrow-batched mapInPandas (map-only, payload moves once).
+
+    With PIL the real resample runs and the output bytes are hashed; without
+    it the DETERMINISTIC FAKE scales the byte count by the area ratio against
+    the fake-decoded source dims and tags the content hash with the target
+    geometry — every value SQL-reproducible for the oracle."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if _PIL_Image is not None:  # pragma: no cover — not in container
+                    try:
+                        import io
+
+                        img = _PIL_Image.open(io.BytesIO(data))
+                        out = img.resize((out_w, out_h))
+                        buf = io.BytesIO()
+                        out.save(buf, format=img.format or "PNG")
+                        raw = buf.getvalue()
+                        rows.append((int(doc_id), out_w, out_h, len(raw),
+                                     hashlib.md5(raw).hexdigest()))
+                        continue
+                    except Exception:
+                        pass  # not a decodable image — fall through to fake
+                _, w, h, _, _ = _fake_image_meta(int(doc_id), data)
+                out_nbytes = (len(data) * out_w * out_h) // (w * h)
+                tag = f":{out_w}x{out_h}".encode()
+                rows.append((int(doc_id), out_w, out_h, out_nbytes,
+                             hashlib.md5(data + tag).hexdigest()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_w", "out_h", "out_nbytes", "content_hash"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, frame_stride: int = 1000) -> DataFrame:
     """Frame-sampling stage for video-like payloads: each payload yields
     ``n_frames`` (payload-derived) evenly-strided byte offsets. Map-side
