@@ -165,6 +165,11 @@ def grouped_percentiles(
         for b in sorted(d):
             offs.append((g, b, acc))
             acc += d[b]
+    if not offs:  # empty input: schema-correct empty result (inference
+        # from an empty row list would fail below)
+        return df.groupBy(group).agg(
+            *[F.round(F.max(F.col(col)), round_to).alias(name) for _, name in ps]
+        )
     off_df = spark.createDataFrame(offs, [group, "__pid", "__off"])
 
     w = Window.partitionBy(group, "__pid").orderBy(col)

@@ -171,3 +171,11 @@ def test_grouped_percentiles_matches_udaf(spark):
         .collect()
     }
     assert got == want and set(got) == {"a", "b", "c"}
+
+
+def test_grouped_percentiles_empty_input(spark):
+    from mdio_cpp_spark.operators.stats import grouped_percentiles
+
+    df = spark.createDataFrame([], "g string, v double")
+    out = grouped_percentiles(df, "g", "v", [(0.5, "p50")])
+    assert out.columns == ["g", "p50"] and out.count() == 0
