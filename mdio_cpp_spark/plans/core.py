@@ -595,6 +595,29 @@ def set02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "set05_except_all",
+    oracle="""
+    SELECT k, COUNT(*) AS cnt FROM (
+      SELECT c_nationkey AS k FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 8000
+    ) GROUP BY k ORDER BY k
+    """,
+)
+def set05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: EXCEPT ALL (bag difference — multiplicities subtract, unlike
+    set02's distinct EXCEPT); aggregated to per-key survivor counts so the
+    result is order-insensitive."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select(F.col("s_nationkey").alias("k"))
+    )
+    return c.exceptAll(s).groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).orderBy("k")
+
+
+@declared(
     "set03_union_all_count",
     oracle="""
     SELECT k, COUNT(*) AS cnt FROM (
