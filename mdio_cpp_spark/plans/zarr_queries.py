@@ -860,3 +860,44 @@ def zarr23(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row")
     )
+
+
+@declared(
+    "zarr24_prefix_sum",
+    oracle="""
+    SELECT i, ROUND(SUM(v) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING), 2) AS run_sum
+    FROM (
+      SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS v FROM
+        (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < 8192
+    ) ORDER BY i
+    """,
+)
+def zarr24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate over a stored array with NO global window: the
+    array's chunk grid is the natural prefix-sum bucketing. Per-chunk sums
+    collect to the driver (n_chunks scalars), cumulate into offsets, and the
+    running sum is a chunk-PARTITIONED window plus its bucket offset — every
+    stage parallel, exact result, any array length. (Rounding is safe: sums
+    of 2-decimal prices have 2 exact decimals, so fp drift from the
+    different accumulation orders never crosses a rounding boundary.)"""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    scan = ds.isel(i=(0, 8192)).to_df(spark, "price", value_col="v")
+    bucket = (F.col("i") / F.lit(CHUNK)).cast("long")
+    tagged = scan.withColumn("__b", bucket)
+    sums = {
+        r["__b"]: r["s"]
+        for r in tagged.groupBy("__b").agg(F.sum("v").alias("s")).collect()
+    }
+    offs, acc = [], 0.0
+    for b in sorted(sums):
+        offs.append((b, acc))
+        acc += sums[b]
+    off_df = tagged.sparkSession.createDataFrame(offs or [(0, 0.0)], "__b long, __off double")
+    w = Window.partitionBy("__b").orderBy("i")
+    return (
+        tagged.join(F.broadcast(off_df), "__b")
+        .withColumn("run_sum", F.round(F.sum("v").over(w) + F.col("__off"), 2))
+        .select("i", "run_sum")
+        .orderBy("i")
+    )
