@@ -906,3 +906,111 @@ def asof02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = joins.asof_join(e, o, "ts", "rts", ["rts"], how="left")
     return out.select("event_id", F.col("rts").alias("asof_ts")).orderBy("event_id")
+
+
+@declared(
+    "g04_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS cnt, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def g04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — an arbitrary set list (not the rollup/cube
+    lattices of g01/g02), with grouping_id disambiguating subtotal rows from
+    real NULLs. One shuffle: Spark expands the sets map-side then aggregates
+    once on (gid, keys) — no per-set rescan of the input."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
+        .orderBy("gid", F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@declared(
+    "w06_value_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_p,
+           nth_value(o_totalprice, 2) OVER w AS second_p,
+           last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS ahead2_p
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def w06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-positional window frames: first_value / nth_value over a
+    running ROWS frame and last_value over a forward-looking frame —
+    explicit frames on BOTH sides so the engines agree exactly (the default
+    RANGE frame differs subtly across engines)."""
+    o = _t(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wrun = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wfwd = base.rowsBetween(Window.currentRow, 2)
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.first("o_totalprice").over(wrun).alias("first_p"),
+            F.nth_value("o_totalprice", 2).over(wrun).alias("second_p"),
+            F.last("o_totalprice").over(wfwd).alias("ahead2_p"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@declared(
+    "h01_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS revenue_e4,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10
+    """,
+)
+def h01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped multi-join analytics: selective dimension filter →
+    join → grouped revenue → global top-10. The customer filter broadcasts
+    (small side), lineitem joins orders on the grouping key so the agg
+    reuses the join shuffle, and the ORDER BY+LIMIT compiles to
+    TakeOrderedAndProject (per-partition top-k, never a global sort).
+    Revenue is kept in exact integer 1e-4 units so the hash-compare never
+    rides a float rounding boundary (see plans/base.py)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("date"))
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("date"))
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.join(o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .select("l_orderkey", "revenue_e4", "o_orderdate")
+        .orderBy(F.col("revenue_e4").desc(), "l_orderkey")
+        .limit(10)
+    )
