@@ -896,3 +896,124 @@ def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hi"), F.sum("k").alias("sum_k"))
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------- corpus curation additions
+
+@declared(
+    "d07_best_per_source",
+    oracle="""
+    SELECT source, lang,
+           CAST(max_by(doc_id, n_chars * 10000000000 - doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_docs, CAST(MAX(n_chars) AS BIGINT) AS best_chars
+    FROM documents GROUP BY source, lang ORDER BY source, lang
+    """,
+)
+def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-key curation: one representative document per
+    (source, lang) — highest n_chars, smallest doc_id on ties. Implemented
+    as a max_by AGGREGATE with the ordering encoded into a single int64
+    (chars*1e10 - id), NOT a row_number window: the aggregate gets map-side
+    partial combine and never sorts whole partitions, which is the plan that
+    survives a 100 TB corpus with millions of docs per source."""
+    d = _t(spark, sf_dir, "documents")
+    ordv = F.col("n_chars") * F.lit(10000000000) - F.col("doc_id")
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.max_by("doc_id", ordv).cast("long").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_chars").cast("long").alias("best_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+_P03_MOD = 97  # doc_id % mod == 0 -> "benchmark" membership
+
+
+@declared(
+    "p03_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DD_TOKS} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+      FROM toks WHERE len(w) >= 3
+    )
+    SELECT DISTINCT doc_id FROM sh
+    WHERE doc_id % {_P03_MOD} <> 0
+      AND g IN (SELECT g FROM sh WHERE doc_id % {_P03_MOD} = 0)
+    ORDER BY doc_id
+    """,
+)
+def p03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    3-gram with the benchmark set (doc_id % 97 == 0 stands in for an eval
+    suite). Shingles are hashed to int64 before the shuffle so the semi-join
+    carries (hash, id) pairs, never shingle strings; the benchmark side is
+    the distinct-hash projection only. Collision risk at 2^-64 per pair is
+    the standard trade (exact-string join is the fallback if that is ever
+    unacceptable). Semi-join → the engine may broadcast the small benchmark
+    side under AQE; at 100 TB it degrades gracefully to a shuffled semi."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    sh = (
+        d.filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(text.word_shingles(toks, 3))).alias("g"),
+        )
+        .select("doc_id", F.xxhash64("g").alias("h"))
+    )
+    bench = sh.filter(F.col("doc_id") % _P03_MOD == 0).select("h").distinct()
+    return (
+        sh.filter(F.col("doc_id") % _P03_MOD != 0)
+        .join(bench, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "t10_top_bigrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, {_DD_TOKS} AS w FROM documents
+    ), bg AS (
+      SELECT lang, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM toks WHERE len(w) >= 2
+    ), c AS (
+      SELECT lang, bigram, COUNT(*) AS cnt FROM bg GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, cnt, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT lang, bigram, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rk
+      FROM c
+    ) WHERE rk <= 3 ORDER BY lang, rk
+    """,
+)
+def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-3 word bigrams per language by frequency
+    (deterministic bigram tiebreak). The heavy stage is ONE hash aggregate
+    on (lang, bigram) with map-side combine; the rank window runs only over
+    the aggregated counts (cardinality = distinct bigrams, not tokens), so
+    the sort is orders of magnitude smaller than the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    bg = d.filter(F.size(toks) >= 2).select(
+        "lang", F.explode(text.word_shingles(toks, 2)).alias("bigram")
+    )
+    cnt = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bigram")
+    return (
+        cnt.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "bigram", "cnt", "rk")
+        .orderBy("lang", "rk")
+    )
