@@ -901,3 +901,103 @@ def zarr24(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", "run_sum")
         .orderBy("i")
     )
+
+
+# -------------------------------------------- layout migration / append (aux)
+
+RECHUNK_TO = 1331  # deliberately a non-divisor of CHUNK: boundary realignment
+
+
+def _rechunk_store(spark: SparkSession, sf_dir: str) -> str:
+    """Lazily rechunk the main store's price array 2048 -> 1331 into its own
+    store (own marker — does not invalidate the BUILD_TAG fixture cache)."""
+    from mdio_cpp_spark.utils.rechunk import rechunk_array
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "rechunk_v2.zarr")
+    marker = os.path.join(base, ".built_rechunk_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        rechunk_array(spark, _main_store(spark, sf_dir), "price", path, (RECHUNK_TO,))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def _append_store(spark: SparkSession, sf_dir: str) -> str:
+    """Lazily build the append fixture: create at half size, write the first
+    half, grow the dimension, write the rest (read-modify-write lands in the
+    boundary chunk)."""
+    from mdio_cpp_spark.sources.writer import write_array
+    from mdio_cpp_spark.utils.resize import grow_dataset
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "append_v2.zarr")
+    marker = os.path.join(base, ".built_append_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select(
+            "i", F.col("o_totalprice").alias("v")
+        ).cache()
+        n = ords.count()
+        n_half = n // 2
+        st = ZarrStore.create(path, version=2, attrs={"name": "append_mdio"})
+        st.create_array("val", shape=(max(n_half, 1),), chunks=(CHUNK,),
+                        dtype="float64", dims=("i",),
+                        compressor={"id": "zlib", "level": 1})
+        write_array(ords.filter(F.col("i") < n_half), path, "val", value_cols="v")
+        grow_dataset(path, i=n)
+        write_array(ords.filter(F.col("i") >= n_half), path, "val", value_cols="v")
+        ords.unpersist()
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+@declared(
+    "zarr25_rechunk",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS price FROM
+      (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 500 AND rn - 1 < 10000
+    ORDER BY i
+    """,
+)
+def zarr25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout migration: the price array rechunked 2048 -> 1331 (a
+    non-divisor, so every destination chunk straddles source boundaries),
+    then scanned with an isel slice planned on the NEW grid. The rechunk is
+    scan -> one dst-chunk-keyed shuffle -> parallel encodes
+    (utils/rechunk.py); values must be byte-identical to the original, so
+    the oracle is the same parquet SQL as the pre-migration scans."""
+    path = _rechunk_store(spark, sf_dir)
+    from mdio_cpp_spark.sources.reader import scan_array
+
+    return (
+        scan_array(spark, path, "price", ranges={"i": (500, 10000)}, value_col="price")
+        .orderBy("i")
+    )
+
+
+@declared(
+    "zarr26_append",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS val FROM
+      (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    ORDER BY i
+    """,
+)
+def zarr26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append workflow: store created at n/2 rows, grown (pure metadata
+    resize, utils/resize.py — the inverse of IO8 trim), second half written
+    with read-modify-write landing in the straddled boundary chunk. The full
+    scan must reproduce the whole orders-derived column exactly — growth
+    neither loses old cells nor corrupts the boundary."""
+    path = _append_store(spark, sf_dir)
+    from mdio_cpp_spark.sources.reader import scan_array
+
+    return scan_array(spark, path, "val", value_col="val").orderBy("i")

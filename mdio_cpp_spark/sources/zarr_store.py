@@ -410,7 +410,7 @@ class ZarrStore:
         else:
             np_dt = np.dtype(dtype)
             mdio_name = np_dt.name if np_dt.name in SCALAR_TYPES else None
-        if fill == "auto":
+        if isinstance(fill, str) and fill == "auto":
             if isinstance(dtype, dict) or mdio_name is not None:
                 raw_fill = fill_value_for(dtype if isinstance(dtype, dict) else mdio_name, self.version)
                 fill_np = decode_fill_json(raw_fill, np_dt) if raw_fill is not None else None
