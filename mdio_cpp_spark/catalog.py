@@ -33,12 +33,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects. Read nanos as long and truncate to microseconds
-        # (values are µs-aligned; DuckDB reads the same file as µs TIMESTAMP).
+        # events.parquet has shipped ts as TIMESTAMP(NANOS) (older driver
+        # rounds) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (newer rounds).
+        # Normalize both to session-tz TIMESTAMP (session tz is UTC, so the
+        # NTZ cast is value-preserving and matches DuckDB's naive reading).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":  # nanos-as-long legacy path
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -16,11 +16,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-# events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet reader
-# rejects as a timestamp; the stream schema reads it as long (nanosAsLong)
-# and converts to a microsecond timestamp — the same workaround as the batch
-# path (catalog.py), so batch and stream see identical values.
-EVENTS_RAW_SCHEMA = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+# events.parquet has shipped ts as TIMESTAMP(NANOS) (older driver rounds —
+# Spark's parquet reader rejects nanos, so those read as long via nanosAsLong
+# and convert) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (newer rounds —
+# read directly as timestamp). stream_events_raw probes the file with one
+# batch footer read and picks the right schema, the same normalization as
+# the batch path (catalog.py), so batch and stream see identical values.
+EVENTS_RAW_SCHEMA_NANOS = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+EVENTS_RAW_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+
+def stream_events_raw(
+    spark: SparkSession,
+    path: str,
+    glob_filter: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream events parquet with ts normalized to session-tz TIMESTAMP
+    across both driver data formats. The probe is a driver-side footer read
+    (schema only, no data scan)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read
+    if glob_filter is not None:
+        probe = probe.option("pathGlobFilter", glob_filter)
+    nanos = dict(probe.parquet(path).dtypes).get("ts") == "bigint"
+    reader = spark.readStream.schema(
+        EVENTS_RAW_SCHEMA_NANOS if nanos else EVENTS_RAW_SCHEMA
+    ).format("parquet")
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(path)
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_agg(events: DataFrame, window: str = "1 minute") -> DataFrame:
@@ -98,16 +128,9 @@ def dedup_events(events: DataFrame, watermark: str | None = None) -> DataFrame:
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based streaming source over the events parquet (one-shot with
     Trigger.availableNow in tests; identical shape to a Kafka source in prod)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source monitors a DIRECTORY; events.parquet is a single
     # file, so stream the parent dir with a glob filter
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream_events_raw(spark, sf_dir, glob_filter="events.parquet")
 
 
 def stream_windowed_agg(spark: SparkSession, sf_dir: str, window: str = "1 minute") -> DataFrame:

@@ -261,21 +261,15 @@ def test_stream_dedup_parity(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
     from mdio_cpp_spark.catalog import table
-    from mdio_cpp_spark.streaming.events import EVENTS_RAW_SCHEMA, dedup_events
+    from mdio_cpp_spark.streaming.events import dedup_events, stream_events_raw
 
     src_dir = tmp_path / "replayed"
     src_dir.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", src_dir / "delivery_1.parquet")
     shutil.copy(f"{sf_dir}/events.parquet", src_dir / "delivery_2.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("maxFilesPerTrigger", "1")  # deliveries arrive as separate micro-batches
-        .load(str(src_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    # deliveries arrive as separate micro-batches
+    raw = stream_events_raw(spark, str(src_dir), max_files_per_trigger=1)
     q = (
         dedup_events(raw, watermark="1 hour")
         .select("event_id")
