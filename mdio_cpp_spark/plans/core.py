@@ -1014,3 +1014,180 @@ def h01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue_e4").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@declared(
+    "h02_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_e2,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_price_e2,
+           CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_disc_e2,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def h02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: one wide partial-aggregatable scan.
+    Every measure is an integer sum in fixed-point units (cents / 1e-4 /
+    1e-6), so the map-side partial agg is exact and order-independent; the
+    averages are a single IEEE division of exact integers, identical bit
+    patterns on Spark and DuckDB. One shuffle of 4 grouped rows per
+    partition — the 100-TB plan is the sf0.01 plan."""
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    qty = F.col("l_quantity").cast("long")
+    price_e2 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_e2 = F.round(F.col("l_discount") * 100).cast("long")
+    tax_e2 = F.round(F.col("l_tax") * 100).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price_e2).alias("sum_base_e2"),
+            F.sum(price_e2 * (F.lit(100) - disc_e2)).alias("sum_disc_e4"),
+            F.sum(price_e2 * (F.lit(100) - disc_e2) * (F.lit(100) + tax_e2)).alias("sum_charge_e6"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum(disc_e2).alias("_sum_disc_e2"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_e2",
+            "sum_disc_e4",
+            "sum_charge_e6",
+            (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("sum_base_e2").cast("double") / F.col("count_order")).alias("avg_price_e2"),
+            (F.col("_sum_disc_e2").cast("double") / F.col("count_order")).alias("avg_disc_e2"),
+            "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@declared(
+    "h03_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue_e4 DESC, n_name
+    """,
+)
+def h03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-way join: region→nation filter prunes supplier
+    and customer BEFORE the fact joins, and all four dimension sides are
+    broadcast (region/nation/supplier/customer are the small sides at any
+    scale ratio lineitem dominates). The only shuffles left are the
+    lineitem⋈orders equi-join and the 25-row group-by; at 100 TB AQE picks
+    SMJ for that one fact-fact join and everything else stays map-side."""
+    tune(spark)
+    asia_nations = (
+        table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(asia_nations.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), "n_name")
+    )
+
+
+@declared(
+    "h04_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_e2, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+    """,
+)
+def h04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: date-pruned orders join the
+    'R'-filtered lineitem on the grouping key (agg reuses the join
+    exchange), customer+nation broadcast onto the 20-row-bound result, and
+    the final ORDER BY ... LIMIT 20 is TakeOrderedAndProject."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cn = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(table(spark, sf_dir, "nation")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .select(
+            "c_custkey", "c_name", "revenue_e4",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_e2"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue_e4").desc(), "c_custkey")
+        .limit(20)
+    )
