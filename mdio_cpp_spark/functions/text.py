@@ -100,3 +100,21 @@ def quality_score(text: str | Column) -> Column:
         * (F.lit(0.5) + F.least(stop_ratio, F.lit(0.5))),
         4,
     )
+
+
+def bigrams(toks: Column) -> Column:
+    """All adjacent word bigrams (space-joined). Requires size >= 2;
+    callers filter shorter docs first (sequence() would descend)."""
+    return word_shingles(toks, 2)
+
+
+def token_blocks(toks: Column, block: int = 16) -> Column:
+    """md5 hashes of consecutive non-overlapping ``block``-token windows
+    (trailing partial block dropped) — the unit of block-level dedup.
+    Requires size >= block; callers filter shorter docs first. Oracle twin:
+    list_transform(range(0, len(w) // B), i -> md5(array_to_string(w[i*B+1 : i*B+B], ' ')))."""
+    n_blocks = (F.size(toks) / F.lit(block)).cast("long")
+    return F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * block + 1, block))),
+    )

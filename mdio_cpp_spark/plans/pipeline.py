@@ -1017,3 +1017,95 @@ def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "bigram", "cnt", "rk")
         .orderBy("lang", "rk")
     )
+
+
+@declared(
+    "t11_repetition",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DD_TOKS} AS w FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM toks WHERE len(w) >= 2
+    ),
+    cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(MAX(c) AS BIGINT) AS top_count,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_count,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup_frac
+    FROM cnt GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality filters): total
+    bigrams, most-frequent-bigram count, and the fraction of bigram mass in
+    repeated bigrams. Map-side bigram construction (array transform inside
+    codegen), then two keyed aggregations — (doc_id, bigram) and doc_id —
+    so the shuffle carries counts, never text. Partial aggregation absorbs
+    within-doc repeats before the exchange; no per-doc state ever exceeds
+    one row per distinct bigram, so skewed/huge documents spill to disk
+    instead of OOMing a task."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    bg = (
+        d.select("doc_id", toks.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(text.bigrams(F.col("w"))).alias("bg"))
+    )
+    cnt = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_count"),
+            dup.alias("dup_count"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "top_count", "dup_count",
+            (F.col("dup_count").cast("double") / F.col("n_bigrams")).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BLK = 16
+
+
+@declared(
+    "d08_block_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DD_TOKS} AS w FROM documents),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(w) // {_BLK}),
+                    i -> md5(array_to_string(w[i * {_BLK} + 1 : i * {_BLK} + {_BLK}], ' ')))) AS bh
+      FROM toks WHERE len(w) >= {_BLK}
+    )
+    SELECT bh, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+    FROM b GROUP BY bh HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY bh
+    """,
+)
+def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (block-level) dedup: hash consecutive 16-token windows
+    and find blocks shared across documents — the shape used to strip
+    boilerplate/templated spans from a training corpus. Only (block_hash,
+    doc_id) pairs shuffle — 16 tokens of text become one 32-char hash
+    map-side — and the distinct-count agg is two-phase hash aggregation.
+    At 100 TB the hot hashes (ubiquitous boilerplate) are exactly the rows
+    AQE's skew handling splits; output is bounded by distinct shared
+    blocks, not corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    blocks = (
+        d.select("doc_id", toks.alias("w"))
+        .filter(F.size("w") >= _BLK)
+        .select("doc_id", F.explode(text.token_blocks(F.col("w"), _BLK)).alias("bh"))
+    )
+    return (
+        blocks.groupBy("bh")
+        .agg(F.count_distinct(F.col("doc_id")).alias("n_docs"), F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("bh")
+    )
