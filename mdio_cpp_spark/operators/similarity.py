@@ -168,3 +168,29 @@ def ivf_topk(
         .select("q_id", "vec_id", F.round(vectors.cosine(F.col("qv"), F.col("cv2")), 4).alias("cos"))
     )
     return _ranked(pairs, k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Symmetric all-pairs approximate k-NN (every vector is both query and
+    candidate): sign-LSH bucket each vector once, then a bucket equi-SELF-
+    join ranks exact cosine within the bucket. Neither side broadcasts —
+    both are corpus-sized — so the plan is one shuffle keyed on the bucket
+    string, never a cross product; plane count tunes bucket width so the
+    in-bucket quadratic term stays bounded at scale."""
+    bucket = sign_lsh_bucket(F.col(vec_col), dim, n_planes)
+    b = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bk"))
+    q = b.select(F.col("id").alias("q_id"), F.col("v").alias("qv"), "bk")
+    c = b.select(F.col("id").alias("vec_id"), F.col("v").alias("cv"), "bk")
+    pairs = (
+        q.join(c, on="bk")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(vectors.cosine(F.col("qv"), F.col("cv")), 4).alias("cos"))
+    )
+    return _ranked(pairs, k)

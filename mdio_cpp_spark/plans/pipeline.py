@@ -1109,3 +1109,85 @@ def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("bh")
     )
+
+
+_KNN_PLANES, _KNN_K = 5, 3
+
+
+@declared(
+    "v05_knn_join",
+    oracle=f"""
+    WITH {{planes}},
+    b AS (
+      SELECT vec_id, embedding, {{bucket}} AS bk
+      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding
+    )
+    SELECT q_id, vec_id, cos, rk FROM (
+      SELECT q_id, vec_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+      FROM (
+        SELECT q.vec_id AS q_id, e.vec_id, ROUND({{cos}}, 4) AS cos
+        FROM b q JOIN b e ON e.bk = q.bk AND e.vec_id <> q.vec_id
+      )
+    ) WHERE rk <= {_KNN_K} ORDER BY q_id, rk
+    """.format(
+        planes=_dd_planes_cte(_KNN_PLANES, _ND_DIM),
+        bucket=_dd_bucket("embedding"),
+        cos=_dd_cosine("q.embedding", "e.embedding"),
+    ),
+)
+def v05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs k-NN graph over the whole embedding table: LSH bucket
+    self-join (no broadcast — both sides corpus-sized), exact cosine rank
+    within bucket. The building block for near-dup graph construction and
+    kNN-classifier labeling at corpus scale."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_join(
+        e, "vec_id", "embedding", dim=_ND_DIM, k=_KNN_K, n_planes=_KNN_PLANES
+    ).orderBy("q_id", "rk")
+
+
+_P04_BUDGET = 300
+
+
+@declared(
+    "p04_token_budget_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({_DD_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {_P04_BUDGET}
+    ORDER BY source, doc_id
+    """,
+)
+def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: admit documents per source (in stable
+    doc_id order) until each source's token budget is exhausted — the
+    sampling step that turns raw corpora into a fixed mixture recipe.
+    One window partitioned BY SOURCE (parallel across sources, never a
+    global sort); token counts are computed map-side so the shuffle
+    carries (id, source, count) only. At 100 TB the per-source partitions
+    are the natural parallel unit; a skewed mega-source would be salted
+    into sub-streams with per-salt budgets."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", "source", text.token_count(F.col("text")).alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _P04_BUDGET)
+        .orderBy("source", "doc_id")
+    )
