@@ -1001,3 +1001,106 @@ def zarr26(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_cpp_spark.sources.reader import scan_array
 
     return scan_array(spark, path, "val", value_col="val").orderBy("i")
+
+
+# ------------------------------------------------------- stencil / pooling
+
+_HALO = 2  # stencil half-width
+
+
+@declared(
+    "zarr27_halo_stencil",
+    oracle=f"""
+    WITH a AS (
+      SELECT CAST(rn - 1 AS BIGINT) AS i,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v_e2
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < 8192
+    )
+    SELECT i,
+           CAST(SUM(v_e2) OVER w AS DOUBLE) / (100.0 * COUNT(*) OVER w) AS ma
+    FROM a
+    WINDOW w AS (ORDER BY i ROWS BETWEEN {_HALO} PRECEDING AND {_HALO} FOLLOWING)
+    ORDER BY i
+    """,
+)
+def zarr27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a stored array with NO global window — the halo
+    exchange expressed relationally. Each cell is owned by its chunk bucket
+    and additionally REPLICATED into the neighbor bucket when it sits within
+    the stencil half-width of a chunk boundary; the window then runs
+    partitioned by bucket (parallel across chunks) with every neighborhood
+    complete, and only owner rows survive. This is the seismic/array
+    stencil shape (the reference's examples interpolate across traces,
+    examples/real_data_example/src/interpolation.h:22, but its API has no
+    windowed compute): scales as one bucket-keyed shuffle where only
+    2×halo×n_chunks rows duplicate. Exact integer cents inside the frame so
+    both engines emit bit-identical doubles."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    scan = ds.isel(i=(0, 8192)).to_df(spark, "price", value_col="v")
+    v_e2 = F.round(F.col("v") * 100).cast("long")
+    owner = (F.col("i") / F.lit(CHUNK)).cast("long")
+    pos = F.col("i") % F.lit(CHUNK)
+    targets = F.array(
+        owner,
+        F.when(pos < _HALO, owner - 1),
+        F.when(pos >= CHUNK - _HALO, owner + 1),
+    )
+    cells = (
+        scan.select("i", v_e2.alias("v_e2"), owner.alias("__own"))
+        .select(
+            "i", "v_e2", "__own",
+            F.explode(F.filter(targets, lambda x: x.isNotNull() & (x >= 0))).alias("__b"),
+        )
+    )
+    w = Window.partitionBy("__b").orderBy("i").rowsBetween(-_HALO, _HALO)
+    return (
+        cells.withColumn(
+            "ma",
+            F.sum("v_e2").over(w).cast("double") / (F.lit(100.0) * F.count(F.lit(1)).over(w)),
+        )
+        .filter(F.col("__b") == F.col("__own"))
+        .select("i", "ma")
+        .orderBy("i")
+    )
+
+
+@declared(
+    "zarr28_pool2d",
+    oracle=f"""
+    WITH n AS (SELECT LEAST(CAST((SELECT COUNT(*) FROM orders) AS BIGINT) // {GRID_C}, 128) AS rows_),
+    cells AS (
+      SELECT CAST((rn - 1) // {GRID_C} AS BIGINT) AS row, CAST((rn - 1) % {GRID_C} AS BIGINT) AS col,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v_e2
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < (SELECT rows_ FROM n) * {GRID_C}
+    )
+    SELECT row // 2 AS prow, col // 2 AS pcol, COUNT(*) AS n_cells,
+           CAST(SUM(v_e2) AS DOUBLE) / (100.0 * COUNT(*)) AS pooled_mean
+    FROM cells WHERE row < 64
+    GROUP BY prow, pcol ORDER BY prow, pcol
+    """,
+)
+def zarr28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 mean pooling (downsample) of a stored 2-D array — the
+    multi-resolution/decimation step of array pipelines. Pure map-side key
+    derivation (row>>1, col>>1) then one partial-aggregated shuffle of
+    pooled cells; the output is 4× smaller than the input and the plan
+    shape is scale-free. Exact integer cents make the pooled means
+    bit-identical across engines."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "grid_v2.zarr"))
+    v_e2 = F.round(F.col("v") * 100).cast("long")
+    return (
+        ds.isel(row=(0, 64))
+        .to_df(spark, "grid", value_col="v")
+        .select((F.col("row") / 2).cast("long").alias("prow"),
+                (F.col("col") / 2).cast("long").alias("pcol"),
+                v_e2.alias("v_e2"))
+        .groupBy("prow", "pcol")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            (F.sum("v_e2").cast("double") / (F.lit(100.0) * F.count(F.lit(1)))).alias("pooled_mean"),
+        )
+        .orderBy("prow", "pcol")
+    )
