@@ -142,9 +142,13 @@ def grouped_percentiles(
     """
     spark = df.sparkSession
     nparts = max(1, spark.sparkContext.defaultParallelism)
-    counts = df.groupBy(group, col).agg(F.count(F.lit(1)).alias("__c"))
+    # counts (one row per DISTINCT (group, value)) feeds three consumers:
+    # the min/max bounds, the subtotal collect, and the final ranked plan.
+    # Cache it so the base data is aggregated ONCE — at any scale counts is
+    # vocabulary-sized (distinct values), orders of magnitude below the data.
+    counts = df.groupBy(group, col).agg(F.count(F.lit(1)).alias("__c")).persist()
 
-    lo_hi = df.agg(F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))).first()
+    lo_hi = counts.agg(F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))).first()
     vmin, vmax = lo_hi[0], lo_hi[1]
     bounds: list[float] = []
     if nparts > 1 and vmin is not None and vmax > vmin:

@@ -591,7 +591,9 @@ def t07(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(text.tokens("text")).alias("term"))
+    toks = dedup.ensure_map_parallelism(d).select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -958,7 +960,7 @@ def p03(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard trade (exact-string join is the fallback if that is ever
     unacceptable). Semi-join → the engine may broadcast the small benchmark
     side under AQE; at 100 TB it degrades gracefully to a shuffled semi."""
-    d = _t(spark, sf_dir, "documents")
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
     toks = text.tokens(F.col("text"))
     sh = (
         d.filter(F.size(toks) >= 3)
@@ -1002,7 +1004,7 @@ def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (lang, bigram) with map-side combine; the rank window runs only over
     the aggregated counts (cardinality = distinct bigrams, not tokens), so
     the sort is orders of magnitude smaller than the corpus."""
-    d = _t(spark, sf_dir, "documents")
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
     toks = text.tokens(F.col("text"))
     bg = d.filter(F.size(toks) >= 2).select(
         "lang", F.explode(text.word_shingles(toks, 2)).alias("bigram")
@@ -1046,7 +1048,7 @@ def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-doc repeats before the exchange; no per-doc state ever exceeds
     one row per distinct bigram, so skewed/huge documents spill to disk
     instead of OOMing a task."""
-    d = _t(spark, sf_dir, "documents")
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
     toks = text.tokens(F.col("text"))
     bg = (
         d.select("doc_id", toks.alias("w"))
@@ -1096,7 +1098,7 @@ def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the hot hashes (ubiquitous boilerplate) are exactly the rows
     AQE's skew handling splits; output is bounded by distinct shared
     blocks, not corpus size."""
-    d = _t(spark, sf_dir, "documents")
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
     toks = text.tokens(F.col("text"))
     blocks = (
         d.select("doc_id", toks.alias("w"))
