@@ -1193,3 +1193,47 @@ def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= _P04_BUDGET)
         .orderBy("source", "doc_id")
     )
+
+
+@declared(
+    "st05_stream_enrich",
+    oracle="""
+    WITH ref AS (
+      SELECT event_type,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_value_e2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           CAST(CAST(ROUND(e.value * 100) AS BIGINT) AS DOUBLE) - ref.avg_value_e2 AS dev_e2
+    FROM events e JOIN ref USING (event_type)
+    ORDER BY event_id
+    """,
+)
+def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (batch twin; streaming parity pinned in
+    test_streaming): events gain their type's reference mean and deviation.
+    The reference side is a tiny aggregate broadcast to every task — in
+    streaming, re-broadcast per micro-batch, zero state. Exact integer-cents
+    arithmetic keeps the doubles bit-identical across engines."""
+    e = _t(spark, sf_dir, "events")
+    return ev.enrich_with_type_stats(e, ev.type_reference_stats(e)).orderBy("event_id")
+
+
+@declared("a09_approx_sketches", oracle=None)
+def a09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate aggregation — the 100-TB answer when exact
+    distinct counts / percentiles are not worth their shuffle: HLL++
+    approx_count_distinct (constant-size sketch per group, map-side merge)
+    and approx_percentile (mergeable KLL-style summary). NOT oracle-gated:
+    sketch estimates are engine-specific by design (DuckDB's approx_*
+    differs); the driver records the rows-only check and pytest pins a
+    ±5 % envelope against the exact answers (test_declared_queries)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
+        )
+        .orderBy("event_type")
+    )

@@ -138,3 +138,26 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str, window: str = "1 minut
     late data; append-mode compatible."""
     src = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
     return windowed_event_agg(src, window)
+
+
+def type_reference_stats(events_batch: DataFrame) -> DataFrame:
+    """Static reference table for stream enrichment: per-type exact mean
+    value in integer-cents arithmetic (order-independent, engine-exact)."""
+    return events_batch.groupBy("event_type").agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value_e2")
+    )
+
+
+def enrich_with_type_stats(events: DataFrame, type_stats: DataFrame) -> DataFrame:
+    """Stream-static broadcast join: each (possibly streaming) event gains
+    its type's reference mean and the deviation from it. In streaming this
+    is the stateless enrich shape — the static side is planned once per
+    micro-batch and broadcast, no state store involved."""
+    return events.join(F.broadcast(type_stats), "event_type").select(
+        "event_id",
+        "event_type",
+        (F.round(F.col("value") * 100).cast("double") - F.col("avg_value_e2")).alias("dev_e2"),
+    )

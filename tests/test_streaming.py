@@ -282,3 +282,60 @@ def test_stream_dedup_parity(spark, sf_dir, tmp_path):
     got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_test").collect())
     expected = sorted(r["event_id"] for r in table(spark, sf_dir, "events").collect())
     assert got == expected and len(got) > 0
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """Stream-static broadcast join parity: streamed events enriched against
+    a static reference table must equal the batch twin row-for-row."""
+    import tempfile
+
+    from mdio_cpp_spark.streaming.events import (
+        enrich_with_type_stats,
+        stream_events,
+        type_reference_stats,
+    )
+
+    e = table(spark, sf_dir, "events")
+    ref = type_reference_stats(e)
+    batch = enrich_with_type_stats(e, ref).orderBy("event_id").collect()
+
+    stream_df = enrich_with_type_stats(stream_events(spark, sf_dir), ref)
+    assert stream_df.isStreaming
+    with tempfile.TemporaryDirectory(dir="/root/repo/.zarr_cache") as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName("enrich_parity")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    streamed = spark.sql("SELECT * FROM enrich_parity").orderBy("event_id").collect()
+    assert len(streamed) == len(batch) > 0
+    assert streamed == batch
+
+
+def test_approx_sketches_within_envelope(spark, sf_dir):
+    """a09's HLL++/KLL estimates must land within the declared ±5 % envelope
+    of the exact answers (the honesty gate for the non-oracled query)."""
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.plans import REGISTRY
+
+    approx = {r["event_type"]: r for r in REGISTRY["a09_approx_sketches"].spark(spark, sf_dir).collect()}
+    e = table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and len(exact) > 0
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert abs(ap["approx_users"] - ex["users"]) <= max(2, 0.05 * ex["users"])
+        assert abs(ap["approx_p50"] - ex["p50"]) <= max(1e-6, 0.05 * abs(ex["p50"]))
