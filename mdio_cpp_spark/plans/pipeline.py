@@ -1237,3 +1237,45 @@ def a09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_MM5_DIM = 8
+
+
+def _dd_hex4(start: int) -> str:
+    """Value of the 4-hex-digit md5(text) slice starting at 1-based pos."""
+    digit = lambda p: f"(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1)"
+    return f"((({digit(start)} * 16 + {digit(start + 1)}) * 16 + {digit(start + 2)}) * 16 + {digit(start + 3)})"
+
+
+@declared(
+    "mm05_embed_batch",
+    oracle="""
+    SELECT doc_id, j, v FROM (
+      SELECT doc_id, j,
+             CASE j {cases} END AS v
+      FROM documents CROSS JOIN (SELECT unnest(range(0, {dim})) AS j)
+    ) ORDER BY doc_id, j
+    """.format(
+        dim=_MM5_DIM,
+        cases=" ".join(
+            f"WHEN {j} THEN ROUND({_dd_hex4(4 * j + 1)} / 65535.0, 6)" for j in range(_MM5_DIM)
+        ),
+    ),
+)
+def mm05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-inference plumbing: binary payloads → embedding vectors through
+    an Arrow-batched mapInPandas model stage (deterministic fake encoder —
+    md5-slice arithmetic — because no model wheel ships here; the batching,
+    schema, and partitioning are the production shape). The vector column is
+    then posexploded to scalar (doc_id, j, v) rows JVM-side. Map-only:
+    payloads move once, no shuffle before the output sort."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    emb = multimodal.embed_payloads(
+        multimodal.attach_binary_payload(d, "doc_id", "text"), dim=_MM5_DIM
+    )
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("j", "v"))
+        .select("doc_id", F.col("j").cast("long").alias("j"), "v")
+        .orderBy("doc_id", "j")
+    )

@@ -155,3 +155,33 @@ def sample_frames(df: DataFrame, frame_stride: int = 1000) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_idx": fidx, "byte_offset": offs})
 
     return df.select("doc_id", "payload", "nbytes").mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+EMBED_SCHEMA = "doc_id long, embedding array<double>"
+
+
+def embed_payloads(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Batched model-inference stage: (doc_id, payload) → embedding vector,
+    Arrow-batched ``mapInPandas`` — the exact plumbing a real encoder model
+    uses (batch in, batch out, model loaded once per task, GPU-friendly
+    batch shape). No model wheel ships in this container, so the "model" is
+    a DETERMINISTIC FAKE: dim j is the j-th 4-hex-digit slice of the
+    payload md5, scaled to [0, 1] — reproducible in SQL so the declared
+    query pins the full pipeline with a DuckDB oracle. Swapping in a real
+    encoder replaces only ``_infer`` below; schema, batching, and
+    partitioning are production-shaped."""
+
+    def _infer(payloads: "pd.Series") -> list[list[float]]:
+        out = []
+        for p in payloads:
+            h = hashlib.md5(bytes(p)).hexdigest()
+            out.append([round(int(h[4 * j : 4 * j + 4], 16) / 65535.0, 6) for j in range(dim)])
+        return out
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "embedding": _infer(pdf["payload"])}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(embed, schema=EMBED_SCHEMA)
