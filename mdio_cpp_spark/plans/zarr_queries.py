@@ -33,6 +33,7 @@ from mdio_cpp_spark.catalog import table
 from mdio_cpp_spark.model import MdioDataset
 from mdio_cpp_spark.plans.base import declared
 from mdio_cpp_spark.session import tune
+from mdio_cpp_spark.sources import zonemap
 from mdio_cpp_spark.sources.writer import dense_fill_frame
 from mdio_cpp_spark.sources.zarr_store import ZarrStore
 from mdio_cpp_spark.utils.trim import trim_dataset
@@ -1103,4 +1104,31 @@ def zarr28(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("v_e2").cast("double") / (F.lit(100.0) * F.count(F.lit(1)))).alias("pooled_mean"),
         )
         .orderBy("prow", "pcol")
+    )
+
+
+@declared(
+    "zarr29_zonemap_filter",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS price FROM
+      (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE o_totalprice >= 450000.0
+    ORDER BY i
+    """,
+)
+def zarr29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map-pruned value scan: a per-chunk [min,max] manifest
+    (sources/zonemap.py, built distributed once and published through the
+    metadata-commit path — the reference's statsV1 contract at CHUNK
+    granularity) prunes a selective value predicate before any chunk bytes
+    are read. Chunks whose zone can't satisfy ``price >= 450000`` never get
+    a kvstore GET — at cloud latency that's the whole cost of a miss. The
+    in-decoder numpy filter still applies inside surviving chunks."""
+    root = _main_store(spark, sf_dir)
+    zonemap.ensure_chunk_stats(spark, root, "price")
+    ds = MdioDataset.open(root)
+    return (
+        ds.var("price")
+        .to_df(spark, value_col="price", value_filter=(">=", 450000.0))
+        .orderBy("i")
     )

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from mdio_cpp_spark.schema.types import SCALAR_TYPES
+from mdio_cpp_spark.sources import zonemap as _zonemap
 from mdio_cpp_spark.sources.zarr_store import ZarrArrayMeta, ZarrStore, _clamped_box
 
 __all__ = ["scan_array", "plan_chunks", "scan_schema"]
@@ -200,6 +201,29 @@ def scan_array(
         if value_filter[0] not in _VALUE_OPS:
             raise ValueError(f"unsupported value_filter op {value_filter[0]!r}")
 
+    # zone maps: per-chunk [min,max] manifest (sources/zonemap.py) prunes
+    # value-filtered scans BEFORE any chunk bytes are read — driver-side
+    # when the surviving grid is enumerable, executor-side otherwise (the
+    # manifest rides the meta closure; the skip removes the kvstore GET,
+    # the decompress, and the decode for incompatible chunks).
+    zone_stats = None
+    fill_lit = None
+    if value_filter is not None:
+        zone_stats = _zonemap.load_stats(meta)
+        if zone_stats is not None:
+            try:
+                fill_lit = meta.fill_scalar()
+            except Exception:
+                fill_lit = None
+
+    def _zone_keep(coords: tuple[int, ...]) -> bool:
+        if zone_stats is None:
+            return True
+        return _zonemap.chunk_compatible(
+            zone_stats.get(",".join(str(c) for c in coords)),
+            value_filter[0], value_filter[1], fill_lit,
+        )
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # executor-side: open the store lazily once per task
         task_store = ZarrStore(root_path, version)
@@ -214,6 +238,8 @@ def scan_array(
                 coords = tuple(
                     grid_starts[d] + c for d, c in enumerate(reversed(coords))
                 )
+                if not _zone_keep(coords):
+                    continue
                 out = _decode_chunk_to_pdf(
                     task_store, meta, coords, box, steps, dim_names, sel_fields, value_col
                 )
@@ -232,6 +258,25 @@ def scan_array(
     # scales with the cluster, so a 1000-executor cluster still fans out)
     par = max(1, spark.sparkContext.defaultParallelism)
     cap = 64 * par
+    if zone_stats is not None and n_chunks <= _zonemap.MAX_DRIVER_ENUM:
+        # driver-side exact pruning: enumerate the (range-pruned) grid and
+        # ship only zone-compatible linear ids as the task list
+        import itertools
+
+        survivors = [
+            i
+            for i, coords in enumerate(itertools.product(*per_dim))
+            if _zone_keep(coords)
+        ]
+        if not survivors:
+            return spark.createDataFrame([], out_schema)
+        n_parts = max(1, math.ceil(len(survivors) / max(1, chunks_per_task)))
+        n_parts = min(max(n_parts, min(len(survivors), par)), cap)
+        manifest = spark.createDataFrame(
+            [(i,) for i in survivors], "id long"
+        ).repartition(n_parts)
+        return manifest.mapInPandas(decode, schema=out_schema)
+
     n_parts = max(1, math.ceil(n_chunks / max(1, chunks_per_task)))
     n_parts = min(max(n_parts, min(n_chunks, par)), cap)
     manifest = spark.range(0, n_chunks, numPartitions=n_parts)

@@ -1,0 +1,89 @@
+"""Zone-map pruning: per-chunk [min,max] manifests must (a) never change a
+scan's result and (b) actually prune incompatible chunks, including edge
+chunks (valid-extent stats) and fill-only chunks."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mdio_cpp_spark.sources import zonemap
+from mdio_cpp_spark.sources.reader import scan_array
+from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+
+def _mk_store(tmp_path, n=1000, chunk=100):
+    root = str(tmp_path / "zm.zarr")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("v", shape=(n,), chunks=(chunk,), dtype="float64", dims=("i",))
+    st.consolidate()
+    # ascending values → each chunk's zone is [100*k, 100*k+99]; leave the
+    # last chunk unwritten (fill-only, fill=0.0 default)
+    vals = np.arange(n, dtype=np.float64)
+    st.write_array_numpy("v", vals[: n - chunk])
+    return root, vals
+
+
+def test_stats_match_chunks(spark, tmp_path):
+    root, vals = _mk_store(tmp_path)
+    stats = zonemap.compute_chunk_stats(spark, root, "v")
+    assert len(stats) == 10
+    assert stats["0"] == [0.0, 99.0]
+    assert stats["8"] == [800.0, 899.0]
+    assert stats["9"] is None  # fill-only
+
+
+def test_edge_chunk_stats_exclude_padding(spark, tmp_path):
+    root = str(tmp_path / "edge.zarr")
+    st = ZarrStore.create(root, version=2)
+    # shape 250, chunk 100 → last chunk half-valid; padding would carry 0s
+    st.create_array("v", shape=(250,), chunks=(100,), dtype="float64", dims=("i",))
+    st.consolidate()
+    st.write_array_numpy("v", np.arange(1000.0, 1250.0))
+    stats = zonemap.compute_chunk_stats(spark, root, "v")
+    assert stats["2"] == [1200.0, 1249.0]  # not 0.0 from padding
+
+
+def test_zonemap_scan_equals_plain_scan(spark, tmp_path):
+    root, vals = _mk_store(tmp_path)
+    expect = sorted(
+        r["i"]
+        for r in scan_array(spark, root, "v", value_filter=(">=", 750.0)).collect()
+    )
+    zonemap.publish_chunk_stats(root, "v", zonemap.compute_chunk_stats(spark, root, "v"))
+    got = sorted(
+        r["i"]
+        for r in scan_array(spark, root, "v", value_filter=(">=", 750.0)).collect()
+    )
+    assert got == expect == list(range(750, 900))
+
+
+def test_chunk_compatible_prunes():
+    stats = {str(k): [100.0 * k, 100.0 * k + 99.0] for k in range(9)}
+    stats["9"] = None  # fill-only, fill = 0.0
+    keep = [
+        k for k in range(10)
+        if zonemap.chunk_compatible(stats[str(k)], ">=", 750.0, 0.0)
+    ]
+    assert keep == [7, 8]  # 7 partially, 8 fully; fill-only chunk pruned too
+    keep_eq = [
+        k for k in range(10)
+        if zonemap.chunk_compatible(stats[str(k)], "==", 0.0, 0.0)
+    ]
+    assert keep_eq == [0, 9]  # value 0 lives in chunk 0; fill chunk matches
+
+
+def test_fill_chunk_survives_when_fill_matches(spark, tmp_path):
+    root = str(tmp_path / "fill.zarr")
+    st = ZarrStore.create(root, version=2)
+    st.create_array(
+        "v", shape=(1000,), chunks=(100,), dtype="float64", dims=("i",), fill=0.0
+    )
+    st.consolidate()
+    st.write_array_numpy("v", np.arange(900, dtype=np.float64))
+    zonemap.publish_chunk_stats(root, "v", zonemap.compute_chunk_stats(spark, root, "v"))
+    # fill is 0.0; '<= 0' must keep the fill-only chunk AND chunk 0
+    got = sorted(
+        r["i"]
+        for r in scan_array(spark, root, "v", value_filter=("<=", 0.0)).collect()
+    )
+    assert got == [0] + list(range(900, 1000))
