@@ -31,6 +31,15 @@ PICKS = {
     "d07_best_per_source": "keep-best is ONE partial-then-final hash aggregate (max_by) — no window, no per-partition sort of the corpus",
     "p03_contamination": "the semi-join shuffles int64 shingle hashes only (xxhash64 projected before the Exchange); no shingle string ever crosses the wire",
     "zarr25_rechunk": "the scan after migration plans on the NEW 1331-cell grid — pruned chunk range for [500, 10000) is ceil-bounded by the new chunk size, decode stays one batch stage",
+    "h02_pricing_summary": "one wide partial-aggregatable scan: every measure is an exact fixed-point integer sum (map-side combine), shipdate filter pushed to the FileScan, 6 grouped rows shuffle",
+    "h03_local_supplier_volume": "region→nation prune runs BEFORE the fact joins; supplier/customer/nation/region all broadcast — the only exchanges left are lineitem⋈orders and the 5-row group-by",
+    "t11_repetition": "bigrams built map-side inside codegen (array transform + explode), then two keyed hash aggregates — (doc_id,bigram) then doc_id; partial agg absorbs within-doc repeats before the exchange",
+    "d08_block_dedup": "16-token blocks become 32-char md5 hashes MAP-SIDE, so the shuffle carries (hash,id) only; two-phase count-distinct agg; HAVING filter after partial agg",
+    "v05_knn_join": "all-pairs kNN with NO broadcast and NO cross product: one shuffle keyed on the LSH bucket string (self equi-join), per-query rank window partitions on q_id",
+    "p04_token_budget_mix": "token counts map-side; ONE window partitioned by source (parallel across sources, never global); budget filter after the running sum",
+    "zarr27_halo_stencil": "halo exchange relationally: boundary cells replicate into neighbor chunk buckets map-side (explode of ≤2 targets), window partitions on bucket — no SinglePartition window over the array",
+    "zarr29_zonemap_filter": "zone-map-pruned value scan: the task manifest contains ONLY chunks whose [min,max] can satisfy price>=450000 (driver-enumerated here; executor-side skip beyond 65536 chunks) — pruned chunks never get a kvstore GET",
+    "mm05_embed_batch": "Arrow-batched mapInPandas inference stage (payloads move once, map-only); posexplode to scalar rows happens JVM-side after the Python stage",
 }
 
 
