@@ -19,6 +19,7 @@ salting is needed — a group can never exceed prod(chunk_shape) rows.
 
 from __future__ import annotations
 
+import json
 from typing import Any
 
 import numpy as np
@@ -26,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mdio_cpp_spark.sources import zonemap as _zonemap
 from mdio_cpp_spark.sources.zarr_store import ZarrArrayMeta, ZarrStore
 
 __all__ = ["write_array", "write_arrays", "dense_fill_frame"]
@@ -153,8 +155,22 @@ def write_arrays(
     )
 
     root_path, version = store.root, store.version
-    out_schema = ", ".join([f"{c} long" for c in ckey_cols] + ["chunks long", "cells long"])
+    out_schema = ", ".join(
+        [f"{c} long" for c in ckey_cols] + ["chunks long", "cells long", "zstats string"]
+    )
     n_cells_chunk = int(np.prod(first.chunks))
+    # zone-map coherence: variables with a published chunk-stats manifest
+    # (sources/zonemap.py) get their touched chunks' [min,max] recomputed in
+    # the SAME write pass (the final chunk contents are already in hand) and
+    # the manifest republished — a write never leaves stats that could
+    # wrongly prune a later scan
+    stats_vars = [
+        v
+        for v, m in metas.items()
+        if _zonemap.STATS_KEY in m.attrs
+        and not m.is_struct
+        and m.np_dtype.kind not in "cOV"
+    ]
 
     def write_chunk_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         coords = tuple(int(k) for k in key)
@@ -162,6 +178,7 @@ def write_arrays(
         off = pdf["__off"].to_numpy(dtype=np.int64)
         if len(off) and (off.min() < 0 or off.max() >= n_cells_chunk):
             raise ValueError(f"row outside chunk {coords}")
+        zstats: dict[str, list[float]] = {}
         for var, meta in metas.items():
             existing = task_store.decode_chunk(meta, coords)
             if existing is None:
@@ -170,18 +187,46 @@ def write_arrays(
                 # partial-coverage overwrite keeps prior cells (RMW)
                 flat = existing.reshape(-1, order=meta.order).copy()
             _scatter_into(meta, flat, off, pdf, fields_by_var[var])
-            task_store.write_chunk(meta, coords, flat.reshape(meta.chunks))
+            block = flat.reshape(meta.chunks)
+            task_store.write_chunk(meta, coords, block)
+            if var in stats_vars:
+                valid = tuple(
+                    slice(0, min(meta.chunks[d], meta.shape[d] - coords[d] * meta.chunks[d]))
+                    for d in range(meta.ndim)
+                )
+                v = block[valid]
+                zstats[var] = [float(np.min(v)), float(np.max(v))]
         return pd.DataFrame({
             **{c: [coords[d]] for d, c in enumerate(ckey_cols)},
             "chunks": [len(metas)], "cells": [len(pdf) * len(metas)],
+            "zstats": [json.dumps(zstats) if zstats else ""],
         })
 
-    report = (
-        keyed.groupBy(*ckey_cols)
-        .applyInPandas(write_chunk_group, schema=out_schema)
-        .agg(F.sum("chunks").alias("chunks"), F.sum("cells").alias("cells"))
-        .collect()[0]
-    )
+    per_chunk = keyed.groupBy(*ckey_cols).applyInPandas(write_chunk_group, schema=out_schema)
+    if stats_vars:
+        # chunk-cardinality collect (bounded by the attr-resident manifest
+        # cap); fold the new zones into each manifest and republish
+        rows = per_chunk.collect()
+        chunks_total = sum(r["chunks"] or 0 for r in rows)
+        cells_total = sum(r["cells"] or 0 for r in rows)
+        from mdio_cpp_spark.model import MdioDataset
+
+        ds = MdioDataset.open(root_path)
+        for var in stats_vars:
+            manifest = dict(metas[var].attrs[_zonemap.STATS_KEY])
+            for r in rows:
+                st = json.loads(r["zstats"]) if r["zstats"] else {}
+                if var in st:
+                    key = ",".join(str(r[c]) for c in ckey_cols)
+                    manifest[key] = st[var]
+            ds.update_attrs(var, **{_zonemap.STATS_KEY: manifest})
+        ds.commit_metadata()
+        report = {"chunks": chunks_total, "cells": cells_total}
+    else:
+        row = per_chunk.agg(
+            F.sum("chunks").alias("chunks"), F.sum("cells").alias("cells")
+        ).collect()[0]
+        report = {"chunks": row["chunks"], "cells": row["cells"]}
     if consolidate:
         store.consolidate()
     return {"chunks_written": report["chunks"] or 0, "cells_written": report["cells"] or 0}

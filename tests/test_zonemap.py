@@ -87,3 +87,33 @@ def test_fill_chunk_survives_when_fill_matches(spark, tmp_path):
         for r in scan_array(spark, root, "v", value_filter=("<=", 0.0)).collect()
     )
     assert got == [0] + list(range(900, 1000))
+
+
+def test_write_updates_manifest(spark, tmp_path):
+    """A chunk-aligned Spark write into an array with a published manifest
+    must fold the touched chunks' new zones back in — a later pruned scan
+    sees the new values (no stale-stats wrong pruning)."""
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.sources.writer import write_array
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore as _ZS
+
+    root, vals = _mk_store(tmp_path)
+    zonemap.publish_chunk_stats(root, "v", zonemap.compute_chunk_stats(spark, root, "v"))
+
+    # overwrite chunk 2 (i in [200,300)) with huge values
+    upd = (
+        spark.range(200, 300)
+        .select(F.col("id").alias("i"), (F.col("id") + 100000.0).alias("value"))
+    )
+    write_array(upd, root, "v")
+
+    stats = zonemap.load_stats(_ZS.open(root).array_meta("v"))
+    assert stats["2"] == [100200.0, 100299.0]
+    assert stats["0"] == [0.0, 99.0]  # untouched chunks keep their zones
+
+    got = sorted(
+        r["i"]
+        for r in scan_array(spark, root, "v", value_filter=(">=", 100000.0)).collect()
+    )
+    assert got == list(range(200, 300))
