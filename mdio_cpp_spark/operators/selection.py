@@ -143,3 +143,30 @@ def coordinate_filter(df: DataFrame, *preds: Column) -> DataFrame:
     for p in preds:
         out = out.filter(p)
     return out
+
+
+def sel_nearest(df: DataFrame, col: str, targets: Sequence, keys: Sequence[str]) -> DataFrame:
+    """Nearest-value selection: for each target, the single row whose ``col``
+    value is closest (ties → smaller key tuple) — the xarray
+    ``sel(method='nearest')`` upgrade over the reference's exact-only sel
+    (value not found → error, dataset.h:840-847).
+
+    Scale shape: the target list broadcasts (requests are small by nature),
+    the |rows| × |targets| distance evaluation is map-side, and the per-
+    target argmin is a partial-aggregated ``min_by`` keyed on the target —
+    one tiny shuffle of |targets| rows, no window, no sort of the data."""
+    spark = df.sparkSession
+    ttype = df.schema[col].dataType.simpleString()
+    tgt = F.broadcast(spark.createDataFrame([(t,) for t in targets], f"target {ttype}"))
+    dist = F.abs(F.col(col).cast("double") - F.col("target").cast("double"))
+    ordkey = F.struct(
+        dist.alias("d"), *[F.col(k) for k in keys]
+    )
+    picked = F.min_by(F.struct(*[F.col(k) for k in keys], F.col(col).alias("__v")), ordkey)
+    return (
+        df.crossJoin(tgt)
+        .groupBy("target")
+        .agg(picked.alias("__p"))
+        .select("target", *[F.col(f"__p.{k}").alias(k) for k in keys],
+                F.col("__p.__v").alias(f"nearest_{col}"))
+    )

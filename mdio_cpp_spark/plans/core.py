@@ -1191,3 +1191,25 @@ def h04(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue_e4").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@declared(
+    "q11_sel_nearest",
+    oracle="""
+    SELECT target, c_custkey, c_acctbal AS nearest_c_acctbal FROM (
+      SELECT target, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY target
+                                ORDER BY abs(c_acctbal - target), c_custkey) AS rn
+      FROM customer CROSS JOIN (VALUES (0.0), (5000.0), (9999.99)) t(target)
+    ) WHERE rn = 1 ORDER BY target
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-value sel (xarray method='nearest'; the reference's sel is
+    exact-only and errors on a miss, dataset.h:840-847 — this is the
+    upgrade). Targets broadcast; the per-target argmin is one partial-
+    aggregated min_by — no window over the data, no sort."""
+    c = _t(spark, sf_dir, "customer")
+    return selection.sel_nearest(
+        c, "c_acctbal", [0.0, 5000.0, 9999.99], keys=["c_custkey"]
+    ).orderBy("target")
