@@ -1213,3 +1213,34 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selection.sel_nearest(
         c, "c_acctbal", [0.0, 5000.0, 9999.99], keys=["c_custkey"]
     ).orderBy("target")
+
+
+@declared(
+    "h05_revenue_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24
+    """,
+)
+def h05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped revenue forecast: the pure-pushdown query. All three
+    predicates reach the parquet scan (PushedFilters), the projection reads
+    four columns, and the whole query is one partial-aggregated scan — no
+    shuffle except the 1-row final agg. The plan at 100 TB is identical;
+    runtime is bounded by scan bandwidth alone."""
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & F.col("l_discount").between(0.02, 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return li.agg(F.sum(rev).alias("revenue_e4"), F.count(F.lit(1)).alias("n_rows"))
