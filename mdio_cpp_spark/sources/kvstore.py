@@ -204,12 +204,21 @@ class FsspecKVStore(KVStore):
         self._fs.rm(self._base, recursive=True)
 
 
-def open_kvstore(path: str) -> KVStore:
-    """Scheme-routed store factory (zarr_driver.h:225-274 analog)."""
+def open_kvstore(path: str, retries: int | None = None) -> KVStore:
+    """Scheme-routed store factory (zarr_driver.h:225-274 analog).
+
+    ``retries``: wrap the store in RetryingKVStore. Defaults to 4 attempts
+    for cloud schemes (object stores throttle; TensorStore's drivers retry
+    too) and no wrapping for local/memory paths (local EIO is not
+    transient). Pass an explicit count to override either way."""
+    def _wrap(store: KVStore, default_on: bool) -> KVStore:
+        n = retries if retries is not None else (4 if default_on else 0)
+        return RetryingKVStore(store, attempts=n) if n and n > 1 else store
+
     if path.startswith("memory://"):
-        return MemoryKVStore(path)
+        return _wrap(MemoryKVStore(path), False)
     if path.startswith("file://"):
-        return LocalKVStore(path[len("file://"):])
+        return _wrap(LocalKVStore(path[len("file://"):]), False)
     for scheme in CLOUD_SCHEMES:
         if path.startswith(scheme):
             try:
@@ -221,5 +230,56 @@ def open_kvstore(path: str) -> KVStore:
                     "a local path. The engine's store layer is scheme-routed, "
                     "so no other change is needed."
                 ) from None
-            return FsspecKVStore(path)
-    return LocalKVStore(path)
+            return _wrap(FsspecKVStore(path), True)
+    return _wrap(LocalKVStore(path), False)
+
+
+class RetryingKVStore(KVStore):
+    """Transient-failure retry decorator over any KVStore — the resilience
+    layer cloud object stores need (throttling / 5xx / connection resets).
+    TensorStore retries inside its gcs/s3 drivers; this is that behavior at
+    our seam, applied uniformly to every backend.
+
+    Exponential backoff with deterministic jitter derived from the key (no
+    RNG state — retries are reproducible). Only ``Exception``s from the
+    delegate are retried; ``None`` reads (key absent) are a RESULT, not a
+    failure, and return immediately."""
+
+    def __init__(self, inner: KVStore, attempts: int = 4, base_delay: float = 0.05):
+        self.inner = inner
+        self.root = inner.root
+        self.attempts = max(1, attempts)
+        self.base_delay = base_delay
+
+    def _retry(self, fn, key: str = ""):
+        import time as _time
+
+        last: Exception | None = None
+        for i in range(self.attempts):
+            try:
+                return fn()
+            except Exception as e:  # noqa: BLE001 — seam-level catch is the point
+                last = e
+                if i + 1 == self.attempts:
+                    break
+                jitter = (hash((key, i)) & 0xFF) / 1024.0
+                _time.sleep(self.base_delay * (2**i) + jitter)
+        raise last  # type: ignore[misc]
+
+    def read(self, key: str) -> bytes | None:
+        return self._retry(lambda: self.inner.read(key), key)
+
+    def write(self, key: str, data: bytes) -> None:
+        return self._retry(lambda: self.inner.write(key, data), key)
+
+    def exists(self, key: str) -> bool:
+        return self._retry(lambda: self.inner.exists(key), key)
+
+    def delete(self, key: str) -> bool:
+        return self._retry(lambda: self.inner.delete(key), key)
+
+    def list_dir(self, prefix: str = "") -> list[str]:
+        return self._retry(lambda: self.inner.list_dir(prefix), prefix)
+
+    def delete_all(self) -> None:
+        return self._retry(self.inner.delete_all)

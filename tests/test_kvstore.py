@@ -166,3 +166,88 @@ def test_dataset_model_over_memory_fs():
     ds.set_units("v", {"length": "m"})
     ds.commit_metadata()
     assert MdioDataset.open(root).var("v").attrs["unitsV1"] == {"length": "m"}
+
+
+class FlakyKVStore:
+    """Fails the first N calls of each op, then delegates — the transient
+    cloud-failure simulator."""
+
+    def __init__(self, inner, fail_times=2):
+        self.inner = inner
+        self.root = inner.root
+        self.fails = {}
+        self.fail_times = fail_times
+
+    def _maybe_fail(self, op):
+        n = self.fails.get(op, 0)
+        if n < self.fail_times:
+            self.fails[op] = n + 1
+            raise ConnectionError(f"transient {op} failure #{n + 1}")
+
+    def read(self, key):
+        self._maybe_fail("read")
+        return self.inner.read(key)
+
+    def write(self, key, data):
+        self._maybe_fail("write")
+        return self.inner.write(key, data)
+
+    def exists(self, key):
+        self._maybe_fail("exists")
+        return self.inner.exists(key)
+
+    def delete(self, key):
+        self._maybe_fail("delete")
+        return self.inner.delete(key)
+
+    def list_dir(self, prefix=""):
+        self._maybe_fail("list_dir")
+        return self.inner.list_dir(prefix)
+
+    def delete_all(self):
+        return self.inner.delete_all()
+
+
+def test_retrying_kvstore_recovers_from_transient_failures():
+    from mdio_cpp_spark.sources.kvstore import MemoryKVStore, RetryingKVStore
+
+    inner = MemoryKVStore("memory://retry-test/s")
+    flaky = FlakyKVStore(inner, fail_times=2)
+    store = RetryingKVStore(flaky, attempts=4, base_delay=0.001)
+    store.write("k", b"payload")
+    assert store.read("k") == b"payload"
+    assert store.exists("k")
+    assert store.list_dir() == ["k"]
+    assert store.delete("k")
+
+
+def test_retrying_kvstore_gives_up_after_attempts():
+    import pytest
+
+    from mdio_cpp_spark.sources.kvstore import MemoryKVStore, RetryingKVStore
+
+    inner = MemoryKVStore("memory://retry-test2/s")
+    flaky = FlakyKVStore(inner, fail_times=99)
+    store = RetryingKVStore(flaky, attempts=3, base_delay=0.001)
+    with pytest.raises(ConnectionError):
+        store.read("k")
+    assert flaky.fails["read"] == 3  # exactly `attempts` tries
+
+
+def test_absent_key_is_result_not_failure():
+    from mdio_cpp_spark.sources.kvstore import MemoryKVStore, RetryingKVStore
+
+    store = RetryingKVStore(MemoryKVStore("memory://retry-test3/s"), attempts=4)
+    assert store.read("missing") is None  # immediate, no retries
+
+
+def test_cloud_paths_default_to_retrying():
+    import pytest
+
+    from mdio_cpp_spark.sources.kvstore import open_kvstore
+
+    # cloud scheme without fsspec → NotImplementedError (gate unchanged);
+    # explicit retries on a local path → wrapped
+    with pytest.raises(NotImplementedError):
+        open_kvstore("gs://bucket/store")
+    assert type(open_kvstore("memory://b/s", retries=3)).__name__ == "RetryingKVStore"
