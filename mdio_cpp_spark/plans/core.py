@@ -1244,3 +1244,42 @@ def h05(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.round(F.col("l_discount") * 100).cast("long")
     )
     return li.agg(F.sum(rev).alias("revenue_e4"), F.count(F.lit(1)).alias("n_rows"))
+
+
+@declared(
+    "h06_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > CAST(o_orderdate AS DATE)
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def h06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped priority check: date-pruned orders LEFT SEMI join
+    lineitem on the order key with a non-equi residual (shipped after the
+    order date). The semi join ships only (orderkey, orderdate) — never
+    order payloads — and the priority count is a 5-row partial agg. At
+    100 TB the date filter prunes orders first, and Spark's runtime bloom
+    filter (on by default) prunes lineitem's scan by the surviving keys."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("date"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate").cast("date")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

@@ -1279,3 +1279,52 @@ def mm05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("j").cast("long").alias("j"), "v")
         .orderBy("doc_id", "j")
     )
+
+
+@declared(
+    "p05_source_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, md5(text) AS h,
+             CAST(len({_DD_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           COUNT(DISTINCT h) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dups
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def p05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report — the dashboard query a corpus pipeline
+    runs before mixing: document counts, token mass, and exact-dup counts
+    per source. Token counts and content hashes are computed map-side; the
+    single shuffle carries (source, hash, count) and the distinct-count is
+    two-phase. At 100 TB this is one pass over the corpus with
+    vocabulary-free state."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    t = d.select(
+        "source",
+        F.md5("text").alias("h"),
+        text.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.count_distinct("h").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            (F.col("total_tokens").cast("double") / F.col("n_docs")).alias("avg_tokens"),
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).alias("n_dups"),
+        )
+        .orderBy("source")
+    )
