@@ -1132,3 +1132,34 @@ def zarr29(spark: SparkSession, sf_dir: str) -> DataFrame:
         .to_df(spark, value_col="price", value_filter=(">=", 450000.0))
         .orderBy("i")
     )
+
+
+@declared(
+    "zarr30_aligned_corr",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS pr, CAST(o_custkey AS DOUBLE) AS ck
+      FROM (SELECT o_totalprice, o_custkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < 8192
+    )
+    SELECT COUNT(*) AS n,
+           ROUND(corr(pr, ck), 6) AS corr_pc,
+           ROUND(covar_samp(pr, ck), 2) AS cov_pc
+    FROM a
+    """,
+)
+def zarr30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-variable statistics over ALIGNED stored arrays (the dimension-
+    alignment join, dataset.h:439-447, driving a two-column aggregate):
+    price (float64) and hdr.ck (struct field) share the i grid, align via
+    to_df_aligned, and corr/covar merge as distributed co-moments — one
+    chunk-bucketed join, partial co-moment agg, a 1-row result."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    both = ds.isel(i=(0, 8192)).to_df_aligned(
+        spark, {"price": "price", "hdr.ck": "ck"}
+    )
+    return both.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr(F.col("price"), F.col("ck").cast("double")), 6).alias("corr_pc"),
+        F.round(F.covar_samp(F.col("price"), F.col("ck").cast("double")), 2).alias("cov_pc"),
+    )
