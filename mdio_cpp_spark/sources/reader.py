@@ -219,9 +219,14 @@ def scan_array(
     def _zone_keep(coords: tuple[int, ...]) -> bool:
         if zone_stats is None:
             return True
+        key = ",".join(str(c) for c in coords)
+        if key not in zone_stats:
+            # absent from the manifest = UNKNOWN (e.g. a chunk created by a
+            # later resize) — never prune on unknown; distinct from an
+            # explicit null entry, which means fill-only-at-compute-time
+            return True
         return _zonemap.chunk_compatible(
-            zone_stats.get(",".join(str(c) for c in coords)),
-            value_filter[0], value_filter[1], fill_lit,
+            zone_stats[key], value_filter[0], value_filter[1], fill_lit
         )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -47,6 +47,11 @@ from mdio_cpp_spark.schema.types import (
     v3_dtype_name,
 )
 
+# attrs key of the per-chunk [min,max] zone-map manifest (sources/zonemap.py
+# builds/publishes it; both writers keep it coherent on chunk writes)
+CHUNK_STATS_ATTR = "mdio:chunk_stats"
+
+
 def parse_store_path(path: str) -> str:
     """Normalize a store path for the KV layer (zarr_driver.h:225-231
     analog). file:// strips to a local path; cloud/memory schemes pass
@@ -555,6 +560,13 @@ class ZarrStore:
         meta = self.array_meta(name)
         origin = origin or tuple(0 for _ in meta.shape)
         box = tuple((o, o + s) for o, s in zip(origin, arr.shape))
+        manifest = (
+            dict(meta.attrs[CHUNK_STATS_ATTR])
+            if CHUNK_STATS_ATTR in meta.attrs
+            and not meta.is_struct
+            and meta.np_dtype.kind not in "cOV"
+            else None
+        )
         for coords in chunks_overlapping(meta, box):
             corigin = tuple(c * s for c, s in zip(coords, meta.chunks))
             block = self.decode_chunk(meta, coords)
@@ -570,6 +582,20 @@ class ZarrStore:
                 src_sel.append(slice(lo - box[d][0], hi - box[d][0]))
             block[tuple(dst_sel)] = arr[tuple(src_sel)]
             self.write_chunk(meta, coords, block)
+            if manifest is not None:
+                # zone-map coherence for the driver-side writer (mirrors the
+                # Spark writer): refresh the touched chunk's [min,max] over
+                # its valid extent so stale stats can never wrongly prune
+                valid = tuple(
+                    slice(0, min(meta.chunks[d], meta.shape[d] - corigin[d]))
+                    for d in range(meta.ndim)
+                )
+                v = block[valid]
+                key = ",".join(str(c) for c in coords)
+                manifest[key] = [float(np.min(v)), float(np.max(v))]
+        if manifest is not None:
+            self.update_array_attrs(name, {**meta.attrs, CHUNK_STATS_ATTR: manifest})
+            self.consolidate()
 
 
 def _clamped_box(

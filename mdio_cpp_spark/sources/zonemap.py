@@ -33,9 +33,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 
-from mdio_cpp_spark.sources.zarr_store import ZarrArrayMeta, ZarrStore
+from mdio_cpp_spark.sources.zarr_store import CHUNK_STATS_ATTR, ZarrArrayMeta, ZarrStore
 
-STATS_KEY = "mdio:chunk_stats"
+STATS_KEY = CHUNK_STATS_ATTR
 
 # attr-resident manifest cap: beyond this, stats belong in a sidecar array
 MAX_ATTR_CHUNKS = 262_144

@@ -117,3 +117,24 @@ def test_write_updates_manifest(spark, tmp_path):
         for r in scan_array(spark, root, "v", value_filter=(">=", 100000.0)).collect()
     )
     assert got == list(range(200, 300))
+
+
+def test_driver_side_write_updates_manifest(spark, tmp_path):
+    """write_array_numpy (the driver-side writer) must also refresh the
+    manifest — a fill-only chunk that gets real data can no longer be
+    evaluated as fill by a pruned scan."""
+    root, vals = _mk_store(tmp_path)
+    zonemap.publish_chunk_stats(root, "v", zonemap.compute_chunk_stats(spark, root, "v"))
+
+    st = ZarrStore.open(root)
+    assert zonemap.load_stats(st.array_meta("v"))["9"] is None  # fill-only
+    # write real data into the previously-fill chunk, driver-side
+    st.write_array_numpy("v", np.full(100, 7.5), origin=(900,))
+
+    stats = zonemap.load_stats(ZarrStore.open(root).array_meta("v"))
+    assert stats["9"] == [7.5, 7.5]
+    got = sorted(
+        r["i"]
+        for r in scan_array(spark, root, "v", value_filter=("==", 7.5)).collect()
+    )
+    assert got == list(range(900, 1000))
