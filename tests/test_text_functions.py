@@ -1,0 +1,86 @@
+"""Differential test for functions/text.py: Spark column formulas vs
+independent pure-Python reimplementations over a deterministic corpus of
+edge-case strings (empty, punctuation-only, unicode, repeated tokens).
+One Spark job for the whole batch — not per-example."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from mdio_cpp_spark.functions import text
+
+CASES = [
+    "",
+    "   ",
+    "the quick brown fox",
+    "a a a a a a a a",
+    "Punctuation!!! heavy??? text... here, truly; yes: no",
+    "UPPER lower MiXeD 123 456abc",
+    "tab\tand\nnewline separated words",
+    "unicode café naïve über straße",
+    "der und die der und die der und die",
+    "le la et le la et",
+    "single",
+    "x " * 40,  # 40 repeated tokens
+    "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18",
+]
+
+
+def py_tokens(s: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+
+def py_bigrams(toks: list[str]) -> list[str]:
+    return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def py_blocks(toks: list[str], block: int = 16) -> list[str]:
+    return [
+        hashlib.md5(" ".join(toks[i * block : (i + 1) * block]).encode()).hexdigest()
+        for i in range(len(toks) // block)
+    ]
+
+
+def py_fingerprint(s: str) -> str:
+    return hashlib.md5(" ".join(sorted(set(py_tokens(s)))).encode()).hexdigest()
+
+
+def test_text_functions_match_python(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(CASES)], "id long, s string")
+    toks = text.tokens(F.col("s"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            toks.alias("toks"),
+            text.token_count(F.col("s")).alias("n"),
+            text.fingerprint(F.col("s")).alias("fp"),
+            F.when(F.size(toks) >= 2, text.bigrams(toks)).alias("bg"),
+            F.when(F.size(toks) >= 16, text.token_blocks(toks, 16)).alias("blk"),
+        ).collect()
+    }
+    for i, s in enumerate(CASES):
+        ref = py_tokens(s)
+        row = out[i]
+        assert row["toks"] == ref, f"tokens mismatch for {s!r}"
+        assert row["n"] == len(ref)
+        assert row["fp"] == py_fingerprint(s)
+        if len(ref) >= 2:
+            assert row["bg"] == py_bigrams(ref), f"bigrams mismatch for {s!r}"
+        if len(ref) >= 16:
+            assert row["blk"] == py_blocks(ref), f"blocks mismatch for {s!r}"
+
+
+def test_lang_id_matches_marker_argmax(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(CASES)], "id long, s string")
+    got = {r["id"]: r["lang"] for r in df.select("id", text.lang_id(F.col("s")).alias("lang")).collect()}
+    markers = {"en": ("the", "a", "of"), "de": ("der", "und", "die"),
+               "fr": ("le", "la", "et"), "es": ("el", "los", "y")}
+    for i, s in enumerate(CASES):
+        toks = py_tokens(s)
+        scores = {L: sum(toks.count(m) for m in ms) for L, ms in markers.items()}
+        best = max(["en", "de", "fr", "es"], key=lambda L: (scores[L], -["en", "de", "fr", "es"].index(L)))
+        assert got[i] == best, f"lang mismatch for {s!r}: {got[i]} vs {best} ({scores})"
