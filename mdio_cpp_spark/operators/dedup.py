@@ -202,10 +202,17 @@ def embedding_neardup_pairs(
     then exact cosine >= threshold within buckets. Returns
     (doc_a, doc_b, cos) with cos rounded to 4 places."""
     bucket = sign_lsh_bucket(F.col(vec_col), dim, n_planes)
-    b = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bk"))
-    a = b.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"), "bk")
-    c = b.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"), "bk")
-    cos = F.round(vectors.cosine(F.col("va"), F.col("vb")), 4)
+    # norm computed once per vector map-side; cosine per PAIR is then one
+    # dot + divide (same IEEE value — the norm is the identical expression)
+    b = df.select(
+        F.col(id_col), F.col(vec_col), bucket.alias("bk"),
+        vectors.norm(F.col(vec_col)).alias("nv"),
+    )
+    a = b.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"), "bk",
+                 F.col("nv").alias("na"))
+    c = b.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"), "bk",
+                 F.col("nv").alias("nb"))
+    cos = F.round(vectors.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
     return (
         a.join(c, on="bk")
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -39,11 +39,22 @@ def _ranked(pairs: DataFrame, k: int) -> DataFrame:
 def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
     """Exact brute-force top-k by cosine. ``queries`` is broadcast; corpus
     stays partitioned. Self-matches (same id) excluded."""
-    q = F.broadcast(queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")))
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"),
+        vectors.norm(F.col(vec_col)).alias("qn"),
+    ))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
+        vectors.norm(F.col(vec_col)).alias("cn"),
+    )
     pairs = (
         c.join(q, F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", F.round(vectors.cosine(F.col("qv"), F.col("cv")), 4).alias("cos"))
+        .select(
+            "q_id", "vec_id",
+            F.round(
+                vectors.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos"),
+        )
     )
     return _ranked(pairs, k)
 
@@ -61,13 +72,24 @@ def lsh_topk(
     bucket, then exact cosine rank within the bucket."""
     bucket = sign_lsh_bucket(F.col(vec_col), dim, n_planes)
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), bucket.alias("bk"))
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"),
+            bucket.alias("bk"), vectors.norm(F.col(vec_col)).alias("qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"), bucket.alias("bk"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
+        bucket.alias("bk"), vectors.norm(F.col(vec_col)).alias("cn"),
+    )
     pairs = (
         c.join(q, on="bk")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", F.round(vectors.cosine(F.col("qv"), F.col("cv")), 4).alias("cos"))
+        .select(
+            "q_id", "vec_id",
+            F.round(
+                vectors.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos"),
+        )
     )
     return _ranked(pairs, k)
 
@@ -99,16 +121,27 @@ def lsh_topk_multiprobe(
     buckets are distinct strings and each corpus vector lives in exactly one
     bucket, so no candidate dedup is needed."""
     bucket = sign_lsh_bucket(F.col(vec_col), dim, n_planes)
-    q0 = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), bucket.alias("bk0"))
+    q0 = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"),
+        bucket.alias("bk0"), vectors.norm(F.col(vec_col)).alias("qn"),
+    )
     probes = F.array(
         F.col("bk0"), *[_flip_bit(F.col("bk0"), p, n_planes) for p in range(n_probes - 1)]
     )
-    q = F.broadcast(q0.select("q_id", "qv", F.explode(probes).alias("bk")))
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"), bucket.alias("bk"))
+    q = F.broadcast(q0.select("q_id", "qv", "qn", F.explode(probes).alias("bk")))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
+        bucket.alias("bk"), vectors.norm(F.col(vec_col)).alias("cn"),
+    )
     pairs = (
         c.join(q, on="bk")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", F.round(vectors.cosine(F.col("qv"), F.col("cv")), 4).alias("cos"))
+        .select(
+            "q_id", "vec_id",
+            F.round(
+                vectors.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos"),
+        )
     )
     return _ranked(pairs, k)
 
@@ -185,12 +218,23 @@ def knn_join(
     string, never a cross product; plane count tunes bucket width so the
     in-bucket quadratic term stays bounded at scale."""
     bucket = sign_lsh_bucket(F.col(vec_col), dim, n_planes)
-    b = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bk"))
-    q = b.select(F.col("id").alias("q_id"), F.col("v").alias("qv"), "bk")
-    c = b.select(F.col("id").alias("vec_id"), F.col("v").alias("cv"), "bk")
+    # norms computed ONCE per vector map-side (not 3 dot products per pair —
+    # cosine = dot / (norm_q * norm_c) with the same IEEE value, since the
+    # norm is the identical sqrt-of-self-dot expression)
+    b = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        bucket.alias("bk"), vectors.norm(F.col(vec_col)).alias("nv"),
+    )
+    q = b.select(F.col("id").alias("q_id"), F.col("v").alias("qv"), "bk", F.col("nv").alias("qn"))
+    c = b.select(F.col("id").alias("vec_id"), F.col("v").alias("cv"), "bk", F.col("nv").alias("cn"))
     pairs = (
         q.join(c, on="bk")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", F.round(vectors.cosine(F.col("qv"), F.col("cv")), 4).alias("cos"))
+        .select(
+            "q_id", "vec_id",
+            F.round(
+                vectors.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos"),
+        )
     )
     return _ranked(pairs, k)
