@@ -154,13 +154,15 @@ def ivf_assign(
     (max_by over a (cos, cid) struct — deterministic tie-break on larger
     cid). One partial-aggregating groupBy; the corpus never shuffles its
     vectors anywhere else."""
-    cents = F.broadcast(centroids)
+    cents = F.broadcast(centroids.withColumn("__cn", vectors.norm(F.col("cv"))))
     scored = df.select(
-        F.col(id_col), F.col(vec_col)
+        F.col(id_col), F.col(vec_col), vectors.norm(F.col(vec_col)).alias("__vn")
     ).join(cents, how="cross").select(
         id_col, vec_col,
         F.col("cid"),
-        F.round(vectors.cosine(F.col(vec_col), F.col("cv")), 6).alias("__cc"),
+        F.round(
+            vectors.dot(F.col(vec_col), F.col("cv")) / (F.col("__vn") * F.col("__cn")), 6
+        ).alias("__cc"),
     )
     return scored.groupBy(id_col, vec_col).agg(
         F.max_by("cid", F.struct(F.col("__cc"), F.col("cid"))).alias("cell")
