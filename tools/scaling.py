@@ -1,0 +1,78 @@
+"""Generate SCALING.md: wall-time scaling sweep of representative declared
+queries across the three driver scale factors (sf0.001 / sf0.01 / sf0.1 —
+100× data growth end-to-end), demonstrating that plan shapes amortize:
+time growth far below data growth means fixed overhead + parallel scans,
+not per-row driver work. Regenerate with `python tools/scaling.py`.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+PICKS = [
+    ("q01_isel_range", "pruned parquet range scan"),
+    ("h02_pricing_summary", "full-scan fixed-point aggregate"),
+    ("h03_local_supplier_volume", "six-way broadcast join"),
+    ("d02_minhash_lsh", "MinHash+LSH dedup (heaviest map work)"),
+    ("v05_knn_join", "all-pairs kNN bucket self-join"),
+    ("t07_tfidf", "two-level tf/df aggregation"),
+    ("zarr01_scan", "pruned zarr chunk scan"),
+    ("a07_exact_percentiles", "distributed exact percentiles"),
+]
+
+
+def main() -> None:
+    from mdio_cpp_spark.plans import REGISTRY
+    from mdio_cpp_spark.session import get_spark
+
+    spark = get_spark("scaling-sweep")
+    # warm the Python-worker pool and parquet reader outside the timed region
+    REGISTRY["q01_isel_range"].spark(spark, SFS[0]).collect()
+
+    results: dict[str, list[float]] = {}
+    for name, _ in PICKS:
+        results[name] = []
+        for sf in SFS:
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                REGISTRY[name].spark(spark, sf).collect()
+                runs.append(time.time() - t0)
+            results[name].append(sorted(runs)[1])  # median of 3
+
+    import os
+
+    load1 = os.getloadavg()[0]
+    lines = [
+        "# SCALING — wall-time sweep across sf0.001 → sf0.01 → sf0.1 (100× data)",
+        "",
+        f"local[{spark.sparkContext.defaultParallelism}], median of 3 runs per cell, "
+        f"load1={load1:.1f} (shared box — ratios matter, not absolutes).",
+        "",
+        "A query whose time grows ~Nx under 100× data is overhead-amortized and",
+        "scan-bound — the plan shape that survives a cluster scale-up. Per-row",
+        "driver work or quadratic stages would show here as super-linear growth.",
+        "",
+        "| query | what it stresses | sf0.001 | sf0.01 | sf0.1 | t(×100 data)/t(×1) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, what in PICKS:
+        a, b, c = results[name]
+        lines.append(
+            f"| {name} | {what} | {a:.2f} s | {b:.2f} s | {c:.2f} s | {c / a:.1f}× |"
+        )
+    lines.append("")
+    with open("/root/repo/SCALING.md", "w") as f:
+        f.write("\n".join(lines))
+    print("wrote SCALING.md")
+    for name, _ in PICKS:
+        print(name, [round(x, 2) for x in results[name]])
+
+
+if __name__ == "__main__":
+    main()
