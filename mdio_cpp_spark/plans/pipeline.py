@@ -1328,3 +1328,55 @@ def p05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _dd_quality_expr() -> str:
+    """The t02 quality formula as a bare SQL expression over (text, w)."""
+    return f"""ROUND(
+             LEAST(CAST(1.0 AS DOUBLE), CAST(len(w) AS DOUBLE) / CAST(100.0 AS DOUBLE))
+             * (CAST(1.0 AS DOUBLE) - (CAST(length(text) AS DOUBLE)
+                 - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)) / CAST(length(text) AS DOUBLE))
+             * (CAST(0.5 AS DOUBLE) + LEAST(
+                  CAST({_dd_hits("the")} + {_dd_hits("a")} + {_dd_hits("of")} AS DOUBLE) / CAST(len(w) AS DOUBLE),
+                  CAST(0.5 AS DOUBLE))),
+             4)"""
+
+
+@declared(
+    "p06_quality_band",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang, {_dd_quality_expr()} AS score
+      FROM (SELECT doc_id, lang, text, {_DD_TOKS} AS w FROM documents)
+    ),
+    b AS (
+      SELECT lang,
+             ROUND(quantile_cont(score, 0.1), 4) AS p10,
+             ROUND(quantile_cont(score, 0.9), 4) AS p90
+      FROM q GROUP BY lang
+    )
+    SELECT doc_id, q.lang, score FROM q JOIN b USING (lang)
+    WHERE score BETWEEN p10 AND p90
+    ORDER BY doc_id
+    """,
+)
+def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band curation: keep documents whose quality score sits
+    inside their language's [p10, p90] band — the outlier-trimming filter
+    composed from the distributed exact-percentile operator (no per-group
+    value buffer) and the map-side quality scorer. The band table is
+    |langs| rows and broadcasts; the corpus is scanned twice (score is
+    cheap and recomputing beats caching text at 100 TB)."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    from mdio_cpp_spark.operators import stats as _stats
+
+    q = d.select("doc_id", "lang", text.quality_score("text").alias("score"))
+    bands = _stats.grouped_percentiles(
+        q, "lang", "score", [(0.1, "p10"), (0.9, "p90")]
+    )
+    return (
+        q.join(F.broadcast(bands), "lang")
+        .filter(F.col("score").between(F.col("p10"), F.col("p90")))
+        .select("doc_id", "lang", "score")
+        .orderBy("doc_id")
+    )
