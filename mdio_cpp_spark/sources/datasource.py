@@ -28,6 +28,7 @@ Usage:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
@@ -35,6 +36,7 @@ import pyarrow as pa
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -43,11 +45,12 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
 from mdio_cpp_spark.sources.reader import _decode_chunk_to_pdf, _dim_names, scan_schema
-from mdio_cpp_spark.sources.zarr_store import ZarrStore, _clamped_box
+from mdio_cpp_spark.sources.zarr_store import CHUNK_STATS_ATTR, ZarrStore, _clamped_box
 
 
 class MdioChunkPartition(InputPartition):
@@ -102,6 +105,16 @@ class MdioDataSource(DataSource):
     def reader(self, schema: StructType) -> "MdioReader":
         store, meta = self._meta()
         return MdioReader(store, meta, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "MdioArrowWriter":
+        if overwrite:
+            raise ValueError("format('mdio') writes are append/RMW only; "
+                             "use TrimDataset/DeleteDataset for destructive ops")
+        store, meta = self._meta()
+        return MdioArrowWriter(
+            store.root, store.version, meta.name,
+            self.options.get("value_col", "value"),
+        )
 
 
 class MdioReader(DataSourceReader):
@@ -207,3 +220,140 @@ class MdioReader(DataSourceReader):
 def register(spark) -> None:
     """Register the mdio format on a session (idempotent)."""
     spark.dataSource.register(MdioDataSource)
+
+
+# ---------------------------------------------------------------- write path
+
+
+@dataclass
+class MdioCommitMessage(WriterCommitMessage):
+    """Per-task commit message: which chunks this task wrote (+ fresh zone
+    stats when the array has a published manifest). The driver-side commit
+    cross-checks exclusivity and folds the zones in."""
+
+    chunk_keys: list  # list[str]
+    zones: str        # JSON {chunk_key: [lo, hi]} ("" when no manifest)
+
+
+class MdioArrowWriter(DataSourceArrowWriter):
+    """``df.write.format("mdio")`` — Arrow-batched chunk-aligned writes.
+
+    Single-writer-per-chunk is the correctness contract (the reference calls
+    concurrent unaligned writes UB, USER_GUIDE 'Write'; our shuffle-keyed
+    write_arrays guarantees it structurally). The DSv2 path can't impose a
+    shuffle on the caller, so it enforces the contract at COMMIT: every
+    task reports its chunk keys and the driver rejects the job if any chunk
+    was written by two tasks. Use ``repartition_by_chunks`` (below) to make
+    any frame compliant first.
+
+    Each task accumulates (offset, value) per chunk across its Arrow
+    batches, then RMWs each chunk exactly once at task end — one decode +
+    one encode per touched chunk regardless of row order."""
+
+    def __init__(self, root: str, version: int, var: str, value_col: str):
+        self.root, self.version, self.var, self.value_col = root, version, var, value_col
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> MdioCommitMessage:
+        import json as _json
+
+        store = ZarrStore(self.root, self.version)
+        meta = store.array_meta(self.var)
+        if meta.is_struct or meta.np_dtype.kind == "c":
+            raise ValueError("format('mdio') writes scalar arrays; use write_arrays for struct/complex")
+        dims = _dim_names(meta)
+        strides = []
+        acc = 1
+        for c in reversed(meta.chunks):
+            strides.append(acc)
+            acc *= int(c)
+        strides = list(reversed(strides))
+        n_cells = int(np.prod(meta.chunks))
+        per_chunk: dict[tuple, list] = {}
+        for batch in iterator:
+            cols = {name: batch.column(i).to_numpy(zero_copy_only=False)
+                    for i, name in enumerate(batch.schema.names)}
+            idx = [cols[d].astype(np.int64) for d in dims]
+            vals = cols[self.value_col]
+            ckey = np.zeros(len(vals), dtype=np.int64)
+            off = np.zeros(len(vals), dtype=np.int64)
+            mult = 1
+            grid = meta.grid_shape()
+            for d in reversed(range(meta.ndim)):
+                ckey += (idx[d] // meta.chunks[d]) * mult
+                mult *= grid[d]
+                off += (idx[d] % meta.chunks[d]) * strides[d]
+            for k in np.unique(ckey):
+                m = ckey == k
+                per_chunk.setdefault(int(k), []).append((off[m], vals[m]))
+        keys, zones = [], {}
+        has_manifest = CHUNK_STATS_ATTR in meta.attrs
+        grid = meta.grid_shape()
+        for linear, parts in per_chunk.items():
+            coords = tuple(int(c) for c in np.unravel_index(linear, grid))
+            block = store.decode_chunk(meta, coords)
+            flat = (
+                np.full(n_cells, meta.fill_scalar(), dtype=meta.np_dtype)
+                if block is None
+                else block.reshape(-1, order=meta.order).copy()
+            )
+            for off, vals in parts:
+                if len(off) and (off.min() < 0 or off.max() >= n_cells):
+                    raise ValueError(f"row outside chunk {coords}")
+                flat[off] = vals.astype(meta.np_dtype, copy=False)
+            shaped = flat.reshape(meta.chunks)
+            store.write_chunk(meta, coords, shaped)
+            key = ",".join(str(c) for c in coords)
+            keys.append(key)
+            if has_manifest:
+                valid = tuple(
+                    slice(0, min(meta.chunks[d], meta.shape[d] - coords[d] * meta.chunks[d]))
+                    for d in range(meta.ndim)
+                )
+                v = shaped[valid]
+                zones[key] = [float(np.min(v)), float(np.max(v))]
+        import json
+
+        return MdioCommitMessage(chunk_keys=keys, zones=json.dumps(zones) if zones else "")
+
+    def commit(self, messages) -> None:
+        import json
+        from collections import Counter
+
+        counts = Counter(k for m in messages if m for k in m.chunk_keys)
+        dupes = sorted(k for k, n in counts.items() if n > 1)
+        if dupes:
+            raise RuntimeError(
+                f"chunk(s) {dupes[:5]} written by multiple tasks — the input "
+                "frame was not chunk-partitioned; use repartition_by_chunks() "
+                "before .write.format('mdio') (concurrent unaligned writes "
+                "are UB in the reference too, USER_GUIDE 'Write')"
+            )
+        store = ZarrStore(self.root, self.version)
+        meta = store.array_meta(self.var)
+        zones = {}
+        for m in messages:
+            if m and m.zones:
+                zones.update(json.loads(m.zones))
+        if zones and CHUNK_STATS_ATTR in meta.attrs:
+            manifest = dict(meta.attrs[CHUNK_STATS_ATTR])
+            manifest.update(zones)
+            store.update_array_attrs(self.var, {**meta.attrs, CHUNK_STATS_ATTR: manifest})
+        store.consolidate()
+
+    def abort(self, messages) -> None:  # chunks are atomic (tmp+rename); a
+        pass  # partial job leaves prior data intact for untouched chunks
+
+
+def repartition_by_chunks(df, root: str, var: str):
+    """Make a long-form frame DSv2-write-compliant: hash-repartition on the
+    chunk id so each chunk lands in exactly one task (the same key
+    write_arrays shuffles on)."""
+    from pyspark.sql import functions as F
+
+    meta = ZarrStore.open(root).array_meta(var)
+    dims = _dim_names(meta)
+    key = None
+    for d, dim in enumerate(dims):
+        term = F.expr(f"{dim} div {int(meta.chunks[d])}")
+        key = term if key is None else key * int(meta.grid_shape()[d]) + term
+    return df.repartition(key.alias("__chunk"))

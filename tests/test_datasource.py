@@ -103,3 +103,58 @@ def test_missing_options(spark):
     register(spark)
     with pytest.raises(Exception, match="path"):
         spark.read.format("mdio").load().collect()
+
+
+def test_datasource_write_roundtrip(spark, tmp_path):
+    """df.write.format('mdio'): chunk-partitioned frame → RMW chunk writes →
+    readback equals input; fill preserved where unwritten."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.sources.datasource import register, repartition_by_chunks
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    register(spark)
+    root = str(tmp_path / "dsw.zarr")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("v", shape=(1000,), chunks=(128,), dtype="float64", dims=("i",), fill=0.0)
+    st.consolidate()
+
+    df = spark.range(100, 900).select(F.col("id").alias("i"), (F.col("id") * 3.0).alias("value"))
+    (
+        repartition_by_chunks(df, root, "v")
+        .write.format("mdio").option("path", root).option("variable", "v")
+        .mode("append").save()
+    )
+    arr = ZarrStore.open(root).read_array("v")
+    expect = np.zeros(1000)
+    expect[100:900] = np.arange(100, 900) * 3.0
+    assert np.array_equal(arr, expect)
+
+
+def test_datasource_write_updates_manifest(spark, tmp_path):
+    """DSv2 writes fold fresh zones into a published manifest at commit."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.sources import zonemap
+    from mdio_cpp_spark.sources.datasource import register, repartition_by_chunks
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    register(spark)
+    root = str(tmp_path / "dswz.zarr")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("v", shape=(400,), chunks=(100,), dtype="float64", dims=("i",), fill=0.0)
+    st.consolidate()
+    st.write_array_numpy("v", np.arange(400.0))
+    zonemap.publish_chunk_stats(root, "v", zonemap.compute_chunk_stats(spark, root, "v"))
+
+    df = spark.range(200, 300).select(F.col("id").alias("i"), F.lit(99999.0).alias("value"))
+    (
+        repartition_by_chunks(df, root, "v")
+        .write.format("mdio").option("path", root).option("variable", "v")
+        .mode("append").save()
+    )
+    stats = zonemap.load_stats(ZarrStore.open(root).array_meta("v"))
+    assert stats["2"] == [99999.0, 99999.0]
+    assert stats["0"] == [0.0, 99.0]
