@@ -1163,3 +1163,52 @@ def zarr30(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr(F.col("price"), F.col("ck").cast("double")), 6).alias("corr_pc"),
         F.round(F.covar_samp(F.col("price"), F.col("ck").cast("double")), 2).alias("cov_pc"),
     )
+
+
+@declared(
+    "zarr31_dsv2_write",
+    oracle="""
+    SELECT CAST(COUNT(v) AS BIGINT) AS cnt, ROUND(SUM(v), 2) AS sum_v,
+           MIN(v) AS min_v, MAX(v) AS max_v
+    FROM (SELECT o_totalprice AS v, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn <= 5000
+    """,
+)
+def zarr31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSv2 write gate: the first 5000 stored prices round-trip through
+    ``df.write.format("mdio")`` (Arrow-batched task writes, single-writer-
+    per-chunk enforced by the commit protocol) into a fresh array, then the
+    DSv2 READER scans the new store and aggregates — both halves of the
+    format("mdio") contract produce the answer from stored bytes."""
+    from mdio_cpp_spark.sources.datasource import register, repartition_by_chunks
+
+    register(spark)
+    base = ensure_stores(spark, sf_dir)
+    root = os.path.join(base, "dsv2.zarr")
+    try:
+        ZarrStore.probe_version(root)
+    except FileNotFoundError:
+        st = ZarrStore.create(root, version=2)
+        st.create_array("v", shape=(5000,), chunks=(CHUNK,), dtype="float64", dims=("i",))
+        st.consolidate()
+    src = (
+        MdioDataset.open(_main_store(spark, sf_dir))
+        .isel(i=(0, 5000))
+        .to_df(spark, "price", value_col="value")
+    )
+    (
+        repartition_by_chunks(src, root, "v")
+        .write.format("mdio").option("path", root).option("variable", "v")
+        .mode("append").save()
+    )
+    back = (
+        spark.read.format("mdio")
+        .option("path", root).option("variable", "v").option("value_col", "v")
+        .load()
+    )
+    return back.agg(
+        F.count("v").alias("cnt"),
+        F.round(F.sum("v"), 2).alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
