@@ -1380,3 +1380,53 @@ def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "score")
         .orderBy("doc_id")
     )
+
+
+@declared(
+    "t12_unigram_surprisal",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(w) AS term
+      FROM (SELECT doc_id, {_DD_TOKS} AS w FROM documents) WHERE len(w) >= 1
+    ),
+    cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT doc_id,
+           COUNT(*) AS n_tok,
+           ROUND(SUM(-ln(CAST(c AS DOUBLE) / n)) / COUNT(*), 4) AS avg_surprisal
+    FROM tok JOIN cnt USING (term) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring: train a corpus unigram model (term
+    counts / total) and score each document by mean −ln p(term) — the
+    information-theoretic quality/outlier signal (gibberish scores high,
+    boilerplate low) used alongside heuristics in corpus curation.
+
+    Scale shape: one explode → (term) count agg (map-side combine, vocab-
+    sized result), total as a 1-row broadcast, then the token stream joins
+    the vocab on term — the same stopword-skew trade as tf-idf, handled by
+    AQE skew splitting — and reduces per doc_id. No per-doc state beyond
+    the running sum."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    toks = text.tokens(F.col("text"))
+    tok = (
+        d.select("doc_id", toks.alias("w"))
+        .filter(F.size("w") >= 1)
+        .select("doc_id", F.explode("w").alias("term"))
+    )
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tok.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(
+                F.sum(-F.log(F.col("c").cast("double") / F.col("n"))) / F.count(F.lit(1)), 4
+            ).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
