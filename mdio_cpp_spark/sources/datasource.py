@@ -37,6 +37,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -112,6 +113,13 @@ class MdioDataSource(DataSource):
                              "use TrimDataset/DeleteDataset for destructive ops")
         store, meta = self._meta()
         return MdioArrowWriter(
+            store.root, store.version, meta.name,
+            self.options.get("value_col", "value"),
+        )
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "MdioStreamArrowWriter":
+        store, meta = self._meta()
+        return MdioStreamArrowWriter(
             store.root, store.version, meta.name,
             self.options.get("value_col", "value"),
         )
@@ -357,3 +365,28 @@ def repartition_by_chunks(df, root: str, var: str):
         term = F.expr(f"{dim} div {int(meta.chunks[d])}")
         key = term if key is None else key * int(meta.grid_shape()[d]) + term
     return df.repartition(key.alias("__chunk"))
+
+
+class MdioStreamArrowWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("mdio")`` — the DSv2 streaming sink.
+
+    Per micro-batch the semantics are exactly MdioArrowWriter's (per-task
+    chunk accumulation, one RMW per touched chunk, exclusivity checked in
+    ``commit``); micro-batches are serialized by the engine, so cross-batch
+    chunk conflicts cannot race, and a checkpoint-replayed batch rewrites
+    the same cells with the same values (idempotent upsert — the
+    foreachBatch sink in streaming/ingest.py makes the same argument).
+    Within a batch the stream must be chunk-partitioned like the batch
+    path; commit rejects violations per micro-batch."""
+
+    def __init__(self, root: str, version: int, var: str, value_col: str):
+        self._delegate = MdioArrowWriter(root, version, var, value_col)
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> "MdioCommitMessage":
+        return self._delegate.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        self._delegate.commit(messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._delegate.abort(messages)

@@ -158,3 +158,44 @@ def test_datasource_write_updates_manifest(spark, tmp_path):
     stats = zonemap.load_stats(ZarrStore.open(root).array_meta("v"))
     assert stats["2"] == [99999.0, 99999.0]
     assert stats["0"] == [0.0, 99.0]
+
+
+def test_datasource_stream_write(spark, tmp_path):
+    """writeStream.format('mdio'): micro-batches land through the DSv2
+    streaming sink; result equals one batch write of the same rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.sources.datasource import register
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    register(spark)
+    src_dir = str(tmp_path / "src")
+    for part in range(4):
+        (
+            spark.range(part * 100, (part + 1) * 100)
+            .select(F.col("id").alias("i"), (F.col("id") * 2.0).alias("value"))
+            .coalesce(1)
+            .write.mode("append").parquet(src_dir)
+        )
+    root = str(tmp_path / "stream.zarr")
+    st = ZarrStore.create(root, version=2)
+    # chunk=150 straddles micro-batch boundaries → cross-batch RMW
+    st.create_array("v", shape=(400,), chunks=(150,), dtype="float64", dims=("i",), fill=0.0)
+    st.consolidate()
+
+    stream = (
+        spark.readStream.schema("i long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .repartition(F.expr("i div 150"))  # chunk-partition within each batch
+    )
+    q = (
+        stream.writeStream.format("mdio")
+        .option("path", root).option("variable", "v")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert np.array_equal(ZarrStore.open(root).read_array("v"), np.arange(400) * 2.0)
