@@ -40,6 +40,11 @@ PICKS = {
     "zarr27_halo_stencil": "halo exchange relationally: boundary cells replicate into neighbor chunk buckets map-side (explode of ≤2 targets), window partitions on bucket — no SinglePartition window over the array",
     "zarr29_zonemap_filter": "zone-map-pruned value scan: the task manifest contains ONLY chunks whose [min,max] can satisfy price>=450000 (driver-enumerated here; executor-side skip beyond 65536 chunks) — pruned chunks never get a kvstore GET",
     "mm05_embed_batch": "Arrow-batched mapInPandas inference stage (payloads move once, map-only); posexplode to scalar rows happens JVM-side after the Python stage",
+    "h05_revenue_forecast": "the pure-pushdown query: all three predicates in PushedFilters, 4-column ReadSchema, partial agg to one row — no shuffle of data anywhere",
+    "h06_order_priority": "LEFT SEMI with a non-equi residual: only (orderkey, orderdate) ships; date filters pushed to the orders scan",
+    "t12_unigram_surprisal": "vocab counts partial-agg before the term join; total broadcasts as a 1-row agg; per-doc reduce keyed on doc_id",
+    "p06_quality_band": "percentile bands from the buffer-free operator broadcast onto the scored scan; the band filter is a broadcast join + filter, no window over the corpus",
+    "zarr31_dsv2_write": "BatchWrite over the python DSv2 writer: chunk-partitioned exchange feeds per-task chunk RMW; readback is a PythonScan over the fresh store",
 }
 
 
