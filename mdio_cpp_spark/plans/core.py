@@ -1283,3 +1283,56 @@ def h06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+@declared(
+    "w07_value_window_fns",
+    oracle="""
+    SELECT o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_p,
+           LAST_VALUE(o_totalprice) OVER w AS last_p,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_p
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+)
+def w07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an unbounded frame —
+    rounding out the window-function family. Partitioned by priority (5
+    parallel partitions at any scale; the frame is whole-partition, so the
+    sort is one pass)."""
+    tune(spark)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_p"),
+        F.last("o_totalprice").over(w).alias("last_p"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_p"),
+    ).orderBy("o_orderkey")
+
+
+@declared(
+    "set06_union_distinct",
+    oracle="""
+    SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 1
+    UNION
+    SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 10
+    ORDER BY k
+    """,
+)
+def set06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — completes the set-op family (union-all, intersect,
+    intersect-all, except, except-all already gated). One hash-distinct
+    after the cheap union."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.filter(F.col("n_regionkey") == 1).select(F.col("n_nationkey").alias("k"))
+    b = n.filter(F.col("n_nationkey") < 10).select(F.col("n_nationkey").alias("k"))
+    return a.union(b).distinct().orderBy("k")

@@ -1212,3 +1212,39 @@ def zarr31(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+@declared(
+    "zarr32_stack_newdim",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS pr,
+             CAST(o_custkey AS DOUBLE) AS ck
+      FROM (SELECT o_totalprice, o_custkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < 4096
+    )
+    SELECT layer, i, v FROM (
+      SELECT 0 AS layer, i, pr AS v FROM a
+      UNION ALL
+      SELECT 1 AS layer, i, ck AS v FROM a
+    ) ORDER BY layer, i
+    """,
+)
+def zarr32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stack two same-grid variables along a NEW dimension (the xarray
+    ``concat(dim='layer')`` shape; the reference's only concat is same-axis
+    slice reassembly, variable.h:1390-1391 — a new-axis stack is the
+    upgrade). Relationally: UNION ALL with a layer literal — no shuffle at
+    all beyond the output sort; each branch keeps its own pruned chunk
+    manifest."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    pr = ds.isel(i=(0, 4096)).to_df(spark, "price", value_col="v").select(
+        F.lit(0).cast("int").alias("layer"), "i", "v"
+    )
+    ck = (
+        ds.isel(i=(0, 4096))
+        .var("hdr")
+        .to_df(spark, fields=["ck"])
+        .select(F.lit(1).cast("int").alias("layer"), "i", F.col("ck").cast("double").alias("v"))
+    )
+    return pr.unionByName(ck).orderBy("layer", "i")
