@@ -147,6 +147,9 @@ def plan_chunks(
     return per_dim, int(np.prod([len(r) for r in per_dim])) if per_dim else 0
 
 
+# in-flight chunk byte fetches per scan task (see decode() in scan_array)
+_PREFETCH_DEPTH = 4
+
 # value predicates pushable into the decoder: op name → numpy comparator
 _VALUE_OPS = {
     ">=": lambda v, x: v >= x,
@@ -229,9 +232,7 @@ def scan_array(
             zone_stats[key], value_filter[0], value_filter[1], fill_lit
         )
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # executor-side: open the store lazily once per task
-        task_store = ZarrStore(root_path, version)
+    def _iter_coords(batches: Iterator[pd.DataFrame]):
         for pdf in batches:
             for linear in pdf["id"].to_numpy():
                 # unravel linear id → chunk coords within the pruned grid
@@ -243,17 +244,46 @@ def scan_array(
                 coords = tuple(
                     grid_starts[d] + c for d, c in enumerate(reversed(coords))
                 )
-                if not _zone_keep(coords):
-                    continue
-                out = _decode_chunk_to_pdf(
-                    task_store, meta, coords, box, steps, dim_names, sel_fields, value_col
+                if _zone_keep(coords):
+                    yield coords
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # executor-side: open the store lazily once per task. Chunk BYTE
+        # fetches run _PREFETCH_DEPTH ahead of the decode on a small thread
+        # pool — on local disk this is noise, but at object-store latency it
+        # overlaps the GET round-trips with decompress/decode, which is the
+        # difference between latency-bound and bandwidth-bound scans.
+        # Decodes stay in submission order (deque), so output is
+        # deterministic and memory is bounded by _PREFETCH_DEPTH raw chunks.
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        task_store = ZarrStore(root_path, version)
+
+        def emit(coords, raw):
+            out = _decode_chunk_to_pdf(
+                task_store, meta, coords, box, steps, dim_names, sel_fields,
+                value_col, raw=raw,
+            )
+            if value_filter is not None and len(out):
+                mask = _VALUE_OPS[value_filter[0]](
+                    out[value_col].to_numpy(), value_filter[1]
                 )
-                if value_filter is not None and len(out):
-                    mask = _VALUE_OPS[value_filter[0]](
-                        out[value_col].to_numpy(), value_filter[1]
-                    )
-                    out = out[mask]
-                yield out
+                out = out[mask]
+            return out
+
+        with ThreadPoolExecutor(max_workers=_PREFETCH_DEPTH) as pool:
+            pending = deque()
+            for coords in _iter_coords(batches):
+                pending.append(
+                    (coords, pool.submit(task_store.read_bytes, meta.chunk_key(coords)))
+                )
+                if len(pending) >= _PREFETCH_DEPTH:
+                    c, fut = pending.popleft()
+                    yield emit(c, fut.result())
+            while pending:
+                c, fut = pending.popleft()
+                yield emit(c, fut.result())
 
     # partition count: ~chunks_per_task chunks each, but never fewer tasks
     # than cores while chunks remain (small scans should still use the whole
@@ -288,6 +318,9 @@ def scan_array(
     return manifest.mapInPandas(decode, schema=out_schema)
 
 
+_RAW_UNSET = object()  # sentinel: fetch bytes inside (raw=None means absent)
+
+
 def _decode_chunk_to_pdf(
     store: ZarrStore,
     meta: ZarrArrayMeta,
@@ -297,6 +330,7 @@ def _decode_chunk_to_pdf(
     dim_names: list[str],
     sel_fields: list[str] | None,
     value_col: str,
+    raw: object = _RAW_UNSET,
 ) -> pd.DataFrame:
     """Decode one chunk (or synthesize fill) into the long-form pandas frame,
     fully vectorized: per-dim global index arrays → meshgrid → ravel."""
@@ -320,7 +354,11 @@ def _decode_chunk_to_pdf(
     for name, m in zip(dim_names, mesh):
         cols[name] = m.ravel()
 
-    block = store.decode_chunk(meta, coords)
+    block = (
+        store.decode_chunk(meta, coords)
+        if raw is _RAW_UNSET
+        else store.decode_raw(meta, raw)  # prefetched bytes (or absent=None)
+    )
     if block is None:
         # fill synthesis: unwritten chunk, no I/O (dataset_factory.h:500-545)
         fill = meta.fill_scalar()

@@ -501,9 +501,10 @@ class ZarrStore:
 
     # ------------------------------------------------------------- chunk I/O
 
-    def decode_chunk(self, meta: ZarrArrayMeta, coords: tuple[int, ...]) -> np.ndarray | None:
-        """Read+decode one chunk; None if absent (fill semantics upstream)."""
-        raw = self.read_bytes(meta.chunk_key(coords))
+    def decode_raw(self, meta: ZarrArrayMeta, raw: bytes | None) -> np.ndarray | None:
+        """Decode already-fetched chunk bytes; None stays None (absent chunk,
+        fill semantics upstream). Split from decode_chunk so the scan's
+        prefetcher can overlap byte fetches with decodes."""
         if raw is None:
             return None
         if meta.zarr_version == 2:
@@ -514,6 +515,10 @@ class ZarrStore:
         if meta.stored_dtype is not None:
             arr = arr.astype(meta.np_dtype)  # byteswap big-endian → native
         return arr.reshape(meta.chunks, order=meta.order)
+
+    def decode_chunk(self, meta: ZarrArrayMeta, coords: tuple[int, ...]) -> np.ndarray | None:
+        """Read+decode one chunk; None if absent (fill semantics upstream)."""
+        return self.decode_raw(meta, self.read_bytes(meta.chunk_key(coords)))
 
     def encode_chunk(self, meta: ZarrArrayMeta, block: np.ndarray) -> bytes:
         if tuple(block.shape) != meta.chunks:
