@@ -199,3 +199,31 @@ def test_datasource_stream_write(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert np.array_equal(ZarrStore.open(root).read_array("v"), np.arange(400) * 2.0)
+
+
+def test_datasource_write_rejects_unpartitioned_input(spark, tmp_path):
+    """The commit protocol must reject a frame where one chunk's rows span
+    tasks (single-writer-per-chunk is the correctness contract)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors import PythonException
+
+    from mdio_cpp_spark.sources.datasource import register
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    register(spark)
+    root = str(tmp_path / "bad.zarr")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("v", shape=(1000,), chunks=(100,), dtype="float64", dims=("i",), fill=0.0)
+    st.consolidate()
+    # round-robin repartition: chunk rows deliberately scattered across tasks
+    df = (
+        spark.range(1000)
+        .select(F.col("id").alias("i"), (F.col("id") * 1.0).alias("value"))
+        .repartition(8)
+    )
+    with pytest.raises(Exception, match="written by multiple tasks|multiple tasks"):
+        (
+            df.write.format("mdio").option("path", root).option("variable", "v")
+            .mode("append").save()
+        )
