@@ -1248,3 +1248,33 @@ def zarr32(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(1).cast("int").alias("layer"), "i", F.col("ck").cast("double").alias("v"))
     )
     return pr.unionByName(ck).orderBy("layer", "i")
+
+
+@declared(
+    "zarr33_manifest_agg",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt, MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+    FROM orders
+    """,
+)
+def zarr33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation: COUNT/MIN/MAX of the stored price array
+    answered from the zone-map manifest — O(n_chunks) driver arithmetic,
+    ZERO chunk reads (the parquet-footer-stats trick at array scale; the
+    reference stores whole-variable statsV1 for the same reason,
+    stats.h:229-335, but must precompute it app-side). Falls back to the
+    distributed scan when the manifest is absent or any chunk is
+    fill-only — correctness never depends on the fast path."""
+    root = _main_store(spark, sf_dir)
+    zonemap.ensure_chunk_stats(spark, root, "price")
+    meta = ZarrStore.open(root).array_meta("price")
+    fast = zonemap.aggregate_from_manifest(meta)
+    if fast is not None:
+        cnt, vmin, vmax = fast
+        return spark.createDataFrame(
+            [(cnt, float(vmin), float(vmax))], "cnt long, min_v double, max_v double"
+        )
+    ds = MdioDataset.open(root)
+    return ds.to_df(spark, "price", value_col="v").agg(
+        F.count("v").alias("cnt"), F.min("v").alias("min_v"), F.max("v").alias("max_v")
+    )

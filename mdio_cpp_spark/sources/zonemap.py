@@ -150,3 +150,19 @@ def chunk_compatible(
 
 def load_stats(meta: ZarrArrayMeta) -> dict | None:
     return meta.attrs.get(STATS_KEY)
+
+
+def aggregate_from_manifest(meta: ZarrArrayMeta) -> tuple[int, float, float] | None:
+    """Answer (count, min, max) of a FULLY-WRITTEN array from its manifest
+    alone — O(n_chunks) driver arithmetic, zero chunk reads (the stats-only
+    aggregate every warehouse pulls from footer metadata). Returns None
+    when the manifest is absent, incomplete, or any chunk is fill-only
+    (fill values — often NaN — need real decode semantics)."""
+    stats = load_stats(meta)
+    if stats is None or len(stats) != meta.nchunks():
+        return None
+    zones = list(stats.values())
+    if any(z is None for z in zones):
+        return None
+    count = int(np.prod(meta.shape))
+    return count, min(z[0] for z in zones), max(z[1] for z in zones)
