@@ -138,3 +138,17 @@ def test_driver_side_write_updates_manifest(spark, tmp_path):
         for r in scan_array(spark, root, "v", value_filter=("==", 7.5)).collect()
     )
     assert got == list(range(900, 1000))
+
+
+def test_aggregate_from_manifest(spark, tmp_path):
+    """Manifest-only aggregate: exact on fully-written arrays, None (fall
+    back to scan) when any chunk is fill-only or the manifest is stale."""
+    root, vals = _mk_store(tmp_path)  # last chunk fill-only
+    zonemap.publish_chunk_stats(root, "v", zonemap.compute_chunk_stats(spark, root, "v"))
+    meta = ZarrStore.open(root).array_meta("v")
+    assert zonemap.aggregate_from_manifest(meta) is None  # fill-only chunk
+
+    st = ZarrStore.open(root)
+    st.write_array_numpy("v", np.arange(900.0, 1000.0), origin=(900,))
+    meta = ZarrStore.open(root).array_meta("v")
+    assert zonemap.aggregate_from_manifest(meta) == (1000, 0.0, 999.0)
