@@ -78,7 +78,7 @@ def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_BANDS, _MH_ROWS = 4, 4
 
 
-def _dd_minhash_sql() -> str:
+def _dd_minhash_ctes() -> str:
     k = _MH_BANDS * _MH_ROWS
     # family member j = 8-hex slice j%4 of md5 seeded with j//4 — mirrors
     # operators/dedup.minhash_signatures exactly
@@ -90,8 +90,7 @@ def _dd_minhash_sql() -> str:
         f"SELECT doc_id, {b} AS band, md5(mh{b * _MH_ROWS} || mh{b * _MH_ROWS + 1} || mh{b * _MH_ROWS + 2} || mh{b * _MH_ROWS + 3}) AS bh FROM mh"
         for b in range(_MH_BANDS)
     )
-    return f"""
-    WITH toks AS (
+    return f"""WITH toks AS (
       SELECT doc_id, {_DD_TOKS} AS w FROM documents
     ), sh AS (
       SELECT doc_id,
@@ -103,7 +102,12 @@ def _dd_minhash_sql() -> str:
       FROM sh
     ), bands AS (
       {band_selects}
-    )
+    )"""
+
+
+def _dd_minhash_sql() -> str:
+    return f"""
+    {_dd_minhash_ctes()}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b
@@ -1428,5 +1432,38 @@ def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(-F.log(F.col("c").cast("double") / F.col("n"))) / F.count(F.lit(1)), 4
             ).alias("avg_surprisal"),
         )
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "d09_fuzzy_contamination",
+    oracle=f"""
+    {_dd_minhash_ctes()}
+    SELECT DISTINCT a.doc_id AS doc_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh
+     AND b.doc_id % {_P03_MOD} = 0 AND a.doc_id % {_P03_MOD} <> 0
+    ORDER BY 1
+    """,
+)
+def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training documents whose
+    MinHash band signature collides with any benchmark document — catches
+    near-verbatim paraphrases that p03's exact 3-gram test misses. The
+    signature pipeline runs ONCE over the whole corpus (no per-side
+    recompute); the benchmark side reduces to its distinct (band, bucket)
+    keys — eval suites are tiny, so the semi-join broadcasts — and only
+    (band, hash, id) tuples ever shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    b = dedup.minhash_bands(d, "doc_id", "text", _MH_BANDS, _MH_ROWS)
+    bench = (
+        b.filter(F.col("doc_id") % _P03_MOD == 0).select("band", "bh").distinct()
+    )
+    return (
+        b.filter(F.col("doc_id") % _P03_MOD != 0)
+        .join(F.broadcast(bench), ["band", "bh"], "left_semi")
+        .select("doc_id")
+        .distinct()
         .orderBy("doc_id")
     )
