@@ -1336,3 +1336,28 @@ def set06(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = n.filter(F.col("n_regionkey") == 1).select(F.col("n_nationkey").alias("k"))
     b = n.filter(F.col("n_nationkey") < 10).select(F.col("n_nationkey").alias("k"))
     return a.union(b).distinct().orderBy("k")
+
+
+@declared(
+    "a10_hist2d",
+    oracle="""
+    SELECT CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qbin,
+           CAST(FLOOR(l_extendedprice / 20000) AS BIGINT) AS pbin,
+           COUNT(*) AS cnt
+    FROM lineitem GROUP BY qbin, pbin ORDER BY qbin, pbin
+    """,
+)
+def a10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (joint quantity × price binning — the heatmap the A2/A3
+    1-D histograms generalize to). Pure map-side key derivation, one
+    partial-aggregated shuffle of (qbin, pbin) cells; output cardinality is
+    the bin grid, not the data."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 10).alias("qbin"),
+            F.floor(F.col("l_extendedprice") / 20000).alias("pbin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("qbin", "pbin")
+    )

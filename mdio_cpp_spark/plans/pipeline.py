@@ -1467,3 +1467,55 @@ def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id")
     )
+
+
+_MM6_FRAMES, _MM6_SPF = 4, 2  # frames per doc, hex "samples" per frame
+
+
+@declared(
+    "mm06_frame_energy",
+    oracle="""
+    SELECT doc_id, f, v FROM (
+      SELECT doc_id, f,
+             CASE f {cases} END AS v
+      FROM documents CROSS JOIN (SELECT unnest(range(0, {nf})) AS f)
+    ) ORDER BY doc_id, f
+    """.format(
+        nf=_MM6_FRAMES,
+        cases=" ".join(
+            "WHEN {f} THEN ROUND(sqrt(({a} * {a} + {b} * {b}) / 2.0), 4)".format(
+                f=f,
+                a=_dd_hexv(2 * f + 1),
+                b=_dd_hexv(2 * f + 2),
+            )
+            for f in range(_MM6_FRAMES)
+        ),
+    ),
+)
+def mm06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped feature extraction: per-frame RMS energy over decoded
+    samples — the windowed signal statistic a media pipeline computes after
+    decode. Samples are the deterministic md5-hex fake (no audio wheel in
+    this container — same gate as mm02; a real decoder swaps in soundfile
+    and the frame/RMS plumbing is unchanged). All JVM-side: the hex-digit
+    samples, frame slicing, and RMS reduce are codegen'd column
+    expressions; one map-only stage before the output sort."""
+    d = _t(spark, sf_dir, "documents")
+    digit = lambda p: F.expr(
+        f"locate(substr(md5(text), {p}, 1), '0123456789abcdef') - 1"
+    )
+    frames = []
+    for f in range(_MM6_FRAMES):
+        a = digit(2 * f + 1).cast("double")
+        b = digit(2 * f + 2).cast("double")
+        frames.append(
+            F.struct(
+                F.lit(f).cast("long").alias("f"),
+                F.round(F.sqrt((a * a + b * b) / F.lit(2.0)), 4).alias("v"),
+            )
+        )
+    return (
+        d.select("doc_id", F.explode(F.array(*frames)).alias("fr"))
+        .select("doc_id", F.col("fr.f").alias("f"), F.col("fr.v").alias("v"))
+        .orderBy("doc_id", "f")
+    )
