@@ -1278,3 +1278,59 @@ def zarr33(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ds.to_df(spark, "price", value_col="v").agg(
         F.count("v").alias("cnt"), F.min("v").alias("min_v"), F.max("v").alias("max_v")
     )
+
+
+@declared(
+    "zarr34_pyramid_level",
+    oracle=f"""
+    WITH n AS (SELECT LEAST(CAST((SELECT COUNT(*) FROM orders) AS BIGINT) // {GRID_C}, 128) AS rows_),
+    cells AS (
+      SELECT CAST((rn - 1) // {GRID_C} AS BIGINT) AS row, CAST((rn - 1) % {GRID_C} AS BIGINT) AS col,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v_e2
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < (SELECT rows_ FROM n) * {GRID_C}
+    )
+    SELECT row // 2 AS row, col // 2 AS col,
+           CAST(SUM(v_e2) AS DOUBLE) / (100.0 * COUNT(*)) AS v
+    FROM cells WHERE row < 64
+    GROUP BY 1, 2 ORDER BY row, col
+    """,
+)
+def zarr34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized multiresolution pyramid: the 2×2 mean-pooled level-1 of
+    the stored 2-D grid is COMPUTED distributed (zarr28's plan), WRITTEN
+    into a pyramid store through the chunk-aligned writer, and the answer
+    scanned back FROM THE STORED LEVEL — the LOD-pyramid lifecycle every
+    large-array viewer/training-reader needs (the reference stores single-
+    resolution arrays only). Downsample is one pooled shuffle; the write is
+    one chunk-keyed shuffle of the 4×-smaller level."""
+    base = ensure_stores(spark, sf_dir)
+    src = MdioDataset.open(os.path.join(base, "grid_v2.zarr"))
+    v_e2 = F.round(F.col("v") * 100).cast("long")
+    pooled = (
+        src.isel(row=(0, 64))
+        .to_df(spark, "grid", value_col="v")
+        .select((F.col("row") / 2).cast("long").alias("row"),
+                (F.col("col") / 2).cast("long").alias("col"),
+                v_e2.alias("v_e2"))
+        .groupBy("row", "col")
+        .agg((F.sum("v_e2").cast("double") / (F.lit(100.0) * F.count(F.lit(1)))).alias("v"))
+    )
+    pyr = os.path.join(base, "pyramid.zarr")
+    l1_rows = 32  # 64 pooled by 2
+    l1_cols = GRID_C // 2
+    try:
+        ZarrStore.probe_version(pyr)
+    except FileNotFoundError:
+        st = ZarrStore.create(pyr, version=2)
+        st.create_array("l1", shape=(l1_rows, l1_cols), chunks=(16, 16),
+                        dtype="float64", dims=("row", "col"))
+        st.consolidate()
+    from mdio_cpp_spark.sources.writer import write_array
+
+    write_array(pooled, pyr, "l1", value_cols="v")
+    return (
+        MdioDataset.open(pyr)
+        .to_df(spark, "l1", value_col="v")
+        .orderBy("row", "col")
+    )
