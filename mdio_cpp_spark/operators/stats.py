@@ -112,7 +112,7 @@ def grouped_percentiles(
     df: DataFrame,
     group: str,
     col: str,
-    ps: Sequence[tuple[float, str]],
+    ps: Sequence[tuple[float, float]] | Sequence[tuple[float, str]],
     round_to: int = 4,
 ) -> DataFrame:
     """EXACT grouped percentiles (quantile_cont linear interpolation) with
@@ -120,76 +120,119 @@ def grouped_percentiles(
     Spark's ``percentile`` UDAF, which holds every value of a group in one
     reducer's memory (an OOM when a group has billions of rows).
 
-    All stages are parallel and spill-free in state:
-      1. ``groupBy(group, col)`` counts — the only full shuffle, carrying
-         one row per DISTINCT (group, value), partially aggregated map-side.
-      2. Grouped parallel prefix-sum of the counts (the zipWithIndex
-         pattern): values bucket into uniform [min, max] range slices
-         (boundaries baked as literals from one cheap min/max agg;
-         value-uniform data balances well — a pathologically skewed column
-         would swap in approx-quantile boundaries, same machinery),
-         per-(group, bucket) subtotals collect to the driver
-         (G x nparts ints), running offsets broadcast back, and the
-         within-bucket cumulative sum runs in a (group, bucket)-PARTITIONED
-         window — never one partition per group. Per-group totals fall out
-         of the same subtotals — no extra pass.
-      3. Target ranks (n-1)*p broadcast as literal rows; the counts rows
-         covering floor/ceil ranks are filtered out and linearly
-         interpolated: v_lo + frac * (v_hi - v_lo) — the same formula (and
-         evaluation order) as Spark's Percentile and DuckDB quantile_cont.
+    Two cheap passes + one tiny targeted pass — state never scales with the
+    data:
+
+      1. Global [min, max] (one partial agg) fixes uniform value buckets
+         (4× cluster parallelism of them; skewed data would swap in
+         approx-quantile boundaries, same machinery).
+      2. Per-(group, bucket) row counts (partial agg; G × nparts rows
+         collect to the driver). Running offsets and per-group totals fall
+         out driver-side; target ranks (n-1)·p map to the one or two
+         buckets that contain their floor/ceil ranks.
+      3. ONLY those buckets' rows are re-read: per-(group, bucket, value)
+         counts (duplicate-heavy data collapses before the window), a
+         window prefix-sum ranks them WITHIN the bucket (+ broadcast
+         offset), and the covering values interpolate with quantile_cont's
+         exact formula: v_lo + frac · (v_hi − v_lo).
+
+    Versus the previous distinct-count design (one row per distinct value —
+    itself data-sized for continuous columns), the heavy shuffle is gone:
+    pass 2 moves G × nparts integers and pass 3 touches ~|targets| buckets
+    of ~n/nparts rows. A fully-constant column short-circuits after pass 1.
 
     ``ps`` is a list of (fraction, output_column_name).
     """
     spark = df.sparkSession
-    nparts = max(1, spark.sparkContext.defaultParallelism)
-    # counts (one row per DISTINCT (group, value)) feeds three consumers:
-    # the min/max bounds, the subtotal collect, and the final ranked plan.
-    # Cache it so the base data is aggregated ONCE — at any scale counts is
-    # vocabulary-sized (distinct values), orders of magnitude below the data.
-    counts = df.groupBy(group, col).agg(F.count(F.lit(1)).alias("__c")).persist()
+    nparts = 4 * max(1, spark.sparkContext.defaultParallelism)
+    # cache the NARROW (group, value) projection: three consumers (bounds,
+    # bucket counts, targeted pass) would otherwise recompute the upstream
+    # plan — ruinous when the value is derived (p06 scores text). Two
+    # columns, memory-and-disk, so at scale this is shuffle-file-sized.
+    from pyspark.storagelevel import StorageLevel
 
-    lo_hi = counts.agg(F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))).first()
-    vmin, vmax = lo_hi[0], lo_hi[1]
-    bounds: list[float] = []
-    if nparts > 1 and vmin is not None and vmax > vmin:
-        step = (vmax - vmin) / nparts
-        bounds = [vmin + i * step for i in range(1, nparts)]
-    pid = F.lit(0)
-    for b in bounds:
-        pid = pid + (F.col(col).cast("double") > F.lit(float(b))).cast("int")
-    counts = counts.withColumn("__pid", pid)
+    base = (
+        df.select(group, col)
+        .where(F.col(col).isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
-    sub = counts.groupBy(group, "__pid").agg(F.sum("__c").alias("__s")).collect()
-    per_group: dict = {}
-    for r in sub:
-        per_group.setdefault(r[group], {})[r["__pid"]] = r["__s"]
-    offs = []
-    for g, d in per_group.items():
-        acc = 0
-        for b in sorted(d):
-            offs.append((g, b, acc))
-            acc += d[b]
-    if not offs:  # empty input: schema-correct empty result (inference
-        # from an empty row list would fail below)
+    def _empty_result():
         return df.groupBy(group).agg(
             *[F.round(F.max(F.col(col)), round_to).alias(name) for _, name in ps]
         )
-    off_df = spark.createDataFrame(offs, [group, "__pid", "__off"])
 
-    w = Window.partitionBy(group, "__pid").orderBy(col)
-    cum = (
-        counts.join(F.broadcast(off_df), [group, "__pid"])
-        .withColumn("__hi_rank", F.sum("__c").over(w) + F.col("__off"))
-        .withColumn("__lo_rank", F.col("__hi_rank") - F.col("__c"))
+    lo_hi = base.agg(
+        F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
+    ).first()
+    vmin, vmax = lo_hi[0], lo_hi[1]
+    if vmin is None:  # empty input: schema-correct empty result
+        return _empty_result()
+    if vmax == vmin:  # constant column: every percentile IS the value
+        return df.groupBy(group).agg(
+            *[F.round(F.max(F.col(col)), round_to).alias(name) for _, name in ps]
+        )
+
+    step = (vmax - vmin) / nparts
+    # O(1) arithmetic bucket id (not a comparison chain): uniform buckets,
+    # top value clamped into the last bucket. NaNs are dropped up front —
+    # quantiles over NaN-bearing data are engine-defined anyway.
+    v = F.col(col).cast("double")
+    base = base.where(~F.isnan(v))
+    pid = F.least(
+        F.lit(nparts - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(vmin)) / F.lit(step)).cast("int")),
     )
+    tagged = base.withColumn("__pid", pid)
 
+    sub = tagged.groupBy(group, "__pid").agg(F.count(F.lit(1)).alias("__s")).collect()
+    per_group: dict = {}
+    for r in sub:
+        per_group.setdefault(r[group], {})[r["__pid"]] = r["__s"]
+    offs_by_gb: dict = {}
+    for g, d in per_group.items():
+        acc = 0
+        for b in sorted(d):
+            offs_by_gb[(g, b)] = acc
+            acc += d[b]
     totals = {g: sum(d.values()) for g, d in per_group.items()}
+
+    # driver-side: which (group, bucket) holds each needed global rank?
+    def bucket_of(g: Any, rank: int) -> int:
+        acc = 0
+        for b in sorted(per_group[g]):
+            acc += per_group[g][b]
+            if rank < acc:
+                return b
+        return max(per_group[g])
+
     tgt_rows = []
+    needed: set = set()
     for g, n in totals.items():
         for p, name in ps:
             rank = float(n - 1) * float(p)
-            tgt_rows.append((g, name, rank, int(math.floor(rank)), int(math.ceil(rank))))
+            fl, ce = int(math.floor(rank)), int(math.ceil(rank))
+            tgt_rows.append((g, name, rank, fl, ce))
+            needed.add((g, bucket_of(g, fl)))
+            needed.add((g, bucket_of(g, ce)))
     tgt = spark.createDataFrame(tgt_rows, [group, "__name", "__rank", "__fl", "__ce"])
+    need_df = spark.createDataFrame(sorted(needed), [group, "__pid"])
+    off_df = spark.createDataFrame(
+        [(g, b, o) for (g, b), o in offs_by_gb.items()], [group, "__pid", "__off"]
+    )
+
+    # pass 3: only the covering buckets' rows; duplicates collapse first
+    p3 = (
+        tagged.join(F.broadcast(need_df), [group, "__pid"], "left_semi")
+        .groupBy(group, "__pid", col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(group, "__pid").orderBy(col)
+    cum = (
+        p3.join(F.broadcast(off_df), [group, "__pid"])
+        .withColumn("__hi_rank", F.sum("__c").over(w) + F.col("__off"))
+        .withColumn("__lo_rank", F.col("__hi_rank") - F.col("__c"))
+    )
 
     covers_fl = (F.col("__lo_rank") <= F.col("__fl")) & (F.col("__fl") < F.col("__hi_rank"))
     covers_ce = (F.col("__lo_rank") <= F.col("__ce")) & (F.col("__ce") < F.col("__hi_rank"))
