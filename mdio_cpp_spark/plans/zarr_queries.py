@@ -1317,13 +1317,18 @@ def zarr34(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum("v_e2").cast("double") / (F.lit(100.0) * F.count(F.lit(1)))).alias("v"))
     )
     pyr = os.path.join(base, "pyramid.zarr")
-    l1_rows = 32  # 64 pooled by 2
+    # the grid's row count adapts to sf (cap 128; zarr23/28 use rows<64) —
+    # size level-1 to exactly the pooled extent so the scan-back returns
+    # the written region and nothing else
+    n_orders = table(spark, sf_dir, "orders").count()
+    src_rows = min(min(n_orders // GRID_C, 128), 64)
+    l1_rows = -(-src_rows // 2)  # ceil
     l1_cols = GRID_C // 2
     try:
         ZarrStore.probe_version(pyr)
     except FileNotFoundError:
         st = ZarrStore.create(pyr, version=2)
-        st.create_array("l1", shape=(l1_rows, l1_cols), chunks=(16, 16),
+        st.create_array("l1", shape=(int(l1_rows), l1_cols), chunks=(16, 16),
                         dtype="float64", dims=("row", "col"))
         st.consolidate()
     from mdio_cpp_spark.sources.writer import write_array
