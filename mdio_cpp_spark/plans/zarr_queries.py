@@ -1324,11 +1324,15 @@ def zarr34(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_rows = min(min(n_orders // GRID_C, 128), 64)
     l1_rows = -(-src_rows // 2)  # ceil
     l1_cols = GRID_C // 2
+    want_shape = (int(l1_rows), l1_cols)
     try:
-        ZarrStore.probe_version(pyr)
+        cur = ZarrStore.open(pyr).array_meta("l1").shape
+        if tuple(cur) != want_shape:  # testdata regenerated → rebuild store
+            ZarrStore.open(pyr).delete()
+            raise FileNotFoundError
     except FileNotFoundError:
         st = ZarrStore.create(pyr, version=2)
-        st.create_array("l1", shape=(int(l1_rows), l1_cols), chunks=(16, 16),
+        st.create_array("l1", shape=want_shape, chunks=(16, 16),
                         dtype="float64", dims=("row", "col"))
         st.consolidate()
     from mdio_cpp_spark.sources.writer import write_array
