@@ -1361,3 +1361,35 @@ def a10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("qbin", "pbin")
     )
+
+
+@declared(
+    "g05_grouping_id",
+    oracle="""
+    SELECT n_regionkey, n_nationkey,
+           CAST(GROUPING(n_regionkey) AS BIGINT) AS g_region,
+           CAST(GROUPING(n_nationkey) AS BIGINT) AS g_nation,
+           COUNT(*) AS cnt
+    FROM nation
+    GROUP BY ROLLUP (n_regionkey, n_nationkey)
+    ORDER BY g_region, g_nation, n_regionkey NULLS FIRST, n_nationkey NULLS FIRST
+    """,
+)
+def g05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() indicators — distinguishes 'NULL because
+    aggregated away' from 'NULL in the data', the piece that makes rollup
+    output machine-consumable. Single Expand + one hash aggregate."""
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.rollup("n_regionkey", "n_nationkey")
+        .agg(
+            F.grouping("n_regionkey").cast("long").alias("g_region"),
+            F.grouping("n_nationkey").cast("long").alias("g_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select("n_regionkey", "n_nationkey", "g_region", "g_nation", "cnt")
+        .orderBy(
+            "g_region", "g_nation",
+            F.col("n_regionkey").asc_nulls_first(), F.col("n_nationkey").asc_nulls_first(),
+        )
+    )

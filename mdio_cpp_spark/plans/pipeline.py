@@ -1519,3 +1519,57 @@ def mm06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("fr.f").alias("f"), F.col("fr.v").alias("v"))
         .orderBy("doc_id", "f")
     )
+
+
+_P07_WIN, _P07_STRIDE = 32, 24  # window tokens, stride (8-token overlap)
+
+
+@declared(
+    "p07_overlap_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DD_TOKS} AS w FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest(range(0, 1 + CAST(FLOOR(CAST(len(w) - {_P07_WIN} AS DOUBLE) / {_P07_STRIDE}) AS BIGINT))) AS chunk_idx,
+             w
+      FROM toks WHERE len(w) >= {_P07_WIN}
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           md5(array_to_string(w[chunk_idx * {_P07_STRIDE} + 1 : chunk_idx * {_P07_STRIDE} + {_P07_WIN}], ' ')) AS chunk_hash
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+)
+def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking — the stage that turns documents
+    into fixed-size training/retrieval chunks (32 tokens, stride 24 → 8
+    overlap, trailing partial window dropped). Chunk construction is an
+    array transform inside codegen; the hash stands in for chunk text so
+    the shuffle (just the output sort here) never carries token payloads —
+    at 100 TB the downstream writer consumes (doc_id, idx, hash, span)
+    and slices text lazily."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    toks = text.tokens(F.col("text"))
+    n_chunks = (
+        F.floor((F.size("w") - F.lit(_P07_WIN)).cast("double") / F.lit(_P07_STRIDE))
+        .cast("long") + 1
+    )
+    chunk = lambda i: F.md5(
+        F.concat_ws(" ", F.slice(F.col("w"), i * _P07_STRIDE + 1, _P07_WIN))
+    )
+    return (
+        d.select("doc_id", toks.alias("w"))
+        .filter(F.size("w") >= _P07_WIN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.struct(
+                        i.cast("long").alias("chunk_idx"), chunk(i).alias("chunk_hash")
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk_hash").alias("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    )
