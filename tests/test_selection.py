@@ -179,3 +179,37 @@ def test_grouped_percentiles_empty_input(spark):
     df = spark.createDataFrame([], "g string, v double")
     out = grouped_percentiles(df, "g", "v", [(0.5, "p50")])
     assert out.columns == ["g", "p50"] and out.count() == 0
+
+
+def test_grouped_percentiles_randomized_differential(spark):
+    """Percentile rewrite vs Spark's exact percentile UDAF over adversarial
+    distributions: duplicates, skew, negatives, tiny groups, constants."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.operators.stats import grouped_percentiles
+
+    rng = random.Random(42)
+    rows = []
+    # g0: heavy duplicates; g1: log-skew; g2: negatives; g3: tiny; g4: constant
+    for _ in range(2000):
+        rows.append(("g0", float(rng.choice([1.0, 2.0, 3.0]))))
+        rows.append(("g1", float(10 ** (rng.random() * 6))))
+        rows.append(("g2", float(rng.uniform(-1e6, -1))))
+    rows += [("g3", v) for v in (5.0, 7.0)]
+    rows += [("g4", 13.37)] * 50
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    ps = [(0.01, "p01"), (0.5, "p50"), (0.9, "p90"), (0.999, "p999")]
+    got = {r["g"]: r for r in grouped_percentiles(df, "g", "v", ps).collect()}
+    exact = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(*[F.round(F.expr(f"percentile(v, {p})"), 4).alias(n) for p, n in ps])
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for g in exact:
+        for _, name in ps:
+            assert got[g][name] == exact[g][name], (g, name, got[g][name], exact[g][name])
