@@ -1,0 +1,53 @@
+"""Recall measurement for the approximate-similarity family: the ANN
+variants trade recall for bucket-bounded compute — quantify the trade
+against the exact baseline on the real embeddings table (deterministic
+data + deterministic hyperplanes → exact, reproducible recalls)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mdio_cpp_spark.catalog import table
+from mdio_cpp_spark.operators import similarity
+
+K = 5
+N_QUERIES = 20
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["q_id"], set()).add(r["vec_id"])
+    return out
+
+
+def test_ann_recall_ladder(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    dim = 64
+
+    # the synthetic embeddings are near-uniform random, the hardest case for
+    # sign-LSH (true neighbors sit barely above the noise floor) — 2 planes /
+    # 3 probes is the operating point that keeps recall useful there; real
+    # clustered embeddings support many more planes (smaller buckets)
+    exact = _topk_sets(similarity.cosine_topk(e, q, "vec_id", "embedding", k=K))
+    lsh = _topk_sets(similarity.lsh_topk(e, q, "vec_id", "embedding", dim=dim, k=K, n_planes=2))
+    multi = _topk_sets(
+        similarity.lsh_topk_multiprobe(
+            e, q, "vec_id", "embedding", dim=dim, k=K, n_planes=2, n_probes=3
+        )
+    )
+
+    def recall(approx):
+        hits = sum(len(approx.get(qid, set()) & ex) for qid, ex in exact.items())
+        return hits / sum(len(ex) for ex in exact.values())
+
+    r_lsh, r_multi = recall(lsh), recall(multi)
+    # multi-probe searches a superset of buckets → recall can only improve
+    assert r_multi >= r_lsh
+    # floors: generous, deterministic (fixed data, fixed hyperplanes) —
+    # they document the trade rather than tune it
+    assert r_lsh >= 0.15, f"single-probe recall collapsed: {r_lsh:.2f}"  # measured 0.40 (sf0.001) / 0.20 (sf0.01)
+    assert r_multi >= 0.50, f"multi-probe recall collapsed: {r_multi:.2f}"  # measured 0.87 (sf0.001) / 0.72 (sf0.01)
+    # and the approximations must never exceed exact (sanity)
+    assert r_multi <= 1.0 and r_lsh <= 1.0
