@@ -762,12 +762,13 @@ def w05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT grouped percentiles (quantile_cont interpolation), computed by
-    the scalable operator (stats.grouped_percentiles): distinct-value
-    counts + grouped parallel prefix-sum + rank lookup — no per-group value
-    buffer anywhere, unlike Spark's `percentile` UDAF which holds every
-    group value on one reducer. Same interpolation formula as the DuckDB
-    oracle, rounded to 4dp."""
+    """EXACT grouped percentiles (quantile_cont interpolation) via
+    stats.grouped_percentiles: bucket histogram → driver maps target ranks
+    to covering buckets → only those buckets' rows rank through a
+    partitioned window. No per-group value buffer (Spark's `percentile`
+    UDAF holds every group value on one reducer) and no data-sized shuffle
+    (the previous distinct-count design moved one row per distinct value).
+    Same interpolation formula as the DuckDB oracle, rounded to 4dp."""
     li = _t(spark, sf_dir, "lineitem")
     return stats.grouped_percentiles(
         li, "l_returnflag", "l_extendedprice",
