@@ -1573,3 +1573,46 @@ def p07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk_hash").alias("chunk_hash"))
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@declared(
+    "p08_dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE cand AS ({{cand}}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION SELECT doc_b, doc_a FROM cand
+    ),
+    walk(node, lbl) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.doc_id = c.cluster_id
+    ORDER BY d.doc_id
+    """.format(cand=_dd_minhash_sql().replace("ORDER BY doc_a, doc_b", "")),
+)
+def p08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SURVIVORSHIP applied: the corpus minus non-representative
+    cluster members (cluster id = min reachable doc id; singleton docs pass
+    through untouched) — the step that actually shrinks the training set
+    after d02/d06 find the duplicates. The cluster table is duplicate-
+    bounded (tiny next to the corpus) and broadcasts into one left join;
+    the corpus itself never shuffles."""
+    from mdio_cpp_spark.operators.dedup import duplicate_clusters, lsh_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = duplicate_clusters(
+        lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS)
+    )
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        d.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
