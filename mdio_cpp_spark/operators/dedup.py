@@ -233,6 +233,9 @@ def sign_lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return F.concat(*bits)
 
 
+_SMALL_GRAPH_LIMIT = 100_000  # pair rows that comfortably fit on the driver
+
+
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over candidate near-dup pairs → (doc_id,
     cluster_id), cluster_id = MIN doc id reachable through the pair graph.
@@ -249,6 +252,41 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Caching: each round persists its label table and unpersists the prior
     one, so round N+1 reads a materialized round N instead of recomputing
     the whole lineage (the standard iterative-algorithm pattern on Spark)."""
+    pairs = pairs.persist()
+    # small-graph fast path: candidate pairs are duplicate-bounded, usually
+    # orders of magnitude below the corpus. When the pair set fits on the
+    # driver (same judgment as a broadcast join), union-find locally in one
+    # job instead of N iterative join rounds — identical min-label result.
+    head = pairs.limit(_SMALL_GRAPH_LIMIT + 1).collect()
+    if len(head) <= _SMALL_GRAPH_LIMIT:
+        spark = pairs.sparkSession
+        pairs.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in head:
+            a, b = find(row["doc_a"]), find(row["doc_b"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        comp: dict = {}
+        nodes = {row["doc_a"] for row in head} | {row["doc_b"] for row in head}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        rows = []
+        for members in comp.values():
+            m = min(members)
+            rows.extend((n, m) for n in members)
+        if not rows:
+            return spark.createDataFrame([], "doc_id long, cluster_id long")
+        return spark.createDataFrame(sorted(rows), "doc_id long, cluster_id long")
+
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

@@ -213,3 +213,22 @@ def test_grouped_percentiles_randomized_differential(spark):
     for g in exact:
         for _, name in ps:
             assert got[g][name] == exact[g][name], (g, name, got[g][name], exact[g][name])
+
+
+def test_duplicate_clusters_paths_agree(spark, monkeypatch):
+    """The driver union-find fast path and the distributed min-label
+    iteration must produce identical cluster labelings."""
+    from mdio_cpp_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (30, 1)],
+        "doc_a long, doc_b long",
+    )
+    fast = sorted(tuple(r) for r in dedup.duplicate_clusters(pairs).collect())
+    monkeypatch.setattr(dedup, "_SMALL_GRAPH_LIMIT", 0)
+    slow = sorted(tuple(r) for r in dedup.duplicate_clusters(pairs).collect())
+    assert fast == slow
+    assert fast == [
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (30, 1),
+    ]
