@@ -152,3 +152,21 @@ def test_aggregate_from_manifest(spark, tmp_path):
     st.write_array_numpy("v", np.arange(900.0, 1000.0), origin=(900,))
     meta = ZarrStore.open(root).array_meta("v")
     assert zonemap.aggregate_from_manifest(meta) == (1000, 0.0, 999.0)
+
+
+def test_trim_leaves_zone_maps_conservative(spark, tmp_path):
+    """Shrinking an array (TrimDataset) can leave stale-WIDE zones for the
+    new edge chunk — that is safe (less pruning, never wrong pruning): the
+    scan must still return exactly the surviving matching cells."""
+    from mdio_cpp_spark.utils.trim import trim_dataset
+
+    root, vals = _mk_store(tmp_path)  # values 0..899 written, chunk=100
+    zonemap.publish_chunk_stats(root, "v", zonemap.compute_chunk_stats(spark, root, "v"))
+
+    trim_dataset(root, i=850)  # chunk 8 becomes half-valid; zone stays [800,899]
+
+    got = sorted(
+        r["i"]
+        for r in scan_array(spark, root, "v", value_filter=(">=", 820.0)).collect()
+    )
+    assert got == list(range(820, 850))  # 850+ gone, zone over-width harmless
