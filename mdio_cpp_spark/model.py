@@ -33,13 +33,12 @@ reader (sources/reader.py).
 from __future__ import annotations
 
 import copy
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from typing import Any, Sequence
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
-from mdio_cpp_spark.schema.types import SCALAR_TYPES
 from mdio_cpp_spark.schema.validation import validate_dataset_spec, variable_specs
 from mdio_cpp_spark.sources.reader import plan_chunks, scan_array
 from mdio_cpp_spark.sources.writer import write_array

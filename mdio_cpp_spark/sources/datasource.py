@@ -262,8 +262,6 @@ class MdioArrowWriter(DataSourceArrowWriter):
         self.root, self.version, self.var, self.value_col = root, version, var, value_col
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> MdioCommitMessage:
-        import json as _json
-
         store = ZarrStore(self.root, self.version)
         meta = store.array_meta(self.var)
         if meta.is_struct or meta.np_dtype.kind == "c":

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import os
 import threading
-from typing import Iterable
 
 CLOUD_SCHEMES = ("gs://", "s3://", "gcs://", "s3a://", "abfs://", "az://")
 

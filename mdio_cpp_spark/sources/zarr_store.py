@@ -34,7 +34,7 @@ from typing import Any, Iterator
 import numpy as np
 
 from mdio_cpp_spark.sources import codecs as _codecs
-from mdio_cpp_spark.sources.kvstore import CLOUD_SCHEMES, KVStore, open_kvstore
+from mdio_cpp_spark.sources.kvstore import KVStore, open_kvstore
 from mdio_cpp_spark.schema.types import (
     HEADER_ONLY_KINDS,
     SCALAR_TYPES,
