@@ -108,8 +108,35 @@ def main() -> None:
         "load1_end": round(os.getloadavg()[0], 2),
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        out["errors"] = {k: v[:80] for k, v in errors.items()}
+    # Full per-query detail always lands on disk next to the script.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    # The driver captures only the LAST ~2000 chars of stdout and parses the
+    # JSON from that tail — a line longer than the buffer is truncated at the
+    # head and unparseable (BENCH_r01–r03 all recorded parsed=null for this
+    # reason). Emit a line that FITS: keep the summary fields, then include
+    # per-query timings slowest-first while the line stays under budget, and
+    # point at BENCH_FULL.json for the rest.
+    budget = 1800
+    line = json.dumps(out)
+    if len(line) > budget:
+        kept: dict[str, float] = {}
+        compact = dict(
+            out, queries=kept, queries_full="BENCH_FULL.json", n_queries=len(timings)
+        )
+        for name, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
+            kept[name] = secs
+            candidate = json.dumps(
+                dict(compact, queries_omitted=len(timings) - len(kept))
+            )
+            if len(candidate) > budget:
+                del kept[name]
+                break
+        compact["queries_omitted"] = len(timings) - len(kept)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
