@@ -46,6 +46,23 @@ def stratified_hash_sample(
     return df.filter(frac < (rate * 4096.0))
 
 
+def fixed_size_hash_sample(df: DataFrame, id_col: str, stratum_col: str, k: int) -> DataFrame:
+    """Deterministic fixed-SIZE per-stratum sample (derandomized reservoir
+    sampling): rank rows within each stratum by md5(id) and keep the first
+    ``k``. Where ``stratified_hash_sample`` fixes the keep *rate*, this fixes
+    the output *count* — the eval-set / few-shot-pool primitive.
+
+    One partitioned window (hash-partitioned by stratum, never global); the
+    md5 order is a pure function of the row, so the selected set is identical
+    across partitionings, cluster sizes, and engines. Adds ``smp_rank``
+    (1-based position in md5 order within the stratum)."""
+    w = Window.partitionBy(stratum_col).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    return (
+        df.withColumn("smp_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("smp_rank") <= k)
+    )
+
+
 def sequence_packing(
     df: DataFrame,
     id_col: str,

@@ -205,6 +205,69 @@ def ivf_topk(
     return _ranked(pairs, k)
 
 
+def ivf_assign_topn(
+    df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame, n_probes: int
+) -> DataFrame:
+    """Top-``n_probes`` nearest cells per vector (the query side of
+    multi-probe IVF). Same broadcast cross-score as ``ivf_assign``; the
+    argmax becomes a per-vector ranked head, so each vector emits up to
+    ``n_probes`` (vector, cell) rows. The window partitions on the vector
+    id — never global."""
+    from pyspark.sql import Window
+
+    cents = F.broadcast(centroids.withColumn("__cn", vectors.norm(F.col("cv"))))
+    scored = df.select(
+        F.col(id_col), F.col(vec_col), vectors.norm(F.col(vec_col)).alias("__vn")
+    ).join(cents, how="cross").select(
+        id_col, vec_col,
+        F.col("cid").alias("cell"),
+        F.round(
+            vectors.dot(F.col(vec_col), F.col("cv")) / (F.col("__vn") * F.col("__cn")), 6
+        ).alias("__cc"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cc").desc(), F.col("cell").desc())
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_probes)
+        .drop("__cc", "__r")
+    )
+
+
+def ivf_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probes: int = 2,
+) -> DataFrame:
+    """Multi-probe IVF top-k: corpus vectors live in ONE cell each (standard
+    inverted file, same as ``ivf_topk``), but every query probes its
+    ``n_probes`` nearest cells — the recall knob that fixes single-probe's
+    boundary misses without touching the index. Per-query work is
+    O(n_probes * N / n_cells); the corpus still shuffles once, keyed by
+    cell, and the probe fan-out lives entirely on the tiny broadcast query
+    side."""
+    cents = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    c_assigned = ivf_assign(corpus, id_col, vec_col, cents).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv2"), "cell"
+    )
+    q_probes = F.broadcast(
+        ivf_assign_topn(queries, id_col, vec_col, cents, n_probes).select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "cell"
+        )
+    )
+    pairs = (
+        c_assigned.join(q_probes, on="cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(vectors.cosine(F.col("qv"), F.col("cv2")), 4).alias("cos"))
+    )
+    return _ranked(pairs, k)
+
+
 def knn_join(
     corpus: DataFrame,
     id_col: str,

@@ -1616,3 +1616,219 @@ def p08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+# --- round-4 additions: merge, fixed-size sampling, resample, multiprobe IVF
+
+
+_U01_OFFSET = 100_000_000
+
+
+@declared(
+    "u01_merge_upsert",
+    oracle=f"""
+    WITH chg AS (
+      SELECT o_orderkey AS k, 'U' AS op, o_orderstatus AS s, o_totalprice + 1000.0 AS p
+      FROM orders WHERE o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey, 'D', NULL, NULL FROM orders WHERE o_orderkey % 13 = 1
+      UNION ALL
+      SELECT o_orderkey + {_U01_OFFSET}, 'I', 'N', o_totalprice / 2
+      FROM orders WHERE o_orderkey % 13 = 2
+    ),
+    merged AS (
+      SELECT COALESCE(t.o_orderkey, c.k) AS o_orderkey,
+             CASE WHEN (t.o_orderkey IS NOT NULL AND c.op = 'U')
+                    OR (t.o_orderkey IS NULL AND c.op = 'I')
+                  THEN c.s ELSE t.o_orderstatus END AS o_orderstatus,
+             CASE WHEN (t.o_orderkey IS NOT NULL AND c.op = 'U')
+                    OR (t.o_orderkey IS NULL AND c.op = 'I')
+                  THEN c.p ELSE t.o_totalprice END AS o_totalprice
+      FROM orders t FULL OUTER JOIN chg c ON t.o_orderkey = c.k
+      WHERE c.op IS NULL
+         OR (t.o_orderkey IS NOT NULL AND c.op <> 'D')
+         OR (t.o_orderkey IS NULL AND c.op = 'I')
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged
+    WHERE o_orderkey % 13 IN (0, 1, 2) OR o_orderkey >= {_U01_OFFSET}
+    ORDER BY o_orderkey
+    """,
+)
+def u01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet: apply a CDC changeset (updates
+    for key%13=0, deletes for key%13=1, inserts at key+1e8 for key%13=2) in
+    ONE broadcast full-outer join — operators/merge.py. The gate returns the
+    affected key slice, deleted keys included, so a failed delete or a
+    misapplied update hash-mismatches. No reference analog (the reference
+    mutates array stores in place; this is the relational twin of its
+    Variable::Write read-modify-write contract, variable.h:1127-1134)."""
+    from mdio_cpp_spark.operators.merge import merge_changeset
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    chg = (
+        o.filter(key % 13 == 0).select(
+            key, F.lit("U").alias("op"), F.col("o_orderstatus"),
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        )
+        .unionAll(
+            o.filter(key % 13 == 1).select(
+                key, F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("o_orderstatus"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+            )
+        )
+        .unionAll(
+            o.filter(key % 13 == 2).select(
+                (key + _U01_OFFSET).alias("o_orderkey"), F.lit("I").alias("op"),
+                F.lit("N").alias("o_orderstatus"),
+                (F.col("o_totalprice") / 2).alias("o_totalprice"),
+            )
+        )
+    )
+    merged = merge_changeset(o, chg, "o_orderkey", ["o_orderstatus", "o_totalprice"])
+    return (
+        merged.filter((key % 13).isin(0, 1, 2) | (key >= _U01_OFFSET))
+        .orderBy("o_orderkey")
+    )
+
+
+_S05_K = 20
+
+
+@declared(
+    "s05_reservoir_sample",
+    oracle=f"""
+    SELECT doc_id, lang, smp_rank FROM (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS smp_rank
+      FROM documents
+    ) WHERE smp_rank <= {_S05_K} ORDER BY lang, doc_id
+    """,
+)
+def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE per-stratum sampling (derandomized reservoir): first
+    20 docs per language in md5(id) order — the deterministic eval-set /
+    few-shot-pool primitive, reproducible across engines and partitionings
+    where seeded reservoir sampling is not. One stratum-partitioned window;
+    no global sort."""
+    from mdio_cpp_spark.operators.sampling import fixed_size_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        fixed_size_hash_sample(d, "doc_id", "lang", _S05_K)
+        .select("doc_id", "lang", "smp_rank")
+        .orderBy("lang", "doc_id")
+    )
+
+
+_TS_USERS = 10
+
+
+@declared(
+    "ts01_resample_locf",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM events WHERE user_id < {_TS_USERS}),
+    bounds AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+      FROM ev GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             ROUND(AVG(value), 4) AS hr_avg, COUNT(*) AS n_events
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.hour,
+           CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events, h.hr_avg,
+           last_value(h.hr_avg IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hour = g.hour
+    ORDER BY g.user_id, g.hour
+    """,
+)
+def ts01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: per-user hourly grid (sequence +
+    explode between each user's first and last event hour), left-joined
+    hourly aggregates, missing hours carried forward (LOCF) by an
+    ignore-nulls last() over a user-partitioned window. The regularization
+    step every downstream forecasting/feature job assumes; all windows and
+    joins key on user_id — parallelism = |users|, no global stage. The grid
+    explode is map-side (rows = hours-per-user, bounded by the time span)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < _TS_USERS)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.round(F.avg("value"), 4).alias("hr_avg"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id", "hour",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+            "hr_avg",
+            F.last("hr_avg", ignorenulls=True).over(w).alias("filled"),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+_IVF_PROBES = 2
+
+
+@declared(
+    "v06_ivf_multiprobe",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_IVF_CELLS}),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid, ROUND({_dd_cosine("e.embedding", "c.cv")}, 6) AS cc
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    ranked AS (
+      SELECT vec_id, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid DESC) AS r
+      FROM scored
+    ),
+    assign AS (SELECT vec_id, embedding, cid AS cell FROM ranked WHERE r = 1),
+    probes AS (
+      SELECT vec_id AS q_id, embedding AS qv, cid AS cell FROM ranked
+      WHERE vec_id < 3 AND r <= {_IVF_PROBES}
+    )
+    SELECT q_id, vec_id, cos, rk FROM (
+      SELECT q.q_id, e.vec_id, ROUND({_dd_cosine("q.qv", "e.embedding")}, 4) AS cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id
+                  ORDER BY ROUND({_dd_cosine("q.qv", "e.embedding")}, 4) DESC, e.vec_id) AS BIGINT) AS rk
+      FROM probes q JOIN assign e ON e.cell = q.cell AND e.vec_id <> q.q_id
+    ) WHERE rk <= 5 ORDER BY q_id, rk
+    """,
+)
+def v06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-k: corpus cells as in v03, queries probe their 2
+    nearest cells — the recall knob for cell-boundary misses. Probe fan-out
+    lives on the tiny broadcast query side; per-query work stays
+    O(nprobe * N / cells)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    return similarity.ivf_topk_multiprobe(
+        e, q, "vec_id", "embedding", k=5, n_cells=_IVF_CELLS, n_probes=_IVF_PROBES
+    ).orderBy("q_id", "rk")

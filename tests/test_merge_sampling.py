@@ -1,0 +1,84 @@
+"""Unit tests for the round-4 additions: merge_changeset edge semantics,
+fixed-size hash sampling, and multi-probe IVF recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mdio_cpp_spark.operators.merge import merge_changeset
+from mdio_cpp_spark.operators.sampling import fixed_size_hash_sample
+from mdio_cpp_spark.operators import similarity
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, p double",
+    )
+
+
+def test_merge_update_delete_insert(spark):
+    chg = spark.createDataFrame(
+        [(2, "U", "B", 99.0), (3, "D", None, None), (9, "I", "z", 9.0)],
+        "k long, op string, s string, p double",
+    )
+    out = {
+        r["k"]: (r["s"], r["p"])
+        for r in merge_changeset(_target(spark), chg, "k", ["s", "p"]).collect()
+    }
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0), 4: ("d", 40.0), 9: ("z", 9.0)}
+
+
+def test_merge_matched_insert_is_noop_and_unmatched_update_drops(spark):
+    chg = spark.createDataFrame(
+        [(1, "I", "XX", 0.0), (77, "U", "no", 0.0), (78, "D", None, None)],
+        "k long, op string, s string, p double",
+    )
+    out = {
+        r["k"]: (r["s"], r["p"])
+        for r in merge_changeset(_target(spark), chg, "k", ["s", "p"]).collect()
+    }
+    # matched I leaves row 1 untouched; U/D on absent keys emit nothing
+    assert out == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", None), 4: ("d", 40.0)}
+
+
+def test_merge_null_payloads_survive(spark):
+    """A target row whose value columns are all NULL must not be mistaken
+    for 'absent' (the sentinel, not the payload, decides presence)."""
+    chg = spark.createDataFrame([(3, "U", "C", 33.0)], "k long, op string, s string, p double")
+    out = {
+        r["k"]: (r["s"], r["p"])
+        for r in merge_changeset(_target(spark), chg, "k", ["s", "p"]).collect()
+    }
+    assert out[3] == ("C", 33.0) and len(out) == 4
+
+
+def test_fixed_size_sample_exact_k_and_stable(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = 5
+    s1 = fixed_size_hash_sample(d, "doc_id", "lang", k).select("doc_id", "lang", "smp_rank")
+    counts = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(k, sizes[lang])
+    # deterministic under repartitioning
+    s2 = fixed_size_hash_sample(d.repartition(7), "doc_id", "lang", k).select(
+        "doc_id", "lang", "smp_rank"
+    )
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+
+def test_ivf_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    exact = similarity.cosine_topk(e, q, "vec_id", "embedding", k=5)
+    single = similarity.ivf_topk(e, q, "vec_id", "embedding", k=5, n_cells=8)
+    multi = similarity.ivf_topk_multiprobe(
+        e, q, "vec_id", "embedding", k=5, n_cells=8, n_probes=2
+    )
+
+    def hits(df):
+        return {(r["q_id"], r["vec_id"]) for r in df.collect()}
+
+    truth = hits(exact)
+    assert len(hits(multi) & truth) >= len(hits(single) & truth)
