@@ -6,18 +6,30 @@ this is the relational upsert a lakehouse pipeline runs to apply a CDC batch:
 one pass producing the post-merge table from a target and a keyed changeset
 tagged with an op column (``U`` update / ``D`` delete / ``I`` insert).
 
-Scale shape: ONE shuffle join on the merge key (broadcast when the changeset
-is small — the common CDC case — which this operator requests explicitly via
-a hint when ``broadcast_changes=True``). No per-row driver logic, no
-collect; semantics are a pure column expression over the joined row:
+Per joined row the semantics mirror ``WHEN [NOT] MATCHED`` guards:
 
-  * matched  + U → changeset values replace target values
-  * matched  + D → row dropped
+  * matched   + U → changeset values replace target values
+  * matched   + D → row dropped
+  * matched   + I → no-op (the target row passes through untouched)
   * unmatched + I → row inserted from changeset values
+  * unmatched + U/D → ignored (nothing to update/delete)
   * target rows with no changeset match pass through untouched
 
-Rows whose op does not apply (an ``I`` that actually matched, a ``U``/``D``
-that matched nothing) are ignored, mirroring ``WHEN [NOT] MATCHED`` guards.
+Changeset keys are assumed unique (the CDC contract: one net op per key per
+batch).
+
+Two physical strategies, chosen by ``broadcast_changes``:
+
+* ``True`` (the common CDC case — changeset ≪ target): the TARGET NEVER
+  SHUFFLES. Spark cannot broadcast a full-outer join (it would plan a
+  SortMergeJoin shuffling both sides), so instead U/D/matched-I apply via a
+  BroadcastHashJoin LEFT OUTER over the target, and inserts come from a
+  broadcast LEFT SEMI probe of the target (matched keys, bounded by
+  |changes|) anti-joined back onto the insert rows. Two target scans, zero
+  target shuffles — at 100 TB a second columnar scan is far cheaper than a
+  full key shuffle.
+* ``False`` (changeset comparable to target): the canonical single
+  full-outer shuffle join on the key — both sides hash-partition once.
 """
 
 from __future__ import annotations
@@ -30,6 +42,12 @@ from pyspark.sql import functions as F
 OP_UPDATE, OP_DELETE, OP_INSERT = "U", "D", "I"
 
 
+def _changes_projected(changes: DataFrame, key: str, value_cols: Sequence[str], op_col: str) -> DataFrame:
+    return changes.select(
+        F.col(key), F.col(op_col).alias("__op"), *[F.col(v).alias(f"__c_{v}") for v in value_cols]
+    )
+
+
 def merge_changeset(
     target: DataFrame,
     changes: DataFrame,
@@ -38,17 +56,41 @@ def merge_changeset(
     op_col: str = "op",
     broadcast_changes: bool = True,
 ) -> DataFrame:
-    """Return the post-merge table.
-
-    ``changes`` carries ``key``, ``op_col`` and the same ``value_cols`` as
-    ``target`` (values are only read for U/I ops). The result keeps the
-    target's column set: ``key`` + ``value_cols``.
-    """
-    c = changes.select(
-        F.col(key), F.col(op_col).alias("__op"), *[F.col(v).alias(f"__c_{v}") for v in value_cols]
-    )
+    """Return the post-merge table (columns: ``key`` + ``value_cols``)."""
+    c = _changes_projected(changes, key, value_cols, op_col)
     if broadcast_changes:
-        c = F.broadcast(c)
+        return _merge_broadcast(target, c, key, value_cols)
+    return _merge_full_outer(target, c, key, value_cols)
+
+
+def _merge_broadcast(target: DataFrame, c: DataFrame, key: str, value_cols: Sequence[str]) -> DataFrame:
+    t = target.select(key, *value_cols)
+    op = F.col("__op")
+    # U/D (and matched-I no-op) — BroadcastHashJoin LeftOuter; target stays
+    # in place, no shuffle
+    applied = (
+        t.join(F.broadcast(c), on=key, how="left")
+        .filter(op.isNull() | (op != OP_DELETE))
+        .select(
+            F.col(key),
+            *[
+                F.when(op == OP_UPDATE, F.col(f"__c_{v}")).otherwise(F.col(v)).alias(v)
+                for v in value_cols
+            ],
+        )
+    )
+    # inserts: I-rows whose key is absent from the target. The broadcast
+    # LEFT SEMI probe yields the MATCHED keys (≤ |changes| rows, tiny), and
+    # the anti join back onto the insert rows is tiny-vs-tiny.
+    ins_rows = c.filter(op == OP_INSERT)
+    matched_keys = t.select(key).join(F.broadcast(ins_rows.select(key)), on=key, how="left_semi")
+    inserts = ins_rows.join(F.broadcast(matched_keys), on=key, how="left_anti").select(
+        F.col(key), *[F.col(f"__c_{v}").alias(v) for v in value_cols]
+    )
+    return applied.unionByName(inserts)
+
+
+def _merge_full_outer(target: DataFrame, c: DataFrame, key: str, value_cols: Sequence[str]) -> DataFrame:
     t = target.select(key, *value_cols).withColumn("__t", F.lit(True))
     joined = t.join(c, on=key, how="full_outer")
 

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from mdio_cpp_spark.operators.merge import merge_changeset
 from mdio_cpp_spark.operators.sampling import fixed_size_hash_sample
 from mdio_cpp_spark.operators import similarity
@@ -17,38 +19,41 @@ def _target(spark):
     )
 
 
-def test_merge_update_delete_insert(spark):
+@pytest.mark.parametrize("bc", [True, False])
+def test_merge_update_delete_insert(spark, bc):
     chg = spark.createDataFrame(
         [(2, "U", "B", 99.0), (3, "D", None, None), (9, "I", "z", 9.0)],
         "k long, op string, s string, p double",
     )
     out = {
         r["k"]: (r["s"], r["p"])
-        for r in merge_changeset(_target(spark), chg, "k", ["s", "p"]).collect()
+        for r in merge_changeset(_target(spark), chg, "k", ["s", "p"], broadcast_changes=bc).collect()
     }
     assert out == {1: ("a", 10.0), 2: ("B", 99.0), 4: ("d", 40.0), 9: ("z", 9.0)}
 
 
-def test_merge_matched_insert_is_noop_and_unmatched_update_drops(spark):
+@pytest.mark.parametrize("bc", [True, False])
+def test_merge_matched_insert_is_noop_and_unmatched_update_drops(spark, bc):
     chg = spark.createDataFrame(
         [(1, "I", "XX", 0.0), (77, "U", "no", 0.0), (78, "D", None, None)],
         "k long, op string, s string, p double",
     )
     out = {
         r["k"]: (r["s"], r["p"])
-        for r in merge_changeset(_target(spark), chg, "k", ["s", "p"]).collect()
+        for r in merge_changeset(_target(spark), chg, "k", ["s", "p"], broadcast_changes=bc).collect()
     }
     # matched I leaves row 1 untouched; U/D on absent keys emit nothing
     assert out == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", None), 4: ("d", 40.0)}
 
 
-def test_merge_null_payloads_survive(spark):
+@pytest.mark.parametrize("bc", [True, False])
+def test_merge_null_payloads_survive(spark, bc):
     """A target row whose value columns are all NULL must not be mistaken
     for 'absent' (the sentinel, not the payload, decides presence)."""
     chg = spark.createDataFrame([(3, "U", "C", 33.0)], "k long, op string, s string, p double")
     out = {
         r["k"]: (r["s"], r["p"])
-        for r in merge_changeset(_target(spark), chg, "k", ["s", "p"]).collect()
+        for r in merge_changeset(_target(spark), chg, "k", ["s", "p"], broadcast_changes=bc).collect()
     }
     assert out[3] == ("C", 33.0) and len(out) == 4
 
