@@ -6,12 +6,17 @@ an order-insensitive canonical value hash (columns sorted by name, rows
 sorted, values stringified with full precision).
 
 Usage:
-    python tools/check.py [sf_dir] [query_name ...]
+    python tools/check.py [--json OUT.json] [sf_dir] [query_name ...]
+
+``--json`` additionally writes a CORRECTNESS-shaped artifact (one object per
+query: rows/schema/hash match flags + row counts) — the committed evidence
+for queries the driver's 50-row cap leaves without a driver row.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import sys
 import time
@@ -60,8 +65,13 @@ def main() -> int:
     from mdio_cpp_spark.plans import REGISTRY
     from mdio_cpp_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or sorted(REGISTRY)
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    names = argv[1:] or sorted(REGISTRY)
 
     spark = get_spark("mdio-check")
     con = duckdb.connect()
@@ -69,6 +79,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
+    results: dict[str, dict] = {}
     for name in names:
         d = REGISTRY[name]
         t0 = time.time()
@@ -77,22 +88,31 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                             "spark_rows": None, "oracle_rows": None, "err": f"{e}"[:300]}
             continue
         t_spark = time.time() - t0
         if d.oracle is None:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{t_spark:.1f}s]")
+            results[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                             "spark_rows": len(sdf), "oracle_rows": None,
+                             "err": None, "gate": "rows-only"}
             continue
         try:
             odf = con.execute(d.oracle).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            results[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                             "spark_rows": len(sdf), "oracle_rows": None, "err": f"{e}"[:300]}
             continue
         sn, st, sh = canonicalize(sdf)
         on, ot, oh = canonicalize(odf)
         ok = (sn == on) and (st == ot) and (sh == oh)
         status = "PASS" if ok else "FAIL"
         print(f"{status}  {name}: spark {sn} rows / oracle {on} rows, hash {sh} vs {oh} [{t_spark:.1f}s]")
+        results[name] = {"rows_match": sn == on, "schema_match": st == ot, "hash_match": sh == oh,
+                         "spark_rows": sn, "oracle_rows": on, "err": None}
         if not ok:
             failures.append(name)
             if st != ot:
@@ -113,6 +133,10 @@ def main() -> int:
                         print(f"      first diff at sorted row {i}: {diffs}")
                         break
 
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
     if failures:
         print("failing:", " ".join(failures))
