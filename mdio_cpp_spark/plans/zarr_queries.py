@@ -1343,3 +1343,135 @@ def zarr34(spark: SparkSession, sf_dir: str) -> DataFrame:
         .to_df(spark, "l1", value_col="v")
         .orderBy("row", "col")
     )
+
+
+# ------------------------------------------------- partial cell update (RMW)
+
+_RMW_LO, _RMW_HI = 1000, 3000  # straddles the 2048-cell chunk boundary at sf>=0.01
+
+
+def _rmw_store(spark: SparkSession, sf_dir: str) -> str:
+    """Lazily build the RMW fixture: the full orders-derived price column in
+    its own store (mutated by zarr35 per run — must never be shared)."""
+    from mdio_cpp_spark.sources.writer import write_array
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "rmw_v2.zarr")
+    marker = os.path.join(base, ".built_rmw_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select("i", F.col("o_totalprice").alias("v"))
+        n = ords.count()
+        st = ZarrStore.create(path, version=2, attrs={"name": "rmw_mdio"})
+        st.create_array("val", shape=(n,), chunks=(CHUNK,),
+                        dtype="float64", dims=("i",),
+                        compressor={"id": "zlib", "level": 1})
+        write_array(ords, path, "val", value_cols="v")
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+@declared(
+    "zarr35_rmw_update",
+    oracle=f"""
+    SELECT i, val FROM (
+      SELECT CAST(rn - 1 AS BIGINT) AS i,
+             CASE WHEN rn - 1 >= {_RMW_LO} AND rn - 1 < {_RMW_HI}
+                  THEN -o_totalprice ELSE o_totalprice END AS val
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    ) WHERE i < 5000 ORDER BY i
+    """,
+)
+def zarr35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO5 partial UPDATE gate — the reference's in-place Variable::Write on
+    an interior index slice (variable.h:1127-1134: write any region, chunks
+    read-modify-written by their single owner task). Cells [1000, 3000) are
+    negated — a slice that begins and ends MID-CHUNK, so both edge chunks
+    must merge new cells into existing bytes; the full scan-back must show
+    updated cells inside the slice and untouched originals outside it.
+    The update value is a pure function of the source row (idempotent —
+    re-runs converge), and the write is one chunk-keyed shuffle of only the
+    updated cells."""
+    from mdio_cpp_spark.sources.writer import write_array
+
+    path = _rmw_store(spark, sf_dir)
+    upd = (
+        _orders_indexed(spark, sf_dir)
+        .filter((F.col("i") >= _RMW_LO) & (F.col("i") < _RMW_HI))
+        .select("i", (-F.col("o_totalprice")).alias("v"))
+    )
+    write_array(upd, path, "val", value_cols="v")
+    from mdio_cpp_spark.sources.reader import scan_array
+
+    return (
+        scan_array(spark, path, "val", ranges={"i": (0, 5000)}, value_col="val")
+        .orderBy("i")
+    )
+
+
+# ------------------------------------------------- masking / discrete diff
+
+_MASK_CAP = 30000.0
+
+
+@declared(
+    "zarr36_where_mask",
+    oracle=f"""
+    SELECT CAST(rn - 1 AS BIGINT) AS i,
+           CASE WHEN o_totalprice < {_MASK_CAP} THEN o_totalprice ELSE -1.0 END AS val
+    FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 < 8192 ORDER BY i
+    """,
+)
+def zarr36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``where(cond, other)`` over a stored array: cells failing the
+    predicate are replaced by a sentinel instead of dropped (masking, not
+    filtering — the shape is preserved). The reference has no masking op
+    (its sel/isel only subset, dataset.h:639-786); xarray parity. Pure
+    map-side column expression over the pruned chunk scan — zero shuffle
+    beyond the gate's output sort."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    scan = ds.isel(i=(0, 8192)).to_df(spark, "price", value_col="v")
+    return scan.select(
+        "i",
+        F.when(F.col("v") < _MASK_CAP, F.col("v")).otherwise(F.lit(-1.0)).alias("val"),
+    ).orderBy("i")
+
+
+@declared(
+    "zarr37_diff_dim",
+    oracle="""
+    SELECT i, val - lag(val) OVER (ORDER BY i) AS d FROM (
+      SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS val
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < 8192
+    ) ORDER BY i
+    """,
+)
+def zarr37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``diff(dim)`` over a stored array with NO global window: each
+    chunk's last cell replicates into the NEXT chunk's bucket (a 1-cell
+    halo), lag(1) runs partitioned by bucket with every neighborhood
+    complete, and only owner rows survive — first cell's diff is NULL, as
+    in xarray. One bucket-keyed shuffle; exactly n_chunks rows duplicate.
+    Subtraction of stored doubles is bit-deterministic, so no rounding is
+    needed on either side."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    scan = ds.isel(i=(0, 8192)).to_df(spark, "price", value_col="v")
+    owner = (F.col("i") / F.lit(CHUNK)).cast("long")
+    pos = F.col("i") % F.lit(CHUNK)
+    targets = F.array(owner, F.when(pos == CHUNK - 1, owner + 1))
+    cells = scan.select(
+        "i", "v", owner.alias("__own"),
+        F.explode(F.filter(targets, lambda x: x.isNotNull())).alias("__b"),
+    )
+    w = Window.partitionBy("__b").orderBy("i")
+    return (
+        cells.withColumn("d", F.col("v") - F.lag("v", 1).over(w))
+        .filter(F.col("__own") == F.col("__b"))
+        .select("i", "d")
+        .orderBy("i")
+    )
