@@ -23,6 +23,8 @@ PICKS = [
     ("t07_tfidf", "two-level tf/df aggregation"),
     ("zarr01_scan", "pruned zarr chunk scan"),
     ("a07_exact_percentiles", "distributed exact percentiles"),
+    ("u01_merge_upsert", "CDC merge, broadcast strategy (target never shuffles)"),
+    ("ts01_resample_locf", "per-key resample + LOCF gap fill"),
 ]
 
 
