@@ -71,6 +71,20 @@ class MdioVariable:
     def attrs(self) -> dict:
         return self.dataset._pending_attrs.get(self.name, self.meta.attrs)
 
+    @property
+    def shape(self) -> tuple[int, ...]:
+        """Full stored extent (reference ``get_store_shape``, zarr/zarr.h)."""
+        return tuple(self.meta.shape)
+
+    @property
+    def chunk_shape(self) -> tuple[int, ...]:
+        """Chunk extents (reference ``get_chunk_shape``, zarr/zarr.h)."""
+        return tuple(self.meta.chunks)
+
+    def get_units(self) -> dict | None:
+        """The variable's ``unitsV1`` block, if any (stats.h get_units)."""
+        return self.attrs.get("unitsV1")
+
     def num_samples(self) -> int:
         """Cell count of the (selected) domain (variable.h:1153-1162)."""
         total = 1
@@ -300,6 +314,53 @@ class MdioDataset:
     def list_variables(self) -> list[str]:
         """Deterministic sorted listing (S1, variable_collection.h:148-155)."""
         return sorted(self._metas)
+
+    def to_spec(self) -> dict:
+        """Emit the MDIO v1 JSON spec of the open dataset — the inverse of
+        ``from_json`` (the reference's ``Dataset::spec`` / ``get_spec``,
+        dataset.h:927-939). The result validates and re-creates an
+        equivalent store: ``from_json(ds.to_spec(), path2)``."""
+        variables = []
+        for name in self.list_variables():
+            m = self._metas[name]
+            dims = m.dims or tuple(f"dim_{d}" for d in range(len(m.shape)))
+            if m.np_dtype.fields is not None:
+                dt: Any = {
+                    "fields": [
+                        {"name": n, "format": np.dtype(m.np_dtype.fields[n][0]).name}
+                        for n in m.np_dtype.names
+                    ]
+                }
+            else:
+                dt = m.mdio_type or m.np_dtype.name
+            attrs = dict(m.attrs)
+            var: dict[str, Any] = {
+                "name": name,
+                "dataType": dt,
+                "dimensions": [
+                    {"name": d, "size": int(s)} for d, s in zip(dims, m.shape)
+                ],
+            }
+            if attrs.pop("long_name", None) is not None:
+                var["longName"] = m.attrs["long_name"]
+            coords = attrs.pop("coordinates", None)
+            if coords:
+                var["coordinates"] = coords.split(" ") if isinstance(coords, str) else list(coords)
+            md: dict[str, Any] = {
+                "chunkGrid": {
+                    "name": "regular",
+                    "configuration": {"chunkShape": [int(c) for c in m.chunks]},
+                }
+            }
+            md.update(attrs)
+            var["metadata"] = md
+            variables.append(var)
+        root = dict(self.store.attrs)
+        # stores created outside from_json may lack the required root keys;
+        # default them so the emitted spec always validates
+        root.setdefault("name", self.path.rstrip("/").rsplit("/", 1)[-1])
+        root.setdefault("apiVersion", "1.0.0")
+        return {"metadata": root, "variables": variables}
 
     # ------------------------------------------------------------ selection
 
