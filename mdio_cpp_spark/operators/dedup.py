@@ -83,14 +83,20 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(F.array_distinct(text.word_shingles(toks, shingle_n))).alias("__s"),
     )
-    # hash family: 8-hex (32-bit) slices of ceil(k/4) seeded md5s — 4 family
-    # members per md5 evaluation (md5 is the expensive part; codegen's
-    # subexpression elimination computes each seeded md5 once per row).
-    # Lexicographic min of hex slices == numeric min (hashing.py contract).
+    # hash family: Kirsch–Mitzenmacher double hashing — ONE md5 per shingle,
+    # h1/h2 = its two leading 32-bit hex slices, member j = (h1 + j*h2) mod
+    # 2^32. k members cost 1 md5 + k integer ops per row (the md5 is the
+    # expensive part and codegen's subexpression elimination evaluates it,
+    # h1, and h2 once each); max value h1 + (k-1)*h2 < 2^32·k stays far
+    # inside BIGINT. Same construction verbatim in the SQL oracle
+    # (('0x' || substr(md5(s), ...))::BIGINT).
+    digest = F.md5(F.col("__s"))
+    h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
     hashed = exploded.select(
         id_col,
         *[
-            F.substring(hashing.seeded_md5(F.col("__s"), j // 4), 1 + 8 * (j % 4), 8).alias(f"__h{j}")
+            ((h1 + F.lit(j) * h2) % F.lit(4294967296)).alias(f"__h{j}")
             for j in range(num_hashes)
         ],
     )
@@ -100,15 +106,20 @@ def minhash_signatures(
 
 
 def minhash_bands(df: DataFrame, id_col: str, text_col: str, bands: int, rows: int, shingle_n: int = 3) -> DataFrame:
-    """(id, band, bh) — one row per LSH band; bh = md5 of the concatenated
-    band slice of the signature. Docs with < shingle_n tokens are dropped."""
+    """(id, band, bh) — one row per LSH band; bh = md5 of the ':'-joined
+    band slice of the signature (separator disambiguates adjacent numeric
+    minhashes). Docs with < shingle_n tokens are dropped."""
     k = bands * rows
     sig = minhash_signatures(df, id_col, text_col, k, shingle_n)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias("bh"),
+                F.md5(
+                    F.concat_ws(
+                        ":", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+                    )
+                ).alias("bh"),
             )
             for b in range(bands)
         ]

@@ -80,14 +80,21 @@ _MH_BANDS, _MH_ROWS = 4, 4
 
 def _dd_minhash_ctes() -> str:
     k = _MH_BANDS * _MH_ROWS
-    # family member j = 8-hex slice j%4 of md5 seeded with j//4 — mirrors
-    # operators/dedup.minhash_signatures exactly
+    # family member j = (h1 + j*h2) mod 2^32 with h1/h2 the two leading
+    # 32-bit hex slices of ONE md5 per shingle (Kirsch–Mitzenmacher) —
+    # mirrors operators/dedup.minhash_signatures exactly
     mh_cols = ",\n        ".join(
-        f"list_aggregate(list_transform(sh, s -> substr(md5('{j // 4}:' || s), {1 + 8 * (j % 4)}, 8)), 'min') AS mh{j}"
+        f"list_aggregate(list_transform(hh, h -> (h[1] + {j} * h[2]) % 4294967296), 'min') AS mh{j}"
         for j in range(k)
     )
+
+    def _band_bh(b: int) -> str:
+        return " || ':' || ".join(
+            f"mh{b * _MH_ROWS + r}::VARCHAR" for r in range(_MH_ROWS)
+        )
+
     band_selects = "\n      UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(mh{b * _MH_ROWS} || mh{b * _MH_ROWS + 1} || mh{b * _MH_ROWS + 2} || mh{b * _MH_ROWS + 3}) AS bh FROM mh"
+        f"SELECT doc_id, {b} AS band, md5({_band_bh(b)}) AS bh FROM mh"
         for b in range(_MH_BANDS)
     )
     return f"""WITH toks AS (
@@ -96,10 +103,15 @@ def _dd_minhash_ctes() -> str:
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS sh
       FROM toks WHERE len(w) >= 3
+    ), shh AS (
+      SELECT doc_id,
+             list_transform(sh, s -> [('0x' || substr(md5(s), 1, 8))::BIGINT,
+                                      ('0x' || substr(md5(s), 9, 8))::BIGINT]) AS hh
+      FROM sh
     ), mh AS (
       SELECT doc_id,
         {mh_cols}
-      FROM sh
+      FROM shh
     ), bands AS (
       {band_selects}
     )"""
