@@ -1394,3 +1394,108 @@ def g05(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey").asc_nulls_first(), F.col("n_nationkey").asc_nulls_first(),
         )
     )
+
+
+@declared(
+    "h07_large_quantity_orders",
+    oracle="""
+    SELECT c_name, o_orderkey, CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c_name, o_orderkey
+    ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """,
+)
+def h07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-order report: the HAVING subquery reduces
+    lineitem to qualifying order keys FIRST (a partial-aggregatable
+    groupBy whose output is tiny — 204 keys at sf0.01), and that key set
+    drives LEFT SEMI pruning of both fact scans before the final
+    three-way join. Quantity sums are exact (integral values in a
+    double column — no rounding needed); top-20 compiles to
+    TakeOrderedAndProject, never a global sort."""
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    o = table(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "o_orderkey")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@declared(
+    "h08_nation_volume_flows",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(v_e4) AS DOUBLE) / 10000.0 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS v_e4
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def h08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped cross-nation volume flows: both nation dimension
+    joins broadcast and their name filters apply BEFORE the fact joins, so
+    supplier and customer shrink to two nations each ahead of the
+    lineitem⋈orders shuffle. Revenue is an exact fixed-point sum (1e-4
+    units in BIGINT — associative, partition-order-independent) cast back
+    to double only at the end; the grouped output is |nations|²·|years|
+    rows."""
+    tune(spark)
+    n = table(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select(F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = F.broadcast(
+        n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select(F.col("n_nationkey").alias("__ck"), F.col("n_name").alias("cust_nation"))
+    )
+    s = table(spark, sf_dir, "supplier").join(n1, F.col("s_nationkey") == F.col("__sk"))
+    c = table(spark, sf_dir, "customer").join(n2, F.col("c_nationkey") == F.col("__ck"))
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    v_e4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            v_e4.alias("v_e4"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum("v_e4").cast("double") / 10000.0).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

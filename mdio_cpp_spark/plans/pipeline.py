@@ -1448,6 +1448,11 @@ def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D09_MOD = 5  # denser "benchmark" membership than p03's 97 so the fuzzy
+# collision scenario actually fires at every SF (with mod 97 the gate was
+# vacuously empty at sf0.01)
+
+
 @declared(
     "d09_fuzzy_contamination",
     oracle=f"""
@@ -1455,7 +1460,7 @@ def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT a.doc_id AS doc_id
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bh = b.bh
-     AND b.doc_id % {_P03_MOD} = 0 AND a.doc_id % {_P03_MOD} <> 0
+     AND b.doc_id % {_D09_MOD} = 0 AND a.doc_id % {_D09_MOD} <> 0
     ORDER BY 1
     """,
 )
@@ -1470,10 +1475,10 @@ def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     b = dedup.minhash_bands(d, "doc_id", "text", _MH_BANDS, _MH_ROWS)
     bench = (
-        b.filter(F.col("doc_id") % _P03_MOD == 0).select("band", "bh").distinct()
+        b.filter(F.col("doc_id") % _D09_MOD == 0).select("band", "bh").distinct()
     )
     return (
-        b.filter(F.col("doc_id") % _P03_MOD != 0)
+        b.filter(F.col("doc_id") % _D09_MOD != 0)
         .join(F.broadcast(bench), ["band", "bh"], "left_semi")
         .select("doc_id")
         .distinct()

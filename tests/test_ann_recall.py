@@ -42,9 +42,18 @@ def test_ann_recall_ladder(spark, sf_dir):
         hits = sum(len(approx.get(qid, set()) & ex) for qid, ex in exact.items())
         return hits / sum(len(ex) for ex in exact.values())
 
+    ivf1 = _topk_sets(similarity.ivf_topk(e, q, "vec_id", "embedding", k=K, n_cells=8))
+    ivf2 = _topk_sets(
+        similarity.ivf_topk_multiprobe(e, q, "vec_id", "embedding", k=K, n_cells=8, n_probes=2)
+    )
+
     r_lsh, r_multi = recall(lsh), recall(multi)
     # multi-probe searches a superset of buckets → recall can only improve
     assert r_multi >= r_lsh
+    # IVF: probing a second cell can only widen each query's searched set
+    r_ivf1, r_ivf2 = recall(ivf1), recall(ivf2)
+    assert r_ivf2 >= r_ivf1
+    assert r_ivf2 >= 0.25, f"2-probe IVF recall collapsed: {r_ivf2:.2f}"
     # floors: generous, deterministic (fixed data, fixed hyperplanes) —
     # they document the trade rather than tune it
     assert r_lsh >= 0.15, f"single-probe recall collapsed: {r_lsh:.2f}"  # measured 0.40 (sf0.001) / 0.20 (sf0.01)
