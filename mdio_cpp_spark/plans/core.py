@@ -1455,8 +1455,8 @@ def h07(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN customer ON c_custkey = o_custkey
       JOIN nation n1 ON s_nationkey = n1.n_nationkey
       JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      WHERE n1.n_nationkey < 4 AND n2.n_nationkey < 4
+        AND n1.n_nationkey <> n2.n_nationkey
     )
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
@@ -1473,11 +1473,11 @@ def h08(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     n = table(spark, sf_dir, "nation")
     n1 = F.broadcast(
-        n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        n.filter(F.col("n_nationkey") < 4)
         .select(F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation"))
     )
     n2 = F.broadcast(
-        n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        n.filter(F.col("n_nationkey") < 4)
         .select(F.col("n_nationkey").alias("__ck"), F.col("n_name").alias("cust_nation"))
     )
     s = table(spark, sf_dir, "supplier").join(n1, F.col("s_nationkey") == F.col("__sk"))
@@ -1489,7 +1489,7 @@ def h08(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .filter(F.col("__sk") != F.col("__ck"))
         .select(
             "supp_nation", "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),

@@ -401,7 +401,7 @@ def zarr05(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(rn - 1 AS BIGINT) AS i, CAST(o_orderkey * 2 AS BIGINT) AS ok2 FROM
       (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
-    WHERE rn - 1 >= 2000 AND rn - 1 < 12000
+    WHERE rn - 1 >= 1200 AND rn - 1 < 12000
     ORDER BY i
     """,
 )
@@ -412,7 +412,7 @@ def zarr06(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized-struct stand-in."""
     ds = MdioDataset.open(_main_store(spark, sf_dir))
     return (
-        ds.isel(i=(2000, 12000))
+        ds.isel(i=(1200, 12000))
         .select_field(spark, "hdr", "ok2")
         .orderBy("i")
     )
@@ -537,7 +537,7 @@ def zarr10(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS value_re,
            CAST(o_custkey AS DOUBLE) AS value_im
     FROM (SELECT o_totalprice, o_custkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
-    WHERE rn - 1 >= 3000 AND rn - 1 < 9000
+    WHERE rn - 1 >= 900 AND rn - 1 < 9000
     ORDER BY i
     """,
 )
@@ -546,7 +546,7 @@ def zarr11(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned into (value_re, value_im) columns — Spark has no complex type,
     so the pair IS the mapping (SURVEY §1.2). Fill is [NaN, NaN]."""
     ds = MdioDataset.open(_main_store(spark, sf_dir))
-    return ds.isel(i=(3000, 9000)).to_df(spark, "cpx").orderBy("i")
+    return ds.isel(i=(900, 9000)).to_df(spark, "cpx").orderBy("i")
 
 
 @declared(
@@ -554,7 +554,7 @@ def zarr11(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS price FROM
       (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
-    WHERE rn - 1 >= 2000 AND rn - 1 < 14000 AND o_totalprice >= 250000.0
+    WHERE rn - 1 >= 1100 AND rn - 1 < 14000 AND o_totalprice >= 250000.0
     ORDER BY i
     """,
 )
@@ -565,7 +565,7 @@ def zarr14(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles the values (the full pushdown story for the custom source)."""
     ds = MdioDataset.open(_main_store(spark, sf_dir))
     return (
-        ds.isel(i=(2000, 14000))
+        ds.isel(i=(1100, 14000))
         .var("price")
         .to_df(spark, value_col="price", value_filter=(">=", 250000.0))
         .orderBy("i")
@@ -601,7 +601,7 @@ def zarr12(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(rn - 1 AS BIGINT) AS i,
            CAST(CAST(o_orderkey AS HUGEINT) + 9223372036854775808 AS VARCHAR) AS v
     FROM (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
-    WHERE rn - 1 >= 4000 AND rn - 1 < 9000
+    WHERE rn - 1 >= 800 AND rn - 1 < 9000
     ORDER BY i
     """,
 )
@@ -612,7 +612,7 @@ def zarr15(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stringification is the only lossless cross-engine comparison)."""
     ds = MdioDataset.open(_main_store(spark, sf_dir))
     return (
-        ds.isel(i=(4000, 9000))
+        ds.isel(i=(800, 9000))
         .to_df(spark, "u64", value_col="v")
         .select("i", F.col("v").cast("string").alias("v"))
         .orderBy("i")
@@ -624,7 +624,7 @@ def zarr15(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS value FROM
       (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
-    WHERE rn - 1 >= 6000 AND rn - 1 < 13000
+    WHERE rn - 1 >= 1300 AND rn - 1 < 13000
     ORDER BY i
     """,
 )
@@ -641,7 +641,7 @@ def zarr16(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("mdio")
         .option("path", store).option("variable", "price")
         .load()
-        .filter((F.col("i") >= 6000) & (F.col("i") < 13000))
+        .filter((F.col("i") >= 1300) & (F.col("i") < 13000))
         .orderBy("i")
     )
 
@@ -652,7 +652,7 @@ def zarr16(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(rn - 1 AS BIGINT) AS i, CAST(o_orderkey AS BIGINT) AS okey,
            o_totalprice AS price
     FROM (SELECT o_orderkey, o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
-    WHERE rn - 1 >= 5000 AND rn - 1 < 11000
+    WHERE rn - 1 >= 700 AND rn - 1 < 11000
     ORDER BY i
     """,
 )
@@ -663,7 +663,7 @@ def zarr17(spark: SparkSession, sf_dir: str) -> DataFrame:
     data side never shuffles."""
     ds = MdioDataset.open(_main_store(spark, sf_dir))
     return (
-        ds.isel(i=(5000, 11000))
+        ds.isel(i=(700, 11000))
         .to_df_with_coords(spark, "price", coords={"i": "okey"}, value_col="price")
         .select("i", "okey", "price")
         .orderBy("i")
@@ -761,7 +761,7 @@ def zarr20(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(rn - 1 AS BIGINT) AS i, CAST(o_orderkey * 2 AS BIGINT) AS ok2 FROM
       (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
-    WHERE rn - 1 >= 3000 AND rn - 1 < 11000
+    WHERE rn - 1 >= 1400 AND rn - 1 < 11000
     ORDER BY i
     """,
 )
@@ -773,7 +773,7 @@ def zarr21(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ensure_stores(spark, sf_dir)
     ds = MdioDataset.open(os.path.join(base, "orders_v3.zarr"))
     return (
-        ds.isel(i=(3000, 11000))
+        ds.isel(i=(1400, 11000))
         .select_field(spark, "hdr", "ok2")
         .orderBy("i")
     )

@@ -60,3 +60,8 @@ def test_declared_query_matches_oracle(name, spark, sf_dir, oracle):
     on, oh = canonical_hash(odf)
     assert sn == on, f"row count: spark {sn} vs oracle {on}"
     assert sh == oh, "value hash mismatch"
+    # vacuous-gate guard: an empty result matches an empty oracle trivially
+    # (a literal predicate that selects nothing — e.g. a dimension value the
+    # synthetic data doesn't contain — would silently pass). Every declared
+    # query must exercise real rows at every SF.
+    assert sn > 0, f"{name} is a zero-row (vacuous) gate at this SF"
