@@ -1499,3 +1499,114 @@ def h08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum("v_e4").cast("double") / 10000.0).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@declared(
+    "h09_promo_revenue_share",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN v_e4 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(v_e4) AS DOUBLE), 6) AS promo_share
+    FROM (
+      SELECT CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS v_e4,
+             p_type
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+    )
+    """,
+)
+def h09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo revenue share: one conditional aggregate over
+    the date-pruned lineitem⋈part join — numerator and denominator are
+    exact 1e-4 fixed-point BIGINT sums (associative, partition-order-free),
+    divided exactly once at the end, so the double is bit-identical on any
+    partitioning. The shipdate filter reaches the FileScan; part is
+    sf-proportional so its join strategy is left to the planner/AQE."""
+    tune(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    p = table(spark, sf_dir, "part")
+    v_e4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .select(v_e4.alias("v_e4"), "p_type")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "ECONOMY", F.col("v_e4")).otherwise(0)).cast("double")
+                / F.sum("v_e4").cast("double"),
+                6,
+            ).alias("promo_share")
+        )
+    )
+
+
+@declared(
+    "h10_market_share",
+    oracle="""
+    SELECT l_year,
+           ROUND(CAST(n1_e4 AS DOUBLE) / CAST(tot_e4 AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT l_year,
+             SUM(CASE WHEN supp_nation = 'NATION_1' THEN v_e4 ELSE 0 END) AS n1_e4,
+             SUM(v_e4) AS tot_e4
+      FROM (
+        SELECT n1.n_name AS supp_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS v_e4
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_nationkey < 4 AND n2.n_nationkey < 4
+          AND n1.n_nationkey <> n2.n_nationkey
+      )
+      GROUP BY l_year
+    )
+    ORDER BY l_year
+    """,
+)
+def h10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: NATION_1 suppliers' slice of the
+    cross-nation flow volume per year. Same broadcast-pruned join tree as
+    h08; the share is a ratio of two exact fixed-point sums computed in ONE
+    grouped pass (conditional aggregate — no second scan, no join of two
+    aggregates), divided once per year row."""
+    tune(spark)
+    n = table(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        n.filter(F.col("n_nationkey") < 4)
+        .select(F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = F.broadcast(
+        n.filter(F.col("n_nationkey") < 4).select(F.col("n_nationkey").alias("__ck"))
+    )
+    s = table(spark, sf_dir, "supplier").join(n1, F.col("s_nationkey") == F.col("__sk"))
+    c = table(spark, sf_dir, "customer").join(n2, F.col("c_nationkey") == F.col("__ck"))
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    v_e4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("__sk") != F.col("__ck"))
+        .select(
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            F.col("supp_nation"),
+            v_e4.alias("v_e4"),
+        )
+        .groupBy("l_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", F.col("v_e4")).otherwise(0)
+                ).cast("double")
+                / F.sum("v_e4").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("l_year")
+    )

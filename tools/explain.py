@@ -40,6 +40,8 @@ PICKS = {
     "zarr27_halo_stencil": "halo exchange relationally: boundary cells replicate into neighbor chunk buckets map-side (explode of ≤2 targets), window partitions on bucket — no SinglePartition window over the array",
     "u01_merge_upsert": "MERGE with a small changeset: the target NEVER shuffles — U/D apply via BroadcastHashJoin LeftOuter, inserts via broadcast LeftSemi probe + tiny LeftAnti; the only exchange is the gate's output sort",
     "ts01_resample_locf": "grid explode is map-side (sequence per user), hourly agg is a partial-then-final hash agg, LOCF window partitions by user_id — no global stage",
+    "h07_large_quantity_orders": "the HAVING key set (tiny) semi-prunes orders BEFORE the three-way join; top-20 compiles to TakeOrderedAndProject, never a global sort",
+    "h10_market_share": "broadcast nation dims filter supplier/customer ahead of the fact shuffle; share = conditional agg in ONE grouped pass (no self-join of aggregates)",
     "zarr29_zonemap_filter": "zone-map-pruned value scan: the task manifest contains ONLY chunks whose [min,max] can satisfy price>=450000 (driver-enumerated here; executor-side skip beyond 65536 chunks) — pruned chunks never get a kvstore GET",
     "mm05_embed_batch": "Arrow-batched mapInPandas inference stage (payloads move once, map-only); posexplode to scalar rows happens JVM-side after the Python stage",
     "h05_revenue_forecast": "the pure-pushdown query: all three predicates in PushedFilters, 4-column ReadSchema, partial agg to one row — no shuffle of data anywhere",
