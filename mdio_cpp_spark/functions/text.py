@@ -118,3 +118,39 @@ def token_blocks(toks: Column, block: int = 16) -> Column:
         F.sequence(F.lit(0), n_blocks - 1),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * block + 1, block))),
     )
+
+
+# PII / deny-list redaction ------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repeats, \b.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9() .-]{7,}[0-9]"),
+)
+
+
+def match_count(text: str | Column, pattern: str) -> Column:
+    """Number of non-overlapping matches of ``pattern`` (long). Oracle twin:
+    len(regexp_extract_all(t, p))."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0))).cast("long")
+
+
+def redact(
+    text: str | Column,
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+    token: str = "[PII]",
+) -> Column:
+    """Replace every match of every pattern with ``token`` — the PII-scrub
+    stage of a training-data pipeline (emails, SSNs, IPs, phone numbers by
+    default; callers append deny-list entity patterns for dictionary-based
+    scrubbing). Chained JVM-side regexp_replace — codegen'd, no UDF; order
+    is the tuple order, so earlier patterns see the original text first.
+    Oracle twin: nested regexp_replace(..., 'g')."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat in patterns:
+        c = F.regexp_replace(c, pat, token)
+    return c

@@ -336,3 +336,61 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster embeddings with a coarse quantizer, then within each cluster drop
+    every vector that has a LOWER-id near-identical neighbor (cosine >=
+    ``threshold``) — one representative per semantic duplicate set survives.
+
+    The quantizer is ``similarity.ivf_assign``'s deterministic exemplar
+    centroids (first ``n_cells`` ids): swapping in trained k-means centroids
+    changes nothing structurally, and exemplars keep the op oracle-checkable.
+    Scale shape: the within-cell pair join is an equi-join on the cell id —
+    never all-pairs across the corpus — and production sizes ``n_cells``
+    proportional to N so the per-cell population (and thus per-cell pair
+    work) stays constant. Shuffles carry (id, vec, cell) once; the drop
+    decision is a within-cell join + distinct on ids only.
+
+    Returns (``id_col``, cell, kept) for every input vector, kept=false for
+    dropped near-duplicates.
+    """
+    from mdio_cpp_spark.operators.similarity import ivf_assign
+
+    cents = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    assigned = ivf_assign(df, id_col, vec_col, cents)
+    b = assigned.select(
+        F.col(id_col), F.col(vec_col), "cell",
+        vectors.norm(F.col(vec_col)).alias("nv"),
+    )
+    a = b.select(F.col(id_col).alias("__ida"), F.col(vec_col).alias("va"), "cell",
+                 F.col("nv").alias("na"))
+    c = b.select(F.col(id_col).alias("__idb"), F.col(vec_col).alias("vb"), "cell",
+                 F.col("nv").alias("nb"))
+    cos = F.round(vectors.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    dropped = (
+        a.join(c, on="cell")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .select("__ida", cos.alias("__cos"))
+        .filter(F.col("__cos") >= F.lit(threshold))
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -87,3 +87,19 @@ def sequence_packing(
     return base.select(
         id_col, "shard", "n_tok", start
     ).withColumn("pack_id", F.expr(f"start_off div {int(budget)}"))
+
+
+def hash_split(
+    df: DataFrame, id_col: str, cut: float = 0.9, left: str = "train", right: str = "val"
+) -> DataFrame:
+    """Deterministic train/validation split: row goes to ``left`` iff
+    hash_fraction(id) < cut * 4096. A pure map-side column — reproducible
+    across partitionings, cluster sizes, and engines (same md5 formula as
+    stratified_hash_sample), which is what makes a split auditable: any
+    engine can recompute membership from the id alone. Adds ``split``."""
+    return df.withColumn(
+        "split",
+        F.when(hash_fraction(F.col(id_col)) < F.lit(cut * 4096.0), F.lit(left)).otherwise(
+            F.lit(right)
+        ),
+    )

@@ -1849,3 +1849,168 @@ def v06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_multiprobe(
         e, q, "vec_id", "embedding", k=5, n_cells=_IVF_CELLS, n_probes=_IVF_PROBES
     ).orderBy("q_id", "rk")
+
+
+# ------------------------------------ semantic dedup / redaction / splits
+
+_SD_CELLS, _SD_TAU = 8, 0.35
+
+
+@declared(
+    "d10_semdedup",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_SD_CELLS}),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid, ROUND({_dd_cosine("e.embedding", "c.cv")}, 6) AS cc
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT vec_id, embedding, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid DESC) AS r
+        FROM scored
+      ) WHERE r = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM assign a JOIN assign b ON b.cell = a.cell AND b.vec_id < a.vec_id
+      WHERE ROUND({_dd_cosine("a.embedding", "b.embedding")}, 4) >= {_SD_TAU}
+    )
+    SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, (d.vec_id IS NULL) AS kept
+    FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    ORDER BY a.vec_id
+    """,
+)
+def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-dedup over embeddings, arXiv:2303.09540): the
+    coarse quantizer cells bound the pair search, and within each cell every
+    vector with a lower-id neighbor above the cosine threshold is dropped.
+    Complements d05 (LSH-bucketed near-dup): same goal, cluster-structured
+    candidate generation. Threshold 0.35 fits the synthetic near-orthogonal
+    embeddings; production SemDeDup on real encoder output runs ~0.95 — a
+    knob, not a shape change."""
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(
+        e, "vec_id", "embedding", n_cells=_SD_CELLS, threshold=_SD_TAU
+    ).orderBy("vec_id")
+
+
+_RED_PATTERNS = text.PII_PATTERNS + (("entity", r"\bcustomer\b"),)
+_RED_TOKEN = "[X]"
+
+
+def _dd_redact_sql() -> str:
+    red = "text"
+    for _, pat in _RED_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{_RED_TOKEN}', 'g')"
+    hits = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat in _RED_PATTERNS
+    )
+    return f"""
+    SELECT doc_id, hits, red_len FROM (
+      SELECT doc_id, CAST({hits} AS BIGINT) AS hits,
+             CAST(length({red}) AS BIGINT) AS red_len
+      FROM documents
+    ) WHERE hits > 0 ORDER BY doc_id
+    """
+
+
+@declared("t13_pii_redaction", oracle=_dd_redact_sql())
+def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / deny-list redaction (functions/text.redact): chained JVM-side
+    regexp_replace over email/SSN/IPv4/phone patterns plus a deny-list
+    entity term. Match counts are evaluated per-pattern on the ORIGINAL text
+    (chained replacement cannot hide a hit), lengths on the fully redacted
+    text. The synthetic corpus carries no digit-shaped PII, so the deny-list
+    term is what keeps this gate non-vacuous — the PII regexes themselves
+    are pinned by unit tests on crafted strings (test_text_functions)."""
+    d = _t(spark, sf_dir, "documents")
+    hits = None
+    for _, pat in _RED_PATTERNS:
+        c = text.match_count("text", pat)
+        hits = c if hits is None else hits + c
+    return (
+        d.select(
+            "doc_id",
+            hits.alias("hits"),
+            F.length(text.redact("text", _RED_PATTERNS, _RED_TOKEN)).cast("long").alias("red_len"),
+        )
+        .filter(F.col("hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
+_SPLIT_CUT = 0.9
+
+
+def _dd_split_leakage_sql() -> str:
+    e = "CAST(doc_id AS VARCHAR)"
+    frac = f"(256 * {_dd_hexv_of(e, 1)} + 16 * {_dd_hexv_of(e, 2)} + {_dd_hexv_of(e, 3)})"
+    fp = f"md5(array_to_string(list_sort(list_distinct({_DD_TOKS})), ' '))"
+    return f"""
+    WITH d AS (
+      SELECT {fp} AS h,
+             CASE WHEN {frac} < {_SPLIT_CUT} * 4096 THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    ),
+    g AS (
+      SELECT h, SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS nt,
+                SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS nv
+      FROM d GROUP BY h
+    )
+    SELECT split, n_docs, n_leaked FROM (
+      SELECT 'train' AS split, CAST(SUM(nt) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN nt > 0 AND nv > 0 THEN nt ELSE 0 END) AS BIGINT) AS n_leaked
+      FROM g
+      UNION ALL
+      SELECT 'val', CAST(SUM(nv) AS BIGINT),
+             CAST(SUM(CASE WHEN nt > 0 AND nv > 0 THEN nv ELSE 0 END) AS BIGINT)
+      FROM g
+    ) ORDER BY split
+    """
+
+
+@declared("p09_split_leakage", oracle=_dd_split_leakage_sql())
+def p09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split + leakage audit: deterministic hash split
+    (operators/sampling.hash_split — membership recomputable from the id by
+    any engine), then per-split document counts and LEAKED counts (docs
+    whose order-insensitive fingerprint also appears in the other split —
+    the eval-contamination check run before training). One shuffle keyed on
+    the fingerprint carrying (fp, split) only — document bodies never move;
+    the per-split report explodes from the fingerprint groups (2 rows)."""
+    from mdio_cpp_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    s = sampling.hash_split(d, "doc_id", cut=_SPLIT_CUT).select(
+        text.fingerprint("text").alias("fp"), "split"
+    )
+    g = s.groupBy("fp").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("nv"),
+    )
+    both = (F.col("nt") > 0) & (F.col("nv") > 0)
+    rows = g.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("train").alias("split"),
+                    F.col("nt").alias("n"),
+                    F.when(both, F.col("nt")).otherwise(F.lit(0)).alias("lk"),
+                ),
+                F.struct(
+                    F.lit("val").alias("split"),
+                    F.col("nv").alias("n"),
+                    F.when(both, F.col("nv")).otherwise(F.lit(0)).alias("lk"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return (
+        rows.groupBy("split")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum("lk").cast("long").alias("n_leaked"),
+        )
+        .orderBy("split")
+    )

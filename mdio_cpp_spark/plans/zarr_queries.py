@@ -1475,3 +1475,102 @@ def zarr37(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", "d")
         .orderBy("i")
     )
+
+
+# ------------------------------------------- coordinate groupby / interp
+
+@declared(
+    "zarr38_groupby_coord",
+    oracle=f"""
+    WITH n AS (SELECT LEAST(CAST((SELECT COUNT(*) FROM orders) AS BIGINT) // {GRID_C}, 128) AS rows_),
+    cells AS (
+      SELECT CAST((rn - 1) // {GRID_C} AS BIGINT) AS row, CAST((rn - 1) % {GRID_C} AS BIGINT) AS col,
+             o_totalprice AS v
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < (SELECT rows_ FROM n) * {GRID_C}
+    )
+    SELECT CAST(col // 8 AS BIGINT) AS bin, COUNT(*) AS n_cells,
+           ROUND(SUM(v), 2) / COUNT(*) AS mean_v, ROUND(SUM(v), 2) AS sum_v
+    FROM cells WHERE row < 64 GROUP BY 1 ORDER BY bin
+    """,
+)
+def zarr38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``groupby(coordinate).mean()`` over a stored 2-D array: cells
+    are grouped by the VALUE of the ``col`` dimension coordinate (read from
+    the store, binned div 8), not by the index — the reference can only
+    subset by coordinates (sel, dataset.h:639-786), never aggregate by them.
+    The 1-D coordinate broadcasts onto the chunk-pruned grid scan (no grid
+    shuffle for the join), then one partial agg keyed on the bin — shuffle
+    rows = n_bins × partials. (Coordinate values here equal their indices by
+    fixture construction; the plan still routes through the stored coordinate
+    variable, which is the operator under test.)"""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "grid_v2.zarr"))
+    cells = ds.isel(row=(0, 64)).to_df(spark, "grid", value_col="v")
+    coord = ds.to_df(spark, "col", value_col="cv")
+    return (
+        cells.join(F.broadcast(coord), on="col")
+        .groupBy(F.expr("cv div 8").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            (F.round(F.sum("v"), 2) / F.count(F.lit(1))).alias("mean_v"),
+            F.round(F.sum("v"), 2).alias("sum_v"),
+        )
+        .orderBy("bin")
+    )
+
+
+_INTERP_N = 200  # targets; ry < 21 fits every sf's grid (rows >= 23 at sf0.001)
+
+
+@declared(
+    "zarr39_interp_bilinear",
+    oracle=f"""
+    WITH n AS (SELECT LEAST(CAST((SELECT COUNT(*) FROM orders) AS BIGINT) // {GRID_C}, 128) AS rows_),
+    cells AS (
+      SELECT CAST((rn - 1) // {GRID_C} AS BIGINT) AS row, CAST((rn - 1) % {GRID_C} AS BIGINT) AS col,
+             o_totalprice AS v
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < (SELECT rows_ FROM n) * {GRID_C}
+    ),
+    t AS (
+      SELECT t, CAST((t * 7) % 210 AS DOUBLE) / 10.0 AS ry,
+                CAST((t * 13) % 630 AS DOUBLE) / 10.0 AS cx
+      FROM range(0, {_INTERP_N}) r(t)
+    ),
+    t2 AS (
+      SELECT t, CAST(FLOOR(ry) AS BIGINT) AS r0, CAST(FLOOR(cx) AS BIGINT) AS c0,
+             ry - FLOOR(ry) AS fy, cx - FLOOR(cx) AS fx
+      FROM t
+    )
+    SELECT t2.t AS t,
+           ROUND((1.0 - fy) * (1.0 - fx) * a.v + (1.0 - fy) * fx * b.v
+                 + fy * (1.0 - fx) * c.v + fy * fx * d.v, 4) AS val
+    FROM t2
+    JOIN cells a ON a.row = t2.r0     AND a.col = t2.c0
+    JOIN cells b ON b.row = t2.r0     AND b.col = t2.c0 + 1
+    JOIN cells c ON c.row = t2.r0 + 1 AND c.col = t2.c0
+    JOIN cells d ON d.row = t2.r0 + 1 AND d.col = t2.c0 + 1
+    ORDER BY t
+    """,
+)
+def zarr39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear interpolation of a stored 2-D grid at fractional coordinates
+    — the reference ships this as driver-side application code over a fully
+    read-back array (examples/real_data_example/src/interpolation.h:22);
+    here it is a distributed corner-gather: 200 deterministic target points
+    explode into 4 weighted corner cells each, broadcast onto the
+    chunk-pruned grid scan (rows [0, 22) prunes the row-chunk grid), and a
+    4-slot fixed-order weighted sum reassembles per target (operators/
+    interp.py — bit-stable, no unordered float accumulation)."""
+    from mdio_cpp_spark.operators.interp import bilinear_interp
+
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "grid_v2.zarr"))
+    cells = ds.isel(row=(0, 22)).to_df(spark, "grid", value_col="v")
+    targets = spark.range(_INTERP_N).select(
+        F.col("id").alias("t"),
+        (((F.col("id") * 7) % 210).cast("double") / 10.0).alias("ry"),
+        (((F.col("id") * 13) % 630).cast("double") / 10.0).alias("cx"),
+    )
+    return bilinear_interp(cells, targets).orderBy("t")

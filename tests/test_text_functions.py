@@ -84,3 +84,43 @@ def test_lang_id_matches_marker_argmax(spark):
         scores = {L: sum(toks.count(m) for m in ms) for L, ms in markers.items()}
         best = max(["en", "de", "fr", "es"], key=lambda L: (scores[L], -["en", "de", "fr", "es"].index(L)))
         assert got[i] == best, f"lang mismatch for {s!r}: {got[i]} vs {best} ({scores})"
+
+
+def test_pii_redaction_patterns(spark):
+    cases = [
+        (0, "mail me at jane.doe+x@example.co.uk today",
+         "mail me at [PII] today", 1),
+        # hits are counted PER PATTERN on the original text, so the SSN and
+        # the IP each also match the broad phone pattern: 4 hits, 2 spans
+        (1, "ssn 123-45-6789 and ip 10.0.255.7 here",
+         "ssn [PII] and ip [PII] here", 4),
+        (2, "call +1 (415) 555-0100 now", "call [PII] now", 1),
+        (3, "no sensitive content here", "no sensitive content here", 0),
+        (4, "two mails a@b.io c@d.org", "two mails [PII] [PII]", 2),
+    ]
+    df = spark.createDataFrame([(i, s) for i, s, _, _ in cases], "id long, s string")
+    hits = None
+    for _, pat in text.PII_PATTERNS:
+        c = text.match_count("s", pat)
+        hits = c if hits is None else hits + c
+    out = {
+        r["id"]: (r["red"], r["hits"])
+        for r in df.select(
+            "id", text.redact("s").alias("red"), hits.alias("hits")
+        ).collect()
+    }
+    for i, _, want_red, want_hits in cases:
+        assert out[i] == (want_red, want_hits), f"case {i}: {out[i]}"
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from mdio_cpp_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    a = {r["id"]: r["split"] for r in hash_split(df, "id", cut=0.8).collect()}
+    b = {r["id"]: r["split"]
+         for r in hash_split(df.repartition(7), "id", cut=0.8).collect()}
+    assert a == b  # membership is a pure function of the id
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.7 * 500 < n_train < 0.9 * 500  # cut lands near the target rate
+    assert set(a.values()) == {"train", "val"}
