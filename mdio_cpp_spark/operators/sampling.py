@@ -103,3 +103,40 @@ def hash_split(
             F.lit(right)
         ),
     )
+
+
+def temperature_rates(
+    df: DataFrame, stratum_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Per-stratum keep rates for temperature resampling: rate =
+    (n_min / n)^(1-alpha), so the smallest stratum keeps everything and
+    larger strata are progressively downsampled — the multilingual-corpus
+    rebalancing rule (sampling probability ∝ n^alpha, normalized to the
+    smallest stratum instead of the sum). Normalizing by MIN rather than the
+    sum keeps the rate a correctly-rounded IEEE function of two exact
+    integers (sqrt/pow of one quotient) — deterministic across engines and
+    partitionings, with no order-sensitive float accumulation.
+
+    Returns (stratum, n_orig, rate). One partial agg over the stratum key +
+    a broadcast of the one-row global min."""
+    c = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_orig"))
+    m = c.agg(F.min("n_orig").alias("__nmin"))
+    ratio = F.col("__nmin").cast("double") / F.col("n_orig").cast("double")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    return c.join(F.broadcast(m)).select(
+        stratum_col, "n_orig", rate.alias("rate")
+    )
+
+
+def temperature_resample(
+    df: DataFrame, id_col: str, stratum_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Deterministically downsample over-represented strata to temperature
+    ``alpha`` (alpha=1 keeps natural proportions, alpha→0 flattens): keep a
+    row iff hash_fraction(id) < rate(stratum) * 4096, with rates from
+    ``temperature_rates``. Map-side filter after a broadcast join of the
+    tiny rate table — the 100 TB corpus never shuffles."""
+    rates = temperature_rates(df, stratum_col, alpha)
+    return df.join(F.broadcast(rates.select(stratum_col, "rate")), on=stratum_col).filter(
+        hash_fraction(F.col(id_col)) < F.col("rate") * 4096.0
+    )

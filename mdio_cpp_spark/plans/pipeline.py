@@ -2014,3 +2014,52 @@ def p09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+def _dd_temperature_sql() -> str:
+    e = "CAST(doc_id AS VARCHAR)"
+    frac = f"(256 * {_dd_hexv_of(e, 1)} + 16 * {_dd_hexv_of(e, 2)} + {_dd_hexv_of(e, 3)})"
+    return f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n_orig FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n_orig) AS nmin FROM c),
+    r AS (
+      SELECT lang, n_orig,
+             sqrt(CAST(nmin AS DOUBLE) / CAST(n_orig AS DOUBLE)) AS rate
+      FROM c CROSS JOIN m
+    )
+    SELECT d.lang, MIN(r.n_orig) AS n_orig,
+           CAST(SUM(CASE WHEN {frac} < r.rate * 4096 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(MIN(r.rate), 6) AS rate
+    FROM documents d JOIN r ON r.lang = d.lang
+    GROUP BY d.lang ORDER BY d.lang
+    """
+
+
+@declared("p10_temperature_mix", oracle=_dd_temperature_sql())
+def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus rebalancing (multilingual sampling-rate rule,
+    probability ∝ n^alpha at alpha=0.5): per-language keep rates normalized
+    to the SMALLEST language (operators/sampling.temperature_rates — a
+    correctly-rounded function of two exact counts, no order-sensitive float
+    sum), applied as a deterministic map-side hash filter. Reports per-lang
+    original/kept counts and the rate — the audit a mixing stage emits. The
+    English skew in the corpus (~43%) is what this flattens."""
+    from mdio_cpp_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    rates = sampling.temperature_rates(d, "lang", alpha=0.5)
+    kept = (
+        d.join(F.broadcast(rates), on="lang")
+        .groupBy("lang")
+        .agg(
+            F.min("n_orig").alias("n_orig"),
+            F.sum(
+                F.when(
+                    sampling.hash_fraction(F.col("doc_id")) < F.col("rate") * 4096.0, 1
+                ).otherwise(0)
+            ).cast("long").alias("n_kept"),
+            F.round(F.min("rate"), 6).alias("rate"),
+        )
+        .orderBy("lang")
+    )
+    return kept

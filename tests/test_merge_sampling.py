@@ -87,3 +87,21 @@ def test_ivf_multiprobe_recall_at_least_single_probe(spark, sf_dir):
 
     truth = hits(exact)
     assert len(hits(multi) & truth) >= len(hits(single) & truth)
+
+
+def test_temperature_resample_flattens_skew(spark):
+    from mdio_cpp_spark.operators.sampling import temperature_rates, temperature_resample
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    rates = {r["s"]: (r["n_orig"], r["rate"]) for r in temperature_rates(df, "s").collect()}
+    assert rates["small"] == (100, 1.0)  # smallest stratum keeps everything
+    assert abs(rates["big"][1] - 0.5) < 1e-12  # sqrt(100/400)
+    out = temperature_resample(df, "id", "s")
+    n = {r["s"]: r["c"] for r in out.groupBy("s").agg(F.count("*").alias("c")).collect()}
+    assert n["small"] == 100
+    assert 150 < n["big"] < 250  # ~0.5 keep rate through the 12-bit hash
+    # membership is a pure function of the row — partitioning-independent
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in temperature_resample(df.repartition(13), "id", "s").collect())
+    assert a == b
