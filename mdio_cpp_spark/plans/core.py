@@ -1610,3 +1610,168 @@ def h10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_year")
     )
+
+
+@declared(
+    "h11_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def h11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped order-count distribution: LEFT OUTER join keeps
+    customers with zero qualifying orders (COUNT of the join column — not
+    COUNT(*) — so unmatched rows count 0; the non-join predicate lives in
+    the join condition, not a post-filter, or zero-order customers would
+    vanish). Two hash aggregates: per-customer counts (shuffle keyed on
+    custkey, partial-agg absorbed), then the tiny count-of-counts."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@declared(
+    "h12_important_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS v_e4
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(v_e4) AS g_e4, COUNT(*) AS np FROM pv)
+    SELECT l_partkey, CAST(v_e4 AS DOUBLE) / 10000.0 AS value
+    FROM pv CROSS JOIN tot
+    WHERE v_e4 * np * 4 > 5 * g_e4
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def h12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped "important parts": keep parts whose revenue exceeds
+    1.25× the AVERAGE part revenue (Q11's fixed global fraction would go
+    vacuous as part count grows with SF; an average-relative cut stays
+    scale-stable). The global total re-derives from the per-part aggregate
+    (no second scan) and broadcasts as a 1-row cross join; the significance
+    test stays in exact integer fixed-point (v·n·4 > 5·g — no float
+    threshold, no accumulation-order sensitivity). One data-sized shuffle
+    (the partkey agg), total."""
+    li = _t(spark, sf_dir, "lineitem")
+    v_e4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    pv = li.select("l_partkey", v_e4.alias("v_e4")).groupBy("l_partkey").agg(
+        F.sum("v_e4").alias("v_e4")
+    )
+    tot = pv.agg(F.sum("v_e4").alias("g_e4"), F.count(F.lit(1)).alias("np"))
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("v_e4") * F.col("np") * 4 > 5 * F.col("g_e4"))
+        .select("l_partkey", (F.col("v_e4").cast("double") / 10000.0).alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@declared(
+    "h13_rich_inactive_customers",
+    oracle="""
+    WITH bal AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS b_e2
+      FROM customer
+    ),
+    avgpos AS (
+      SELECT SUM(b_e2) AS s_e2, COUNT(*) AS n FROM bal WHERE b_e2 > 0
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(b_e2) AS DOUBLE) / 100.0 AS totacctbal
+    FROM bal CROSS JOIN avgpos
+    WHERE b_e2 * n > s_e2
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '2000-07-01')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def h13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped "rich but inactive" report: customers with
+    above-average positive balance (the scalar-subquery average broadcasts
+    as a 1-row agg; the comparison stays in exact integers — b·n > Σb — so
+    no float average can drift) and no RECENT orders (LEFT ANTI against the
+    date-filtered order keys; Q22's literal no-orders-ever is vacuous here —
+    every customer has orders). The date filter is pushed to the orders
+    scan. Segment totals are exact fixed-point sums."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("b_e2"),
+    )
+    avgpos = c.filter(F.col("b_e2") > 0).agg(
+        F.sum("b_e2").alias("s_e2"), F.count(F.lit(1)).alias("n")
+    )
+    o_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-07-01").cast("date"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.join(F.broadcast(avgpos))
+        .filter(F.col("b_e2") * F.col("n") > F.col("s_e2"))
+        .join(o_keys, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("b_e2").cast("double") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@declared(
+    "w08_range_frame",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(v_e2) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS roll_1h
+    FROM (SELECT event_id, user_id, ts,
+                 CAST(ROUND(value * 100) AS BIGINT) AS v_e2 FROM events)
+    ORDER BY event_id
+    """,
+)
+def w08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user rolling 1-hour sum (RANGE frames
+    bound by the ORDER-BY VALUE, not row position — peers at the same
+    timestamp always share a frame, unlike ROWS). The frame key is exact
+    epoch microseconds and the measure an exact fixed-point integer, so the
+    result is independent of within-frame accumulation order. Window
+    partitions by user — never global."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        (F.sum("v_e2").over(w).cast("double") / 100.0).alias("roll_1h"),
+    ).orderBy("event_id")

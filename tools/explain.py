@@ -49,6 +49,10 @@ PICKS = {
     "t12_unigram_surprisal": "vocab counts partial-agg before the term join; total broadcasts as a 1-row agg; per-doc reduce keyed on doc_id",
     "p06_quality_band": "percentile bands from the buffer-free operator broadcast onto the scored scan; the band filter is a broadcast join + filter, no window over the corpus",
     "zarr31_dsv2_write": "BatchWrite over the python DSv2 writer: chunk-partitioned exchange feeds per-task chunk RMW; readback is a PythonScan over the fresh store",
+    "zarr39_interp_bilinear": "corner gather as a BroadcastHashJoin (exploded targets broadcast onto the chunk-pruned grid scan — the grid never shuffles); 4-slot agg then fixed-order weighted sum",
+    "d10_semdedup": "centroid assignment = broadcast nested loop over K + partial max_by; within-cell pair search is an equi-join on the cell id, drop set joins back broadcast",
+    "p09_split_leakage": "split + fingerprint computed map-side; ONE exchange keyed on the fingerprint carrying (fp, split) only; the 2-row report explodes from the groups",
+    "p10_temperature_mix": "rate table = tiny agg + broadcast 1-row min; keep decision is a map-side hash filter after a BroadcastHashJoin — the corpus never shuffles",
 }
 
 
