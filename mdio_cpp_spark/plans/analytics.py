@@ -1,0 +1,480 @@
+"""Remaining TPC-H-shaped analytics (Q2/Q9/Q12/Q15/Q16/Q17/Q19/Q20/Q21
+analogs), adapted to the driver tables (no partsupp table, no
+shipmode/commitdate/receiptdate columns — each query keeps the original's
+*plan shape* and substitutes available columns; the adaptation is noted per
+query). SURVEY §2.5 relational-completeness rows.
+
+Shared conventions (see plans/base.py): money stays in exact integer
+fixed-point (cents / 1e-4 / 1e-5 units) until the final display division so
+map-side partial aggregation is exact and accumulation-order independent;
+every computed column is aliased identically in the Spark plan and the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mdio_cpp_spark.catalog import table
+from mdio_cpp_spark.plans.base import declared
+from mdio_cpp_spark.session import tune
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return table(spark, sf_dir, name)
+
+
+def _e2(col: str):
+    """Exact cents: ROUND(x*100) AS BIGINT — same expression both engines."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+@declared(
+    "h14_priority_class_count",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def h14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped two-way classification count (shipmode column is
+    absent from the driver tables; l_returnflag plays its role and
+    o_orderpriority keeps Q12's urgent/non-urgent CASE). The lineitem side
+    pre-aggregates to (orderkey, returnflag, cnt) BEFORE the fact-fact join
+    — the join then carries one row per order-flag pair instead of one per
+    line, and the post-join agg is a 2-row reduce. Both facts shuffle on
+    orderkey once; at 100 TB this is the bucketed-join layout."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .groupBy("l_orderkey", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("nlines"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, F.col("nlines")).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, F.col("nlines")).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@declared(
+    "h15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS total_e4
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_e4 AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_e4 = (SELECT MAX(total_e4) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def h15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: quarter-revenue view, global-max scalar
+    subquery, supplier detail join. The revenue agg is the only data-sized
+    shuffle; its result (|suppliers| rows) is reused for the max via a
+    broadcast 1-row cross join (no second lineitem scan — Q15's CREATE
+    VIEW materialized once), and the supplier dimension broadcasts. Exact
+    integer revenue means the max comparison can never straddle a float
+    rounding boundary (ties are real ties)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev_e4 = _e2("l_extendedprice") * (F.lit(100) - _e2("l_discount"))
+    revenue = (
+        li.select("l_suppkey", rev_e4.alias("r"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("r").alias("total_e4"))
+    )
+    mx = revenue.agg(F.max("total_e4").alias("mx_e4"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_e4") == F.col("mx_e4"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_e4").cast("double") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@declared(
+    "h16_supplier_cnt_by_part",
+    oracle="""
+    SELECT p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO' AND p_size IN (1, 2, 3, 4, 5)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_type, p_size
+    ORDER BY supplier_cnt DESC, p_type, p_size
+    """,
+)
+def h16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped distinct-supplier count per part class (partsupp is
+    absent — lineitem is the supplier-part relation; p_type/p_size stand in
+    for brand/type/size; the excluded-supplier NOT IN keeps Q16's anti-join
+    against a filtered supplier list, with s_acctbal < 0 replacing the
+    comment LIKE). Part and the excluded-supplier list both broadcast; the
+    COUNT(DISTINCT) is two hash aggregates — Spark plans it as a partial
+    distinct on (type, size, suppkey) before the final count, so the
+    shuffle carries deduplicated triples, never raw lines."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    ).select("p_partkey", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_type", "p_size")
+    )
+
+
+@declared(
+    "h17_small_qty_revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS s_e2,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 700.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN pq ON pq.l_partkey = lineitem.l_partkey
+    WHERE p_type = 'SMALL'
+      AND CAST(ROUND(l_quantity * 100) AS BIGINT) * 5 * n < s_e2
+    """,
+)
+def h17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity revenue: lines below 20% of their part's
+    average quantity (the correlated AVG subquery). The part-class filter
+    is pushed BELOW the per-part average (equivalent — the average is
+    per-part), so both lineitem passes are semi-join-pruned to the selected
+    class before any aggregation; the averages then join the probe side on
+    partkey (AQE broadcasts the agg when it fits, falls back to a
+    co-partitioned shuffle join when the class is large — never a forced
+    broadcast of an SF-scaling frame). The 20% comparison is exact integers
+    (q*5*n < Σq — no float average), so both engines make identical
+    keep/drop decisions on boundary rows. Brand/container filter becomes
+    p_type (available column)."""
+    q_e2 = F.round(F.col("l_quantity") * 100).cast("long")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), "l_partkey", "left_semi")
+        .select("l_partkey", q_e2.alias("q_e2"), _e2("l_extendedprice").alias("price_e2"))
+    )
+    pq = li.groupBy("l_partkey").agg(
+        F.sum("q_e2").alias("s_e2"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        li.join(pq, "l_partkey")
+        .filter(F.col("q_e2") * 5 * F.col("n") < F.col("s_e2"))
+        .agg((F.sum("price_e2").cast("double") / 700.0).alias("avg_yearly"))
+    )
+
+
+@declared(
+    "h18_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS revenue_e4
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_type = 'SMALL'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_type = 'MEDIUM' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_type = 'LARGE'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def h18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 disjunctive-predicate revenue. The classic Q19 trap is
+    letting the OR reach the join condition (forces a nested-loop); here the
+    join stays a pure broadcast equi-join on partkey and the disjunction is
+    a post-join filter over already-joined columns — Catalyst additionally
+    derives the common `p_size >= 1` and quantity-range envelope for
+    pushdown. Brand/container → p_type/p_size (available columns)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 40))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_size")
+    q = F.col("l_quantity")
+    disj = (
+        ((F.col("p_type") == "SMALL") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_type") == "MEDIUM") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_type") == "LARGE") & F.col("p_size").between(1, 35) & q.between(20, 40))
+    )
+    rev_e4 = _e2("l_extendedprice") * (F.lit(100) - _e2("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(disj)
+        .agg(F.sum(rev_e4).alias("revenue_e4"))
+    )
+
+
+@declared(
+    "h19_concentrated_suppliers",
+    oracle="""
+    WITH pairs AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                       AND l_shipdate < DATE '1997-01-01'
+                      THEN CAST(ROUND(l_quantity * 100) AS BIGINT) ELSE 0 END) AS q96_e2,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qall_e2
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM pairs WHERE q96_e2 * 2 > qall_e2)
+    ORDER BY s_suppkey
+    """,
+)
+def h19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped qualified-supplier listing (partsupp.availqty is
+    absent — the threshold becomes "more than half of this supplier-part
+    pair's all-time quantity shipped in 1996", keeping Q20's
+    agg-threshold-then-semi-join chain). The part-name IN-subquery is a
+    broadcast semi-join pushed below the pair aggregation, both period sums
+    come out of ONE conditional aggregate pass (no lineitem self-join), and
+    the final supplier lookup is a broadcast semi-join on the deduplicated
+    qualifying-supplier ids."""
+    part_ids = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    q_e2 = F.round(F.col("l_quantity") * 100).cast("long")
+    in96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("date")
+    )
+    pairs = (
+        li.join(F.broadcast(part_ids), "l_partkey", "left_semi")
+        .select("l_suppkey", "l_partkey", q_e2.alias("q"), in96.alias("in96"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(F.col("in96"), F.col("q")).otherwise(0)).alias("q96_e2"),
+            F.sum("q").alias("qall_e2"),
+        )
+    )
+    qualified = (
+        pairs.filter(F.col("q96_e2") * 2 > F.col("qall_e2"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(F.broadcast(qualified), "s_suppkey", "left_semi").orderBy("s_suppkey")
+
+
+@declared(
+    "h20_sole_returning_supplier",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def h20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped sole-fault supplier count (receipt/commit dates are
+    absent — "kept waiting" becomes "returned": count a supplier's returned
+    lines in finished multi-supplier orders where NO other supplier's line
+    was returned). The oracle keeps Q21's literal EXISTS / NOT EXISTS
+    self-join pair; the Spark plan replaces both with ONE per-order
+    aggregate (distinct supplier count, distinct returning-supplier count)
+    joined back — two shuffles on orderkey total, versus the reference
+    shape's two extra fact-fact self-joins. A returned line qualifies iff
+    its order has >1 supplier and exactly 1 returning supplier (which is
+    then necessarily this one)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    o_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li_f = li.join(o_f, F.col("l_orderkey") == F.col("o_orderkey")).drop("o_orderkey")
+    per_order = li_f.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    qualifying = (
+        li_f.filter(F.col("l_returnflag") == "R")
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)),
+            "l_orderkey",
+            "left_semi",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qualifying.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@declared(
+    "h21_min_cost_supplier",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT)) AS u_e2
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (SELECT l_partkey, MIN(u_e2) AS m_e2 FROM unit GROUP BY l_partkey)
+    SELECT p_partkey, s_suppkey, s_name,
+           CAST(ROUND(s_acctbal * 100) AS BIGINT) AS s_acctbal_e2,
+           CAST(u_e2 AS DOUBLE) / 100.0 AS unit_cost
+    FROM part
+      JOIN unit ON l_partkey = p_partkey
+      JOIN best USING (l_partkey)
+      JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size = 7 AND p_type = 'STANDARD' AND u_e2 = m_e2
+    ORDER BY s_acctbal_e2 DESC, s_suppkey, p_partkey
+    """,
+)
+def h21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped min-cost supplier (partsupp.supplycost is absent —
+    unit cost derives from lineitem as min(extendedprice/quantity) per
+    supplier-part pair, in exact cents). Q2's correlated MIN subquery
+    becomes a per-part MIN over the pair aggregate joined back on equality
+    — ties keep every achieving supplier, exactly the reference semantics.
+    The part filter broadcasts and prunes the pair aggregate BEFORE the
+    min/join-back, so the heavy agg runs only over the selected part class;
+    supplier detail broadcasts last."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 7) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    u_e2 = F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast("long")
+    unit = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "l_suppkey", u_e2.alias("u"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.min("u").alias("u_e2"))
+    )
+    best = unit.groupBy("p_partkey").agg(F.min("u_e2").alias("m_e2"))
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round(F.col("s_acctbal") * 100).cast("long").alias("s_acctbal_e2")
+    )
+    return (
+        unit.join(best, "p_partkey")
+        .filter(F.col("u_e2") == F.col("m_e2"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal_e2",
+            (F.col("u_e2").cast("double") / 100.0).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal_e2").desc(), "s_suppkey", "p_partkey")
+    )
+
+
+@declared(
+    "h22_nation_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) * 10
+                    - CAST(ROUND(l_quantity * 100) AS BIGINT)
+                      * CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             AS profit_e5
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def h22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped nation/year profit (partsupp.supplycost is absent —
+    unit cost is modeled as 10% of p_retailprice, keeping Q9's
+    revenue-minus-cost measure; everything scaled to exact 1e-5 integer
+    units so the subtraction never leaves fixed point: rev_e4*10 −
+    qty_e2·retail_e2). Join order: the part-name filter broadcasts first
+    and prunes lineitem before the orderkey shuffle against orders (the one
+    fact-fact join); supplier and nation broadcast. Q9's plan trap —
+    joining orders before pruning by part — would shuffle the full fact."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", _e2("p_retailprice").alias("retail_e2"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    profit_e5 = (
+        _e2("l_extendedprice") * (F.lit(100) - _e2("l_discount")) * 10
+        - F.round(F.col("l_quantity") * 100).cast("long") * F.col("retail_e2")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit_e5.alias("pe5"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("pe5").alias("profit_e5"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
