@@ -1574,3 +1574,139 @@ def zarr39(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("id") * 13) % 630).cast("double") / 10.0).alias("cx"),
     )
     return bilinear_interp(cells, targets).orderBy("t")
+
+
+# ------------------------------------------- shift / roll / stack / weights
+
+_SHIFT_N = 100   # cells to shift/roll by
+_SHIFT_CAP = 5000  # output slice bound (clamped to the array length)
+
+
+@declared(
+    "zarr40_shift_roll",
+    oracle=f"""
+    WITH src AS (
+      SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS v
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM orders)
+    SELECT r.j AS i, sh.v AS shifted, ro.v AS rolled
+    FROM range(0, {_SHIFT_CAP}) r(j) CROSS JOIN n
+    LEFT JOIN src sh ON sh.i = r.j - {_SHIFT_N}
+    JOIN src ro ON ro.i = (r.j - {_SHIFT_N} + nn) % nn
+    WHERE r.j < LEAST({_SHIFT_CAP}, nn)
+    ORDER BY i
+    """,
+)
+def zarr40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``shift(dim, n)`` / ``roll(dim, n)`` over a stored array with
+    ZERO shuffle: both are pure index remaps, so the plan re-keys each
+    scanned cell to its destination index map-side (j = i + n, wrapped for
+    roll) instead of windowing. shift's vacated head is the wrap slice with
+    a NULL value — xarray's fill semantics — so the output is one union of
+    two chunk-pruned scans: the body ([0, cap-n), which serves both
+    measures) and the n-cell tail wrap. Only the cells that land in the
+    output slice are ever read; no lag(), no sort until the gate's output
+    ORDER BY. (The reference has no shift/roll; its closest op is the
+    index-transform slice, variable.h:1339-1354.)"""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    n = ds.domain()["i"]
+    cap = min(_SHIFT_CAP, n)
+    body = (
+        ds.isel(i=(0, cap - _SHIFT_N))
+        .to_df(spark, "price", value_col="v")
+        .select(
+            (F.col("i") + _SHIFT_N).alias("i"),
+            F.col("v").alias("shifted"),
+            F.col("v").alias("rolled"),
+        )
+    )
+    wrap = (
+        ds.isel(i=(n - _SHIFT_N, n))
+        .to_df(spark, "price", value_col="v")
+        .select(
+            (F.col("i") - (n - _SHIFT_N)).alias("i"),
+            F.lit(None).cast("double").alias("shifted"),
+            F.col("v").alias("rolled"),
+        )
+    )
+    return body.unionByName(wrap).orderBy("i")
+
+
+@declared(
+    "zarr41_stack_unstack",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS z,
+           CAST((rn - 1) // 64 AS BIGINT) AS row,
+           CAST((rn - 1) % 64 AS BIGINT) AS col,
+           o_totalprice AS v
+    FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 100 AND rn - 1 < 300
+    ORDER BY z
+    """,
+)
+def zarr41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``stack(z=(row, col))`` + slice + ``unstack`` over the stored
+    2-D grid: the flat index z = row·C + col is a map-side expression, and —
+    the part that matters at scale — a z-range predicate UNSTACKS INTO
+    CHUNK PRUNING: [100, 300) touches only row chunks [100//C, 299//C], so
+    the scan reads those rows' chunks and nothing else, then re-derives
+    (row, col) from z to prove the round-trip. The reference's index
+    transforms never linearize dims; this is the flattened-view upgrade
+    (variable.h:1920-1931 get_flattened_offset is its only flat-index
+    concept, driver-side)."""
+    lo, hi = 100, 300
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "grid_v2.zarr"))
+    r0, r1 = lo // GRID_C, (hi - 1) // GRID_C + 1
+    cells = ds.isel(row=(r0, r1)).to_df(spark, "grid", value_col="v")
+    z = (F.col("row") * GRID_C + F.col("col")).alias("z")
+    return (
+        cells.select(z, "row", "col", "v")
+        .filter((F.col("z") >= lo) & (F.col("z") < hi))
+        .orderBy("z")
+    )
+
+
+@declared(
+    "zarr42_weighted_mean",
+    oracle=f"""
+    WITH n AS (SELECT LEAST(CAST((SELECT COUNT(*) FROM orders) AS BIGINT) // {GRID_C}, 128) AS rows_),
+    cells AS (
+      SELECT CAST((rn - 1) // {GRID_C} AS BIGINT) AS row, CAST((rn - 1) % {GRID_C} AS BIGINT) AS col,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v_e2
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < (SELECT rows_ FROM n) * {GRID_C}
+    )
+    SELECT row,
+           CAST(SUM(v_e2 * (col + 1)) AS DOUBLE) / (100.0 * SUM(col + 1)) AS wmean,
+           CAST(SUM(col + 1) AS BIGINT) AS wsum
+    FROM cells WHERE row < 64
+    GROUP BY row ORDER BY row
+    """,
+)
+def zarr42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``weighted(w).mean(dim)`` over the stored 2-D grid: per-row
+    mean weighted by a function of the ``col`` dimension COORDINATE (w =
+    cv + 1, read from the stored coordinate variable like zarr38 — the
+    operator under test is the coordinate route, not the arithmetic). The
+    1-D coordinate broadcasts onto the chunk-pruned scan; products stay in
+    exact integer fixed-point (v_e2·w) so the partial aggregation is
+    order-independent, and the single division happens after the agg.
+    Shuffle carries one partial per (row, partition) — never cells."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "grid_v2.zarr"))
+    cells = ds.isel(row=(0, 64)).to_df(spark, "grid", value_col="v")
+    coord = ds.to_df(spark, "col", value_col="cv")
+    w = F.col("cv") + 1
+    v_e2 = F.round(F.col("v") * 100).cast("long")
+    return (
+        cells.join(F.broadcast(coord), on="col")
+        .select("row", (v_e2 * w).alias("vw"), w.alias("w"))
+        .groupBy("row")
+        .agg(
+            (F.sum("vw").cast("double") / (F.lit(100.0) * F.sum("w"))).alias("wmean"),
+            F.sum("w").alias("wsum"),
+        )
+        .orderBy("row")
+    )
