@@ -325,12 +325,15 @@ def h20(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent — "kept waiting" becomes "returned": count a supplier's returned
     lines in finished multi-supplier orders where NO other supplier's line
     was returned). The oracle keeps Q21's literal EXISTS / NOT EXISTS
-    self-join pair; the Spark plan replaces both with ONE per-order
+    self-join pair; the Spark plan replaces both with a per-order
     aggregate (distinct supplier count, distinct returning-supplier count)
-    joined back — two shuffles on orderkey total, versus the reference
-    shape's two extra fact-fact self-joins. A returned line qualifies iff
-    its order has >1 supplier and exactly 1 returning supplier (which is
-    then necessarily this one)."""
+    joined back — versus the reference shape's two extra fact-fact
+    self-joins. The distinct pair is computed as a two-level aggregate
+    (dedupe to (order, supplier, any-return) pairs, then reduce per order)
+    rather than two countDistincts, which would compile to an Expand (2×
+    rows) plus a 4-key exchange; this way the one data-sized shuffle
+    carries each pair once. A returned line qualifies iff its order has >1
+    supplier and exactly 1 returning supplier (necessarily this one)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
     o_f = (
         _t(spark, sf_dir, "orders")
@@ -338,11 +341,12 @@ def h20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
     )
     li_f = li.join(o_f, F.col("l_orderkey") == F.col("o_orderkey")).drop("o_orderkey")
-    per_order = li_f.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
+    pairs = li_f.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("ret")
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("ret").alias("n_ret_supp"),
     )
     qualifying = (
         li_f.filter(F.col("l_returnflag") == "R")

@@ -53,6 +53,14 @@ PICKS = {
     "d10_semdedup": "centroid assignment = broadcast nested loop over K + partial max_by; within-cell pair search is an equi-join on the cell id, drop set joins back broadcast",
     "p09_split_leakage": "split + fingerprint computed map-side; ONE exchange keyed on the fingerprint carrying (fp, split) only; the 2-row report explodes from the groups",
     "p10_temperature_mix": "rate table = tiny agg + broadcast 1-row min; keep decision is a map-side hash filter after a BroadcastHashJoin — the corpus never shuffles",
+    "h14_priority_class_count": "lineitem pre-aggregates to (orderkey, flag, cnt) BEFORE the fact-fact join — the orderkey exchange carries order-level rows, not lines; date+flag filters pushed to the lineitem scan",
+    "h17_small_qty_revenue": "part-class semi-join pruned BELOW the correlated per-part average: both lineitem passes scan with the broadcast semi filter; the avg joins back on partkey (AQE picks broadcast when it fits — no forced broadcast of an SF-scaling agg)",
+    "h20_sole_returning_supplier": "Q21's EXISTS/NOT-EXISTS self-joins collapsed to a two-level aggregate: one pair-keyed shuffle (each (order,supplier) once — no Expand, no 2x countDistinct exchange), then an order-keyed reduce + semi-join back",
+    "h21_min_cost_supplier": "the part filter broadcasts below the pair aggregate, so the heavy (part,supplier) min runs only over the selected class; the per-part min joins back on equality keeping ties; supplier detail broadcasts last",
+    "h22_nation_profit": "part-name broadcast prune runs before the lineitem-orders join (the only fact-fact edge); supplier/nation broadcast; profit is one exact fixed-point expression inside the partial agg",
+    "zarr40_shift_roll": "shift/roll with ZERO shuffle: two chunk-pruned scans re-keyed map-side (body + wrap slice), union, no lag window anywhere; only the gate's output sort exchanges",
+    "zarr41_stack_unstack": "the z-range predicate unstacks into row-chunk pruning: the scan's manifest covers rows [1,5) only; z and (row,col) re-derive map-side",
+    "zarr42_weighted_mean": "the stored col coordinate broadcasts onto the chunk-pruned grid scan; weighted products stay integer fixed-point through the partial agg — shuffle carries one partial per (row, partition)",
 }
 
 
