@@ -1710,3 +1710,47 @@ def zarr42(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row")
     )
+
+
+@declared(
+    "zarr43_axis_argmax",
+    oracle=f"""
+    WITH n AS (SELECT LEAST(CAST((SELECT COUNT(*) FROM orders) AS BIGINT) // {GRID_C}, 128) AS rows_),
+    cells AS (
+      SELECT CAST((rn - 1) // {GRID_C} AS BIGINT) AS row, CAST((rn - 1) % {GRID_C} AS BIGINT) AS col,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v_e2
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < (SELECT rows_ FROM n) * {GRID_C}
+    ),
+    m AS (SELECT row, MAX(v_e2) AS mv_e2 FROM cells WHERE row < 64 GROUP BY row)
+    SELECT cells.row AS row, CAST(MIN(col) AS BIGINT) AS amax_col,
+           CAST(mv_e2 AS DOUBLE) / 100.0 AS max_v
+    FROM cells JOIN m ON cells.row = m.row AND cells.v_e2 = m.mv_e2
+    GROUP BY cells.row, mv_e2 ORDER BY row
+    """,
+)
+def zarr43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``argmax(dim='col')`` over the stored 2-D grid: per-row index
+    of the maximum cell, ties broken to the SMALLEST index (xarray's rule —
+    plain max_by would be nondeterministic under parallel ties). One
+    partial-aggregatable pass: maximize the lexicographic pair
+    (v_e2, -col) — exact integer compare, order-independent — then unpack;
+    no join-back, no window. The reference ships argmax only as driver-side
+    example code over a fully read array (examples/seismic_reader/
+    main.cc:71-127, S2 row); this is its distributed per-axis form."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "grid_v2.zarr"))
+    v_e2 = F.round(F.col("v") * 100).cast("long")
+    best = F.max(F.struct(v_e2.alias("v"), (-F.col("col")).alias("negcol")))
+    return (
+        ds.isel(row=(0, 64))
+        .to_df(spark, "grid", value_col="v")
+        .groupBy("row")
+        .agg(best.alias("b"))
+        .select(
+            "row",
+            (-F.col("b.negcol")).alias("amax_col"),
+            (F.col("b.v").cast("double") / 100.0).alias("max_v"),
+        )
+        .orderBy("row")
+    )
