@@ -482,3 +482,102 @@ def h22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pe5").alias("profit_e5"))
         .orderBy("nation", F.col("o_year").desc())
     )
+
+
+@declared(
+    "ev01_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT step, step_name, n_users FROM (
+      SELECT 1 AS step, 'view' AS step_name, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+      UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM c
+      UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    ) ORDER BY step
+    """,
+)
+def ev01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the events table: users who viewed, then LATER
+    clicked, then LATER purchased (strict temporal ordering — a click
+    before the first view does not advance the funnel; per-step times are
+    the earliest qualifying instant). Every stage is keyed on user_id: a
+    type-filtered min-aggregate joined to the previous stage's frame with
+    the ts > t residual, so one user_id hash partitioning serves all three
+    aggs and both joins (co-partitioned at any scale; the per-stage frames
+    shrink monotonically). The final 3-row report is a union of counts."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(step_type: str, prev: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == step_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col("t"))
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    counts = [
+        frame.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.lit(nm).alias("step_name"),
+            "n_users",
+        )
+        for i, (nm, frame) in enumerate([("view", v), ("click", c), ("purchase", p)])
+    ]
+    return counts[0].unionByName(counts[1]).unionByName(counts[2]).orderBy("step")
+
+
+@declared(
+    "ev02_cohort_retention",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(ts AS DATE) - DATE '2024-01-01' AS day
+               FROM events),
+    f AS (SELECT user_id, MIN(day) AS day0 FROM d GROUP BY user_id)
+    SELECT CAST(day0 // 7 AS BIGINT) AS cohort_week,
+           CAST((day - day0) // 7 AS BIGINT) AS offset_week,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS active_users
+    FROM d JOIN f USING (user_id)
+    GROUP BY 1, 2 ORDER BY cohort_week, offset_week
+    """,
+)
+def ev02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week, counted
+    as active per subsequent week offset. Events collapse to DISTINCT
+    (user, day) FIRST — the dedup absorbs any per-day event volume before
+    anything else shuffles, so downstream cost is bounded by users×days,
+    not events. The first-activity frame re-aggregates the same
+    user_id-partitioned data (exchange reuse), the join is co-partitioned
+    on user_id, and the final matrix agg needs no distinct (rows are
+    already unique per (user, day), and per (user, week-pair) counting
+    collapses in the partial agg). Week buckets are integer day arithmetic
+    — no engine-specific week-truncation semantics."""
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("day"),
+        )
+        .distinct()
+    )
+    f = d.groupBy("user_id").agg(F.min("day").alias("day0"))
+    pairs = (
+        d.join(f, "user_id")
+        .select(
+            F.expr("day0 div 7").alias("cohort_week"),
+            F.expr("(day - day0) div 7").alias("offset_week"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("cohort_week", "offset_week")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_week", "offset_week")
+    )
