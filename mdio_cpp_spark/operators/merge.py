@@ -107,3 +107,63 @@ def _merge_full_outer(target: DataFrame, c: DataFrame, key: str, value_cols: Seq
         for v in value_cols
     ]
     return joined.filter(keep).select(F.col(key), *out_vals)
+
+
+def scd2_apply(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    value_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    change_date_col: str = "change_date",
+) -> DataFrame:
+    """Apply a CDC batch to a Type-2 slowly-changing dimension.
+
+    ``target`` carries versioned rows ``(key, value, valid_from, valid_to)``
+    with ``valid_to IS NULL`` marking the current version; ``changes``
+    carries ``(key, value, change_date)``, one net change per key (the CDC
+    contract, as in :func:`merge_changeset`). Semantics per key:
+
+      * current row + changed value → current row CLOSES (``valid_to`` =
+        change date) and a new current version opens at the change date
+      * current row + identical value → no-op (the no-change guard — a
+        re-delivered value must not spawn a phantom version)
+      * key absent from target → new current version inserted
+      * history rows (``valid_to`` set) always pass through untouched
+
+    Physical shape mirrors ``_merge_broadcast``: the dimension NEVER
+    shuffles. Closing is a BroadcastHashJoin LEFT OUTER + map-side CASE;
+    the new-version rows come off that same joined stream (bounded by
+    |changes|); inserts probe matched keys via broadcast LEFT SEMI (≤
+    |changes| rows) and anti-join back tiny-vs-tiny.
+    """
+    c = changes.select(
+        F.col(key),
+        F.col(value_col).alias("__new"),
+        F.col(change_date_col).alias("__d"),
+    )
+    joined = target.join(F.broadcast(c), on=key, how="left")
+    is_current = F.col(to_col).isNull()
+    changed = is_current & F.col("__new").isNotNull() & (F.col("__new") != F.col(value_col))
+    closed = joined.select(
+        F.col(key),
+        F.col(value_col),
+        F.col(from_col),
+        F.when(changed, F.col("__d")).otherwise(F.col(to_col)).alias(to_col),
+    )
+    to_type = target.schema[to_col].dataType
+    new_versions = joined.filter(changed).select(
+        F.col(key),
+        F.col("__new").alias(value_col),
+        F.col("__d").alias(from_col),
+        F.lit(None).cast(to_type).alias(to_col),
+    )
+    matched_keys = target.select(key).join(F.broadcast(c.select(key)), on=key, how="left_semi")
+    inserts = c.join(F.broadcast(matched_keys), on=key, how="left_anti").select(
+        F.col(key),
+        F.col("__new").alias(value_col),
+        F.col("__d").alias(from_col),
+        F.lit(None).cast(to_type).alias(to_col),
+    )
+    return closed.unionByName(new_versions).unionByName(inserts)

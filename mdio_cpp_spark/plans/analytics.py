@@ -581,3 +581,81 @@ def ev02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("active_users"))
         .orderBy("cohort_week", "offset_week")
     )
+
+
+@declared(
+    "u02_scd2_history",
+    oracle="""
+    WITH ch AS (
+      SELECT key, new_value, change_date FROM (
+        SELECT o_custkey AS key, o_totalprice AS new_value,
+               CAST(o_orderdate AS DATE) AS change_date,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+      ) WHERE rn = 1
+    ),
+    t AS (SELECT c_custkey AS key, c_acctbal AS value FROM customer)
+    SELECT key, value, CAST(valid_from AS TIMESTAMP) AS valid_from,
+           CAST(valid_to AS TIMESTAMP) AS valid_to FROM (
+      SELECT t.key, t.value, DATE '1995-01-01' AS valid_from,
+             CASE WHEN ch.key IS NOT NULL AND ch.new_value <> t.value
+                  THEN ch.change_date END AS valid_to
+      FROM t LEFT JOIN ch ON t.key = ch.key
+      UNION ALL
+      SELECT ch.key, ch.new_value, ch.change_date, CAST(NULL AS DATE)
+      FROM ch LEFT JOIN t ON t.key = ch.key
+      WHERE t.key IS NULL OR ch.new_value <> t.value
+    ) ORDER BY key, valid_from
+    """,
+)
+def u02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge (operators/merge.py
+    scd2_apply): the customer dimension is versioned (one current row per
+    key), a CDC batch (each customer's latest H1-1996 order, deterministic
+    latest-by-(date, orderkey)) closes the current version at the change
+    date and opens a new one — history rows immutable, no-change updates
+    suppressed, unmatched keys inserted. The dimension never shuffles: the
+    batch broadcasts for the close join, new versions come off that same
+    joined stream, and inserts probe matched keys tiny-vs-tiny. No
+    reference analog (nearest is CommitMetadata's replace-wholesale
+    attribute snapshots, stats.h:408-490 — SCD2 is the relational
+    versioned-history twin)."""
+    from pyspark.sql import Window
+
+    from mdio_cpp_spark.operators.merge import scd2_apply
+
+    target = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("value"),
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    changes = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("key"),
+            F.col("o_totalprice").alias("value"),
+            F.to_date("o_orderdate").alias("change_date"),
+        )
+    )
+    return (
+        scd2_apply(target, changes, "key", "value")
+        .select(
+            "key",
+            "value",
+            F.col("valid_from").cast("timestamp").alias("valid_from"),
+            F.col("valid_to").cast("timestamp").alias("valid_to"),
+        )
+        .orderBy("key", "valid_from")
+    )
