@@ -105,3 +105,62 @@ def test_temperature_resample_flattens_skew(spark):
     a = sorted(r["id"] for r in out.collect())
     b = sorted(r["id"] for r in temperature_resample(df.repartition(13), "id", "s").collect())
     assert a == b
+
+
+# ------------------------------------------------------------- SCD Type 2
+
+def _scd2_target(spark):
+    # key 1: history row + current row; keys 2-4: current only
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "2020-01-01", "2021-01-01"),   # closed history version
+            (1, 11.0, "2021-01-01", None),           # current
+            (2, 20.0, "2020-01-01", None),
+            (3, 30.0, "2020-01-01", None),
+            (4, 40.0, "2020-01-01", None),
+        ],
+        "key long, value double, valid_from string, valid_to string",
+    ).select(
+        "key", "value",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    )
+
+
+def test_scd2_versions_close_and_open(spark):
+    from mdio_cpp_spark.operators.merge import scd2_apply
+
+    changes = spark.createDataFrame(
+        [
+            (1, 12.0, "2022-06-01"),  # changed → close current, open new
+            (2, 20.0, "2022-06-01"),  # identical value → no-op
+            (9, 90.0, "2022-06-01"),  # unmatched key → insert
+        ],
+        "key long, value double, change_date string",
+    ).withColumn("change_date", F.col("change_date").cast("date"))
+    rows = {
+        (r["key"], r["value"]): (str(r["valid_from"]), r["valid_to"] and str(r["valid_to"]))
+        for r in scd2_apply(_scd2_target(spark), changes, "key", "value").collect()
+    }
+    assert rows == {
+        (1, 10.0): ("2020-01-01", "2021-01-01"),   # history untouched
+        (1, 11.0): ("2021-01-01", "2022-06-01"),   # closed at change date
+        (1, 12.0): ("2022-06-01", None),           # new current version
+        (2, 20.0): ("2020-01-01", None),           # no-change suppressed
+        (3, 30.0): ("2020-01-01", None),
+        (4, 40.0): ("2020-01-01", None),
+        (9, 90.0): ("2022-06-01", None),           # insert
+    }
+
+
+def test_scd2_reapply_is_idempotent(spark):
+    from mdio_cpp_spark.operators.merge import scd2_apply
+
+    changes = spark.createDataFrame(
+        [(1, 12.0, "2022-06-01")], "key long, value double, change_date string"
+    ).withColumn("change_date", F.col("change_date").cast("date"))
+    once = scd2_apply(_scd2_target(spark), changes, "key", "value")
+    twice = scd2_apply(once, changes, "key", "value")
+    # re-delivering the same change must not spawn another version: the new
+    # current row already carries the value, so the no-change guard holds
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
