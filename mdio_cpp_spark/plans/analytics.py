@@ -659,3 +659,116 @@ def u02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key", "valid_from")
     )
+
+
+@declared(
+    "g06_unpivot",
+    oracle="""
+    SELECT n_name, measure, val_e2 FROM (
+      SELECT n_name, 'acctbal' AS measure,
+             CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS val_e2
+      FROM customer JOIN nation ON n_nationkey = c_nationkey GROUP BY n_name
+      UNION ALL
+      SELECT n_name, 'orders_total',
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      FROM orders JOIN customer ON c_custkey = o_custkey
+                  JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name
+    ) ORDER BY n_name, measure
+    """,
+)
+def g06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse of g03's pivot: a wide per-nation
+    aggregate (two exact fixed-point measures as columns) melts into long
+    (nation, measure, value) rows via DataFrame.unpivot, which compiles to
+    one Expand over the aggregated frame — 2× |nations| rows, no extra
+    shuffle (the melt runs AFTER aggregation, so Expand multiplies group
+    rows, never base data). The oracle reconstructs the long form as a
+    UNION ALL of the per-measure aggregates."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    bal = per_cust.groupBy("n_name").agg(F.sum(_e2("c_acctbal")).alias("acctbal"))
+    tot = (
+        o.join(per_cust.select("c_custkey", "n_name"),
+               F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_e2("o_totalprice")).alias("orders_total"))
+    )
+    wide = bal.join(tot, "n_name")
+    return (
+        wide.unpivot("n_name", ["acctbal", "orders_total"], "measure", "val_e2")
+        .orderBy("n_name", "measure")
+    )
+
+
+@declared(
+    "ml01_group_ols",
+    oracle="""
+    WITH pts AS (
+      SELECT n_name,
+             CAST(EXTRACT(year FROM o_orderdate) - 1995 AS BIGINT) AS x,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y_e2
+      FROM orders JOIN customer ON c_custkey = o_custkey
+                  JOIN nation ON n_nationkey = c_nationkey
+    ),
+    s AS (
+      SELECT n_name, COUNT(*) AS n, SUM(x) AS sx, SUM(y_e2) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y_e2) AS sxy
+      FROM pts GROUP BY n_name
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0), 4) AS slope,
+           ROUND((CAST(sy AS DOUBLE) / n
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * (CAST(sx AS DOUBLE) / n)) / 100.0, 4) AS intercept
+    FROM s ORDER BY n_name
+    """,
+)
+def ml01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS trend fit (y = a + b·x per nation, x = order year,
+    y = order value) computed from EXACT integer sufficient statistics
+    (n, Σx, Σy, Σxx, Σxy) — one partial-aggregatable pass, the closed-form
+    slope/intercept evaluated per group afterward. Built-in regr_slope /
+    regr_intercept accumulate in floats whose partial-merge order varies
+    run to run; integer moments make the fit bit-reproducible at any
+    parallelism (x is a small offset year and y fixed-point cents, so the
+    moments stay far inside int64 — at larger magnitudes the same pass
+    would carry DECIMAL moments). The customer bridge to nation broadcasts
+    (n_name rides the customer dimension), so the only data-sized exchange
+    is the orders-customer key join, then |nations| sufficient-stat rows."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders")
+    pts = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            (F.year("o_orderdate") - 1995).cast("long").alias("x"),
+            _e2("o_totalprice").alias("y_e2"),
+        )
+    )
+    s = pts.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y_e2").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y_e2")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope_e2 = num / den
+    return s.select(
+        "n_name",
+        "n",
+        F.round(slope_e2 / 100.0, 4).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") / F.col("n")
+             - slope_e2 * (F.col("sx").cast("double") / F.col("n"))) / 100.0,
+            4,
+        ).alias("intercept"),
+    ).orderBy("n_name")
