@@ -1754,3 +1754,77 @@ def zarr43(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row")
     )
+
+
+# ------------------------------------------- datetime dimension coordinate
+
+_TS_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+_TS_HOUR_US = 3_600_000_000
+
+
+def _ts_store(spark: SparkSession, sf_dir: str) -> str:
+    """Time-indexed store: dimension ``t`` whose coordinate is a datetime64
+    array (base + i hours — strictly increasing, so sel endpoints are
+    unique), value = the orders price column. Own marker — does not
+    invalidate the BUILD_TAG fixture cache."""
+    from mdio_cpp_spark.sources.writer import write_arrays
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "timeseries.zarr")
+    marker = os.path.join(base, ".built_ts_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select(
+            F.col("i").alias("t"),
+            F.timestamp_micros(
+                F.lit(_TS_BASE_US) + F.col("i") * _TS_HOUR_US
+            ).alias("tv"),
+            F.col("o_totalprice").alias("v"),
+        )
+        n = ords.count()
+        st = ZarrStore.create(path, version=2, attrs={"name": "timeseries_mdio"})
+        st.create_array("t", shape=(n,), chunks=(CHUNK,),
+                        dtype=np.dtype("<M8[us]"), dims=("t",),
+                        compressor={"id": "zlib", "level": 1})
+        st.create_array("price", shape=(n,), chunks=(CHUNK,),
+                        dtype="float64", dims=("t",),
+                        compressor={"id": "zlib", "level": 1})
+        write_arrays(ords, path, {"t": "tv", "price": "v"})
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+@declared(
+    "zarr44_sel_datetime",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS t,
+           STRFTIME(TIMESTAMP '2024-01-01 00:00:00' + (rn - 1) * INTERVAL 1 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS tv,
+           o_totalprice AS v
+    FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 96 AND rn - 1 <= 264
+    ORDER BY t
+    """,
+)
+def zarr44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based ``sel`` on a DATETIME dimension coordinate — xarray's
+    time slicing (``ds.sel(t=slice('2024-01-05', '2024-01-12'))``). The
+    reference cannot even open datetime arrays (numpy kind M is
+    header-only, zarr_v2.h:139-162); here the coordinate is a stored
+    datetime64 array, the driver-side value→index translation follows the
+    reference's exact-unique-endpoint range semantics (dataset.h:787-885,
+    stop-inclusive), and the resulting index range prunes chunks like any
+    isel. Output re-reads the coordinate through the aligned scan to prove
+    the round-trip."""
+    import numpy as np
+
+    ds = MdioDataset.open(_ts_store(spark, sf_dir))
+    lo = np.datetime64("2024-01-05T00:00:00", "us")   # index 96
+    hi = np.datetime64("2024-01-12T00:00:00", "us")   # index 264
+    out = ds.sel(t=(lo, hi)).to_df_aligned(spark, {"price": "v", "t": "tv"})
+    return out.select(
+        "t", F.date_format("tv", "yyyy-MM-dd HH:mm:ss").alias("tv"), "v"
+    ).orderBy("t")
