@@ -1828,3 +1828,40 @@ def zarr44(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "t", F.date_format("tv", "yyyy-MM-dd HH:mm:ss").alias("tv"), "v"
     ).orderBy("t")
+
+
+@declared(
+    "zarr45_resample_time",
+    oracle=f"""
+    SELECT STRFTIME(TIMESTAMP '2024-01-01 00:00:00'
+                    + CAST((rn - 1) // 24 AS BIGINT) * INTERVAL 1 DAY,
+                    '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / (100.0 * COUNT(*)) AS mean_v
+    FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 < 1344
+    GROUP BY (rn - 1) // 24 ORDER BY day
+    """,
+)
+def zarr45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``resample(t='1D').mean()`` over the time-indexed store: the
+    hourly series groups into calendar days BY THE DATETIME COORDINATE
+    (date_trunc on the stored datetime64 array, not index arithmetic — the
+    operator under test is the coordinate route), sliced to the first 8
+    weeks [0, 1344) so the slice prunes chunks first. Means stay exact:
+    fixed-point integer sums with one division after the partial agg;
+    shuffle carries one partial per (day, partition)."""
+    ds = MdioDataset.open(_ts_store(spark, sf_dir))
+    out = ds.isel(t=(0, 1344)).to_df_aligned(spark, {"price": "v", "t": "tv"})
+    v_e2 = F.round(F.col("v") * 100).cast("long")
+    return (
+        out.select(F.date_trunc("day", F.col("tv")).alias("d"), v_e2.alias("v_e2"))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("v_e2").cast("double") / (F.lit(100.0) * F.count(F.lit(1)))).alias("mean_v"),
+        )
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "n", "mean_v")
+        .orderBy("day")
+    )
