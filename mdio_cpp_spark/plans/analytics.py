@@ -772,3 +772,52 @@ def ml01(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("intercept"),
     ).orderBy("n_name")
+
+
+@declared(
+    "t14_lang_mix_lift",
+    oracle="""
+    WITH sl AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl
+                FROM documents GROUP BY source, lang),
+    s AS (SELECT source, CAST(SUM(n_sl) AS BIGINT) AS n_s FROM sl GROUP BY source),
+    l AS (SELECT lang, CAST(SUM(n_sl) AS BIGINT) AS n_l FROM sl GROUP BY lang),
+    g AS (SELECT CAST(SUM(n_sl) AS BIGINT) AS n FROM sl)
+    SELECT sl.source, sl.lang, n_sl,
+           ROUND(CAST(n_sl AS DOUBLE) / n_s, 6) AS p_source,
+           ROUND(CAST(n_l AS DOUBLE) / n, 6) AS p_global,
+           ROUND((CAST(n_sl AS DOUBLE) / n_s) / (CAST(n_l AS DOUBLE) / n), 4) AS lift
+    FROM sl JOIN s USING (source) JOIN l USING (lang) CROSS JOIN g
+    WHERE sl.source IN ('src0', 'src1', 'src2')
+    ORDER BY source, lang
+    """,
+)
+def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition drift: per-source language-mix LIFT against the
+    global language distribution (lift > 1 = the source over-represents the
+    language — the domain-shift check a data-mixing pipeline runs before
+    adjusting sampling weights, cf. p10's temperature rates). One
+    (source, lang) partial-aggregatable count is the only data-sized pass;
+    the three marginals re-derive from that tiny frame and broadcast back.
+    Every output value is a pure function of exact integer counts — no
+    float SUM across rows anywhere, so there is no accumulation-order
+    sensitivity to round away (the ROUNDs only fix display precision)."""
+    d = _t(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_sl"))
+    s = sl.groupBy("source").agg(F.sum("n_sl").alias("n_s"))
+    l = sl.groupBy("lang").agg(F.sum("n_sl").alias("n_l"))
+    g = sl.agg(F.sum("n_sl").alias("n"))
+    p_source = F.col("n_sl").cast("double") / F.col("n_s")
+    p_global = F.col("n_l").cast("double") / F.col("n")
+    return (
+        sl.join(F.broadcast(s), "source")
+        .join(F.broadcast(l), "lang")
+        .join(F.broadcast(g))
+        .filter(F.col("source").isin("src0", "src1", "src2"))
+        .select(
+            "source", "lang", "n_sl",
+            F.round(p_source, 6).alias("p_source"),
+            F.round(p_global, 6).alias("p_global"),
+            F.round(p_source / p_global, 4).alias("lift"),
+        )
+        .orderBy("source", "lang")
+    )
