@@ -25,6 +25,11 @@ PICKS = [
     ("a07_exact_percentiles", "distributed exact percentiles"),
     ("u01_merge_upsert", "CDC merge, broadcast strategy (target never shuffles)"),
     ("ts01_resample_locf", "per-key resample + LOCF gap fill"),
+    ("h20_sole_returning_supplier", "Q21 shape: per-order agg replaces EXISTS self-joins"),
+    ("h22_nation_profit", "Q9 shape: part-pruned fact join + profit rollup"),
+    ("ev02_cohort_retention", "event cohort matrix (distinct-first collapse)"),
+    ("u02_scd2_history", "SCD2 dimension versioning (dimension never shuffles)"),
+    ("zarr40_shift_roll", "zero-shuffle stored-array shift/roll remap"),
 ]
 
 
