@@ -1865,3 +1865,67 @@ def zarr45(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "n", "mean_v")
         .orderBy("day")
     )
+
+
+# ------------------------------------------------------- small-dtype matrix
+
+def _dtype_store(spark: SparkSession, sf_dir: str) -> str:
+    """bool / int8 / float16 arrays in one store — the §1.2 dtype-matrix
+    rows with no other gate. The float16 values are chosen exactly
+    representable in half precision ((k % 2048) / 4), so the widen-to-f32
+    decode is lossless and SQL-comparable. Own marker — does not invalidate
+    the BUILD_TAG fixture cache."""
+    from mdio_cpp_spark.sources.writer import write_arrays
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "dtypes.zarr")
+    marker = os.path.join(base, ".built_dtypes_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select(
+            "i",
+            (F.col("o_orderkey") % 2 == 0).alias("flagv"),
+            ((F.col("o_orderkey") % 100) - 50).cast("byte").alias("i8v"),
+            ((F.col("o_orderkey") % 2048).cast("double") / 4.0).alias("f2v"),
+        )
+        n = ords.count()
+        st = ZarrStore.create(path, version=2, attrs={"name": "dtypes_mdio"})
+        for name, dt in (("flag", "|b1"), ("i8", "<i1"), ("f2", "<f2")):
+            st.create_array(name, shape=(n,), chunks=(CHUNK,),
+                            dtype=np.dtype(dt), dims=("i",),
+                            compressor={"id": "zlib", "level": 1})
+        write_arrays(ords, path, {"flag": "flagv", "i8": "i8v", "f2": "f2v"})
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+@declared(
+    "zarr46_dtype_matrix",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i,
+           (o_orderkey % 2 = 0) AS flag,
+           CAST((o_orderkey % 100) - 50 AS TINYINT) AS i8,
+           CAST(o_orderkey % 2048 AS DOUBLE) / 4.0 AS f2
+    FROM (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 < 3000
+    ORDER BY i
+    """,
+)
+def zarr46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.2 small-dtype matrix round-trip: bool (|b1), int8 (<i1) and
+    float16 (<f2) arrays written chunk-aligned and scanned back through the
+    pruned path — float16 widens to float32 on decode (reader's documented
+    widening, impl.h:163-179 maps no Spark half type) with values chosen
+    exactly representable so the gate is lossless. Complements zarr11
+    (complex), zarr15 (uint64), zarr06/21 (struct), zarr20
+    (string/datetime): every §1.2 dtype row now has a stored-array gate."""
+    ds = MdioDataset.open(_dtype_store(spark, sf_dir))
+    out = ds.isel(i=(0, 3000)).to_df_aligned(
+        spark, {"flag": "flag", "i8": "i8", "f2": "f2"}
+    )
+    return out.select(
+        "i", "flag", "i8", F.col("f2").cast("double").alias("f2")
+    ).orderBy("i")
