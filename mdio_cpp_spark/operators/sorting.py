@@ -46,3 +46,47 @@ def argmax(df: DataFrame, value_col: str, tiebreak: Sequence[str], out_cols: Seq
     ``tiebreak`` ascending — deterministic, unlike a bare max_by."""
     order = [F.col(value_col).desc(), *[F.col(t).asc() for t in tiebreak]]
     return df.orderBy(*order).limit(1).select(*out_cols)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    n_salts: int = 32,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Top-k rows per group WITHOUT a group-partitioned window over the data.
+
+    The textbook ``row_number() OVER (PARTITION BY group)`` puts every row of
+    a group in one window partition — with few/hot groups (the common case:
+    top-3 per segment, per language, per event type) that is a handful of
+    reducers sorting the whole table. Two bounded stages instead:
+
+      1. per (group, salt) top-k: windows over ``n_salts`` sub-partitions per
+         group, each holding ~1/n_salts of the group — parallelism =
+         groups × n_salts at any size. The salt is a deterministic hash of
+         ``salt_on`` (default: the first order column), never RNG state.
+      2. global per-group top-k over the ≤ groups·n_salts·k survivors — a
+         tiny frame, its window is safe by construction.
+
+    A row in the true top-k is in its salt bucket's top-k, so stage 1 never
+    discards a winner. Output columns: ``df``'s plus ``rk`` (1-based rank,
+    deterministic under the given ``order`` — include tie-breaks for a total
+    order, same contract as the reference's stable sort chain,
+    coordinate_selector.h:122-188)."""
+    salt_src = salt_on if salt_on is not None else df.columns[0]
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)))
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", "__salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+    )

@@ -821,3 +821,43 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@declared(
+    "w09_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ) WHERE rk <= 3
+    ORDER BY c_mktsegment, rk
+    """,
+)
+def w09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-correct top-k per group (operators/sorting.py topk_per_group):
+    top-3 orders per market segment. The oracle's textbook
+    PARTITION-BY-segment window would put a fifth of the table in each of 5
+    reducers; the Spark plan salts into groups×32 bounded sub-windows, keeps
+    each bucket's top-3, then ranks the ≤ groups·32·3 survivors — a winner
+    is always in its bucket's top-k, so the two-phase result is exactly the
+    single-window result. Customer broadcasts onto orders for the segment
+    column (dimension bridge); ordering includes the orderkey tie-break so
+    the rank is total."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    from mdio_cpp_spark.operators.sorting import topk_per_group
+
+    joined = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    out = topk_per_group(
+        joined,
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+        salt_on="o_orderkey",
+    )
+    return (
+        out.select("c_mktsegment", "o_orderkey", "o_totalprice", F.col("rk").cast("long"))
+        .orderBy("c_mktsegment", "rk")
+    )

@@ -61,6 +61,11 @@ PICKS = {
     "zarr40_shift_roll": "shift/roll with ZERO shuffle: two chunk-pruned scans re-keyed map-side (body + wrap slice), union, no lag window anywhere; only the gate's output sort exchanges",
     "zarr41_stack_unstack": "the z-range predicate unstacks into row-chunk pruning: the scan's manifest covers rows [1,5) only; z and (row,col) re-derive map-side",
     "zarr42_weighted_mean": "the stored col coordinate broadcasts onto the chunk-pruned grid scan; weighted products stay integer fixed-point through the partial agg — shuffle carries one partial per (row, partition)",
+    "ev01_funnel": "all three stage aggregates and both residual joins key on user_id — one hash partitioning reused end-to-end, frames shrink monotonically",
+    "ev02_cohort_retention": "distinct (user, day) collapse happens FIRST (partial distinct before the exchange); the first-activity agg and the join reuse the user_id partitioning",
+    "u02_scd2_history": "the dimension never shuffles: close = BroadcastHashJoin LeftOuter + map-side CASE, new versions filter off the same joined stream, inserts probe tiny-vs-tiny",
+    "ml01_group_ols": "five integer sufficient statistics per group in one partial-aggregatable pass; nation broadcasts onto the customer bridge; the only data-sized exchange is orders-customer",
+    "zarr44_sel_datetime": "datetime endpoints translate to an index range on the driver (coordinate read), then the scan manifest covers only chunks in [96, 265) — value-sel compiles to chunk pruning",
 }
 
 
