@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceStreamArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -120,6 +121,13 @@ class MdioDataSource(DataSource):
     def streamWriter(self, schema: StructType, overwrite: bool) -> "MdioStreamArrowWriter":
         store, meta = self._meta()
         return MdioStreamArrowWriter(
+            store.root, store.version, meta.name,
+            self.options.get("value_col", "value"),
+        )
+
+    def streamReader(self, schema: StructType) -> "MdioStreamReader":
+        store, meta = self._meta()
+        return MdioStreamReader(
             store.root, store.version, meta.name,
             self.options.get("value_col", "value"),
         )
@@ -388,3 +396,89 @@ class MdioStreamArrowWriter(DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId: int) -> None:
         self._delegate.abort(messages)
+
+
+# ---------------------------------------------------------------- stream read
+
+@dataclass
+class MdioTailPartition(InputPartition):
+    """One chunk-aligned slice [lo, hi) of the append dimension."""
+    lo: int
+    hi: int
+
+
+class MdioStreamReader(DataSourceStreamReader):
+    """``readStream.format("mdio")`` — tail a GROWING 1-D store.
+
+    The streaming inverse of the append workflow (zarr26 / utils/resize.py
+    grow_dataset): producers extend the array and write new cells; each
+    micro-batch emits exactly the cells appended since the last committed
+    offset. The offset is the array length (a single driver-side
+    consolidated-metadata read per trigger — no listing, no file mtimes),
+    so replay after a checkpoint restart re-reads the same half-open cell
+    range: exactly-once delivery as long as appended cells are immutable,
+    which is the append contract (zarr26 never rewrites below the old
+    length). Partitions are chunk-aligned slices of [start, end) — the
+    same decode machinery and parallelism as the batch scan.
+
+    1-D only: tailing means a single append dimension; the reference's
+    resize is equally per-dimension metadata (utils/trim.h's inverse).
+    """
+
+    def __init__(self, root: str, version: int, var: str, value_col: str):
+        self.root = root
+        self.version = version
+        self.var = var
+        self.value_col = value_col
+        meta = ZarrStore(root, version).array_meta(var)
+        if meta.ndim != 1:
+            raise ValueError(
+                f"streaming tail needs a 1-D append dimension; {var!r} has "
+                f"ndim={meta.ndim}"
+            )
+        self.dim = _dim_names(meta)[0]
+        self.chunk = int(meta.chunks[0])
+
+    # ------------------------------------------------------------- offsets
+
+    def initialOffset(self) -> dict:
+        return {"cell": 0}
+
+    def latestOffset(self) -> dict:
+        # fresh metadata read: growth is a metadata resize, so the shape in
+        # the consolidated doc IS the high-water mark
+        meta = ZarrStore(self.root, self.version).array_meta(self.var)
+        return {"cell": int(meta.shape[0])}
+
+    def partitions(self, start: dict, end: dict) -> list[MdioTailPartition]:
+        lo, hi = int(start["cell"]), int(end["cell"])
+        if hi <= lo:
+            return [MdioTailPartition(lo, lo)]  # empty batch — read yields nothing
+        # chunk-aligned slices: every interior split point is a chunk
+        # boundary, so no two tasks decode the same chunk
+        out: list[MdioTailPartition] = []
+        b = lo
+        while b < hi:
+            nxt = min(((b // self.chunk) + 1) * self.chunk, hi)
+            out.append(MdioTailPartition(b, nxt))
+            b = nxt
+        return out
+
+    # ------------------------------------------------------------- execute
+
+    def read(self, partition: MdioTailPartition) -> Iterator[pa.RecordBatch]:
+        if partition.hi <= partition.lo:
+            return
+        store = ZarrStore(self.root, self.version)
+        meta = store.array_meta(self.var)
+        box = ((partition.lo, partition.hi),)
+        fields = list(meta.np_dtype.names) if meta.is_struct else None
+        for c in range(partition.lo // self.chunk, (partition.hi - 1) // self.chunk + 1):
+            pdf = _decode_chunk_to_pdf(
+                store, meta, (c,), box, (1,), [self.dim], fields, self.value_col,
+            )
+            if len(pdf):
+                yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -1,0 +1,96 @@
+"""Streaming SOURCE for the mdio format: readStream tails a growing 1-D
+store. Offset = array length (one consolidated-metadata read per trigger),
+so a checkpointed restart re-reads exactly the appended half-open range —
+the streaming inverse of the zarr26 append workflow."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mdio_cpp_spark.sources.datasource import register
+from mdio_cpp_spark.sources.writer import write_array
+from mdio_cpp_spark.sources.zarr_store import ZarrStore
+from mdio_cpp_spark.utils.resize import grow_dataset
+
+CHUNK = 512
+N0 = 1200   # initial length (partial tail chunk)
+N1 = 2300   # grown length
+
+
+def _build(tmp_path, spark, n):
+    path = os.path.join(str(tmp_path), "tail.zarr")
+    st = ZarrStore.create(path, version=2, attrs={"name": "tail_mdio"})
+    st.create_array("v", shape=(n,), chunks=(CHUNK,), dtype="float64",
+                    dims=("i",), compressor={"id": "zlib", "level": 1})
+    df = spark.range(n).select(F.col("id").alias("i"),
+                               (F.col("id") * 2.0).alias("val"))
+    write_array(df, path, "v", value_cols="val")
+    return path
+
+
+def _drain(spark, path, checkpoint):
+    """One availableNow pass; returns the collected (i, value) rows."""
+    register(spark)
+    stream = (
+        spark.readStream.format("mdio")
+        .option("path", path).option("variable", "v")
+        .load()
+    )
+    rows: dict[int, float] = {}
+
+    def sink(df, _bid):
+        rows.update({r["i"]: r["value"] for r in df.collect()})
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return rows
+
+
+def test_tail_initial_then_append_exactly_once(tmp_path, spark):
+    path = _build(tmp_path, spark, N0)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    got = _drain(spark, path, ckpt)
+    assert len(got) == N0
+    assert got[0] == 0.0 and got[N0 - 1] == (N0 - 1) * 2.0
+
+    # grow + write the appended range (mid-chunk boundary on both ends)
+    grow_dataset(path, i=N1)
+    df = (
+        spark.range(N0, N1)
+        .select(F.col("id").alias("i"), (F.col("id") * 2.0).alias("val"))
+    )
+    write_array(df, path, "v", value_cols="val")
+
+    got2 = _drain(spark, path, ckpt)
+    assert set(got2) == set(range(N0, N1)), "second pass must emit ONLY appended cells"
+    assert got2[N0] == N0 * 2.0 and got2[N1 - 1] == (N1 - 1) * 2.0
+
+
+def test_tail_rejects_2d(tmp_path, spark):
+    path = os.path.join(str(tmp_path), "grid.zarr")
+    st = ZarrStore.create(path, version=2)
+    st.create_array("g", shape=(8, 8), chunks=(4, 4), dtype="float64",
+                    dims=("r", "c"))
+    st.consolidate()
+    register(spark)
+    stream = (
+        spark.readStream.format("mdio")
+        .option("path", path).option("variable", "g").load()
+    )
+    with pytest.raises(Exception, match="1-D append dimension"):
+        q = (
+            stream.writeStream.foreachBatch(lambda df, bid: None)
+            .option("checkpointLocation", os.path.join(str(tmp_path), "c2"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
