@@ -1929,3 +1929,36 @@ def zarr46(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "i", "flag", "i8", F.col("f2").cast("double").alias("f2")
     ).orderBy("i")
+
+
+@declared(
+    "zarr47_gather_indices",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS v FROM
+      (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE (rn - 1) % 97 = 13 AND rn - 1 < 9000
+    ORDER BY i
+    """,
+)
+def zarr47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise fancy-index gather — xarray ``isel(i=[array of ints])``,
+    the random-access read a training loader issues for a sample of rows
+    (the reference's vector-isel takes ≤32 contiguous ranges,
+    impl.h:181-186; arbitrary index lists are the upgrade). Plan: the
+    requested ids (i ≡ 13 mod 97, i < 9000 — a deterministic scatter that
+    touches EVERY chunk) collapse driver-side into covering ranges only to
+    prune chunks; the exact membership test is a broadcast semi-join of the
+    id list onto the pruned scan, so cells outside the list are dropped
+    JVM-side without per-range scan fragments (93 point-ranges would mean
+    93 sub-scans via isel_multi; one pruned scan + semi-join reads each
+    chunk once). For an id list too large to broadcast, the same shape
+    becomes a shuffle semi-join keyed on the dim — the scan side is
+    unchanged."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    n = ds.domain()["i"]
+    hi = min(9000, n)
+    ids = list(range(13, hi, 97))
+    # covering range prunes chunks; exact membership via broadcast semi-join
+    scan = ds.isel(i=(ids[0], ids[-1] + 1)).to_df(spark, "price", value_col="v")
+    want = spark.range(13, hi, 97).select(F.col("id").alias("i"))
+    return scan.join(F.broadcast(want), "i", "left_semi").orderBy("i")
