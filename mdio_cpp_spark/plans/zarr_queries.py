@@ -1962,3 +1962,81 @@ def zarr47(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan = ds.isel(i=(ids[0], ids[-1] + 1)).to_df(spark, "price", value_col="v")
     want = spark.range(13, hi, 97).select(F.col("id").alias("i"))
     return scan.join(F.broadcast(want), "i", "left_semi").orderBy("i")
+
+
+# ------------------------------------------------------------- 2-D RMW write
+
+_RMW2_R = (5, 20)    # interior row band (fits the smallest sf's 23-row grid)
+_RMW2_C = (10, 50)   # col band straddling the 32-col chunk boundary
+
+
+def _rmw2d_store(spark: SparkSession, sf_dir: str) -> str:
+    """Dedicated 2-D grid for the in-place update gate (zarr48 mutates it
+    per run — never shared with the read-only grid_v2 gates)."""
+    from mdio_cpp_spark.sources.writer import write_array
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "rmw2d.zarr")
+    marker = os.path.join(base, ".built_rmw2d_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir)
+        n = ords.count()
+        rows = min(n // GRID_C, 64)
+        st = ZarrStore.create(path, version=2, attrs={"name": "rmw2d_mdio"})
+        st.create_array("g", shape=(rows, GRID_C), chunks=(32, 32),
+                        dtype="float64", dims=("row", "col"),
+                        compressor={"id": "zlib", "level": 1})
+        cells = ords.filter(F.col("i") < rows * GRID_C).select(
+            F.expr(f"i div {GRID_C}").alias("row"),
+            (F.col("i") % GRID_C).alias("col"),
+            F.col("o_totalprice").alias("v"),
+        )
+        write_array(cells, path, "g", value_cols="v")
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+@declared(
+    "zarr48_rmw_2d",
+    oracle=f"""
+    WITH n AS (SELECT LEAST(CAST((SELECT COUNT(*) FROM orders) AS BIGINT) // {GRID_C}, 64) AS rows_)
+    SELECT row, col,
+           CASE WHEN row >= {_RMW2_R[0]} AND row < {_RMW2_R[1]}
+                 AND col >= {_RMW2_C[0]} AND col < {_RMW2_C[1]}
+                THEN -v ELSE v END AS v
+    FROM (
+      SELECT CAST((rn - 1) // {GRID_C} AS BIGINT) AS row,
+             CAST((rn - 1) % {GRID_C} AS BIGINT) AS col,
+             o_totalprice AS v
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < (SELECT rows_ FROM n) * {GRID_C}
+    )
+    ORDER BY row, col
+    """,
+)
+def zarr48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO5 partial update in TWO dimensions: an interior rectangle (rows
+    [5,20) × cols [10,50)) of a stored 2-D grid is negated in place — the
+    col band straddles the 32-col chunk boundary, so FOUR edge chunks must
+    merge new cells into existing bytes along both axes (the 2-D form of
+    zarr35's mid-chunk contract; the reference's Variable::Write accepts
+    any region, variable.h:1127-1134, with single-owner chunk RMW). The
+    update is a pure function of the source cell (idempotent — re-runs
+    converge) and ships only the rectangle's cells through one chunk-keyed
+    shuffle; the full scan-back must show updated cells inside the
+    rectangle and untouched originals everywhere else."""
+    from mdio_cpp_spark.sources.writer import write_array
+
+    path = _rmw2d_store(spark, sf_dir)
+    ds = MdioDataset.open(path)
+    upd = (
+        ds.isel(row=_RMW2_R, col=_RMW2_C)
+        .to_df(spark, "g", value_col="v")
+        .select("row", "col", (-F.abs(F.col("v"))).alias("v"))
+    )
+    write_array(upd, path, "g", value_cols="v")
+    return MdioDataset.open(path).to_df(spark, "g", value_col="v").orderBy("row", "col")
