@@ -861,3 +861,67 @@ def w09(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select("c_mktsegment", "o_orderkey", "o_totalprice", F.col("rk").cast("long"))
         .orderBy("c_mktsegment", "rk")
     )
+
+
+@declared(
+    "dq01_quality_report",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(l_quantity) AS BIGINT) AS nn_qty,
+             CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+             CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+             CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS d_flag,
+             CAST(COUNT(l_returnflag) AS BIGINT) AS nn_flag,
+             CAST(COUNT(DISTINCT l_orderkey * 10 + l_linenumber) AS BIGINT) AS d_key
+      FROM lineitem
+    )
+    SELECT col, metric, value FROM (
+      SELECT 'l_quantity' AS col, 'completeness' AS metric,
+             ROUND(CAST(nn_qty AS DOUBLE) / n, 6) AS value FROM s
+      UNION ALL SELECT 'l_quantity', 'min', min_qty FROM s
+      UNION ALL SELECT 'l_quantity', 'max', max_qty FROM s
+      UNION ALL SELECT 'l_returnflag', 'completeness',
+             ROUND(CAST(nn_flag AS DOUBLE) / n, 6) FROM s
+      UNION ALL SELECT 'l_returnflag', 'distinct_count', CAST(d_flag AS DOUBLE) FROM s
+      UNION ALL SELECT 'line_key', 'uniqueness',
+             ROUND(CAST(d_key AS DOUBLE) / n, 6) FROM s
+    ) ORDER BY col, metric
+    """,
+)
+def dq01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation report (the Deequ/dbt-test shape): column
+    completeness, bounds, distinct counts, and key uniqueness computed in
+    ONE wide aggregate pass over the fact table, then melted to the long
+    (col, metric, value) report via unpivot (Expand runs over the 1-row
+    aggregate, never the data). The composite line key's COUNT(DISTINCT)
+    is the only expensive term — Spark plans it as a partial distinct on
+    the key before the count, the same two-phase shape as h16. Every
+    reported ratio is a pure function of exact counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("l_quantity").alias("nn_qty"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.countDistinct("l_returnflag").alias("d_flag"),
+        F.count("l_returnflag").alias("nn_flag"),
+        F.countDistinct(F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("d_key"),
+    )
+    wide = s.select(
+        F.round(F.col("nn_qty").cast("double") / F.col("n"), 6).alias("l_quantity|completeness"),
+        F.col("min_qty").alias("l_quantity|min"),
+        F.col("max_qty").alias("l_quantity|max"),
+        F.round(F.col("nn_flag").cast("double") / F.col("n"), 6).alias("l_returnflag|completeness"),
+        F.col("d_flag").cast("double").alias("l_returnflag|distinct_count"),
+        F.round(F.col("d_key").cast("double") / F.col("n"), 6).alias("line_key|uniqueness"),
+    )
+    melted = wide.unpivot([], wide.columns, "cm", "value")
+    return (
+        melted.select(
+            F.split_part(F.col("cm"), F.lit("|"), F.lit(1)).alias("col"),
+            F.split_part(F.col("cm"), F.lit("|"), F.lit(2)).alias("metric"),
+            "value",
+        )
+        .orderBy("col", "metric")
+    )
