@@ -91,7 +91,20 @@ class MdioDataSource(DataSource):
         path = self.options.get("path")
         var = self.options.get("variable")
         if not path or not var:
-            raise ValueError("format('mdio') requires .option('path', …) and .option('variable', …)")
+            raise ValueError(
+                "format('mdio') requires .option('path', …) and "
+                ".option('variable', …). Note: catalog-persisted tables "
+                "(CREATE TABLE … USING mdio) are not supported — Spark's "
+                "Python Data Source API hands persisted tables an empty "
+                "options map; register a temp view over read.format('mdio') "
+                "instead (the zarr18 SQL route)."
+            )
+        # SQL DDL (CREATE TABLE … USING mdio) normalizes the path option to
+        # a file: URI; accept both spellings of a local path
+        if path.startswith("file://"):
+            path = path[len("file://"):]
+        elif path.startswith("file:"):
+            path = path[len("file:"):]
         store = ZarrStore.open(path)
         return store, store.array_meta(var)
 
