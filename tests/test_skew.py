@@ -33,3 +33,29 @@ def test_salt_is_deterministic(spark, sf_dir):
     a = with_salt(o, 8).select("o_orderkey", "__salt").collect()
     b = with_salt(o, 8).select("o_orderkey", "__salt").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_topk_per_group_equals_single_window(spark):
+    """Salted two-phase top-k must equal the textbook group-partitioned
+    window on a skewed frame (one giant group, several tiny ones, ties)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.operators.sorting import topk_per_group
+
+    rows = [("hot", i, float(i % 7)) for i in range(5000)]  # heavy + many ties
+    rows += [("tiny%d" % g, i, float(i)) for g in range(5) for i in range(3)]
+    df = spark.createDataFrame(rows, "g string, id long, v double").repartition(16)
+    order = [F.col("v").desc(), F.col("id")]  # tie-break → total order
+    got = {
+        (r["g"], r["rk"]): r["id"]
+        for r in topk_per_group(df, ["g"], order, k=4, n_salts=8, salt_on="id").collect()
+    }
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        (r["g"], r["rk"]): r["id"]
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 4)
+        .collect()
+    }
+    assert got == want
