@@ -128,8 +128,11 @@ def scd2_apply(
       * current row + changed value → current row CLOSES (``valid_to`` =
         change date) and a new current version opens at the change date
       * current row + identical value → no-op (the no-change guard — a
-        re-delivered value must not spawn a phantom version)
-      * key absent from target → new current version inserted
+        re-delivered value must not spawn a phantom version); the
+        comparison is null-safe, so NULL→x and x→NULL both count as
+        changes and NULL→NULL is a no-op
+      * key with no CURRENT row (absent entirely, or only closed history
+        versions) → new current version inserted
       * history rows (``valid_to`` set) always pass through untouched
 
     Physical shape mirrors ``_merge_broadcast``: the dimension NEVER
@@ -145,7 +148,14 @@ def scd2_apply(
     )
     joined = target.join(F.broadcast(c), on=key, how="left")
     is_current = F.col(to_col).isNull()
-    changed = is_current & F.col("__new").isNotNull() & (F.col("__new") != F.col(value_col))
+    # match indicator is the change DATE (required non-null by the CDC
+    # contract), so a NULL payload still matches; the value comparison is
+    # null-safe so NULL→x / x→NULL version, NULL→NULL no-ops
+    changed = (
+        is_current
+        & F.col("__d").isNotNull()
+        & ~F.col("__new").eqNullSafe(F.col(value_col))
+    )
     closed = joined.select(
         F.col(key),
         F.col(value_col),
@@ -159,7 +169,13 @@ def scd2_apply(
         F.col("__d").alias(from_col),
         F.lit(None).cast(to_type).alias(to_col),
     )
-    matched_keys = target.select(key).join(F.broadcast(c.select(key)), on=key, how="left_semi")
+    # "matched" means HAS A CURRENT ROW — a key whose versions are all
+    # closed must take the insert path or its change would vanish
+    matched_keys = (
+        target.filter(is_current)
+        .select(key)
+        .join(F.broadcast(c.select(key)), on=key, how="left_semi")
+    )
     inserts = c.join(F.broadcast(matched_keys), on=key, how="left_anti").select(
         F.col(key),
         F.col("__new").alias(value_col),

@@ -75,7 +75,15 @@ def topk_per_group(
     deterministic under the given ``order`` — include tie-breaks for a total
     order, same contract as the reference's stable sort chain,
     coordinate_selector.h:122-188)."""
-    salt_src = salt_on if salt_on is not None else df.columns[0]
+    if salt_on is None:
+        # a group column would hash constant within each group and collapse
+        # the salting into exactly the hot-group window this operator avoids
+        candidates = [c for c in df.columns if c not in set(group_cols)]
+        if not candidates:
+            raise ValueError("topk_per_group needs a non-group column to salt on")
+        salt_src = candidates[0]
+    else:
+        salt_src = salt_on
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)))
     from pyspark.sql import Window
 

@@ -570,8 +570,10 @@ def ev02(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         d.join(f, "user_id")
         .select(
-            F.expr("day0 div 7").alias("cohort_week"),
-            F.expr("(day - day0) div 7").alias("offset_week"),
+            # FLOOR division (DuckDB's //): Spark's integer `div` truncates
+            # toward zero, which would disagree for pre-epoch (negative) days
+            F.floor(F.col("day0") / 7).cast("long").alias("cohort_week"),
+            F.floor((F.col("day") - F.col("day0")) / 7).cast("long").alias("offset_week"),
             "user_id",
         )
         .distinct()

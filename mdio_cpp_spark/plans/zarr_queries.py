@@ -1635,10 +1635,10 @@ def zarr40(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "zarr41_stack_unstack",
-    oracle="""
+    oracle=f"""
     SELECT CAST(rn - 1 AS BIGINT) AS z,
-           CAST((rn - 1) // 64 AS BIGINT) AS row,
-           CAST((rn - 1) % 64 AS BIGINT) AS col,
+           CAST((rn - 1) // {GRID_C} AS BIGINT) AS row,
+           CAST((rn - 1) % {GRID_C} AS BIGINT) AS col,
            o_totalprice AS v
     FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
     WHERE rn - 1 >= 100 AND rn - 1 < 300

@@ -140,10 +140,7 @@ class MdioDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "MdioStreamReader":
         store, meta = self._meta()
-        return MdioStreamReader(
-            store.root, store.version, meta.name,
-            self.options.get("value_col", "value"),
-        )
+        return MdioStreamReader(store.root, store.version, meta.name, self.options)
 
 
 class MdioReader(DataSourceReader):
@@ -426,45 +423,93 @@ class MdioStreamReader(DataSourceStreamReader):
     The streaming inverse of the append workflow (zarr26 / utils/resize.py
     grow_dataset): producers extend the array and write new cells; each
     micro-batch emits exactly the cells appended since the last committed
-    offset. The offset is the array length (a single driver-side
-    consolidated-metadata read per trigger — no listing, no file mtimes),
-    so replay after a checkpoint restart re-reads the same half-open cell
-    range: exactly-once delivery as long as appended cells are immutable,
-    which is the append contract (zarr26 never rewrites below the old
-    length). Partitions are chunk-aligned slices of [start, end) — the
-    same decode machinery and parallelism as the batch scan.
+    offset, through chunk-aligned partitions (same decode machinery and
+    parallelism as the batch scan). Replay after a checkpoint restart
+    re-reads the same half-open cell range — exactly-once as long as
+    emitted cells are immutable.
+
+    THE FRONTIER. The append protocol must publish the new shape BEFORE
+    writing the cells (the writer bounds-checks against the shape), so
+    "shape" alone can run ahead of the data: a trigger landing between
+    grow and write would emit fill values for in-flight cells and never
+    revisit them. Producers that need the stronger guarantee publish a
+    watermark AFTER the cells land::
+
+        store.update_array_attrs(var, {"frontier": n_written})
+        store.consolidate()
+
+    When the array carries a ``frontier`` attribute the stream never reads
+    past ``min(shape, frontier)``; without it the shape is the frontier and
+    the grow→write window is the producer's responsibility (the caveat is
+    inherent to shape-first publication, not to this reader).
+
+    Options: ``starting_offset`` = ``earliest`` (default) | ``latest``
+    (skip the existing array and tail only future appends — the cold-start
+    answer for a petascale store); ``max_cells_per_trigger`` caps each
+    micro-batch once a baseline offset is known (the engine may probe
+    ``latestOffset`` before ``initialOffset``, and capping without a
+    baseline could regress a restored checkpoint — so the FIRST batch of a
+    query run is uncapped and every subsequent one is bounded; bound the
+    cold start itself with ``starting_offset=latest``); ``fields`` /
+    ``value_col`` as on the batch reader.
 
     1-D only: tailing means a single append dimension; the reference's
     resize is equally per-dimension metadata (utils/trim.h's inverse).
     """
 
-    def __init__(self, root: str, version: int, var: str, value_col: str):
+    def __init__(self, root: str, version: int, var: str, options):
         self.root = root
         self.version = version
         self.var = var
-        self.value_col = value_col
+        self.value_col = options.get("value_col", "value")
         meta = ZarrStore(root, version).array_meta(var)
         if meta.ndim != 1:
             raise ValueError(
                 f"streaming tail needs a 1-D append dimension; {var!r} has "
                 f"ndim={meta.ndim}"
             )
+        fields = options.get("fields")
+        self.fields = fields.split(",") if fields else (
+            list(meta.np_dtype.names) if meta.is_struct else None
+        )
         self.dim = _dim_names(meta)[0]
         self.chunk = int(meta.chunks[0])
+        self.start_latest = options.get("starting_offset", "earliest") == "latest"
+        cap = options.get("max_cells_per_trigger")
+        self.max_cells = int(cap) if cap else None
+        self._last_end: int | None = None
 
     # ------------------------------------------------------------- offsets
 
+    def _frontier(self) -> int:
+        # ONE fresh consolidated-metadata read: shape is the high-water
+        # mark, clamped by the producer's post-write watermark when present
+        meta = ZarrStore(self.root, self.version).array_meta(self.var)
+        n = int(meta.shape[0])
+        frontier = meta.attrs.get("frontier")
+        return min(n, int(frontier)) if frontier is not None else n
+
     def initialOffset(self) -> dict:
-        return {"cell": 0}
+        start = self._frontier() if self.start_latest else 0
+        self._last_end = start
+        return {"cell": start}
 
     def latestOffset(self) -> dict:
-        # fresh metadata read: growth is a metadata resize, so the shape in
-        # the consolidated doc IS the high-water mark
-        meta = ZarrStore(self.root, self.version).array_meta(self.var)
-        return {"cell": int(meta.shape[0])}
+        # stateless w.r.t. repeated calls within one trigger (the engine may
+        # probe more than once); the cap keys off the last KNOWN baseline
+        # (initialOffset, a planned batch start, or a commit) and is never
+        # applied without one — a blind cap could fall below a restored
+        # checkpoint and regress it
+        end = self._frontier()
+        if self.max_cells is not None and self._last_end is not None:
+            end = max(min(end, self._last_end + self.max_cells), self._last_end)
+        return {"cell": end}
 
     def partitions(self, start: dict, end: dict) -> list[MdioTailPartition]:
         lo, hi = int(start["cell"]), int(end["cell"])
+        # the engine's batch start is an authoritative baseline for the cap
+        if self._last_end is None or lo > self._last_end:
+            self._last_end = lo
         if hi <= lo:
             return [MdioTailPartition(lo, lo)]  # empty batch — read yields nothing
         # chunk-aligned slices: every interior split point is a chunk
@@ -485,13 +530,12 @@ class MdioStreamReader(DataSourceStreamReader):
         store = ZarrStore(self.root, self.version)
         meta = store.array_meta(self.var)
         box = ((partition.lo, partition.hi),)
-        fields = list(meta.np_dtype.names) if meta.is_struct else None
         for c in range(partition.lo // self.chunk, (partition.hi - 1) // self.chunk + 1):
             pdf = _decode_chunk_to_pdf(
-                store, meta, (c,), box, (1,), [self.dim], fields, self.value_col,
+                store, meta, (c,), box, (1,), [self.dim], self.fields, self.value_col,
             )
             if len(pdf):
                 yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._last_end = int(end["cell"])

@@ -164,3 +164,38 @@ def test_scd2_reapply_is_idempotent(spark):
     # re-delivering the same change must not spawn another version: the new
     # current row already carries the value, so the no-change guard holds
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_scd2_null_safe_and_history_only_keys(spark):
+    from mdio_cpp_spark.operators.merge import scd2_apply
+
+    target = spark.createDataFrame(
+        [
+            (1, None, "2020-01-01", None),          # current with NULL value
+            (2, 20.0, "2020-01-01", None),          # current, will be set to NULL
+            (3, 30.0, "2020-01-01", "2021-01-01"),  # history ONLY — no current row
+        ],
+        "key long, value double, valid_from string, valid_to string",
+    ).select(
+        "key", "value",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    )
+    changes = spark.createDataFrame(
+        [(1, 7.0, "2022-06-01"),    # NULL -> 7.0 must version
+         (2, None, "2022-06-01"),   # 20.0 -> NULL must version
+         (3, 9.0, "2022-06-01")],   # history-only key must insert a current row
+        "key long, value double, change_date string",
+    ).withColumn("change_date", F.col("change_date").cast("date"))
+    rows = {
+        (r["key"], r["value"]): (str(r["valid_from"]), r["valid_to"] and str(r["valid_to"]))
+        for r in scd2_apply(target, changes, "key", "value").collect()
+    }
+    assert rows == {
+        (1, None): ("2020-01-01", "2022-06-01"),
+        (1, 7.0): ("2022-06-01", None),
+        (2, 20.0): ("2020-01-01", "2022-06-01"),
+        (2, None): ("2022-06-01", None),
+        (3, 30.0): ("2020-01-01", "2021-01-01"),   # history untouched
+        (3, 9.0): ("2022-06-01", None),            # insert despite history match
+    }

@@ -94,3 +94,68 @@ def test_tail_rejects_2d(tmp_path, spark):
             .trigger(availableNow=True).start()
         )
         q.awaitTermination(60)
+
+
+def test_tail_frontier_watermark_blocks_inflight_appends(tmp_path, spark):
+    """With a producer-published frontier attr, a trigger landing in the
+    grow→write window must NOT emit the in-flight (fill-valued) cells."""
+    path = _build(tmp_path, spark, N0)
+    st = ZarrStore.open(path)
+    st.update_array_attrs("v", {"frontier": N0})
+    st.consolidate()
+    ckpt = os.path.join(str(tmp_path), "ckpt_f")
+    assert len(_drain(spark, path, ckpt)) == N0
+
+    # simulate mid-append: shape grown, cells NOT yet written, frontier old
+    grow_dataset(path, i=N1)
+    got = _drain(spark, path, ckpt)
+    assert got == {}, "frontier must hold the stream back until cells land"
+
+    df = spark.range(N0, N1).select(F.col("id").alias("i"), (F.col("id") * 2.0).alias("val"))
+    write_array(df, path, "v", value_cols="val")
+    st = ZarrStore.open(path)
+    st.update_array_attrs("v", {"frontier": N1})
+    st.consolidate()
+    got = _drain(spark, path, ckpt)
+    assert set(got) == set(range(N0, N1)) and got[N0] == N0 * 2.0
+
+
+def test_tail_latest_and_rate_cap(tmp_path, spark):
+    path = _build(tmp_path, spark, N0)
+    register(spark)
+
+    # starting_offset=latest skips the existing array
+    rows: dict[int, float] = {}
+    q = (
+        spark.readStream.format("mdio")
+        .option("path", path).option("variable", "v")
+        .option("starting_offset", "latest")
+        .load()
+        .writeStream.foreachBatch(lambda df, b: rows.update({r["i"]: r["value"] for r in df.collect()}))
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck_l"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert rows == {}, "latest start must skip pre-existing cells"
+
+    # max_cells_per_trigger: unit-level pin of the engine call sequence
+    # (latestOffset may precede initialOffset — observed on Spark 4.1; the
+    # cap must not apply without a baseline, then must bound every
+    # subsequent batch and never regress)
+    from mdio_cpp_spark.sources.datasource import MdioStreamReader
+
+    r = MdioStreamReader(path, 2, "v", {"max_cells_per_trigger": "700"})
+    assert r.latestOffset() == {"cell": N0}, "no baseline yet -> uncapped"
+    assert r.initialOffset() == {"cell": 0}
+    assert r.latestOffset() == {"cell": 700}, "baseline 0 -> capped at 700"
+    parts = r.partitions({"cell": 0}, {"cell": 700})
+    assert [(p.lo, p.hi) for p in parts] == [(0, 512), (512, 700)]
+    r.commit({"cell": 700})
+    assert r.latestOffset() == {"cell": N0}, "remaining 500 < cap"
+
+    # restored checkpoint: partitions() start is an authoritative baseline
+    r2 = MdioStreamReader(path, 2, "v", {"max_cells_per_trigger": "300"})
+    assert r2.latestOffset() == {"cell": N0}, "restart probe -> uncapped"
+    r2.partitions({"cell": 800}, {"cell": N0})
+    r2.commit({"cell": N0})
+    assert r2.latestOffset() == {"cell": N0}, "cap never regresses below baseline"
