@@ -927,3 +927,48 @@ def dq01(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col", "metric")
     )
+
+
+@declared(
+    "ev03_pattern_within",
+    oracle="""
+    WITH c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(epoch_us(p_ts) - epoch_us(c_ts)) AS BIGINT) AS min_gap_us
+    FROM c JOIN p ON c.user_id = p.user_id
+       AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def ev03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-pattern detection (the CEP "A followed by B within T" shape):
+    per user, count click→purchase pairs no more than one hour apart, with
+    the tightest gap. The join is an equi-join on user_id with the time
+    window as a residual range predicate — one key shuffle, never a time
+    cross-product; at scale the same plan becomes a bucketed co-located
+    join on user_id (the streaming twin is st03's interval join with
+    watermark-bounded state). Gaps compare in exact epoch microseconds."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("c_us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_micros("ts").alias("p_us")
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_us") > F.col("c_us"))
+            & (F.col("p_us") <= F.col("c_us") + 3_600_000_000),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.col("p_us") - F.col("c_us")).alias("min_gap_us"),
+        )
+        .orderBy("user_id")
+    )
