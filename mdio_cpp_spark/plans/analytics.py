@@ -972,3 +972,50 @@ def ev03(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@declared(
+    "ga01_supplier_cooccurrence",
+    oracle="""
+    SELECT l1.l_suppkey AS s_a, l2.l_suppkey AS s_b,
+           CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+    GROUP BY s_a, s_b
+    ORDER BY n_orders DESC, s_a, s_b
+    LIMIT 20
+    """,
+)
+def ga01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the association-rule/bipartite-
+    projection shape): supplier pairs appearing in the same order, ranked
+    by distinct co-orders. The oracle's fact self-join becomes: collapse to
+    DISTINCT (order, supplier) FIRST (one orderkey-keyed shuffle absorbs
+    line-level duplicates), then pairs expand WITHIN each order from the
+    grouped supplier set — pair count is C(order_width, 2), bounded by
+    basket size, never a corpus-level cross product (the same
+    bounded-bucket argument as the LSH candidate expansion, dedup.py).
+    Top-20 compiles to TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("supps")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("supps"),
+                        lambda a: F.transform(F.col("supps"), lambda b: F.struct(a.alias("s_a"), b.alias("s_b"))),
+                    )
+                ),
+                lambda p: p["s_a"] < p["s_b"],
+            )
+        ).alias("p")
+    ).select("p.s_a", "p.s_b")
+    return (
+        pairs.groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "s_a", "s_b")
+        .limit(20)
+    )
