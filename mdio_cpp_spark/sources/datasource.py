@@ -52,7 +52,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from mdio_cpp_spark.sources.reader import _decode_chunk_to_pdf, _dim_names, scan_schema
-from mdio_cpp_spark.sources.zarr_store import CHUNK_STATS_ATTR, ZarrStore, _clamped_box
+from mdio_cpp_spark.sources.zarr_store import CHUNK_STATS_ATTR, ZarrStore, _clamped_box, zone_of
 
 
 class MdioChunkPartition(InputPartition):
@@ -132,6 +132,12 @@ class MdioDataSource(DataSource):
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> "MdioStreamArrowWriter":
+        if overwrite:
+            raise ValueError(
+                "format('mdio') streaming writes are append/RMW only — "
+                "outputMode('complete') (truncate-per-batch) is not supported; "
+                "use update/append output modes"
+            )
         store, meta = self._meta()
         return MdioStreamArrowWriter(
             store.root, store.version, meta.name,
@@ -310,7 +316,11 @@ class MdioArrowWriter(DataSourceArrowWriter):
                 m = ckey == k
                 per_chunk.setdefault(int(k), []).append((off[m], vals[m]))
         keys, zones = [], {}
-        has_manifest = CHUNK_STATS_ATTR in meta.attrs
+        has_manifest = (
+            CHUNK_STATS_ATTR in meta.attrs
+            and not meta.is_struct
+            and meta.np_dtype.kind in "biuf"
+        )
         grid = meta.grid_shape()
         for linear, parts in per_chunk.items():
             coords = tuple(int(c) for c in np.unravel_index(linear, grid))
@@ -333,8 +343,7 @@ class MdioArrowWriter(DataSourceArrowWriter):
                     slice(0, min(meta.chunks[d], meta.shape[d] - coords[d] * meta.chunks[d]))
                     for d in range(meta.ndim)
                 )
-                v = shaped[valid]
-                zones[key] = [float(np.min(v)), float(np.max(v))]
+                zones[key] = zone_of(shaped[valid])
         import json
 
         return MdioCommitMessage(chunk_keys=keys, zones=json.dumps(zones) if zones else "")

@@ -361,11 +361,7 @@ def _decode_chunk_to_pdf(
     )
     if block is None:
         # fill synthesis: unwritten chunk, no I/O (dataset_factory.h:500-545)
-        fill = meta.fill_scalar()
-        if meta.is_struct:
-            vals = np.full(n, fill, dtype=meta.np_dtype)
-        else:
-            vals = np.full(n, fill, dtype=meta.np_dtype)
+        vals = np.full(n, meta.fill_scalar(), dtype=meta.np_dtype)
     else:
         vals = block[np.ix_(*lsel)].ravel() if meta.ndim > 1 else block[lsel[0]]
 

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mdio_cpp_spark.sources import zonemap as _zonemap
-from mdio_cpp_spark.sources.zarr_store import ZarrArrayMeta, ZarrStore
+from mdio_cpp_spark.sources.zarr_store import zone_of as _zone_of, ZarrArrayMeta, ZarrStore
 
 __all__ = ["write_array", "write_arrays", "dense_fill_frame"]
 
@@ -145,8 +145,25 @@ def write_arrays(
         term = (F.col(dim) % F.lit(int(first.chunks[d]))) * F.lit(strides[d])
         off_expr = term if off_expr is None else off_expr + term
     value_src_cols = sorted({c for fc in fields_by_var.values() for c in fc.values()})
+    # a row outside the array domain must fail loudly (matching the DSv2
+    # writer's unravel check) instead of writing orphan chunks the scan can
+    # never plan. The guard rides the consumed __off column so Catalyst
+    # cannot prune it away.
+    in_domain = None
+    for d, dim in enumerate(dim_names):
+        cond = (F.col(dim) >= 0) & (F.col(dim) < int(first.shape[d]))
+        in_domain = cond if in_domain is None else in_domain & cond
+    guarded_off = F.when(in_domain, off_expr.cast("long")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"row outside array domain {tuple(first.shape)}: ("),
+                F.concat_ws(", ", *[F.col(d).cast("string") for d in dim_names]),
+                F.lit(")"),
+            )
+        )
+    )
     keyed = df.select(
-        off_expr.cast("long").alias("__off"),
+        guarded_off.alias("__off"),
         *[F.col(c) for c in value_src_cols],
         *[
             F.expr(f"{dim} div {int(first.chunks[d])}").alias(ckey_cols[d])
@@ -169,7 +186,7 @@ def write_arrays(
         for v, m in metas.items()
         if _zonemap.STATS_KEY in m.attrs
         and not m.is_struct
-        and m.np_dtype.kind not in "cOV"
+        and m.np_dtype.kind in "biuf"
     ]
 
     def write_chunk_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -194,8 +211,7 @@ def write_arrays(
                     slice(0, min(meta.chunks[d], meta.shape[d] - coords[d] * meta.chunks[d]))
                     for d in range(meta.ndim)
                 )
-                v = block[valid]
-                zstats[var] = [float(np.min(v)), float(np.max(v))]
+                zstats[var] = _zone_of(block[valid])
         return pd.DataFrame({
             **{c: [coords[d]] for d, c in enumerate(ckey_cols)},
             "chunks": [len(metas)], "cells": [len(pdf) * len(metas)],
@@ -222,6 +238,7 @@ def write_arrays(
             ds.update_attrs(var, **{_zonemap.STATS_KEY: manifest})
         ds.commit_metadata()
         report = {"chunks": chunks_total, "cells": cells_total}
+        consolidate = False  # commit_metadata above already consolidated
     else:
         row = per_chunk.agg(
             F.sum("chunks").alias("chunks"), F.sum("cells").alias("cells")

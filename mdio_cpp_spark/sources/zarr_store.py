@@ -254,6 +254,17 @@ def _meta_from_v3(name: str, zjson: dict) -> ZarrArrayMeta:
         np_dt = np.dtype(data_type)
         mdio_name = None
         header_only = np_dt.kind in HEADER_ONLY_KINDS
+    # honor the 'bytes' codec's endianness: a big-endian store decodes via
+    # stored_dtype (frombuffer with '>', astype to native — the same path v2
+    # big-endian dtype strings use); silently assuming native order would
+    # read every value as byte-swapped garbage
+    stored = None
+    for codec in zjson.get("codecs", []):
+        if codec.get("name") == "bytes":
+            endian = (codec.get("configuration") or {}).get("endian", "little")
+            if endian == "big" and np_dt.kind in "iufc" and np_dt.itemsize > 1:
+                stored = np_dt.newbyteorder(">")
+            break
     fill = decode_fill_json(zjson.get("fill_value"), np_dt)
     return ZarrArrayMeta(
         name=name,
@@ -268,6 +279,7 @@ def _meta_from_v3(name: str, zjson: dict) -> ZarrArrayMeta:
         dims=tuple(zjson.get("dimension_names") or ()),
         attrs=dict(zjson.get("attributes", {})),
         header_only=header_only,
+        stored_dtype=stored,
     )
 
 
@@ -569,7 +581,7 @@ class ZarrStore:
             dict(meta.attrs[CHUNK_STATS_ATTR])
             if CHUNK_STATS_ATTR in meta.attrs
             and not meta.is_struct
-            and meta.np_dtype.kind not in "cOV"
+            and meta.np_dtype.kind in "biuf"
             else None
         )
         for coords in chunks_overlapping(meta, box):
@@ -597,10 +609,30 @@ class ZarrStore:
                 )
                 v = block[valid]
                 key = ",".join(str(c) for c in coords)
-                manifest[key] = [float(np.min(v)), float(np.max(v))]
+                manifest[key] = zone_of(v)
         if manifest is not None:
             self.update_array_attrs(name, {**meta.attrs, CHUNK_STATS_ATTR: manifest})
             self.consolidate()
+
+
+def zone_of(v: "np.ndarray") -> list[float] | None:
+    """NaN-aware zone [min, max] of a chunk's valid extent for the
+    chunk-stats manifest. NaN cells are excluded (a NaN row can never
+    satisfy a comparison predicate, so ignoring them keeps pruning exact);
+    an empty or all-NaN extent returns None (consumers treat that like a
+    fill-only chunk). Infinities clamp to the finite float64 range so the
+    manifest stays JSON-serializable (allow_nan=False) — conservative in
+    the keep direction."""
+    if v.size == 0:
+        return None
+    if v.dtype.kind == "f":
+        finite_mask = ~np.isnan(v)
+        if not finite_mask.any():
+            return None
+        mn, mx = float(np.min(v[finite_mask])), float(np.max(v[finite_mask]))
+        lim = np.finfo(np.float64).max
+        return [float(np.clip(mn, -lim, lim)), float(np.clip(mx, -lim, lim))]
+    return [float(np.min(v)), float(np.max(v))]
 
 
 def _clamped_box(

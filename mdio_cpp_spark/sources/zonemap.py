@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 
-from mdio_cpp_spark.sources.zarr_store import CHUNK_STATS_ATTR, ZarrArrayMeta, ZarrStore
+from mdio_cpp_spark.sources.zarr_store import CHUNK_STATS_ATTR, ZarrArrayMeta, ZarrStore, zone_of
 
 STATS_KEY = CHUNK_STATS_ATTR
 
@@ -56,8 +56,8 @@ def compute_chunk_stats(
     (edge padding excluded). One Spark job, one row per chunk."""
     store = ZarrStore.open(root)
     meta = store.array_meta(var)
-    if meta.is_struct or meta.np_dtype.kind in "cOV":
-        raise ValueError("zone maps apply to scalar numeric/string arrays only")
+    if meta.is_struct or meta.np_dtype.kind not in "biuf":
+        raise ValueError("zone maps apply to scalar numeric/bool arrays only")
     if meta.nchunks() > MAX_ATTR_CHUNKS:
         raise ValueError(
             f"{meta.nchunks()} chunks exceeds the attr-resident manifest cap "
@@ -87,8 +87,8 @@ def compute_chunk_stats(
                     slice(0, min(chunks[d], shape[d] - coords[d] * chunks[d]))
                     for d in range(len(shape))
                 )
-                v = block[valid]
-                rows.append((key, float(np.min(v)), float(np.max(v))))
+                z = zone_of(block[valid])
+                rows.append((key, None, None) if z is None else (key, z[0], z[1]))
             yield pd.DataFrame(rows, columns=["key", "vmin", "vmax"])
 
     rows = (

@@ -585,3 +585,53 @@ def test_isel_multi_ranges():
         ds.isel_multi(il=[(10, 20), (5, 8)])
     with pytest.raises(ValueError, match="ascending"):
         ds.isel_multi(il=[(0, 10), (9, 15)])  # overlap
+
+
+def test_v3_big_endian_bytes_codec_decodes(tmp_path):
+    """A v3 store whose 'bytes' codec declares big-endian must decode to the
+    correct native-endian values (review finding: the endian config was
+    silently ignored and BE bytes read as LE garbage)."""
+    import json
+    import zlib
+
+    import numpy as np
+
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    root = str(tmp_path / "be.zarr")
+    (tmp_path / "be.zarr" / "a" / "c").mkdir(parents=True)
+    (tmp_path / "be.zarr" / "zarr.json").write_text(json.dumps(
+        {"zarr_format": 3, "node_type": "group", "attributes": {}}))
+    arr = (np.arange(8) * 1.5).astype(">f8")
+    (tmp_path / "be.zarr" / "a" / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [8],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [8]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": 0.0,
+        "codecs": [{"name": "bytes", "configuration": {"endian": "big"}},
+                   {"name": "zlib", "configuration": {"level": 1}}],
+        "dimension_names": ["i"], "attributes": {},
+    }))
+    (tmp_path / "be.zarr" / "a" / "c" / "0").write_bytes(zlib.compress(arr.tobytes(), 1))
+    st = ZarrStore.open(root)
+    block = st.decode_chunk(st.array_meta("a"), (0,))
+    assert block.dtype.str == "<f8"
+    assert np.allclose(block, np.arange(8) * 1.5)
+
+
+def test_write_arrays_rejects_out_of_domain_rows(tmp_path, spark):
+    """A row beyond the array extent must fail loudly (matching the DSv2
+    writer) instead of writing an orphan chunk the scan never plans."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.sources.writer import write_array
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    root = str(tmp_path / "dom.zarr")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("v", shape=(100,), chunks=(10,), dtype="float64", dims=("i",))
+    bad = spark.range(99, 101).select(F.col("id").alias("i"), F.lit(1.0).alias("val"))
+    with pytest.raises(Exception, match="outside array domain"):
+        write_array(bad, root, "v", value_cols="val")

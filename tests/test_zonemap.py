@@ -170,3 +170,37 @@ def test_trim_leaves_zone_maps_conservative(spark, tmp_path):
         for r in scan_array(spark, root, "v", value_filter=(">=", 820.0)).collect()
     )
     assert got == list(range(820, 850))  # 850+ gone, zone over-width harmless
+
+
+def test_zone_of_is_nan_aware_and_json_safe():
+    import math
+
+    import numpy as np
+
+    from mdio_cpp_spark.sources.zarr_store import zone_of
+
+    # NaN padding (the default float fill) must not poison the zone
+    assert zone_of(np.array([1.0, np.nan, 3.0])) == [1.0, 3.0]
+    # all-NaN / empty extents -> None (fill-only semantics downstream)
+    assert zone_of(np.array([np.nan, np.nan])) is None
+    assert zone_of(np.array([], dtype="f8")) is None
+    # infinities clamp to the finite range so allow_nan=False JSON survives
+    z = zone_of(np.array([1.0, np.inf, -np.inf]))
+    assert all(math.isfinite(x) for x in z) and z[0] < z[1]
+    # ints untouched
+    assert zone_of(np.array([5, -2], dtype="i8")) == [-2.0, 5.0]
+
+
+def test_zonemap_rejects_string_arrays(tmp_path, spark):
+    import numpy as np
+    import pytest
+
+    from mdio_cpp_spark.sources import zonemap
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    root = str(tmp_path / "s.zarr")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("s", shape=(4,), chunks=(2,), dtype=np.dtype("<U4"), dims=("i",))
+    st.consolidate()
+    with pytest.raises(ValueError, match="numeric/bool"):
+        zonemap.compute_chunk_stats(spark, root, "s")
