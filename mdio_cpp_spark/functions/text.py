@@ -91,9 +91,12 @@ def quality_score(text: str | Column) -> Column:
     n_tok = F.size(toks).cast("double")
     len_c = F.length(c).cast("double")
     punct = len_c - F.length(F.regexp_replace(c, "[.,;:!?]", "")).cast("double")
-    punct_ratio = punct / len_c
+    # guards: an empty string / zero-token doc must score 0.0, not abort
+    # the job with ANSI DIVIDE_BY_ZERO (the length factor already zeroes
+    # the product, so the guarded ratios never change a real doc's score)
+    punct_ratio = F.when(len_c > 0, punct / len_c).otherwise(F.lit(0.0))
     stop_hits = (count_token(toks, "the") + count_token(toks, "a") + count_token(toks, "of")).cast("double")
-    stop_ratio = stop_hits / n_tok
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
     return F.round(
         F.least(F.lit(1.0), n_tok / F.lit(100.0))
         * (F.lit(1.0) - punct_ratio)

@@ -26,5 +26,19 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def cosine_parts(dot_col: Column, na: Column, nb: Column) -> Column:
+    """Null-safe cosine from precomputed dot/norms: NULL when either norm
+    is zero (direction undefined — under Spark's default ANSI mode a bare
+    division would abort the whole job on the first zero vector) or when
+    any element was NaN (NaN orders ABOVE every number in Spark, so a NaN
+    cosine would outrank every real match and pass every >= threshold).
+    NULL similarity drops out of filters and sorts last in desc rankings —
+    degenerate vectors degrade instead of poisoning results."""
+    denom = na * nb
+    return F.nanvl(
+        F.when(denom != 0, dot_col / denom), F.lit(None).cast("double")
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return cosine_parts(dot(a, b), norm(a), norm(b))

@@ -198,7 +198,9 @@ def ngram_jaccard(left_sh: Column, right_sh: Column) -> Column:
     """Jaccard similarity of two distinct-shingle arrays (double)."""
     inter = F.size(F.array_intersect(left_sh, right_sh))
     union = F.size(F.array_union(left_sh, right_sh))
-    return inter / union
+    # two empty shingle sets are identical (1.0) rather than an ANSI
+    # divide-by-zero abort
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
 
 
 def embedding_neardup_pairs(
@@ -223,7 +225,7 @@ def embedding_neardup_pairs(
                  F.col("nv").alias("na"))
     c = b.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"), "bk",
                  F.col("nv").alias("nb"))
-    cos = F.round(vectors.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    cos = F.round(vectors.cosine_parts(vectors.dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")), 4)
     return (
         a.join(c, on="bk")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -294,9 +296,17 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         for members in comp.values():
             m = min(members)
             rows.extend((n, m) for n in members)
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = pairs.schema["doc_a"].dataType  # id-type-agnostic (string
+        # / uuid ids take the same path as longs; the iterative branch
+        # already handled them)
+        schema = StructType([
+            StructField("doc_id", id_type), StructField("cluster_id", id_type)
+        ])
         if not rows:
-            return spark.createDataFrame([], "doc_id long, cluster_id long")
-        return spark.createDataFrame(sorted(rows), "doc_id long, cluster_id long")
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(sorted(rows), schema)
 
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -364,7 +374,7 @@ def semantic_dedup(
     """
     from mdio_cpp_spark.operators.similarity import ivf_assign
 
-    cents = df.filter(F.col(id_col) < n_cells).select(
+    cents = df.orderBy(F.col(id_col)).limit(n_cells).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
     assigned = ivf_assign(df, id_col, vec_col, cents)
@@ -376,7 +386,7 @@ def semantic_dedup(
                  F.col("nv").alias("na"))
     c = b.select(F.col(id_col).alias("__idb"), F.col(vec_col).alias("vb"), "cell",
                  F.col("nv").alias("nb"))
-    cos = F.round(vectors.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    cos = F.round(vectors.cosine_parts(vectors.dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")), 4)
     dropped = (
         a.join(c, on="cell")
         .filter(F.col("__idb") < F.col("__ida"))

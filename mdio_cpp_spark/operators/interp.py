@@ -72,11 +72,20 @@ def bilinear_interp(
         F.max(F.when(F.col("__k") == k, F.col("__w") * F.col(val_col))).alias(f"__p{k}")
         for k in range(4)
     ]
-    agg = joined.groupBy(id_col).agg(*slots)
+    agg = joined.groupBy(id_col).agg(*slots, F.sum("__w").alias("__wsum"))
     val = (
         F.coalesce(F.col("__p0"), F.lit(0.0))
         + F.coalesce(F.col("__p1"), F.lit(0.0))
         + F.coalesce(F.col("__p2"), F.lit(0.0))
         + F.coalesce(F.col("__p3"), F.lit(0.0))
     )
-    return agg.select(id_col, F.round(val, 4).alias("val"))
+    # corner weights sum to 1 by construction, so a joined weight sum short
+    # of 1 means a NONZERO-weight corner fell outside the grid — that
+    # target's value is undefined (NULL), never a plausible partial sum.
+    # (A missing zero-weight corner — integer coordinate on the last
+    # row/col — leaves the sum at 1 and the result exact. Targets with no
+    # surviving corner at all are absent from the output.)
+    ok = F.abs(F.col("__wsum") - 1.0) < 1e-9
+    return agg.select(
+        id_col, F.when(ok, F.round(val, 4)).alias("val")
+    )

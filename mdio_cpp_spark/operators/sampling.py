@@ -118,8 +118,15 @@ def temperature_rates(
     partitionings, with no order-sensitive float accumulation.
 
     Returns (stratum, n_orig, rate). One partial agg over the stratum key +
-    a broadcast of the one-row global min."""
-    c = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_orig"))
+    a broadcast of the one-row global min. NULL strata (untagged rows) are
+    excluded — they get no rate row and must not set n_min (a tiny
+    untagged group would otherwise inflate every real stratum's
+    downsampling)."""
+    c = (
+        df.where(F.col(stratum_col).isNotNull())
+        .groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n_orig"))
+    )
     m = c.agg(F.min("n_orig").alias("__nmin"))
     ratio = F.col("__nmin").cast("double") / F.col("n_orig").cast("double")
     rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
@@ -135,8 +142,14 @@ def temperature_resample(
     ``alpha`` (alpha=1 keeps natural proportions, alpha→0 flattens): keep a
     row iff hash_fraction(id) < rate(stratum) * 4096, with rates from
     ``temperature_rates``. Map-side filter after a broadcast join of the
-    tiny rate table — the 100 TB corpus never shuffles."""
+    tiny rate table — the 100 TB corpus never shuffles. NULL-stratum
+    (untagged) rows pass through at rate 1: an inner join on the stratum
+    would silently delete them (NULL never equi-joins), and they carry no
+    rate row."""
     rates = temperature_rates(df, stratum_col, alpha)
-    return df.join(F.broadcast(rates.select(stratum_col, "rate")), on=stratum_col).filter(
-        hash_fraction(F.col(id_col)) < F.col("rate") * 4096.0
-    )
+    tagged = df.where(F.col(stratum_col).isNotNull())
+    kept = tagged.join(
+        F.broadcast(rates.select(stratum_col, "rate")), on=stratum_col
+    ).filter(hash_fraction(F.col(id_col)) < F.col("rate") * 4096.0)
+    untagged = df.where(F.col(stratum_col).isNull())
+    return kept.drop("rate").unionByName(untagged)

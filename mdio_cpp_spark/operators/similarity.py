@@ -52,7 +52,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str
         .select(
             "q_id", "vec_id",
             F.round(
-                vectors.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+                vectors.cosine_parts(vectors.dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 4
             ).alias("cos"),
         )
     )
@@ -87,7 +87,7 @@ def lsh_topk(
         .select(
             "q_id", "vec_id",
             F.round(
-                vectors.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+                vectors.cosine_parts(vectors.dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 4
             ).alias("cos"),
         )
     )
@@ -139,7 +139,7 @@ def lsh_topk_multiprobe(
         .select(
             "q_id", "vec_id",
             F.round(
-                vectors.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+                vectors.cosine_parts(vectors.dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 4
             ).alias("cos"),
         )
     )
@@ -161,7 +161,7 @@ def ivf_assign(
         id_col, vec_col,
         F.col("cid"),
         F.round(
-            vectors.dot(F.col(vec_col), F.col("cv")) / (F.col("__vn") * F.col("__cn")), 6
+            vectors.cosine_parts(vectors.dot(F.col(vec_col), F.col("cv")), F.col("__vn"), F.col("__cn")), 6
         ).alias("__cc"),
     )
     return scored.groupBy(id_col, vec_col).agg(
@@ -186,7 +186,7 @@ def ivf_topk(
     cell (single-probe). Per-query work drops from O(N) to O(N/n_cells);
     the cell assignment is a broadcast cross-score, so the corpus shuffles
     once, keyed by cell, and never moves again."""
-    cents = corpus.filter(F.col(id_col) < n_cells).select(
+    cents = corpus.orderBy(F.col(id_col)).limit(n_cells).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
     c_assigned = ivf_assign(corpus, id_col, vec_col, cents).select(
@@ -222,7 +222,7 @@ def ivf_assign_topn(
         id_col, vec_col,
         F.col("cid").alias("cell"),
         F.round(
-            vectors.dot(F.col(vec_col), F.col("cv")) / (F.col("__vn") * F.col("__cn")), 6
+            vectors.cosine_parts(vectors.dot(F.col(vec_col), F.col("cv")), F.col("__vn"), F.col("__cn")), 6
         ).alias("__cc"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__cc").desc(), F.col("cell").desc())
@@ -249,7 +249,7 @@ def ivf_topk_multiprobe(
     O(n_probes * N / n_cells); the corpus still shuffles once, keyed by
     cell, and the probe fan-out lives entirely on the tiny broadcast query
     side."""
-    cents = corpus.filter(F.col(id_col) < n_cells).select(
+    cents = corpus.orderBy(F.col(id_col)).limit(n_cells).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
     c_assigned = ivf_assign(corpus, id_col, vec_col, cents).select(
@@ -298,7 +298,7 @@ def knn_join(
         .select(
             "q_id", "vec_id",
             F.round(
-                vectors.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+                vectors.cosine_parts(vectors.dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 4
             ).alias("cos"),
         )
     )

@@ -30,6 +30,12 @@ def with_salt(df: DataFrame, n_salts: int, cols: Sequence[str] | None = None) ->
     Deterministic ⇒ identical across retries and across both phases of a
     two-phase aggregate."""
     basis = [F.col(c) for c in (cols or df.columns)]
+    if not basis:
+        raise ValueError(
+            "with_salt needs at least one column to hash — a frame whose "
+            "columns are exactly the join keys cannot be salted "
+            "deterministically (every copy of a key would get one salt)"
+        )
     return df.withColumn("__salt", F.pmod(F.xxhash64(*basis), F.lit(n_salts)).cast("int"))
 
 
@@ -44,7 +50,14 @@ def salted_join(
 
     Shuffle key = (join keys, salt): a key holding k rows lands in n_salts
     partitions of ~k/n rows each. Cost: small side replicated n_salts times
-    (keep it the genuinely smaller input)."""
+    (keep it the genuinely smaller input). Inner and left joins only: a
+    right/full outer would surface each UNMATCHED small-side row once per
+    salt copy (n_salts duplicates) — plain-join parity cannot hold."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins; how={how!r} would "
+            "duplicate unmatched small-side rows once per salt copy"
+        )
     keys = list(on)
     s = with_salt(skewed, n_salts, cols=[c for c in skewed.columns if c not in keys])
     r = small.withColumn(

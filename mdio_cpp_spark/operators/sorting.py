@@ -65,8 +65,10 @@ def topk_per_group(
 
       1. per (group, salt) top-k: windows over ``n_salts`` sub-partitions per
          group, each holding ~1/n_salts of the group — parallelism =
-         groups × n_salts at any size. The salt is a deterministic hash of
-         ``salt_on`` (default: the first order column), never RNG state.
+         groups × n_salts at any size. The salt is a deterministic hash,
+         never RNG state: of ``salt_on`` when given, else of ALL non-group
+         columns together (maximal cardinality — a single low-cardinality
+         default column could silently collapse the salting).
       2. global per-group top-k over the ≤ groups·n_salts·k survivors — a
          tiny frame, its window is safe by construction.
 
@@ -76,15 +78,16 @@ def topk_per_group(
     order, same contract as the reference's stable sort chain,
     coordinate_selector.h:122-188)."""
     if salt_on is None:
-        # a group column would hash constant within each group and collapse
-        # the salting into exactly the hot-group window this operator avoids
-        candidates = [c for c in df.columns if c not in set(group_cols)]
-        if not candidates:
+        # group columns hash constant within their group (which would
+        # collapse the salting into exactly the hot-group window this
+        # operator avoids); hash every other column together so no single
+        # low-cardinality column can defeat the spread
+        basis = [F.col(c) for c in df.columns if c not in set(group_cols)]
+        if not basis:
             raise ValueError("topk_per_group needs a non-group column to salt on")
-        salt_src = candidates[0]
     else:
-        salt_src = salt_on
-    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)))
+        basis = [F.col(salt_on)]
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(*basis), F.lit(n_salts)))
     from pyspark.sql import Window
 
     w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order)

@@ -151,9 +151,12 @@ def grouped_percentiles(
     # columns, memory-and-disk, so at scale this is shuffle-file-sized.
     from pyspark.storagelevel import StorageLevel
 
+    # NaNs dropped BEFORE the bounds pass: a single NaN would make
+    # vmax (and the bucket step) NaN, collapsing every row into bucket 0 —
+    # exactly the single-reducer sort this operator exists to avoid
     base = (
         df.select(group, col)
-        .where(F.col(col).isNotNull())
+        .where(F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -166,19 +169,19 @@ def grouped_percentiles(
         F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
     ).first()
     vmin, vmax = lo_hi[0], lo_hi[1]
-    if vmin is None:  # empty input: schema-correct empty result
+    if vmin is None:  # empty (or all-NaN) input: schema-correct result
+        base.unpersist()
         return _empty_result()
     if vmax == vmin:  # constant column: every percentile IS the value
+        base.unpersist()
         return df.groupBy(group).agg(
             *[F.round(F.max(F.col(col)), round_to).alias(name) for _, name in ps]
         )
 
     step = (vmax - vmin) / nparts
     # O(1) arithmetic bucket id (not a comparison chain): uniform buckets,
-    # top value clamped into the last bucket. NaNs are dropped up front —
-    # quantiles over NaN-bearing data are engine-defined anyway.
+    # top value clamped into the last bucket.
     v = F.col(col).cast("double")
-    base = base.where(~F.isnan(v))
     pid = F.least(
         F.lit(nparts - 1),
         F.greatest(F.lit(0), F.floor((v - F.lit(vmin)) / F.lit(step)).cast("int")),
