@@ -29,7 +29,8 @@ def with_salt(df: DataFrame, n_salts: int, cols: Sequence[str] | None = None) ->
     """Deterministic salt column in [0, n_salts): pmod(xxhash64(cols), n).
     Deterministic ⇒ identical across retries and across both phases of a
     two-phase aggregate."""
-    basis = [F.col(c) for c in (cols or df.columns)]
+    basis_cols = df.columns if cols is None else list(cols)
+    basis = [F.col(c) for c in basis_cols]
     if not basis:
         raise ValueError(
             "with_salt needs at least one column to hash — a frame whose "

@@ -1,0 +1,106 @@
+"""Degenerate-input hardening: Spark 4 runs ANSI mode by default, where a
+bare division by zero aborts the whole job — these pin that zero-norm
+vectors, NaN embeddings, empty documents, NULL strata, and non-0-based ids
+degrade gracefully instead of crashing or silently corrupting results."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdio_cpp_spark.functions import text
+from mdio_cpp_spark.operators import dedup, sampling, similarity, skew
+
+
+def test_cosine_zero_and_nan_vectors_rank_last(spark):
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0] * 4),
+            (2, [float("nan")] * 4), (3, [0.5, 0.5, 0.0, 0.0])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(corpus, corpus.limit(2), "vec_id", "embedding", k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    # query 0 (a real vector): the real match ranks first with a real cosine;
+    # the zero/NaN vectors produce NULL similarity and sort behind it
+    top = min(by_q[0], key=lambda r: r["rk"])
+    assert top["vec_id"] == 3 and top["cos"] is not None
+    assert all(r["cos"] is None for r in by_q[0] if r["vec_id"] in (1, 2))
+
+
+def test_quality_score_empty_and_punct_only_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, ""), (3, "!!!")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["q"] for r in
+           docs.select("doc_id", text.quality_score("text").alias("q")).collect()}
+    assert got[1] > 0.0 and got[2] == 0.0 and got[3] == 0.0
+
+
+def test_ngram_jaccard_empty_sets(spark):
+    df = spark.createDataFrame([(1,)], "i long").select(
+        dedup.ngram_jaccard(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        ).alias("j")
+    )
+    assert df.collect()[0]["j"] == 1.0
+
+
+def test_ivf_with_non_zero_based_ids(spark):
+    # two vectors per direction so every cell holds a real neighbor
+    rows = [(1000 + i, [float(i % 4 == j) for j in range(4)]) for i in range(8)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ivf_topk(corpus, corpus.limit(1), "vec_id", "embedding",
+                              n_cells=4, k=2).collect()
+    assert out and out[0]["vec_id"] == 1004, "non-0-based ids must still yield centroids"
+
+
+def test_duplicate_clusters_string_ids(spark):
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_bilinear_interp_partial_coverage_is_null(spark):
+    from mdio_cpp_spark.operators.interp import bilinear_interp
+
+    grid = spark.createDataFrame(
+        [(r, c, 10.0 * r + c) for r in range(2) for c in range(2)],
+        "row long, col long, v double",
+    )
+    targets = spark.createDataFrame(
+        [(0, 0.5, 0.5),   # interior: all 4 corners
+         (1, 0.5, 1.5),   # right corners missing (nonzero weight) -> NULL
+         (2, 1.0, 1.0)],  # integer coords on the far corner: weight-0 misses OK
+        "t long, ry double, cx double",
+    ).select("t", F.col("ry").alias("y"), F.col("cx").alias("x"))
+    out = {r["t"]: r["val"] for r in
+           bilinear_interp(grid, targets, id_col="t", y_col="y", x_col="x",
+                           row_col="row", col_col="col", val_col="v").collect()}
+    assert out[0] is not None and math.isclose(out[0], 5.5)
+    assert out[1] is None, "missing nonzero-weight corners must null, not partial-sum"
+    assert out[2] == 11.0
+
+
+def test_temperature_resample_null_stratum_passthrough(spark):
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, None) for i in range(5)]
+    rows += [(2000 + i, "small") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    rates = {r["s"]: r["rate"] for r in sampling.temperature_rates(df, "s").collect()}
+    assert None not in rates, "NULL stratum must not get a rate row"
+    assert rates["small"] == 1.0, "n_min comes from the smallest REAL stratum"
+    out = sampling.temperature_resample(df, "id", "s")
+    null_rows = out.filter(F.col("s").isNull()).count()
+    assert null_rows == 5, "untagged rows pass through at rate 1"
+
+
+def test_salted_join_rejects_outer_hows(spark):
+    a = spark.createDataFrame([(1, "x")], "k long, p string")
+    b = spark.createDataFrame([(1, "y")], "k long, q string")
+    with pytest.raises(ValueError, match="inner/left"):
+        skew.salted_join(a, b, on=["k"], how="full")
+    with pytest.raises(ValueError, match="at least one column"):
+        skew.with_salt(a.select("k"), 8, cols=[])
