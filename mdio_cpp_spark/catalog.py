@@ -39,11 +39,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # NTZ cast is value-preserving and matches DuckDB's naive reading).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = df.schema["ts"].dataType.simpleString()
-        if ts_type == "bigint":  # nanos-as-long legacy path
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        nanos = df.schema["ts"].dataType.simpleString() == "bigint"
+        return normalize_events_ts(df, nanos)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_events_ts(df: DataFrame, nanos: bool) -> DataFrame:
+    """ts → session-tz TIMESTAMP for both driver data formats (nanos-as-long
+    legacy, and MICROS NTZ). Shared by the batch catalog and the streaming
+    source so the two normalizations cannot drift. NOTE: reading the nanos
+    format at all requires spark.sql.legacy.parquet.nanosAsLong=true, which
+    callers set session-wide before the read (the flag only affects parquet
+    columns of the deprecated TIMESTAMP(NANOS) physical type)."""
+    if nanos:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

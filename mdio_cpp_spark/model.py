@@ -51,6 +51,23 @@ class SelError(ValueError):
     """Value-based selection failed (reference error semantics)."""
 
 
+def _intersect_runs(
+    a: list[tuple[int, int]], b: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    """Intersection of two ascending disjoint half-open run lists."""
+    out: list[tuple[int, int]] = []
+    i = j = 0
+    while i < len(a) and j < len(b):
+        lo, hi = max(a[i][0], b[j][0]), min(a[i][1], b[j][1])
+        if hi > lo:
+            out.append((lo, hi))
+        if a[i][1] <= b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
 @dataclass
 class MdioVariable:
     """One labeled array handle (Variable analog). Lazy — holds metadata and
@@ -167,10 +184,15 @@ class MdioVariable:
             for d, (lo, hi) in zip(run_dims, combo):
                 r[d] = (lo, hi)
             combos.append(r)
-        if len(combos) > 32:
-            # reference windows >32 descriptors per call (dataset.h:512-546);
-            # we scan in windows of 32 unions — same effect, bounded plans
-            pass
+        if len(combos) > 1024:
+            # the reference caps descriptors per call at 32 and windows
+            # beyond it (impl.h:181-186, dataset.h:512-546); a union of a
+            # thousand scans is a plan-size explosion, not a query — ask for
+            # a coarser selection instead
+            raise SelError(
+                f"selection expands to {len(combos)} scan ranges (cap 1024); "
+                "coarsen the multi-run selection"
+            )
         return combos
 
     def to_df(self, spark: SparkSession, fields: list[str] | None = None, value_col: str = "value",
@@ -179,10 +201,15 @@ class MdioVariable:
         Multi-run selections union one pruned scan per contiguous run
         (tensorstore::Concat analog, variable.h:1390-1391). ``value_filter``
         pushes a value predicate into the decoder (see sources/reader.py)."""
+        combos = self._range_combos()
+        if not combos:
+            # a composed selection emptied every run: a valid empty result
+            # (correct schema, zero rows), not an error
+            combos = [{self.dims[0]: (0, 0)}]
         dfs = [
             scan_array(spark, self.dataset.path, self.name, ranges=r or None,
                        fields=fields, value_col=value_col, value_filter=value_filter)
-            for r in self._range_combos()
+            for r in combos
         ]
         out = dfs[0]
         for d in dfs[1:]:
@@ -197,13 +224,21 @@ class MdioVariable:
         dense rectangular materialization — use ``to_df``."""
         run_dims = [d for d in self.dims if d in self.dataset._runs]
         base: dict[str, tuple[int, int]] = {}
+        steps = []
         for d, dim in enumerate(self.dims):
             if dim in self.dataset._runs:
+                steps.append(1)  # strided-onto-runs is rejected at isel()
                 continue
-            lo, hi, _ = self.dataset._ranges.get(dim, (0, self.meta.shape[d], 1))
+            lo, hi, step = self.dataset._ranges.get(dim, (0, self.meta.shape[d], 1))
             base[dim] = (max(0, lo), min(self.meta.shape[d], hi))
+            steps.append(step)
+        strided = tuple(slice(None, None, st) for st in steps)
+
+        def _stride(arr: np.ndarray) -> np.ndarray:
+            return arr[strided] if any(st > 1 for st in steps) else arr
+
         if not run_dims:
-            return self.dataset.store.read_array(self.name, base)
+            return _stride(self.dataset.store.read_array(self.name, base))
         if len(run_dims) > 1:
             raise SelError(
                 "read(): multi-run selections on more than one dimension have "
@@ -212,11 +247,14 @@ class MdioVariable:
         dim = run_dims[0]
         axis = list(self.dims).index(dim)
         parts = [
-            self.dataset.store.read_array(self.name, {**base, dim: (lo, hi)})
+            _stride(self.dataset.store.read_array(self.name, {**base, dim: (lo, hi)}))
             for lo, hi in self._effective_runs(dim)
         ]
         if not parts:
-            shape = list(self.meta.shape)
+            # empty selection: SELECTED sizes (not the stored shape) so the
+            # result stays consistent with num_samples()/get_intervals()
+            sizes = self._selected_sizes()
+            shape = [sizes[dm] for dm in self.dims]
             shape[axis] = 0
             return np.empty(shape, dtype=self.meta.np_dtype)
         return np.concatenate(parts, axis=axis)
@@ -383,10 +421,28 @@ class MdioDataset:
             step = int(r[2]) if len(r) > 2 else 1
             if step < 1:
                 raise ValueError(f"step must be >= 1 for {dim!r}")
+            if step != 1 and dim in out._runs:
+                raise ValueError(
+                    f"cannot compose a strided isel onto the multi-run "
+                    f"selection on {dim!r}"
+                )
             plo, phi, pstep = out._ranges.get(dim, (lo, hi, 1))
             if pstep != 1 and step != 1:
                 raise ValueError(f"cannot compose two strided selections on {dim!r}")
-            out._ranges[dim] = (max(lo, plo), min(hi, phi), max(step, pstep))
+            # true intersection: the surviving stride keeps ITS phase anchor,
+            # so the composed start snaps forward to the next in-phase index
+            # (isel(x=(0,10,2)) then isel(x=(1,10)) selects {2,4,6,8}, not a
+            # re-anchored {1,3,5,7,9})
+            nlo, nhi = max(lo, plo), min(hi, phi)
+            if pstep != 1:
+                anchor, nstep = plo, pstep
+            elif step != 1:
+                anchor, nstep = lo, step
+            else:
+                anchor, nstep = nlo, 1
+            if nstep > 1 and nlo > anchor:
+                nlo = anchor + -(-(nlo - anchor) // nstep) * nstep
+            out._ranges[dim] = (nlo, nhi, nstep)
         return out
 
     def isel_multi(self, **ranges: Sequence[tuple[int, int]]) -> "MdioDataset":
@@ -411,6 +467,10 @@ class MdioDataset:
                 prev = hi - 1
                 if hi > lo:
                     norm.append((lo, hi))
+            if dim in out._runs:
+                # compose by intersection with the existing runs (both lists
+                # ascending + disjoint → one merge walk)
+                norm = _intersect_runs(out._runs[dim], norm)
             out._runs[dim] = norm
         return out
 
@@ -439,6 +499,11 @@ class MdioDataset:
                     raise SelError(
                         f"sel range on {label!r}: start/stop must match exactly one "
                         f"coordinate value (got {len(lo_hits)}/{len(hi_hits)} matches)"
+                    )
+                if int(hi_hits[0]) < int(lo_hits[0]):
+                    raise SelError(
+                        f"sel range on {label!r}: stop value precedes start "
+                        "value in coordinate order (inverted range)"
                     )
                 out = out.isel(**{label: (int(lo_hits[0]), int(hi_hits[0]) + 1)})
             elif isinstance(v, (list, np.ndarray)):

@@ -127,14 +127,16 @@ def _check_semantics(spec: dict) -> None:
                 if prev != size:
                     _err(f"dimension {dname!r} has conflicting sizes {prev} and {size}")
     for var in spec["variables"]:
-        if var["name"] in dim_coords:
-            continue
-        for dname, _ in _dim_entries(var):
-            if dname not in dim_coords:
-                _err(
-                    f"Variable {var['name']!r} has a dimension {dname!r} "
-                    "that is not a dimension coordinate."
-                )
+        if var["name"] not in dim_coords:
+            for dname, _ in _dim_entries(var):
+                if dname not in dim_coords:
+                    _err(
+                        f"Variable {var['name']!r} has a dimension {dname!r} "
+                        "that is not a dimension coordinate."
+                    )
+        # the coordinates-must-exist check applies to EVERY variable,
+        # dimension coordinates included (validator.h:185-195 — a dangling
+        # reference on a dim coord is just as broken)
         for coord in var.get("coordinates", []):
             if coord not in var_names:
                 _err(f"Variable {var['name']!r} has a coordinate {coord!r} that is not a Variable.")

@@ -48,9 +48,9 @@ def stream_events_raw(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.load(path)
-    if nanos:
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    from mdio_cpp_spark.catalog import normalize_events_ts
+
+    return normalize_events_ts(raw, nanos)
 
 
 def windowed_event_agg(events: DataFrame, window: str = "1 minute") -> DataFrame:

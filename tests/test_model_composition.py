@@ -1,0 +1,74 @@
+"""Selection-composition semantics of the MdioDataset API (review-driven):
+stride-aware isel intersection, stride preservation in driver reads,
+isel_multi composition, empty-selection handling, inverted sel ranges, and
+the dangling-coordinate validation gap."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mdio_cpp_spark.model import MdioDataset, SelError
+from mdio_cpp_spark.plans.zarr_queries import _main_store
+from mdio_cpp_spark.schema.validation import SpecValidationError, validate_dataset_spec
+
+
+@pytest.fixture(scope="module")
+def ds(spark, sf_dir):
+    return MdioDataset.open(_main_store(spark, sf_dir))
+
+
+def test_isel_stride_then_slice_intersects_with_phase(ds):
+    # {0,2,4,6,8} ∩ [1,10) = {2,4,6,8} — the stride keeps its ORIGINAL
+    # anchor; a re-anchored (1,10,2) would be a disjoint selection
+    sel = ds.isel(i=(0, 10, 2)).isel(i=(1, 10))
+    assert sel._ranges["i"] == (2, 10, 2)
+    full = ds.var("price").read()
+    assert np.array_equal(sel.var("price").read(), full[2:10:2])
+
+
+def test_isel_slice_then_stride_anchors_at_stride_start(ds):
+    # [5,10) ∩ {1,3,5,7,9} = {5,7,9}
+    sel = ds.isel(i=(5, 10)).isel(i=(1, 20, 2))
+    assert sel._ranges["i"] == (5, 10, 2)
+
+
+def test_read_honors_stride(ds):
+    full = ds.var("price").read()
+    assert np.array_equal(ds.isel(i=(0, 10, 2)).var("price").read(), full[0:10:2])
+    assert ds.isel(i=(0, 10, 2)).var("price").num_samples() == 5
+
+
+def test_isel_multi_composes_by_intersection(ds):
+    m = ds.isel_multi(i=[(0, 100), (200, 300)]).isel_multi(i=[(50, 250)])
+    assert m._runs["i"] == [(50, 100), (200, 250)]
+
+
+def test_strided_isel_onto_runs_rejected(ds):
+    with pytest.raises(ValueError, match="strided isel"):
+        ds.isel_multi(i=[(0, 100)]).isel(i=(0, 50, 2))
+
+
+def test_emptied_selection_yields_empty_frame(ds, spark):
+    n = ds.isel_multi(i=[(0, 5)]).isel(i=(10, 20))
+    df = n.to_df(spark, "price")
+    assert df.count() == 0 and df.columns == ["i", "value"]
+    assert n.var("price").planned_chunks() == 0
+
+
+def test_inverted_sel_range_errors(ds):
+    with pytest.raises(SelError, match="inverted"):
+        ds.sel(i=(50, 10))
+
+
+def test_dangling_coordinate_on_dim_coord_rejected():
+    spec = {
+        "metadata": {"name": "x", "apiVersion": "1.0.0"},
+        "variables": [
+            {"name": "i", "dataType": "int64",
+             "dimensions": [{"name": "i", "size": 4}],
+             "coordinates": ["no_such_var"]},
+        ],
+    }
+    with pytest.raises(SpecValidationError, match="no_such_var"):
+        validate_dataset_spec(spec)
