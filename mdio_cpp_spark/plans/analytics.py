@@ -698,9 +698,13 @@ def g06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(_e2("o_totalprice")).alias("orders_total"))
     )
-    wide = bal.join(tot, "n_name")
+    wide = bal.join(tot, "n_name", "full_outer")
     return (
         wide.unpivot("n_name", ["acctbal", "orders_total"], "measure", "val_e2")
+        # the oracle is a UNION ALL of independent aggregates: a nation
+        # missing one measure (customers but zero orders) contributes no row
+        # for it — drop the outer join's NULL slots to match
+        .filter(F.col("val_e2").isNotNull())
         .orderBy("n_name", "measure")
     )
 
@@ -721,11 +725,11 @@ def g06(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts GROUP BY n_name
     )
     SELECT n_name, CAST(n AS BIGINT) AS n,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0), 4) AS slope,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 100.0), 4) AS slope,
            ROUND((CAST(sy AS DOUBLE) / n
-                  - CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                     * (CAST(sx AS DOUBLE) / n)) / 100.0, 4) AS intercept
     FROM s ORDER BY n_name
     """,
@@ -738,8 +742,9 @@ def ml01(spark: SparkSession, sf_dir: str) -> DataFrame:
     regr_intercept accumulate in floats whose partial-merge order varies
     run to run; integer moments make the fit bit-reproducible at any
     parallelism (x is a small offset year and y fixed-point cents, so the
-    moments stay far inside int64 — at larger magnitudes the same pass
-    would carry DECIMAL moments). The customer bridge to nation broadcasts
+    moments stay far inside int64; their COMBINATIONS n·Σxy − Σx·Σy are
+    evaluated in double — identical IEEE products both engines — because
+    those would overflow int64 near sf100). The customer bridge to nation broadcasts
     (n_name rides the customer dimension), so the only data-sized exchange
     is the orders-customer key join, then |nations| sufficient-stat rows."""
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -761,8 +766,17 @@ def ml01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y_e2")).alias("sxy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # combine in DOUBLE: the individual moments fit int64 at any sf, but
+    # n*sxy / sx*sy would overflow int64 near sf100; double products of
+    # exact ints are IEEE-identical across engines
+    num = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    den = (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
     slope_e2 = num / den
     return s.select(
         "n_name",

@@ -152,8 +152,14 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 VariableData::slice — slice of a materialized (cached) array
-    (variable.h:1745-1790). Spark analog: filter over a persisted DataFrame."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    (variable.h:1745-1790). Spark analog: filter over a PERSISTED DataFrame
+    (the persist is the operator under test — without it this gate would be
+    q01 with different constants)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .persist()
+    )
     return selection.isel(li, "l_orderkey", 500, 600).orderBy("l_orderkey", "l_linenumber")
 
 

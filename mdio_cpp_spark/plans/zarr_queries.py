@@ -480,6 +480,8 @@ def zarr09(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
         .limit(10000)
+        .persist()  # _zip_index runs three actions over this frame; without
+        # the cache each one re-executes the global take-ordered
     )
     # l_linenumber is 1..7, so okey*10+line is order-consistent and unique
     src = _zip_index(
@@ -1320,8 +1322,8 @@ def zarr34(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the grid's row count adapts to sf (cap 128; zarr23/28 use rows<64) —
     # size level-1 to exactly the pooled extent so the scan-back returns
     # the written region and nothing else
-    n_orders = table(spark, sf_dir, "orders").count()
-    src_rows = min(min(n_orders // GRID_C, 128), 64)
+    grid_rows = ZarrStore.open(os.path.join(base, "grid_v2.zarr")).array_meta("grid").shape[0]
+    src_rows = min(grid_rows, 64)
     l1_rows = -(-src_rows // 2)  # ceil
     l1_cols = GRID_C // 2
     want_shape = (int(l1_rows), l1_cols)
