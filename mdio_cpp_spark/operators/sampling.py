@@ -153,3 +153,38 @@ def temperature_resample(
     ).filter(hash_fraction(F.col(id_col)) < F.col("rate") * 4096.0)
     untagged = df.where(F.col(stratum_col).isNull())
     return kept.drop("rate").unionByName(untagged)
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    stride: int,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling without RNG: walk the corpus in a deterministic
+    order accumulating integer weights, keep each row that crosses a
+    ``stride`` boundary of the running total — selection probability is
+    proportional to weight (a row of weight w covers w/stride boundaries on
+    average), the expected sample size is total_weight/stride, and the
+    result is exactly reproducible on any engine (pure integer prefix
+    arithmetic; the A-ES exponential-keys scheme would hinge on pow()
+    ulp-parity across engines). The prefix sum runs in a window partitioned
+    by ``partition_col`` (parallel across partitions; a global walk would
+    be a single reducer — pass a sharding column at scale, as p01's packing
+    does)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(partition_col) if partition_col is not None
+        else Window.partitionBy(F.lit(0))
+    ).orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(F.col(weight_col)).over(w)
+    return (
+        df.withColumn("__cum", cum)
+        .filter(
+            F.floor((F.col("__cum") - F.col(weight_col)) / F.lit(stride))
+            != F.floor(F.col("__cum") / F.lit(stride))
+        )
+        .drop("__cum")
+    )

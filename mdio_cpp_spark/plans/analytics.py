@@ -1033,3 +1033,34 @@ def ga01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "s_a", "s_b")
         .limit(20)
     )
+
+
+@declared(
+    "s06_systematic_weighted",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM c
+    WHERE (cum - n_chars) // 5000 <> cum // 5000
+    ORDER BY doc_id
+    """,
+)
+def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling (probability ∝ document length, no
+    RNG): walk each source's documents in id order accumulating exact
+    integer weights and keep rows crossing a 5000-char boundary of the
+    running total (operators/sampling.systematic_weighted_sample). The
+    standard A-ES exponential-keys scheme would hinge on pow() ulp-parity
+    across engines; integer boundary-crossing is bit-reproducible anywhere.
+    The prefix window partitions by source — parallel across sources, never
+    a global walk."""
+    from mdio_cpp_spark.operators.sampling import systematic_weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return systematic_weighted_sample(
+        d, "doc_id", "n_chars", stride=5000, partition_col="source"
+    ).orderBy("doc_id")
