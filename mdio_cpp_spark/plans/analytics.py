@@ -1064,3 +1064,41 @@ def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return systematic_weighted_sample(
         d, "doc_id", "n_chars", stride=5000, partition_col="source"
     ).orderBy("doc_id")
+
+
+@declared(
+    "a11_grouped_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS m
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(MAX(m), 4) AS med,
+           ROUND(quantile_cont(ABS(l.l_quantity - m), 0.5), 4) AS mad
+    FROM lineitem l JOIN med USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def a11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion: grouped median absolute deviation, composed from
+    TWO passes of the buffer-free exact-percentile operator (median of the
+    values, then median of |value − median| — the outlier-resistant scale
+    estimate a data-quality monitor wants where stddev is blown up by a
+    single bad row). The group medians broadcast back onto the scan for
+    the deviation pass; no reducer ever buffers a group's values
+    (operators/stats.grouped_percentiles, a07's machinery)."""
+    from mdio_cpp_spark.operators.stats import grouped_percentiles
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    med = grouped_percentiles(li, "l_returnflag", "l_quantity", [(0.5, "med")])
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", F.abs(F.col("l_quantity") - F.col("med")).alias("ad")
+    )
+    mad = grouped_percentiles(dev, "l_returnflag", "ad", [(0.5, "mad")])
+    return (
+        med.join(mad, "l_returnflag")
+        .select("l_returnflag", F.round("med", 4).alias("med"), F.round("mad", 4).alias("mad"))
+        .orderBy("l_returnflag")
+    )
