@@ -37,7 +37,45 @@ def _global_window_lines(plan: str) -> list[str]:
 def test_no_global_window(name, spark, sf_dir):
     df = REGISTRY[name].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # a CartesianProduct (both sides data-sized, no key) is never acceptable
+    # in a declared plan — broadcast nested loops over bounded sides print
+    # as BroadcastNestedLoopJoin and are fine
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
     bad = _global_window_lines(plan)
     if name in _ALLOW_GLOBAL:
         return  # bounded by construction; see module docstring
     assert not bad, f"{name} plans a global window:\n" + "\n".join(bad)
+
+
+# targeted physical-plan contracts: the property each plan exists to
+# demonstrate must actually appear in the executed plan, so a regression
+# (lost pushdown, join strategy flip, global sort sneaking in) fails CI
+# instead of silently degrading
+_PLAN_CONTRACTS = {
+    "q01_isel_range": ["PushedFilters: [IsNotNull(l_orderkey), GreaterThanOrEqual(l_orderkey,100)"],
+    "h01_shipping_priority": ["TakeOrderedAndProject", "BroadcastHashJoin"],
+    "h05_revenue_forecast": ["PushedFilters: [IsNotNull(l_shipdate)"],
+    "j01_broadcast_join_agg": ["BroadcastHashJoin"],
+    "j02_semi_join": ["LeftSemi"],
+    "j03_anti_join": ["LeftAnti"],
+    "u02_scd2_history": ["BroadcastHashJoin"],
+    "h20_sole_returning_supplier": ["HashAggregate"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PLAN_CONTRACTS))
+def test_plan_contract(name, spark, sf_dir):
+    plan = REGISTRY[name].spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    for needle in _PLAN_CONTRACTS[name]:
+        assert needle in plan, f"{name}: expected {needle!r} in the executed plan"
+
+
+def test_zarr40_shift_roll_zero_shuffle(spark, sf_dir):
+    """The shift/roll remap must stay shuffle-free: the ONLY exchange in
+    the plan is the gate's output range-sort."""
+    plan = REGISTRY["zarr40_shift_roll"].spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    # pre-execution AQE plans may elide the output-sort exchange entirely;
+    # what must NEVER appear is a hash (data-shuffling) exchange
+    assert len(exchanges) <= 1, exchanges
+    assert all("hashpartitioning" not in l for l in exchanges), exchanges
