@@ -290,8 +290,16 @@ class MdioDataset:
 
     @classmethod
     def from_json(cls, spec: dict, path: str, version: int = 2,
-                  compressor: dict | None = None) -> "MdioDataset":
+                  compressor: dict | None = None,
+                  mode: str = "create") -> "MdioDataset":
         """Create a dataset from a validated MDIO v1 JSON spec (IO2).
+
+        ``mode`` carries the reference's open-option contract (USER_GUIDE
+        "Open options"): ``"create"`` (kCreate) errors if a store already
+        exists at ``path`` — silently merging group metadata over live
+        arrays is how data gets lost; ``"create_clean"`` (kCreateClean)
+        deletes any existing store first (the reference flags it
+        testing-only for the same reason).
 
         ``compressor`` overrides the per-variable spec compressor; the spec's
         ``blosc`` entries are honored only when the blosc wheel exists, else
@@ -299,6 +307,22 @@ class MdioDataset:
         this container has no blosc; the chunk layout and metadata are
         unchanged).
         """
+        if mode not in ("create", "create_clean"):
+            raise ValueError(f"mode must be 'create' or 'create_clean', got {mode!r}")
+        try:
+            ZarrStore.probe_version(path)
+            exists = True
+        except FileNotFoundError:
+            exists = False
+        if exists:
+            if mode == "create":
+                raise FileExistsError(
+                    f"a store already exists at {path!r} (kCreate semantics); "
+                    "pass mode='create_clean' to overwrite"
+                )
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
         spec = validate_dataset_spec(copy.deepcopy(spec))
         store = ZarrStore.create(path, version=version, attrs=spec["metadata"])
         for vs in variable_specs(spec):

@@ -84,3 +84,28 @@ def test_to_spec_roundtrip():
     assert v.shape == (48, 24) and v.chunk_shape == (16, 16)
     assert v.meta.np_dtype == np.dtype("float32")
     shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_from_json_create_modes(tmp_path):
+    """kCreate/kCreateClean contract (USER_GUIDE 'Open options'): creating
+    over an existing store errors unless create_clean wipes it first."""
+    import numpy as np
+    import pytest
+
+    from mdio_cpp_spark.model import MdioDataset
+
+    spec = {
+        "metadata": {"name": "m", "apiVersion": "1.0.0"},
+        "variables": [
+            {"name": "i", "dataType": "int64",
+             "dimensions": [{"name": "i", "size": 4}]},
+        ],
+    }
+    p = str(tmp_path / "modes.zarr")
+    MdioDataset.from_json(spec, p)
+    with pytest.raises(FileExistsError, match="create_clean"):
+        MdioDataset.from_json(spec, p)
+    with pytest.raises(ValueError, match="mode"):
+        MdioDataset.from_json(spec, p, mode="clobber")
+    ds = MdioDataset.from_json(spec, p, mode="create_clean")
+    assert ds.var("i").shape == (4,)
