@@ -3,10 +3,11 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed as plan-build + execution to completion via a count-style
-action (``df.write.format("noop")`` semantics via foreach-less count) — we use
-``df.collect()`` only for small results and ``df.count()`` for wide ones to
-avoid driver materialization costs dominating the measurement.
+Each query is timed as plan-build + execution to completion: small results
+``collect()``; wide results execute through ``df.write.format("noop")`` —
+the noop sink consumes every column, so the optimizer cannot prune the very
+operators being measured (a bare ``count()`` would let EliminateSorts +
+ColumnPruning reduce a window query to a metadata-only scan).
 """
 
 from __future__ import annotations
@@ -21,9 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mdio_cpp_spark.plans import REGISTRY
 from mdio_cpp_spark.session import get_spark
 
-# Wide outputs are counted (execution without driver materialization);
-# everything else is collected (results are small).
-_COUNT_ONLY = {
+# Wide outputs run through the noop sink (full execution, no driver
+# materialization); everything else is collected (results are small).
+_NOOP_WRITE = {
     "q07_project",
     "w01_row_number",
     "w02_running_sum",
@@ -58,9 +59,10 @@ def main() -> None:
         from mdio_cpp_spark.sources.datasource import register
 
         register(spark)
+        base = ensure_stores(spark, sf_dir)
         (
             spark.read.format("mdio")
-            .option("path", f"{os.path.join(ensure_stores(spark, sf_dir), 'orders_v2.zarr')}")
+            .option("path", os.path.join(base, "orders_v2.zarr"))
             .option("variable", "price").load().filter("i < 10").count()
         )
     # steady-state warmup outside the timed region: JVM parquet reader init
@@ -84,8 +86,8 @@ def main() -> None:
             t0 = time.time()
             try:
                 df = d.spark(spark, sf_dir)
-                if name in _COUNT_ONLY:
-                    df.count()
+                if name in _NOOP_WRITE:
+                    df.write.format("noop").mode("overwrite").save()
                 else:
                     df.collect()
             except Exception as e:  # one broken query must not kill the gate
@@ -94,7 +96,10 @@ def main() -> None:
                 break
             samples.append(time.time() - t0)
         if samples:
-            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+            srt = sorted(samples)
+            mid = len(srt) // 2
+            med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
+            timings[name] = round(med, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -108,7 +113,11 @@ def main() -> None:
         "load1_end": round(os.getloadavg()[0], 2),
     }
     if errors:
-        out["errors"] = {k: v[:80] for k, v in errors.items()}
+        # bounded: a systemic failure (bad sf_dir) must not blow the
+        # compact line's budget with 180 error strings
+        head = dict(sorted(errors.items())[:3])
+        out["errors"] = {k: v[:80] for k, v in head.items()}
+        out["n_errors"] = len(errors)
     # Full per-query detail always lands on disk next to the script.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as f:

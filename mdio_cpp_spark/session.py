@@ -22,6 +22,13 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Deterministic timestamp rendering (matches DuckDB's naive parquet read).
     "spark.sql.session.timeZone": "UTC",
+    # The driver's older events.parquet ships TIMESTAMP(NANOS), which Spark
+    # only reads with this flag (as int64 nanos; catalog.normalize_events_ts
+    # converts). Declared session-wide HERE — not as a hidden side effect of
+    # whichever table read happens first — so the posture is explicit: NANOS
+    # parquet columns in this engine always arrive as int64 for explicit
+    # normalization.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for toPandas / pandas_udf exchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Bigger Arrow batches for the chunked-write path: the default 10k rows

@@ -12,25 +12,12 @@ import pandas as pd
 import pytest
 
 from mdio_cpp_spark.catalog import TABLES
+from mdio_cpp_spark.differential import canonical_rows
 from mdio_cpp_spark.plans import REGISTRY
 
 
-def _canon(v) -> str:
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return "∅"
-    if isinstance(v, float):
-        return repr(v)
-    if isinstance(v, pd.Timestamp):
-        return v.isoformat()
-    return str(v)
-
-
 def canonical_hash(df: pd.DataFrame) -> tuple[int, str]:
-    cols = sorted(df.columns)
-    rows = sorted(
-        "\x1f".join(_canon(v) for v in row)
-        for row in df[cols].itertuples(index=False, name=None)
-    )
+    rows = canonical_rows(df)
     return len(df), hashlib.sha256("\x1e".join(rows).encode()).hexdigest()
 
 

@@ -26,15 +26,7 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 import pandas as pd
 
-
-def _canon_value(v) -> str:
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return "∅"
-    if isinstance(v, float):
-        return repr(v)
-    if isinstance(v, pd.Timestamp):
-        return v.isoformat()
-    return str(v)
+from mdio_cpp_spark.differential import canonical_rows
 
 
 def _coarse_type(dtype) -> str:
@@ -51,12 +43,9 @@ def _coarse_type(dtype) -> str:
 
 
 def canonicalize(df: pd.DataFrame) -> tuple[int, dict[str, str], str]:
-    cols = sorted(df.columns)
-    df = df[cols]
-    rows = ["\x1f".join(_canon_value(v) for v in row) for row in df.itertuples(index=False, name=None)]
-    rows.sort()
+    rows = canonical_rows(df)
     h = hashlib.sha256("\x1e".join(rows).encode()).hexdigest()[:16]
-    types = {c: _coarse_type(df[c].dtype) for c in cols}
+    types = {c: _coarse_type(df[c].dtype) for c in sorted(df.columns)}
     return len(df), types, h
 
 
@@ -67,11 +56,19 @@ def main() -> int:
 
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
+    if "--json" in argv:
+        i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: check.py [--json OUT.json] [sf_dir] [query ...]")
+            return 2
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     names = argv[1:] or sorted(REGISTRY)
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        print(f"unknown query name(s): {unknown}")
+        return 2
 
     spark = get_spark("mdio-check")
     con = duckdb.connect()
@@ -93,10 +90,16 @@ def main() -> int:
             continue
         t_spark = time.time() - t0
         if d.oracle is None:
-            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{t_spark:.1f}s]")
+            # the rows-only contract still requires ROWS (the pytest twin
+            # asserts the same) — an empty result would be a silent pass
+            ok = len(sdf) > 0
+            print(f"{'ROWS' if ok else 'FAIL'}  {name}: {len(sdf)} rows (no oracle) [{t_spark:.1f}s]")
+            if not ok:
+                failures.append(name)
             results[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
                              "spark_rows": len(sdf), "oracle_rows": None,
-                             "err": None, "gate": "rows-only"}
+                             "err": None if ok else "zero rows (rows-only gate)",
+                             "gate": "rows-only"}
             continue
         try:
             odf = con.execute(d.oracle).df()
