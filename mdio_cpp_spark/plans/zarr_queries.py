@@ -2042,3 +2042,71 @@ def zarr48(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_array(upd, path, "g", value_cols="v")
     return MdioDataset.open(path).to_df(spark, "g", value_col="v").orderBy("row", "col")
+
+
+def _evolve_store(spark: SparkSession, sf_dir: str) -> str:
+    """Dataset-evolution fixture: starts as a copy of the price column,
+    then zarr49 ADDS a second variable to the live store. Own marker."""
+    from mdio_cpp_spark.sources.writer import write_array
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "evolve.zarr")
+    marker = os.path.join(base, ".built_evolve_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select("i", F.col("o_totalprice").alias("v"))
+        n = ords.count()
+        st = ZarrStore.create(path, version=2, attrs={"name": "evolve_mdio"})
+        st.create_array("price", shape=(n,), chunks=(CHUNK,),
+                        dtype="float64", dims=("i",),
+                        compressor={"id": "zlib", "level": 1})
+        write_array(ords, path, "price", value_cols="v")
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+@declared(
+    "zarr49_add_variable",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS price,
+           CAST(o_orderkey % 5 AS BIGINT) AS bucket
+    FROM (SELECT o_totalprice, o_orderkey,
+                 ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 < 6000
+    ORDER BY i
+    """,
+)
+def zarr49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset EVOLUTION: add a variable to an existing live store (the
+    xarray ``assign`` / ALTER TABLE ADD COLUMN analog — the reference can
+    only create a dataset's full variable set up front via from_json,
+    dataset.h:312-403). A new chunk-grid-aligned array is declared on the
+    opened store, populated through the chunk-aligned writer (one shuffle),
+    the consolidated metadata republished, and a fresh open must see BOTH
+    variables and align them on the shared dimension — existing data
+    untouched, no rewrite of the original array. Idempotent: re-runs
+    rewrite the same derived cells."""
+    path = _evolve_store(spark, sf_dir)
+    st = ZarrStore.open(path)
+    if "bucket" not in st.arrays():
+        n = st.array_meta("price").shape[0]
+        st.create_array("bucket", shape=(n,), chunks=(CHUNK,),
+                        dtype="int64", dims=("i",),
+                        compressor={"id": "zlib", "level": 1})
+        st.consolidate()
+    newcol = _orders_indexed(spark, sf_dir).select(
+        "i", (F.col("o_orderkey") % 5).alias("b")
+    )
+    from mdio_cpp_spark.sources.writer import write_array
+
+    write_array(newcol, path, "bucket", value_cols="b")
+    ds = MdioDataset.open(path)
+    assert set(ds.list_variables()) >= {"price", "bucket"}
+    return (
+        ds.isel(i=(0, 6000))
+        .to_df_aligned(spark, {"price": "price", "bucket": "bucket"})
+        .orderBy("i")
+    )
