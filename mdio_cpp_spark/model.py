@@ -583,7 +583,7 @@ class MdioDataset:
         """Publish staged attributes + refresh consolidated metadata (IO7,
         dataset.h:1269-1416). Single-writer metadata commit."""
         for var, attrs in self._pending_attrs.items():
-            self.store.update_array_attrs(var, attrs)
+            self.store.update_array_attrs(var, attrs, reconsolidate=False)
         if self._pending_root is not None:
             self.store.update_root_attrs(self._pending_root)
         self.store.consolidate()

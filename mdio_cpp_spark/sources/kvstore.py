@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 import threading
 
-CLOUD_SCHEMES = ("gs://", "s3://", "gcs://", "s3a://", "abfs://", "az://")
+CLOUD_SCHEMES = ("gs://", "s3://", "gcs://", "s3a://", "abfs://", "abfss://", "az://")
 
 
 class KVStore:
@@ -230,6 +230,12 @@ def open_kvstore(path: str, retries: int | None = None) -> KVStore:
                     "so no other change is needed."
                 ) from None
             return _wrap(FsspecKVStore(path), True)
+    if "://" in path:
+        raise ValueError(
+            f"unrecognized store scheme in {path!r}; supported: file://, "
+            f"memory://, {', '.join(CLOUD_SCHEMES)} — a URL must not fall "
+            "through to a relative local directory"
+        )
     return _wrap(LocalKVStore(path), False)
 
 

@@ -229,7 +229,8 @@ def scan_array(
             # explicit null entry, which means fill-only-at-compute-time
             return True
         return _zonemap.chunk_compatible(
-            zone_stats[key], value_filter[0], value_filter[1], fill_lit
+            zone_stats[key], value_filter[0], value_filter[1], fill_lit,
+            float_kind=meta.np_dtype.kind == "f",
         )
 
     def _iter_coords(batches: Iterator[pd.DataFrame]):

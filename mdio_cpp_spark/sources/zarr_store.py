@@ -100,7 +100,12 @@ class ZarrArrayMeta:
 
     def chunk_key(self, coords: tuple[int, ...]) -> str:
         if self.zarr_version == 3:
-            return f"{self.name}/c/" + "/".join(str(c) for c in coords)
+            # default chunk-key encoding: "c" + sep + sep-joined coords
+            # (a "." separator yields keys like "c.0.1" — ignoring it would
+            # read every chunk as absent/fill)
+            sep = self.separator or "/"
+            parts = ["c", *[str(c) for c in coords]]
+            return f"{self.name}/" + sep.join(parts)
         return f"{self.name}/" + self.separator.join(str(c) for c in coords)
 
     def fill_scalar(self) -> Any:
@@ -240,6 +245,12 @@ def _v3_struct_fields(data_type: Any) -> list[tuple[str, str]] | None:
 def _meta_from_v3(name: str, zjson: dict) -> ZarrArrayMeta:
     data_type = zjson["data_type"]
     struct_fields = _v3_struct_fields(data_type)
+    if struct_fields is None and not isinstance(data_type, str):
+        # v3 extension data types are objects; anything we don't implement
+        # must refuse loudly, not die with an unhashable-dict TypeError
+        raise NotImplementedError(
+            f"array {name!r} has unsupported v3 data_type {data_type!r}"
+        )
     if struct_fields is not None:
         np_dt = struct_numpy_dtype(
             [{"name": n, "format": t} for n, t in struct_fields]
@@ -262,8 +273,15 @@ def _meta_from_v3(name: str, zjson: dict) -> ZarrArrayMeta:
     for codec in zjson.get("codecs", []):
         if codec.get("name") == "bytes":
             endian = (codec.get("configuration") or {}).get("endian", "little")
-            if endian == "big" and np_dt.kind in "iufc" and np_dt.itemsize > 1:
-                stored = np_dt.newbyteorder(">")
+            if endian == "big":
+                if np_dt.kind == "V":
+                    # same refusal as the v2 BE-struct path — silent
+                    # byte-swapped fields are worse than an error
+                    raise NotImplementedError(
+                        f"array {name!r}: big-endian struct on v3 not supported"
+                    )
+                if np_dt.kind in "iufc" and np_dt.itemsize > 1:
+                    stored = np_dt.newbyteorder(">")
             break
     fill = decode_fill_json(zjson.get("fill_value"), np_dt)
     return ZarrArrayMeta(
@@ -468,10 +486,16 @@ class ZarrStore:
             self._write_json(f"{name}/zarr.json", _v3_array_json(meta))
         return meta
 
-    def update_array_attrs(self, name: str, attrs: dict) -> None:
+    def update_array_attrs(self, name: str, attrs: dict,
+                           reconsolidate: bool | None = None) -> None:
         """Replace an array's attributes wholesale (the reference's
         UserAttributes snapshot swap, stats.h:408-490 / variable.h:1522-1614).
-        Publish via consolidate() (IO7)."""
+
+        When the store carries consolidated metadata, it is refreshed by
+        default — ``arrays()`` prefers the consolidated doc, so leaving it
+        stale would make the new attrs invisible (and let zone pruning
+        trust an outdated manifest). Batch callers that consolidate once at
+        the end (commit_metadata) pass ``reconsolidate=False``."""
         if self.version == 2:
             meta = self.array_meta(name)
             if meta.dims:
@@ -481,6 +505,10 @@ class ZarrStore:
             obj = self._read_json(f"{name}/zarr.json")
             obj["attributes"] = attrs
             self._write_json(f"{name}/zarr.json", obj)
+        if reconsolidate is None:
+            reconsolidate = self.version == 2 and self._kv.exists(".zmetadata")
+        if reconsolidate:
+            self.consolidate()
 
     def update_root_attrs(self, attrs: dict) -> None:
         self.attrs = dict(attrs)
@@ -535,7 +563,8 @@ class ZarrStore:
     def encode_chunk(self, meta: ZarrArrayMeta, block: np.ndarray) -> bytes:
         if tuple(block.shape) != meta.chunks:
             raise ValueError(f"chunk block shape {block.shape} != chunk shape {meta.chunks}")
-        raw = np.ascontiguousarray(block, dtype=meta.np_dtype).tobytes(order=meta.order)
+        disk_dtype = meta.stored_dtype or meta.np_dtype
+        raw = np.ascontiguousarray(block, dtype=disk_dtype).tobytes(order=meta.order)
         if meta.zarr_version == 2:
             return _codecs.compress_v2(raw, meta.compressor)
         return _codecs.compress_v3(raw, meta.v3_codecs)
@@ -632,7 +661,15 @@ def zone_of(v: "np.ndarray") -> list[float] | None:
         mn, mx = float(np.min(v[finite_mask])), float(np.max(v[finite_mask]))
         lim = np.finfo(np.float64).max
         return [float(np.clip(mn, -lim, lim)), float(np.clip(mx, -lim, lim))]
-    return [float(np.min(v)), float(np.max(v))]
+    mn_i, mx_i = int(np.min(v)), int(np.max(v))
+    flo, fhi = float(mn_i), float(mx_i)
+    # above 2^53 float() rounds: widen OUTWARD so the zone never excludes a
+    # value the exact integer comparison in the decoder would match
+    if int(flo) > mn_i:
+        flo = float(np.nextafter(flo, -np.inf))
+    if int(fhi) < mx_i:
+        fhi = float(np.nextafter(fhi, np.inf))
+    return [flo, fhi]
 
 
 def _clamped_box(

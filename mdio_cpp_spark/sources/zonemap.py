@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
@@ -39,6 +41,8 @@ STATS_KEY = CHUNK_STATS_ATTR
 
 # attr-resident manifest cap: beyond this, stats belong in a sidecar array
 MAX_ATTR_CHUNKS = 262_144
+
+_FLOAT_MAX = float(np.finfo(np.float64).max)
 
 # driver-side enumeration cap for exact pruning (beyond it, executor-side
 # skip does the same work without a driver loop)
@@ -123,10 +127,25 @@ def ensure_chunk_stats(spark: SparkSession, root: str, var: str) -> dict:
 
 
 def chunk_compatible(
-    stats: list[float] | None, op: str, lit: Any, fill: Any
+    stats: list[float] | None, op: str, lit: Any, fill: Any,
+    float_kind: bool = False,
 ) -> bool:
     """Can a chunk with zone [lo, hi] contain a row satisfying ``op lit``?
-    ``None`` stats = fill-only chunk → evaluate the fill value itself."""
+    ``None`` stats = fill-only chunk → evaluate the fill value itself.
+
+    Soundness guards (pruning may only drop chunks that PROVABLY contain no
+    matching row): an infinite/boundary literal never prunes (zones clamp
+    ±inf into the finite range for JSON, so a clamped hi cannot be compared
+    against lit=+inf); on float arrays ``!=`` never prunes (the zone masks
+    NaN cells — which DO satisfy any != — so a constant-looking zone can
+    still hide matching NaN rows)."""
+    try:
+        if lit is None or not math.isfinite(float(lit)):
+            return True
+    except (TypeError, ValueError, OverflowError):
+        return True
+    if abs(float(lit)) >= _FLOAT_MAX:
+        return True  # clamped-zone territory: cannot distinguish inf from max
     if stats is None:
         if fill is None:
             return True
@@ -144,6 +163,8 @@ def chunk_compatible(
     if op == "==":
         return lo <= lit <= hi
     if op == "!=":
+        if float_kind:
+            return True  # zone masks NaN cells, which satisfy every !=
         return not (lo == hi == lit)
     return True  # unknown op: never prune
 

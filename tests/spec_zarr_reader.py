@@ -180,7 +180,9 @@ def _read_v3(root: str, name: str) -> np.ndarray:
             assert codec.get("configuration", {}).get("endian", "little") == "little"
 
     def chunk_bytes(coords):
-        path = os.path.join(adir, "c", sep.join(str(c) for c in coords))
+        # default chunk-key encoding: "c" + sep + sep-joined coords — with
+        # a "." separator the key is a single file "c.0.1", not a c/ tree
+        path = os.path.join(adir, sep.join(["c", *[str(c) for c in coords]]))
         if not os.path.exists(path):
             return None
         with open(path, "rb") as f:

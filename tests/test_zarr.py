@@ -635,3 +635,92 @@ def test_write_arrays_rejects_out_of_domain_rows(tmp_path, spark):
     bad = spark.range(99, 101).select(F.col("id").alias("i"), F.lit(1.0).alias("val"))
     with pytest.raises(Exception, match="outside array domain"):
         write_array(bad, root, "v", value_cols="val")
+
+
+def test_v3_dot_separator_chunk_keys(tmp_path):
+    """chunk_key must honor the parsed v3 separator: '.' stores keys like
+    'c.0', not a c/ tree — ignoring it read every chunk as fill."""
+    import json
+    import zlib
+
+    import numpy as np
+
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    root = tmp_path / "dotsep.zarr"
+    (root / "a").mkdir(parents=True)
+    (root / "zarr.json").write_text(json.dumps(
+        {"zarr_format": 3, "node_type": "group", "attributes": {}}))
+    arr = np.arange(6, dtype="<f8")
+    (root / "a" / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [6],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [6]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "."}},
+        "fill_value": -1.0,
+        "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+                   {"name": "zlib", "configuration": {"level": 1}}],
+        "dimension_names": ["i"], "attributes": {},
+    }))
+    (root / "a" / "c.0").write_bytes(zlib.compress(arr.tobytes(), 1))
+    st = ZarrStore.open(str(root))
+    block = st.decode_chunk(st.array_meta("a"), (0,))
+    assert block is not None and np.array_equal(block, arr)
+
+
+def test_v2_big_endian_write_roundtrip(tmp_path):
+    """Writing into an opened big-endian v2 store must serialize BE bytes
+    (encode through stored_dtype) so the store stays self-consistent."""
+    import json
+
+    import numpy as np
+
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    root = tmp_path / "bev2.zarr"
+    (root / "x").mkdir(parents=True)
+    (root / ".zgroup").write_text(json.dumps({"zarr_format": 2}))
+    (root / "x" / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [4], "chunks": [4], "dtype": ">f4",
+        "compressor": None, "fill_value": 0.0, "order": "C", "filters": None,
+    }))
+    (root / "x" / ".zattrs").write_text(json.dumps({"_ARRAY_DIMENSIONS": ["i"]}))
+    st = ZarrStore.open(str(root))
+    vals = np.array([1.0, 2.5, -3.0, 4.25], dtype="<f4")
+    st.write_array_numpy("x", vals)
+    # raw bytes on disk must be big-endian per the declared dtype
+    raw = (root / "x" / "0").read_bytes()
+    assert np.array_equal(np.frombuffer(raw, dtype=">f4"), vals.astype(">f4"))
+    # and our own reader round-trips to native values
+    assert np.array_equal(ZarrStore.open(str(root)).read_array("x"), vals)
+
+
+def test_v3_object_data_type_clear_error(tmp_path):
+    import json
+
+    import pytest
+
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    root = tmp_path / "obj.zarr"
+    (root / "a").mkdir(parents=True)
+    (root / "zarr.json").write_text(json.dumps(
+        {"zarr_format": 3, "node_type": "group", "attributes": {}}))
+    (root / "a" / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [2],
+        "data_type": {"name": "some_extension"},
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": 0, "codecs": [], "dimension_names": ["i"], "attributes": {},
+    }))
+    with pytest.raises(NotImplementedError, match="data_type"):
+        ZarrStore.open(str(root)).arrays()
+
+
+def test_kvstore_rejects_unknown_url_scheme():
+    import pytest
+
+    from mdio_cpp_spark.sources.kvstore import open_kvstore
+
+    with pytest.raises(ValueError, match="unrecognized store scheme"):
+        open_kvstore("ftp://bucket/store")

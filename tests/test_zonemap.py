@@ -204,3 +204,22 @@ def test_zonemap_rejects_string_arrays(tmp_path, spark):
     st.consolidate()
     with pytest.raises(ValueError, match="numeric/bool"):
         zonemap.compute_chunk_stats(spark, root, "s")
+
+
+def test_chunk_compatible_soundness_guards():
+    import numpy as np
+
+    from mdio_cpp_spark.sources.zarr_store import zone_of
+    from mdio_cpp_spark.sources.zonemap import chunk_compatible
+
+    # float '!=' never prunes: the zone masks NaN cells that satisfy any !=
+    assert chunk_compatible([5.0, 5.0], "!=", 5.0, 0.0, float_kind=True)
+    assert not chunk_compatible([5.0, 5.0], "!=", 5.0, 0.0, float_kind=False)
+    # infinite / boundary literals never prune (zones clamp inf for JSON)
+    assert chunk_compatible([1.0, 1.0], ">=", float("inf"), 0.0)
+    assert chunk_compatible([1.0, 1.0], "==", float("-inf"), 0.0)
+    # int zones above 2^53 widen OUTWARD so exact matches are never excluded
+    v = np.array([9007199254740995] * 3, dtype="i8")  # 2^53 + 3
+    lo, hi = zone_of(v)
+    assert lo <= 9007199254740995 <= hi
+    assert chunk_compatible([lo, hi], "==", 9007199254740995, 0)
