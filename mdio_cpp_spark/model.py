@@ -477,6 +477,11 @@ class MdioDataset:
         pruned sub-scan per range (same machinery as multi-run ``sel``)."""
         out = self._copy_with()
         for dim, runs in ranges.items():
+            if out._ranges.get(dim, (0, 0, 1))[2] != 1:
+                raise ValueError(
+                    f"cannot compose isel_multi onto the strided selection "
+                    f"on {dim!r} (the runs would silently drop the stride)"
+                )
             norm: list[tuple[int, int]] = []
             prev = -1
             for r in runs:
