@@ -104,3 +104,16 @@ def test_salted_join_rejects_outer_hows(spark):
         skew.salted_join(a, b, on=["k"], how="full")
     with pytest.raises(ValueError, match="at least one column"):
         skew.with_salt(a.select("k"), 8, cols=[])
+
+
+def test_lsh_pipeline_with_empty_and_short_docs(spark):
+    """Empty/one-token docs flow through shingling + MinHash + banding
+    without crashing and without producing spurious candidate pairs."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat and then ran away quickly home"),
+         (2, ""), (3, "one"), (4, "two words"),
+         (5, "the cat sat on the mat and then ran away quickly home")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.lsh_candidate_pairs(docs, "doc_id", "text").collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 5)]
