@@ -159,3 +159,35 @@ def test_tail_latest_and_rate_cap(tmp_path, spark):
     r2.partitions({"cell": 800}, {"cell": N0})
     r2.commit({"cell": N0})
     assert r2.latestOffset() == {"cell": N0}, "cap never regresses below baseline"
+
+
+def test_tail_composes_with_streaming_agg_batch_parity(tmp_path, spark):
+    """The stream source feeds normal streaming transformations: a grouped
+    aggregate over the tailed cells must equal the same aggregate over the
+    batch scan (one pure transformation, two sources)."""
+    from mdio_cpp_spark.sources.reader import scan_array
+
+    path = _build(tmp_path, spark, N0)
+    register(spark)
+    stream = (
+        spark.readStream.format("mdio")
+        .option("path", path).option("variable", "v").load()
+        .groupBy((F.col("i") % 7).alias("g"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    )
+    got = {}
+    q = (
+        stream.writeStream.outputMode("complete")
+        .foreachBatch(lambda df, b: got.update({r["g"]: (r["n"], r["s"]) for r in df.collect()}))
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck_agg"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in scan_array(spark, path, "v", value_col="value")
+        .groupBy((F.col("i") % 7).alias("g"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
