@@ -191,3 +191,42 @@ def test_tail_composes_with_streaming_agg_batch_parity(tmp_path, spark):
         .collect()
     }
     assert got == want
+
+
+def test_store_to_store_streaming_rollup(tmp_path, spark):
+    """Full streaming pipeline across BOTH mdio endpoints: tail a growing
+    source store, aggregate per 256-cell bucket, and land the rollup in a
+    second store. Spark's DSv2 restricts Python streaming sinks to append
+    mode, so aggregates route through foreachBatch + the batch writer —
+    the same idempotent-RMW argument as streaming/ingest.py. The stored
+    rollup must equal the batch-computed one."""
+    import numpy as np
+
+    src = _build(tmp_path, spark, 1024)  # 4 buckets of 256
+    dst = os.path.join(str(tmp_path), "rollup.zarr")
+    st = ZarrStore.create(dst, version=2)
+    st.create_array("s", shape=(4,), chunks=(4,), dtype="float64", dims=("b",))
+    st.consolidate()
+    register(spark)
+    stream = (
+        spark.readStream.format("mdio")
+        .option("path", src).option("variable", "v").load()
+        .groupBy(F.expr("i div 256").alias("b"))
+        .agg(F.sum("value").alias("s"))
+    )
+
+    def land(df, _bid):
+        write_array(df.select("b", "s"), dst, "s", value_cols="s")
+
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(land)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck_roll"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = ZarrStore.open(dst).read_array("s")
+    want = np.array([
+        sum(i * 2.0 for i in range(b * 256, (b + 1) * 256)) for b in range(4)
+    ])
+    assert np.allclose(got, want), (got, want)
