@@ -395,6 +395,11 @@ def repartition_by_chunks(df, root: str, var: str):
 class MdioStreamArrowWriter(DataSourceStreamArrowWriter):
     """``writeStream.format("mdio")`` — the DSv2 streaming sink.
 
+    Spark restricts Python streaming sinks to APPEND output mode (update is
+    rejected JVM-side, complete is rejected by our overwrite guard), so
+    aggregate rollups land via foreachBatch + the batch writer instead
+    (streaming/ingest.py — same single-owner RMW argument per micro-batch).
+
     Per micro-batch the semantics are exactly MdioArrowWriter's (per-task
     chunk accumulation, one RMW per touched chunk, exclusivity checked in
     ``commit``); micro-batches are serialized by the engine, so cross-batch
