@@ -1102,3 +1102,47 @@ def a11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", F.round("med", 4).alias("med"), F.round("mad", 4).alias("mad"))
         .orderBy("l_returnflag")
     )
+
+
+@declared(
+    "asof03_tolerance",
+    oracle="""
+    SELECT e.event_id,
+           CASE WHEN p.pts IS NOT NULL
+                 AND epoch_us(e.ts) - epoch_us(p.pts) <= 3600000000
+                THEN CAST(ROUND(p.pv * 100) AS BIGINT) END AS last_purchase_e2
+    FROM events e ASOF LEFT JOIN
+         (SELECT user_id, ts AS pts, value AS pv FROM events
+          WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.pts
+    ORDER BY e.event_id
+    """,
+)
+def asof03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas ``merge_asof(tolerance=…)``
+    — stale state must not enrich): each event takes its user's latest
+    prior purchase value, but matches older than one hour are nulled. The
+    tolerance composes on the bucketed as-of operator by carrying the
+    matched row's OWN timestamp in the value struct (all carried columns
+    come from the same right row by construction), then one map-side CASE —
+    no second join, no extra shuffle beyond asof02's plan."""
+    from mdio_cpp_spark.operators import joins
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", "ts")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("pv")
+    )
+    j = joins.asof_join(e, p, "ts", "pts", ["pts", "pv"],
+                        partition_keys=["user_id"], how="left")
+    within = (
+        F.col("pts").isNotNull()
+        & (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("pts")) <= 3_600_000_000)
+    )
+    return (
+        j.select(
+            "event_id",
+            F.when(within, F.round(F.col("pv") * 100).cast("long")).alias("last_purchase_e2"),
+        )
+        .orderBy("event_id")
+    )
