@@ -1146,3 +1146,44 @@ def asof03(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@declared(
+    "mm07_payload_integrity",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source, text,
+             CASE WHEN doc_id % 97 = 0 THEN md5(text || 'CORRUPT')
+                  ELSE md5(text) END AS stored_md5
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(CASE WHEN md5(text) = stored_md5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           CAST(SUM(CASE WHEN md5(text) <> stored_md5 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+    FROM p GROUP BY source ORDER BY source
+    """,
+)
+def mm07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload integrity audit: recompute each payload's checksum
+    and compare against the stored manifest digest (the bitrot/transfer
+    check a multimodal lake runs before training; fixture digests are
+    derived from the text bytes with doc_id % 97 == 0 corrupted so the
+    gate is non-vacuous). Entirely map-side md5 + one small grouped count
+    — payload bytes never shuffle, only (source, ok) flags."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    stored = F.when(
+        F.col("doc_id") % 97 == 0, F.md5(F.encode(F.concat(F.col("text"), F.lit("CORRUPT")), "utf-8"))
+    ).otherwise(F.md5(payload))
+    ok = F.md5(payload) == F.col("stored_md5")
+    return (
+        d.select("doc_id", "source", "text", stored.alias("stored_md5"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum(F.when(ok, 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.when(~ok, 1).otherwise(0)).alias("n_corrupt"),
+        )
+        .orderBy("source")
+    )
