@@ -1270,7 +1270,7 @@ def zarr33(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _main_store(spark, sf_dir)
     zonemap.ensure_chunk_stats(spark, root, "price")
     meta = ZarrStore.open(root).array_meta("price")
-    fast = zonemap.aggregate_from_manifest(meta)
+    fast = zonemap.aggregate_from_manifest(meta, root)
     if fast is not None:
         cnt, vmin, vmax = fast
         return spark.createDataFrame(

@@ -316,8 +316,10 @@ class MdioArrowWriter(DataSourceArrowWriter):
                 m = ckey == k
                 per_chunk.setdefault(int(k), []).append((off[m], vals[m]))
         keys, zones = [], {}
+        from mdio_cpp_spark.sources import zonemap as _zm
+
         has_manifest = (
-            CHUNK_STATS_ATTR in meta.attrs
+            (CHUNK_STATS_ATTR in meta.attrs or _zm.sidecar_info(meta) is not None)
             and not meta.is_struct
             and meta.np_dtype.kind in "biuf"
         )
@@ -371,6 +373,13 @@ class MdioArrowWriter(DataSourceArrowWriter):
             manifest = dict(meta.attrs[CHUNK_STATS_ATTR])
             manifest.update(zones)
             store.update_array_attrs(self.var, {**meta.attrs, CHUNK_STATS_ATTR: manifest})
+        elif zones:
+            # sidecar manifest: fold the touched chunks' zones in via the
+            # sidecar RMW (commit messages are already driver-resident —
+            # the DSv2 commit contract — so this stays a driver-side fold)
+            from mdio_cpp_spark.sources import zonemap as _zm
+
+            _zm.apply_zone_updates(self.root, self.var, zones)
         store.consolidate()
 
     def abort(self, messages) -> None:  # chunks are atomic (tmp+rename); a

@@ -204,34 +204,28 @@ def scan_array(
         if value_filter[0] not in _VALUE_OPS:
             raise ValueError(f"unsupported value_filter op {value_filter[0]!r}")
 
-    # zone maps: per-chunk [min,max] manifest (sources/zonemap.py) prunes
-    # value-filtered scans BEFORE any chunk bytes are read — driver-side
-    # when the surviving grid is enumerable, executor-side otherwise (the
-    # manifest rides the meta closure; the skip removes the kvstore GET,
-    # the decompress, and the decode for incompatible chunks).
-    zone_stats = None
+    # zone maps: per-chunk [min,max] stats (sources/zonemap.py — attr
+    # manifest or sidecar arrays) prune value-filtered scans BEFORE any
+    # chunk bytes are read — driver-side when the surviving grid is
+    # enumerable, executor-side otherwise (the attr manifest rides the meta
+    # closure; the sidecar reader lazily fetches ~256 KiB stats chunks per
+    # task; either way the skip removes the kvstore GET, the decompress,
+    # and the decode for incompatible chunks).
+    zone_src = None
     fill_lit = None
     if value_filter is not None:
-        zone_stats = _zonemap.load_stats(meta)
-        if zone_stats is not None:
+        zone_src = _zonemap.open_zones(meta, store.root)
+        if zone_src is not None:
             try:
                 fill_lit = meta.fill_scalar()
             except Exception:
                 fill_lit = None
 
     def _zone_keep(coords: tuple[int, ...]) -> bool:
-        if zone_stats is None:
-            return True
-        key = ",".join(str(c) for c in coords)
-        if key not in zone_stats:
-            # absent from the manifest = UNKNOWN (e.g. a chunk created by a
-            # later resize) — never prune on unknown; distinct from an
-            # explicit null entry, which means fill-only-at-compute-time
-            return True
-        return _zonemap.chunk_compatible(
-            zone_stats[key], value_filter[0], value_filter[1], fill_lit,
+        return _zonemap.zone_keep(
+            zone_src, coords, value_filter[0], value_filter[1], fill_lit,
             float_kind=meta.np_dtype.kind == "f",
-        )
+        ) if zone_src is not None else True
 
     def _iter_coords(batches: Iterator[pd.DataFrame]):
         for pdf in batches:
@@ -294,7 +288,7 @@ def scan_array(
     # scales with the cluster, so a 1000-executor cluster still fans out)
     par = max(1, spark.sparkContext.defaultParallelism)
     cap = 64 * par
-    if zone_stats is not None and n_chunks <= _zonemap.MAX_DRIVER_ENUM:
+    if zone_src is not None and n_chunks <= _zonemap.MAX_DRIVER_ENUM:
         # driver-side exact pruning: enumerate the (range-pruned) grid and
         # ship only zone-compatible linear ids as the task list
         import itertools

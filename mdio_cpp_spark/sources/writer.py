@@ -188,6 +188,18 @@ def write_arrays(
         and not m.is_struct
         and m.np_dtype.kind in "biuf"
     ]
+    # sidecar-manifest variables (the scale form): zones are folded back by
+    # a distributed RMW pass keyed on sidecar-chunk id — no per-chunk
+    # driver collect, so coherence holds past the attr-resident cap
+    side_vars = [
+        v
+        for v, m in metas.items()
+        if v not in stats_vars
+        and _zonemap.sidecar_info(m) is not None
+        and not m.is_struct
+        and m.np_dtype.kind in "biuf"
+    ]
+    zone_vars = set(stats_vars) | set(side_vars)
 
     def write_chunk_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         coords = tuple(int(k) for k in key)
@@ -206,7 +218,7 @@ def write_arrays(
             _scatter_into(meta, flat, off, pdf, fields_by_var[var])
             block = flat.reshape(meta.chunks)
             task_store.write_chunk(meta, coords, block)
-            if var in stats_vars:
+            if var in zone_vars:
                 valid = tuple(
                     slice(0, min(meta.chunks[d], meta.shape[d] - coords[d] * meta.chunks[d]))
                     for d in range(meta.ndim)
@@ -237,8 +249,50 @@ def write_arrays(
                     manifest[key] = st[var]
             ds.update_attrs(var, **{_zonemap.STATS_KEY: manifest})
         ds.commit_metadata()
+        for var in side_vars:  # rare mixed case: rows are already driver-side
+            zones = {}
+            for r in rows:
+                st = json.loads(r["zstats"]) if r["zstats"] else {}
+                if var in st:
+                    zones[",".join(str(r[c]) for c in ckey_cols)] = st[var]
+            _zonemap.apply_zone_updates(root_path, var, zones)
         report = {"chunks": chunks_total, "cells": cells_total}
         consolidate = False  # commit_metadata above already consolidated
+    elif side_vars:
+        # fully distributed coherence: one tiny row per TOUCHED chunk
+        # shuffles by sidecar-chunk id; each reduce task RMWs its own
+        # disjoint sidecar chunks and emits partial totals — the chunk
+        # writes, the sidecar fold, and the report all ride ONE action,
+        # with nothing per-chunk on the driver (works at any touched count)
+        lin = F.lit(0).cast("long")
+        for d, g in enumerate(first.grid_shape()):
+            lin = lin * F.lit(int(g)) + F.col(ckey_cols[d])
+        _side_vars = list(side_vars)
+
+        def update_side(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            zones_by_var: dict[str, dict] = {v: {} for v in _side_vars}
+            ck = pdf[ckey_cols].astype(int).astype(str).agg(",".join, axis=1)
+            for k, zs in zip(ck, pdf["zstats"]):
+                st = json.loads(zs) if zs else {}
+                for v in _side_vars:
+                    if v in st:
+                        zones_by_var[v][k] = st[v]
+            for v in _side_vars:
+                _zonemap.apply_zone_updates(root_path, v, zones_by_var[v])
+            return pd.DataFrame(
+                {"chunks": [int(pdf["chunks"].sum())], "cells": [int(pdf["cells"].sum())]}
+            )
+
+        totals = per_chunk.withColumn(
+            "__sid", F.floor(lin / F.lit(_zonemap.SIDECAR_CHUNK)).cast("long")
+        )
+        row = (
+            totals.groupBy("__sid")
+            .applyInPandas(update_side, "chunks long, cells long")
+            .agg(F.sum("chunks").alias("chunks"), F.sum("cells").alias("cells"))
+            .collect()[0]
+        )
+        report = {"chunks": row["chunks"], "cells": row["cells"]}
     else:
         row = per_chunk.agg(
             F.sum("chunks").alias("chunks"), F.sum("cells").alias("cells")

@@ -606,13 +606,18 @@ class ZarrStore:
         meta = self.array_meta(name)
         origin = origin or tuple(0 for _ in meta.shape)
         box = tuple((o, o + s) for o, s in zip(origin, arr.shape))
+        zone_eligible = not meta.is_struct and meta.np_dtype.kind in "biuf"
         manifest = (
             dict(meta.attrs[CHUNK_STATS_ATTR])
-            if CHUNK_STATS_ATTR in meta.attrs
-            and not meta.is_struct
-            and meta.np_dtype.kind in "biuf"
+            if CHUNK_STATS_ATTR in meta.attrs and zone_eligible
             else None
         )
+        side_zones: dict | None = None
+        if manifest is None and zone_eligible:
+            from mdio_cpp_spark.sources import zonemap as _zm  # lazy: avoids cycle
+
+            if _zm.sidecar_info(meta) is not None:
+                side_zones = {}
         for coords in chunks_overlapping(meta, box):
             corigin = tuple(c * s for c, s in zip(coords, meta.chunks))
             block = self.decode_chunk(meta, coords)
@@ -628,7 +633,7 @@ class ZarrStore:
                 src_sel.append(slice(lo - box[d][0], hi - box[d][0]))
             block[tuple(dst_sel)] = arr[tuple(src_sel)]
             self.write_chunk(meta, coords, block)
-            if manifest is not None:
+            if manifest is not None or side_zones is not None:
                 # zone-map coherence for the driver-side writer (mirrors the
                 # Spark writer): refresh the touched chunk's [min,max] over
                 # its valid extent so stale stats can never wrongly prune
@@ -638,10 +643,17 @@ class ZarrStore:
                 )
                 v = block[valid]
                 key = ",".join(str(c) for c in coords)
-                manifest[key] = zone_of(v)
+                if manifest is not None:
+                    manifest[key] = zone_of(v)
+                else:
+                    side_zones[key] = zone_of(v)
         if manifest is not None:
             self.update_array_attrs(name, {**meta.attrs, CHUNK_STATS_ATTR: manifest})
             self.consolidate()
+        elif side_zones:
+            from mdio_cpp_spark.sources import zonemap as _zm
+
+            _zm.apply_zone_updates(self.root, name, side_zones)
 
 
 def zone_of(v: "np.ndarray") -> list[float] | None:
