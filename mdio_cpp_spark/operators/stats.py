@@ -22,9 +22,15 @@ from __future__ import annotations
 
 import math
 from collections.abc import Sequence
+from typing import Any
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# grouped_percentiles: max (group × bucket) count rows the driver may hold
+# for the low-latency rank walk; beyond it the metadata stage stays
+# distributed (the limit(+1) probe makes this a guarantee, not a hope)
+_DRIVER_META_BOUND = 65_536
 
 
 def summary_stats(df: DataFrame, col: str, round_to: int | None = 2) -> DataFrame:
@@ -126,10 +132,13 @@ def grouped_percentiles(
       1. Global [min, max] (one partial agg) fixes uniform value buckets
          (4× cluster parallelism of them; skewed data would swap in
          approx-quantile boundaries, same machinery).
-      2. Per-(group, bucket) row counts (partial agg; G × nparts rows
-         collect to the driver). Running offsets and per-group totals fall
-         out driver-side; target ranks (n-1)·p map to the one or two
-         buckets that contain their floor/ceil ranks.
+      2. Per-(group, bucket) row counts (partial agg). The rank metadata —
+         running offsets, per-group totals, and which one-or-two buckets
+         contain each target rank (n-1)·p — is computed driver-side ONLY
+         when the count table fits a hard bound (≤ _DRIVER_META_BOUND rows,
+         guaranteed by a limit probe); past the bound the same metadata
+         stays distributed (per-group prefix-sum window + covering-bucket
+         joins) and only its ≤ 2·G·|ps|-row products are broadcast.
       3. ONLY those buckets' rows are re-read: per-(group, bucket, value)
          counts (duplicate-heavy data collapses before the window), a
          window prefix-sum ranks them WITHIN the bucket (+ broadcast
@@ -188,41 +197,98 @@ def grouped_percentiles(
     )
     tagged = base.withColumn("__pid", pid)
 
-    sub = tagged.groupBy(group, "__pid").agg(F.count(F.lit(1)).alias("__s")).collect()
-    per_group: dict = {}
-    for r in sub:
-        per_group.setdefault(r[group], {})[r["__pid"]] = r["__s"]
-    offs_by_gb: dict = {}
-    for g, d in per_group.items():
-        acc = 0
-        for b in sorted(d):
-            offs_by_gb[(g, b)] = acc
-            acc += d[b]
-    totals = {g: sum(d.values()) for g, d in per_group.items()}
+    # pass 2: per-(group, bucket) counts. Two tiers, both hard-bounded on
+    # the driver:
+    #   * ≤ _DRIVER_META_BOUND count rows → the driver walks ranks directly
+    #     (zero extra Spark stages — the low-latency path every bounded-
+    #     cardinality caller hits; the limit(+1) probe makes the bound a
+    #     GUARANTEE, not a hope).
+    #   * beyond it → the same offsets/targets/covering-bucket metadata is
+    #     computed as DataFrames: a prefix-sum window over ≤ nparts rows per
+    #     group, joins for the covering buckets, and only the ≤ 2·G·|ps|-row
+    #     products broadcast into pass 3. Nothing G-sized ever collects.
+    counts = (
+        tagged.groupBy(group, "__pid").agg(F.count(F.lit(1)).alias("__s"))
+    ).persist()  # tiny; probed once, then feeds offsets/totals/cover joins
+    head = counts.limit(_DRIVER_META_BOUND + 1).collect()
+    if len(head) <= _DRIVER_META_BOUND:
+        per_group: dict = {}
+        for r in head:
+            per_group.setdefault(r[group], {})[r["__pid"]] = r["__s"]
+        offs_by_gb: dict = {}
+        for g, d in per_group.items():
+            acc = 0
+            for b in sorted(d):
+                offs_by_gb[(g, b)] = acc
+                acc += d[b]
+        totals_d = {g: sum(d.values()) for g, d in per_group.items()}
 
-    # driver-side: which (group, bucket) holds each needed global rank?
-    def bucket_of(g: Any, rank: int) -> int:
-        acc = 0
-        for b in sorted(per_group[g]):
-            acc += per_group[g][b]
-            if rank < acc:
-                return b
-        return max(per_group[g])
+        def bucket_of(g: Any, rank: int) -> int:
+            acc = 0
+            for b in sorted(per_group[g]):
+                acc += per_group[g][b]
+                if rank < acc:
+                    return b
+            return max(per_group[g])
 
-    tgt_rows = []
-    needed: set = set()
-    for g, n in totals.items():
-        for p, name in ps:
-            rank = float(n - 1) * float(p)
-            fl, ce = int(math.floor(rank)), int(math.ceil(rank))
-            tgt_rows.append((g, name, rank, fl, ce))
-            needed.add((g, bucket_of(g, fl)))
-            needed.add((g, bucket_of(g, ce)))
-    tgt = spark.createDataFrame(tgt_rows, [group, "__name", "__rank", "__fl", "__ce"])
-    need_df = spark.createDataFrame(sorted(needed), [group, "__pid"])
-    off_df = spark.createDataFrame(
-        [(g, b, o) for (g, b), o in offs_by_gb.items()], [group, "__pid", "__off"]
-    )
+        tgt_rows = []
+        needed: set = set()
+        for g, n in totals_d.items():
+            for p, name in ps:
+                rank = float(n - 1) * float(p)
+                fl, ce = int(math.floor(rank)), int(math.ceil(rank))
+                tgt_rows.append((g, name, rank, fl, ce))
+                needed.add((g, bucket_of(g, fl)))
+                needed.add((g, bucket_of(g, ce)))
+        tgt = spark.createDataFrame(tgt_rows, [group, "__name", "__rank", "__fl", "__ce"])
+        need_df = spark.createDataFrame(sorted(needed), [group, "__pid"])
+        off_df = spark.createDataFrame(
+            [(g, b, o) for (g, b), o in offs_by_gb.items()], [group, "__pid", "__off"]
+        )
+    else:
+        woff = Window.partitionBy(group).orderBy("__pid")
+        offs = counts.withColumn("__off", F.sum("__s").over(woff) - F.col("__s"))
+        totals = counts.groupBy(group).agg(F.sum("__s").alias("__n"))
+
+        p_struct = F.array(
+            *[
+                F.struct(F.lit(float(p)).alias("__p"), F.lit(name).alias("__name"))
+                for p, name in ps
+            ]
+        )
+        tgt = (
+            totals.select(group, "__n", F.explode(p_struct).alias("__t"))
+            .select(
+                group,
+                F.col("__t.__name").alias("__name"),
+                ((F.col("__n") - 1).cast("double") * F.col("__t.__p")).alias("__rank"),
+            )
+            .withColumn("__fl", F.floor("__rank").cast("long"))
+            .withColumn("__ce", F.ceil("__rank").cast("long"))
+        )
+
+        # the covering bucket of rank r is the unique one with
+        # off ≤ r < off+s; one join finds both covers
+        covers = (
+            offs.join(F.broadcast(tgt), group)
+            .where(
+                (
+                    (F.col("__off") <= F.col("__fl"))
+                    & (F.col("__fl") < F.col("__off") + F.col("__s"))
+                )
+                | (
+                    (F.col("__off") <= F.col("__ce"))
+                    & (F.col("__ce") < F.col("__off") + F.col("__s"))
+                )
+            )
+            .select(group, "__pid")
+        )
+        need_df = covers.distinct()
+        # offsets restricted to needed buckets: ≤ 2·G·|ps| rows broadcast,
+        # never the full G × nparts table
+        off_df = offs.join(need_df, [group, "__pid"], "left_semi").select(
+            group, "__pid", "__off"
+        )
 
     # pass 3: only the covering buckets' rows; duplicates collapse first
     p3 = (

@@ -1092,7 +1092,10 @@ def a11(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_cpp_spark.operators.stats import grouped_percentiles
 
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
-    med = grouped_percentiles(li, "l_returnflag", "l_quantity", [(0.5, "med")])
+    # the group medians are consumed twice (deviation pass + final join);
+    # without the persist each consumer re-runs the ENTIRE median DAG —
+    # a 3-row cache collapses the query from 3 percentile pipelines to 2
+    med = grouped_percentiles(li, "l_returnflag", "l_quantity", [(0.5, "med")]).persist()
     dev = li.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag", F.abs(F.col("l_quantity") - F.col("med")).alias("ad")
     )

@@ -232,3 +232,27 @@ def test_duplicate_clusters_paths_agree(spark, monkeypatch):
         (1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20), (30, 1),
     ]
+
+
+def test_grouped_percentiles_high_cardinality_groups(spark):
+    """≥10k distinct groups: the pass-2 metadata (counts, offsets, targets)
+    must stay distributed — no (group × bucket)-row driver collect — and
+    the answers must still be quantile_cont-exact per group."""
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.operators.stats import grouped_percentiles
+
+    # 10,000 groups × 7 values: group g holds {g, g+1, ..., g+6}
+    df = (
+        spark.range(10_000)
+        .select(F.col("id").alias("g"))
+        .join(spark.range(7).select(F.col("id").alias("k")))
+        .select("g", (F.col("g") + F.col("k")).cast("double").alias("v"))
+    )
+    out = grouped_percentiles(df, "g", "v", [(0.5, "p50"), (0.25, "p25")])
+    rows = {r["g"]: r for r in out.collect()}
+    assert len(rows) == 10_000
+    # p50 of {g..g+6} = g+3; p25 = g + 1.5 (quantile_cont interpolation)
+    for g in (0, 1, 4_999, 9_999):
+        assert rows[g]["p50"] == float(g + 3)
+        assert rows[g]["p25"] == float(g) + 1.5
