@@ -320,9 +320,13 @@ class MdioDataset:
                     f"a store already exists at {path!r} (kCreate semantics); "
                     "pass mode='create_clean' to overwrite"
                 )
-            import shutil
-
-            shutil.rmtree(path, ignore_errors=True)
+            # kCreateClean must actually CLEAR the old store for every
+            # supported scheme. A local rmtree would silently no-op on
+            # gs://, s3://, memory://, … and the following create would then
+            # MERGE group metadata over live chunk data — the exact data-loss
+            # scenario the mode exists to prevent. Route deletion through
+            # the kvstore abstraction instead.
+            ZarrStore.open(path).delete()
         spec = validate_dataset_spec(copy.deepcopy(spec))
         store = ZarrStore.create(path, version=version, attrs=spec["metadata"])
         for vs in variable_specs(spec):
@@ -708,16 +712,25 @@ def _map_spec_compressor(comp: dict | None) -> dict | None:
         return {"id": "zlib", "level": 5}
     name = comp.get("name")
     if name == "blosc":
+        # honored natively when the wheel exists OR when cname=zlib
+        # (sources/blosc1.py implements that subset of the public frame
+        # format with no wheel); other cnames fall back to plain zlib at
+        # the same level (layout/metadata unchanged, documented deviation)
+        cname = comp.get("cname", "lz4")
         try:
             import blosc  # type: ignore  # noqa: F401
+
+            wheel = True
+        except ImportError:
+            wheel = False
+        if wheel or cname == "zlib":
             return {
                 "id": "blosc",
-                "cname": comp.get("cname", "lz4"),
+                "cname": cname,
                 "clevel": comp.get("clevel", 5),
                 "shuffle": comp.get("shuffle", 1),
             }
-        except ImportError:
-            return {"id": "zlib", "level": int(comp.get("clevel", 5))}
+        return {"id": "zlib", "level": int(comp.get("clevel", 5))}
     if name in ("zlib", "gzip"):
         return {"id": name, "level": int(comp.get("clevel", comp.get("level", 5)))}
     return {"id": "zlib", "level": 5}

@@ -2,9 +2,12 @@
 
 The reference accepts only Blosc (dataset_factory.h:295-297,344-346) because
 TensorStore ships it. This container has no blosc/numcodecs wheel, so the
-engine's own stores default to stdlib codecs (zlib/gzip) and blosc support is
-gated behind an import-try: reading a blosc-compressed store raises a clear
-error here but works wherever ``blosc`` is installed.
+engine's own stores default to stdlib codecs (zlib/gzip). Blosc frames are
+handled in two tiers: the ``blosc`` wheel when importable, else a pure-Python
+blosc1 codec (sources/blosc1.py, public frame format) that covers
+``cname=zlib`` with any shuffle — so reference-written blosc-zlib stores are
+readable with no wheel. Other cnames (lz4/blosclz/snappy/zstd payloads)
+still raise a clear error until the wheel exists.
 
 Zarr v2 compressor JSON: ``null`` | {"id": "zlib"|"gzip"|"blosc", ...}.
 Zarr v3 codec chain: [{"name": "bytes", ...}, {"name": "gzip"|"zstd", ...}].
@@ -20,6 +23,11 @@ try:  # optional, not in this container
     import blosc as _blosc  # type: ignore
 except ImportError:  # pragma: no cover
     _blosc = None
+
+# pure-Python blosc1 fallback (cname=zlib, shuffle 0/1/2) from the public
+# frame format — stores written with the reference's blosc-zlib config are
+# readable with NO wheel; other cnames still raise a clear error
+from mdio_cpp_spark.sources import blosc1 as _blosc1
 
 # zstd is the de-facto default codec for externally-written Zarr v3 stores.
 # Python 3.14+ ships compression.zstd in the stdlib; earlier interpreters can
@@ -68,14 +76,25 @@ def compress_v2(data: bytes, compressor: dict | None) -> bytes:
     if cid == "gzip":
         return gzip.compress(data, compresslevel=compressor.get("level", 5))
     if cid == "blosc":
-        if _blosc is None:
-            raise CodecError("blosc not installed in this environment; use zlib/gzip")
-        return _blosc.compress(
-            data,
-            typesize=compressor.get("typesize", 8) or 8,
-            cname=compressor.get("cname", "lz4"),
-            clevel=compressor.get("clevel", 5),
-            shuffle=compressor.get("shuffle", 1),
+        cname = compressor.get("cname", "lz4")
+        if _blosc is not None:
+            return _blosc.compress(
+                data,
+                typesize=compressor.get("typesize", 8) or 8,
+                cname=cname,
+                clevel=compressor.get("clevel", 5),
+                shuffle=compressor.get("shuffle", 1),
+            )
+        if cname == "zlib":
+            return _blosc1.compress(
+                data,
+                typesize=compressor.get("typesize", 8) or 8,
+                clevel=compressor.get("clevel", 5),
+                shuffle=compressor.get("shuffle", 1),
+            )
+        raise CodecError(
+            f"blosc cname={cname!r} needs the blosc wheel (not installed); "
+            "cname='zlib' works without it"
         )
     raise CodecError(f"unsupported v2 compressor {cid!r}")
 
@@ -89,9 +108,12 @@ def decompress_v2(data: bytes, compressor: dict | None) -> bytes:
     if cid == "gzip":
         return gzip.decompress(data)
     if cid == "blosc":
-        if _blosc is None:
-            raise CodecError("blosc not installed in this environment; cannot read this store")
-        return _blosc.decompress(data)
+        if _blosc is not None:
+            return _blosc.decompress(data)
+        try:
+            return _blosc1.decompress(data)
+        except _blosc1.BloscFormatError as e:
+            raise CodecError(str(e)) from e
     raise CodecError(f"unsupported v2 compressor {cid!r}")
 
 
@@ -114,12 +136,21 @@ def compress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
                 raise CodecError("zstd codec needs compression.zstd (py3.14+) or the zstandard wheel")
             data = _zstd_compress(data, conf.get("level", 3))
         elif name == "blosc":
-            if _blosc is None:
-                raise CodecError("blosc not installed in this environment")
-            data = _blosc.compress(data, typesize=conf.get("typesize", 8) or 8,
-                                   cname=conf.get("cname", "lz4"),
-                                   clevel=conf.get("clevel", 5),
-                                   shuffle=_blosc_shuffle(conf.get("shuffle", "shuffle")))
+            cname = conf.get("cname", "lz4")
+            if _blosc is not None:
+                data = _blosc.compress(data, typesize=conf.get("typesize", 8) or 8,
+                                       cname=cname,
+                                       clevel=conf.get("clevel", 5),
+                                       shuffle=_blosc_shuffle(conf.get("shuffle", "shuffle")))
+            elif cname == "zlib":
+                data = _blosc1.compress(data, typesize=conf.get("typesize", 8) or 8,
+                                        clevel=conf.get("clevel", 5),
+                                        shuffle=_blosc_shuffle(conf.get("shuffle", "shuffle")))
+            else:
+                raise CodecError(
+                    f"blosc cname={cname!r} needs the blosc wheel (not installed); "
+                    "cname='zlib' works without it"
+                )
         else:
             raise CodecError(f"unsupported v3 codec {name!r}")
     return data
@@ -139,9 +170,13 @@ def decompress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
                 raise CodecError("zstd codec needs compression.zstd (py3.14+) or the zstandard wheel")
             data = _zstd_decompress(data)
         elif name == "blosc":
-            if _blosc is None:
-                raise CodecError("blosc not installed in this environment")
-            data = _blosc.decompress(data)
+            if _blosc is not None:
+                data = _blosc.decompress(data)
+            else:
+                try:
+                    data = _blosc1.decompress(data)
+                except _blosc1.BloscFormatError as e:
+                    raise CodecError(str(e)) from e
         else:
             raise CodecError(f"unsupported v3 codec {name!r}")
     return data

@@ -456,9 +456,11 @@ class MdioStreamReader(DataSourceStreamReader):
     "shape" alone can run ahead of the data: a trigger landing between
     grow and write would emit fill values for in-flight cells and never
     revisit them. Producers that need the stronger guarantee publish a
-    watermark AFTER the cells land::
+    watermark AFTER the cells land (``patch_array_attrs`` MERGES — using
+    the wholesale-replace ``update_array_attrs`` here would silently drop
+    the array's other attrs, e.g. the zone-map manifest)::
 
-        store.update_array_attrs(var, {"frontier": n_written})
+        store.patch_array_attrs(var, {"frontier": n_written})
         store.consolidate()
 
     When the array carries a ``frontier`` attribute the stream never reads

@@ -283,6 +283,17 @@ def _meta_from_v3(name: str, zjson: dict) -> ZarrArrayMeta:
                 if np_dt.kind in "iufc" and np_dt.itemsize > 1:
                     stored = np_dt.newbyteorder(">")
             break
+    # chunk-key encoding: only the spec's 'default' scheme ("c/0/1"-style
+    # keys) is implemented. A store written with {"name": "v2"} uses bare
+    # "0.1" keys — reading it through the default scheme would silently find
+    # NO chunks and synthesize fill everywhere, so refuse loudly instead
+    # (the same posture as the unsupported-data_type and BE-struct guards).
+    cke = zjson.get("chunk_key_encoding") or {}
+    if cke.get("name") not in (None, "default"):
+        raise NotImplementedError(
+            f"array {name!r}: chunk_key_encoding {cke.get('name')!r} not "
+            "supported (only 'default')"
+        )
     fill = decode_fill_json(zjson.get("fill_value"), np_dt)
     return ZarrArrayMeta(
         name=name,
@@ -455,6 +466,11 @@ class ZarrStore:
                 fill_np = None  # header-only / non-MDIO dtypes: no fill
         else:
             fill_np = None if fill is None else np.asarray(fill, np_dt)[()] if not np.isscalar(fill) else np_dt.type(fill)
+        if compressor is not None and compressor.get("id") == "blosc" and "typesize" not in compressor:
+            # blosc's shuffle operates on element boundaries — pin the
+            # dtype's itemsize so the filter is layout-correct, not the
+            # codec default of 8
+            compressor = {**compressor, "typesize": int(np_dt.itemsize)}
         meta = ZarrArrayMeta(
             name=name,
             shape=tuple(int(s) for s in shape),
@@ -466,8 +482,16 @@ class ZarrStore:
             compressor=compressor if self.version == 2 else None,
             v3_codecs=(
                 [{"name": "bytes", "configuration": {"endian": "little"}}]
-                + ([{"name": compressor["id"], "configuration": {"level": compressor.get("level", 5)}}]
-                   if compressor else [])
+                + ([{
+                    "name": compressor["id"],
+                    # blosc carries cname/clevel/shuffle/typesize; the stdlib
+                    # codecs carry just a level — pass the config through
+                    "configuration": (
+                        {k: v for k, v in compressor.items() if k != "id"}
+                        if compressor["id"] == "blosc"
+                        else {"level": compressor.get("level", 5)}
+                    ),
+                }] if compressor else [])
             ) if self.version == 3 else [],
             separator="." if self.version == 2 else "/",
             dims=tuple(dims),
@@ -509,6 +533,19 @@ class ZarrStore:
             reconsolidate = self.version == 2 and self._kv.exists(".zmetadata")
         if reconsolidate:
             self.consolidate()
+
+    def patch_array_attrs(self, name: str, attrs: dict,
+                          reconsolidate: bool | None = None) -> None:
+        """MERGE ``attrs`` into the array's existing attributes.
+
+        ``update_array_attrs`` replaces the attribute document wholesale
+        (the reference's UserAttributes snapshot-swap contract) — a caller
+        that only wants to advance one key (the stream frontier watermark,
+        a status flag) through the replace form would silently drop every
+        OTHER attr: the zone-map manifest/sidecar marker, units, statsV1.
+        This helper is the single-key-update form that cannot."""
+        self.update_array_attrs(name, {**self.array_meta(name).attrs, **attrs},
+                                reconsolidate)
 
     def update_root_attrs(self, attrs: dict) -> None:
         self.attrs = dict(attrs)

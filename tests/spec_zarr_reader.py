@@ -58,6 +58,48 @@ def _fill_np(fill_json, dt: np.dtype):
     return dt.type(fill_json)
 
 
+def _blosc_decode(frame: bytes) -> bytes:
+    """Independent blosc1 frame decode (zlib cname), straight from the
+    public c-blosc container spec (README_HEADER.rst): 16-byte LE header
+    ``version u8|versionlz u8|flags u8|typesize u8|nbytes i32|blocksize i32|
+    cbytes i32``; flags bit0 byte-shuffle, bit1 memcpy, bit2 bit-shuffle,
+    bits5-7 codec (3=zlib); then i32 bstarts[nblocks] and per block
+    ``i32 csize|stream`` (csize == block size → stored raw). Shuffles are
+    per-block byte/bit transposes, element-incomplete tails unshuffled."""
+    import struct
+
+    flags, typesize = frame[2], frame[3] or 256
+    nbytes, blocksize, _cbytes = struct.unpack_from("<iii", frame, 4)
+    if nbytes == 0:
+        return b""
+    if flags & 0x2:  # memcpy'd: raw original payload
+        return frame[16 : 16 + nbytes]
+    if (flags >> 5) & 0x7 != 3:
+        raise ValueError("spec reader: blosc frame is not cname=zlib")
+    nblocks = -(-nbytes // blocksize)
+    bstarts = struct.unpack_from(f"<{nblocks}i", frame, 16)
+    out = bytearray()
+    for i in range(nblocks):
+        bsize = min(blocksize, nbytes - i * blocksize)
+        (csize,) = struct.unpack_from("<i", frame, bstarts[i])
+        raw = frame[bstarts[i] + 4 : bstarts[i] + 4 + csize]
+        block = bytes(raw) if csize == bsize else zlib.decompress(raw)
+        if flags & 0x1 and typesize > 1:  # byte unshuffle
+            n = len(block) - len(block) % typesize
+            if n:
+                m = np.frombuffer(block, "u1", count=n).reshape(typesize, -1)
+                block = m.T.tobytes() + block[n:]
+        elif flags & 0x4 and typesize > 1:  # bit unshuffle (LE bit order)
+            n = len(block) - len(block) % (typesize * 8)
+            if n:
+                nelem = n // typesize
+                planes = np.frombuffer(block, "u1", count=n).reshape(typesize * 8, nelem // 8)
+                bits = np.unpackbits(planes, axis=1, bitorder="little")
+                block = np.packbits(bits.T, axis=1, bitorder="little").tobytes() + block[n:]
+        out += block
+    return bytes(out)
+
+
 def _decompress(raw: bytes, compressor, v3_codecs) -> bytes:
     if compressor is not None:  # v2
         cid = compressor.get("id")
@@ -65,6 +107,8 @@ def _decompress(raw: bytes, compressor, v3_codecs) -> bytes:
             return zlib.decompress(raw)
         if cid == "gzip":
             return gzip.decompress(raw)
+        if cid == "blosc":
+            return _blosc_decode(raw)
         raise ValueError(f"spec reader: unsupported v2 compressor {cid}")
     for codec in reversed(v3_codecs or []):
         name = codec.get("name")
@@ -74,6 +118,8 @@ def _decompress(raw: bytes, compressor, v3_codecs) -> bytes:
             raw = gzip.decompress(raw)
         elif name == "zlib":
             raw = zlib.decompress(raw)
+        elif name == "blosc":
+            raw = _blosc_decode(raw)
         else:
             raise ValueError(f"spec reader: unsupported v3 codec {name}")
     return raw

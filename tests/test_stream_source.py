@@ -101,7 +101,7 @@ def test_tail_frontier_watermark_blocks_inflight_appends(tmp_path, spark):
     grow→write window must NOT emit the in-flight (fill-valued) cells."""
     path = _build(tmp_path, spark, N0)
     st = ZarrStore.open(path)
-    st.update_array_attrs("v", {"frontier": N0})
+    st.patch_array_attrs("v", {"frontier": N0})
     st.consolidate()
     ckpt = os.path.join(str(tmp_path), "ckpt_f")
     assert len(_drain(spark, path, ckpt)) == N0
@@ -114,7 +114,7 @@ def test_tail_frontier_watermark_blocks_inflight_appends(tmp_path, spark):
     df = spark.range(N0, N1).select(F.col("id").alias("i"), (F.col("id") * 2.0).alias("val"))
     write_array(df, path, "v", value_cols="val")
     st = ZarrStore.open(path)
-    st.update_array_attrs("v", {"frontier": N1})
+    st.patch_array_attrs("v", {"frontier": N1})
     st.consolidate()
     got = _drain(spark, path, ckpt)
     assert set(got) == set(range(N0, N1)) and got[N0] == N0 * 2.0
@@ -230,3 +230,14 @@ def test_store_to_store_streaming_rollup(tmp_path, spark):
         sum(i * 2.0 for i in range(b * 256, (b + 1) * 256)) for b in range(4)
     ])
     assert np.allclose(got, want), (got, want)
+
+
+def test_patch_array_attrs_merges_not_replaces(tmp_path, spark):
+    """The frontier recipe must not clobber unrelated attrs (the zone-map
+    marker, units): patch_array_attrs merges; update_array_attrs replaces."""
+    path = _build(tmp_path, spark, N0)
+    st = ZarrStore.open(path)
+    st.patch_array_attrs("v", {"custom:tag": "keepme"})
+    st.patch_array_attrs("v", {"frontier": N0})
+    attrs = ZarrStore.open(path).array_meta("v").attrs
+    assert attrs["custom:tag"] == "keepme" and attrs["frontier"] == N0

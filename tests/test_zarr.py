@@ -724,3 +724,50 @@ def test_kvstore_rejects_unknown_url_scheme():
 
     with pytest.raises(ValueError, match="unrecognized store scheme"):
         open_kvstore("ftp://bucket/store")
+
+
+def test_v3_nondefault_chunk_key_encoding_refused(tmp_path):
+    """A v3 store written with the spec's {"name": "v2"} chunk-key encoding
+    keys chunks as '0.1' (no 'c/' prefix) — reading it through the default
+    scheme would silently synthesize fill for every chunk. Refuse loudly
+    instead (ADVICE r4)."""
+    import json
+
+    import pytest
+
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    root = str(tmp_path / "cke.zarr")
+    st = ZarrStore.create(root, version=3)
+    st.create_array("v", shape=(10,), chunks=(5,), dtype="float64", dims=("i",))
+    obj = json.loads((tmp_path / "cke.zarr" / "v" / "zarr.json").read_text())
+    obj["chunk_key_encoding"] = {"name": "v2", "configuration": {"separator": "."}}
+    (tmp_path / "cke.zarr" / "v" / "zarr.json").write_text(json.dumps(obj))
+    with pytest.raises(NotImplementedError, match="chunk_key_encoding"):
+        ZarrStore.open(root).array_meta("v")
+
+
+def test_create_clean_clears_nonlocal_store():
+    """kCreateClean must clear the old store through the kvstore seam — a
+    local rmtree silently no-ops on memory:// (and gs://, s3://) and the
+    re-create would merge metadata over live chunks (ADVICE r4)."""
+    import numpy as np
+
+    from mdio_cpp_spark.model import MdioDataset
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    root = "memory://createclean/ds"
+    spec = {
+        "metadata": {"name": "cc", "apiVersion": "1.0.0", "createdOn": "2023-01-01T00:00:00Z"},
+        "variables": [
+            {"name": "i", "dataType": "float64", "dimensions": [{"name": "i", "size": 8}]}
+        ],
+    }
+    MdioDataset.from_json(spec, root, mode="create")
+    st = ZarrStore.open(root)
+    st.write_array_numpy("i", np.arange(8.0))
+    assert ZarrStore.open(root).read_array("i")[3] == 3.0
+
+    MdioDataset.from_json(spec, root, mode="create_clean")
+    arr = ZarrStore.open(root).read_array("i")
+    assert not np.array_equal(arr, np.arange(8.0)), "old chunks must be gone"
