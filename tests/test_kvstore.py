@@ -251,3 +251,39 @@ def test_cloud_paths_default_to_retrying():
     with pytest.raises(NotImplementedError):
         open_kvstore("gs://bucket/store")
     assert type(open_kvstore("memory://b/s", retries=3)).__name__ == "RetryingKVStore"
+
+
+def test_fsspec_store_against_real_memory_fs():
+    """FsspecKVStore driven by REAL fsspec (its memory:// filesystem) the
+    moment the wheel is importable — the cloud seam then gets a genuine
+    fsspec lifecycle test with no code change, mirroring the blosc gating
+    pattern. Skipped in this container (no fsspec wheel; probe log
+    tests/INTEROP_PROBE.md)."""
+    fsspec = pytest.importorskip(
+        "fsspec", reason="fsspec wheel not installed (tests/INTEROP_PROBE.md)"
+    )
+    import numpy as np
+
+    from mdio_cpp_spark.sources.kvstore import FsspecKVStore
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    kv = FsspecKVStore("memory://fsspec-real/store")
+    kv.write("a/b", b"payload")
+    assert kv.read("a/b") == b"payload"
+    assert kv.exists("a/b") and not kv.exists("a/missing")
+    assert kv.list_dir("a") == ["b"]
+    assert kv.delete("a/b") and kv.read("a/b") is None
+
+    # full store lifecycle THROUGH fsspec: create, write chunks, read back
+    root = "memory://fsspec-real/ds.zarr"
+    store = ZarrStore(root, 2)
+    store._kv = FsspecKVStore(root)  # bypass scheme routing (memory:// maps
+    store._write_json(".zgroup", {"zarr_format": 2})  # to the fake otherwise)
+    store.create_array("v", shape=(10,), chunks=(4,), dtype="float64", dims=("i",))
+    store.write_array_numpy("v", np.arange(10.0))
+    rt = ZarrStore(root, 2)
+    rt._kv = FsspecKVStore(root)
+    assert np.array_equal(rt.read_array("v"), np.arange(10.0))
+    kv2 = FsspecKVStore(root)
+    kv2.delete_all()
+    assert not kv2.exists(".zgroup")
