@@ -2110,3 +2110,84 @@ def zarr49(spark: SparkSession, sf_dir: str) -> DataFrame:
         .to_df_aligned(spark, {"price": "price", "bucket": "bucket"})
         .orderBy("i")
     )
+
+
+@declared(
+    "zarr50_dsv2_value_pushdown",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS price FROM
+      (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE o_totalprice >= 450000.0
+    ORDER BY i
+    """,
+)
+def zarr50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-predicate pushdown through the SQL surface: a plain
+    ``.filter("value >= …")`` on ``spark.read.format("mdio")`` reaches the
+    reader's pushFilters, is CONSUMED (decoder-exact numpy mask, rows never
+    cross the Arrow boundary), and — because the array carries zone-map
+    stats — prunes incompatible chunks before the byte GET. zarr29's
+    pruning semantics, but driven entirely by Catalyst instead of the
+    engine-native ``value_filter`` API (the parquet-filter-pushdown UX at
+    Zarr-chunk granularity)."""
+    from mdio_cpp_spark.sources.datasource import register
+
+    root = _main_store(spark, sf_dir)
+    zonemap.ensure_chunk_stats(spark, root, "price")
+    register(spark)
+    return (
+        spark.read.format("mdio")
+        .option("path", root).option("variable", "price")
+        .load()
+        .filter(F.col("value") >= 450000.0)
+        .select("i", F.col("value").alias("price"))
+        .orderBy("i")
+    )
+
+
+@declared(
+    "zarr51_blosc_zlib_store",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+    FROM orders
+    """,
+)
+def zarr51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blosc-compressed store round-trip with NO blosc wheel: chunks are
+    encoded/decoded by the pure-Python blosc1 codec (sources/blosc1.py,
+    public c-blosc frame format, cname=zlib + byte-shuffle) — the
+    reference's ONLY accepted codec family (dataset_factory.h:295-297,
+    344-346), so a store written with the reference's blosc-zlib config is
+    readable here as-is. Store built once (own marker), then a distributed
+    full scan aggregates count/sum/min/max against the orders oracle."""
+    from mdio_cpp_spark.sources.writer import write_array
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "blosc.zarr")
+    marker = os.path.join(base, ".built_blosc_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select(
+            "i", F.col("o_totalprice").alias("v")
+        )
+        n = ords.count()
+        st = ZarrStore.create(path, version=2, attrs={"name": "blosc_mdio"})
+        st.create_array(
+            "price", shape=(n,), chunks=(CHUNK,), dtype="float64", dims=("i",),
+            compressor={"id": "blosc", "cname": "zlib", "clevel": 5, "shuffle": 1},
+        )
+        st.consolidate()
+        write_array(ords, path, "price", value_cols="v")
+        with open(marker, "w") as f:
+            f.write("1")
+    ds = MdioDataset.open(path)
+    return ds.to_df(spark, "price", value_col="v").agg(
+        F.count("v").cast("long").alias("cnt"),
+        F.round(F.sum("v"), 2).alias("total"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )

@@ -51,7 +51,13 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from mdio_cpp_spark.sources.reader import _decode_chunk_to_pdf, _dim_names, scan_schema
+from mdio_cpp_spark.sources import zonemap as _zonemap
+from mdio_cpp_spark.sources.reader import (
+    _VALUE_OPS,
+    _decode_chunk_to_pdf,
+    _dim_names,
+    scan_schema,
+)
 from mdio_cpp_spark.sources.zarr_store import CHUNK_STATS_ATTR, ZarrStore, _clamped_box, zone_of
 
 
@@ -62,14 +68,19 @@ class MdioChunkPartition(InputPartition):
     grid. (grid_starts, grid_lens) define the pruned per-dim chunk ranges;
     linear ids unravel C-order within that grid."""
 
-    def __init__(self, start: int, end: int, grid_starts: tuple[int, ...], grid_lens: tuple[int, ...]):
+    def __init__(self, start: int, end: int, grid_starts: tuple[int, ...], grid_lens: tuple[int, ...],
+                 ids: tuple[int, ...] | None = None):
         self.start = start
         self.end = end
         self.grid_starts = grid_starts
         self.grid_lens = grid_lens
+        # explicit survivor ids (driver-tier zone pruning); None = the
+        # contiguous [start, end) range
+        self.ids = ids
 
     def coords_iter(self):
-        for linear in range(self.start, self.end):
+        linears = self.ids if self.ids is not None else range(self.start, self.end)
+        for linear in linears:
             rem, coords = linear, []
             for length in reversed(self.grid_lens):
                 coords.append(rem % length)
@@ -164,12 +175,33 @@ class MdioReader(DataSourceReader):
         self._bounds: dict[str, list[int]] = {
             d: [0, meta.shape[i]] for i, d in enumerate(self.dim_names)
         }
+        # value-column comparisons consumed by pushFilters: evaluated
+        # exactly in the decoder (numpy, before the Arrow boundary) and —
+        # when the array carries zone-map stats — used to SKIP incompatible
+        # chunks before the byte GET (sources/zonemap.py)
+        self._value_filters: list[tuple[str, int | float]] = []
 
     # -------------------------------------------------------------- pushdown
 
+    _VF_OPS = {
+        EqualTo: "==",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Consume dim-column comparisons (they become exact chunk-pruning
-        ranges); yield back everything else for Spark to evaluate."""
+        """Consume dim-column comparisons (exact chunk-pruning ranges) AND
+        value-column comparisons (decoder-exact, zone-map-prunable); yield
+        back everything else for Spark to evaluate."""
+        value_pushable = (
+            not self.meta.is_struct
+            and self.meta.np_dtype.kind in "iuf"
+            # uint64 surfaces as Decimal(20,0) — object cells, not a numpy
+            # comparison target; leave its predicates to Spark
+            and self.meta.np_dtype.name != "uint64"
+        )
         for f in filters:
             consumed = False
             col = f.attribute[0] if getattr(f, "attribute", None) else None
@@ -189,6 +221,28 @@ class MdioReader(DataSourceReader):
                 elif isinstance(f, LessThanOrEqual):
                     hi = min(hi, v + 1)
                 self._bounds[col] = [lo, hi]
+                consumed = True
+            elif (
+                value_pushable
+                and col == self.value_col
+                and type(f) in self._VF_OPS
+                and isinstance(f.value, (int, float, np.integer, np.floating))
+                and not isinstance(f.value, bool)
+                and not (isinstance(f.value, (float, np.floating)) and np.isnan(f.value))
+            ):
+                # consumed = Spark will NOT re-check: the decoder's numpy
+                # mask reproduces the predicate exactly on the scan's output
+                # domain (NaN cells surface as NULL at the Arrow boundary,
+                # and NULL fails every comparison — numpy's NaN behavior);
+                # NaN literals stay with Spark. Int literals keep their
+                # native type — float() would lose exactness past 2^53 on
+                # int64 columns
+                lit = (
+                    int(f.value)
+                    if isinstance(f.value, (int, np.integer))
+                    else float(f.value)
+                )
+                self._value_filters.append((self._VF_OPS[type(f)], lit))
                 consumed = True
             if not consumed:
                 yield f
@@ -223,6 +277,31 @@ class MdioReader(DataSourceReader):
         n_chunks = 1
         for length in grid_lens:
             n_chunks *= length
+        # driver-tier zone pruning: with pushed value filters and an
+        # enumerable grid, survivors ship as an explicit id list so skipped
+        # chunks never even become work (reader.py's same two-tier rule;
+        # past the enumeration cap the executor-side skip in read() does
+        # the identical check without a driver loop)
+        zk = self._zone_keeper()
+        if zk is not None and n_chunks <= _zonemap.MAX_DRIVER_ENUM:
+            import itertools
+
+            survivors = tuple(
+                i for i, coords in enumerate(itertools.product(*per_dim))
+                if zk(coords)
+            )
+            if not survivors:
+                return []
+            n_parts = max(1, -(-len(survivors) // chunks_per_task))
+            n_parts = min(max(n_parts, min(len(survivors), par)), max_tasks)
+            per_part = -(-len(survivors) // n_parts)
+            return [
+                MdioChunkPartition(
+                    0, 0, grid_starts, grid_lens,
+                    ids=survivors[s : s + per_part],
+                )
+                for s in range(0, len(survivors), per_part)
+            ]
         # never fewer tasks than cores while chunks remain (small scans
         # should still use the whole cluster)
         n_parts = max(1, -(-n_chunks // chunks_per_task))
@@ -233,6 +312,31 @@ class MdioReader(DataSourceReader):
             for s in range(0, n_chunks, per_part)
         ]
 
+    def _zone_keeper(self):
+        """callable(chunk_coords) -> keep?, from the pushed value filters and
+        the array's zone stats (attr manifest or sidecar); None when there is
+        nothing to prune with. Built lazily on whichever side calls it — the
+        driver for enumeration, each executor for the streamed skip."""
+        if not self._value_filters:
+            return None
+        zone_src = _zonemap.open_zones(self.meta, self.root)
+        if zone_src is None:
+            return None
+        try:
+            fill = self.meta.fill_scalar()
+        except Exception:
+            fill = None
+        float_kind = self.meta.np_dtype.kind == "f"
+        vfs = list(self._value_filters)
+
+        def keep(coords: tuple[int, ...]) -> bool:
+            return all(
+                _zonemap.zone_keep(zone_src, coords, op, lit, fill, float_kind)
+                for op, lit in vfs
+            )
+
+        return keep
+
     # -------------------------------------------------------------- execute
 
     def read(self, partition: MdioChunkPartition) -> Iterator[pa.RecordBatch]:
@@ -241,11 +345,23 @@ class MdioReader(DataSourceReader):
         store = ZarrStore(self.root, self.version)
         box = self._box()
         steps = tuple(1 for _ in self.dim_names)
+        zk = self._zone_keeper()
         for coords in partition.coords_iter():
+            if zk is not None and not zk(coords):
+                continue  # zone-incompatible: no GET, no decompress, no decode
             pdf = _decode_chunk_to_pdf(
                 store, self.meta, coords, box, steps,
                 self.dim_names, self.fields, self.value_col,
             )
+            for op, lit in self._value_filters:
+                if len(pdf) == 0:
+                    break
+                # numpy semantics ARE the consumed-predicate semantics: NaN
+                # cells surface as SQL NULL at the Arrow boundary (engine
+                # convention), and NULL satisfies no comparison — exactly
+                # numpy's False for every NaN comparison
+                mask = _VALUE_OPS[op](pdf[self.value_col].to_numpy(), lit)
+                pdf = pdf[mask]
             yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
 
 

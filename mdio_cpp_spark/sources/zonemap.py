@@ -143,7 +143,12 @@ def chunk_compatible(
     ±inf into the finite range for JSON, so a clamped hi cannot be compared
     against lit=+inf); on float arrays ``!=`` never prunes (the zone masks
     NaN cells — which DO satisfy any != — so a constant-looking zone can
-    still hide matching NaN rows)."""
+    still hide matching NaN rows).
+
+    NaN cells surface as SQL NULL at the engine's Arrow boundary (the
+    whole-engine convention), and NULL satisfies no comparison — so the
+    numpy semantics here (NaN matches no ordered op) are exactly the
+    semantics of a consumed DSv2 predicate too."""
     try:
         if lit is None or not math.isfinite(float(lit)):
             return True

@@ -48,9 +48,10 @@ def test_pushdown_prunes_partitions(store):
     assert _planned_chunks(r) == 10
     rest = list(r.pushFilters([
         GreaterThanOrEqual(("i",), 1200), LessThan(("i",), 1800),
-        GreaterThan(("value",), 3.0),  # value filters are NOT consumed
+        GreaterThan(("value",), 3.0),  # consumed: decoder-exact value filter
     ]))
-    assert rest == [GreaterThan(("value",), 3.0)]
+    assert rest == []
+    assert r._value_filters == [(">", 3.0)]
     assert _planned_chunks(r) == 2  # chunks 2 and 3
     # equality → single chunk
     r2 = src.reader(src.schema())
@@ -227,3 +228,98 @@ def test_datasource_write_rejects_unpartitioned_input(spark, tmp_path):
             df.write.format("mdio").option("path", root).option("variable", "v")
             .mode("append").save()
         )
+
+
+# ---------------------------------------------------- value-filter pushdown
+
+
+def _vf_store(tmp_path, name, vals, chunk=100, fill=0.0):
+    import numpy as np
+
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    root = str(tmp_path / f"{name}.zarr")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("v", shape=(len(vals),), chunks=(chunk,), dtype="float64",
+                    dims=("i",), fill=fill)
+    st.consolidate()
+    st.write_array_numpy("v", np.asarray(vals, dtype=np.float64))
+    return root
+
+
+def test_dsv2_value_filter_pushdown_exact(spark, tmp_path):
+    """value-column comparisons are CONSUMED by pushFilters and evaluated
+    in the decoder — results must match Spark evaluating the same predicate
+    on the unfiltered scan."""
+    from mdio_cpp_spark.sources.datasource import register
+
+    register(spark)
+    root = _vf_store(tmp_path, "vfp", list(range(1000)))
+    df = (
+        spark.read.format("mdio").option("path", root).option("variable", "v")
+        .load()
+    )
+    got = sorted(r["i"] for r in df.filter("value >= 750.0").collect())
+    assert got == list(range(750, 1000))
+    got2 = sorted(
+        r["i"] for r in df.filter("value >= 750.0 AND value < 800.0").collect()
+    )
+    assert got2 == list(range(750, 800))
+    # combined with dim pushdown
+    got3 = sorted(
+        r["i"] for r in df.filter("i < 900 AND value > 850.0").collect()
+    )
+    assert got3 == list(range(851, 900))
+
+
+def test_dsv2_value_filter_zone_pruning(spark, tmp_path):
+    """With zone stats published, a pushed value predicate must skip
+    incompatible chunks BEFORE the byte read — corrupted pruned chunks
+    prove the GET never happened."""
+    from mdio_cpp_spark.sources import zonemap
+    from mdio_cpp_spark.sources.datasource import register
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    register(spark)
+    root = _vf_store(tmp_path, "vfz", list(range(1000)))
+    zonemap.build_sidecar_stats(spark, root, "v")
+    st = ZarrStore.open(root)
+    meta = st.array_meta("v")
+    for k in range(7):  # zones [0,99]..[600,699]: incompatible with >= 750
+        st.write_bytes(meta.chunk_key((k,)), b"\x00corrupt")
+    df = (
+        spark.read.format("mdio").option("path", root).option("variable", "v")
+        .load().filter("value >= 750.0")
+    )
+    assert sorted(r["i"] for r in df.collect()) == list(range(750, 1000))
+
+
+def test_dsv2_value_filter_matches_unpushed_evaluation_with_nan(spark, tmp_path):
+    """NaN cells surface as SQL NULL at the Arrow boundary (engine-wide
+    convention), and NULL satisfies no comparison. A CONSUMED predicate must
+    therefore agree exactly with Spark evaluating the same predicate
+    residually on the scan output — `value + 0.0 > lit` cannot be pushed
+    (not a bare attribute comparison), so it IS that residual ground truth."""
+    from mdio_cpp_spark.sources.datasource import register
+
+    register(spark)
+    vals = [1.0, float("nan"), 5.0, float("nan"), 9.0, 3.0]
+    root = _vf_store(tmp_path, "vfn", vals, chunk=2)
+    df = (
+        spark.read.format("mdio").option("path", root).option("variable", "v")
+        .load()
+    )
+    cases = [
+        ("value > 4.0", "value + 0.0 > 4.0"),
+        ("value >= 5.0", "value + 0.0 >= 5.0"),
+        ("value < 4.0", "value + 0.0 < 4.0"),
+        ("value <= 3.0", "value + 0.0 <= 3.0"),
+        ("value = 5.0", "value + 0.0 = 5.0"),
+    ]
+    for pushed, residual in cases:
+        got = sorted(r["i"] for r in df.filter(pushed).collect())
+        want = sorted(r["i"] for r in df.filter(residual).collect())
+        assert got == want, f"{pushed}: {got} != {want}"
+    # and the NaN rows are NULL (dropped by any comparison) — the convention
+    assert sorted(r["i"] for r in df.filter("value IS NULL").collect()) == [1, 3]
+    assert sorted(r["i"] for r in df.filter("value > 4.0").collect()) == [2, 4]
