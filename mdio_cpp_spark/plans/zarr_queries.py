@@ -2191,3 +2191,36 @@ def zarr51(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+_Z52_IDX = (3, 17, 256, 257, 999, 1300)
+
+
+@declared(
+    "zarr52_dsv2_in_pushdown",
+    oracle=f"""
+    SELECT CAST(rn - 1 AS BIGINT) AS i, o_totalprice AS price FROM
+      (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 IN {_Z52_IDX}
+    ORDER BY i
+    """,
+)
+def zarr52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scattered-index selection through the SQL surface: ``i IN (…)`` on
+    the DSv2 read is consumed by pushFilters into an EXPLICIT member-chunk
+    plan — only chunks containing a listed index are planned (the isel_multi
+    / multi-range semantics of Q3, but driven by Catalyst), and rows mask to
+    the members inside the decoder. A 6-element IN over a petascale grid
+    plans ≤ 6 chunks, not the grid."""
+    from mdio_cpp_spark.sources.datasource import register
+
+    root = _main_store(spark, sf_dir)
+    register(spark)
+    return (
+        spark.read.format("mdio")
+        .option("path", root).option("variable", "price")
+        .load()
+        .filter(F.col("i").isin(*_Z52_IDX))
+        .select("i", F.col("value").alias("price"))
+        .orderBy("i")
+    )

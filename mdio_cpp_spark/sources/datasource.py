@@ -29,7 +29,7 @@ Usage:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterator
+from typing import Any, Iterator
 
 import numpy as np
 import pyarrow as pa
@@ -40,11 +40,15 @@ from pyspark.sql.datasource import (
     DataSourceStreamArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     WriterCommitMessage,
@@ -69,7 +73,8 @@ class MdioChunkPartition(InputPartition):
     linear ids unravel C-order within that grid."""
 
     def __init__(self, start: int, end: int, grid_starts: tuple[int, ...], grid_lens: tuple[int, ...],
-                 ids: tuple[int, ...] | None = None):
+                 ids: tuple[int, ...] | None = None,
+                 dim_chunks: tuple[tuple[int, ...], ...] | None = None):
         self.start = start
         self.end = end
         self.grid_starts = grid_starts
@@ -77,9 +82,24 @@ class MdioChunkPartition(InputPartition):
         # explicit survivor ids (driver-tier zone pruning); None = the
         # contiguous [start, end) range
         self.ids = ids
+        # non-contiguous per-dim chunk indices (an In-filtered dim); None =
+        # contiguous ranges described by (grid_starts, grid_lens). Bounded
+        # by the In list's length, so the per-partition pickle stays tiny.
+        self.dim_chunks = dim_chunks
 
     def coords_iter(self):
         linears = self.ids if self.ids is not None else range(self.start, self.end)
+        if self.dim_chunks is not None:
+            lens = [len(c) for c in self.dim_chunks]
+            for linear in linears:
+                rem, idx = linear, []
+                for length in reversed(lens):
+                    idx.append(rem % length)
+                    rem //= length
+                yield tuple(
+                    self.dim_chunks[d][c] for d, c in enumerate(reversed(idx))
+                )
+            return
         for linear in linears:
             rem, coords = linear, []
             for length in reversed(self.grid_lens):
@@ -178,23 +198,39 @@ class MdioReader(DataSourceReader):
         # value-column comparisons consumed by pushFilters: evaluated
         # exactly in the decoder (numpy, before the Arrow boundary) and —
         # when the array carries zone-map stats — used to SKIP incompatible
-        # chunks before the byte GET (sources/zonemap.py)
-        self._value_filters: list[tuple[str, int | float]] = []
+        # chunks before the byte GET (sources/zonemap.py). Ops: the five
+        # comparisons, plus "in" (tuple payload), "isnull", "notnull".
+        self._value_filters: list[tuple[str, Any]] = []
+        # In-sets on dimension columns: exact scattered-index selection —
+        # chunks prune to those containing a member, rows mask to members
+        self._dim_in: dict[str, tuple[int, ...]] = {}
 
     # -------------------------------------------------------------- pushdown
 
     _VF_OPS = {
         EqualTo: "==",
+        # null-safe equality to a NON-NULL literal is plain equality on the
+        # scan output (a NULL literal fails the numeric-literal guard below)
+        EqualNullSafe: "==",
         GreaterThan: ">",
         GreaterThanOrEqual: ">=",
         LessThan: "<",
         LessThanOrEqual: "<=",
     }
 
+    @staticmethod
+    def _is_num(v) -> bool:
+        return (
+            isinstance(v, (int, float, np.integer, np.floating))
+            and not isinstance(v, bool)
+            and not (isinstance(v, (float, np.floating)) and np.isnan(v))
+        )
+
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Consume dim-column comparisons (exact chunk-pruning ranges) AND
-        value-column comparisons (decoder-exact, zone-map-prunable); yield
-        back everything else for Spark to evaluate."""
+        """Consume dim-column comparisons and In-sets (exact chunk-pruning
+        ranges / scattered-index lists) AND value-column comparisons, In,
+        IS [NOT] NULL (decoder-exact, zone-map-prunable); yield back
+        everything else for Spark to evaluate."""
         value_pushable = (
             not self.meta.is_struct
             and self.meta.np_dtype.kind in "iuf"
@@ -205,7 +241,36 @@ class MdioReader(DataSourceReader):
         for f in filters:
             consumed = False
             col = f.attribute[0] if getattr(f, "attribute", None) else None
-            if col in self._bounds and isinstance(
+            if col in self._bounds and isinstance(f, In) and all(
+                isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+                for v in f.value
+            ):
+                new = tuple(sorted({int(v) for v in f.value}))
+                old = self._dim_in.get(col)
+                self._dim_in[col] = (
+                    new if old is None else tuple(sorted(set(old) & set(new)))
+                )
+                consumed = True
+            elif col in self._bounds and isinstance(f, IsNotNull):
+                consumed = True  # dimension indices are never null
+            elif value_pushable and col == self.value_col and isinstance(f, In) and all(
+                self._is_num(v) for v in f.value
+            ):
+                lits = tuple(
+                    int(v) if isinstance(v, (int, np.integer)) else float(v)
+                    for v in f.value
+                )
+                self._value_filters.append(("in", lits))
+                consumed = True
+            elif value_pushable and col == self.value_col and isinstance(f, IsNotNull):
+                # NaN cells surface as NULL at the Arrow boundary — the
+                # decoder mask is ~isnan (ints/bools are never null)
+                self._value_filters.append(("notnull", None))
+                consumed = True
+            elif value_pushable and col == self.value_col and isinstance(f, IsNull):
+                self._value_filters.append(("isnull", None))
+                consumed = True
+            elif col in self._bounds and isinstance(
                 f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
             ) and isinstance(f.value, (int, np.integer)):
                 lo, hi = self._bounds[col]
@@ -268,12 +333,26 @@ class MdioReader(DataSourceReader):
         box = self._box()
         if any(hi <= lo for lo, hi in box):
             return []
-        per_dim = [
-            range(box[d][0] // self.meta.chunks[d], (box[d][1] - 1) // self.meta.chunks[d] + 1)
-            for d in range(self.meta.ndim)
-        ]
-        grid_starts = tuple(r.start for r in per_dim)
+        per_dim: list = []
+        irregular = False
+        for d in range(self.meta.ndim):
+            name = self.dim_names[d]
+            lo, hi = box[d]
+            if name in self._dim_in:
+                # scattered-index selection: only chunks containing a member
+                # (bounded by the In list's length, never the grid's)
+                members = [v for v in self._dim_in[name] if lo <= v < hi]
+                if not members:
+                    return []
+                per_dim.append(tuple(sorted({v // self.meta.chunks[d] for v in members})))
+                irregular = True
+            else:
+                per_dim.append(
+                    range(lo // self.meta.chunks[d], (hi - 1) // self.meta.chunks[d] + 1)
+                )
+        grid_starts = tuple(r.start if isinstance(r, range) else 0 for r in per_dim)
         grid_lens = tuple(len(r) for r in per_dim)
+        dim_chunks = tuple(tuple(r) for r in per_dim) if irregular else None
         n_chunks = 1
         for length in grid_lens:
             n_chunks *= length
@@ -299,6 +378,7 @@ class MdioReader(DataSourceReader):
                 MdioChunkPartition(
                     0, 0, grid_starts, grid_lens,
                     ids=survivors[s : s + per_part],
+                    dim_chunks=dim_chunks,
                 )
                 for s in range(0, len(survivors), per_part)
             ]
@@ -308,7 +388,8 @@ class MdioReader(DataSourceReader):
         n_parts = min(max(n_parts, min(n_chunks, par)), max_tasks)
         per_part = -(-n_chunks // n_parts)
         return [
-            MdioChunkPartition(s, min(s + per_part, n_chunks), grid_starts, grid_lens)
+            MdioChunkPartition(s, min(s + per_part, n_chunks), grid_starts, grid_lens,
+                               dim_chunks=dim_chunks)
             for s in range(0, n_chunks, per_part)
         ]
 
@@ -330,10 +411,20 @@ class MdioReader(DataSourceReader):
         vfs = list(self._value_filters)
 
         def keep(coords: tuple[int, ...]) -> bool:
-            return all(
-                _zonemap.zone_keep(zone_src, coords, op, lit, fill, float_kind)
-                for op, lit in vfs
-            )
+            for op, lit in vfs:
+                if op == "in":
+                    # a chunk survives if ANY member could live in its zone;
+                    # big lists skip the per-member walk (keep — sound)
+                    if len(lit) <= 64 and not any(
+                        _zonemap.zone_keep(zone_src, coords, "==", v, fill, float_kind)
+                        for v in lit
+                    ):
+                        return False
+                elif op in ("isnull", "notnull"):
+                    continue  # zones track [min,max], not NaN presence
+                elif not _zonemap.zone_keep(zone_src, coords, op, lit, fill, float_kind):
+                    return False
+            return True
 
         return keep
 
@@ -353,14 +444,26 @@ class MdioReader(DataSourceReader):
                 store, self.meta, coords, box, steps,
                 self.dim_names, self.fields, self.value_col,
             )
+            for dim, members in self._dim_in.items():
+                if len(pdf) == 0:
+                    break
+                pdf = pdf[np.isin(pdf[dim].to_numpy(), members)]
             for op, lit in self._value_filters:
                 if len(pdf) == 0:
                     break
                 # numpy semantics ARE the consumed-predicate semantics: NaN
                 # cells surface as SQL NULL at the Arrow boundary (engine
                 # convention), and NULL satisfies no comparison — exactly
-                # numpy's False for every NaN comparison
-                mask = _VALUE_OPS[op](pdf[self.value_col].to_numpy(), lit)
+                # numpy's False for every NaN comparison (and isin's)
+                v = pdf[self.value_col].to_numpy()
+                if op == "in":
+                    mask = np.isin(v, lit)
+                elif op == "notnull":
+                    mask = ~np.isnan(v) if v.dtype.kind == "f" else np.ones(len(v), bool)
+                elif op == "isnull":
+                    mask = np.isnan(v) if v.dtype.kind == "f" else np.zeros(len(v), bool)
+                else:
+                    mask = _VALUE_OPS[op](v, lit)
                 pdf = pdf[mask]
             yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
 

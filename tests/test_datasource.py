@@ -323,3 +323,58 @@ def test_dsv2_value_filter_matches_unpushed_evaluation_with_nan(spark, tmp_path)
     # and the NaN rows are NULL (dropped by any comparison) — the convention
     assert sorted(r["i"] for r in df.filter("value IS NULL").collect()) == [1, 3]
     assert sorted(r["i"] for r in df.filter("value > 4.0").collect()) == [2, 4]
+
+
+def test_dsv2_in_and_null_pushdown(spark, tmp_path):
+    """IN on dims (scattered-index chunk pruning), IN on the value column,
+    and IS [NOT] NULL (NaN-as-NULL convention) are all consumed and must
+    agree with residual (unpushable) forms of the same predicates."""
+    from mdio_cpp_spark.sources.datasource import register
+
+    register(spark)
+    vals = [float(x) for x in range(20)]
+    vals[7] = float("nan")
+    vals[13] = float("nan")
+    root = _vf_store(tmp_path, "inn", vals, chunk=4)
+    df = (
+        spark.read.format("mdio").option("path", root).option("variable", "v")
+        .load()
+    )
+    # dim IN: scattered indices across chunks 0, 2, 4
+    got = sorted(r["i"] for r in df.filter("i IN (1, 9, 18, 99)").collect())
+    assert got == [1, 9, 18]
+    # value IN (7.0 is NaN → NULL → never IN)
+    got = sorted(r["i"] for r in df.filter("value IN (5.0, 7.0, 18.0)").collect())
+    want = sorted(r["i"] for r in df.filter("value + 0.0 IN (5.0, 7.0, 18.0)").collect())
+    assert got == want == [5, 18]
+    # IS NULL / IS NOT NULL (NaN cells surface as NULL)
+    assert sorted(r["i"] for r in df.filter("value IS NULL").collect()) == [7, 13]
+    got_nn = sorted(r["i"] for r in df.filter("value IS NOT NULL").collect())
+    assert got_nn == [i for i in range(20) if i not in (7, 13)]
+    # combined dim IN + value comparison
+    got = sorted(
+        r["i"] for r in df.filter("i IN (2, 3, 11, 16) AND value >= 3.0").collect()
+    )
+    assert got == [3, 11, 16]
+
+
+def test_dsv2_dim_in_prunes_chunks(spark, tmp_path):
+    """The dim IN list must prune the chunk plan to member chunks only —
+    corrupting every non-member chunk proves it."""
+    from mdio_cpp_spark.sources.datasource import register
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    register(spark)
+    root = _vf_store(tmp_path, "indp", [float(x) for x in range(1000)], chunk=100)
+    st = ZarrStore.open(root)
+    meta = st.array_meta("v")
+    for k in range(10):
+        if k not in (1, 7):  # members live in chunks 1 and 7 only
+            st.write_bytes(meta.chunk_key((k,)), b"\x00bad")
+    df = (
+        spark.read.format("mdio").option("path", root).option("variable", "v")
+        .load().filter("i IN (150, 199, 750)")
+    )
+    assert sorted((r["i"], r["value"]) for r in df.collect()) == [
+        (150, 150.0), (199, 199.0), (750, 750.0)
+    ]
