@@ -452,7 +452,11 @@ def apply_zone_updates(root: str, var: str, zones: dict[str, list | None]) -> No
         else:
             bmin, bmax = bmin.copy(), bmax.copy()
         for off, z in entries:
-            if z is None:
+            if z == "unknown":
+                # explicit UNKNOWN sentinel (e.g. a grow exposed new cells
+                # in this chunk): never prune until stats are recomputed
+                bmin[off], bmax[off] = np.inf, -np.inf
+            elif z is None:
                 bmin[off] = bmax[off] = np.nan
             else:
                 bmin[off], bmax[off] = float(z[0]), float(z[1])

@@ -238,3 +238,40 @@ def test_sidecar_survives_fresh_unwritten_chunks_unknown(spark, tmp_path):
         r["i"] for r in scan_array(spark, root, "v", value_filter=(">=", 750.0)).collect()
     )
     assert got == list(range(750, 900))
+
+
+@pytest.mark.parametrize("form", ["attr", "sidecar"])
+def test_grow_within_chunk_invalidates_boundary_zone(spark, tmp_path, form):
+    """A grow that stays inside the partial boundary chunk changes NEITHER
+    the grid nor the attr keys — but the new cells decode as fill, so the
+    boundary chunk's stale-narrow zone must be invalidated or a `== fill`
+    scan would wrongly prune the fresh rows."""
+    from mdio_cpp_spark.utils.resize import grow_dataset
+
+    root = str(tmp_path / f"grow_{form}.zarr")
+    st = ZarrStore.create(root, version=2)
+    # shape 250, chunk 100 → chunk 2 is half-valid; fill = 0.0
+    st.create_array("v", shape=(250,), chunks=(100,), dtype="float64",
+                    dims=("i",), fill=0.0)
+    st.consolidate()
+    st.write_array_numpy("v", np.arange(1000.0, 1250.0))  # no zeros anywhere
+    if form == "attr":
+        zonemap.publish_chunk_stats(root, "v", zonemap.compute_chunk_stats(spark, root, "v"))
+    else:
+        zonemap.build_sidecar_stats(spark, root, "v")
+
+    grow_dataset(root, i=290)  # still chunk 2: grid unchanged (3 chunks)
+    meta = ZarrStore.open(root).array_meta("v")
+    assert meta.shape == (290,) and meta.nchunks() == 3
+
+    got = sorted(
+        r["i"] for r in scan_array(spark, root, "v", value_filter=("==", 0.0)).collect()
+    )
+    assert got == list(range(250, 290)), "new fill cells must not be pruned away"
+    # untouched chunks keep pruning: corrupt chunk 0 ([1000,1099]) and re-scan
+    st = ZarrStore.open(root)
+    st.write_bytes(meta.chunk_key((0,)), b"\x00bad")
+    got2 = sorted(
+        r["i"] for r in scan_array(spark, root, "v", value_filter=("==", 0.0)).collect()
+    )
+    assert got2 == list(range(250, 290))
