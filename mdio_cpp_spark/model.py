@@ -637,13 +637,24 @@ class MdioDataset:
     def to_df_aligned(
         self, spark: SparkSession, value_cols: dict[str, str], how: str = "inner"
     ) -> DataFrame:
-        """Dimension-alignment join of several variables (THE required join
-        use per SURVEY §2.5: dataset.h:439-447 merges per-label domains):
-        each variable scans long-form and joins on its dimension columns.
-        Variables sharing the full dim set co-partition naturally — with
-        equal chunk grids the join keys arrive bucketed by chunk, and AQE
-        picks SMJ/broadcast by size. ``value_cols`` maps variable → output
-        column name; fields of struct variables use 'var.field'."""
+        """Dimension alignment of several variables (THE required join use
+        per SURVEY §2.5: dataset.h:439-447 merges per-label domains).
+
+        SAME-GRID variables (identical dims, shape, chunks — the common MDIO
+        layout) FUSE into one scan: a single task decodes every variable's
+        chunk at the same coords and emits wide rows, so alignment costs
+        ZERO exchange (sources/reader.scan_arrays). At 100 TB the join route
+        would move every cell of every variable through a shuffle; the fused
+        route moves nothing. Mixed grids (subset dims, different chunking)
+        fall back to the dimension join — with equal chunk grids the join
+        keys arrive bucketed by chunk, and AQE picks SMJ/broadcast by size.
+        ``value_cols`` maps variable → output column name; fields of struct
+        variables use 'var.field'. Dense scans synthesize every cell (fill
+        for absent chunks), so the fused result equals the join for every
+        ``how``."""
+        fused = self._try_fused_aligned(spark, value_cols)
+        if fused is not None:
+            return fused
         out: DataFrame | None = None
         out_dims: list[str] = []
         for var, alias in value_cols.items():
@@ -660,6 +671,48 @@ class MdioDataset:
                 shared = [d for d in out_dims if d in dims]
                 out = out.join(df, on=shared, how=how)
                 out_dims = out_dims + [d for d in dims if d not in out_dims]
+        return out
+
+    def _try_fused_aligned(
+        self, spark: SparkSession, value_cols: dict[str, str]
+    ) -> DataFrame | None:
+        """Fused single-scan alignment when every requested variable shares
+        one chunk grid; None → caller takes the join route."""
+        from mdio_cpp_spark.sources.reader import scan_arrays
+
+        metas = []
+        for key in value_cols:
+            vname = key.split(".", 1)[0] if "." in key else key
+            if vname not in self._metas:
+                return None
+            meta = self._metas[vname]
+            if meta.np_dtype.kind == "c":
+                return None  # complex emits two columns; join route handles it
+            if "." in key:
+                field = key.split(".", 1)[1]
+                if not meta.is_struct or field not in (meta.np_dtype.names or ()):
+                    return None
+            elif meta.is_struct:
+                return None  # whole-struct selection keeps the join route
+            metas.append(meta)
+        first = metas[0]
+        for m in metas[1:]:
+            if (
+                m.shape != first.shape
+                or m.chunks != first.chunks
+                or tuple(m.dims) != tuple(first.dims)
+            ):
+                return None
+        combos = self.var(first.name)._range_combos()
+        if not combos:
+            combos = [{first.dims[0]: (0, 0)}]
+        dfs = [
+            scan_arrays(spark, self.path, dict(value_cols), ranges=r or None)
+            for r in combos
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
         return out
 
     def register_views(

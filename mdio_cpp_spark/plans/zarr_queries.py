@@ -2224,3 +2224,39 @@ def zarr52(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", F.col("value").alias("price"))
         .orderBy("i")
     )
+
+
+@declared(
+    "zarr53_dsv2_multivar_fused",
+    oracle="""
+    SELECT CAST(o_custkey % 10 AS BIGINT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1 ORDER BY g
+    """,
+)
+def zarr53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSED multi-variable read through the SQL surface:
+    ``option("variables", "price,hdr.ck")`` decodes both aligned arrays in
+    ONE scan task per chunk — the dimension-alignment join (zarr30's plan)
+    collapses into the scan, so a cross-variable aggregate costs zero join
+    exchange. At 100 TB the join route shuffles every cell of every
+    variable; this plan shuffles only the groupBy's partial aggregates."""
+    from mdio_cpp_spark.sources.datasource import register
+
+    root = _main_store(spark, sf_dir)
+    register(spark)
+    df = (
+        spark.read.format("mdio")
+        .option("path", root).option("variables", "price,hdr.ck")
+        .load()
+    )
+    return (
+        df.groupBy((F.col("ck") % 10).cast("long").alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 2).alias("total"),
+        )
+        .orderBy("g")
+    )

@@ -112,15 +112,50 @@ class MdioChunkPartition(InputPartition):
 
 class MdioDataSource(DataSource):
     """format("mdio") — options: path (store root), variable (array name),
-    value_col (default 'value'), fields (comma-separated struct fields)."""
+    value_col (default 'value'), fields (comma-separated struct fields).
+    ALTERNATIVE: variables (comma-separated 'var' / 'var.field' entries) —
+    the fused aligned multi-variable scan (one task decodes every listed
+    variable's chunk at the same coords; no join, no shuffle). Output
+    columns are the field name for 'var.field' entries, else the variable
+    name; all listed variables must share dims/shape/chunks."""
 
     @classmethod
     def name(cls) -> str:
         return "mdio"
 
-    def _meta(self):
+    def _parse_path(self) -> str:
         path = self.options.get("path")
+        if not path:
+            return path
+        if path.startswith("file://"):
+            return path[len("file://"):]
+        if path.startswith("file:"):
+            return path[len("file:"):]
+        return path
+
+    def _aligned_specs(self):
+        """[(var, field|None, out_col)] from the ``variables`` option, or
+        None when the option is absent."""
+        raw = self.options.get("variables")
+        if not raw:
+            return None
+        specs = []
+        for entry in raw.split(","):
+            entry = entry.strip()
+            if "." in entry:
+                vname, field = entry.split(".", 1)
+                specs.append((vname, field, field))
+            else:
+                specs.append((entry, None, entry))
+        return specs
+
+    def _meta(self):
+        path = self._parse_path()
         var = self.options.get("variable")
+        specs = self._aligned_specs()
+        if path and specs and not var:
+            store = ZarrStore.open(path)
+            return store, store.array_meta(specs[0][0])
         if not path or not var:
             raise ValueError(
                 "format('mdio') requires .option('path', …) and "
@@ -130,17 +165,37 @@ class MdioDataSource(DataSource):
                 "options map; register a temp view over read.format('mdio') "
                 "instead (the zarr18 SQL route)."
             )
-        # SQL DDL (CREATE TABLE … USING mdio) normalizes the path option to
-        # a file: URI; accept both spellings of a local path
-        if path.startswith("file://"):
-            path = path[len("file://"):]
-        elif path.startswith("file:"):
-            path = path[len("file:"):]
         store = ZarrStore.open(path)
         return store, store.array_meta(var)
 
     def schema(self) -> StructType:
-        _, meta = self._meta()
+        store, meta = self._meta()
+        specs = self._aligned_specs()
+        if specs and not self.options.get("variable"):
+            from pyspark.sql.types import LongType, StructField
+
+            from mdio_cpp_spark.sources.reader import _scalar_spark_type
+
+            out = [StructField(d, LongType(), False) for d in _dim_names(meta)]
+            for vname, field, out_col in specs:
+                m = store.array_meta(vname)
+                if m.np_dtype.kind == "c":
+                    raise ValueError(f"complex variable {vname!r} is not fusable")
+                if field is None and m.is_struct:
+                    raise ValueError(
+                        f"struct variable {vname!r} needs '{vname}.<field>'"
+                    )
+                if (m.shape, m.chunks, tuple(m.dims)) != (
+                    meta.shape, meta.chunks, tuple(meta.dims)
+                ):
+                    raise ValueError(
+                        f"variables must share one grid: {vname!r} has "
+                        f"{m.shape}/{m.chunks}/{m.dims}, expected "
+                        f"{meta.shape}/{meta.chunks}/{meta.dims}"
+                    )
+                dt = m.np_dtype.fields[field][0] if field else m.np_dtype
+                out.append(StructField(out_col, _scalar_spark_type(dt), True))
+            return StructType(out)
         fields = self.options.get("fields")
         return scan_schema(
             meta,
@@ -150,9 +205,16 @@ class MdioDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "MdioReader":
         store, meta = self._meta()
+        specs = self._aligned_specs()
+        if specs and not self.options.get("variable"):
+            return MdioAlignedReader(store, specs, self.options)
         return MdioReader(store, meta, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> "MdioArrowWriter":
+        if self._aligned_specs() and not self.options.get("variable"):
+            raise ValueError("the 'variables' option is read-only; write one "
+                             "variable at a time (or use write_arrays for a "
+                             "fused multi-variable write)")
         if overwrite:
             raise ValueError("format('mdio') writes are append/RMW only; "
                              "use TrimDataset/DeleteDataset for destructive ops")
@@ -466,6 +528,48 @@ class MdioReader(DataSourceReader):
                     mask = _VALUE_OPS[op](v, lit)
                 pdf = pdf[mask]
             yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+
+
+class MdioAlignedReader(MdioReader):
+    """``option("variables", "a,b,hdr.ck")`` — the fused aligned scan
+    through DSv2: one task decodes EVERY listed variable's chunk at the
+    same coords and emits wide rows, so multi-variable alignment costs no
+    join and no shuffle (sources/reader.scan_arrays' plan, reachable from
+    plain ``spark.read``/SQL). Dimension pushdown (bounds + In) applies
+    unchanged; value-column predicates stay with Spark (the columns are
+    per-variable, not the single pushable ``value`` column)."""
+
+    def __init__(self, store: ZarrStore, specs, options):
+        super().__init__(store, store.array_meta(specs[0][0]), options)
+        self.specs = list(specs)
+
+    def read(self, partition: MdioChunkPartition) -> Iterator[pa.RecordBatch]:
+        if partition is None:
+            return
+        store = ZarrStore(self.root, self.version)
+        box = self._box()
+        steps = tuple(1 for _ in self.dim_names)
+        metas = {v: store.array_meta(v) for v, _, _ in self.specs}
+        for coords in partition.coords_iter():
+            out = None
+            for vname, field, out_col in self.specs:
+                pdf = _decode_chunk_to_pdf(
+                    store, metas[vname], coords, box, steps, self.dim_names,
+                    [field] if field else None, out_col,
+                )
+                if field and field != out_col:
+                    pdf = pdf.rename(columns={field: out_col})
+                if out is None:
+                    out = pdf
+                else:
+                    # same coords + same grid ⇒ identical row order by
+                    # construction: a column move, not a join
+                    out[out_col] = pdf[out_col].to_numpy()
+            for dim, members in self._dim_in.items():
+                if len(out) == 0:
+                    break
+                out = out[np.isin(out[dim].to_numpy(), members)]
+            yield pa.RecordBatch.from_pandas(out, preserve_index=False)
 
 
 def register(spark) -> None:

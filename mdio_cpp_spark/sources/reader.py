@@ -40,7 +40,7 @@ from mdio_cpp_spark.schema.types import SCALAR_TYPES
 from mdio_cpp_spark.sources import zonemap as _zonemap
 from mdio_cpp_spark.sources.zarr_store import ZarrArrayMeta, ZarrStore, _clamped_box
 
-__all__ = ["scan_array", "plan_chunks", "scan_schema"]
+__all__ = ["scan_array", "scan_arrays", "plan_chunks", "scan_schema"]
 
 # widenings applied on decode so Spark sees a supported type (SURVEY §1.2)
 _NUMPY_TO_SPARK_CAST = {
@@ -313,6 +313,162 @@ def scan_array(
     return manifest.mapInPandas(decode, schema=out_schema)
 
 
+def scan_arrays(
+    spark: SparkSession,
+    root: str,
+    specs: dict[str, str],
+    ranges: dict[str, tuple] | None = None,
+    chunks_per_task: int = 4,
+) -> DataFrame:
+    """FUSED aligned scan: decode N variables sharing one chunk grid in a
+    single pass — one task reads every variable's chunk at the same coords
+    and emits wide rows (dims…, col-per-variable).
+
+    This is the shuffle-free form of the dimension-alignment join
+    (dataset.h:439-447): ``to_df_aligned``'s join route moves every cell of
+    every variable through a join exchange, which at 100 TB is the dominant
+    cost; same-grid variables need NO exchange at all — alignment is a
+    per-chunk array index, so the join collapses into the scan. Different
+    grids (subset dims, different chunking) still take the join route.
+
+    ``specs`` maps 'var' or 'var.field' (struct field) → output column name.
+    All referenced variables must share dims, shape, and chunks; complex
+    dtypes are not fusable (two output columns per var — use to_df/join).
+    """
+    store = ZarrStore.open(root)
+    parsed: list[tuple[ZarrArrayMeta, str | None, str]] = []
+    for key, out_col in specs.items():
+        if "." in key:
+            vname, field = key.split(".", 1)
+        else:
+            vname, field = key, None
+        meta = store.array_meta(vname)
+        if meta.np_dtype.kind == "c":
+            raise ValueError(f"complex variable {vname!r} is not fusable; use to_df")
+        if field is not None and (not meta.is_struct or field not in (meta.np_dtype.names or ())):
+            raise KeyError(f"no field {field!r} in variable {vname!r}")
+        if field is None and meta.is_struct:
+            raise ValueError(
+                f"struct variable {vname!r} needs an explicit field ('{vname}.<field>')"
+            )
+        parsed.append((meta, field, out_col))
+    first = parsed[0][0]
+    for meta, _, _ in parsed[1:]:
+        if (
+            meta.shape != first.shape
+            or meta.chunks != first.chunks
+            or tuple(meta.dims) != tuple(first.dims)
+        ):
+            raise ValueError(
+                f"scan_arrays needs one shared grid: {meta.name!r} has "
+                f"shape={meta.shape} chunks={meta.chunks} dims={meta.dims}, "
+                f"expected {first.shape}/{first.chunks}/{first.dims}"
+            )
+
+    box, steps, _ = _normalize_ranges(first, ranges)
+    per_dim, n_chunks = plan_chunks(first, ranges)
+    dim_names = _dim_names(first)
+    fields_out = [
+        T.StructField(d, T.LongType(), False) for d in dim_names
+    ] + [
+        T.StructField(
+            out_col,
+            _scalar_spark_type(
+                meta.np_dtype.fields[field][0] if field else meta.np_dtype
+            ),
+            True,
+        )
+        for meta, field, out_col in parsed
+    ]
+    out_schema = T.StructType(fields_out)
+    if n_chunks == 0:
+        return spark.createDataFrame([], out_schema)
+
+    grid_lens = [len(r) for r in per_dim]
+    grid_starts = [r.start for r in per_dim]
+    root_path, version = store.root, store.version
+    spec_list = [(m.name, field, out_col) for m, field, out_col in parsed]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one store handle per task; chunk bytes for ALL variables of the
+        # next chunks prefetch concurrently (same latency-hiding argument as
+        # scan_array, but the pool spans variables too)
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        task_store = ZarrStore(root_path, version)
+        metas = {name: task_store.array_meta(name) for name, _, _ in spec_list}
+
+        def emit(coords, futs):
+            m0 = metas[spec_list[0][0]]
+            origin = tuple(c * s for c, s in zip(coords, m0.chunks))
+            gsel, lsel = [], []
+            for d in range(m0.ndim):
+                lo = max(box[d][0], origin[d])
+                hi = min(box[d][1], origin[d] + m0.chunks[d], m0.shape[d])
+                g = np.arange(lo, hi, dtype=np.int64)
+                if steps[d] > 1:
+                    g = g[(g - box[d][0]) % steps[d] == 0]
+                gsel.append(g)
+                lsel.append(g - origin[d])
+            n = int(np.prod([len(g) for g in gsel])) if gsel else 0
+            cols: dict[str, Any] = {}
+            if n == 0:
+                cols = {d: np.empty(0, dtype=np.int64) for d in dim_names}
+                for (name, field, out_col), _ in zip(spec_list, futs):
+                    m = metas[name]
+                    dt = m.np_dtype.fields[field][0] if field else m.np_dtype
+                    cols[out_col] = _empty_scalar_col(dt)
+                return pd.DataFrame(cols)
+            mesh = np.meshgrid(*gsel, indexing="ij") if m0.ndim > 1 else [gsel[0]]
+            for d, mgrid in zip(dim_names, mesh):
+                cols[d] = mgrid.ravel()
+            for (name, field, out_col), fut in zip(spec_list, futs):
+                m = metas[name]
+                block = task_store.decode_raw(m, fut.result())
+                if block is None:
+                    vals = np.full(n, m.fill_scalar(), dtype=m.np_dtype)
+                else:
+                    vals = block[np.ix_(*lsel)].ravel() if m.ndim > 1 else block[lsel[0]]
+                if field is not None:
+                    vals = np.ascontiguousarray(vals[field])
+                cols[out_col] = _convert_values(vals)
+            return pd.DataFrame(cols)
+
+        with ThreadPoolExecutor(max_workers=_PREFETCH_DEPTH) as pool:
+            pending = deque()
+            for pdf in batches:
+                for linear in pdf["id"].to_numpy():
+                    rem, rel = int(linear), []
+                    for length in reversed(grid_lens):
+                        rel.append(rem % length)
+                        rem //= length
+                    coords = tuple(
+                        grid_starts[d] + c for d, c in enumerate(reversed(rel))
+                    )
+                    futs = [
+                        pool.submit(
+                            task_store.read_bytes,
+                            metas[name].chunk_key(coords),
+                        )
+                        for name, _, _ in spec_list
+                    ]
+                    pending.append((coords, futs))
+                    if len(pending) >= max(1, _PREFETCH_DEPTH // max(1, len(spec_list))):
+                        c, fs = pending.popleft()
+                        yield emit(c, fs)
+            while pending:
+                c, fs = pending.popleft()
+                yield emit(c, fs)
+
+    par = max(1, spark.sparkContext.defaultParallelism)
+    cap = 64 * par
+    n_parts = max(1, math.ceil(n_chunks / max(1, chunks_per_task)))
+    n_parts = min(max(n_parts, min(n_chunks, par)), cap)
+    manifest = spark.range(0, n_chunks, numPartitions=n_parts)
+    return manifest.mapInPandas(decode, schema=out_schema)
+
+
 _RAW_UNSET = object()  # sentinel: fetch bytes inside (raw=None means absent)
 
 
@@ -369,6 +525,16 @@ def _decode_chunk_to_pdf(
     else:
         cols[value_col] = _convert_values(vals)
     return pd.DataFrame(cols)
+
+
+def _empty_scalar_col(dt: np.dtype):
+    """Zero-row pandas column with the Spark-facing dtype for one scalar."""
+    if dt.name == "uint64" or dt.kind in "SU":
+        return pd.Series(dtype=object)
+    if dt.kind == "M":
+        return pd.Series(dtype="datetime64[us]")
+    np_out = _NUMPY_TO_SPARK_CAST.get(dt.name, (dt.name,))[0]
+    return np.empty(0, dtype=np_out)
 
 
 def _empty_value_cols(meta: ZarrArrayMeta, sel_fields: list[str] | None, value_col: str) -> dict:
