@@ -58,6 +58,9 @@ PICKS = {
     "h20_sole_returning_supplier": "Q21's EXISTS/NOT-EXISTS self-joins collapsed to a two-level aggregate: one pair-keyed shuffle (each (order,supplier) once — no Expand, no 2x countDistinct exchange), then an order-keyed reduce + semi-join back",
     "h21_min_cost_supplier": "the part filter broadcasts below the pair aggregate, so the heavy (part,supplier) min runs only over the selected class; the per-part min joins back on equality keeping ties; supplier detail broadcasts last",
     "h22_nation_profit": "part-name broadcast prune runs before the lineitem-orders join (the only fact-fact edge); supplier/nation broadcast; profit is one exact fixed-point expression inside the partial agg",
+    "zarr50_dsv2_value_pushdown": "Catalyst-pushed value predicate: the PythonScan consumed value>=450000 via pushFilters (decoder-exact mask + zone-map chunk skip) — the only Filter left upstream is the isnotnull residual, and pruned chunks never get a kvstore GET",
+    "zarr53_dsv2_multivar_fused": "fused multi-variable read: NO Join anywhere — both aligned arrays decode in the same PythonScan task per chunk, and the only exchange is the 10-group partial aggregate",
+    "a11_grouped_mad": "two buffer-free percentile passes; the 3-row group-median result is persisted (InMemoryTableScan) so the deviation pass and the final join reuse it instead of re-running the median DAG",
     "zarr40_shift_roll": "shift/roll with ZERO shuffle: two chunk-pruned scans re-keyed map-side (body + wrap slice), union, no lag window anywhere; only the gate's output sort exchanges",
     "zarr41_stack_unstack": "the z-range predicate unstacks into row-chunk pruning: the scan's manifest covers rows [1,5) only; z and (row,col) re-derive map-side",
     "zarr42_weighted_mean": "the stored col coordinate broadcasts onto the chunk-pruned grid scan; weighted products stay integer fixed-point through the partial agg — shuffle carries one partial per (row, partition)",
