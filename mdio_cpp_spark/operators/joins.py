@@ -59,9 +59,14 @@ def asof_join(
     partition_keys: Sequence[str] = (),
     how: str = "inner",
     bucket_seconds: int = 86_400,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the values from the latest right row
     with ``right_ts <= left_ts`` (inclusive), optionally per partition key.
+    ``direction='forward'`` mirrors time (pandas ``merge_asof`` forward):
+    the EARLIEST right row with ``right_ts >= left_ts`` — implemented by
+    negating the microsecond axis, so the whole bucketed machinery below is
+    shared and the plan is identical.
 
     Semantics match DuckDB/standard ASOF JOIN: ``how='inner'`` (default)
     drops left rows with no prior right row; ``how='left'`` keeps them with
@@ -104,15 +109,22 @@ def asof_join(
         F.lit(0).alias("__side"),
         rv_struct.alias("__rv"),
     )
-    u = l_tagged.unionByName(r_tagged).withColumn(
-        "__b", F.floor(F.unix_micros(F.col("__ts").cast("timestamp")) / F.lit(bucket_seconds * 1_000_000))
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    us = F.unix_micros(F.col("__ts").cast("timestamp"))
+    if direction == "forward":
+        us = -us  # mirrored axis: 'latest prior' becomes 'earliest subsequent'
+    u = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("__us", us)
+        .withColumn("__b", F.floor(F.col("__us") / F.lit(bucket_seconds * 1_000_000)))
     )
 
     # 2. in-bucket carry (parallel across buckets; deterministic tie-break on
     #    the value struct itself for equal (ts, side))
     w_in = (
         Window.partitionBy(*keys, "__b")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__rv").asc_nulls_first())
+        .orderBy(F.col("__us").asc(), F.col("__side").asc(), F.col("__rv").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.select(
@@ -126,7 +138,7 @@ def asof_join(
     b_last = (
         u.filter(F.col("__side") == 0)
         .groupBy(*keys, "__b")
-        .agg(F.max_by("__rv", F.struct(F.col("__ts"), F.col("__rv"))).alias("__rv_last"))
+        .agg(F.max_by("__rv", F.struct(F.col("__us"), F.col("__rv"))).alias("__rv_last"))
     )
     w_b = Window.partitionBy(*keys).orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     carry = (

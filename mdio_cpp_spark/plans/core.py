@@ -1781,3 +1781,36 @@ def w08(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.sum("v_e2").over(w).cast("double") / 100.0).alias("roll_1h"),
     ).orderBy("event_id")
+
+
+@declared(
+    "asof04_forward",
+    oracle="""
+    SELECT e.event_id, CAST(ROUND(p.pv * 100) AS BIGINT) AS next_purchase_e2
+    FROM events e ASOF LEFT JOIN
+         (SELECT user_id, ts AS pts, value AS pv FROM events
+          WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts <= p.pts
+    ORDER BY e.event_id
+    """,
+)
+def asof04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas ``merge_asof(direction='forward')``):
+    each event takes its user's EARLIEST purchase at-or-after its
+    timestamp — the time-mirror of asof01/02, implemented by negating the
+    microsecond axis inside the same bucketed operator, so the plan (one
+    keyed shuffle + tiny boundary table, no single-partition window) is
+    identical to the backward join's."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", "ts")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("pv")
+    )
+    out = joins.asof_join(
+        e, p, "ts", "pts", ["pv"], partition_keys=["user_id"], how="left",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        F.round(F.col("pv") * 100).cast("long").alias("next_purchase_e2"),
+    ).orderBy("event_id")

@@ -109,3 +109,29 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bktdb.cust_b")
         spark.sql("DROP TABLE IF EXISTS bktdb.ord_b")
         spark.sql("DROP DATABASE IF EXISTS bktdb")
+
+
+def test_asof_join_forward_direction(spark):
+    """direction='forward': each left row takes the EARLIEST right row with
+    rts >= lts (inclusive), per key — the time-mirror of the backward join,
+    verified against a hand-computed expectation."""
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 25), ("a", 40), ("b", 10)], "k string, t long"
+    ).select("k", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 30, 2.0), ("b", 5, 9.0)], "k string, t long, v double"
+    ).select("k", F.timestamp_seconds("t").alias("rts"), "v")
+
+    out = asof_join(left, right, "ts", "rts", ["v"], partition_keys=["k"],
+                    how="left", direction="forward")
+    got = {(r["k"], r["ts"].second + r["ts"].minute * 60): r["v"] for r in out.collect()}
+    assert got == {
+        ("a", 10): 1.0,   # inclusive: rts == lts matches
+        ("a", 25): 2.0,   # earliest at-or-after
+        ("a", 40): None,  # nothing after → NULL under how='left'
+        ("b", 10): None,  # b's only right row is BEFORE
+    }
