@@ -2260,3 +2260,102 @@ def zarr53(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+@declared(
+    "zarr54_coarsen_trim",
+    oracle="""
+    SELECT CAST((rn - 1) // 3 AS BIGINT) AS g,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 300.0 AS v
+    FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    GROUP BY 1 HAVING COUNT(*) = 3
+    ORDER BY g
+    """,
+)
+def zarr54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``coarsen(i=3, boundary='trim').mean()`` over the stored
+    price array: non-overlapping window-3 means, the ragged tail window
+    DROPPED (trim semantics). One chunk-pruned scan + one partial-
+    aggregatable groupBy on ``i div 3`` — block reduction is pure integer
+    key arithmetic, no window, no shuffle beyond the groupBy. Means are
+    exact fixed-point (cents-integer sums / 300), so the hash is
+    bit-stable at any parallelism."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    df = ds.to_df(spark, "price", value_col="v")
+    return (
+        df.groupBy(F.expr("i div 3").alias("g"))
+        .agg(
+            (F.sum(F.round(F.col("v") * 100).cast("long")).cast("double") / 300.0).alias("v"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") == 3)
+        .drop("__n")
+        .orderBy("g")
+    )
+
+
+@declared(
+    "zarr55_ffill",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(rn - 1 AS BIGINT) AS i,
+             CASE WHEN (rn - 1) % 7 <> 0 THEN o_totalprice END AS v
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    )
+    SELECT i, last_value(v IGNORE NULLS) OVER (
+             ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+    FROM base ORDER BY i
+    """,
+)
+def zarr55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``ffill('i')`` over a stored gappy series with NO global
+    window (the LOCF analog of zarr24's prefix sum): every 7th cell is
+    unwritten (fill=NaN → NULL at the Arrow boundary). Phase 1: in-chunk
+    LOCF via a window partitioned by chunk id — thousands of parallel
+    partitions. Phase 2: each chunk's LAST non-null value (a |chunks|-row
+    aggregate) cumulates over a chunk-id-only window and joins back
+    broadcast; ffill = coalesce(in-chunk carry, previous-chunk carry).
+    Store built once (own marker) through the distributed writer."""
+    from pyspark.sql import Window as W
+
+    from mdio_cpp_spark.sources.writer import write_array
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "ffill.zarr")
+    marker = os.path.join(base, ".built_ffill_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select(
+            "i", F.col("o_totalprice").alias("v")
+        )
+        n = ords.count()
+        st = ZarrStore.create(path, version=2, attrs={"name": "ffill_mdio"})
+        st.create_array("v", shape=(n,), chunks=(CHUNK,), dtype="float64",
+                        dims=("i",), fill=float("nan"),
+                        compressor={"id": "zlib", "level": 1})
+        st.consolidate()
+        write_array(ords.filter(F.col("i") % 7 != 0), path, "v", value_cols="v")
+        with open(marker, "w") as f:
+            f.write("1")
+    ds = MdioDataset.open(path)
+    df = ds.to_df(spark, "v", value_col="v").withColumn(
+        "__b", F.expr(f"i div {CHUNK}")
+    )
+    w_in = W.partitionBy("__b").orderBy("i").rowsBetween(W.unboundedPreceding, 0)
+    carried = df.select(
+        "i", "__b", F.last("v", ignorenulls=True).over(w_in).alias("__v_in")
+    )
+    b_last = df.groupBy("__b").agg(
+        F.max_by("v", F.when(F.col("v").isNotNull(), F.col("i"))).alias("__v_last")
+    )
+    w_b = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+    carry = b_last.select(
+        "__b", F.last("__v_last", ignorenulls=True).over(w_b).alias("__v_prev")
+    )
+    return (
+        carried.join(F.broadcast(carry), "__b", "left")
+        .select("i", F.coalesce("__v_in", "__v_prev").alias("v"))
+        .orderBy("i")
+    )
