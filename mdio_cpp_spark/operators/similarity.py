@@ -303,3 +303,38 @@ def knn_join(
         )
     )
     return _ranked(pairs, k)
+
+
+def radius_join(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Symmetric all-pairs RADIUS search: every pair in the same sign-LSH
+    bucket with exact cosine ≥ ``threshold`` (the range-query sibling of
+    knn_join — near-dup edge building and graph construction want "all
+    neighbors above θ", not a fixed k). Same scale shape as knn_join: one
+    shuffle keyed on the bucket string, norms computed once map-side, the
+    in-bucket quadratic term bounded by plane count — never a cross
+    product, nothing broadcast."""
+    bucket = sign_lsh_bucket(F.col(vec_col), dim, n_planes)
+    b = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        bucket.alias("bk"), vectors.norm(F.col(vec_col)).alias("nv"),
+    )
+    q = b.select(F.col("id").alias("q_id"), F.col("v").alias("qv"), "bk", F.col("nv").alias("qn"))
+    c = b.select(F.col("id").alias("vec_id"), F.col("v").alias("cv"), "bk", F.col("nv").alias("cn"))
+    return (
+        q.join(c, on="bk")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            F.round(
+                vectors.cosine_parts(vectors.dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 4
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )

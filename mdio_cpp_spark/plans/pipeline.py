@@ -2063,3 +2063,95 @@ def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang")
     )
     return kept
+
+
+_RAD_PLANES, _RAD_TAU = 5, 0.35
+
+
+@declared(
+    "v07_radius_search",
+    oracle=f"""
+    WITH {{planes}},
+    b AS (
+      SELECT vec_id, embedding, {{bucket}} AS bk
+      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding
+    )
+    SELECT q_id, vec_id, cos FROM (
+      SELECT q.vec_id AS q_id, e.vec_id, ROUND({{cos}}, 4) AS cos
+      FROM b q JOIN b e ON e.bk = q.bk AND e.vec_id <> q.vec_id
+    ) WHERE cos >= {_RAD_TAU}
+    ORDER BY q_id, vec_id
+    """.format(
+        planes=_dd_planes_cte(_RAD_PLANES, _ND_DIM),
+        bucket=_dd_bucket("embedding"),
+        cos=_dd_cosine("q.embedding", "e.embedding"),
+    ),
+)
+def v07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs RADIUS search (range query): every same-bucket pair with
+    exact cosine ≥ τ — the "all neighbors above threshold" sibling of the
+    kNN graph (v05), the edge-building primitive for near-dup graphs and
+    density estimation. One shuffle keyed on the LSH bucket, norms map-side,
+    no broadcast, no cross product; the oracle replicates the identical
+    bucketing in SQL so the differential is exact."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.radius_join(
+        e, "vec_id", "embedding", dim=_ND_DIM, threshold=_RAD_TAU,
+        n_planes=_RAD_PLANES,
+    ).orderBy("q_id", "vec_id")
+
+
+def _dd_survivorship_sql() -> str:
+    """d06's cluster CTE extended with survivorship: per cluster keep the
+    LONGEST document (doc_id as the deterministic tie-break); documents in
+    no cluster survive as themselves."""
+    clusters = _dd_clusters_sql().replace("ORDER BY doc_id", "")
+    return f"""
+    WITH clusters AS ({clusters}),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(MAX_BY(doc_id, n_chars * 100000000 - doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS members
+    FROM lab GROUP BY cluster_id ORDER BY cluster_id
+    """
+
+
+@declared("d11_survivorship", oracle=_dd_survivorship_sql())
+def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SURVIVORSHIP: compose cluster assignment (d06's connected
+    components over LSH candidates) with a canonical-document pick — per
+    cluster keep the LONGEST member (smallest doc_id on ties); singletons
+    keep themselves. The pick is one partial-aggregatable max_by over
+    (n_chars, −doc_id) keyed on cluster_id; the corpus joins its cluster
+    labels broadcast (labels exist only for clustered docs — a tiny table
+    by construction). This is the step that turns near-dup DETECTION into
+    an actual curation decision."""
+    from mdio_cpp_spark.operators.dedup import duplicate_clusters, lsh_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        bands=_MH_BANDS, rows=_MH_ROWS,
+    )
+    clusters = duplicate_clusters(pairs)
+    lab = (
+        d.join(F.broadcast(clusters), "doc_id", "left")
+        .select(
+            "doc_id", "n_chars",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    return (
+        lab.groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.col("n_chars").cast("long") * F.lit(100_000_000) - F.col("doc_id"),
+            ).alias("keep_id"),
+            F.count(F.lit(1)).alias("members"),
+        )
+        .orderBy("cluster_id")
+    )
