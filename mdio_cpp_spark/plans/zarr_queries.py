@@ -2359,3 +2359,47 @@ def zarr55(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", F.coalesce("__v_in", "__v_prev").alias("v"))
         .orderBy("i")
     )
+
+
+@declared(
+    "zarr56_transcode",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+    FROM orders
+    """,
+)
+def zarr56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec MIGRATION: the blosc-zlib store (zarr51) transcodes into a
+    plain-zlib store — one lazy range over chunk ids, each task
+    decode→re-encode→write at the SAME coordinates. Identical grids on
+    both sides make the copy embarrassingly parallel: ZERO shuffle, no
+    driver materialization, fill-only chunks skipped (sparsity free) —
+    the plan a fleet-wide 100-TB codec migration needs (the reference
+    fixes the codec at creation; migrating means an app-side rewrite).
+    The scan-back aggregate of the DESTINATION store gates the bytes."""
+    from mdio_cpp_spark.utils.transcode import transcode_array
+
+    zarr51(spark, sf_dir).collect()  # ensure the blosc source store exists
+    base = ensure_stores(spark, sf_dir)
+    src = os.path.join(base, "blosc.zarr")
+    dst = os.path.join(base, "transcoded.zarr")
+    marker = os.path.join(base, ".built_transcode_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(dst, ignore_errors=True)
+        report = transcode_array(
+            spark, src, dst, "price", {"id": "zlib", "level": 5}
+        )
+        assert report["chunks_copied"] > 0
+        with open(marker, "w") as f:
+            f.write("1")
+    ds = MdioDataset.open(dst)
+    return ds.to_df(spark, "price", value_col="v").agg(
+        F.count("v").cast("long").alias("cnt"),
+        F.round(F.sum("v"), 2).alias("total"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )

@@ -771,3 +771,38 @@ def test_create_clean_clears_nonlocal_store():
     MdioDataset.from_json(spec, root, mode="create_clean")
     arr = ZarrStore.open(root).read_array("i")
     assert not np.array_equal(arr, np.arange(8.0)), "old chunks must be gone"
+
+
+def test_transcode_array_codec_migration(spark, tmp_path):
+    """Distributed transcode: blosc-zlib source → plain-zlib destination,
+    same grid, fill-only chunks skipped, values identical, and the
+    destination chunk bytes really are zlib (not blosc frames)."""
+    import numpy as np
+    import zlib as _zlib
+
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+    from mdio_cpp_spark.utils.transcode import transcode_array
+
+    src = str(tmp_path / "src.zarr")
+    st = ZarrStore.create(src, version=2)
+    st.create_array(
+        "v", shape=(1000,), chunks=(100,), dtype="float64", dims=("i",), fill=0.0,
+        compressor={"id": "blosc", "cname": "zlib", "clevel": 5, "shuffle": 1},
+    )
+    st.consolidate()
+    st.write_array_numpy("v", np.arange(700.0))  # chunks 7-9 stay fill-only
+
+    dst = str(tmp_path / "dst.zarr")
+    report = transcode_array(spark, src, dst, "v", {"id": "zlib", "level": 5})
+    assert report == {"chunks_total": 10, "chunks_copied": 7}
+
+    d = ZarrStore.open(dst)
+    dm = d.array_meta("v")
+    assert dm.compressor == {"id": "zlib", "level": 5}
+    assert d.read_bytes(dm.chunk_key((8,))) is None  # sparsity survived
+    got = d.read_array("v")
+    expect = np.zeros(1000)
+    expect[:700] = np.arange(700.0)
+    assert np.array_equal(got, expect)
+    raw = d.read_bytes(dm.chunk_key((0,)))
+    assert _zlib.decompress(raw)  # plain zlib stream, not a blosc frame
