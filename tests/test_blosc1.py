@@ -193,3 +193,39 @@ def test_blosc_store_spark_write_path(spark, tmp_path):
     write_array(df, root, "v")
     got = sorted((r["i"], r["value"]) for r in scan_array(spark, root, "v").collect())
     assert got == [(i, i * 2.0) for i in range(1000)]
+
+
+# ------------------------------------------------------- property-based
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.binary(min_size=0, max_size=4096),
+        typesize=st.sampled_from([1, 2, 3, 4, 8, 16]),
+        shuffle=st.sampled_from([0, 1, 2]),
+        blocksize=st.sampled_from([0, 64, 257, 1024]),
+    )
+    def test_roundtrip_property(data, typesize, shuffle, blocksize):
+        """Any bytes × any typesize × any shuffle × odd block sizes must
+        round-trip exactly (tails, partial blocks, incompressible runs)."""
+        frame = blosc1.compress(
+            data, typesize=typesize, shuffle=shuffle, blocksize=blocksize
+        )
+        assert blosc1.decompress(frame) == data
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=600),
+        typesize=st.sampled_from([2, 4, 8]),
+    )
+    def test_shuffle_inverse_property(n, typesize):
+        rng = np.random.default_rng(n)
+        blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert blosc1._byte_unshuffle(blosc1._byte_shuffle(blob, typesize), typesize) == blob
+        assert blosc1._bit_unshuffle(blosc1._bit_shuffle(blob, typesize), typesize) == blob
+except ImportError:  # pragma: no cover
+    pass

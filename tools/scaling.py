@@ -28,6 +28,8 @@ PICKS = [
     ("h20_sole_returning_supplier", "Q21 shape: per-order agg replaces EXISTS self-joins"),
     ("h22_nation_profit", "Q9 shape: part-pruned fact join + profit rollup"),
     ("ev02_cohort_retention", "event cohort matrix (distinct-first collapse)"),
+    ("zarr53_dsv2_multivar_fused", "fused multi-variable DSv2 read (join-free alignment)"),
+    ("zarr55_ffill", "chunk-bucketed LOCF gap fill over a stored series"),
     ("u02_scd2_history", "SCD2 dimension versioning (dimension never shuffles)"),
     ("zarr40_shift_roll", "zero-shuffle stored-array shift/roll remap"),
 ]
