@@ -2316,8 +2316,6 @@ def zarr55(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate) cumulates over a chunk-id-only window and joins back
     broadcast; ffill = coalesce(in-chunk carry, previous-chunk carry).
     Store built once (own marker) through the distributed writer."""
-    from pyspark.sql import Window as W
-
     from mdio_cpp_spark.sources.writer import write_array
 
     base = ensure_stores(spark, sf_dir)
@@ -2339,26 +2337,11 @@ def zarr55(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_array(ords.filter(F.col("i") % 7 != 0), path, "v", value_cols="v")
         with open(marker, "w") as f:
             f.write("1")
+    from mdio_cpp_spark.operators.gapfill import fill_gaps
+
     ds = MdioDataset.open(path)
-    df = ds.to_df(spark, "v", value_col="v").withColumn(
-        "__b", F.expr(f"i div {CHUNK}")
-    )
-    w_in = W.partitionBy("__b").orderBy("i").rowsBetween(W.unboundedPreceding, 0)
-    carried = df.select(
-        "i", "__b", F.last("v", ignorenulls=True).over(w_in).alias("__v_in")
-    )
-    b_last = df.groupBy("__b").agg(
-        F.max_by("v", F.when(F.col("v").isNotNull(), F.col("i"))).alias("__v_last")
-    )
-    w_b = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
-    carry = b_last.select(
-        "__b", F.last("__v_last", ignorenulls=True).over(w_b).alias("__v_prev")
-    )
-    return (
-        carried.join(F.broadcast(carry), "__b", "left")
-        .select("i", F.coalesce("__v_in", "__v_prev").alias("v"))
-        .orderBy("i")
-    )
+    df = ds.to_df(spark, "v", value_col="v")
+    return fill_gaps(df, "i", "v", bucket_size=CHUNK).orderBy("i")
 
 
 @declared(
@@ -2403,3 +2386,40 @@ def zarr56(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+@declared(
+    "zarr57_bfill_limit",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(rn - 1 AS BIGINT) AS i,
+             CASE WHEN (rn - 1) % 7 <> 0 THEN o_totalprice END AS v
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    ),
+    d AS (
+      SELECT i, v,
+             first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER w AS dx,
+             first_value(v IGNORE NULLS) OVER w AS dv
+      FROM base
+      WINDOW w AS (ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT i, CASE WHEN v IS NOT NULL THEN v WHEN dx - i <= 3 THEN dv END AS v
+    FROM d ORDER BY i
+    """,
+)
+def zarr57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``bfill('i', limit=3)`` over the same gappy stored series as
+    zarr55: next-observation-carried-BACKWARD, donors farther than 3
+    positions masked back to NULL. The operator mirrors the index axis
+    (negation) and reuses the LOCF machinery verbatim — in-chunk windows
+    partition on chunk id, the cross-chunk carry is one row per chunk —
+    so the backward fill inherits the forward fill's scale shape."""
+    from mdio_cpp_spark.operators.gapfill import fill_gaps
+
+    zarr55(spark, sf_dir)  # builds the shared gappy store (marker-gated)
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "ffill.zarr"))
+    df = ds.to_df(spark, "v", value_col="v")
+    return fill_gaps(
+        df, "i", "v", bucket_size=CHUNK, direction="backward", limit=3
+    ).orderBy("i")

@@ -21,12 +21,12 @@ from mdio_cpp_spark.plans import REGISTRY
 #    window partitions on the bucket.
 #  - zarr09: row_number over a ≤10,000-row take-ordered sample (documented
 #    in plans/zarr_queries.py).
-#  - zarr55: the ffill cross-chunk carry — ONE row per chunk (the LOCF
-#    boundary table, zarr24's prefix-sum shape) — cumulates globally; the
-#    BIG window partitions on the chunk id.
+#  - zarr55/zarr57: the gap-fill cross-chunk carry — ONE row per chunk
+#    (operators/gapfill.py, zarr24's prefix-sum shape) — cumulates
+#    globally; the BIG window partitions on the chunk id.
 _ALLOW_GLOBAL = {
     "asof01_event_order", "asof02_left", "zarr09_write_roundtrip",
-    "zarr55_ffill",
+    "zarr55_ffill", "zarr57_bfill_limit",
 }
 
 
