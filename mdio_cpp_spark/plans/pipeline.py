@@ -2155,3 +2155,44 @@ def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_EPOCH_SEED = "ep1"
+
+
+@declared(
+    "p11_epoch_shuffle",
+    oracle=f"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('{_EPOCH_SEED}' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos,
+           doc_id
+    FROM documents ORDER BY pos
+    """,
+)
+def p11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE: the reproducible full-corpus training
+    order every data loader needs — order by md5(seed‖id) (engine-portable,
+    seed swaps give independent epochs) and assign contiguous positions
+    WITHOUT a global row_number window: rows bucket by the hash's first hex
+    digit (16 parallel in-bucket rank windows), bucket sizes cumulate into
+    broadcast offsets (a 16-row driver-free table), position = offset +
+    in-bucket rank. Scale shape: one hash-keyed exchange for the windows +
+    one tiny broadcast — never a single-partition stage over the corpus."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.concat(F.lit(_EPOCH_SEED), F.col("doc_id").cast("string"))).alias("__k"),
+    ).withColumn("__b", F.substring("__k", 1, 1))
+    w_in = Window.partitionBy("__b").orderBy("__k", "doc_id")
+    ranked = keyed.withColumn("__r", F.row_number().over(w_in))
+    sizes = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "__b", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        ranked.join(F.broadcast(offs), "__b")
+        .select((F.col("__off") + F.col("__r") - 1).alias("pos"), "doc_id")
+        .orderBy("pos")
+    )

@@ -117,3 +117,74 @@ def test_lsh_pipeline_with_empty_and_short_docs(spark):
     )
     pairs = dedup.lsh_candidate_pairs(docs, "doc_id", "text").collect()
     assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 5)]
+
+
+def test_radius_join_empty_and_degenerate_vectors(spark):
+    corpus = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.radius_join(corpus, "vec_id", "embedding", dim=4, threshold=0.5).count() == 0
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0] * 4), (2, [1.0, 0.0, 0.0, 0.0])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["q_id"], r["vec_id"]) for r in
+           similarity.radius_join(corpus, "vec_id", "embedding", dim=4, threshold=0.9).collect()}
+    # zero-norm vector yields NULL cosine → never passes the threshold
+    assert got == {(0, 2), (2, 0)}
+
+
+def test_asof_forward_empty_right(spark):
+    from mdio_cpp_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "id long, t long").select(
+        "id", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame([], "rts timestamp, v double")
+    out = asof_join(left, right, "ts", "rts", ["v"], how="left", direction="forward")
+    assert [(r["id"], r["v"]) for r in out.collect()] == [(1, None)]
+    assert asof_join(left, right, "ts", "rts", ["v"], how="inner",
+                     direction="forward").count() == 0
+
+
+def test_fill_gaps_all_null_and_empty(spark):
+    from mdio_cpp_spark.operators.gapfill import fill_gaps
+
+    empty = spark.createDataFrame([], "i long, v double")
+    assert fill_gaps(empty, "i", "v").count() == 0
+    allnull = spark.createDataFrame([(0, None), (1, None)], "i long, v double")
+    got = [r["v"] for r in fill_gaps(allnull, "i", "v").collect()]
+    assert got == [None, None]
+
+
+def test_scan_arrays_empty_selection_and_fill_only(spark, tmp_path):
+    import numpy as np
+
+    from mdio_cpp_spark.sources.reader import scan_arrays
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    root = str(tmp_path / "dg.zarr")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("a", shape=(100,), chunks=(32,), dtype="float64", dims=("i",), fill=1.5)
+    st.create_array("b", shape=(100,), chunks=(32,), dtype="int64", dims=("i",), fill=7)
+    st.consolidate()
+    # empty selection → schema-correct zero rows
+    out = scan_arrays(spark, root, {"a": "a", "b": "b"}, ranges={"i": (50, 50)})
+    assert out.columns == ["i", "a", "b"] and out.count() == 0
+    # entirely fill-only store → pure fill synthesis, no bytes read
+    rows = scan_arrays(spark, root, {"a": "a", "b": "b"}, ranges={"i": (0, 3)}).collect()
+    assert sorted((r["i"], r["a"], r["b"]) for r in rows) == [
+        (0, 1.5, 7), (1, 1.5, 7), (2, 1.5, 7)
+    ]
+
+
+def test_transcode_empty_and_all_fill_store(spark, tmp_path):
+    import numpy as np
+
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+    from mdio_cpp_spark.utils.transcode import transcode_array
+
+    src = str(tmp_path / "tsrc.zarr")
+    st = ZarrStore.create(src, version=2)
+    st.create_array("v", shape=(100,), chunks=(10,), dtype="float64", dims=("i",), fill=0.0)
+    st.consolidate()  # nothing ever written: all chunks fill-only
+    dst = str(tmp_path / "tdst.zarr")
+    report = transcode_array(spark, src, dst, "v", {"id": "zlib", "level": 1})
+    assert report == {"chunks_total": 10, "chunks_copied": 0}
+    got = ZarrStore.open(dst).read_array("v")
+    assert (got == 0.0).all()
