@@ -24,9 +24,12 @@ from mdio_cpp_spark.plans import REGISTRY
 #  - zarr55/zarr57: the gap-fill cross-chunk carry — ONE row per chunk
 #    (operators/gapfill.py, zarr24's prefix-sum shape) — cumulates
 #    globally; the BIG window partitions on the chunk id.
+#  - p11: the epoch-shuffle bucket-offset cumulation — EXACTLY 16 rows
+#    (one per hex digit); the corpus-sized rank windows partition on the
+#    bucket.
 _ALLOW_GLOBAL = {
     "asof01_event_order", "asof02_left", "zarr09_write_roundtrip",
-    "zarr55_ffill", "zarr57_bfill_limit",
+    "zarr55_ffill", "zarr57_bfill_limit", "p11_epoch_shuffle",
 }
 
 

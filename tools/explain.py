@@ -61,6 +61,10 @@ PICKS = {
     "zarr50_dsv2_value_pushdown": "Catalyst-pushed value predicate: the PythonScan consumed value>=450000 via pushFilters (decoder-exact mask + zone-map chunk skip) — the only Filter left upstream is the isnotnull residual, and pruned chunks never get a kvstore GET",
     "zarr53_dsv2_multivar_fused": "fused multi-variable read: NO Join anywhere — both aligned arrays decode in the same PythonScan task per chunk, and the only exchange is the 10-group partial aggregate",
     "a11_grouped_mad": "two buffer-free percentile passes; the 3-row group-median result is persisted (InMemoryTableScan) so the deviation pass and the final join reuse it instead of re-running the median DAG",
+    "zarr55_ffill": "gap fill with NO global data window: the in-chunk LOCF window partitions on the chunk id; the only global window is the one-row-per-chunk carry table (bounded by construction), joined back broadcast",
+    "p11_epoch_shuffle": "deterministic epoch shuffle without a global row_number: 16 hash-digit bucket windows rank in parallel; positions = broadcast bucket offsets + in-bucket rank",
+    "v07_radius_search": "all-pairs radius query: one shuffle keyed on the LSH bucket string (self equi-join), exact cosine threshold filter — no broadcast, no cross product",
+    "zarr56_transcode": "codec migration is a single mapInPandas stage over a lazy chunk-id range: decode, re-encode, write at the same coordinates — zero shuffle at any store size",
     "zarr40_shift_roll": "shift/roll with ZERO shuffle: two chunk-pruned scans re-keyed map-side (body + wrap slice), union, no lag window anywhere; only the gate's output sort exchanges",
     "zarr41_stack_unstack": "the z-range predicate unstacks into row-chunk pruning: the scan's manifest covers rows [1,5) only; z and (row,col) re-derive map-side",
     "zarr42_weighted_mean": "the stored col coordinate broadcasts onto the chunk-pruned grid scan; weighted products stay integer fixed-point through the partial agg — shuffle carries one partial per (row, partition)",
