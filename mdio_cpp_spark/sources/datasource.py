@@ -542,6 +542,12 @@ class MdioAlignedReader(MdioReader):
     def __init__(self, store: ZarrStore, specs, options):
         super().__init__(store, store.array_meta(specs[0][0]), options)
         self.specs = list(specs)
+        # the inherited pushFilters consumes predicates on `self.value_col`,
+        # but THIS reader's read() has no single value column to apply them
+        # to — a variable literally named "value" would silently lose its
+        # predicate. Disable value consumption entirely (None never equals
+        # a column name); dim bounds/In consumption still applies.
+        self.value_col = None
 
     def read(self, partition: MdioChunkPartition) -> Iterator[pa.RecordBatch]:
         if partition is None:

@@ -450,3 +450,31 @@ def test_scan_arrays_fused_equals_join(spark, tmp_path):
     ds = MdioDataset.open(root)
     aligned = ds.isel(i=(100, 400)).to_df_aligned(spark, {"x": "x", "y": "y"})
     assert sorted((r["i"], r["x"], r["y"]) for r in aligned.collect()) == rows
+
+
+def test_dsv2_multivar_value_named_variable_not_misconsumed(spark, tmp_path):
+    """A variable literally named 'value' in the fused multi-variable read
+    must NOT have its predicates consumed (the aligned reader has no single
+    value column to apply them to) — Spark evaluates them residually and
+    the results stay correct."""
+    import numpy as np
+    from mdio_cpp_spark.sources.datasource import register
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    register(spark)
+    root = str(tmp_path / "valvar.zarr")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("value", shape=(100,), chunks=(10,), dtype="float64", dims=("i",))
+    st.create_array("w", shape=(100,), chunks=(10,), dtype="float64", dims=("i",))
+    st.consolidate()
+    st.write_array_numpy("value", np.arange(100.0))
+    st.write_array_numpy("w", np.arange(100.0) * 2)
+    df = (
+        spark.read.format("mdio")
+        .option("path", root).option("variables", "value,w")
+        .load()
+    )
+    got = sorted(r["i"] for r in df.filter("value >= 95.0").collect())
+    assert got == [95, 96, 97, 98, 99]
+    got2 = sorted(r["w"] for r in df.filter("value = 50.0").collect())
+    assert got2 == [100.0]
