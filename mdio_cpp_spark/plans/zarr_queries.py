@@ -2423,3 +2423,34 @@ def zarr57(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fill_gaps(
         df, "i", "v", bucket_size=CHUNK, direction="backward", limit=3
     ).orderBy("i")
+
+
+@declared(
+    "zarr58_zonemap_2d",
+    oracle=f"""
+    WITH n AS (SELECT LEAST(CAST((SELECT COUNT(*) FROM orders) AS BIGINT) // {GRID_C}, 128) AS rows_),
+    cells AS (
+      SELECT CAST((rn - 1) // {GRID_C} AS BIGINT) AS row,
+             CAST((rn - 1) % {GRID_C} AS BIGINT) AS col,
+             o_totalprice AS v
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < (SELECT rows_ FROM n) * {GRID_C}
+    )
+    SELECT row, col, v FROM cells WHERE v >= 450000.0 ORDER BY row, col
+    """,
+)
+def zarr58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning at RANK 2: the sidecar manifest over the 2-D grid
+    store (32×32 chunks) — chunk coordinates ravel through the full grid
+    into sidecar entries, and a selective value predicate skips whole chunk
+    RECTANGLES before any byte read. Same machinery as zarr29/zarr50, now
+    exercising the multi-dimensional linear-id path end-to-end."""
+    base = ensure_stores(spark, sf_dir)
+    grid = os.path.join(base, "grid_v2.zarr")
+    zonemap.ensure_chunk_stats(spark, grid, "grid")
+    ds = MdioDataset.open(grid)
+    return (
+        ds.var("grid")
+        .to_df(spark, value_col="v", value_filter=(">=", 450000.0))
+        .orderBy("row", "col")
+    )
