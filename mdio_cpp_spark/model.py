@@ -507,13 +507,73 @@ class MdioDataset:
             out._runs[dim] = norm
         return out
 
-    def _dim_coordinate(self, label: str) -> np.ndarray:
+    # coordinate length beyond which sel's value→index translation runs as
+    # a distributed aggregate instead of a driver-side array read (8M int64
+    # elements ≈ 64 MiB — the reference makes the single-thread choice
+    # unconditionally, dataset.h:552-629; a petascale dimension coordinate
+    # must not materialize on the driver)
+    _SEL_DRIVER_MAX = 8 << 20
+    # distributed POINT sel collects matching indices to build runs; a
+    # pathological constant-valued coordinate could match everything, so the
+    # collect is probed and hard-bounded
+    _SEL_POINT_HITS_MAX = 1 << 20
+
+    def _dim_coord_meta(self, label: str) -> ZarrArrayMeta:
         meta = self._metas.get(label)
         if meta is None or meta.ndim != 1 or (meta.dims and meta.dims[0] != label):
             raise SelError(
                 f"sel label {label!r} must be a 1-D dimension coordinate variable"
             )
+        return meta
+
+    def _dim_coordinate(self, label: str) -> np.ndarray:
+        self._dim_coord_meta(label)
         return self.store.read_array(label)
+
+    def _sel_spark(self, label: str):
+        """Active session for DISTRIBUTED coordinate translation, or None
+        for the driver-side numpy path (small coordinates / no session)."""
+        if self._dim_coord_meta(label).shape[0] <= self._SEL_DRIVER_MAX:
+            return None
+        from pyspark.sql import SparkSession
+
+        return SparkSession.getActiveSession()
+
+    def _range_hits_distributed(self, spark, label: str, lo_v, hi_v):
+        """(lo_count, lo_index, hi_count, hi_index) via one aggregate over
+        the coordinate scan — nothing coordinate-sized leaves the executors."""
+        from pyspark.sql import functions as F
+
+        from mdio_cpp_spark.sources.reader import scan_array
+
+        df = scan_array(spark, self.path, label, value_col="__v")
+        row = df.agg(
+            F.count(F.when(F.col("__v") == lo_v, 1)).alias("lc"),
+            F.min(F.when(F.col("__v") == lo_v, F.col(label))).alias("li"),
+            F.count(F.when(F.col("__v") == hi_v, 1)).alias("hc"),
+            F.min(F.when(F.col("__v") == hi_v, F.col(label))).alias("hi"),
+        ).first()
+        return int(row["lc"]), row["li"], int(row["hc"]), row["hi"]
+
+    def _point_hits_distributed(self, spark, label: str, value) -> np.ndarray:
+        """Sorted matching indices for a point sel, collected under a hard
+        bound (run construction needs the actual index list; real dimension
+        coordinates match a handful of runs — a constant coordinate that
+        matches millions refuses loudly instead of flooding the driver)."""
+        from pyspark.sql import functions as F
+
+        from mdio_cpp_spark.sources.reader import scan_array
+
+        df = scan_array(spark, self.path, label, value_col="__v")
+        hits_df = df.filter(F.col("__v") == value).select(label)
+        rows = hits_df.limit(self._SEL_POINT_HITS_MAX + 1).collect()
+        if len(rows) > self._SEL_POINT_HITS_MAX:
+            raise SelError(
+                f"sel point on {label!r}: more than {self._SEL_POINT_HITS_MAX} "
+                "matching indices — not a usable dimension coordinate for "
+                "point selection; use a range or the relational filter path"
+            )
+        return np.sort(np.array([r[0] for r in rows], dtype=np.int64))
 
     def sel(self, **values: Any) -> "MdioDataset":
         """Value-based selection on dimension coordinates (dataset.h:552-885).
@@ -524,21 +584,30 @@ class MdioDataset:
         """
         out = self
         for label, v in values.items():
-            coord = self._dim_coordinate(label)
+            spark = self._sel_spark(label)
             if isinstance(v, tuple) and len(v) == 2:
-                lo_hits = np.flatnonzero(coord == v[0])
-                hi_hits = np.flatnonzero(coord == v[1])
-                if len(lo_hits) != 1 or len(hi_hits) != 1:
+                if spark is not None:
+                    lo_n, lo_i, hi_n, hi_i = self._range_hits_distributed(
+                        spark, label, v[0], v[1]
+                    )
+                else:
+                    coord = self._dim_coordinate(label)
+                    lo_hits = np.flatnonzero(coord == v[0])
+                    hi_hits = np.flatnonzero(coord == v[1])
+                    lo_n, hi_n = len(lo_hits), len(hi_hits)
+                    lo_i = int(lo_hits[0]) if lo_n else None
+                    hi_i = int(hi_hits[0]) if hi_n else None
+                if lo_n != 1 or hi_n != 1:
                     raise SelError(
                         f"sel range on {label!r}: start/stop must match exactly one "
-                        f"coordinate value (got {len(lo_hits)}/{len(hi_hits)} matches)"
+                        f"coordinate value (got {lo_n}/{hi_n} matches)"
                     )
-                if int(hi_hits[0]) < int(lo_hits[0]):
+                if int(hi_i) < int(lo_i):
                     raise SelError(
                         f"sel range on {label!r}: stop value precedes start "
                         "value in coordinate order (inverted range)"
                     )
-                out = out.isel(**{label: (int(lo_hits[0]), int(hi_hits[0]) + 1)})
+                out = out.isel(**{label: (int(lo_i), int(hi_i) + 1)})
             elif isinstance(v, (list, np.ndarray)):
                 # the reference gates ListDescriptor sel as Unimplemented at
                 # validation (dataset.h:675-684); same behavior here — the
@@ -549,7 +618,11 @@ class MdioDataset:
                     "the relational path"
                 )
             else:
-                hits = np.flatnonzero(coord == v)
+                if spark is not None:
+                    hits = self._point_hits_distributed(spark, label, v)
+                else:
+                    coord = self._dim_coordinate(label)
+                    hits = np.flatnonzero(coord == v)
                 if len(hits) == 0:
                     raise SelError(f"sel point on {label!r}: value {v!r} not found")
                 runs = _contiguous_runs(hits)

@@ -806,3 +806,44 @@ def test_transcode_array_codec_migration(spark, tmp_path):
     assert np.array_equal(got, expect)
     raw = d.read_bytes(dm.chunk_key((0,)))
     assert _zlib.decompress(raw)  # plain zlib stream, not a blosc frame
+
+
+def test_sel_distributed_translation_matches_driver(spark, tmp_path, monkeypatch):
+    """Past _SEL_DRIVER_MAX the value→index translation runs as a Spark
+    aggregate instead of a driver array read — results and error semantics
+    must be identical (forced via a tiny threshold)."""
+    root = str(tmp_path / "seld.zarr")
+    spec = {
+        "metadata": {"name": "seld", "apiVersion": "1.0.0"},
+        "variables": [
+            {"name": "i", "dataType": "int64",
+             "dimensions": [{"name": "i", "size": 1000}]},
+            {"name": "v", "dataType": "float64", "dimensions": ["i"],
+             "coordinates": ["i"]},
+        ],
+    }
+    ds = MdioDataset.from_json(spec, root)
+    coord = np.arange(1000, dtype="i8") * 10  # values 0,10,...,9990
+    coord[500] = coord[499]  # one duplicated value for the error path
+    ds.store.write_array_numpy("i", coord)
+    ds.store.write_array_numpy("v", np.arange(1000.0))
+    ds = MdioDataset.open(root)
+
+    driver_rng = ds.sel(i=(100, 200)).var("v").get_intervals()["i"]
+    monkeypatch.setattr(MdioDataset, "_SEL_DRIVER_MAX", 10)
+    ds2 = MdioDataset.open(root)
+    assert ds2.sel(i=(100, 200)).var("v").get_intervals()["i"] == driver_rng == (10, 21)
+
+    # point sel: all occurrences of the duplicated value → one 2-run? they
+    # are adjacent (499,500) → a single contiguous run
+    got = ds2.sel(i=int(coord[499])).var("v").get_intervals()["i"]
+    assert got == (499, 501)
+
+    # duplicate-endpoint error matches the driver path's message
+    with pytest.raises(SelError, match="exactly one"):
+        ds2.sel(i=(int(coord[499]), 9990))
+    with pytest.raises(SelError, match="not found"):
+        ds2.sel(i=5)
+    # inverted range
+    with pytest.raises(SelError, match="precedes"):
+        ds2.sel(i=(9990, 0))
