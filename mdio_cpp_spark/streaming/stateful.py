@@ -102,3 +102,68 @@ try:  # Spark >= 4.0
 
 except ImportError:  # pragma: no cover — older Spark
     running_user_totals_tws = None  # type: ignore[assignment]
+
+
+# --------------------------------------------------------------------------
+# Streaming AS-OF enrichment: each event carries its key's latest
+# prior-or-equal reference value (the stream-stream as-of — enriching a
+# click stream with the last trade/price/config per key). State is the
+# MINIMUM possible: one (ts, value) pair per key. Contract: per-key
+# in-order delivery across micro-batches (a time-ordered log / the tailing
+# mdio source); late rows would need watermark-bounded reordering, which
+# this operator intentionally does not buffer for. Within a batch, rows
+# sort by (ts, value) so equal-timestamp updates resolve exactly like the
+# batch operator's (ts, value)-struct max — availableNow over ordered
+# input must equal joins.asof_join, which the parity test pins.
+
+ASOF_OUT_SCHEMA = "event_id bigint, user_id bigint, ts timestamp, ref double"
+ASOF_STATE_SCHEMA = "pts_us bigint, pv double"
+
+
+def _asof_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    pts_us, pv = state.get if state.exists else (None, None)
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    # (ts, value) order: equal-ts reference updates apply smaller-value
+    # first, so the LAST applied (the max) matches the batch operator's
+    # struct-max tie rule
+    batch = batch.sort_values(["ts", "value"], kind="mergesort")
+    out_ids, out_ts, out_ref = [], [], []
+    for row in batch.itertuples(index=False):
+        ts_us = int(row.ts.value // 1_000)  # pandas ns → µs
+        if bool(row.is_ref):
+            if (
+                pts_us is None
+                or ts_us > pts_us
+                or (ts_us == pts_us and float(row.value) > (pv if pv is not None else float("-inf")))
+            ):
+                pts_us, pv = ts_us, float(row.value)
+        out_ids.append(int(row.event_id))
+        out_ts.append(row.ts)
+        out_ref.append(pv)
+    state.update((pts_us, pv))
+    yield pd.DataFrame(
+        {"event_id": out_ids, "user_id": user_id, "ts": out_ts, "ref": out_ref}
+    )
+
+
+def asof_enrich_stream(events: DataFrame, ref_predicate: str) -> DataFrame:
+    """Enrich every event with its key's latest prior-or-equal reference
+    value (rows matching ``ref_predicate`` are the reference side; they
+    enrich themselves too, matching ASOF's inclusive bound). Append output:
+    each input row is emitted exactly once, already enriched."""
+    from pyspark.sql import functions as F
+
+    tagged = events.select(
+        "event_id", "user_id", "ts", "value",
+        F.expr(ref_predicate).cast("boolean").alias("is_ref"),
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _asof_update,
+        outputStructType=ASOF_OUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

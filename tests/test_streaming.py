@@ -384,3 +384,65 @@ def test_transformWithState_matches_batch(spark, sf_dir):
     ).collect()
     streamed = {r["user_id"]: (r["n"], r["s"]) for r in rows}
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_asof_enrich_parity(spark, sf_dir, tmp_path):
+    """Streaming as-of enrichment (one (ts, value) state pair per key) over
+    time-ordered micro-batches must equal the BATCH as-of join on the same
+    rows — including the inclusive equal-ts bound and the cross-batch
+    carry (the time split guarantees state crosses a batch boundary)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.operators import joins
+    from mdio_cpp_spark.streaming.stateful import asof_enrich_stream
+
+    ev_all = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value", "event_type")
+
+    # batch ground truth: latest prior-or-equal purchase per user
+    e = ev_all.select("event_id", "user_id", "ts")
+    p = ev_all.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("pv")
+    )
+    batch = {
+        r["event_id"]: r["pv"]
+        for r in joins.asof_join(e, p, "ts", "pts", ["pv"],
+                                 partition_keys=["user_id"], how="left").collect()
+    }
+
+    # two time-ordered files → two in-order micro-batches (state must carry)
+    mid = ev_all.agg(F.expr("percentile_approx(unix_micros(ts), 0.5)")).first()[0]
+    src = str(tmp_path / "asof_src")
+    (ev_all.filter(F.unix_micros("ts") <= mid).orderBy("ts", "event_id").coalesce(1)
+     .write.mode("overwrite").parquet(src + "/b0"))
+    (ev_all.filter(F.unix_micros("ts") > mid).orderBy("ts", "event_id").coalesce(1)
+     .write.mode("overwrite").parquet(src + "/b1"))
+    import shutil as _sh
+    import glob as _gl
+    feed = str(tmp_path / "feed")
+    import os as _os
+    _os.makedirs(feed)
+    for i, part in enumerate(sorted(_gl.glob(src + "/b*/part-*.parquet"))):
+        _sh.copy(part, f"{feed}/{i:02d}.parquet")
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp, value double, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    enriched = asof_enrich_stream(stream, "event_type = 'purchase'")
+    with tempfile.TemporaryDirectory(dir="/root/repo/.zarr_cache") as ckpt:
+        q = (
+            enriched.writeStream.format("memory").queryName("asof_parity")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    streamed = {r["event_id"]: r["ref"] for r in spark.sql("SELECT * FROM asof_parity").collect()}
+    assert len(streamed) == len(batch) > 0
+    diffs = {k for k in batch if streamed.get(k) != batch[k]
+             and not (streamed.get(k) is None and batch[k] is None)}
+    assert not diffs, f"{len(diffs)} mismatches, e.g. {sorted(diffs)[:5]}"
