@@ -478,3 +478,33 @@ def test_dsv2_multivar_value_named_variable_not_misconsumed(spark, tmp_path):
     assert got == [95, 96, 97, 98, 99]
     got2 = sorted(r["w"] for r in df.filter("value = 50.0").collect())
     assert got2 == [100.0]
+
+
+def test_dsv2_dim_in_2d_mixed_with_range(spark, tmp_path):
+    """dim IN on one axis + a range on the other of a 2-D store: the
+    partition plan uses explicit member chunks on the IN axis and a
+    contiguous range on the other; results stay exact."""
+    import numpy as np
+    from mdio_cpp_spark.sources.datasource import register
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    register(spark)
+    root = str(tmp_path / "in2d.zarr")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("g", shape=(40, 40), chunks=(10, 10), dtype="float64",
+                    dims=("r", "c"))
+    st.consolidate()
+    vals = (np.arange(1600, dtype="f8")).reshape(40, 40)
+    st.write_array_numpy("g", vals)
+    df = (
+        spark.read.format("mdio").option("path", root).option("variable", "g")
+        .load()
+    )
+    got = sorted(
+        (r["r"], r["c"], r["value"])
+        for r in df.filter("r IN (3, 25) AND c >= 35").collect()
+    )
+    expect = sorted(
+        (rr, cc, float(vals[rr, cc])) for rr in (3, 25) for cc in range(35, 40)
+    )
+    assert got == expect
