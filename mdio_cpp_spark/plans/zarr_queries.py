@@ -2454,3 +2454,46 @@ def zarr58(spark: SparkSession, sf_dir: str) -> DataFrame:
         .to_df(spark, value_col="v", value_filter=(">=", 450000.0))
         .orderBy("row", "col")
     )
+
+
+@declared(
+    "zarr59_cummax",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i,
+           MAX(o_totalprice) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS run_max
+    FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    QUALIFY rn - 1 < 8192
+    ORDER BY i
+    """,
+)
+def zarr59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running MAX over a stored array (xarray ``cummax``) — zarr24's
+    prefix shape with max as the monoid: per-chunk maxima (n_chunks
+    scalars) cumulate into per-chunk prefix maxima, and the running max is
+    a chunk-PARTITIONED window combined with its bucket's prefix — every
+    stage parallel, no global window, exact (max has no accumulation-order
+    drift at all)."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    scan = ds.isel(i=(0, 8192)).to_df(spark, "price", value_col="v")
+    tagged = scan.withColumn("__b", (F.col("i") / F.lit(CHUNK)).cast("long"))
+    maxes = {
+        r["__b"]: r["m"]
+        for r in tagged.groupBy("__b").agg(F.max("v").alias("m")).collect()
+    }
+    offs, acc = [], None
+    for b in sorted(maxes):
+        offs.append((b, acc))
+        acc = maxes[b] if acc is None else max(acc, maxes[b])
+    off_df = tagged.sparkSession.createDataFrame(
+        offs or [(0, None)], "__b long, __pmax double"
+    )
+    w = Window.partitionBy("__b").orderBy("i")
+    return (
+        tagged.join(F.broadcast(off_df), "__b")
+        .withColumn(
+            "run_max",
+            F.greatest(F.max("v").over(w), F.coalesce("__pmax", F.col("v"))),
+        )
+        .select("i", "run_max")
+        .orderBy("i")
+    )
