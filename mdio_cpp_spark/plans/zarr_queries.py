@@ -2497,3 +2497,38 @@ def zarr59(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", "run_max")
         .orderBy("i")
     )
+
+
+@declared(
+    "zarr60_rank_axis",
+    oracle=f"""
+    WITH n AS (SELECT LEAST(CAST((SELECT COUNT(*) FROM orders) AS BIGINT) // {GRID_C}, 128) AS rows_),
+    cells AS (
+      SELECT CAST((rn - 1) // {GRID_C} AS BIGINT) AS row,
+             CAST((rn - 1) % {GRID_C} AS BIGINT) AS col,
+             o_totalprice AS v
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < (SELECT rows_ FROM n) * {GRID_C}
+    )
+    SELECT row, col,
+           CAST(RANK() OVER (PARTITION BY row ORDER BY v, col) AS BIGINT) AS rk
+    FROM cells WHERE row < 8 ORDER BY row, col
+    """,
+)
+def zarr60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``rank(dim='col')`` over the stored 2-D grid: each cell's
+    rank among its ROW's values — one window PARTITIONED BY the surviving
+    dimension (every row ranks in parallel; the partition count is the
+    remaining-dim cardinality, never one), over the chunk-pruned slice.
+    Ties break on the col index so the answer is total-order exact."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "grid_v2.zarr"))
+    df = ds.isel(row=(0, 8)).to_df(spark, "grid", value_col="v")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("row").orderBy("v", "col")
+    return (
+        df.withColumn("rk", F.rank().over(w).cast("long"))
+        .select("row", "col", "rk")
+        .orderBy("row", "col")
+    )
