@@ -275,3 +275,25 @@ def test_grow_within_chunk_invalidates_boundary_zone(spark, tmp_path, form):
         r["i"] for r in scan_array(spark, root, "v", value_filter=("==", 0.0)).collect()
     )
     assert got2 == list(range(250, 290))
+
+
+def test_pruning_report_driver_and_distributed(spark, tmp_path, monkeypatch):
+    """pruning_report must count kept/pruned chunks identically through the
+    driver-enumeration tier and the distributed judge pass."""
+    root, _ = _mk_store(tmp_path)  # 10 chunks: zones [0..99]..[800,899], last fill-only
+    zonemap.build_sidecar_stats(spark, root, "v")
+    rep = zonemap.pruning_report(root, "v", (">=", 750.0))
+    assert rep == {"planned": 10, "kept": 2, "pruned": 8, "source": "sidecar"}
+    # forced distributed pass gives the same counts
+    monkeypatch.setattr(zonemap, "MAX_DRIVER_ENUM", 4)
+    rep2 = zonemap.pruning_report(root, "v", (">=", 750.0), spark=spark)
+    assert rep2 == rep
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="SparkSession"):
+        zonemap.pruning_report(root, "v", (">=", 750.0))
+    monkeypatch.undo()
+    # no stats → nothing prunable
+    root2, _ = _mk_store(tmp_path / "nostats")
+    rep3 = zonemap.pruning_report(root2, "v", (">=", 750.0))
+    assert rep3 == {"planned": 10, "kept": 10, "pruned": 0, "source": None}
