@@ -1190,3 +1190,44 @@ def mm07(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@declared(
+    "ev04_time_to_convert",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS st FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS pt FROM events e
+          JOIN s ON e.user_id = s.user_id AND e.ts > s.st
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT s.user_id,
+           CAST((epoch_us(p.pt) - epoch_us(s.st)) // 1000000 AS BIGINT) AS secs_to_convert
+    FROM s JOIN p ON s.user_id = p.user_id
+    ORDER BY s.user_id
+    """,
+)
+def ev04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion: seconds from each user's FIRST signup to their
+    first purchase strictly after it (the survival-analysis input every
+    growth dashboard starts from). Funnel machinery's shape: two earliest-
+    qualifying-instant aggregates co-partitioned on user_id and one
+    user-keyed join — exact integer microsecond arithmetic, no windows."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("st"))
+    )
+    p = (
+        e.join(s, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("st")))
+        .groupBy("user_id").agg(F.min("ts").alias("pt"))
+    )
+    return (
+        s.join(p, "user_id")
+        .select(
+            "user_id",
+            ((F.unix_micros("pt") - F.unix_micros("st")) / 1_000_000)
+            .cast("long").alias("secs_to_convert"),
+        )
+        .orderBy("user_id")
+    )

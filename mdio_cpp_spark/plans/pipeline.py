@@ -2196,3 +2196,69 @@ def p11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("__off") + F.col("__r") - 1).alias("pos"), "doc_id")
         .orderBy("pos")
     )
+
+
+@declared(
+    "t15_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT {_DD_TOKS} AS w FROM documents),
+    uni AS (SELECT unnest(w) AS term FROM toks),
+    cu AS (SELECT term, COUNT(*) AS c FROM uni GROUP BY term),
+    n1 AS (SELECT COUNT(*) AS n FROM uni),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM toks WHERE len(w) >= 2
+    ),
+    cb AS (SELECT bigram, COUNT(*) AS cxy FROM bg GROUP BY bigram),
+    n2 AS (SELECT COUNT(*) AS n FROM bg)
+    SELECT bigram, cxy,
+           ROUND(ln((CAST(cxy AS DOUBLE) * n1.n * n1.n) /
+                    (CAST(cx.c AS DOUBLE) * cy.c * n2.n)), 4) AS pmi
+    FROM cb
+    JOIN cu cx ON cx.term = split_part(bigram, ' ', 1)
+    JOIN cu cy ON cy.term = split_part(bigram, ' ', 2)
+    CROSS JOIN n1 CROSS JOIN n2
+    WHERE cxy >= 5
+    ORDER BY pmi DESC, bigram LIMIT 10
+    """,
+)
+def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations: pointwise mutual information over EXACT corpus
+    counts — ln( p(xy) / (p(x)p(y)) ) with a min-count floor (rare-pair PMI
+    explodes) — the phrase-mining signal a tokenizer/vocab pipeline wants
+    beyond raw frequency (t10). Scale shape: one unigram agg + one bigram
+    agg (both map-side combined, vocab-sized outputs), totals as 1-row
+    broadcasts, two vocab-vs-vocab joins — the corpus shuffles only as
+    hashes of tokens, and the identical multiply/divide order on both
+    engines keeps the rounded doubles hash-stable (t12's contract)."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    toks = text.tokens(F.col("text"))
+    tok_rows = d.select(F.explode(toks).alias("term"))
+    cu = tok_rows.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n1 = tok_rows.count()
+    bg = d.filter(F.size(toks) >= 2).select(
+        F.explode(text.word_shingles(toks, 2)).alias("bigram")
+    )
+    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cxy"))
+    n2 = bg.count()
+    cx = cu.select(F.col("term").alias("__tx"), F.col("c").alias("cx"))
+    cy = cu.select(F.col("term").alias("__ty"), F.col("c").alias("cy"))
+    joined = (
+        cb.filter(F.col("cxy") >= 5)
+        .withColumn("__tx", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("__ty", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(cx, "__tx")
+        .join(cy, "__ty")
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("cxy").cast("double") * F.lit(n1) * F.lit(n1))
+            / (F.col("cx").cast("double") * F.col("cy") * F.lit(n2))
+        ),
+        4,
+    )
+    return (
+        joined.select("bigram", "cxy", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(10)
+    )
