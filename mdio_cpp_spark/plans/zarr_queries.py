@@ -2532,3 +2532,146 @@ def zarr60(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("row", "col", "rk")
         .orderBy("row", "col")
     )
+
+
+# Shared oracle CTE for the 2-D grid in exact integer cents: the stored grid
+# is o_totalprice row-major (GRID_C columns), and every query below keeps its
+# arithmetic in integer cents until ONE final double division — so Spark and
+# DuckDB emit bit-identical doubles with no rounding step at all.
+_CELLS_CENTS = f"""
+    WITH n AS (SELECT LEAST(CAST((SELECT COUNT(*) FROM orders) AS BIGINT) // {GRID_C}, 128) AS rows_),
+    cells AS (
+      SELECT CAST((rn - 1) // {GRID_C} AS BIGINT) AS row,
+             CAST((rn - 1) % {GRID_C} AS BIGINT) AS col,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < (SELECT rows_ FROM n) * {GRID_C}
+    )
+"""
+
+
+def _grid_cents(spark: SparkSession, sf_dir: str, n_rows: int) -> DataFrame:
+    """Chunk-pruned scan of the 2-D grid's first ``n_rows`` rows with the
+    value column lifted to exact integer cents."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "grid_v2.zarr"))
+    df = ds.isel(row=(0, n_rows)).to_df(spark, "grid", value_col="v")
+    return df.select("row", "col", F.round(F.col("v") * 100).cast("long").alias("c"))
+
+
+@declared(
+    "zarr61_median_axis",
+    oracle=_CELLS_CENTS + """
+    SELECT row, quantile_cont(c, 0.5) / 100.0 AS med
+    FROM cells WHERE row < 16 GROUP BY row ORDER BY row
+    """,
+)
+def zarr61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``quantile(0.5, dim='col')`` over the stored 2-D grid: the
+    exact interpolated median of each row. One partial-aggregated groupBy
+    on the surviving dimension over the chunk-pruned slice — no global
+    sort, no window. Exactness: the interpolation runs on integer cents
+    (midpoints land on .5 exactly), then ONE division by 100 — both
+    engines perform the identical double op, so no rounding is needed.
+    At 100 TB the reduce is (surviving-dim cardinality) keys wide and the
+    exact per-key sort is bounded by the reduced axis length; for a huge
+    reduced axis switch to approx_percentile (a09's sketch path)."""
+    cells = _grid_cents(spark, sf_dir, 16)
+    return (
+        cells.groupBy("row")
+        .agg((F.percentile("c", F.lit(0.5)) / 100.0).alias("med"))
+        .orderBy("row")
+    )
+
+
+@declared(
+    "zarr62_integrate",
+    oracle=_CELLS_CENTS + """
+    SELECT row,
+           (2 * SUM(c) - arg_min(c, col) - arg_max(c, col)) / 200.0 AS integ
+    FROM cells WHERE row < 16 GROUP BY row ORDER BY row
+    """,
+)
+def zarr62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``integrate(coord='col')`` — trapezoidal integration along an
+    axis with unit spacing: sum minus half the endpoints, i.e.
+    ``(2*sum - first - last) / 2``. All-integer agg (sum + min_by/max_by on
+    the coordinate) keyed on the surviving dimension, then one double
+    division — bit-exact across engines. The reference stops at
+    whole-variable SummaryStats (stats.h:229-335); this is the axis-wise
+    calculus op a seismic/array user reaches for next."""
+    cells = _grid_cents(spark, sf_dir, 16)
+    return (
+        cells.groupBy("row")
+        .agg(
+            (
+                (2 * F.sum("c") - F.min_by("c", "col") - F.max_by("c", "col"))
+                / 200.0
+            ).alias("integ")
+        )
+        .orderBy("row")
+    )
+
+
+@declared(
+    "zarr63_trend_axis",
+    oracle=_CELLS_CENTS + """
+    SELECT row,
+           (COUNT(*) * SUM(col * c) - SUM(col) * SUM(c))
+           / ((COUNT(*) * SUM(col * col) - SUM(col) * SUM(col)) * 100.0) AS slope
+    FROM cells WHERE row < 16 GROUP BY row ORDER BY row
+    """,
+)
+def zarr63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``polyfit(dim='col', deg=1)`` — per-row OLS trend of value vs
+    the col coordinate. The normal-equation slope is computed from four
+    INTEGER sums (n, Σx, Σxc, Σx²) so the only floating-point op is the
+    final division: bit-identical across engines, no rounding. One
+    map-side-combined groupBy on the surviving dim; at 100 TB this is a
+    single reduce of 4 longs per key — the cheapest possible trend scan
+    (ml01 is the table-relational twin via covar/var)."""
+    cells = _grid_cents(spark, sf_dir, 16)
+    n = F.count(F.lit(1))
+    sx = F.sum("col")
+    sxc = F.sum(F.col("col") * F.col("c"))
+    sxx = F.sum(F.col("col") * F.col("col"))
+    sc = F.sum("c")
+    return (
+        cells.groupBy("row")
+        .agg(((n * sxc - sx * sc) / ((n * sxx - sx * sx) * 100.0)).alias("slope"))
+        .orderBy("row")
+    )
+
+
+@declared(
+    "zarr64_anomaly",
+    oracle=_CELLS_CENTS + """
+    SELECT row, col,
+           (c * COUNT(*) OVER (PARTITION BY row)
+            - SUM(c) OVER (PARTITION BY row))
+           / (100.0 * COUNT(*) OVER (PARTITION BY row)) AS anom
+    FROM cells WHERE row < 8 ORDER BY row, col
+    """,
+)
+def zarr64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Climatology anomaly (xarray ``ds - ds.mean(dim='col')``): each cell
+    minus its row mean, the de-meaning every geo/seismic pipeline applies
+    before correlation. Expressed as ``(c*n - Σc) / (100*n)`` so the
+    numerator stays integer-exact and ONE division produces bit-identical
+    doubles. One unbounded window partitioned by the surviving dimension —
+    parallel across rows, no global window (the plan-quality gate's
+    contract); at 100 TB the row-mean side could equally be a groupBy +
+    broadcast join back."""
+    cells = _grid_cents(spark, sf_dir, 8)
+    w = Window.partitionBy("row")
+    return (
+        cells.select(
+            "row",
+            "col",
+            (
+                (F.col("c") * F.count(F.lit(1)).over(w) - F.sum("c").over(w))
+                / (100.0 * F.count(F.lit(1)).over(w))
+            ).alias("anom"),
+        )
+        .orderBy("row", "col")
+    )
