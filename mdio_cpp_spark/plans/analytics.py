@@ -13,7 +13,7 @@ DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mdio_cpp_spark.catalog import table
@@ -1230,4 +1230,98 @@ def ev04(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("secs_to_convert"),
         )
         .orderBy("user_id")
+    )
+
+
+@declared(
+    "ev05_last_touch_attribution",
+    oracle="""
+    WITH t AS (SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS touch
+               FROM events WHERE event_type IN ('click', 'view')),
+    p AS (SELECT user_id, ts AS p_ts, event_id AS p_id, value
+          FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT p.p_id, p.value, t.touch,
+                 ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                    ORDER BY t.t_ts DESC, t.t_id DESC) AS rn
+          FROM p JOIN t ON p.user_id = t.user_id
+                       AND t.t_ts < p.p_ts
+                       AND t.t_ts >= p.p_ts - INTERVAL 30 DAY)
+    SELECT touch,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(SUM(value), 2) AS attributed_value
+    FROM j WHERE rn = 1 GROUP BY touch ORDER BY touch
+    """,
+)
+def ev05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most recent
+    click/view in a 30-day lookback; revenue rolls up per touch channel.
+    Shape: touches and purchases co-partition on user_id, the lookback
+    bound caps per-user join fanout (the skew guard — an unbounded history
+    join on a power user is the classic attribution scale-killer), and
+    "most recent touch" is a partial-aggregatable max_by keyed on the
+    purchase — no per-purchase window over the event stream."""
+    e = _t(spark, sf_dir, "events")
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"), F.col("event_type").alias("touch"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"), "value",
+    )
+    j = p.join(
+        t,
+        (p["user_id"] == t["user_id"])
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 DAYS")),
+    )
+    last = j.groupBy("p_id", "value").agg(
+        F.max_by("touch", F.struct("t_ts", "t_id")).alias("touch")
+    )
+    return (
+        last.groupBy("touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("touch")
+    )
+
+
+@declared(
+    "ev06_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS transitions
+          FROM seq WHERE dst IS NOT NULL GROUP BY src, dst)
+    SELECT src, dst, transitions,
+           transitions / SUM(transitions) OVER (PARTITION BY src) AS prob
+    FROM c ORDER BY src, dst
+    """,
+)
+def ev06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys: P(next
+    event type | current), the input to funnel simulation and next-step
+    prediction. One user-partitioned LEAD (parallel across users), one
+    map-side-combined pair count (|types|² keys), and the row-normalizer
+    is a window over the TINY count matrix — probabilities divide two
+    exact integers so both engines emit identical doubles."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("transitions"))
+    wt = Window.partitionBy("src")
+    return (
+        c.select(
+            "src", "dst", "transitions",
+            (F.col("transitions") / F.sum("transitions").over(wt)).alias("prob"),
+        )
+        .orderBy("src", "dst")
     )

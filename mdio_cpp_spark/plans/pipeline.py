@@ -2262,3 +2262,52 @@ def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "bigram")
         .limit(10)
     )
+
+
+@declared(
+    "t16_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_DD_TOKS}) AS term FROM documents
+    ),
+    cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term),
+    top AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 500),
+    r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk FROM top)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND((COUNT(*) * SUM(ln(rk) * ln(c)) - SUM(ln(rk)) * SUM(ln(c)))
+                 / (COUNT(*) * SUM(ln(rk) * ln(rk)) - SUM(ln(rk)) * SUM(ln(rk))), 4)
+           AS zipf_slope
+    FROM r
+    """,
+)
+def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit: the log-log OLS slope of term frequency vs rank over
+    the corpus's top-500 vocabulary (natural text sits near −1; corrupted
+    or templated corpora drift — a one-number corpus-health diagnostic).
+    Shape: explode → map-side-combined vocab count, then TakeOrdered
+    (ORDER BY + LIMIT 500 — no global sort materializes) bounds the rank
+    window to ≤500 rows by construction (allowlisted in the plan-quality
+    gate), and the regression reduces 500 doubles to one row."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    from pyspark.sql import Window as W
+
+    cnt = (
+        d.select(F.explode(text.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = cnt.orderBy(F.col("c").desc(), "term").limit(500)
+    r = top.select(
+        "c", F.row_number().over(W.orderBy(F.col("c").desc(), "term")).alias("rk")
+    )
+    lx = F.log(F.col("rk").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    n = F.count(F.lit(1))
+    return r.agg(
+        n.alias("n_terms"),
+        F.round(
+            (n * F.sum(lx * ly) - F.sum(lx) * F.sum(ly))
+            / (n * F.sum(lx * lx) - F.sum(lx) * F.sum(lx)),
+            4,
+        ).alias("zipf_slope"),
+    )

@@ -6,7 +6,10 @@ partitioned); windows must be hash-partitioned.
 A Window line in the executed-plan string prints as
 ``Window [exprs], [partitionSpec], [orderSpec]`` when partitioned and
 ``Window [exprs], [orderSpec]`` when global — we count the top-level
-bracket separators.
+bracket separators. A partitioned window with NO ordering (e.g. an
+unbounded ``SUM OVER (PARTITION BY k)``) also prints two brackets, but
+its trailing spec holds partition exprs, not ``ASC``/``DESC`` sort
+orders — that shape is hash-partitioned and fine.
 """
 
 from __future__ import annotations
@@ -27,9 +30,13 @@ from mdio_cpp_spark.plans import REGISTRY
 #  - p11: the epoch-shuffle bucket-offset cumulation — EXACTLY 16 rows
 #    (one per hex digit); the corpus-sized rank windows partition on the
 #    bucket.
+#  - t16: the Zipf rank window runs AFTER an ORDER BY + LIMIT 500
+#    (TakeOrdered) — input is ≤500 rows by construction
+#    (plans/pipeline.py t16).
 _ALLOW_GLOBAL = {
     "asof01_event_order", "asof02_left", "zarr09_write_roundtrip",
     "zarr55_ffill", "zarr57_bfill_limit", "p11_epoch_shuffle",
+    "t16_zipf_slope",
 }
 
 
@@ -37,7 +44,12 @@ def _global_window_lines(plan: str) -> list[str]:
     bad = []
     for line in plan.splitlines():
         s = line.strip().lstrip("+-: ").strip()
-        if s.startswith("Window ") and s.count("], [") < 2:
+        if not s.startswith("Window ") or s.count("], [") >= 2:
+            continue
+        tail = s.rsplit("], [", 1)[-1] if "], [" in s else ""
+        # two-bracket form: global IFF the trailing spec is a sort order
+        # (ASC/DESC); partition exprs there mean partitioned-unordered.
+        if " ASC" in tail or " DESC" in tail or "], [" not in s:
             bad.append(line.strip())
     return bad
 
