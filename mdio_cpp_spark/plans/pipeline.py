@@ -2311,3 +2311,59 @@ def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zipf_slope"),
     )
+
+
+@declared(
+    "v08_centroid_classify",
+    oracle="""
+    WITH pos AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (SELECT label AS cid, pos, AVG(x) AS c FROM pos GROUP BY label, pos),
+    cn AS (SELECT cid, sqrt(SUM(c * c)) AS cn FROM cent GROUP BY cid),
+    vn AS (SELECT vec_id, sqrt(SUM(x * x)) AS vn FROM pos GROUP BY vec_id),
+    dots AS (SELECT v.vec_id, v.label, c.cid, SUM(v.x * c.c) AS dot
+             FROM pos v JOIN cent c ON v.pos = c.pos
+             GROUP BY v.vec_id, v.label, c.cid),
+    scored AS (SELECT d.vec_id, d.label, d.cid,
+                      ROUND(d.dot / (vn.vn * cn.cn), 6) AS cc
+               FROM dots d JOIN vn USING (vec_id) JOIN cn USING (cid)),
+    pred AS (SELECT vec_id, label, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY cc DESC, cid DESC) AS rn
+             FROM scored)
+    SELECT label, cid AS pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1 GROUP BY label, cid ORDER BY label, pred
+    """,
+)
+def v08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification audit: per-label mean embeddings
+    classify every vector by cosine; output is the label×prediction
+    confusion matrix (the standard first look at embedding-space class
+    separability, and the self-diagnostic behind IVF cell balance).
+    Shape: centroids build from one (label, position) partial agg
+    (|labels|·dim rows), re-assemble into arrays, and classification
+    reuses ivf_assign — K broadcast centroids, K map-side cosines per
+    vector, partial-aggregated argmax; the corpus never shuffles its
+    vectors. The confusion reduce is |labels|² keys."""
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    cent = pos.groupBy(F.col("label").alias("cid"), "pos").agg(F.avg("x").alias("c"))
+    cent_arr = cent.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    assigned = similarity.ivf_assign(e, "vec_id", "embedding", cent_arr)
+    return (
+        assigned.select("vec_id", F.col("cell").alias("pred"))
+        .join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "pred")
+    )
