@@ -1325,3 +1325,140 @@ def ev06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+_RIDGE_LAMBDA = "1000.0"
+
+@declared(
+    "ml02_group_ridge",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS su,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS suu,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) AS svv,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) AS suv,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS suy,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS svy
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, n, su, sv, sy,
+             n * suu - su * su AS a,
+             n * svv - sv * sv AS b,
+             n * suv - su * sv AS c,
+             n * suy - su * sy AS p,
+             n * svy - sv * sy AS q
+      FROM s
+    )
+    SELECT l_returnflag,
+           ((b + {_RIDGE_LAMBDA}) * p - c * q)
+           / ((a + {_RIDGE_LAMBDA}) * (b + {_RIDGE_LAMBDA}) - c * c) AS beta_qty,
+           ((a + {_RIDGE_LAMBDA}) * q - c * p)
+           / ((a + {_RIDGE_LAMBDA}) * (b + {_RIDGE_LAMBDA}) - c * c) AS beta_disc,
+           (sy - ((b + {_RIDGE_LAMBDA}) * p - c * q)
+                 / ((a + {_RIDGE_LAMBDA}) * (b + {_RIDGE_LAMBDA}) - c * c) * su
+               - ((a + {_RIDGE_LAMBDA}) * q - c * p)
+                 / ((a + {_RIDGE_LAMBDA}) * (b + {_RIDGE_LAMBDA}) - c * c) * sv) / n
+           AS intercept_e2
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def ml02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression per group (2 features + unpenalized
+    intercept): cents-of-extendedprice on quantity and cents-of-discount,
+    solved by the centered 2×2 normal equations — the scalable shape for
+    linear models at 100 TB (ONE map-side-combined pass collecting 9
+    integer sums per group; no gradient iterations, no driver math).
+    Exactness: every sufficient statistic is an EXACT integer sum (all
+    < 2^53 through sf~1, noted bound), cast once to double, and both
+    engines evaluate the same rational expression in the same order —
+    bit-identical betas with no rounding step. λ = 1000 on the centered
+    Gram diagonal."""
+    li = table(spark, sf_dir, "lineitem")
+    u = F.col("l_quantity").cast("long")
+    v = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(u).cast("double").alias("su"),
+        F.sum(v).cast("double").alias("sv"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(u * u).cast("double").alias("suu"),
+        F.sum(v * v).cast("double").alias("svv"),
+        F.sum(u * v).cast("double").alias("suv"),
+        F.sum(u * y).cast("double").alias("suy"),
+        F.sum(v * y).cast("double").alias("svy"),
+    )
+    lam = F.lit(float(_RIDGE_LAMBDA))
+    n, su, sv, sy = F.col("n"), F.col("su"), F.col("sv"), F.col("sy")
+    a = n * F.col("suu") - su * su
+    b = n * F.col("svv") - sv * sv
+    c = n * F.col("suv") - su * sv
+    p = n * F.col("suy") - su * sy
+    q = n * F.col("svy") - sv * sy
+    det = (a + lam) * (b + lam) - c * c
+    b1 = ((b + lam) * p - c * q) / det
+    b2 = ((a + lam) * q - c * p) / det
+    return s.select(
+        "l_returnflag",
+        b1.alias("beta_qty"),
+        b2.alias("beta_disc"),
+        ((sy - b1 * su - b2 * sv) / n).alias("intercept_e2"),
+    ).orderBy("l_returnflag")
+
+
+@declared(
+    "dq02_volume_anomaly",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, day, n,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS days,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS s1,
+             CAST(SUM(n * n) OVER (PARTITION BY event_type) AS BIGINT) AS s2
+      FROM d
+    )
+    SELECT event_type, day, n,
+           (n * days - s1) / sqrt(CAST(days * s2 - s1 * s1 AS DOUBLE)) AS z
+    FROM s
+    WHERE ABS((n * days - s1) / sqrt(CAST(days * s2 - s1 * s1 AS DOUBLE))) > 2.0
+    ORDER BY event_type, day
+    """,
+)
+def dq02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly detection: flag (event_type, day) cells whose
+    daily count sits more than 2 population-z from that type's mean — the
+    data-quality tripwire every ingestion pipeline runs before training
+    jobs consume a day's partition. The z-score is algebraically
+    rearranged onto exact integer sufficient statistics
+    (z = (n·d − S1)/√(d·S2 − S1²)) so the only float ops are one sqrt and
+    one division — bit-identical across engines. One day-keyed count agg
+    then a window over the TINY per-type daily series (partitioned by
+    type; at 100 TB this is |types|×|days| rows, not event-sized)."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    s = d.select(
+        "event_type", "day", "n",
+        F.count(F.lit(1)).over(w).alias("days"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    )
+    z = (F.col("n") * F.col("days") - F.col("s1")) / F.sqrt(
+        (F.col("days") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    )
+    return (
+        s.select("event_type", "day", "n", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.0)
+        .orderBy("event_type", "day")
+    )

@@ -26,7 +26,7 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 import pandas as pd
 
-from mdio_cpp_spark.differential import canonical_rows
+from mdio_cpp_spark.differential import canon_value, canonical_rows
 
 
 def _coarse_type(dtype) -> str:
@@ -130,7 +130,7 @@ def main() -> int:
                     diffs = [
                         (c, sr[c], orr[c])
                         for c in cols
-                        if _canon_value(sr[c]) != _canon_value(orr[c])
+                        if canon_value(sr[c]) != canon_value(orr[c])
                     ]
                     if diffs:
                         print(f"      first diff at sorted row {i}: {diffs}")
