@@ -2367,3 +2367,67 @@ def v08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "pred")
     )
+
+
+_MM8_TAU = 4.0
+
+@declared(
+    "mm08_scene_changes",
+    oracle="""
+    WITH e AS (
+      SELECT doc_id, f, CASE f {cases} END AS v
+      FROM documents CROSS JOIN (SELECT unnest(range(0, {nf})) AS f)
+    ),
+    d AS (
+      SELECT doc_id, f, v,
+             v - LAG(v) OVER (PARTITION BY doc_id ORDER BY f) AS delta
+      FROM e
+    )
+    SELECT doc_id, f, delta FROM d
+    WHERE ABS(delta) > {tau} ORDER BY doc_id, f
+    """.format(
+        nf=_MM6_FRAMES,
+        tau=_MM8_TAU,
+        cases=" ".join(
+            "WHEN {f} THEN ROUND(sqrt(({a} * {a} + {b} * {b}) / 2.0), 4)".format(
+                f=f, a=_dd_hexv(2 * f + 1), b=_dd_hexv(2 * f + 2)
+            )
+            for f in range(_MM6_FRAMES)
+        ),
+    ),
+)
+def mm08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change / shot-boundary detection: frames whose energy jumps
+    more than τ from the previous frame — the cut detector a video
+    pipeline runs over per-frame features before sampling keyframes.
+    Reuses mm06's deterministic fake energies (decode stays env-gated;
+    the detection plumbing — per-asset LAG over the frame axis — is real
+    and unchanged under a real decoder). The window partitions by asset
+    (parallel across docs, ≤{nf} frames each); deltas subtract identical
+    rounded doubles so both engines agree bit-for-bit.""".format(nf=_MM6_FRAMES)
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    digit = lambda p: F.expr(
+        f"locate(substr(md5(text), {p}, 1), '0123456789abcdef') - 1"
+    )
+    frames = []
+    for f in range(_MM6_FRAMES):
+        a = digit(2 * f + 1).cast("double")
+        b = digit(2 * f + 2).cast("double")
+        frames.append(
+            F.struct(
+                F.lit(f).cast("long").alias("f"),
+                F.round(F.sqrt((a * a + b * b) / F.lit(2.0)), 4).alias("v"),
+            )
+        )
+    e = d.select("doc_id", F.explode(F.array(*frames)).alias("fr")).select(
+        "doc_id", F.col("fr.f").alias("f"), F.col("fr.v").alias("v")
+    )
+    w = W.partitionBy("doc_id").orderBy("f")
+    return (
+        e.withColumn("delta", F.col("v") - F.lag("v").over(w))
+        .filter(F.abs("delta") > _MM8_TAU)
+        .select("doc_id", "f", "delta")
+        .orderBy("doc_id", "f")
+    )

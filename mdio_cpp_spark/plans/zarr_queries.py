@@ -2675,3 +2675,38 @@ def zarr64(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row", "col")
     )
+
+
+@declared(
+    "zarr65_concat_stores",
+    oracle="""
+    WITH k AS (SELECT LEAST(CAST((SELECT COUNT(*) FROM orders) AS BIGINT), 3000) AS k),
+    o AS (SELECT o_totalprice AS price,
+                 ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS i
+          FROM orders)
+    SELECT CAST(i AS BIGINT) AS i, price FROM o WHERE i < (SELECT k FROM k)
+    UNION ALL
+    SELECT CAST(i + (SELECT k FROM k) AS BIGINT) AS i, price
+    FROM o WHERE i < (SELECT k FROM k)
+    ORDER BY i
+    """,
+)
+def zarr65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``concat([a, b], dim='i')`` across STORES — and across zarr
+    versions: the v2 store's price slice concatenated with the v3 store's,
+    the second operand re-indexed past the first (``i + k``). Concat is a
+    zero-shuffle plan: two chunk-pruned scans unioned with a constant
+    index remap — no join, no window, no repartition (contrast zarr26
+    append, which mutates one store, and zarr19, which joins on the
+    SHARED index). At 100 TB this is how federated surveys stitch:
+    each member store scans its own chunks in place."""
+    base = ensure_stores(spark, sf_dir)
+    a = MdioDataset.open(os.path.join(base, "orders_v2.zarr"))
+    b = MdioDataset.open(os.path.join(base, "orders_v3.zarr"))
+    k = min(ZarrStore.open(os.path.join(base, "orders_v2.zarr")).array_meta("price").shape[0], 3000)
+    left = a.isel(i=(0, k)).to_df(spark, "price", value_col="price").select("i", "price")
+    right = (
+        b.isel(i=(0, k)).to_df(spark, "price", value_col="price")
+        .select((F.col("i") + F.lit(k)).alias("i"), "price")
+    )
+    return left.unionAll(right).orderBy("i")
