@@ -2710,3 +2710,129 @@ def zarr65(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("i") + F.lit(k)).alias("i"), "price")
     )
     return left.unionAll(right).orderBy("i")
+
+
+# ------------------------------------------------- stored ANN index (v09)
+
+def _ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """Lazily build and PERSIST an IVF index into its own MDIO store (own
+    marker): a 1-D ``cell`` array (vector position → assigned cell, int64)
+    and a 2-D ``centroid`` array (K × dim float64). The index is data-derived
+    (v03's deterministic coarse quantizer) while the vector payload stays in
+    parquet — the realistic split where the index is small and store-resident
+    and the corpus is the lakehouse table."""
+    from mdio_cpp_spark.operators import similarity
+    from mdio_cpp_spark.plans.pipeline import _IVF_CELLS
+    from mdio_cpp_spark.sources.writer import write_array
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "ivf_index.zarr")
+    marker = os.path.join(base, ".built_ivf_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        e = table(spark, sf_dir, "embeddings")
+        n = e.count()
+        dim = len(e.select("embedding").head()[0])
+        cents = e.orderBy("vec_id").limit(_IVF_CELLS).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        )
+        assign = similarity.ivf_assign(e, "vec_id", "embedding", cents)
+        st = ZarrStore.create(path, version=2, attrs={"name": "ivf_index"})
+        st.create_array("cell", shape=(n,), chunks=(CHUNK,), dtype="int64",
+                        dims=("i",), compressor={"id": "zlib", "level": 1})
+        st.create_array("centroid", shape=(_IVF_CELLS, dim),
+                        chunks=(_IVF_CELLS, dim), dtype="float64",
+                        dims=("c", "d"), compressor={"id": "zlib", "level": 1})
+        write_array(
+            assign.select(F.col("vec_id").alias("i"), F.col("cell").alias("v")),
+            path, "cell", value_cols="v",
+        )
+        write_array(
+            cents.select(
+                F.col("cid").alias("c"),
+                F.posexplode(F.col("cv").cast("array<double>")).alias("d", "v"),
+            ),
+            path, "centroid", value_cols="v",
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def _v09_oracle() -> str:
+    from mdio_cpp_spark.plans.pipeline import _IVF_CELLS, _dd_cosine
+
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_IVF_CELLS}),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid, ROUND({_dd_cosine("e.embedding", "c.cv")}, 6) AS cc
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT vec_id, embedding, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid DESC) AS r
+        FROM scored
+      ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, cell FROM assign WHERE vec_id < 3)
+    SELECT q_id, vec_id, cos, rk FROM (
+      SELECT q.q_id, e.vec_id, ROUND({_dd_cosine("q.qv", "e.embedding")}, 4) AS cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id
+                  ORDER BY ROUND({_dd_cosine("q.qv", "e.embedding")}, 4) DESC, e.vec_id) AS BIGINT) AS rk
+      FROM q JOIN assign e ON e.cell = q.cell AND e.vec_id <> q.q_id
+    ) WHERE rk <= 5 ORDER BY q_id, rk
+    """
+
+
+@declared("v09_stored_ivf", oracle=_v09_oracle())
+def v09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from a PERSISTED index: the IVF coarse quantizer and
+    cell assignments live in an MDIO store (built once by `_ivf_store`,
+    then REOPENED — this query's scans hit stored bytes, not lineage);
+    the vector payload stays in parquet. Query path: scan the K×dim
+    centroid array, re-assemble centroid vectors, assign the 3 query
+    vectors map-side (broadcast), scan the position→cell array, join the
+    payload on vec_id, search ONLY the query's cell, exact-rank inside.
+    Must reproduce v03's answer bit-for-bit — the proof the index
+    round-trips losslessly (float32 payload upcasts exactly to the
+    stored float64). At 100 TB the index arrays are ~N ints + K·dim
+    doubles: store-resident, chunk-pruned, rebuilt only on reindex."""
+    from mdio_cpp_spark.operators import similarity
+    from mdio_cpp_spark.operators.similarity import _ranked
+    from mdio_cpp_spark.functions import vectors
+
+    path = _ivf_store(spark, sf_dir)
+    ds = MdioDataset.open(path)
+    cents = (
+        ds.to_df(spark, "centroid", value_col="x")
+        .groupBy(F.col("c").alias("cid"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "x"))), lambda s: s["x"]
+            ).alias("cv")
+        )
+    )
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    q_assigned = F.broadcast(
+        similarity.ivf_assign(q, "vec_id", "embedding", cents).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "cell"
+        )
+    )
+    corpus = (
+        ds.to_df(spark, "cell", value_col="cell")
+        .select(F.col("i").alias("vec_id"), "cell")
+        .join(e, "vec_id")
+    )
+    pairs = (
+        corpus.join(q_assigned, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            F.round(vectors.cosine(F.col("qv"), F.col("embedding")), 4).alias("cos"),
+        )
+    )
+    return _ranked(pairs, 5).orderBy("q_id", "rk")
