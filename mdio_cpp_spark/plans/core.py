@@ -1814,3 +1814,104 @@ def asof04(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("pv") * 100).cast("long").alias("next_purchase_e2"),
     ).orderBy("event_id")
+
+
+@declared(
+    "w10_session_window",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    g AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s)
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_value_e2
+    FROM g GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def w10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via Spark's NATIVE ``session_window`` groupBy
+    (st02 is the streaming twin): events merge into a session while each
+    gap is under 30 minutes — the engine fuses assignment and merge into
+    one aggregate, no explicit lag/cumsum pass (the oracle spells out the
+    classic two-window formulation; Spark's session ends at last event +
+    gap, so a new session opens when the gap is >= the duration). One
+    user-keyed shuffle; sessions per user are windowless merges. Values
+    sum in exact integer cents."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_value_e2"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value_e2",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@declared(
+    "asof05_nearest",
+    oracle="""
+    WITH r AS (SELECT o_orderdate + INTERVAL 29 YEAR + INTERVAL 5 DAY AS rts FROM orders),
+    b AS (SELECT e.event_id, e.ts, r.rts AS prev
+          FROM events e ASOF LEFT JOIN r ON e.ts >= r.rts),
+    f AS (SELECT e.event_id, r.rts AS next
+          FROM events e ASOF LEFT JOIN r ON e.ts <= r.rts)
+    SELECT b.event_id,
+           CASE WHEN b.prev IS NULL THEN f.next
+                WHEN f.next IS NULL THEN b.prev
+                WHEN epoch_us(b.ts) - epoch_us(b.prev)
+                     <= epoch_us(f.next) - epoch_us(b.ts) THEN b.prev
+                ELSE f.next END AS nearest_ts
+    FROM b JOIN f USING (event_id) ORDER BY b.event_id
+    """,
+)
+def asof05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of (pandas ``merge_asof(direction='nearest')``,
+    the join-level twin of q11's coordinate sel_nearest): composes ONE
+    backward and ONE forward bucketed as-of join (operators/joins.py — the
+    forward pass is the same plan on a mirrored axis), then an event-keyed
+    merge picks the temporally closer side, ties to the earlier. Exact
+    integer-microsecond distance arithmetic; each as-of remains the
+    minimum-shuffle bucketed plan, so 'nearest' costs exactly 2x one
+    direction."""
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    r = table(spark, sf_dir, "orders").select(
+        (F.col("o_orderdate") + F.expr("INTERVAL 29 YEARS") + F.expr("INTERVAL 5 DAYS")).alias("rts")
+    )
+    b = joins.asof_join(e, r, "ts", "rts", ["rts"], how="left", direction="backward").select(
+        "event_id", "ts", F.col("rts").alias("prev")
+    )
+    f = joins.asof_join(e, r, "ts", "rts", ["rts"], how="left", direction="forward").select(
+        "event_id", F.col("rts").alias("next")
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    d_prev = us("ts") - us("prev")
+    d_next = us("next") - us("ts")
+    return (
+        b.join(f, "event_id")
+        .select(
+            "event_id",
+            F.when(F.col("prev").isNull(), F.col("next"))
+            .when(F.col("next").isNull(), F.col("prev"))
+            .when(d_prev <= d_next, F.col("prev"))
+            .otherwise(F.col("next"))
+            .alias("nearest_ts"),
+        )
+        .orderBy("event_id")
+    )

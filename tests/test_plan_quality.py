@@ -19,9 +19,10 @@ import pytest
 from mdio_cpp_spark.plans import REGISTRY
 
 # documented-bounded global windows (tiny-by-construction inputs):
-#  - asof01/02: the keyless as-of boundary table — |time buckets| rows — is
-#    cumulated globally by design (operators/joins.py step 3); the BIG
-#    window partitions on the bucket.
+#  - asof01/02/05: the keyless as-of boundary table — |time buckets| rows —
+#    is cumulated globally by design (operators/joins.py step 3); the BIG
+#    window partitions on the bucket (asof05 runs the machinery twice:
+#    backward + forward).
 #  - zarr09: row_number over a ≤10,000-row take-ordered sample (documented
 #    in plans/zarr_queries.py).
 #  - zarr55/zarr57: the gap-fill cross-chunk carry — ONE row per chunk
@@ -34,7 +35,7 @@ from mdio_cpp_spark.plans import REGISTRY
 #    (TakeOrdered) — input is ≤500 rows by construction
 #    (plans/pipeline.py t16).
 _ALLOW_GLOBAL = {
-    "asof01_event_order", "asof02_left", "zarr09_write_roundtrip",
+    "asof01_event_order", "asof02_left", "asof05_nearest", "zarr09_write_roundtrip",
     "zarr55_ffill", "zarr57_bfill_limit", "p11_epoch_shuffle",
     "t16_zipf_slope",
 }
