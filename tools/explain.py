@@ -73,6 +73,14 @@ PICKS = {
     "u02_scd2_history": "the dimension never shuffles: close = BroadcastHashJoin LeftOuter + map-side CASE, new versions filter off the same joined stream, inserts probe tiny-vs-tiny",
     "ml01_group_ols": "five integer sufficient statistics per group in one partial-aggregatable pass; nation broadcasts onto the customer bridge; the only data-sized exchange is orders-customer",
     "zarr44_sel_datetime": "datetime endpoints translate to an index range on the driver (coordinate read), then the scan manifest covers only chunks in [96, 265) — value-sel compiles to chunk pruning",
+    "zarr63_trend_axis": "per-row OLS trend from four integer sums: ONE partial-then-final hash aggregate keyed on the surviving dim over the chunk-pruned scan — the shuffle carries 4 longs per key, the division happens on the reduced rows",
+    "zarr65_concat_stores": "cross-store/cross-version concat with ZERO shuffle: two chunk-pruned PythonScans (v2 + v3) union map-side with a constant index remap — no join, no window; only the gate's output sort exchanges",
+    "ev05_last_touch_attribution": "touches and purchases co-partition on user_id; the 30-day lookback is a residual range predicate on the equi-join (bounded per-user fanout); last-touch collapses via partial max_by keyed on the purchase before the tiny channel rollup",
+    "ml02_group_ridge": "closed-form ridge: nine integer sufficient statistics in ONE partial-aggregatable pass over the pushed-down 4-column scan; the normal-equation solve is scalar arithmetic on the 3 grouped rows",
+    "v08_centroid_classify": "centroids build as a (label, position) partial agg; classification is a broadcast nested loop over the 10 reassembled centroid rows + partial max_by — corpus vectors never shuffle; confusion matrix is a |labels|^2 reduce",
+    "v09_stored_ivf": "ANN from a PERSISTED index: both index arrays arrive via PythonScan over the reopened store; centroid reassembly is a K*dim-row agg; query assignment broadcasts; the payload join keys on vec_id and the cell join confines search to one cell",
+    "w10_session_window": "native session_window groupBy: ONE user-keyed exchange feeds the fused session-merge aggregate (no lag/cumsum windows in the plan — compare the oracle's two-window formulation)",
+    "asof05_nearest": "nearest-direction as-of: the backward and forward passes are the SAME bucketed plan on a mirrored time axis (hashpartitioning(__b) windows, |buckets|-row boundary tables); the final event-keyed join picks the closer side by exact integer microseconds",
 }
 
 
