@@ -1462,3 +1462,79 @@ def dq02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > 2.0)
         .orderBy("event_type", "day")
     )
+
+
+_GA2_TOP_EDGES = 2000
+
+@declared(
+    "ga02_triangle_count",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    p AS (SELECT d1.l_suppkey AS a, d2.l_suppkey AS b, COUNT(*) AS n
+          FROM d d1 JOIN d d2
+            ON d1.l_orderkey = d2.l_orderkey AND d1.l_suppkey < d2.l_suppkey
+          GROUP BY 1, 2),
+    e AS (SELECT a, b FROM p ORDER BY n DESC, a, b LIMIT {_GA2_TOP_EDGES})
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM (SELECT a FROM e UNION SELECT b FROM e)) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e e1
+                 JOIN e e2 ON e1.b = e2.a
+                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT) AS n_triangles
+    """,
+)
+def ga02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the supplier co-occurrence graph's heaviest
+    edges — the clustering-structure summary (community tightness, spam-
+    ring detection) graph pipelines compute after building an entity
+    graph. Edges come from ga01's bounded within-order pair expansion;
+    the census runs on the TOP-{_GA2_TOP_EDGES} edges by weight
+    (deterministic (n, a, b) order → TakeOrdered, never a global sort),
+    so the triangle joins are broadcast-sized at ANY corpus scale — the
+    standard node-ordering canonicalization (a<b<c via the edge
+    direction) counts each triangle exactly once with no Expand and no
+    high-degree blowup. For a census over ALL edges, the same plan keys
+    the two-path join on the shared node — edge-keyed shuffles, still no
+    cross product."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("supps")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("supps"),
+                        lambda a: F.transform(
+                            F.col("supps"),
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    # the ≤2000-row edge set feeds five branches (three join aliases + two
+    # census aggs) — persist it so the within-order pair expansion runs ONCE
+    e = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b")
+        .limit(_GA2_TOP_EDGES)
+        .select("a", "b")
+        .persist()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = (
+        e.select(F.explode(F.array("a", "b")).alias("v"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_edges.join(n_nodes).join(n_tri)
