@@ -2836,3 +2836,34 @@ def v09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _ranked(pairs, 5).orderBy("q_id", "rk")
+
+
+@declared(
+    "zarr66_quantile_multi",
+    oracle=_CELLS_CENTS + """
+    SELECT row, CAST(q.i - 1 AS BIGINT) AS qi,
+           qs[q.i] / 100.0 AS qv
+    FROM (
+      SELECT row, quantile_cont(c, [0.25, 0.5, 0.75]) AS qs
+      FROM cells WHERE row < 16 GROUP BY row
+    ) CROSS JOIN (SELECT unnest(range(1, 4)) AS i) q
+    ORDER BY row, qi
+    """,
+)
+def zarr66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``quantile([.25, .5, .75], dim='col')`` — the full quartile
+    profile of each row in ONE aggregate pass (zarr61 is the single-
+    quantile form): Spark's ``percentile`` takes the probability ARRAY, so
+    all three order statistics come from one per-key sort, then posexplode
+    to tidy rows JVM-side. Exactness: interpolation on integer cents lands
+    on exact .25 steps (quarters of integers are exact doubles), then one
+    division by 100 — bit-identical across engines, no rounding."""
+    cells = _grid_cents(spark, sf_dir, 16)
+    qs = cells.groupBy("row").agg(
+        F.percentile("c", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("qs")
+    )
+    return (
+        qs.select("row", F.posexplode("qs").alias("qi", "qc"))
+        .select("row", F.col("qi").cast("long").alias("qi"), (F.col("qc") / 100.0).alias("qv"))
+        .orderBy("row", "qi")
+    )

@@ -135,3 +135,55 @@ def test_asof_join_forward_direction(spark):
         ("a", 40): None,  # nothing after → NULL under how='left'
         ("b", 10): None,  # b's only right row is BEFORE
     }
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_asof_matches_pandas_merge_asof(spark, direction, how):
+    """Independent cross-validation: the bucketed distributed as-of must
+    reproduce pandas.merge_asof exactly on randomized keyed data (unique
+    right timestamps per key so both sides' tie rules are moot). The
+    DuckDB differential shares our SQL formulation; pandas is a third
+    implementation."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    base = pd.Timestamp("2024-01-01")
+    n_l, n_r = 300, 80
+    left = pd.DataFrame({
+        "id": np.arange(n_l),
+        "k": rng.choice(["a", "b", "c"], n_l),
+        "ts": base + pd.to_timedelta(rng.randint(0, 3_000_000, n_l), unit="s"),
+    })
+    rts = rng.choice(3_000_000, size=n_r, replace=False)  # unique instants
+    right = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n_r),
+        "rts": base + pd.to_timedelta(rts, unit="s"),
+        "v": rng.randint(0, 1_000_000, n_r).astype(float),
+    })
+    expected = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("rts"),
+        left_on="ts", right_on="rts", by="k",
+        direction=direction, allow_exact_matches=True,
+    ).sort_values("id").reset_index(drop=True)
+    if how == "inner":
+        expected = expected[expected["v"].notna()].reset_index(drop=True)
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            "ts", "rts", ["v"],
+            partition_keys=["k"], how=how, direction=direction,
+            bucket_seconds=86_400,
+        )
+        .select("id", "v")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expected), f"{direction}/{how}: row count"
+    exp = expected[["id", "v"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
