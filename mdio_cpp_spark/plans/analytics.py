@@ -1429,7 +1429,8 @@ def ml02(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, day, n,
            (n * days - s1) / sqrt(CAST(days * s2 - s1 * s1 AS DOUBLE)) AS z
     FROM s
-    WHERE ABS((n * days - s1) / sqrt(CAST(days * s2 - s1 * s1 AS DOUBLE))) > 2.0
+    WHERE days * s2 - s1 * s1 > 0
+      AND ABS((n * days - s1) / sqrt(CAST(days * s2 - s1 * s1 AS DOUBLE))) > 2.0
     ORDER BY event_type, day
     """,
 )
@@ -1454,11 +1455,13 @@ def dq02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(w).alias("s1"),
         F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
     )
-    z = (F.col("n") * F.col("days") - F.col("s1")) / F.sqrt(
-        (F.col("days") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
-    )
+    # a type with constant daily volume has zero variance — no anomalies by
+    # definition (and an unguarded division would abort under ANSI mode)
+    var_num = F.col("days") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = (F.col("n") * F.col("days") - F.col("s1")) / F.sqrt(var_num.cast("double"))
     return (
-        s.select("event_type", "day", "n", z.alias("z"))
+        s.filter(var_num > 0)
+        .select("event_type", "day", "n", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.0)
         .orderBy("event_type", "day")
     )

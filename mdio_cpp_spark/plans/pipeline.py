@@ -2431,3 +2431,59 @@ def mm08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "f", "delta")
         .orderBy("doc_id", "f")
     )
+
+
+@declared(
+    "p12_dataset_card",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, lang, n_chars, md5(text) AS h,
+             CAST(len({_DD_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           SUM(n_tok) / COUNT(*) AS mean_tokens,
+           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) / COUNT(*) AS pct_en,
+           (COUNT(*) - COUNT(DISTINCT h)) / COUNT(*) AS dup_rate,
+           quantile_cont(n_chars, 0.25) AS p25_chars,
+           quantile_cont(n_chars, 0.50) AS p50_chars,
+           quantile_cont(n_chars, 0.75) AS p75_chars
+    FROM base GROUP BY source ORDER BY source
+    """,
+)
+def p12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the per-source datasheet a curated corpus ships with —
+    volume (docs, tokens), language mix, exact-duplicate rate, and the
+    length profile quartiles. ONE source-keyed aggregate pass composes the
+    engine's primitives (token counts map-side, md5 fingerprints for the
+    distinct-count, probability-array percentile); every ratio divides two
+    exact integers and the quartile interpolation runs on integer char
+    counts (quarter steps are exact doubles) — bit-identical across
+    engines with no rounding. At 100 TB this is |sources| result rows from
+    one partial-aggregated shuffle; the only per-group sort is the exact
+    percentile over char counts (a09's sketch path replaces it when a
+    source's cardinality makes exact order statistics not worth it)."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    base = d.select(
+        "source", "lang", "n_chars",
+        F.md5("text").alias("h"),
+        text.token_count("text").alias("n_tok"),
+    )
+    n = F.count(F.lit(1))
+    qs = F.percentile("n_chars", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        base.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.sum("n_tok") / n).alias("mean_tokens"),
+            (F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)) / n).alias("pct_en"),
+            ((n - F.count_distinct("h")) / n).alias("dup_rate"),
+            F.element_at(qs, 1).alias("p25_chars"),
+            F.element_at(qs, 2).alias("p50_chars"),
+            F.element_at(qs, 3).alias("p75_chars"),
+        )
+        .orderBy("source")
+    )
