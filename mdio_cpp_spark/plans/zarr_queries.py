@@ -2867,3 +2867,66 @@ def zarr66(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("row", F.col("qi").cast("long").alias("qi"), (F.col("qc") / 100.0).alias("qv"))
         .orderBy("row", "qi")
     )
+
+
+_Z67_CLIP = 450_000.0
+
+def _masked_store(spark: SparkSession, sf_dir: str) -> str:
+    """Lazily build zarr67's private store: a full copy of the price series
+    (own marker — the masked update below MUTATES it, so it must not share
+    the fixture store other queries scan)."""
+    from mdio_cpp_spark.sources.writer import write_array
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "masked_v2.zarr")
+    marker = os.path.join(base, ".built_masked_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select(
+            "i", F.col("o_totalprice").alias("v")
+        ).cache()
+        n = ords.count()
+        st = ZarrStore.create(path, version=2, attrs={"name": "masked_mdio"})
+        st.create_array("val", shape=(n,), chunks=(CHUNK,), dtype="float64",
+                        dims=("i",), compressor={"id": "zlib", "level": 1})
+        write_array(ords, path, "val", value_cols="v")
+        ords.unpersist()
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+@declared(
+    "zarr67_where_update",
+    oracle=f"""
+    SELECT CAST(rn - 1 AS BIGINT) AS i,
+           LEAST(o_totalprice, {_Z67_CLIP}) AS v
+    FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 < 8192 ORDER BY i
+    """,
+)
+def zarr67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-driven masked write-back — xarray
+    ``ds['v'] = ds.v.where(v <= clip, clip)`` PERSISTED: scan the region
+    with the value predicate pushed down (zone maps skip chunks whose max
+    is already under the clip), write ONLY the violating cells back at
+    their coordinates (single-owner chunk RMW preserves every other
+    cell and keeps the zone stats coherent), reopen, and scan the result.
+    The update is idempotent, so re-running converges — the bulk-correction
+    shape (range clamping, sentinel scrubbing) a curation pipeline applies
+    in place. Shuffle cost: violating cells only, keyed by chunk id."""
+    from mdio_cpp_spark.sources.writer import write_array
+
+    path = _masked_store(spark, sf_dir)
+    ds = MdioDataset.open(path)
+    viol = (
+        ds.isel(i=(0, 8192))
+        .to_df(spark, "val", value_col="v")
+        .filter(F.col("v") > _Z67_CLIP)
+        .select("i", F.lit(_Z67_CLIP).alias("v"))
+    )
+    write_array(viol, path, "val", value_cols="v")
+    out = MdioDataset.open(path).isel(i=(0, 8192)).to_df(spark, "val", value_col="v")
+    return out.select("i", "v").orderBy("i")
