@@ -32,6 +32,12 @@ PICKS = [
     ("zarr55_ffill", "chunk-bucketed LOCF gap fill over a stored series"),
     ("u02_scd2_history", "SCD2 dimension versioning (dimension never shuffles)"),
     ("zarr40_shift_roll", "zero-shuffle stored-array shift/roll remap"),
+    ("zarr63_trend_axis", "bit-exact per-axis OLS trend (4 longs per key)"),
+    ("asof05_nearest", "nearest as-of: backward + forward mirrored passes"),
+    ("v09_stored_ivf", "ANN served from a store-persisted IVF index"),
+    ("p12_dataset_card", "per-source datasheet in one aggregate pass"),
+    ("zarr67_where_update", "masked write-back (pushdown scan + chunk RMW)"),
+    ("ga02_triangle_count", "triangle census on the persisted top-edge set"),
 ]
 
 
