@@ -1541,3 +1541,43 @@ def ga02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     return n_edges.join(n_nodes).join(n_tri)
+
+
+@declared(
+    "ev07_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events)
+    SELECT e1, e2, e3, n, rk FROM (
+      SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, e1, e2, e3) AS BIGINT) AS rk
+      FROM seq WHERE e3 IS NOT NULL GROUP BY e1, e2, e3
+    ) WHERE rk <= 10 ORDER BY rk
+    """,
+)
+def ev07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining (3-step journeys): the most frequent
+    event-type trigram paths across all user timelines — ev06's
+    transition matrix extended one step, the input to journey-map and
+    funnel-discovery dashboards. One user-partitioned double-LEAD
+    (parallel across users), a |types|³-keyed map-side-combined count,
+    and top-10 compiles to TakeOrderedAndProject over the tiny path
+    table — never a global sort of events."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    c = seq.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("n"))
+    ranked = c.orderBy(F.col("n").desc(), "e1", "e2", "e3").limit(10)
+    from pyspark.sql import Window as W2
+
+    return ranked.select(
+        "e1", "e2", "e3", "n",
+        F.row_number().over(W2.orderBy(F.col("n").desc(), "e1", "e2", "e3")).cast("long").alias("rk"),
+    ).orderBy("rk")

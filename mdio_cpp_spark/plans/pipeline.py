@@ -2487,3 +2487,36 @@ def p12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_S07_K = 25
+
+@declared(
+    "s07_stratified_exact_k",
+    oracle=f"""
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {_S07_K} ORDER BY source, doc_id
+    """,
+)
+def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EXACTLY-k sampling (s03 is the fraction form): each
+    stratum contributes its k pseudo-random representatives, chosen by
+    ranking on a deterministic hash of the id — reproducible across runs
+    and engines, no RNG state, no seed coordination. One window
+    PARTITIONED BY the stratum (parallel across strata; per-stratum sort
+    is the price of exact-k — the fraction form stays sortless); the
+    balanced-eval-set builder for benchmark construction."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _S07_K)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )

@@ -2930,3 +2930,39 @@ def zarr67(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_array(viol, path, "val", value_cols="v")
     out = MdioDataset.open(path).isel(i=(0, 8192)).to_df(spark, "val", value_col="v")
     return out.select("i", "v").orderBy("i")
+
+
+@declared(
+    "zarr68_zscore_axis",
+    oracle=_CELLS_CENTS + """
+    SELECT row, col,
+           (c * COUNT(*) OVER (PARTITION BY row)
+            - SUM(c) OVER (PARTITION BY row))
+           / sqrt(CAST(COUNT(*) OVER (PARTITION BY row)
+                       * SUM(c * c) OVER (PARTITION BY row)
+                       - SUM(c) OVER (PARTITION BY row)
+                         * SUM(c) OVER (PARTITION BY row) AS DOUBLE)) AS z
+    FROM cells WHERE row < 8 ORDER BY row, col
+    """,
+)
+def zarr68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardize along an axis (xarray ``(ds - mean) / std``): zarr64's
+    de-meaning completed with the population σ — rearranged entirely onto
+    integer sufficient statistics, z = (c·n − S1)/√(n·S2 − S1²) (dq02's
+    algebra on the stored grid), so the only float ops are one sqrt and
+    one division: bit-identical across engines. One unbounded window
+    partitioned by the surviving dimension; rows with zero variance would
+    divide by zero — o_totalprice rows always vary, and the table twin
+    (dq02) shows the guard for data where they might not."""
+    cells = _grid_cents(spark, sf_dir, 8)
+    w = Window.partitionBy("row")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("c").over(w)
+    s2 = F.sum(F.col("c") * F.col("c")).over(w)
+    return (
+        cells.select(
+            "row", "col",
+            ((F.col("c") * n - s1) / F.sqrt((n * s2 - s1 * s1).cast("double"))).alias("z"),
+        )
+        .orderBy("row", "col")
+    )

@@ -31,13 +31,13 @@ from mdio_cpp_spark.plans import REGISTRY
 #  - p11: the epoch-shuffle bucket-offset cumulation — EXACTLY 16 rows
 #    (one per hex digit); the corpus-sized rank windows partition on the
 #    bucket.
-#  - t16: the Zipf rank window runs AFTER an ORDER BY + LIMIT 500
-#    (TakeOrdered) — input is ≤500 rows by construction
-#    (plans/pipeline.py t16).
+#  - t16/ev07: the rank window runs AFTER an ORDER BY + LIMIT
+#    (TakeOrdered) — input is ≤500 (t16) / ≤10 (ev07) rows by
+#    construction (plans/pipeline.py t16, plans/analytics.py ev07).
 _ALLOW_GLOBAL = {
     "asof01_event_order", "asof02_left", "asof05_nearest", "zarr09_write_roundtrip",
     "zarr55_ffill", "zarr57_bfill_limit", "p11_epoch_shuffle",
-    "t16_zipf_slope",
+    "t16_zipf_slope", "ev07_top_paths",
 }
 
 
