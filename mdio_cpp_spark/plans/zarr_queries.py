@@ -2966,3 +2966,27 @@ def zarr68(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row", "col")
     )
+
+
+@declared(
+    "zarr69_cumsum_axis",
+    oracle=_CELLS_CENTS + """
+    SELECT row, col,
+           SUM(c) OVER (PARTITION BY row ORDER BY col
+                        ROWS UNBOUNDED PRECEDING) / 100.0 AS run_v
+    FROM cells WHERE row < 8 ORDER BY row, col
+    """,
+)
+def zarr69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``cumsum(dim='col')`` over the 2-D grid: the running sum
+    along an axis is embarrassingly parallel across the SURVIVING
+    dimension — one window partitioned by row (contrast zarr24, where the
+    reduced 1-D axis forces the chunk-bucketed prefix-sum machinery; with
+    a surviving dim you get parallelism for free). Integer-cents
+    accumulation with one division per cell — bit-exact, no rounding."""
+    cells = _grid_cents(spark, sf_dir, 8)
+    w = Window.partitionBy("row").orderBy("col").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        cells.select("row", "col", (F.sum("c").over(w) / 100.0).alias("run_v"))
+        .orderBy("row", "col")
+    )

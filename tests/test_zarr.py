@@ -847,3 +847,20 @@ def test_sel_distributed_translation_matches_driver(spark, tmp_path, monkeypatch
     # inverted range
     with pytest.raises(SelError, match="precedes"):
         ds2.sel(i=(9990, 0))
+
+
+def test_masked_write_back_idempotent(spark, sf_dir):
+    """zarr67's clip-update must converge: applying the masked write-back a
+    second time changes nothing (the declared query applies it on every
+    run, so re-execution equality IS the idempotence contract), and it
+    must mutate its own private store, never the shared fixture."""
+    import pandas as pd
+
+    from mdio_cpp_spark.plans import REGISTRY
+
+    first = REGISTRY["zarr67_where_update"].spark(spark, sf_dir).toPandas()
+    second = REGISTRY["zarr67_where_update"].spark(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(first, second)
+    # the shared fixture store is untouched: zarr01 still sees raw prices
+    raw = REGISTRY["zarr01_scan"].spark(spark, sf_dir).toPandas()
+    assert (raw["price"] > 450_000.0).any(), "fixture store must keep unclipped values"
