@@ -1581,3 +1581,37 @@ def ev07(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e1", "e2", "e3", "n",
         F.row_number().over(W2.orderBy(F.col("n").desc(), "e1", "e2", "e3")).cast("long").alias("rk"),
     ).orderBy("rk")
+
+
+@declared(
+    "a13_grouped_mode",
+    oracle="""
+    SELECT l_returnflag, qty AS mode_qty, n AS mode_n FROM (
+      SELECT l_returnflag, qty, n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, qty) AS rn
+      FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1, 2)
+    ) WHERE rn = 1 ORDER BY l_returnflag
+    """,
+)
+def a13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group — the aggregate SQL forgot: most frequent
+    quantity per return flag, smallest value on ties. Two partial-
+    aggregatable levels: (group, value) counts (map-side combine absorbs
+    repeats), then ONE max_by per group over the tiny count table — never
+    a data-sized window or sort. The same shape scales to any
+    cardinality: the shuffle carries (group, value, partial count)."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", F.col("l_quantity").cast("long").alias("qty")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.max_by("qty", F.struct(F.col("n"), -F.col("qty"))).alias("mode_qty"),
+            F.max("n").alias("mode_n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1915,3 +1915,47 @@ def asof05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@declared(
+    "w11_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events)
+    SELECT event_id,
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS distinct_types_so_far
+    FROM flagged ORDER BY event_id
+    """,
+)
+def w11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per key — the window SQL refuses to allow:
+    how many distinct event types has this user produced up to each
+    event. Decomposed into two partitioned windows (the standard
+    rewrite): flag each (user, type)'s FIRST occurrence, then a running
+    sum of flags over the user's timeline. Both windows partition on the
+    user (parallel across users); nothing resembling a per-row distinct
+    state ever materializes."""
+    e = _t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.select(
+            "event_id", "user_id", "ts",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+        )
+        .select(
+            "event_id",
+            F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+        )
+        .orderBy("event_id")
+    )

@@ -2520,3 +2520,39 @@ def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     )
+
+
+_D12_PREFIX, _D12_MAXDIST = 64, 8
+
+@declared(
+    "d12_edit_distance_verify",
+    oracle=f"""
+    WITH RECURSIVE cand AS ({{cand}})
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(left(da.text, {_D12_PREFIX}), left(db.text, {_D12_PREFIX})) AS BIGINT) AS dist
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE levenshtein(left(da.text, {_D12_PREFIX}), left(db.text, {_D12_PREFIX})) <= {_D12_MAXDIST}
+    ORDER BY c.doc_a, c.doc_b
+    """.format(cand=_dd_minhash_sql().replace("ORDER BY doc_a, doc_b", "")),
+)
+def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance VERIFY over d02's LSH candidates — the character-level
+    second opinion (d04 is the token-level one): Levenshtein on the first
+    {_D12_PREFIX} chars, keeping pairs within distance {_D12_MAXDIST}. The
+    O(len²) distance runs ONLY on bucket-collision pairs (candidates ≪ n²)
+    and on bounded prefixes, so per-pair cost is a constant — the standard
+    trick that keeps edit-distance dedup feasible at corpus scale. Exact
+    integer metric: both engines agree with no tolerance."""
+    d = _t(spark, sf_dir, "documents")
+    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS)
+    pref = d.select("doc_id", F.substring("text", 1, _D12_PREFIX).alias("pref"))
+    dist = F.levenshtein(F.col("pa"), F.col("pb")).cast("long")
+    return (
+        cand.join(pref.select(F.col("doc_id").alias("doc_a"), F.col("pref").alias("pa")), "doc_a")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), F.col("pref").alias("pb")), "doc_b")
+        .select("doc_a", "doc_b", dist.alias("dist"))
+        .filter(F.col("dist") <= _D12_MAXDIST)
+        .orderBy("doc_a", "doc_b")
+    )
