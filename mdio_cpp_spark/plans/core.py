@@ -1959,3 +1959,49 @@ def w11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@declared(
+    "w12_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_trunc('day', ts) AS day,
+             date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS dnum
+      FROM events),
+    grp AS (
+      SELECT user_id, day,
+             dnum - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dnum) AS g
+      FROM days)
+    SELECT user_id, MIN(day) AS streak_start,
+           CAST(COUNT(*) AS BIGINT) AS streak_days
+    FROM grp GROUP BY user_id, g
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id, streak_start
+    """,
+)
+def w12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous daily-activity streaks (≥3 days) per
+    user — retention analysis's 'current streak' metric, and the canonical
+    hard window shape. The island id is day-number minus the user's day
+    rank (constant within a run of consecutive days); one user-partitioned
+    window over DISTINCT days (the distinct-first collapse bounds it at
+    |users|·|days|, never event-sized), then a plain grouped count."""
+    e = _t(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("day"),
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("dnum"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("dnum")
+    grp = days.withColumn("g", F.col("dnum") - F.row_number().over(w))
+    return (
+        grp.groupBy("user_id", "g")
+        .agg(F.min("day").alias("streak_start"), F.count(F.lit(1)).alias("streak_days"))
+        .filter(F.col("streak_days") >= 3)
+        .select("user_id", "streak_start", "streak_days")
+        .orderBy("user_id", "streak_start")
+    )

@@ -2556,3 +2556,51 @@ def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= _D12_MAXDIST)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@declared(
+    "p13_curation_funnel",
+    oracle="""
+    WITH base AS (SELECT doc_id, n_chars, lang, md5(text) AS h FROM documents),
+    s1 AS (SELECT * FROM base WHERE n_chars >= 200),
+    s2 AS (SELECT * FROM s1 WHERE lang = 'en'),
+    keep AS (SELECT h, MIN(doc_id) AS keep_id FROM s2 GROUP BY h),
+    s3 AS (SELECT s2.* FROM s2 JOIN keep ON s2.h = keep.h AND s2.doc_id = keep.keep_id)
+    SELECT stage, n FROM (
+      SELECT '0_total'    AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM base
+      UNION ALL SELECT '1_min_length', CAST(COUNT(*) AS BIGINT) FROM s1
+      UNION ALL SELECT '2_english',    CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL SELECT '3_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM s3
+    ) ORDER BY stage
+    """,
+)
+def p13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel attrition report: documents surviving each pipeline
+    stage (length floor → language gate → exact-dedup survivorship) — the
+    first chart in every corpus-curation writeup, and the regression
+    tripwire when a filter change silently halves a source. Each stage is
+    a pushed-down filter over the SAME scan lineage; the dedup survivor
+    set is a (hash → min id) aggregate joined back (no window over the
+    corpus); four exact integer counts union at the end."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", "n_chars", "lang", F.md5("text").alias("h"))
+    s1 = base.filter(F.col("n_chars") >= 200)
+    s2 = s1.filter(F.col("lang") == "en")
+    keep = s2.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    s3 = s2.join(
+        keep,
+        (s2["h"] == keep["h"]) & (s2["doc_id"] == keep["keep_id"]),
+    )
+
+    def cnt(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(stage).alias("stage"), "n"
+        )
+
+    return (
+        cnt(base, "0_total")
+        .unionAll(cnt(s1, "1_min_length"))
+        .unionAll(cnt(s2, "2_english"))
+        .unionAll(cnt(s3, "3_exact_dedup"))
+        .orderBy("stage")
+    )
