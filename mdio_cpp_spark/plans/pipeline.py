@@ -2604,3 +2604,173 @@ def p13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(cnt(s3, "3_exact_dedup"))
         .orderBy("stage")
     )
+
+
+@declared(
+    "t17_bigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DD_TOKS} AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+             unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      FROM toks WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1 FROM bg GROUP BY w1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(-ln(CAST(n2 AS DOUBLE) / n1)) / COUNT(*), 4) AS avg_surprisal2
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal (t12's unigram model upgraded one order): score
+    each document by mean −ln P(w₂|w₁) under corpus bigram statistics —
+    the repetition/templating detector that unigram models miss (stock
+    phrases score near zero, incoherent text scores high). Two vocab-
+    sized map-side-combined count aggs; the bigram stream joins both on
+    its tokens (AQE handles the stopword skew) and reduces per doc. Same
+    ln-rounding contract as t12."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    toks = text.tokens(F.col("text"))
+    w = d.select("doc_id", toks.alias("w")).filter(F.size("w") >= 2)
+    bg = w.select(
+        "doc_id",
+        F.posexplode(F.slice("w", 1, F.size("w") - 1)).alias("i", "w1"),
+        # w2 joins back by position below
+        F.col("w").alias("__w"),
+    ).select(
+        "doc_id", "w1", F.element_at("__w", F.col("i") + 2).alias("w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    return (
+        bg.join(c2, ["w1", "w2"]).join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(-F.log(F.col("n2").cast("double") / F.col("n1")))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_surprisal2"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "s08_balanced_downsample",
+    oracle="""
+    WITH k AS (SELECT MIN(n) AS k FROM
+               (SELECT COUNT(*) AS n FROM documents GROUP BY lang)),
+    ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id FROM ranked WHERE rn <= (SELECT k FROM k)
+    ORDER BY lang, doc_id
+    """,
+)
+def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance-to-minority downsampling: every class keeps exactly the
+    MINORITY class's count, members chosen by deterministic hash ranking
+    (s07's exactly-k with a data-derived k) — the class-imbalance fix
+    applied before classifier training. The k is a 1-row aggregate
+    broadcast onto the stratum-ranked stream (p10's broadcast-1-row-min
+    pattern); one window per stratum, no RNG state."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    k = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").alias("k")
+    )
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.join(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@declared(
+    "u03_changeset_collapse",
+    oracle=f"""
+    WITH raw AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op, o_orderstatus AS s,
+             o_totalprice + 100.0 AS p
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', 'X', o_totalprice + 200.0
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 14 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 21 = 0
+    ),
+    latest AS (
+      SELECT k, op, s, p FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM raw
+      ) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT t.o_orderkey,
+             CASE WHEN c.op = 'U' THEN c.s ELSE t.o_orderstatus END AS o_orderstatus,
+             CASE WHEN c.op = 'U' THEN c.p ELSE t.o_totalprice END AS o_totalprice
+      FROM orders t LEFT JOIN latest c ON t.o_orderkey = c.k
+      WHERE c.op IS NULL OR c.op <> 'D'
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged
+    WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey
+    """,
+)
+def u03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC pre-collapse: a changeset carrying MULTIPLE versions per key
+    (the realistic Kafka-compaction wrinkle u01's clean batch skips) is
+    collapsed to latest-per-key by sequence number — one partial-
+    aggregatable max_by, never a window over the stream — and only then
+    applied with MERGE semantics (operators/merge.py: broadcast, the
+    dimension never shuffles). Keys with a final 'D' delete; superseded
+    updates must leave no trace — the gate returns the touched key slice
+    so a stale-version leak hash-mismatches."""
+    from mdio_cpp_spark.operators.merge import merge_changeset
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    raw = (
+        o.filter(key % 7 == 0).select(
+            key.alias("k"), F.lit(1).alias("seq"), F.lit("U").alias("op"),
+            F.col("o_orderstatus").alias("s"),
+            (F.col("o_totalprice") + 100.0).alias("p"),
+        )
+        .unionAll(
+            o.filter((key % 7 == 0) & (key % 14 == 0)).select(
+                key.alias("k"), F.lit(2).alias("seq"), F.lit("U").alias("op"),
+                F.lit("X").alias("s"), (F.col("o_totalprice") + 200.0).alias("p"),
+            )
+        )
+        .unionAll(
+            o.filter((key % 7 == 0) & (key % 21 == 0)).select(
+                key.alias("k"), F.lit(3).alias("seq"), F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("s"),
+                F.lit(None).cast("double").alias("p"),
+            )
+        )
+    )
+    latest = raw.groupBy("k").agg(
+        F.max_by(F.struct("op", "s", "p"), F.col("seq")).alias("c")
+    ).select(
+        "k", F.col("c.op").alias("op"),
+        F.col("c.s").alias("o_orderstatus"), F.col("c.p").alias("o_totalprice"),
+    )
+    merged = merge_changeset(o, latest.withColumnRenamed("k", "o_orderkey"),
+                             "o_orderkey", ["o_orderstatus", "o_totalprice"])
+    return merged.filter(key % 7 == 0).orderBy("o_orderkey")
