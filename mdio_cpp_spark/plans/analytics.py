@@ -1615,3 +1615,55 @@ def a13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@declared(
+    "a14_weighted_median",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag AS f,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem),
+    agg AS (SELECT f, pc, CAST(SUM(q) AS BIGINT) AS q FROM b GROUP BY f, pc),
+    cum AS (
+      SELECT f, pc,
+             CAST(SUM(q) OVER (PARTITION BY f ORDER BY pc
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(SUM(q) OVER (PARTITION BY f) AS BIGINT) AS tw
+      FROM agg)
+    SELECT f AS l_returnflag, MIN(pc) / 100.0 AS wmedian
+    FROM cum WHERE 2 * cw >= tw GROUP BY f ORDER BY f
+    """,
+)
+def a14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group (weights = quantity): the smallest
+    price whose cumulative weight reaches half the group's total — the
+    order statistic behind fair-price and capacity-planning summaries
+    that plain medians misstate. Duplicate prices collapse FIRST (one
+    partial agg bounds the window input at distinct values, absorbing
+    repeats map-side); the crossing test ``2·cw ≥ tw`` stays in exact
+    integers — no division until the final /100. The per-group cumsum
+    window is the didactic form; at extreme per-group cardinality the
+    a07 bucket machinery generalizes to weighted ranks (sum weights per
+    bucket instead of counts)."""
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("f"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    agg = b.groupBy("f", "pc").agg(F.sum("q").alias("q"))
+    w_cum = Window.partitionBy("f").orderBy("pc").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy("f")
+    cum = agg.select(
+        "f", "pc",
+        F.sum("q").over(w_cum).alias("cw"),
+        F.sum("q").over(w_tot).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy(F.col("f").alias("l_returnflag"))
+        .agg((F.min("pc") / 100.0).alias("wmedian"))
+        .orderBy("l_returnflag")
+    )
