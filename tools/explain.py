@@ -81,6 +81,9 @@ PICKS = {
     "v09_stored_ivf": "ANN from a PERSISTED index: both index arrays arrive via PythonScan over the reopened store; centroid reassembly is a K*dim-row agg; query assignment broadcasts; the payload join keys on vec_id and the cell join confines search to one cell",
     "w10_session_window": "native session_window groupBy: ONE user-keyed exchange feeds the fused session-merge aggregate (no lag/cumsum windows in the plan — compare the oracle's two-window formulation)",
     "asof05_nearest": "nearest-direction as-of: the backward and forward passes are the SAME bucketed plan on a mirrored time axis (hashpartitioning(__b) windows, |buckets|-row boundary tables); the final event-keyed join picks the closer side by exact integer microseconds",
+    "a14_weighted_median": "weighted median: duplicate prices collapse in a partial agg BEFORE the per-group cumsum window (the window input is distinct values, repeats absorbed map-side); the crossing filter and final min are grouped reductions",
+    "w12_activity_streaks": "gaps-and-islands: DISTINCT (user, day) collapse runs before the island window, so the window input is bounded at users*days; island grouping is one hash aggregate",
+    "p13_curation_funnel": "all four funnel stages share one FileScan lineage with the filters stacked map-side; the dedup-survivor join is a (hash -> min id) aggregate, no corpus window; four 1-row counts union",
 }
 
 
