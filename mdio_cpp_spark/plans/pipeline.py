@@ -2774,3 +2774,134 @@ def u03(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merge_changeset(o, latest.withColumnRenamed("k", "o_orderkey"),
                              "o_orderkey", ["o_orderstatus", "o_totalprice"])
     return merged.filter(key % 7 == 0).orderBy("o_orderkey")
+
+
+_T18_TOPV = 200
+
+@declared(
+    "t18_source_similarity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_DD_TOKS}) AS term FROM documents
+    ),
+    cnt AS (SELECT source, term, COUNT(*) AS n FROM tok GROUP BY source, term),
+    top AS (
+      SELECT source, term FROM (
+        SELECT source, term,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, term) AS rn
+        FROM cnt
+      ) WHERE rn <= {_T18_TOPV}
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM top GROUP BY source),
+    inter AS (
+      SELECT a.source AS s_a, b.source AS s_b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM top a JOIN top b ON a.term = b.term AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s_a, s_b,
+           i / (za.sz + zb.sz - i) AS vocab_jaccard
+    FROM inter JOIN sizes za ON za.source = s_a JOIN sizes zb ON zb.source = s_b
+    ORDER BY s_a, s_b
+    """,
+)
+def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary similarity: Jaccard overlap of each source
+    pair's top-{_T18_TOPV} vocabularies — the corpus-drift / source-
+    redundancy matrix a mixture designer reads before weighting sources.
+    Per-source vocabularies rank in source-partitioned windows over the
+    vocab-sized count table; the pair intersection is a TERM-keyed
+    self-join of the (sources × {_T18_TOPV})-row top table — never a
+    doc-level cross product. Jaccard divides exact integers."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    from pyspark.sql import Window as W
+
+    cnt = (
+        d.select("source", F.explode(text.tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("source").orderBy(F.col("n").desc(), "term")
+    top = cnt.select("source", "term", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= _T18_TOPV
+    ).select("source", "term")
+    sizes = top.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = top.select(F.col("source").alias("s_a"), "term")
+    b = top.select(F.col("source").alias("s_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za = sizes.select(F.col("source").alias("s_a"), F.col("sz").alias("za"))
+    zb = sizes.select(F.col("source").alias("s_b"), F.col("sz").alias("zb"))
+    return (
+        inter.join(za, "s_a").join(zb, "s_b")
+        .select(
+            "s_a", "s_b",
+            (F.col("i") / (F.col("za") + F.col("zb") - F.col("i"))).alias("vocab_jaccard"),
+        )
+        .orderBy("s_a", "s_b")
+    )
+
+
+@declared(
+    "v10_ann_recall_report",
+    oracle=f"""
+    WITH {_dd_planes_cte(_ANN_PLANES, _ND_DIM)},
+    b AS (
+      SELECT vec_id, embedding, {_dd_bucket("embedding")} AS bk
+      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, bk FROM b WHERE vec_id < 3),
+    ex AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q2.q_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q2.q_id
+                 ORDER BY ROUND({_dd_cosine("q2.qv", "e.embedding")}, 4) DESC, e.vec_id) AS rk
+        FROM (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 3) q2,
+             embeddings e WHERE e.vec_id <> q2.q_id
+      ) WHERE rk <= 5
+    ),
+    ap AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY ROUND({_dd_cosine("q.qv", "e.embedding")}, 4) DESC, e.vec_id) AS rk
+        FROM q JOIN b e ON e.bk = q.bk AND e.vec_id <> q.q_id
+      ) WHERE rk <= 5
+    )
+    SELECT ex.q_id,
+           CAST(COUNT(ap.vec_id) AS BIGINT) AS hits,
+           COUNT(ap.vec_id) / 5 AS recall_at_5
+    FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+    GROUP BY ex.q_id ORDER BY ex.q_id
+    """,
+)
+def v10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality self-audit: recall@5 of the LSH index (v02's method)
+    against the exact ranking (v01's), per query — the number an ANN
+    deployment monitors before trading accuracy for speed (pytest pins a
+    recall floor in test_ann_recall; this puts the audit ON the declared
+    surface with an oracle). Composes the two operators and reduces the
+    rank lists with a 5-row-per-query join; recall divides exact
+    integers."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    ex = similarity.cosine_topk(e, q, "vec_id", "embedding", k=5).select("q_id", "vec_id")
+    ap = similarity.lsh_topk(
+        e, q, "vec_id", "embedding", dim=_ND_DIM, k=5, n_planes=_ANN_PLANES
+    ).select("q_id", F.col("vec_id").alias("ap_vec"))
+    return (
+        ex.join(
+            ap,
+            (ex["q_id"] == ap["q_id"]) & (ex["vec_id"] == ap["ap_vec"]),
+            "left",
+        )
+        .groupBy(ex["q_id"].alias("q_id"))
+        .agg(
+            F.count("ap_vec").alias("hits"),
+            (F.count("ap_vec") / 5).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )

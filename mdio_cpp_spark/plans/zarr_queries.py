@@ -2990,3 +2990,32 @@ def zarr69(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.select("row", "col", (F.sum("c").over(w) / 100.0).alias("run_v"))
         .orderBy("row", "col")
     )
+
+
+@declared(
+    "zarr70_rolling_axis",
+    oracle=_CELLS_CENTS + """
+    SELECT row, col,
+           SUM(c) OVER w / (100.0 * COUNT(c) OVER w) AS roll_mean
+    FROM cells WHERE row < 8
+    WINDOW w AS (PARTITION BY row ORDER BY col ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+    ORDER BY row, col
+    """,
+)
+def zarr70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xarray ``rolling(col=3, center=True, min_periods=1).mean()`` along a
+    SURVIVING axis: with the other dimension intact the rolling window is
+    a plain row-partitioned frame — parallel across rows for free
+    (contrast zarr27, where rolling along the ONLY axis needs the
+    halo-exchange machinery). Integer-cents sum over the 3-cell frame,
+    one division by the actual frame count (edges see 2 cells — the
+    min_periods=1 contract) — bit-exact."""
+    cells = _grid_cents(spark, sf_dir, 8)
+    w = Window.partitionBy("row").orderBy("col").rowsBetween(-1, 1)
+    return (
+        cells.select(
+            "row", "col",
+            (F.sum("c").over(w) / (100.0 * F.count("c").over(w))).alias("roll_mean"),
+        )
+        .orderBy("row", "col")
+    )
