@@ -1667,3 +1667,60 @@ def a14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.min("pc") / 100.0).alias("wmedian"))
         .orderBy("l_returnflag")
     )
+
+
+@declared(
+    "dq03_referential_integrity",
+    oracle="""
+    SELECT rel, n_orphans FROM (
+      SELECT 'lineitem->orders' AS rel,
+             CAST((SELECT COUNT(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans
+      UNION ALL
+      SELECT 'orders->customer',
+             CAST((SELECT COUNT(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'customer->nation',
+             CAST((SELECT COUNT(*) FROM customer c
+                   WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                     WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem->part',
+             CAST((SELECT COUNT(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM part p
+                                     WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    ) ORDER BY rel
+    """,
+)
+def dq03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign-key
+    edge of the star schema — the constraint checker a lakehouse doesn't
+    enforce and every ingest pipeline should run (zero is the healthy
+    answer; the gate proves the machinery counts correctly either way,
+    and any drift from zero hash-mismatches). Each edge is ONE left-anti
+    join reduced to a count: the dimension side broadcasts when small
+    (Catalyst's choice), the fact side never moves twice. Four exact
+    integer counts union into the report."""
+    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str, rel: str) -> DataFrame:
+        return (
+            fact.select(F.col(fk).alias("k"))
+            .join(dim.select(F.col(pk).alias("k")), "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(rel).alias("rel"), "n_orphans")
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    p = table(spark, sf_dir, "part")
+    return (
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionAll(orphans(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionAll(orphans(c, "c_nationkey", n, "n_nationkey", "customer->nation"))
+        .unionAll(orphans(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+        .orderBy("rel")
+    )
