@@ -1724,3 +1724,59 @@ def dq03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(orphans(li, "l_partkey", p, "p_partkey", "lineitem->part"))
         .orderBy("rel")
     )
+
+
+@declared(
+    "ev08_dau_wau_mau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_trunc('day', ts) AS day,
+             date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS dnum
+      FROM events),
+    grid AS (SELECT DISTINCT day, dnum FROM ud),
+    j AS (
+      SELECT g.day, g.dnum AS d, u.user_id, u.dnum AS ud
+      FROM grid g JOIN ud u ON u.dnum BETWEEN g.dnum - 27 AND g.dnum)
+    SELECT day,
+           CAST(COUNT(DISTINCT CASE WHEN ud = d THEN user_id END) AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT CASE WHEN ud >= d - 6 THEN user_id END) AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+    FROM j GROUP BY day ORDER BY day
+    """,
+)
+def ev08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU: distinct active users per day and per trailing
+    7- and 28-day windows — the engagement staple that windowed
+    COUNT(DISTINCT) cannot express directly. Rewrite: collapse to
+    DISTINCT (user, day) FIRST (event-sized data reduces immediately),
+    then each activity row joins the ≤28 grid days it contributes to
+    (bounded fanout, a range predicate on integer day numbers — no
+    per-day rescan of events), and three conditional distinct-counts
+    reduce per day. All exact integers."""
+    e = _t(spark, sf_dir, "events")
+    ud = (
+        e.select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("day"),
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("dnum"),
+        )
+        .distinct()
+    )
+    grid = ud.select("day", "dnum").distinct()
+    j = grid.alias("g").join(
+        ud.alias("u"),
+        F.col("u.dnum").between(F.col("g.dnum") - 27, F.col("g.dnum")),
+    ).select(
+        F.col("g.day").alias("day"), F.col("g.dnum").alias("d"),
+        F.col("u.user_id").alias("user_id"), F.col("u.dnum").alias("ud"),
+    )
+    return (
+        j.groupBy("day")
+        .agg(
+            F.count_distinct(F.when(F.col("ud") == F.col("d"), F.col("user_id"))).alias("dau"),
+            F.count_distinct(F.when(F.col("ud") >= F.col("d") - 6, F.col("user_id"))).alias("wau"),
+            F.count_distinct("user_id").alias("mau"),
+        )
+        .orderBy("day")
+    )
