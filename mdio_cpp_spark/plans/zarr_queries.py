@@ -3019,3 +3019,66 @@ def zarr70(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row", "col")
     )
+
+
+def _pyramid_store(spark: SparkSession, sf_dir: str, m: int) -> str:
+    """Own-marker store holding the level-1 pyramid array (created once;
+    zarr71 REWRITES its cells idempotently every run)."""
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "pyramid_l1_v2.zarr")
+    marker = os.path.join(base, ".built_pyr_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        st = ZarrStore.create(path, version=2, attrs={"name": "pyramid_l1"})
+        st.create_array("l1", shape=(m,), chunks=(CHUNK,), dtype="float64",
+                        dims=("g",), compressor={"id": "zlib", "level": 1})
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+@declared(
+    "zarr71_pyramid_build",
+    oracle="""
+    SELECT CAST((rn - 1) // 4 AS BIGINT) AS g,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 400.0 AS v
+    FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    GROUP BY 1 HAVING COUNT(*) = 4
+    ORDER BY g
+    """,
+)
+def zarr71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiscale pyramid BUILD (zarr34 reads a pre-built level; this one
+    GENERATES level 1 distributed and persists it): factor-4 block means
+    of the stored price series — zarr54's coarsen reduction — written
+    into a level-1 store (one chunk-keyed shuffle, the minimum for a
+    re-gridding write), then read BACK through the chunk-pruned scan.
+    The gate hashes the readback, so the whole
+    decimate→write→reopen→scan chain must round-trip bit-exactly
+    (cents-integer block sums / 400 are engine-exact doubles; float64
+    storage is lossless). The seismic multiscale story: each level is
+    4× smaller, built level-from-level with the same plan."""
+    from mdio_cpp_spark.sources.writer import write_array
+
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    src = ds.to_df(spark, "price", value_col="v")
+    l1 = (
+        src.groupBy(F.expr("i div 4").alias("g"))
+        .agg(
+            (F.sum(F.round(F.col("v") * 100).cast("long")).cast("double") / 400.0).alias("v"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") == 4)
+        .select("g", "v")
+    )
+    n = ZarrStore.open(_main_store(spark, sf_dir)).array_meta("price").shape[0]
+    path = _pyramid_store(spark, sf_dir, n // 4)
+    write_array(l1, path, "l1", value_cols="v")
+    return (
+        MdioDataset.open(path)
+        .to_df(spark, "l1", value_col="v")
+        .select(F.col("g"), "v")
+        .orderBy("g")
+    )
