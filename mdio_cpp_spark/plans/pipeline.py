@@ -2905,3 +2905,45 @@ def v10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+@declared(
+    "st06_stream_cdc_view",
+    oracle="""
+    SELECT user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS last_seq,
+           event_type AS last_type,
+           value AS last_value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC view, batch twin (streaming parity pinned in
+    test_streaming.test_latest_per_key_cdc_matches_batch): the CURRENT
+    row per key of a changelog — Kafka-compaction semantics. Batch form
+    is one partial-aggregatable max_by on the (seq, id) version order
+    (no window over the stream); the streaming form keeps one state
+    tuple per key in GroupState and re-emits only touched keys per
+    micro-batch. UTC session timezone makes Spark's unix_micros equal
+    DuckDB's epoch_us on the NTZ column."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        e.select("user_id", us.alias("seq"), "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("seq", "event_type", "value"), F.struct("seq", "event_id")
+            ).alias("c")
+        )
+        .select(
+            "user_id",
+            F.col("c.seq").alias("last_seq"),
+            F.col("c.event_type").alias("last_type"),
+            F.col("c.value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )

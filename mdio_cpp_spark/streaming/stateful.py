@@ -167,3 +167,49 @@ def asof_enrich_stream(events: DataFrame, ref_predicate: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming CDC view: latest-per-key state (the materialized "current row"
+# a changelog stream maintains — Kafka-compaction semantics as an operator).
+
+LPK_OUTPUT_SCHEMA = "user_id bigint, last_seq bigint, last_type string, last_value double"
+LPK_STATE_SCHEMA = "seq bigint, eid bigint, t string, v double"
+
+
+def _latest_per_key_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    cur = tuple(state.get) if state.exists else None
+    for pdf in pdfs:
+        row = pdf.sort_values(["seq", "event_id"]).iloc[-1]
+        cand = (int(row["seq"]), int(row["event_id"]),
+                str(row["event_type"]), float(row["value"]))
+        if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+            cur = cand
+    state.update(cur)
+    yield pd.DataFrame({
+        "user_id": [user_id], "last_seq": [cur[0]],
+        "last_type": [cur[2]], "last_value": [cur[3]],
+    })
+
+
+def latest_per_key(changes: DataFrame) -> DataFrame:
+    """Maintain the CURRENT version per key over a change stream: one
+    (seq, id, payload) tuple of state per key — O(distinct keys), the
+    Kafka-compacted-topic materialization. Update mode re-emits a key
+    only when a micro-batch touches it; superseded versions never leave
+    the executor. Input columns: user_id, seq, event_id, event_type,
+    value (seq+event_id form the total version order)."""
+    return (
+        changes.select("user_id", "seq", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _latest_per_key_update,
+            outputStructType=LPK_OUTPUT_SCHEMA,
+            stateStructType=LPK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

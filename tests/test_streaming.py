@@ -446,3 +446,50 @@ def test_streaming_asof_enrich_parity(spark, sf_dir, tmp_path):
     diffs = {k for k in batch if streamed.get(k) != batch[k]
              and not (streamed.get(k) is None and batch[k] is None)}
     assert not diffs, f"{len(diffs)} mismatches, e.g. {sorted(diffs)[:5]}"
+
+
+def test_latest_per_key_cdc_matches_batch(spark, sf_dir):
+    """Streaming CDC view (latest-per-key GroupState) — after draining the
+    stream, the current row per user must equal the batch max_by."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.catalog import table
+    from mdio_cpp_spark.streaming.events import stream_events
+    from mdio_cpp_spark.streaming.stateful import latest_per_key
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    batch = {
+        r["user_id"]: (r["last_seq"], r["last_type"], r["last_value"])
+        for r in table(spark, sf_dir, "events")
+        .select("user_id", us.alias("seq"), "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("seq", "event_type", "value"),
+                      F.struct("seq", "event_id")).alias("c"))
+        .select("user_id", F.col("c.seq").alias("last_seq"),
+                F.col("c.event_type").alias("last_type"),
+                F.col("c.value").alias("last_value"))
+        .collect()
+    }
+    stream = latest_per_key(
+        stream_events(spark, sf_dir).select(
+            "user_id", us.alias("seq"), "event_id", "event_type", "value"
+        )
+    )
+    with tempfile.TemporaryDirectory(dir="/root/repo/.zarr_cache") as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("cdc_parity")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    rows = spark.sql(
+        "SELECT user_id, MAX_BY(last_seq, last_seq) s, MAX_BY(last_type, last_seq) t, "
+        "MAX_BY(last_value, last_seq) v FROM cdc_parity GROUP BY user_id"
+    ).collect()
+    streamed = {r["user_id"]: (r["s"], r["t"], r["v"]) for r in rows}
+    assert streamed == batch and len(batch) > 0
