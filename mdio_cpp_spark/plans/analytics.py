@@ -1780,3 +1780,110 @@ def ev08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@declared(
+    "dq04_column_profile",
+    oracle="""
+    SELECT col, n, n_null, n_distinct, min_v, max_v, mean_e2 FROM (
+      SELECT 'event_id' AS col,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+             CAST(MIN(event_id) AS DOUBLE) AS min_v,
+             CAST(MAX(event_id) AS DOUBLE) AS max_v,
+             CAST(SUM(event_id * 100) AS DOUBLE) / COUNT(event_id) AS mean_e2
+      FROM events
+      UNION ALL
+      SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT user_id) AS BIGINT),
+             CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+             CAST(SUM(user_id * 100) AS DOUBLE) / COUNT(user_id)
+      FROM events
+      UNION ALL
+      SELECT 'value', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT value) AS BIGINT),
+             MIN(value), MAX(value),
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / COUNT(value)
+      FROM events
+    ) ORDER BY col
+    """,
+)
+def dq04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling: per-column count / null-rate / distinct / range /
+    mean for the numeric columns — the data-profile report an ingestion
+    service renders before anyone queries a new table. ONE wide aggregate
+    scan computes every column's statistics simultaneously (a single
+    pass, no per-column rescan), then the struct unpivots to tidy rows.
+    Means divide exact integer (cents) sums; min/max carry values
+    untouched — bit-exact with no rounding."""
+    e = _t(spark, sf_dir, "events")
+
+    def prof(col: str, cents: F.Column) -> F.Column:
+        c = F.col(col)
+        return F.struct(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("n_null"),
+            F.count_distinct(c).alias("n_distinct"),
+            F.min(c).cast("double").alias("min_v"),
+            F.max(c).cast("double").alias("max_v"),
+            (F.sum(cents).cast("double") / F.count(c)).alias("mean_e2"),
+        )
+
+    wide = e.agg(
+        prof("event_id", F.col("event_id") * 100).alias("event_id"),
+        prof("user_id", F.col("user_id") * 100).alias("user_id"),
+        prof("value", F.round(F.col("value") * 100).cast("long")).alias("value"),
+    )
+    rows = [
+        wide.select(
+            F.lit(c).alias("col"),
+            F.col(f"{c}.n").alias("n"), F.col(f"{c}.n_null").alias("n_null"),
+            F.col(f"{c}.n_distinct").alias("n_distinct"),
+            F.col(f"{c}.min_v").alias("min_v"), F.col(f"{c}.max_v").alias("max_v"),
+            F.col(f"{c}.mean_e2").alias("mean_e2"),
+        )
+        for c in ["event_id", "user_id", "value"]
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("col")
+
+
+@declared(
+    "a15_group_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT day, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY day)
+    SELECT c.day,
+           ROUND(SUM(-(CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)), 4)
+           AS mix_entropy
+    FROM c JOIN t USING (day)
+    GROUP BY c.day ORDER BY c.day
+    """,
+)
+def a15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type mix per day — the drift detector
+    for categorical distributions (a day whose traffic mix collapses to
+    one type drops toward zero entropy long before volumes look odd).
+    Tiny shape end-to-end: a (day, type) count agg, a per-day total, and
+    a |days|·|types|-row reduce; probabilities divide exact integers,
+    entropy follows t12's ln-rounding contract."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("day").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.join(t, "day")
+        .groupBy("day")
+        .agg(F.round(F.sum(-p * F.log(p)), 4).alias("mix_entropy"))
+        .orderBy("day")
+    )
