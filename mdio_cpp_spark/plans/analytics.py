@@ -1887,3 +1887,42 @@ def a15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(-p * F.log(p)), 4).alias("mix_entropy"))
         .orderBy("day")
     )
+
+
+@declared(
+    "ev09_day_over_day",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, day, rev_e2,
+             LAG(rev_e2) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      FROM d)
+    SELECT event_type, day, rev_e2,
+           (rev_e2 - prev) * 10000 / prev AS change_bp
+    FROM l WHERE prev IS NOT NULL AND prev <> 0
+    ORDER BY event_type, day
+    """,
+)
+def ev09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day change in basis points, per event type — the
+    period-over-period delta every metrics dashboard leads with. Daily
+    cents totals reduce first (|types|·|days| rows), one type-partitioned
+    LAG, and the change multiplies before dividing two exact integers —
+    bit-identical doubles, zero-previous days excluded on both sides."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_e2"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.withColumn("prev", F.lag("rev_e2").over(w))
+    return (
+        l.filter(F.col("prev").isNotNull() & (F.col("prev") != 0))
+        .select(
+            "event_type", "day", "rev_e2",
+            ((F.col("rev_e2") - F.col("prev")) * 10000 / F.col("prev")).alias("change_bp"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -3082,3 +3082,36 @@ def zarr71(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("g"), "v")
         .orderBy("g")
     )
+
+
+@declared(
+    "zarr72_complex_magnitude",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i,
+           sqrt(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) * CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     + CAST(o_custkey * 100 AS BIGINT) * CAST(o_custkey * 100 AS BIGINT) AS DOUBLE)) / 100.0
+           AS mag
+    FROM (SELECT o_totalprice, o_custkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 900 AND rn - 1 < 5000
+    ORDER BY i
+    """,
+)
+def zarr72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex analytics past the scan (zarr11 only reads the pairs):
+    |z| = √(re²+im²) over the stored complex128 array — the amplitude
+    extraction every seismic trace viewer applies first. Computed on
+    integer cents (re_c²+im_c² is an exact bigint) so the only float ops
+    are one sqrt and one division — bit-identical across engines. Pure
+    map-side arithmetic over the chunk-pruned slice; Spark has no complex
+    type, so (re, im) columns + column math IS the complex algebra."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    df = ds.isel(i=(900, 5000)).to_df(spark, "cpx")
+    re_c = F.round(F.col("value_re") * 100).cast("long")
+    im_c = (F.col("value_im") * 100).cast("long")
+    return (
+        df.select(
+            "i",
+            (F.sqrt((re_c * re_c + im_c * im_c).cast("double")) / 100.0).alias("mag"),
+        )
+        .orderBy("i")
+    )
