@@ -2005,3 +2005,48 @@ def w12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "streak_start", "streak_days")
         .orderBy("user_id", "streak_start")
     )
+
+
+@declared(
+    "w13_moving_median",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events),
+    f AS (
+      SELECT user_id, event_id,
+             quantile_cont(c, 0.5) OVER w AS med_c,
+             COUNT(*) OVER w AS n_in
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
+    SELECT user_id, event_id, med_c / 100.0 AS med5
+    FROM f WHERE n_in = 5 ORDER BY user_id, event_id
+    """,
+)
+def w13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving MEDIAN (centered, width 5) per user — the robust smoother
+    SQL window aggregates don't offer in Spark: rebuilt from built-ins by
+    collecting the frame into an array (two lags + two leads), sorting it,
+    and taking the middle element — codegen'd array ops, no UDF. Only
+    full frames emit (edge rows drop on both engines). Odd width means
+    the median IS an element: exact integer cents, one final division —
+    bit-identical. Window partitions by user; frame width is constant,
+    so the array never exceeds 5 elements regardless of data size."""
+    e = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    arr = F.array(
+        F.lag(c, 2).over(w), F.lag(c, 1).over(w), c,
+        F.lead(c, 1).over(w), F.lead(c, 2).over(w),
+    )
+    return (
+        e.select("user_id", "event_id", arr.alias("fr"))
+        .filter(F.size(F.filter("fr", lambda x: x.isNotNull())) == 5)
+        .select(
+            "user_id", "event_id",
+            (F.element_at(F.array_sort("fr"), 3) / 100.0).alias("med5"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -3115,3 +3115,46 @@ def zarr72(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i")
     )
+
+
+_Z73_TAU = 450_000.0
+
+@declared(
+    "zarr73_threshold_runs",
+    oracle=f"""
+    WITH hit AS (
+      SELECT CAST(rn - 1 AS BIGINT) AS i
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE o_totalprice > {_Z73_TAU}),
+    grp AS (
+      SELECT i, i - ROW_NUMBER() OVER (ORDER BY i) AS g FROM hit)
+    SELECT MIN(i) AS run_start, CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM grp GROUP BY g HAVING COUNT(*) >= 2
+    ORDER BY run_start
+    """,
+)
+def zarr73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run detection over a stored array: contiguous index runs where the
+    value exceeds a threshold (length ≥ 2) — the bright-spot / event
+    picker of signal pipelines, gaps-and-islands (w12) applied to array
+    indices. The value predicate pushes into the decoder WITH zone-map
+    chunk skips (only chunks whose max clears τ are fetched), surviving
+    indices are sparse, and the island id is index − rank. The rank
+    window is ordered over the SPARSE hit set (documented bounded
+    global: |hits| ≪ |cells|; a chunk-bucketed two-level rank — zarr24's
+    offsets shape — removes even that if hits are dense)."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    hits = (
+        ds.to_df(spark, "price", value_col="v")
+        .filter(F.col("v") > _Z73_TAU)
+        .select("i")
+    )
+    w = Window.orderBy("i")
+    grp = hits.withColumn("g", F.col("i") - F.row_number().over(w))
+    return (
+        grp.groupBy("g")
+        .agg(F.min("i").alias("run_start"), F.count(F.lit(1)).alias("run_len"))
+        .filter(F.col("run_len") >= 2)
+        .select("run_start", "run_len")
+        .orderBy("run_start")
+    )

@@ -34,10 +34,14 @@ from mdio_cpp_spark.plans import REGISTRY
 #  - t16/ev07: the rank window runs AFTER an ORDER BY + LIMIT
 #    (TakeOrdered) — input is ≤500 (t16) / ≤10 (ev07) rows by
 #    construction (plans/pipeline.py t16, plans/analytics.py ev07).
+#  - zarr73: the island rank runs over the SPARSE threshold-hit set
+#    (pushdown + zone maps already dropped non-matching cells; |hits| ≪
+#    |cells| by the query's nature — dense hits would take zarr24's
+#    chunk-bucketed two-level rank instead, per the docstring).
 _ALLOW_GLOBAL = {
     "asof01_event_order", "asof02_left", "asof05_nearest", "zarr09_write_roundtrip",
     "zarr55_ffill", "zarr57_bfill_limit", "p11_epoch_shuffle",
-    "t16_zipf_slope", "ev07_top_paths",
+    "t16_zipf_slope", "ev07_top_paths", "zarr73_threshold_runs",
 }
 
 
