@@ -2947,3 +2947,44 @@ def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _dd_langid_confusion_sql() -> str:
+    score = {
+        lang: " + ".join(_dd_hits(m) for m in markers)
+        for lang, markers in text._LANG_MARKERS.items()
+    }
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {score['en']} AS s_en, {score['de']} AS s_de,
+             {score['fr']} AS s_fr, {score['es']} AS s_es
+      FROM (SELECT doc_id, lang, {_DD_TOKS} AS w FROM documents)
+    ),
+    p AS (
+      SELECT lang,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                  WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang
+      FROM s
+    )
+    SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """
+
+
+@declared("t19_langid_confusion", oracle=_dd_langid_confusion_sql())
+def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lang-ID accuracy audit: t01's marker-token classifier evaluated
+    against the stored ground-truth labels as a label×prediction
+    confusion matrix (v08's audit shape applied to the text classifier) —
+    the completeness check a heuristic filter needs before it gates a
+    corpus. Map-side scoring + one |langs|²-keyed count; exact integer
+    cells."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text.lang_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )

@@ -3158,3 +3158,32 @@ def zarr73(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("run_start", "run_len")
         .orderBy("run_start")
     )
+
+
+@declared(
+    "zarr74_agc",
+    oracle=_CELLS_CENTS + """
+    SELECT row, col,
+           c / sqrt(CAST(SUM(c * c) OVER w AS DOUBLE) / COUNT(*) OVER w) AS agc
+    FROM cells WHERE row < 8
+    WINDOW w AS (PARTITION BY row ORDER BY col ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+    ORDER BY row, col
+    """,
+)
+def zarr74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic gain control (AGC) along the trace axis — THE seismic
+    display normalization: each sample divides by the RMS of its
+    ±2-sample neighborhood, so strong and weak zones render at comparable
+    amplitude. Sliding RMS = √(Σc²/n) over a row-partitioned frame
+    (parallel across traces; edge frames use their actual n); Σc² is an
+    exact integer window sum, so the only float ops are one division,
+    one sqrt, one division — bit-identical across engines. The reference
+    ships trace data to drivers for this (examples/seismic_reader); here
+    it's three codegen'd window expressions."""
+    cells = _grid_cents(spark, sf_dir, 8)
+    w = Window.partitionBy("row").orderBy("col").rowsBetween(-2, 2)
+    rms = F.sqrt(F.sum(F.col("c") * F.col("c")).over(w).cast("double") / F.count(F.lit(1)).over(w))
+    return (
+        cells.select("row", "col", (F.col("c") / rms).alias("agc"))
+        .orderBy("row", "col")
+    )
