@@ -2988,3 +2988,42 @@ def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "pred_lang")
     )
+
+
+@declared(
+    "st07_stream_window_topk",
+    oracle="""
+    WITH w AS (
+      SELECT date_trunc('minute', ts) AS win_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT win_start, event_type, n, rk FROM (
+      SELECT win_start, event_type, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY win_start
+                                     ORDER BY n DESC, event_type) AS BIGINT) AS rk
+      FROM w)
+    WHERE rk <= 3 ORDER BY win_start, rk
+    """,
+)
+def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed top-k, batch twin (parity pinned in
+    test_streaming.test_stream_window_topk_parity): the top-3 event types
+    per tumbling minute — streaming engines cannot rank inside a window
+    aggregate, so the deployed pattern is windowed counts in update mode
+    with the rank applied at the sink per micro-batch drain; the batch
+    twin IS that post-aggregation rank. Counts reduce map-side to
+    |windows|·|types| rows; the rank window partitions per window."""
+    e = _t(spark, sf_dir, "events")
+    w = e.groupBy(
+        F.date_trunc("minute", "ts").alias("win_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("win_start").orderBy(F.col("n").desc(), "event_type")
+    )
+    return (
+        w.select("win_start", "event_type", "n", rk.cast("long").alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("win_start", "rk")
+    )

@@ -3187,3 +3187,30 @@ def zarr74(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.select("row", "col", (F.col("c") / rms).alias("agc"))
         .orderBy("row", "col")
     )
+
+
+_Z75_TAU = 300_000.0
+
+@declared(
+    "zarr75_first_arrival",
+    oracle=_CELLS_CENTS + f"""
+    SELECT row, MIN(col) AS first_col
+    FROM cells WHERE row < 16 AND c > {int(_Z75_TAU * 100)}
+    GROUP BY row ORDER BY row
+    """,
+)
+def zarr75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-arrival picking: the smallest axis index where each trace
+    first exceeds the trigger threshold — seismic first-break / onset
+    detection (the reference's seismic_reader example walks traces on the
+    driver for exactly this kind of pick). One pushdown-filtered scan of
+    the grid (only supra-threshold cells survive the decoder) and a
+    MIN(col) partial agg per surviving row — the cheapest possible pick:
+    the shuffle carries one candidate column id per (row, partition)."""
+    cells = _grid_cents(spark, sf_dir, 16)
+    return (
+        cells.filter(F.col("c") > int(_Z75_TAU * 100))
+        .groupBy("row")
+        .agg(F.min("col").alias("first_col"))
+        .orderBy("row")
+    )

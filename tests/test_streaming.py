@@ -493,3 +493,49 @@ def test_latest_per_key_cdc_matches_batch(spark, sf_dir):
     ).collect()
     streamed = {r["user_id"]: (r["s"], r["t"], r["v"]) for r in rows}
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_window_topk_parity(spark, sf_dir):
+    """Streaming windowed top-k: windowed counts drain in update mode, the
+    rank applies at the sink — final top-3 per window must equal st07's
+    batch twin."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.plans import REGISTRY
+    from mdio_cpp_spark.streaming.events import stream_events
+
+    batch = {
+        (r["win_start"], r["rk"]): (r["event_type"], r["n"])
+        for r in REGISTRY["st07_stream_window_topk"].spark(spark, sf_dir).collect()
+    }
+    counts = (
+        stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    with tempfile.TemporaryDirectory(dir="/root/repo/.zarr_cache") as ckpt:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("wtopk")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    rows = spark.sql(
+        """
+        SELECT * FROM (
+          SELECT win_start, event_type, n,
+                 ROW_NUMBER() OVER (PARTITION BY win_start
+                                    ORDER BY n DESC, event_type) AS rk
+          FROM (SELECT win_start, event_type, MAX(n) AS n
+                FROM wtopk GROUP BY win_start, event_type)
+        ) WHERE rk <= 3
+        """
+    ).collect()
+    streamed = {(r["win_start"], r["rk"]): (r["event_type"], r["n"]) for r in rows}
+    assert streamed == batch and len(batch) > 0
