@@ -1926,3 +1926,87 @@ def ev09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@declared(
+    "u04_pit_join",
+    oracle="""
+    WITH ch AS (
+      SELECT key, new_value, change_date FROM (
+        SELECT o_custkey AS key, o_totalprice AS new_value,
+               CAST(o_orderdate AS DATE) AS change_date,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+      ) WHERE rn = 1
+    ),
+    t AS (SELECT c_custkey AS key, c_acctbal AS value FROM customer),
+    hist AS (
+      SELECT t.key, t.value, DATE '1995-01-01' AS valid_from,
+             CASE WHEN ch.key IS NOT NULL AND ch.new_value <> t.value
+                  THEN ch.change_date END AS valid_to
+      FROM t LEFT JOIN ch ON t.key = ch.key
+      UNION ALL
+      SELECT ch.key, ch.new_value, ch.change_date, CAST(NULL AS DATE)
+      FROM ch LEFT JOIN t ON t.key = ch.key
+      WHERE t.key IS NULL OR ch.new_value <> t.value
+    )
+    SELECT o.o_orderkey, h.key, h.value AS pit_value
+    FROM orders o JOIN hist h
+      ON h.key = o.o_custkey
+     AND h.valid_from <= CAST(o.o_orderdate AS DATE)
+     AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < h.valid_to)
+    WHERE o.o_orderdate >= DATE '1996-07-01'
+    ORDER BY o.o_orderkey
+    """,
+)
+def u04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against the SCD2 history (u02's output): each
+    H2-1996 order reads the dimension version that was valid ON ITS
+    date — the feature-store correctness rule that prevents training-time
+    leakage (joining current values backfills the future into the past).
+    SCD2 intervals are non-overlapping by construction, so the range
+    predicate resolves to exactly one version per fact; the history is
+    dimension-sized and broadcasts — the fact table never shuffles."""
+    from pyspark.sql import Window as W
+
+    from mdio_cpp_spark.operators.merge import scd2_apply
+
+    target = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("value"),
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    o = _t(spark, sf_dir, "orders")
+    changes = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("key"),
+            F.col("o_totalprice").alias("value"),
+            F.to_date("o_orderdate").alias("change_date"),
+        )
+    )
+    hist = scd2_apply(target, changes, "key", "value")
+    facts = o.filter(F.col("o_orderdate") >= F.lit("1996-07-01").cast("date")).select(
+        "o_orderkey", F.col("o_custkey").alias("key"), F.to_date("o_orderdate").alias("d")
+    )
+    return (
+        facts.join(
+            F.broadcast(hist),
+            (facts["key"] == hist["key"])
+            & (F.col("valid_from") <= F.col("d"))
+            & (F.col("valid_to").isNull() | (F.col("d") < F.col("valid_to"))),
+        )
+        .select("o_orderkey", facts["key"].alias("key"), F.col("value").alias("pit_value"))
+        .orderBy("o_orderkey")
+    )

@@ -3214,3 +3214,44 @@ def zarr75(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("col").alias("first_col"))
         .orderBy("row")
     )
+
+
+@declared(
+    "zarr76_trace_xcorr",
+    oracle=_CELLS_CENTS + """
+    SELECT a.row, l.lag, SUM(a.c * b.c) / 10000.0 AS xc
+    FROM cells a
+    JOIN (SELECT unnest([-2, -1, 0, 1, 2]) AS lag) l ON TRUE
+    JOIN cells b ON b.row = a.row + 1 AND b.col = a.col + l.lag
+    WHERE a.row < 7
+    GROUP BY a.row, l.lag ORDER BY a.row, l.lag
+    """,
+)
+def zarr76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-trace cross-correlation panel: Σ a[x]·b[x+lag] between
+    each trace and its neighbor at lags −2…+2 — the moveout/static-shift
+    estimator of multi-trace seismic processing (zarr30 correlates two
+    VARIABLES; this correlates neighboring slices of ONE array). Each
+    cell explodes into 5 lag candidates map-side, the pair join is a
+    pure equi-join on the remapped (row+1, col+lag) key, and the lag
+    products are exact integer cent² sums — one division, bit-identical.
+    At 100 TB the join co-partitions on the chunk-aligned key; only the
+    2·halo boundary columns cross chunk owners."""
+    cells = _grid_cents(spark, sf_dir, 8)
+    a = cells.filter(F.col("row") < 7).select(
+        F.col("row").alias("arow"), F.col("col").alias("acol"), F.col("c").alias("ac"),
+        F.explode(F.array(*[F.lit(x) for x in (-2, -1, 0, 1, 2)])).alias("lag"),
+    )
+    b = cells.select(
+        F.col("row").alias("brow"), F.col("col").alias("bcol"), F.col("c").alias("bc")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("brow") == F.col("arow") + 1)
+            & (F.col("bcol") == F.col("acol") + F.col("lag")),
+        )
+        .groupBy(F.col("arow").alias("row"), "lag")
+        .agg((F.sum(F.col("ac") * F.col("bc")) / 10000.0).alias("xc"))
+        .orderBy("row", "lag")
+    )
