@@ -2010,3 +2010,47 @@ def u04(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", facts["key"].alias("key"), F.col("value").alias("pit_value"))
         .orderBy("o_orderkey")
     )
+
+
+@declared(
+    "ev10_interevent_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           quantile_cont(gap_us, 0.5) / 1000000.0 AS p50_gap_s,
+           quantile_cont(gap_us, 0.9) / 1000000.0 AS p90_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id HAVING COUNT(gap_us) >= 5
+    ORDER BY user_id
+    """,
+)
+def ev10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per user (burstiness profiling): the
+    median and p90 of consecutive-event spacing — the temporal signature
+    separating bots (metronomic), bursts, and organic traffic. One
+    user-partitioned LAG on exact integer microseconds, then exact
+    interpolated quantiles per user (gaps are bigints, so quantile
+    interpolation lands on exact .5 microsecond steps) and ONE division
+    to seconds — bit-identical. Users with <5 gaps drop (no stable
+    percentile from 4 points)."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            (F.percentile("gap_us", F.lit(0.5)) / 1_000_000.0).alias("p50_gap_s"),
+            (F.percentile("gap_us", F.lit(0.9)) / 1_000_000.0).alias("p90_gap_s"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+        .orderBy("user_id")
+    )

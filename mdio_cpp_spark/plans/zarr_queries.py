@@ -3255,3 +3255,32 @@ def zarr76(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(F.col("ac") * F.col("bc")) / 10000.0).alias("xc"))
         .orderBy("row", "lag")
     )
+
+
+@declared(
+    "zarr77_semblance",
+    oracle=_CELLS_CENTS + """
+    SELECT col,
+           CAST(SUM(c) AS DOUBLE) * SUM(c)
+           / (COUNT(*) * CAST(SUM(c * c) AS DOUBLE)) AS semblance
+    FROM cells WHERE row < 8 GROUP BY col ORDER BY col
+    """,
+)
+def zarr77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semblance — the multi-trace coherence attribute of velocity
+    analysis: (Σ_traces c)² / (n·Σ_traces c²) per column across the 8-trace
+    gather (1 = perfectly coherent, →1/n for incoherent energy). One
+    partial-aggregatable groupBy on the cross-trace axis collecting two
+    integer sums; the ratio is evaluated with the identical
+    double-multiply/divide order on both engines — bit-exact. The
+    reference's C++ examples compute per-trace stats serially; semblance
+    is the canonical REASON multi-trace array analytics exist."""
+    cells = _grid_cents(spark, sf_dir, 8)
+    s1 = F.sum("c").cast("double")
+    return (
+        cells.groupBy("col")
+        .agg(
+            (s1 * F.sum("c") / (F.count(F.lit(1)) * F.sum(F.col("c") * F.col("c")).cast("double"))).alias("semblance")
+        )
+        .orderBy("col")
+    )
