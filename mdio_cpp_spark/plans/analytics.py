@@ -2054,3 +2054,110 @@ def ev10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_gaps") >= 5)
         .orderBy("user_id")
     )
+
+
+@declared(
+    "ev11_pareto_share",
+    oracle="""
+    WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+    k AS (SELECT CAST(CEIL(COUNT(*) * 0.1) AS BIGINT) AS k,
+                 CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(n) AS BIGINT) AS total FROM u),
+    top AS (SELECT n FROM u ORDER BY n DESC, user_id LIMIT (SELECT k FROM k))
+    SELECT k.n_users, k.k AS top_decile_users,
+           CAST((SELECT SUM(n) FROM top) AS BIGINT) AS top_events,
+           (SELECT SUM(n) FROM top) / k.total AS share
+    FROM k
+    """,
+)
+def ev11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: what share of all events the top-10% most
+    active users produce — the power-user skew number that decides salting
+    strategies and abuse thresholds alike. No global rank window: the
+    decile cut is a TakeOrdered top-k over the |users|-sized count table
+    (deterministic (n, user_id) order), and the share divides two exact
+    integers. One partial-aggregated user count feeds everything."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    totals = u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.ceil(F.count(F.lit(1)) * 0.1).cast("long").alias("k"),
+        F.sum("n").alias("total"),
+    ).collect()[0]
+    top = (
+        u.orderBy(F.col("n").desc(), "user_id")
+        .limit(int(totals["k"]))
+        .agg(F.sum("n").alias("top_events"))
+    )
+    return top.select(
+        F.lit(int(totals["n_users"])).alias("n_users"),
+        F.lit(int(totals["k"])).alias("top_decile_users"),
+        F.col("top_events"),
+        (F.col("top_events") / F.lit(int(totals["total"]))).alias("share"),
+    )
+
+
+@declared(
+    "ga03_strength_distribution",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    p AS (SELECT d1.l_suppkey AS a, d2.l_suppkey AS b, CAST(COUNT(*) AS BIGINT) AS w
+          FROM d d1 JOIN d d2
+            ON d1.l_orderkey = d2.l_orderkey AND d1.l_suppkey < d2.l_suppkey
+          GROUP BY 1, 2),
+    s AS (
+      SELECT node, CAST(SUM(w) AS BIGINT) AS strength FROM (
+        SELECT a AS node, w FROM p UNION ALL SELECT b, w FROM p
+      ) GROUP BY node)
+    SELECT CAST(strength // 16 AS BIGINT) AS strength_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(strength) AS BIGINT) AS min_strength,
+           CAST(MAX(strength) AS BIGINT) AS max_strength
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+def ga03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-degree (strength) distribution of the supplier
+    co-occurrence graph — the structural diagnostic that predicts join
+    skew before it bites (a heavy strength tail = the hot keys salting
+    exists for; ga02's triangle census is the clustering companion; plain
+    degree is degenerate here because small-SF graphs are complete).
+    Edges with weights from ga01's bounded within-order expansion, node
+    strengths from one endpoint-exploded sum, then a width-16 integer
+    binning — every stage partial-aggregatable, all exact integers."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("supps")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("supps"),
+                        lambda a: F.transform(
+                            F.col("supps"),
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    )
+                ),
+                lambda pr: pr["a"] < pr["b"],
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    w = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    s = (
+        w.select(F.col("a").alias("node"), "w")
+        .unionAll(w.select(F.col("b").alias("node"), "w"))
+        .groupBy("node")
+        .agg(F.sum("w").alias("strength"))
+    )
+    return (
+        s.groupBy(F.expr("strength div 16").alias("strength_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("strength").alias("min_strength"),
+            F.max("strength").alias("max_strength"),
+        )
+        .orderBy("strength_bin")
+    )
