@@ -2161,3 +2161,40 @@ def ga03(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strength_bin")
     )
+
+
+@declared(
+    "a16_gini",
+    oracle="""
+    WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+    r AS (SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n, user_id) AS BIGINT) AS i FROM u)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(2 * SUM(i * n) - (COUNT(*) + 1) * SUM(n) AS DOUBLE)
+           / (COUNT(*) * SUM(n)) AS gini
+    FROM r
+    """,
+)
+def a16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-user activity — the inequality
+    summary behind ev11's decile share. Needs a FULL ranking of users;
+    the scalable form is `_zip_index` (quantile-bucketed partitioned
+    ranks + broadcast offsets — zipWithIndex as DataFrames, NO
+    single-partition window), then G = (2Σi·xᵢ − (n+1)Σx)/(nΣx) on
+    exact integer sums with ONE final division — bit-identical. At any
+    corpus size every stage stays parallel; the driver holds only the
+    bucket offsets."""
+    from mdio_cpp_spark.plans.zarr_queries import _zip_index
+
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    r = _zip_index(u, ["n", "user_id"], F.col("n"), "i0").select(
+        "n", (F.col("i0") + 1).alias("i")
+    )
+    n_users = F.count(F.lit(1))
+    return r.agg(
+        n_users.alias("n_users"),
+        (
+            (2 * F.sum(F.col("i") * F.col("n")) - (n_users + 1) * F.sum("n")).cast("double")
+            / (n_users * F.sum("n"))
+        ).alias("gini"),
+    )

@@ -3284,3 +3284,49 @@ def zarr77(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+@declared(
+    "zarr78_horizon_flatten",
+    oracle=f"""
+    WITH n AS (SELECT LEAST(CAST((SELECT COUNT(*) FROM orders) AS BIGINT) // {GRID_C}, 128) AS rows_),
+    cells AS (
+      SELECT CAST((rn - 1) // {GRID_C} AS BIGINT) AS row,
+             CAST((rn - 1) % {GRID_C} AS BIGINT) AS col,
+             o_totalprice AS v
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < (SELECT rows_ FROM n) * {GRID_C}
+    ),
+    picks AS (
+      SELECT row, MIN(col) AS pick FROM cells
+      WHERE row < 16 AND v > 300000.0 GROUP BY row
+    )
+    SELECT c.row, CAST(c.col - p.pick AS BIGINT) AS t, c.v
+    FROM cells c JOIN picks p ON c.row = p.row
+    WHERE c.col >= p.pick AND c.col < p.pick + 8
+    ORDER BY c.row, t
+    """,
+)
+def zarr78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizon flattening (static correction): shift every trace so its
+    first arrival (zarr75's pick) sits at t=0 and keep the first 8
+    aligned samples — the datum-correction step that turns raw gathers
+    into stackable ones. Picks are one tiny agg broadcast back onto the
+    SAME chunk-pruned scan; the shift is a map-side index remap (no
+    shuffle of cell data); values pass through untouched — exact. The
+    composition story: detection (zarr75) feeding geometry correction in
+    one declarative plan."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "grid_v2.zarr"))
+    scan = ds.isel(row=(0, 16)).to_df(spark, "grid", value_col="v")
+    picks = (
+        scan.filter(F.col("v") > 300_000.0)
+        .groupBy("row")
+        .agg(F.min("col").alias("pick"))
+    )
+    return (
+        scan.join(F.broadcast(picks), "row")
+        .filter((F.col("col") >= F.col("pick")) & (F.col("col") < F.col("pick") + 8))
+        .select("row", (F.col("col") - F.col("pick")).alias("t"), "v")
+        .orderBy("row", "t")
+    )
