@@ -3027,3 +3027,53 @@ def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("win_start", "rk")
     )
+
+
+@declared(
+    "ml03_lloyd_step",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_IVF_CELLS}),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid, ROUND({_dd_cosine("e.embedding", "c.cv")}, 6) AS cc
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT vec_id, embedding, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid DESC) AS r
+        FROM scored
+      ) WHERE r = 1
+    ),
+    pos AS (
+      SELECT cell, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM assign
+    )
+    SELECT cell, CAST(pos - 1 AS BIGINT) AS d, ROUND(AVG(x), 6) AS c
+    FROM pos GROUP BY cell, pos ORDER BY cell, d
+    """,
+)
+def ml03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) iteration, distributed: assign every vector to
+    its nearest centroid (ivf_assign — broadcast centroids, map-side
+    cosines, partial argmax) then RECENTER each cell to the mean of its
+    members — the iterative-refinement building block behind the IVF
+    index's quantizer (v03 takes exemplar centroids; looping this step
+    converges them). Recentering is one (cell, position) partial agg —
+    K·dim result rows, corpus never shuffles vectors. Means are rounded
+    to 6dp for cross-engine display (averaging order differs); the
+    ASSIGNMENT itself is the same deterministic rounded-cosine argmax
+    the whole v-family pins."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.orderBy("vec_id").limit(_IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = similarity.ivf_assign(e, "vec_id", "embedding", cents)
+    return (
+        assigned.select(
+            "cell", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x")
+        )
+        .groupBy("cell", "d")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .orderBy("cell", "d")
+    )

@@ -3330,3 +3330,62 @@ def zarr78(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("row", (F.col("col") - F.col("pick")).alias("t"), "v")
         .orderBy("row", "t")
     )
+
+
+@declared(
+    "zarr79_stack",
+    oracle=f"""
+    WITH n AS (SELECT LEAST(CAST((SELECT COUNT(*) FROM orders) AS BIGINT) // {GRID_C}, 128) AS rows_),
+    cells AS (
+      SELECT CAST((rn - 1) // {GRID_C} AS BIGINT) AS row,
+             CAST((rn - 1) % {GRID_C} AS BIGINT) AS col,
+             o_totalprice AS v
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < (SELECT rows_ FROM n) * {GRID_C}
+    ),
+    picks AS (
+      SELECT row, MIN(col) AS pick FROM cells
+      WHERE row < 16 AND v > 300000.0 GROUP BY row
+    ),
+    flat AS (
+      SELECT CAST(c.col - p.pick AS BIGINT) AS t,
+             CAST(ROUND(c.v * 100) AS BIGINT) AS c
+      FROM cells c JOIN picks p ON c.row = p.row
+      WHERE c.col >= p.pick AND c.col < p.pick + 8
+    )
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS fold,
+           CAST(SUM(c) AS DOUBLE) / (100.0 * COUNT(*)) AS stack_v
+    FROM flat GROUP BY t ORDER BY t
+    """,
+)
+def zarr79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STACK — the end of the seismic chain this round built up:
+    detect first arrivals (zarr75), flatten each trace onto its pick
+    (zarr78), then average the aligned samples ACROSS traces per t —
+    coherent energy adds, noise cancels. One pruned scan feeds pick →
+    remap → a t-keyed partial agg; the mean is an exact integer-cents
+    sum with one division (fold = live trace count per t). Three
+    processing stages, still a single declarative plan with one data
+    shuffle (the t-keyed reduce)."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "grid_v2.zarr"))
+    scan = ds.isel(row=(0, 16)).to_df(spark, "grid", value_col="v")
+    picks = (
+        scan.filter(F.col("v") > 300_000.0).groupBy("row").agg(F.min("col").alias("pick"))
+    )
+    flat = (
+        scan.join(F.broadcast(picks), "row")
+        .filter((F.col("col") >= F.col("pick")) & (F.col("col") < F.col("pick") + 8))
+        .select(
+            (F.col("col") - F.col("pick")).alias("t"),
+            F.round(F.col("v") * 100).cast("long").alias("c"),
+        )
+    )
+    return (
+        flat.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("fold"),
+            (F.sum("c").cast("double") / (100.0 * F.count(F.lit(1)))).alias("stack_v"),
+        )
+        .orderBy("t")
+    )
