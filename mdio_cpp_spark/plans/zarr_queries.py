@@ -3389,3 +3389,108 @@ def zarr79(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+@declared(
+    "zarr80_nmo",
+    oracle=_CELLS_CENTS + """
+    , tgt AS (
+      SELECT r.row, t.t0,
+             sqrt(CAST(t.t0 * t.t0 + 4 * r.row * r.row AS DOUBLE)) AS ts
+      FROM (SELECT unnest(range(16)) AS row) r,
+           (SELECT unnest(range(48)) AS t0) t
+    ),
+    g AS (
+      SELECT row, t0, CAST(floor(ts) AS BIGINT) AS i0, ts - floor(ts) AS frac
+      FROM tgt
+    )
+    SELECT g.row, g.t0,
+           ((1.0 - g.frac) * c0.c + g.frac * c1.c) / 100.0 AS nmo_v
+    FROM g
+    JOIN cells c0 ON c0.row = g.row AND c0.col = g.i0
+    JOIN cells c1 ON c1.row = g.row AND c1.col = g.i0 + 1
+    ORDER BY g.row, g.t0
+    """,
+)
+def zarr80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normal-moveout (NMO) correction — the hyperbolic time remap between
+    zarr78's static flatten and zarr79's stack: output sample t0 of the
+    trace at offset `row` is read from input time ts = sqrt(t0² + k·row²)
+    with linear interpolation between the two bracketing samples (the
+    reference's seismic examples leave this to downstream tools; here it's
+    a declarative plan). The moveout table (row, t0) → (i0, frac) is
+    computed ANALYTICALLY from a 16×48 range cross — a few hundred rows,
+    broadcast — so the data side pays exactly two broadcast equi-joins on
+    (row, col) with NO shuffle of cell data; the remap never leaves the
+    trace, so with row-major chunking both gathers are chunk-local at any
+    grid size. Exactness: sqrt/floor/±/× on doubles are IEEE
+    correctly-rounded ops evaluated in the identical order in both
+    engines, the blend is one fixed-shape expression over exact integer
+    cents, and the only division is the final /100.0 — bit-identical with
+    no rounding escape hatch."""
+    cells = _grid_cents(spark, sf_dir, 16)
+    rows = spark.range(16).select(F.col("id").alias("row"))
+    tgt = rows.select(
+        "row", F.explode(F.sequence(F.lit(0), F.lit(47))).alias("t0")
+    ).select(
+        "row",
+        "t0",
+        F.sqrt((F.col("t0") * F.col("t0") + 4 * F.col("row") * F.col("row")).cast("double")).alias("ts"),
+    )
+    g = tgt.select(
+        "row",
+        "t0",
+        F.floor("ts").alias("i0"),
+        (F.col("ts") - F.floor("ts")).alias("frac"),
+    )
+    c0 = cells.select("row", F.col("col").alias("i0"), F.col("c").alias("c0"))
+    c1 = cells.select("row", (F.col("col") - 1).alias("i0"), F.col("c").alias("c1"))
+    return (
+        c0.join(F.broadcast(g), ["row", "i0"])
+        .join(c1, ["row", "i0"])
+        .select(
+            "row",
+            "t0",
+            (((1.0 - F.col("frac")) * F.col("c0") + F.col("frac") * F.col("c1")) / 100.0).alias("nmo_v"),
+        )
+        .orderBy("row", "t0")
+    )
+
+
+@declared(
+    "zarr81_walsh",
+    oracle=_CELLS_CENTS + """
+    SELECT c.row, f.f,
+           CAST(SUM(c.c * (1 - 2 * (bit_count(f.f & c.col) % 2))) AS BIGINT)
+           AS walsh_e2
+    FROM cells c
+    JOIN (SELECT unnest([1, 2, 4, 8, 16]) AS f) f ON TRUE
+    WHERE c.row < 16
+    GROUP BY c.row, f.f ORDER BY c.row, f.f
+    """,
+)
+def zarr81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walsh–Hadamard sequency spectrum per trace: the ±1 square-wave
+    analog of per-trace spectral decomposition, coef(f) = Σ_col
+    c·(−1)^popcount(f AND col) for sequencies f ∈ {1,2,4,8,16} over the
+    64-sample traces. Chosen over a Fourier DFT deliberately: the basis is
+    integer ±1 (sign from one bit_count, codegen'd JVM-side), so the whole
+    transform is EXACT integer-cents arithmetic — no transcendental basis
+    whose libm-vs-java.lang.Math ULP drift would poison the differential
+    hash. Each cell fans out map-side into 5 (f, ±c) terms and the reduce
+    is a partial-aggregated (row, f) sum — shuffle carries 5 longs per
+    cell, nothing else; at 100 TB the fan-out factor is the sequency-band
+    count you asked for, not the grid size."""
+    cells = _grid_cents(spark, sf_dir, 16)
+    terms = cells.select(
+        "row",
+        "col",
+        "c",
+        F.explode(F.array(*[F.lit(x) for x in (1, 2, 4, 8, 16)])).alias("f"),
+    )
+    sign = 1 - 2 * (F.bit_count(F.col("f").bitwiseAND(F.col("col"))) % 2)
+    return (
+        terms.groupBy("row", "f")
+        .agg(F.sum(F.col("c") * sign).cast("long").alias("walsh_e2"))
+        .orderBy("row", "f")
+    )
