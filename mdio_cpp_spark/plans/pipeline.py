@@ -3077,3 +3077,48 @@ def ml03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("x"), 6).alias("c"))
         .orderBy("cell", "d")
     )
+
+
+@declared(
+    "t20_ttr_hapax",
+    oracle=f"""
+    WITH toks AS (SELECT lang, unnest({_DD_TOKS}) AS w FROM documents),
+    cnt AS (SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY lang, w)
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+           CAST(COUNT(*) AS DOUBLE) / SUM(c) AS ttr,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE) / COUNT(*) AS hapax_share
+    FROM cnt GROUP BY lang ORDER BY lang
+    """,
+)
+def t20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per language: type-token ratio and hapax
+    legomenon share — the corpus-health gauges that catch both templated
+    spam (TTR collapses) and OCR noise (hapax share explodes) before a
+    tokenizer is ever trained. Two keyed aggregations: (lang, word) counts
+    with map-side combine — the ONLY stage that touches token text — then
+    a lang-keyed rollup of three exact integer counts; both ratios are one
+    int/int division each, bit-identical. At 100 TB the first shuffle is
+    bounded by distinct (lang, word) pairs (vocabulary, not corpus size),
+    the second by |langs|."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    cnt = (
+        d.select("lang", F.explode(text.tokens(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_types = F.count(F.lit(1))
+    n_hapax = F.count(F.when(F.col("c") == 1, 1))
+    return (
+        cnt.groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            n_types.alias("n_types"),
+            n_hapax.alias("n_hapax"),
+            (n_types.cast("double") / F.sum("c")).alias("ttr"),
+            (n_hapax.cast("double") / n_types).alias("hapax_share"),
+        )
+        .orderBy("lang")
+    )

@@ -3494,3 +3494,41 @@ def zarr81(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c") * sign).cast("long").alias("walsh_e2"))
         .orderBy("row", "f")
     )
+
+
+@declared(
+    "zarr82_mute_taper",
+    oracle=_CELLS_CENTS + """
+    SELECT row,
+           CAST(COUNT(*) FILTER (WHERE col < 2 * row) AS BIGINT) AS n_muted,
+           CAST(SUM(c * LEAST(GREATEST(col - 2 * row + 1, 0), 4)) AS BIGINT)
+           AS live_e2q,
+           CAST(SUM(c * LEAST(GREATEST(col - 2 * row + 1, 0), 4)) AS DOUBLE)
+           / 400.0 AS live_mass
+    FROM cells WHERE row < 16 GROUP BY row ORDER BY row
+    """,
+)
+def zarr82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-dependent top mute with a linear taper — the pre-stack
+    cleanup that zeroes each trace above its mute ramp (here m(row) =
+    2·row samples) and feathers the 4 samples below it with weights
+    1/4…4/4 so the stack doesn't inherit a hard edge. The taper weight is
+    a clamped integer expression (quarter units 0…4), so the weighted
+    energy sum stays EXACT in quarter-cents; the per-trace reduce is one
+    partial-aggregated groupBy on the chunk-pruned slice and the only
+    double op is the final /400.0 normalization — bit-identical. At 100 TB
+    the mute is evaluated map-side inside codegen (no mask array is ever
+    materialized or shuffled), exactly how a mask-free xarray.where
+    should lower."""
+    cells = _grid_cents(spark, sf_dir, 16)
+    wq = F.least(F.greatest(F.col("col") - 2 * F.col("row") + 1, F.lit(0)), F.lit(4))
+    live = F.sum(F.col("c") * wq)
+    return (
+        cells.groupBy("row")
+        .agg(
+            F.count(F.when(F.col("col") < 2 * F.col("row"), 1)).alias("n_muted"),
+            live.cast("long").alias("live_e2q"),
+            (live.cast("double") / 400.0).alias("live_mass"),
+        )
+        .orderBy("row")
+    )
