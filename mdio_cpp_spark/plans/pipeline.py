@@ -3122,3 +3122,107 @@ def t20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _dd_containment_on_candidates_sql() -> str:
+    """Containment verify over the SAME candidate set d02 emits — the
+    asymmetric companion to d04's Jaccard (a short doc embedded inside a
+    long one scores ~1.0 here but low Jaccard)."""
+    return f"""
+    WITH cand AS ({_dd_minhash_sql().replace("ORDER BY doc_a, doc_b", "")}),
+    sh2 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, {_DD_TOKS} AS w FROM documents) WHERE len(w) >= 3
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) / LEAST(len(a.sh), len(b.sh)), 6)
+           AS containment
+    FROM cand c JOIN sh2 a ON a.doc_id = c.doc_a JOIN sh2 b ON b.doc_id = c.doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
+@declared("d13_containment", oracle=_dd_containment_on_candidates_sql())
+def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment verify on LSH candidates: |A∩B| / min(|A|,|B|) — the
+    asymmetric near-dup measure Jaccard misses (quote-and-extend spam: a
+    short document wholly contained in a longer one has tiny Jaccard but
+    containment ≈ 1). Identical 100-TB shape to d04 — candidates come from
+    the banded MinHash equi-join, the shingle projection is semi-join-
+    pushed to candidate docs only, and the verify is two broadcast-side
+    equi-joins; the ratio is one int/int division on exact intersect/size
+    counts, rounded per the ln-free 6dp display contract."""
+    d = _t(spark, sf_dir, "documents")
+    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS)
+    toks = text.tokens("text")
+    base = dedup.ensure_map_parallelism(d.filter(F.size(toks) >= 3))
+
+    def side(pair_col: str, out_id: str, out_sh: str) -> DataFrame:
+        ids = cand.select(F.col(pair_col).alias("doc_id")).distinct()
+        docs = base.join(F.broadcast(ids), on="doc_id", how="left_semi")
+        return docs.select(
+            F.col("doc_id").alias(out_id),
+            F.array_distinct(text.word_shingles(toks, 3)).alias(out_sh),
+        )
+
+    contain = F.size(F.array_intersect(F.col("sa"), F.col("sb"))) / F.least(
+        F.size("sa"), F.size("sb")
+    )
+    return (
+        cand.join(side("doc_a", "doc_a", "sa"), on="doc_a")
+        .join(side("doc_b", "doc_b", "sb"), on="doc_b")
+        .select("doc_a", "doc_b", F.round(contain, 6).alias("containment"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@declared(
+    "t21_source_kl",
+    oracle=f"""
+    WITH toks AS (SELECT source, unnest({_DD_TOKS}) AS w FROM documents),
+    sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+    st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sw GROUP BY source),
+    cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cc FROM sw GROUP BY w),
+    ct AS (SELECT CAST(SUM(cc) AS BIGINT) AS nc FROM cw)
+    SELECT st.source,
+           ROUND(SUM((CAST(sw.c AS DOUBLE) / st.n)
+                     * ln((CAST(sw.c AS DOUBLE) / st.n)
+                          / (CAST(cw.cc AS DOUBLE) / ct.nc))), 4) AS kl_nats
+    FROM sw
+    JOIN st ON sw.source = st.source
+    JOIN cw ON sw.w = cw.w
+    CROSS JOIN ct
+    GROUP BY st.source ORDER BY st.source
+    """,
+)
+def t21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram KL divergence of each source's token distribution from the
+    corpus distribution — the domain-shift score behind mixture re-
+    weighting (a source whose KL spikes is drifting away from the blend
+    the model was tuned on; t14's lift is per-word, this is the per-source
+    summary). Every q(w) is positive by construction (source tokens are
+    corpus tokens), so no smoothing constant sneaks in. Shape: one
+    (source, word) count agg — the only stage touching text — then word
+    totals derived from IT (not a second corpus pass), a broadcast of the
+    per-source totals, and a source-keyed reduce; all shuffles are
+    vocabulary-bounded. ln sums follow the 4dp rounding contract (a15)."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    sw = (
+        d.select("source", F.explode(text.tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    st = sw.groupBy("source").agg(F.sum("c").alias("n"))
+    cw = sw.groupBy("w").agg(F.sum("c").alias("cc"))
+    nc = cw.agg(F.sum("cc").alias("nc"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("cc").cast("double") / F.col("nc")
+    return (
+        sw.join(F.broadcast(st), "source")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(nc))
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / q)), 4).alias("kl_nats"))
+        .orderBy("source")
+    )
