@@ -2198,3 +2198,79 @@ def a16(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n_users * F.sum("n"))
         ).alias("gini"),
     )
+
+
+@declared(
+    "ts02_ewma",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    f AS (
+      SELECT d.event_type, d.day + l.lag AS tday,
+             d.x * (1 << (7 - l.lag)) AS wx, CAST(1 << (7 - l.lag) AS BIGINT) AS w
+      FROM d JOIN (SELECT unnest(range(8)) AS lag) l ON TRUE),
+    g AS (
+      SELECT event_type, tday,
+             CAST(SUM(wx) AS BIGINT) AS num, CAST(SUM(w) AS BIGINT) AS den
+      FROM f GROUP BY 1, 2)
+    SELECT g.event_type, g.tday AS day,
+           CAST(g.num AS DOUBLE) / (100.0 * g.den) AS ewma
+    FROM g JOIN d ON d.event_type = g.event_type AND d.day = g.tday
+    ORDER BY g.event_type, day
+    """,
+)
+def ts02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue per event
+    type (half-life 1 day, 8-day support) — the smoothing primitive behind
+    every ops dashboard, WITHOUT the sorted window a textbook EWMA drags
+    in. The decay ladder is dyadic (weights 2^(7−lag)), so each daily
+    total fans out map-side into its ≤8 target days with EXACT integer
+    weighted contributions; one keyed reduce sums numerator and the
+    present-day weight mass, and absent days self-normalize (gaps get the
+    correct renormalized weights for free, where a recursive EWMA would
+    silently decay through missing days). No window, no sort, no
+    state — bounded 8× fan-out and a (type, day)-keyed partial agg; the
+    only double op is the final num/(100·den). The inner join back to d
+    keeps exactly the observed days (a left anchor, not a calendar)."""
+    e = _t(spark, sf_dir, "events")
+    d = (
+        e.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    )
+    ladder = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(l).cast("long").alias("lag"),
+                    F.lit(1 << (7 - l)).cast("long").alias("w"),
+                )
+                for l in range(8)
+            ]
+        )
+    ).alias("lw")
+    f = d.select("event_type", "day", "x", ladder).select(
+        "event_type",
+        (F.col("day") + F.col("lw.lag")).alias("tday"),
+        (F.col("x") * F.col("lw.w")).alias("wx"),
+        F.col("lw.w").alias("w"),
+    )
+    g = f.groupBy("event_type", "tday").agg(
+        F.sum("wx").alias("num"), F.sum("w").alias("den")
+    )
+    return (
+        g.join(d.select("event_type", F.col("day").alias("tday")), ["event_type", "tday"])
+        .select(
+            "event_type",
+            F.col("tday").alias("day"),
+            (F.col("num").cast("double") / (100.0 * F.col("den"))).alias("ewma"),
+        )
+        .orderBy("event_type", "day")
+    )

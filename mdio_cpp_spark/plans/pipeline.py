@@ -3226,3 +3226,90 @@ def t21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(p * F.log(p / q)), 4).alias("kl_nats"))
         .orderBy("source")
     )
+
+
+@declared(
+    "ml04_logit_step",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_views,
+             CAST(CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase') > 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT 'intercept' AS feature,
+             CAST(SUM(2 * y - 1) AS BIGINT) AS g2,
+             CAST(COUNT(*) AS BIGINT) AS h4
+      FROM u
+      UNION ALL
+      SELECT 'n_clicks',
+             CAST(SUM((2 * y - 1) * n_clicks) AS BIGINT),
+             CAST(SUM(n_clicks * n_clicks) AS BIGINT)
+      FROM u
+      UNION ALL
+      SELECT 'n_views',
+             CAST(SUM((2 * y - 1) * n_views) AS BIGINT),
+             CAST(SUM(n_views * n_views) AS BIGINT)
+      FROM u)
+    SELECT feature, g2, h4, 2.0 * g2 / h4 AS beta1
+    FROM s ORDER BY feature
+    """,
+)
+def ml04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Newton–Raphson step (diagonal preconditioner) for a
+    logistic conversion model — P(user purchases | click/view counts) —
+    from β=0, the iterable companion to ml03's Lloyd step. At β=0 the
+    sigmoid is exactly ½, so the gradient Σ(y−½)xⱼ doubles into the EXACT
+    integer Σ(2y−1)xⱼ and the diagonal Hessian ¼Σxⱼ² quarters into exact
+    Σxⱼ² — the step βⱼ = 2·g2ⱼ/h4ⱼ needs one double multiply and one
+    divide per feature, bit-identical. Shape: one user-keyed feature agg
+    (map-side combine over the raw events), then ONE single-row reduce of
+    six integer moments unpivoted to the 3-feature output — the classic
+    sufficient-statistics pattern where iterations cost one pass each and
+    the driver only ever sees |features| rows."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_views"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    r = F.lit(2) * F.col("y") - 1
+    s = u.agg(
+        F.sum(r).alias("g2_i"),
+        F.count(F.lit(1)).alias("h4_i"),
+        F.sum(r * F.col("n_clicks")).alias("g2_c"),
+        F.sum(F.col("n_clicks") * F.col("n_clicks")).alias("h4_c"),
+        F.sum(r * F.col("n_views")).alias("g2_v"),
+        F.sum(F.col("n_views") * F.col("n_views")).alias("h4_v"),
+    )
+    rows = s.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("intercept").alias("feature"),
+                    F.col("g2_i").alias("g2"),
+                    F.col("h4_i").alias("h4"),
+                ),
+                F.struct(
+                    F.lit("n_clicks").alias("feature"),
+                    F.col("g2_c").alias("g2"),
+                    F.col("h4_c").alias("h4"),
+                ),
+                F.struct(
+                    F.lit("n_views").alias("feature"),
+                    F.col("g2_v").alias("g2"),
+                    F.col("h4_v").alias("h4"),
+                ),
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        "r.feature",
+        "r.g2",
+        "r.h4",
+        (F.lit(2.0) * F.col("r.g2") / F.col("r.h4")).alias("beta1"),
+    ).orderBy("feature")
