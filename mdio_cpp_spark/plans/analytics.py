@@ -2274,3 +2274,45 @@ def ts02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@declared(
+    "ev12_hourly_profile",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot FROM h GROUP BY event_type)
+    SELECT h.event_type, h.hour, h.n,
+           CAST(h.n AS DOUBLE) / t.tot AS share,
+           CAST(h.rev_e2 AS DOUBLE) / 100.0 AS revenue
+    FROM h JOIN t ON h.event_type = t.event_type
+    ORDER BY h.event_type, h.hour
+    """,
+)
+def ev12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: traffic share and
+    revenue by hour — the diurnal fingerprint capacity planning and
+    anomaly baselines (dq02) are normalized against. One (type, hour)
+    partial agg over raw events (≤24·|types| result rows), a broadcast of
+    per-type totals, and exact int/int share divisions — the profile's
+    cost is one map-side-combined pass regardless of corpus size."""
+    e = _t(spark, sf_dir, "events")
+    h = e.groupBy("event_type", F.hour("ts").cast("long").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_e2"),
+    )
+    t = h.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return (
+        h.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            (F.col("n").cast("double") / F.col("tot")).alias("share"),
+            (F.col("rev_e2").cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy("event_type", "hour")
+    )

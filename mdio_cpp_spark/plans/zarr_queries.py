@@ -3532,3 +3532,63 @@ def zarr82(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row")
     )
+
+
+@declared(
+    "zarr83_dip_scan",
+    oracle=_CELLS_CENTS + """
+    , xc AS (
+      SELECT a.row, l.lag, CAST(SUM(a.c * b.c) AS BIGINT) AS xce4
+      FROM cells a
+      JOIN (SELECT unnest([-2, -1, 0, 1, 2]) AS lag) l ON TRUE
+      JOIN cells b ON b.row = a.row + 1 AND b.col = a.col + l.lag
+      WHERE a.row < 7
+      GROUP BY a.row, l.lag)
+    SELECT row, lag AS best_lag, xce4 AS best_xce4 FROM (
+      SELECT row, lag, xce4,
+             ROW_NUMBER() OVER (PARTITION BY row ORDER BY xce4 DESC, abs(lag), lag) AS rk
+      FROM xc) WHERE rk = 1 ORDER BY row
+    """,
+)
+def zarr83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dip scan: the local structural-dip estimate between each trace and
+    its neighbor — the lag that maximizes zarr76's cross-correlation, with
+    a deterministic tiebreak toward zero shift (smallest |lag|, then
+    smallest lag). This is detection-on-top-of-correlation: the xcorr
+    panel stays EXACT integer cent² sums (no division before the argmax,
+    so ties are decided on integers, never float fuzz), and the pick is a
+    partial-aggregatable MAX of one packed comparison struct per (row,
+    lag) — 5 rows per trace reduce to 1; no window over data. At 100 TB
+    this is the same chunk-local neighbor equi-join as zarr76 plus a
+    |rows|-key reduce."""
+    cells = _grid_cents(spark, sf_dir, 8)
+    a = cells.filter(F.col("row") < 7).select(
+        F.col("row").alias("arow"), F.col("col").alias("acol"), F.col("c").alias("ac"),
+        F.explode(F.array(*[F.lit(x) for x in (-2, -1, 0, 1, 2)])).alias("lag"),
+    )
+    b = cells.select(
+        F.col("row").alias("brow"), F.col("col").alias("bcol"), F.col("c").alias("bc")
+    )
+    xc = (
+        a.join(
+            b,
+            (F.col("brow") == F.col("arow") + 1)
+            & (F.col("bcol") == F.col("acol") + F.col("lag")),
+        )
+        .groupBy(F.col("arow").alias("row"), "lag")
+        .agg(F.sum(F.col("ac") * F.col("bc")).alias("xce4"))
+    )
+    best = xc.groupBy("row").agg(
+        F.max(
+            F.struct(
+                F.col("xce4").alias("xce4"),
+                (-F.abs(F.col("lag"))).alias("nabs"),
+                (-F.col("lag")).alias("nlag"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "row",
+        (-F.col("m.nlag")).cast("long").alias("best_lag"),
+        F.col("m.xce4").alias("best_xce4"),
+    ).orderBy("row")
