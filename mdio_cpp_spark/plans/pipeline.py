@@ -3313,3 +3313,138 @@ def ml04(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r.h4",
         (F.lit(2.0) * F.col("r.g2") / F.col("r.h4")).alias("beta1"),
     ).orderBy("feature")
+
+
+_CUR_SEED = "cur1"
+
+
+@declared(
+    "p14_curriculum",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, {_dd_quality_expr()} AS score
+      FROM (SELECT doc_id, text, {_DD_TOKS} AS w FROM documents)
+    ),
+    b AS (
+      SELECT ROUND(quantile_cont(score, 0.25), 4) AS q1,
+             ROUND(quantile_cont(score, 0.50), 4) AS q2,
+             ROUND(quantile_cont(score, 0.75), 4) AS q3
+      FROM q
+    ),
+    t AS (
+      SELECT doc_id, score,
+             CAST((score >= q1)::INT + (score >= q2)::INT + (score >= q3)::INT
+                  AS BIGINT) AS band
+      FROM q CROSS JOIN b
+    )
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY band, md5('{_CUR_SEED}' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS BIGINT) AS pos,
+           doc_id, band, score
+    FROM t ORDER BY pos
+    """,
+)
+def p14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: easy-to-hard training schedule — documents
+    ranked by ascending quality quartile (band 0 = weakest quarter) with a
+    DETERMINISTIC seeded shuffle inside each band (md5(seed‖id), p11's
+    engine-portable epoch-shuffle idiom), so curriculum stages present in
+    random-but-reproducible order. Quartile cuts come from the exact
+    distributed percentile operator (p06's machinery, one constant group);
+    banding is a broadcast of three literals; positions use the bucketed
+    rank pattern — (band, first hex digit) in-bucket windows plus
+    cumulative broadcast offsets — NO global row_number window anywhere.
+    At 100 TB: two passes over scores (cheap map-side arithmetic), one
+    hash-keyed exchange for the rank windows, 64 offset rows."""
+    from pyspark.sql import Window
+    from mdio_cpp_spark.operators import stats as _stats
+
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    q = d.select("doc_id", text.quality_score("text").alias("score"))
+    cuts = _stats.grouped_percentiles(
+        q.withColumn("g", F.lit(1)), "g", "score", [(0.25, "q1"), (0.5, "q2"), (0.75, "q3")]
+    ).drop("g")
+    band = (
+        (F.col("score") >= F.col("q1")).cast("int")
+        + (F.col("score") >= F.col("q2")).cast("int")
+        + (F.col("score") >= F.col("q3")).cast("int")
+    ).cast("long")
+    keyed = (
+        q.crossJoin(F.broadcast(cuts))
+        .select("doc_id", "score", band.alias("band"))
+        .withColumn(
+            "__k", F.md5(F.concat(F.lit(_CUR_SEED), F.col("doc_id").cast("string")))
+        )
+        .withColumn("__b", F.substring("__k", 1, 1))
+    )
+    w_in = Window.partitionBy("band", "__b").orderBy("__k", "doc_id")
+    ranked = keyed.withColumn("__r", F.row_number().over(w_in))
+    sizes = keyed.groupBy("band", "__b").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("band", "__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "band", "__b", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        ranked.join(F.broadcast(offs), ["band", "__b"])
+        .select((F.col("__off") + F.col("__r") - 1).alias("pos"), "doc_id", "band", "score")
+        .orderBy("pos")
+    )
+
+
+@declared(
+    "v11_pq_assign",
+    oracle=f"""
+    WITH subs AS (
+      SELECT vec_id, sx.s AS s, embedding[sx.s * 16 + 1 : sx.s * 16 + 16] AS sv
+      FROM embeddings CROSS JOIN (SELECT unnest(range(4)) AS s) sx
+    ),
+    cents AS (SELECT s, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < 8),
+    scored AS (
+      SELECT a.vec_id, a.s, c.cid, ROUND({_dd_cosine("a.sv", "c.cv")}, 6) AS cc
+      FROM subs a JOIN cents c ON a.s = c.s
+    )
+    SELECT vec_id, s, code FROM (
+      SELECT vec_id, s, cid AS code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY cc DESC, cid DESC) AS r
+      FROM scored) WHERE r = 1
+    ORDER BY vec_id, s
+    """,
+)
+def v11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment — the compression half of a
+    PQ/IVF-PQ index: split each 64-dim embedding into 4 contiguous 16-dim
+    subvectors and quantize each against its OWN 8-entry sub-codebook
+    (exemplar sub-centroids from the first 8 vectors, the v03/ml03
+    deterministic-codebook convention), emitting a 4-byte code per vector
+    in place of 256 bytes of floats. Everything is map-side: the 4-way
+    subvector fan-out, the broadcast sub-codebook join keyed on subspace,
+    and the per-(vector, subspace) argmax (max_by on the rounded-cosine
+    struct, ties to larger cid exactly like ivf_assign) — a partial agg
+    over 8 candidate rows; the corpus vectors never shuffle. Looping
+    ml03's recenter step per subspace trains the codebooks; this query
+    pins the assignment contract."""
+    e = _t(spark, sf_dir, "embeddings")
+    sub = F.explode(
+        F.array(*[F.lit(s).cast("long") for s in range(4)])
+    ).alias("s")
+    subs = e.select("vec_id", "embedding", sub).select(
+        "vec_id",
+        "s",
+        F.slice(F.col("embedding"), F.col("s").cast("int") * 16 + 1, 16).alias("sv"),
+    )
+    cents = F.broadcast(
+        subs.filter(F.col("vec_id") < 8).select(
+            "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+        )
+    )
+    scored = subs.join(cents, "s").select(
+        "vec_id",
+        "s",
+        "cid",
+        F.round(vectors.cosine(F.col("sv"), F.col("cv")), 6).alias("cc"),
+    )
+    return (
+        scored.groupBy("vec_id", "s")
+        .agg(F.max_by("cid", F.struct(F.col("cc"), F.col("cid"))).alias("code"))
+        .orderBy("vec_id", "s")
+    )
