@@ -3448,3 +3448,118 @@ def v11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max_by("cid", F.struct(F.col("cc"), F.col("cid"))).alias("code"))
         .orderBy("vec_id", "s")
     )
+
+
+@declared(
+    "v12_pq_adc",
+    oracle=f"""
+    WITH subs AS (
+      SELECT vec_id, sx.s AS s, embedding[sx.s * 16 + 1 : sx.s * 16 + 16] AS sv
+      FROM embeddings CROSS JOIN (SELECT unnest(range(4)) AS s) sx
+    ),
+    cents AS (SELECT s, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < 8),
+    scored AS (
+      SELECT a.vec_id, a.s, c.cid, ROUND({_dd_cosine("a.sv", "c.cv")}, 6) AS cc
+      FROM subs a JOIN cents c ON a.s = c.s
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, cid AS code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY cc DESC, cid DESC) AS r
+        FROM scored) WHERE r = 1
+    ),
+    cw AS (
+      SELECT vec_id,
+             MAX(CASE WHEN s = 0 THEN code END) AS c0,
+             MAX(CASE WHEN s = 1 THEN code END) AS c1,
+             MAX(CASE WHEN s = 2 THEN code END) AS c2,
+             MAX(CASE WHEN s = 3 THEN code END) AS c3
+      FROM codes GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+    lut AS (
+      SELECT q.q_id, c.s, c.cid,
+             {_dd_dot("q.qv[c.s * 16 + 1 : c.s * 16 + 16]", "c.cv")} AS d
+      FROM q CROSS JOIN cents c
+    )
+    SELECT q_id, vec_id, adc, rk FROM (
+      SELECT l0.q_id, w.vec_id,
+             ROUND(((l0.d + l1.d) + l2.d) + l3.d, 4) AS adc,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY l0.q_id
+               ORDER BY ROUND(((l0.d + l1.d) + l2.d) + l3.d, 4) DESC, w.vec_id
+             ) AS BIGINT) AS rk
+      FROM cw w
+      JOIN lut l0 ON l0.s = 0 AND l0.cid = w.c0
+      JOIN lut l1 ON l1.s = 1 AND l1.cid = w.c1 AND l1.q_id = l0.q_id
+      JOIN lut l2 ON l2.s = 2 AND l2.cid = w.c2 AND l2.q_id = l0.q_id
+      JOIN lut l3 ON l3.s = 3 AND l3.cid = w.c3 AND l3.q_id = l0.q_id
+      WHERE w.vec_id <> l0.q_id
+    ) WHERE rk <= 5 ORDER BY q_id, rk
+    """,
+)
+def v12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (ADC) — the query half of v11's
+    compression: each query precomputes a tiny lookup table of inner
+    products against every sub-centroid (|q|·4·8 rows), and a corpus
+    vector's score is the SUM of 4 table lookups on its stored codes —
+    the full float vectors are never touched at query time. That is the
+    entire point of PQ at 100 TB: the scan reads 4 small ints per vector,
+    the LUT broadcasts, and scoring is four broadcast hash joins + one
+    fixed-shape arithmetic expression (parenthesized identically in both
+    engines, rounded 4dp only for display). Ranking reuses the
+    deterministic (score DESC, vec_id) top-k contract of v01."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    sub = F.explode(F.array(*[F.lit(s).cast("long") for s in range(4)])).alias("s")
+    subs = e.select("vec_id", "embedding", sub).select(
+        "vec_id",
+        "s",
+        F.slice(F.col("embedding"), F.col("s").cast("int") * 16 + 1, 16).alias("sv"),
+    )
+    cents = F.broadcast(
+        subs.filter(F.col("vec_id") < 8).select(
+            "s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+        )
+    )
+    codes = (
+        subs.join(cents, "s")
+        .select(
+            "vec_id", "s", "cid",
+            F.round(vectors.cosine(F.col("sv"), F.col("cv")), 6).alias("cc"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.max_by("cid", F.struct(F.col("cc"), F.col("cid"))).alias("code"))
+    )
+    cw = codes.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("code"))).alias(f"c{s}")
+            for s in range(4)
+        ]
+    )
+    lut = (
+        subs.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), "s", F.col("sv").alias("qv"))
+        .join(cents, "s")
+        .select("q_id", "s", "cid", vectors.dot(F.col("qv"), F.col("cv")).alias("d"))
+    )
+    out = cw
+    for s in range(4):
+        ls = F.broadcast(
+            lut.filter(F.col("s") == s).select(
+                "q_id", F.col("cid").alias(f"c{s}"), F.col("d").alias(f"d{s}")
+            )
+        )
+        # s=0 introduces q_id (fans each vector out to the queries); s>0
+        # joins enforce the SAME query via the q_id equi-key
+        out = out.join(ls, [f"c{s}"] if s == 0 else ["q_id", f"c{s}"])
+    adc = F.round(((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3"), 4)
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), "vec_id")
+    return (
+        out.select("q_id", "vec_id", adc.alias("adc"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("q_id", "rk")
+    )

@@ -3592,3 +3592,36 @@ def zarr83(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("m.nlag")).cast("long").alias("best_lag"),
         F.col("m.xce4").alias("best_xce4"),
     ).orderBy("row")
+
+
+@declared(
+    "zarr84_rms_tiles",
+    oracle=_CELLS_CENTS + """
+    SELECT row, col // 16 AS tile, CAST(COUNT(*) AS BIGINT) AS n,
+           sqrt(CAST(SUM(c * c) AS DOUBLE) / COUNT(*)) / 100.0 AS rms
+    FROM cells WHERE row < 16
+    GROUP BY row, col // 16 ORDER BY row, tile
+    """,
+)
+def zarr84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS amplitude map: the root-mean-square energy of each
+    16-sample tile along every trace — the QC attribute panel (bright-spot
+    / dead-trace screening) that every seismic review starts from, and the
+    same tiling zarr28's pool2d uses, here with the energy statistic.
+    One partial-aggregatable groupBy on (row, col div 16) over the
+    chunk-pruned slice — cent² sums stay exact int64; the double ops are
+    sum/n, one IEEE sqrt, one /100 in identical order both engines —
+    bit-exact. At any grid size tiles are chunk-interior (16 divides the
+    chunk edge), so the reduce is map-local except at chunk boundaries."""
+    cells = _grid_cents(spark, sf_dir, 16)
+    return (
+        cells.groupBy("row", F.expr("col div 16").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double") / F.count(F.lit(1)))
+                / 100.0
+            ).alias("rms"),
+        )
+        .orderBy("row", "tile")
+    )
