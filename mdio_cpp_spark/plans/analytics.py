@@ -2316,3 +2316,130 @@ def ev12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@declared(
+    "dq05_key_audit",
+    oracle="""
+    WITH k AS (
+      SELECT 'orders' AS tbl, CAST(o_orderkey AS VARCHAR) AS k FROM orders
+      UNION ALL SELECT 'customer', CAST(c_custkey AS VARCHAR) FROM customer
+      UNION ALL SELECT 'part', CAST(p_partkey AS VARCHAR) FROM part
+      UNION ALL SELECT 'supplier', CAST(s_suppkey AS VARCHAR) FROM supplier
+      UNION ALL SELECT 'lineitem',
+                       CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)
+                FROM lineitem
+      UNION ALL SELECT 'events', CAST(event_id AS VARCHAR) FROM events
+      UNION ALL SELECT 'documents', CAST(doc_id AS VARCHAR) FROM documents
+      UNION ALL SELECT 'embeddings', CAST(vec_id AS VARCHAR) FROM embeddings
+    ),
+    c AS (SELECT tbl, k, CAST(COUNT(*) AS BIGINT) AS m FROM k GROUP BY tbl, k)
+    SELECT tbl, CAST(SUM(m) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) FILTER (WHERE m > 1) AS BIGINT) AS n_dup_keys,
+           CAST(MAX(m) AS BIGINT) AS max_mult
+    FROM c GROUP BY tbl ORDER BY tbl
+    """,
+)
+def dq05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across the whole star schema in ONE
+    unioned plan: per declared key (composite for lineitem) — row count,
+    distinct keys, duplicated keys, and the worst multiplicity. The
+    ingestion-gate companion to dq03's foreign-key audit: a key whose
+    max_mult jumps is an upstream double-load long before joins start
+    exploding. Each branch is a projection straight off its scan (keys
+    stringified so one union covers heterogeneous schemas), then ONE
+    map-side-combined (table, key) count whose second-stage rollup is
+    8 rows; per-branch shuffles carry key strings only, never payloads."""
+    pieces = [
+        ("orders", F.col("o_orderkey").cast("string")),
+        ("customer", F.col("c_custkey").cast("string")),
+        ("part", F.col("p_partkey").cast("string")),
+        ("supplier", F.col("s_suppkey").cast("string")),
+        (
+            "lineitem",
+            F.concat_ws(":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")),
+        ),
+        ("events", F.col("event_id").cast("string")),
+        ("documents", F.col("doc_id").cast("string")),
+        ("embeddings", F.col("vec_id").cast("string")),
+    ]
+    parts = []
+    for tbl, key in pieces:
+        parts.append(
+            _t(spark, sf_dir, tbl).select(F.lit(tbl).alias("tbl"), key.alias("k"))
+        )
+    allk = parts[0]
+    for p in parts[1:]:
+        allk = allk.unionAll(p)
+    c = allk.groupBy("tbl", "k").agg(F.count(F.lit(1)).alias("m"))
+    return (
+        c.groupBy("tbl")
+        .agg(
+            F.sum("m").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.count(F.when(F.col("m") > 1, 1)).alias("n_dup_keys"),
+            F.max("m").alias("max_mult"),
+        )
+        .orderBy("tbl")
+    )
+
+
+_U05_CUT = "2024-01-16 00:00:00"
+
+
+@declared(
+    "u05_snapshot_delta",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, event_type, v FROM (
+        SELECT user_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS r
+        FROM events WHERE ts < TIMESTAMP '{_U05_CUT}') WHERE r = 1),
+    s2 AS (
+      SELECT user_id, event_type, v FROM (
+        SELECT user_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS r
+        FROM events) WHERE r = 1)
+    SELECT s2.event_type,
+           CAST(COUNT(*) FILTER (WHERE s1.user_id IS NULL) AS BIGINT) AS n_added,
+           CAST(COUNT(*) FILTER (WHERE s1.user_id IS NOT NULL AND s1.v <> s2.v) AS BIGINT) AS n_changed,
+           CAST(COUNT(*) FILTER (WHERE s1.v = s2.v) AS BIGINT) AS n_unchanged
+    FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type
+    GROUP BY s2.event_type ORDER BY s2.event_type
+    """,
+)
+def u05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta audit: diff the latest-value-per-(user, type) state
+    at a historical cutoff against the current state and count
+    added / changed / unchanged keys per event type — the reconciliation
+    report run after every CDC backfill (u01 applies changes; this PROVES
+    what a replay changed). Latest-per-key is the deterministic max_by on
+    (ts, event_id) — one keyed partial agg per snapshot, both partitioned
+    on the SAME (user, type) key so the outer join is co-partitioned with
+    no extra exchange; the cutoff snapshot additionally benefits from
+    predicate pushdown on ts. Counts are exact integers."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+
+    def latest(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.max_by("v", F.struct(F.col("ts"), F.col("event_id"))).alias(out)
+        )
+
+    s1 = latest(e.filter(F.col("ts") < F.lit(_U05_CUT).cast("timestamp")), "v1")
+    s2 = latest(e, "v2")
+    j = s2.join(s1, ["user_id", "event_type"], "left")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("v1").isNull(), 1)).alias("n_added"),
+            F.count(F.when(F.col("v1").isNotNull() & (F.col("v1") != F.col("v2")), 1)).alias("n_changed"),
+            F.count(F.when(F.col("v1") == F.col("v2"), 1)).alias("n_unchanged"),
+        )
+        .orderBy("event_type")
+    )
