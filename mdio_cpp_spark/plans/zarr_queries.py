@@ -3625,3 +3625,105 @@ def zarr84(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row", "tile")
     )
+
+
+@declared(
+    "zarr85_grad_mag",
+    oracle=_CELLS_CENTS + """
+    SELECT a.row, a.col,
+           CAST(ABS(r1.c - l1.c) + ABS(d1.c - u1.c) AS BIGINT) AS g_e2
+    FROM cells a
+    JOIN cells l1 ON l1.row = a.row AND l1.col = a.col - 1
+    JOIN cells r1 ON r1.row = a.row AND r1.col = a.col + 1
+    JOIN cells u1 ON u1.row = a.row - 1 AND u1.col = a.col
+    JOIN cells d1 ON d1.row = a.row + 1 AND d1.col = a.col
+    WHERE a.row BETWEEN 1 AND 14 AND a.col BETWEEN 1 AND 62
+    ORDER BY a.row, a.col
+    """,
+)
+def zarr85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-magnitude map (L1 norm of central differences on both
+    axes) — the edge/discontinuity attribute under fault detection and
+    the first component of a structure tensor. NOT four self-joins: each
+    cell fans out map-side into its 4 stencil contributions (±v to the
+    dx/dy of its col/row neighbors, zarr27's halo idiom) and ONE
+    (row, col)-keyed reduce assembles dx and dy together — a single
+    shuffle whose rows are 4 longs, with only chunk-boundary cells ever
+    crossing chunk owners at scale. The L1 norm keeps the attribute in
+    exact integer cents (an L2 norm would merely add one IEEE sqrt)."""
+    cells = _grid_cents(spark, sf_dir, 16)
+    contribs = cells.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("row").alias("r"), (F.col("col") - 1).alias("cl"),
+                    F.col("c").alias("dx"), F.lit(0).cast("long").alias("dy"),
+                ),
+                F.struct(
+                    F.col("row").alias("r"), (F.col("col") + 1).alias("cl"),
+                    (-F.col("c")).alias("dx"), F.lit(0).cast("long").alias("dy"),
+                ),
+                F.struct(
+                    (F.col("row") - 1).alias("r"), F.col("col").alias("cl"),
+                    F.lit(0).cast("long").alias("dx"), F.col("c").alias("dy"),
+                ),
+                F.struct(
+                    (F.col("row") + 1).alias("r"), F.col("col").alias("cl"),
+                    F.lit(0).cast("long").alias("dx"), (-F.col("c")).alias("dy"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.r", "s.cl", "s.dx", "s.dy")
+    return (
+        contribs.filter(
+            F.col("r").between(1, 14) & F.col("cl").between(1, 62)
+        )
+        .groupBy(F.col("r").alias("row"), F.col("cl").alias("col"))
+        .agg((F.abs(F.sum("dx")) + F.abs(F.sum("dy"))).alias("g_e2"))
+        .orderBy("row", "col")
+    )
+
+
+@declared(
+    "zarr86_hist_equalize",
+    oracle=_CELLS_CENTS + """
+    , mm AS (SELECT MIN(c) AS mn, MAX(c) AS mx FROM cells WHERE row < 16),
+    b AS (
+      SELECT row, col, ((c - mn) * 64) // (mx - mn + 1) AS bin
+      FROM cells CROSS JOIN mm WHERE row < 16),
+    h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bin),
+    cdf AS (
+      SELECT bin, CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cum,
+             CAST((SELECT SUM(n) FROM h) AS BIGINT) AS tot
+      FROM h)
+    SELECT b.row, b.col, CAST(cdf.cum AS DOUBLE) / cdf.tot AS eq
+    FROM b JOIN cdf ON b.bin = cdf.bin
+    ORDER BY b.row, b.col
+    """,
+)
+def zarr86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram equalization: remap every cell to the cumulative share of
+    its 64-bin amplitude bucket — the contrast-normalization transfer
+    curve of display processing, distributed. Binning is pure integer
+    arithmetic off one broadcast (min, max) row, the histogram is a
+    64-key partial agg, the CDF is a window over THE 64 HISTOGRAM ROWS
+    (constant-size by construction — never the data; this is the bounded
+    exception the plan gate allows, like p10's 5-row ladder), and the
+    remap is a broadcast hash join back onto the scan. eq = cum/tot is
+    one exact-int division. Two passes over the slice (min/max, remap) —
+    recomputing the pruned scan beats caching cells at 100 TB."""
+    cells = _grid_cents(spark, sf_dir, 16)
+    mm = cells.agg(F.min("c").alias("mn"), F.max("c").alias("mx"))
+    b = cells.crossJoin(F.broadcast(mm)).select(
+        "row", "col",
+        F.expr("((c - mn) * 64) div (mx - mn + 1)").alias("bin"),
+    )
+    h = b.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = h.agg(F.sum("n").alias("tot"))
+    cdf = h.select("bin", F.sum("n").over(w).alias("cum")).crossJoin(F.broadcast(tot))
+    return (
+        b.join(F.broadcast(cdf), "bin")
+        .select("row", "col", (F.col("cum").cast("double") / F.col("tot")).alias("eq"))
+        .orderBy("row", "col")
+    )

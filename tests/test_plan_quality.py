@@ -38,10 +38,16 @@ from mdio_cpp_spark.plans import REGISTRY
 #    (pushdown + zone maps already dropped non-matching cells; |hits| ≪
 #    |cells| by the query's nature — dense hits would take zarr24's
 #    chunk-bucketed two-level rank instead, per the docstring).
+#  - p14: the curriculum bucket-offset cumulation — ≤ 4 bands × 16 hex
+#    digits = 64 rows (p11's offset idiom, two-level key); the
+#    corpus-sized rank windows partition on (band, bucket).
+#  - zarr86: the CDF cumulation over the 64-bin HISTOGRAM — constant-size
+#    by construction; the data-sized remap is a broadcast join.
 _ALLOW_GLOBAL = {
     "asof01_event_order", "asof02_left", "asof05_nearest", "zarr09_write_roundtrip",
     "zarr55_ffill", "zarr57_bfill_limit", "p11_epoch_shuffle",
     "t16_zipf_slope", "ev07_top_paths", "zarr73_threshold_runs",
+    "p14_curriculum", "zarr86_hist_equalize",
 }
 
 
