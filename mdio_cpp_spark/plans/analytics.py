@@ -2443,3 +2443,76 @@ def u05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declared(
+    "ev13_rfm_segments",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(DATE '2024-01-31' - MAX(CAST(ts AS DATE)) AS BIGINT) AS rec,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS mon
+      FROM events GROUP BY user_id),
+    c AS (
+      SELECT ROUND(quantile_cont(rec, 0.25), 4) AS r1, ROUND(quantile_cont(rec, 0.75), 4) AS r2,
+             ROUND(quantile_cont(freq, 0.25), 4) AS f1, ROUND(quantile_cont(freq, 0.75), 4) AS f2,
+             ROUND(quantile_cont(mon, 0.25), 4) AS m1, ROUND(quantile_cont(mon, 0.75), 4) AS m2
+      FROM u),
+    seg AS (
+      SELECT CAST(((rec >= r1)::INT + (rec >= r2)::INT) * 100
+                  + ((freq >= f1)::INT + (freq >= f2)::INT) * 10
+                  + ((mon >= m1)::INT + (mon >= m2)::INT) AS BIGINT) AS segment,
+             mon
+      FROM u CROSS JOIN c)
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(mon) AS DOUBLE) / (100.0 * COUNT(*)) AS avg_monetary
+    FROM seg GROUP BY segment ORDER BY segment
+    """,
+)
+def ev13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: band every user by recency / frequency / monetary
+    quartile cuts (low/mid/high per axis → a 3-digit segment code) and
+    profile each segment — the marketing-analytics workhorse, built on the
+    SAME exact distributed percentile operator as p06/p14 so no per-group
+    value buffer exists anywhere. Events reduce ONCE to a |users|-row
+    aggregate; the three cut pairs ride one 6-literal broadcast row;
+    banding is map-side integer comparisons and the profile is a ≤27-key
+    reduce. avg_monetary divides two exact integers in one double op."""
+    from mdio_cpp_spark.operators import stats as _stats
+
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.datediff(F.lit("2024-01-31").cast("date"), F.max(F.col("ts").cast("date")))
+        .cast("long")
+        .alias("rec"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("mon"),
+    )
+    g = u.withColumn("gg", F.lit(1))
+    cuts = None
+    for colname, a, b in (("rec", "r1", "r2"), ("freq", "f1", "f2"), ("mon", "m1", "m2")):
+        p = _stats.grouped_percentiles(g, "gg", colname, [(0.25, a), (0.75, b)])
+        cuts = p if cuts is None else cuts.join(p, "gg")
+    band = lambda v, c1, c2: (F.col(v) >= F.col(c1)).cast("int") + (F.col(v) >= F.col(c2)).cast("int")
+    seg = (
+        u.crossJoin(F.broadcast(cuts.drop("gg")))
+        .select(
+            (
+                band("rec", "r1", "r2") * 100
+                + band("freq", "f1", "f2") * 10
+                + band("mon", "m1", "m2")
+            )
+            .cast("long")
+            .alias("segment"),
+            "mon",
+        )
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            (F.sum("mon").cast("double") / (100.0 * F.count(F.lit(1)))).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )

@@ -3563,3 +3563,57 @@ def v12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .orderBy("q_id", "rk")
     )
+
+
+@declared(
+    "ml05_power_iter",
+    oracle="""
+    WITH pr AS (
+      SELECT embedding,
+             list_sum(list_transform(embedding, x -> x::DOUBLE)) / 8.0 AS proj
+      FROM embeddings
+    ),
+    pos AS (
+      SELECT generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding)::DOUBLE AS x, proj
+      FROM pr
+    )
+    SELECT CAST(pos - 1 AS BIGINT) AS d,
+           ROUND(SUM(x * proj) / (SELECT COUNT(*) FROM embeddings), 6) AS comp
+    FROM pos GROUP BY pos ORDER BY d
+    """,
+)
+def ml05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed power-iteration step toward the corpus's top
+    principal component: comp = (XᵀX v₀)/n evaluated WITHOUT ever
+    materializing the covariance — each vector computes its scalar
+    projection x·v₀ map-side (v₀ = the deterministic unit all-ones/8
+    start, the ml03/ml04 exemplar-seed convention), then a (dimension)-
+    keyed reduce sums x_d·proj. The shuffle carries dim·n doubles ONCE
+    per iteration and the result is 64 rows; looping this (renormalizing
+    the 64-row vector driver-side, a constant cost) is the standard
+    large-scale PCA/embedding-drift estimator. 6dp rounding per ml03's
+    averaging-order contract."""
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    pr = e.select(
+        "embedding",
+        (
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / 8.0
+        ).alias("proj"),
+    )
+    return (
+        pr.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x"),
+            "proj",
+        )
+        .groupBy("d")
+        .agg(F.round(F.sum(F.col("x") * F.col("proj")) / F.lit(float(n)), 6).alias("comp"))
+        .select(F.col("d").cast("long").alias("d"), "comp")
+        .orderBy("d")
+    )
