@@ -3617,3 +3617,156 @@ def ml05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d").cast("long").alias("d"), "comp")
         .orderBy("d")
     )
+
+
+@declared(
+    "ml06_eval_metrics",
+    oracle="""
+    WITH pos AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (SELECT label AS cid, pos, AVG(x) AS c FROM pos GROUP BY label, pos),
+    cn AS (SELECT cid, sqrt(SUM(c * c)) AS cn FROM cent GROUP BY cid),
+    vn AS (SELECT vec_id, sqrt(SUM(x * x)) AS vn FROM pos GROUP BY vec_id),
+    dots AS (SELECT v.vec_id, v.label, c.cid, SUM(v.x * c.c) AS dot
+             FROM pos v JOIN cent c ON v.pos = c.pos
+             GROUP BY v.vec_id, v.label, c.cid),
+    scored AS (SELECT d.vec_id, d.label, d.cid,
+                      ROUND(d.dot / (vn.vn * cn.cn), 6) AS cc
+               FROM dots d JOIN vn USING (vec_id) JOIN cn USING (cid)),
+    pred AS (SELECT vec_id, label, cid FROM (
+               SELECT vec_id, label, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cc DESC, cid DESC) AS rn
+               FROM scored) WHERE rn = 1),
+    conf AS (SELECT label, cid AS p, CAST(COUNT(*) AS BIGINT) AS n
+             FROM pred GROUP BY label, cid),
+    sup AS (SELECT label AS cls, CAST(SUM(n) AS BIGINT) AS support FROM conf GROUP BY label),
+    prd AS (SELECT p AS cls, CAST(SUM(n) AS BIGINT) AS predicted FROM conf GROUP BY p),
+    tp AS (SELECT label AS cls, CAST(SUM(n) AS BIGINT) AS tp FROM conf WHERE label = p GROUP BY label),
+    m AS (
+      SELECT sup.cls, sup.support,
+             COALESCE(prd.predicted, 0) AS predicted,
+             COALESCE(tp.tp, 0) AS tp
+      FROM sup LEFT JOIN prd ON prd.cls = sup.cls LEFT JOIN tp ON tp.cls = sup.cls),
+    pr AS (
+      SELECT cls, support, predicted, tp,
+             CAST(tp AS DOUBLE) / NULLIF(predicted, 0) AS precision,
+             CAST(tp AS DOUBLE) / NULLIF(support, 0) AS recall
+      FROM m)
+    SELECT cls, support, predicted, tp, precision, recall,
+           2.0 * precision * recall / NULLIF(precision + recall, 0.0) AS f1
+    FROM pr ORDER BY cls
+    """,
+)
+def ml06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation report: per-class support / precision /
+    recall / F1 derived from v08's nearest-centroid confusion matrix —
+    the quality gate a labeling or routing model ships against. The
+    corpus-scale work is exactly v08 (broadcast centroids, map-side
+    argmax); everything here reduces the |labels|²-row confusion: row
+    totals, column totals, and the diagonal combine through two broadcast
+    left joins into one fixed-shape metric expression (NULLIF guards the
+    never-predicted class instead of dividing by zero under ANSI). The
+    f1 computes from the same rounded doubles in the same op order both
+    engines — bit-identical."""
+    conf = v08(spark, sf_dir).select("label", F.col("pred").alias("p"), "n")
+    sup = conf.groupBy(F.col("label").alias("cls")).agg(F.sum("n").alias("support"))
+    prd = conf.groupBy(F.col("p").alias("cls")).agg(F.sum("n").alias("predicted"))
+    tp = (
+        conf.filter(F.col("label") == F.col("p"))
+        .groupBy(F.col("label").alias("cls"))
+        .agg(F.sum("n").alias("tp"))
+    )
+    m = (
+        sup.join(F.broadcast(prd), "cls", "left")
+        .join(F.broadcast(tp), "cls", "left")
+        .select(
+            "cls", "support",
+            F.coalesce("predicted", F.lit(0)).alias("predicted"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    precision = F.col("tp").cast("double") / F.nullif(F.col("predicted"), F.lit(0))
+    recall = F.col("tp").cast("double") / F.nullif(F.col("support"), F.lit(0))
+    pr = m.select("cls", "support", "predicted", "tp",
+                  precision.alias("precision"), recall.alias("recall"))
+    f1 = (
+        F.lit(2.0) * F.col("precision") * F.col("recall")
+        / F.nullif(F.col("precision") + F.col("recall"), F.lit(0.0))
+    )
+    return pr.select(
+        "cls", "support", "predicted", "tp", "precision", "recall", f1.alias("f1")
+    ).orderBy("cls")
+
+
+_NS_SEED = "ns1"
+
+
+@declared(
+    "s09_negative_sampling",
+    oracle=f"""
+    WITH db AS (
+      SELECT doc_id, md5('{_NS_SEED}' || CAST(doc_id AS VARCHAR)) AS h,
+             substr(md5('{_NS_SEED}' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+      FROM documents),
+    req AS (
+      SELECT a.doc_id AS anchor, j.j AS j,
+             substr(md5('{_NS_SEED}' || CAST(a.doc_id AS VARCHAR) || ':'
+                        || CAST(j.j AS VARCHAR)), 1, 2) AS b
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 8) a
+      CROSS JOIN (SELECT unnest(range(1, 4)) AS j) j),
+    pick AS (
+      SELECT r.anchor, r.j, d.doc_id, d.h,
+             ROW_NUMBER() OVER (PARTITION BY r.anchor, r.j
+                                ORDER BY d.h, d.doc_id) AS rn
+      FROM req r JOIN db d ON d.b = r.b AND d.doc_id <> r.anchor)
+    SELECT anchor, j, doc_id AS neg_id FROM pick WHERE rn = 1
+    ORDER BY anchor, j
+    """,
+)
+def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws 3 reproducible pseudo-random negatives via a HASH RING —
+    request j routes to bucket md5(seed‖anchor‖j)[:2] and takes that
+    bucket's hash-minimal document. The 100-TB point: sampling is an
+    EQUI-JOIN on a 256-bucket key plus a per-(anchor, j) min_by — never a
+    per-anchor scan, sort, or cross of the corpus; the corpus hashes once
+    map-side. Seed swap = fresh independent draw (p11's epoch idiom).
+    Anchors whose bucket is empty after self-exclusion yield no row by
+    design (resample with j+K in practice) — both engines agree exactly
+    because the pick is the md5-order minimum, not an RNG."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.concat(F.lit(_NS_SEED), F.col("doc_id").cast("string")))
+    db = d.select("doc_id", h.alias("h"), F.substring(h, 1, 2).alias("b"))
+    req = (
+        d.filter(F.col("doc_id") < 8)
+        .select(
+            F.col("doc_id").alias("anchor"),
+            F.explode(F.array(*[F.lit(j).cast("long") for j in (1, 2, 3)])).alias("j"),
+        )
+        .select(
+            "anchor", "j",
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(_NS_SEED),
+                        F.col("anchor").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1, 2,
+            ).alias("b"),
+        )
+    )
+    return (
+        db.join(F.broadcast(req), "b")
+        .filter(F.col("doc_id") != F.col("anchor"))
+        .groupBy("anchor", "j")
+        .agg(F.min(F.struct(F.col("h"), F.col("doc_id"))).alias("m"))
+        .select("anchor", "j", F.col("m.doc_id").alias("neg_id"))
+        .orderBy("anchor", "j")
+    )
