@@ -2516,3 +2516,69 @@ def ev13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@declared(
+    "ga04_pagerank_step",
+    oracle="""
+    WITH e AS (
+      SELECT l1.l_suppkey AS a, l2.l_suppkey AS b,
+             CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS w
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+      GROUP BY a, b),
+    ud AS (SELECT a AS src, b AS dst, w FROM e
+           UNION ALL SELECT b, a, w FROM e),
+    s AS (SELECT src, CAST(SUM(w) AS BIGINT) AS strength FROM ud GROUP BY src)
+    SELECT ud.dst AS node,
+           ROUND(0.15 + 0.85 * SUM(CAST(ud.w AS DOUBLE) / s.strength), 6) AS pr1
+    FROM ud JOIN s ON s.src = ud.src
+    GROUP BY ud.dst ORDER BY node
+    """,
+)
+def ga04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One weighted-PageRank iteration over the supplier co-occurrence
+    graph (damping 0.85, uniform unnormalized start): pr₁(v) = 0.15 +
+    0.85·Σᵤ w(u,v)/strength(u) — the graph-centrality analog of
+    ml03/ml04/ml05's one-distributed-iteration family. Edges come from
+    ga01's bounded within-order expansion (never a corpus cross join),
+    directed by a 2× map-side mirror; out-strengths are one keyed agg
+    that CO-PARTITIONS with the contribution join on src; the rank update
+    is a dst-keyed reduce. Per iteration the shuffle carries one
+    (src, dst, w) triple per edge — the textbook message-passing shape.
+    Contribution sums follow the 6dp rounding contract (float add order)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("supps")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("supps"),
+                        lambda a: F.transform(
+                            F.col("supps"),
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    e = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    ud = e.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    s = ud.groupBy("src").agg(F.sum("w").alias("strength"))
+    return (
+        ud.join(s, "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(
+            F.round(
+                0.15 + 0.85 * F.sum(F.col("w").cast("double") / F.col("strength")), 6
+            ).alias("pr1")
+        )
+        .orderBy("node")
+    )

@@ -3727,3 +3727,60 @@ def zarr86(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("row", "col", (F.col("cum").cast("double") / F.col("tot")).alias("eq"))
         .orderBy("row", "col")
     )
+
+
+@declared(
+    "zarr87_despike",
+    oracle=_CELLS_CENTS + """
+    , med AS (
+      SELECT row, quantile_cont(c, 0.5) AS med FROM cells WHERE row < 16 GROUP BY row),
+    dev AS (
+      SELECT c.row, c.col, c.c,
+             CAST(ABS(2 * c.c - CAST(2 * m.med AS BIGINT)) AS BIGINT) AS d2
+      FROM cells c JOIN med m ON c.row = m.row WHERE c.row < 16),
+    mad AS (
+      SELECT row, CAST(2 * quantile_cont(d2, 0.5) AS BIGINT) AS mad4
+      FROM dev GROUP BY row)
+    SELECT d.row,
+           CAST(COUNT(*) FILTER (WHERE 2 * d.d2 > 3 * m.mad4) AS BIGINT) AS n_spikes,
+           CAST(SUM(d.c) FILTER (WHERE 2 * d.d2 <= 3 * m.mad4) AS DOUBLE)
+           / (100.0 * COUNT(*) FILTER (WHERE 2 * d.d2 <= 3 * m.mad4)) AS clean_mean
+    FROM dev d JOIN mad m ON d.row = m.row
+    GROUP BY d.row ORDER BY d.row
+    """,
+)
+def zarr87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Despike QC: flag samples deviating more than 6 MADs from their
+    trace median and report the spike count plus the cleaned mean per
+    trace — the robust-statistics editing pass run before any stack
+    (mean/stddev thresholds chase their own outliers; median/MAD don't).
+    The entire decision is EXACT integer arithmetic: medians of integer
+    cents interpolate on halves (doubled into d2), the MAD doubles again
+    into quarter-units (mad4), and 6·MAD rescales to the integer test
+    2·d2 > 3·mad4 — no float ever decides a spike. Three keyed partial
+    aggs over the chunk-pruned slice (median, MAD, verdict), each bounded
+    by the 64-sample axis per key; one final display division."""
+    cells = _grid_cents(spark, sf_dir, 16)
+    med = cells.groupBy("row").agg(
+        (F.percentile("c", F.lit(0.5)) * 2).cast("long").alias("med2")
+    )
+    dev = cells.join(med, "row").select(
+        "row", "col", "c",
+        F.abs(2 * F.col("c") - F.col("med2")).alias("d2"),
+    )
+    mad = dev.groupBy("row").agg(
+        (F.percentile("d2", F.lit(0.5)) * 2).cast("long").alias("mad4")
+    )
+    spike = 2 * F.col("d2") > 3 * F.col("mad4")
+    return (
+        dev.join(mad, "row")
+        .groupBy("row")
+        .agg(
+            F.count(F.when(spike, 1)).alias("n_spikes"),
+            (
+                F.sum(F.when(~spike, F.col("c"))).cast("double")
+                / (100.0 * F.count(F.when(~spike, 1)))
+            ).alias("clean_mean"),
+        )
+        .orderBy("row")
+    )
