@@ -2582,3 +2582,65 @@ def ga04(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@declared(
+    "w14_bollinger",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day, x,
+             CAST(SUM(x) OVER fr AS BIGINT) AS s,
+             CAST(SUM(x * x) OVER fr AS BIGINT) AS ss,
+             CAST(COUNT(*) OVER fr AS BIGINT) AS n
+      FROM d
+      WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day,
+           CAST(s AS DOUBLE) / (100.0 * n) AS mid,
+           CAST(s AS DOUBLE) / (100.0 * n)
+             - 2.0 * sqrt(CAST(n * ss - s * s AS DOUBLE)) / (100.0 * n) AS lower_band,
+           CAST(s AS DOUBLE) / (100.0 * n)
+             + 2.0 * sqrt(CAST(n * ss - s * s AS DOUBLE)) / (100.0 * n) AS upper_band
+    FROM w ORDER BY event_type, day
+    """,
+)
+def w14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands: 7-day rolling mean ± 2 population-σ of daily
+    revenue per event type — the volatility envelope behind alert
+    thresholds (dq02 flags deviations; this computes the adaptive band
+    itself). The window carries EXACT integer sums (Σx, Σx², n in cents),
+    so the frame aggregation is accumulation-order-free; mean and σ
+    evaluate per row in one fixed-shape expression — σ via the integer
+    identity n·Σx² − (Σx)² under a single IEEE sqrt — bit-identical with
+    no rounding escape. Windows partition on event_type over the tiny
+    per-day aggregate (≤|days| rows per key), never over raw events."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    fr = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    w = d.select(
+        "event_type", "day", "x",
+        F.sum("x").over(fr).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(fr).alias("ss"),
+        F.count(F.lit(1)).over(fr).alias("n"),
+    )
+    mid = F.col("s").cast("double") / (100.0 * F.col("n"))
+    sig = (
+        F.lit(2.0)
+        * F.sqrt((F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double"))
+        / (100.0 * F.col("n"))
+    )
+    return w.select(
+        "event_type", "day",
+        mid.alias("mid"),
+        (mid - sig).alias("lower_band"),
+        (mid + sig).alias("upper_band"),
+    ).orderBy("event_type", "day")

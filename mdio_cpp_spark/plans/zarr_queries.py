@@ -3784,3 +3784,68 @@ def zarr87(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row")
     )
+
+
+@declared(
+    "zarr88_velocity_scan",
+    oracle=_CELLS_CENTS + """
+    , tgt AS (
+      SELECT k.k, r.row, t.t0,
+             CAST(floor(sqrt(CAST(t.t0 * t.t0 + k.k * r.row * r.row AS DOUBLE)))
+                  AS BIGINT) AS i0
+      FROM (SELECT unnest([2, 4, 8]) AS k) k,
+           (SELECT unnest(range(16)) AS row) r,
+           (SELECT unnest(range(48)) AS t0) t
+    ),
+    g AS (
+      SELECT tgt.k, tgt.t0, c.c
+      FROM tgt JOIN cells c ON c.row = tgt.row AND c.col = tgt.i0
+    )
+    SELECT k, t0,
+           CAST(SUM(c) AS DOUBLE) * SUM(c)
+           / (COUNT(*) * CAST(SUM(c * c) AS DOUBLE)) AS semblance
+    FROM g GROUP BY k, t0 ORDER BY k, t0
+    """,
+)
+def zarr88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity scan — the real velocity-analysis panel: apply zarr80's
+    hyperbolic moveout for a FAMILY of trial curvatures k ∈ {2,4,8}
+    (nearest-sample gather) and score each corrected gather with zarr77's
+    semblance per zero-offset time; the k that maximizes coherence at
+    each t0 IS the picked stacking velocity. The 3×16×48-row moveout
+    table is computed analytically and broadcast, so the data side is ONE
+    broadcast equi-join on (row, col) against the chunk-pruned scan —
+    trying more velocities grows the broadcast table, never the scan
+    count — followed by a (k, t0)-keyed partial agg of two exact integer
+    sums; the semblance ratio repeats zarr77's fixed double op order.
+    Detection → correction → coherence scoring, one declarative plan."""
+    cells = _grid_cents(spark, sf_dir, 16)
+    ks = spark.range(3).select(
+        F.element_at(F.array(F.lit(2), F.lit(4), F.lit(8)), (F.col("id") + 1).cast("int")).alias("k")
+    )
+    tgt = (
+        ks.crossJoin(spark.range(16).select(F.col("id").alias("row")))
+        .select("k", "row", F.explode(F.sequence(F.lit(0), F.lit(47))).alias("t0"))
+        .select(
+            "k", "row", "t0",
+            F.floor(
+                F.sqrt(
+                    (F.col("t0") * F.col("t0") + F.col("k") * F.col("row") * F.col("row")).cast("double")
+                )
+            ).alias("i0"),
+        )
+    )
+    g = cells.select("row", F.col("col").alias("i0"), "c").join(
+        F.broadcast(tgt), ["row", "i0"]
+    )
+    s1 = F.sum("c").cast("double")
+    return (
+        g.groupBy("k", "t0")
+        .agg(
+            (
+                s1 * F.sum("c")
+                / (F.count(F.lit(1)) * F.sum(F.col("c") * F.col("c")).cast("double"))
+            ).alias("semblance")
+        )
+        .orderBy("k", "t0")
+    )
