@@ -2644,3 +2644,45 @@ def w14(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mid - sig).alias("lower_band"),
         (mid + sig).alias("upper_band"),
     ).orderBy("event_type", "day")
+
+
+@declared(
+    "dq06_freshness",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           MAX(ts) AS last_ts,
+           CAST(date_diff('minute', MAX(ts), TIMESTAMP '2024-01-31 00:00:00')
+                AS BIGINT) AS lag_minutes,
+           CAST(COUNT(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-30 00:00:00')
+                AS BIGINT) AS n_last_day
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def dq06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-freshness audit: per event type — total volume, the most
+    recent timestamp, its staleness in minutes against the 2024-01-31
+    reporting anchor, and the final-day volume. The first page of every
+    ingestion dashboard (dq02 catches volume anomalies; this catches the
+    feed that silently STOPPED). One map-side-combined pass; MAX(ts) and
+    the conditional count are classic partial aggregates, so the shuffle
+    is |types| rows of scalars regardless of corpus size."""
+    e = _t(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-31 00:00:00").cast("timestamp")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.max("ts").alias("last_ts"),
+            # date_diff('minute', …) counts minute-BOUNDARY crossings, so
+            # truncate to the minute before differencing
+            (
+                (anchor.cast("long") - F.date_trunc("minute", F.max("ts")).cast("long"))
+                / 60
+            ).cast("long").alias("lag_minutes"),
+            F.count(
+                F.when(F.col("ts") >= F.lit("2024-01-30 00:00:00").cast("timestamp"), 1)
+            ).alias("n_last_day"),
+        )
+        .orderBy("event_type")
+    )

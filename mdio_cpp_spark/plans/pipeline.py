@@ -3770,3 +3770,53 @@ def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor", "j", F.col("m.doc_id").alias("neg_id"))
         .orderBy("anchor", "j")
     )
+
+
+@declared(
+    "t22_burstiness",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_DD_TOKS}) AS w FROM documents),
+    c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+    agg AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS ss
+      FROM c GROUP BY w),
+    top AS (SELECT * FROM agg ORDER BY df DESC, w LIMIT 8),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
+    SELECT w AS term, df,
+           CAST(nd * ss - s * s AS DOUBLE) / (nd * s) AS fano
+    FROM top CROSS JOIN n ORDER BY df DESC, term
+    """,
+)
+def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness: the Fano factor (variance-to-mean ratio of
+    per-document counts, absent docs counting zero) for the 8 highest-
+    document-frequency terms — burstiness ≈ 1 is Poisson background
+    vocabulary; ≫ 1 marks topical/templated terms that repeat hard where
+    they appear (the statistic behind stopword-vs-content splits and
+    boilerplate detection). Zero-docs never materialize: with N docs and
+    within-doc sums (s, ss), Fano = (N·ss − s²)/(N·s) on exact integers
+    with ONE division. Shape: the (doc, term) count agg — the only
+    text-sized stage — a vocabulary-keyed rollup, a TakeOrdered top-8,
+    and a 1-row broadcast of N."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    nd = d.count()
+    c = (
+        d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = c.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    top = agg.orderBy(F.col("df").desc(), "w").limit(8)
+    return top.select(
+        F.col("w").alias("term"),
+        "df",
+        (
+            (F.lit(nd) * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+            / (F.lit(nd) * F.col("s"))
+        ).alias("fano"),
+    ).orderBy(F.col("df").desc(), "term")
