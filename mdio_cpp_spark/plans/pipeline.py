@@ -3820,3 +3820,84 @@ def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(nd) * F.col("s"))
         ).alias("fano"),
     ).orderBy(F.col("df").desc(), "term")
+
+
+def _dd_minhash_audit_sql() -> str:
+    sig_list = ", ".join(f"mh{j}" for j in range(_MH_BANDS * _MH_ROWS))
+    return f"""
+    WITH cand AS ({_dd_minhash_sql().replace("ORDER BY doc_a, doc_b", "")}),
+    sig AS (
+      {_dd_minhash_ctes()}
+      SELECT doc_id, [{sig_list}] AS sig FROM mh
+    ),
+    sh2 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, {_DD_TOKS} AS w FROM documents) WHERE len(w) >= 3
+    ),
+    pair AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 AS est,
+             ROUND(len(list_intersect(a.sh, b.sh))
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+      JOIN sh2 a ON a.doc_id = c.doc_a JOIN sh2 b ON b.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, est, jac, ROUND(ABS(est - jac), 6) AS abs_err
+    FROM pair ORDER BY doc_a, doc_b
+    """
+
+
+@declared("d14_minhash_estimate_audit", oracle=_dd_minhash_audit_sql())
+def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the MinHash pipeline itself: on every
+    d02 candidate pair, the signature-agreement estimate (matching
+    minhashes / 16 — the unbiased Jaccard estimator banding relies on)
+    against the EXACT shingle Jaccard, with the absolute error — v10's
+    recall-report discipline applied to dedup (an estimator drifting from
+    exact similarity means the band/row trade-off no longer delivers its
+    designed candidate recall). Signatures compute ONCE (k min-aggs over
+    the exploded shingles) and join to candidates by id; exact Jaccard
+    touches only candidate docs via the semi-pushed shingle projection —
+    the audit costs one extra broadcast join over d04. est is an exact
+    dyadic x/16; jac and err follow the 6dp display contract."""
+    d = _t(spark, sf_dir, "documents")
+    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS)
+    k = _MH_BANDS * _MH_ROWS
+    sig = dedup.minhash_signatures(d, "doc_id", "text", k).select(
+        "doc_id", F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig")
+    )
+    toks = text.tokens("text")
+    base = dedup.ensure_map_parallelism(d.filter(F.size(toks) >= 3))
+
+    def shside(pair_col: str, out_id: str, out_sh: str) -> DataFrame:
+        ids = cand.select(F.col(pair_col).alias("doc_id")).distinct()
+        docs = base.join(F.broadcast(ids), on="doc_id", how="left_semi")
+        return docs.select(
+            F.col("doc_id").alias(out_id),
+            F.array_distinct(text.word_shingles(toks, 3)).alias(out_sh),
+        )
+
+    est = (
+        F.aggregate(
+            F.zip_with(F.col("siga"), F.col("sigb"), lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / 16.0
+    )
+    jac = F.round(dedup.ngram_jaccard(F.col("sa"), F.col("sb")), 6)
+    return (
+        cand.join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sigb")), "doc_b")
+        .join(shside("doc_a", "doc_a", "sa"), "doc_a")
+        .join(shside("doc_b", "doc_b", "sb"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            est.alias("est"),
+            jac.alias("jac"),
+            F.round(F.abs(est - jac), 6).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
