@@ -3849,3 +3849,55 @@ def zarr88(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k", "t0")
     )
+
+
+@declared(
+    "zarr89_zonemap_report",
+    oracle=f"""
+    WITH n AS (SELECT LEAST(CAST((SELECT COUNT(*) FROM orders) AS BIGINT) // {GRID_C}, 128) AS rows_),
+    cells AS (
+      SELECT CAST((rn - 1) // {GRID_C} AS BIGINT) AS row,
+             CAST((rn - 1) % {GRID_C} AS BIGINT) AS col,
+             o_totalprice AS v
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < (SELECT rows_ FROM n) * {GRID_C}
+    ),
+    z AS (
+      SELECT row // 32 AS crow, col // 32 AS ccol, MIN(v) AS vmin, MAX(v) AS vmax
+      FROM cells GROUP BY 1, 2)
+    SELECT CAST(crow AS BIGINT) AS crow, CAST(ccol AS BIGINT) AS ccol,
+           vmin, vmax, (vmax < 450000.0) AS would_prune
+    FROM z ORDER BY crow, ccol
+    """,
+)
+def zarr89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map CONTENT parity: read the sidecar manifest back AS DATA —
+    the engine's own scan opens `.zonemap/<var>` (itself a zarr store of
+    1-D vmin/vmax arrays keyed by linear chunk id) and reconstructs the
+    per-chunk-rectangle zone table plus the prune verdict a `v >= 450000`
+    scan would apply. zarr29/58 pin the EFFECT of pruning (query results
+    unchanged); this pins the INDEX BYTES against SQL-recomputed
+    chunk min/max — the observability view a 100-TB operator checks
+    before trusting a skip plan (zonemap.pruning_report's tabular twin).
+    Cost: one scan of ~2·nchunks float64s — KBs for thousands of chunks —
+    joined on the linear id, with (crow, ccol) derived by constant
+    div/mod; the data store itself is never touched."""
+    base = ensure_stores(spark, sf_dir)
+    grid = os.path.join(base, "grid_v2.zarr")
+    info = zonemap.ensure_chunk_stats(spark, grid, "grid")
+    gcols = int(info["grid"][1])
+    sroot = zonemap._sidecar_root(grid, "grid")
+    dsz = MdioDataset.open(sroot)
+    vmin = dsz.var("vmin").to_df(spark, value_col="vmin")
+    vmax = dsz.var("vmax").to_df(spark, value_col="vmax")
+    return (
+        vmin.join(vmax, "dim_0")
+        .select(
+            F.expr(f"dim_0 div {gcols}").alias("crow"),
+            (F.col("dim_0") % gcols).alias("ccol"),
+            "vmin",
+            "vmax",
+            (F.col("vmax") < 450000.0).alias("would_prune"),
+        )
+        .orderBy("crow", "ccol")
+    )
