@@ -3901,3 +3901,99 @@ def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_SHARD_CHARS = 65536
+
+
+@declared(
+    "mm09_shard_plan",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+      FROM documents),
+    a AS (SELECT doc_id, n_chars, (cum - n_chars) // {_SHARD_CHARS} AS shard FROM s)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS payload_chars,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM a GROUP BY shard ORDER BY shard
+    """,
+)
+def mm09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing plan (the WebDataset/tar-shard layout step):
+    assign documents, in stable doc_id order, to fixed-capacity shards by
+    the cumulative payload size BEFORE each doc — byte-offset sharding,
+    not count sharding, so shards stay IO-balanced when document sizes are
+    wildly skewed. The running sum is the zarr24 two-level prefix shape:
+    deterministic range buckets (doc_id div 1024), per-bucket totals
+    cumulate into broadcast offsets (bounded rows), and the data-sized
+    window partitions on the bucket — no global window, exact integers
+    end-to-end. Output is the shard manifest a downstream packer executes
+    (mm02/mm05 consume payloads per shard); only metadata ever shuffles."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    from pyspark.sql import Window
+
+    tagged = d.withColumn("__pid", F.expr("doc_id div 1024"))
+    sizes = tagged.groupBy("__pid").agg(F.sum("n_chars").alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = Window.partitionBy("__pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    a = (
+        tagged.join(F.broadcast(offs), "__pid")
+        .withColumn("cum", F.sum("n_chars").over(w_in) + F.col("__off"))
+        .withColumn("shard", F.expr(f"(cum - n_chars) div {_SHARD_CHARS}"))
+    )
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("payload_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+@declared(
+    "p15_fertility",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, CAST(len({_DD_TOKS}) AS BIGINT) AS n_tok, n_chars
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tok) AS chars_per_token,
+           CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS tokens_per_doc
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def p15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: characters per token and tokens
+    per document — the capacity-planning numbers behind every token-budget
+    decision (p04 spends a budget; this predicts how many characters of
+    raw corpus one token buys, per language — CJK-like langs shift it
+    hard). One map-side pass (token counts are a codegen'd size(), no
+    explode), |langs| result rows, exact integer sums with one division
+    per ratio."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    t = d.select("lang", "n_chars", F.size(text.tokens(F.col("text"))).cast("long").alias("n_tok"))
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.sum("n_tok")).alias("chars_per_token"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("tokens_per_doc"),
+        )
+        .orderBy("lang")
+    )
