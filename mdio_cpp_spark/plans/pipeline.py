@@ -3927,15 +3927,18 @@ def mm09(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cumulative payload size BEFORE each doc — byte-offset sharding,
     not count sharding, so shards stay IO-balanced when document sizes are
     wildly skewed. The running sum is the zarr24 two-level prefix shape:
-    deterministic range buckets (doc_id div 1024), per-bucket totals
-    cumulate into broadcast offsets (bounded rows), and the data-sized
-    window partitions on the bucket — no global window, exact integers
-    end-to-end. Output is the shard manifest a downstream packer executes
-    (mm02/mm05 consume payloads per shard); only metadata ever shuffles."""
+    deterministic doc_id range buckets whose WIDTH scales with the corpus
+    (≤4096 buckets at any size — the offset cumulation stays a
+    constant-bounded window), per-bucket totals cumulate into broadcast
+    offsets, and the data-sized window partitions on the bucket — no
+    global window over data, exact integers end-to-end. Output is the
+    shard manifest a downstream packer executes (mm02/mm05 consume
+    payloads per shard); only metadata ever shuffles."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     from pyspark.sql import Window
 
-    tagged = d.withColumn("__pid", F.expr("doc_id div 1024"))
+    width = max(1, -(-d.count() // 4096))
+    tagged = d.withColumn("__pid", F.expr(f"doc_id div {width}"))
     sizes = tagged.groupBy("__pid").agg(F.sum("n_chars").alias("__n"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = sizes.select(
