@@ -39,9 +39,10 @@ from mdio_cpp_spark.sources.zarr_store import ZarrStore
 from mdio_cpp_spark.utils.trim import trim_dataset
 
 CACHE_ROOT = "/root/repo/.zarr_cache"
-BUILD_TAG = "v4"  # bump to invalidate cached stores after builder changes
+BUILD_TAG = "v5"  # bump to invalidate cached stores after builder changes
 CHUNK = 2048
 GRID_C = 64       # grid2d column count; rows adapt to sf (cap 128)
+CUBE_IL, CUBE_XL, CUBE_T = 8, 8, 16   # 3-D cube dims (zarr90/91); 8 chunk boxes of 4x4x8
 TRIM_KEEP_FRAC = 2  # trim store keeps N_trim // 2 rows
 
 
@@ -277,6 +278,40 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> str:
             "i", F.col("o_orderkey").alias("okey"), F.col("o_totalprice").alias("price"))
         write_arrays(sub, trim, {"i": "okey", "price": "price"})
         trim_dataset(trim, i=n_trim // TRIM_KEEP_FRAC)
+
+    # ---- 3-D cube store (inline × crossline × time): the reference's core
+    # seismic shape — chunked on ALL THREE dims so sub-volume isel prunes
+    # chunk BOXES (zarr90/91)
+    cube = os.path.join(base, "cube_v2.zarr")
+    if n >= CUBE_IL * CUBE_XL * CUBE_T and not os.path.exists(
+        os.path.join(cube, ".zmetadata")
+    ):
+        cspec = {
+            "metadata": {"name": "cube_mdio", "apiVersion": "1.0.0"},
+            "variables": [
+                {"name": "il", "dataType": "int64", "dimensions": [{"name": "il", "size": CUBE_IL}]},
+                {"name": "xl", "dataType": "int64", "dimensions": [{"name": "xl", "size": CUBE_XL}]},
+                {"name": "t", "dataType": "int64", "dimensions": [{"name": "t", "size": CUBE_T}]},
+                {"name": "amp", "dataType": "float64",
+                 "dimensions": ["il", "xl", "t"],
+                 "metadata": {"chunkGrid": {"name": "regular",
+                                            "configuration": {"chunkShape": [4, 4, 8]}}}},
+            ],
+        }
+        cds = MdioDataset.from_json(cspec, cube)
+        plane = CUBE_XL * CUBE_T
+        ccells = ords.filter(F.col("i") < CUBE_IL * plane).select(
+            F.expr(f"i div {plane}").alias("il"),
+            F.expr(f"(i div {CUBE_T}) % {CUBE_XL}").alias("xl"),
+            (F.col("i") % CUBE_T).alias("t"),
+            F.col("o_totalprice").alias("v"),
+        )
+        cds.var("amp").write_df(ccells, value_cols="v")
+        for dn, sz in (("il", CUBE_IL), ("xl", CUBE_XL), ("t", CUBE_T)):
+            cds.var(dn).write_df(
+                ords.filter(F.col("i") < sz).select(F.col("i").alias(dn), F.col("i").alias("v")),
+                value_cols="v",
+            )
 
     ords.unpersist()
     with open(marker, "w") as f:
@@ -3900,4 +3935,76 @@ def zarr89(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vmax") < 450000.0).alias("would_prune"),
         )
         .orderBy("crow", "ccol")
+    )
+
+
+_CUBE_SQL = f"""
+    WITH cube AS (
+      SELECT CAST((rn - 1) // {CUBE_XL * CUBE_T} AS BIGINT) AS il,
+             CAST(((rn - 1) // {CUBE_T}) % {CUBE_XL} AS BIGINT) AS xl,
+             CAST((rn - 1) % {CUBE_T} AS BIGINT) AS t,
+             o_totalprice AS v
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < {CUBE_IL * CUBE_XL * CUBE_T}
+    )
+"""
+
+
+@declared(
+    "zarr90_cube_scan",
+    oracle=_CUBE_SQL + """
+    SELECT il, xl, t, v FROM cube
+    WHERE il BETWEEN 2 AND 5 AND xl < 4 AND t BETWEEN 4 AND 11
+    ORDER BY il, xl, t
+    """,
+)
+def zarr90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-volume extraction from a TRUE 3-D cube store (inline ×
+    crossline × time — the reference's native seismic shape, SURVEY §2
+    Q1 at rank 3): the store chunks on all three dims (4×4×8 boxes), so
+    the il/xl/t isel ranges intersect the chunk grid BEFORE any byte
+    read — here 8 boxes shrink to the 2 overlapping the requested
+    brick, and partial overlaps trim in-memory after decode. This is
+    the access pattern 100-TB seismic volumes live on: a crossline
+    window of a time window of an inline window touches O(sub-volume)
+    bytes, never O(cube). Values pass through untouched — exact."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "cube_v2.zarr"))
+    return (
+        ds.isel(il=(2, 6), xl=(0, 4), t=(4, 12))
+        .to_df(spark, "amp", value_col="v")
+        .orderBy("il", "xl", "t")
+    )
+
+
+@declared(
+    "zarr91_cube_reduce",
+    oracle=_CUBE_SQL + """
+    SELECT il, xl,
+           CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)) AS BIGINT) AS sum_e2,
+           CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(*))
+           AS mean_amp
+    FROM cube GROUP BY il, xl ORDER BY il, xl
+    """,
+)
+def zarr91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-axis reduction over the 3-D cube: mean amplitude per (inline,
+    crossline) — the horizon-slice/energy-map reduce (xarray
+    ``mean(dim='t')`` at rank 3, zarr23's axis-reduce generalized past
+    2-D). One partial-aggregatable groupBy on the two surviving dims;
+    since chunks are 4×4×8 boxes and t is chunk-interior, every chunk
+    contributes complete (il, xl) partials — the reduce is map-local per
+    chunk with an 8×8-key exchange. Exact integer cents, one final
+    division."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "cube_v2.zarr"))
+    scan = ds.var("amp").to_df(spark, value_col="v")
+    s = F.sum(F.round(F.col("v") * 100).cast("long"))
+    return (
+        scan.groupBy("il", "xl")
+        .agg(
+            s.alias("sum_e2"),
+            (s.cast("double") / (100.0 * F.count(F.lit(1)))).alias("mean_amp"),
+        )
+        .orderBy("il", "xl")
     )
