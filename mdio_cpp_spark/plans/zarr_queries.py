@@ -4008,3 +4008,69 @@ def zarr91(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("il", "xl")
     )
+
+
+@declared(
+    "zarr92_time_slice",
+    oracle=_CUBE_SQL + """
+    SELECT il, xl, v FROM cube WHERE t = 9 ORDER BY il, xl
+    """,
+)
+def zarr92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-slice extraction: the constant-t horizontal section through
+    the 3-D cube (the interpreter's map view, orthogonal to zarr90's
+    brick access). A single-index isel on the FASTEST-varying dim is the
+    adversarial case for chunked layout: the slice intersects every
+    (il, xl) chunk box but only t-chunks containing t=9 — here the 4
+    boxes with t∈[8,16) survive pruning and each decodes once, trimming
+    to one t-plane in memory. At 100 TB this is why cubes chunk on ALL
+    dims (a t-major-only layout would read the whole volume for this
+    query). Values pass through untouched."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "cube_v2.zarr"))
+    return (
+        ds.isel(t=(9, 10))
+        .to_df(spark, "amp", value_col="v")
+        .select("il", "xl", "v")
+        .orderBy("il", "xl")
+    )
+
+
+@declared(
+    "zarr93_cube_coherence",
+    oracle=_CUBE_SQL + """
+    SELECT il, t,
+           CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)) AS DOUBLE)
+             * SUM(CAST(ROUND(v * 100) AS BIGINT))
+           / (COUNT(*) * CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)
+                                  * CAST(ROUND(v * 100) AS BIGINT)) AS DOUBLE))
+           AS semblance
+    FROM cube GROUP BY il, t ORDER BY il, t
+    """,
+)
+def zarr93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crossline coherence attribute over the 3-D cube: zarr77's
+    semblance generalized to rank 3 — for every (inline, t) compute
+    (Σ_xl c)²/(n·Σ_xl c²) across the 8 crosslines, producing a coherence
+    SECTION per inline (low coherence ridges = faults/channels; this is
+    the attribute volume interpreters actually autotrack). One
+    partial-aggregatable groupBy on the two surviving dims with two exact
+    integer-cent sums; chunks are 4×4×8 boxes so each contributes partial
+    sums for its own (il, t) cells — map-local combine, |il|·|t| keys,
+    identical double op order both engines."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "cube_v2.zarr"))
+    scan = ds.var("amp").to_df(spark, value_col="v")
+    c = F.round(F.col("v") * 100).cast("long")
+    cells = scan.select("il", "xl", "t", c.alias("c"))
+    s1 = F.sum("c").cast("double")
+    return (
+        cells.groupBy("il", "t")
+        .agg(
+            (
+                s1 * F.sum("c")
+                / (F.count(F.lit(1)) * F.sum(F.col("c") * F.col("c")).cast("double"))
+            ).alias("semblance")
+        )
+        .orderBy("il", "t")
+    )
