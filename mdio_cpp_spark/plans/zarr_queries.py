@@ -4074,3 +4074,75 @@ def zarr93(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("il", "t")
     )
+
+
+@declared(
+    "zarr94_horizon_pick",
+    oracle=_CUBE_SQL + """
+    , c AS (SELECT il, xl, t, CAST(ROUND(v * 100) AS BIGINT) AS c FROM cube)
+    SELECT il, xl, pick_t, c / 100.0 AS amp FROM (
+      SELECT il, xl, t AS pick_t, c,
+             ROW_NUMBER() OVER (PARTITION BY il, xl ORDER BY c DESC, t) AS rk
+      FROM c) WHERE rk = 1 ORDER BY il, xl
+    """,
+)
+def zarr94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizon autopick over the 3-D cube: for every (inline, crossline)
+    trace, the travel-time of its peak amplitude with a deterministic
+    earliest-t tiebreak — the seed of every horizon-tracking workflow
+    (zarr75 picked thresholds on 2-D; this is the rank-3 peak map). The
+    pick is a partial-aggregatable MAX of a packed (amp, −t) struct per
+    trace — ties decided on exact integer cents, 64 result rows, no
+    window over data; chunk boxes combine map-locally since each holds 8
+    consecutive t-samples of its 16 traces."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "cube_v2.zarr"))
+    scan = ds.var("amp").to_df(spark, value_col="v")
+    cells = scan.select(
+        "il", "xl", "t", F.round(F.col("v") * 100).cast("long").alias("c")
+    )
+    best = cells.groupBy("il", "xl").agg(
+        F.max(F.struct(F.col("c").alias("c"), (-F.col("t")).alias("nt"))).alias("m")
+    )
+    return best.select(
+        "il", "xl",
+        (-F.col("m.nt")).cast("long").alias("pick_t"),
+        (F.col("m.c") / 100.0).alias("amp"),
+    ).orderBy("il", "xl")
+
+
+@declared(
+    "zarr95_cube_rms_windows",
+    oracle=_CUBE_SQL + """
+    SELECT il, xl, t // 8 AS win,
+           sqrt(CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)
+                         * CAST(ROUND(v * 100) AS BIGINT)) AS DOUBLE) / COUNT(*))
+           / 100.0 AS rms
+    FROM cube GROUP BY il, xl, t // 8 ORDER BY il, xl, win
+    """,
+)
+def zarr95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS attribute volume: root-mean-square amplitude per
+    8-sample time window of every (il, xl) trace — zarr84's QC attribute
+    at rank 3, the interval-energy volume under bright-spot screening.
+    The window key t div 8 aligns EXACTLY with the 4×4×8 chunk boxes, so
+    every chunk computes complete window partials map-side and the
+    exchange carries |il|·|xl|·|wins| finished sums — the
+    chunk-aligned-aggregation design point the writer's chunkShape choice
+    exists for. Exact integer cent² sums; sum/n, sqrt, /100 in identical
+    order both engines."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "cube_v2.zarr"))
+    scan = ds.var("amp").to_df(spark, value_col="v")
+    c = F.round(F.col("v") * 100).cast("long")
+    cells = scan.select("il", "xl", F.expr("t div 8").alias("win"), c.alias("c"))
+    return (
+        cells.groupBy("il", "xl", "win")
+        .agg(
+            (
+                F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double") / F.count(F.lit(1)))
+                / 100.0
+            ).alias("rms")
+        )
+        .orderBy("il", "xl", "win")
+    )
