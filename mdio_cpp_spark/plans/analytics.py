@@ -2686,3 +2686,68 @@ def dq06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declared(
+    "dq07_contract_audit",
+    oracle="""
+    SELECT 'orders_price_positive' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.5) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'ship_after_order',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE l_shipdate < o_orderdate) AS BIGINT)
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'events_value_nonneg',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE value < 0) AS BIGINT)
+    FROM events
+    ORDER BY rule
+    """,
+)
+def dq07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit: declarative validity rules — domain checks on
+    single tables plus the CROSS-TABLE temporal invariant (no line ships
+    before its order is placed) — each reported as checked/violation
+    counts in one unioned plan. This is the constraint layer dq01–dq06
+    don't cover: dq05 audits keys, dq03 references; dq07 audits VALUES
+    against business rules, the thing that actually rots first in a feed.
+    Single-table rules are map-side conditional counts (one scan each);
+    the temporal rule is one orderkey equi-join that only carries two
+    date columns. |rules| result rows at any corpus size."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = _t(spark, sf_dir, "events")
+    r1 = o.agg(
+        F.lit("orders_price_positive").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n_violations"),
+    )
+    r2 = li.agg(
+        F.lit("lineitem_discount_range").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1)).alias("n_violations"),
+    )
+    r3 = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.lit("ship_after_order").alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.count(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1)).alias("n_violations"),
+        )
+    )
+    r4 = e.agg(
+        F.lit("events_value_nonneg").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_violations"),
+    )
+    return r1.unionAll(r2).unionAll(r3).unionAll(r4).orderBy("rule")

@@ -4146,3 +4146,44 @@ def zarr95(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("il", "xl", "win")
     )
+
+
+@declared(
+    "zarr96_cube_writeback",
+    oracle=_CUBE_SQL + """
+    SELECT il, xl, t,
+           CAST(ROUND(v * 100) AS BIGINT) * CAST(ROUND(v * 100) AS BIGINT) AS e
+    FROM cube ORDER BY il, xl, t
+    """,
+)
+def zarr96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute write-back at RANK 3: derive an energy volume (cent²,
+    int64) from the amp cube, DECLARE it as a new chunk-grid-aligned 3-D
+    variable on the live store, write it through the chunk-keyed shuffle
+    writer, republish metadata, and hash-gate a fresh reopen+scan of the
+    WRITTEN BYTES against SQL — zarr49's dataset-evolution gate pushed to
+    three dimensions (the attribute-volume workflow every interpretation
+    shop runs: read cube → compute attribute → write sibling cube).
+    Additive and idempotent on the shared fixture (same derived cells
+    every run; `amp` readers untouched). One read pass, ONE 8-chunk-keyed
+    write shuffle, one verification scan."""
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "cube_v2.zarr")
+    st = ZarrStore.open(path)
+    if "energy" not in st.arrays():
+        st.create_array(
+            "energy", shape=(CUBE_IL, CUBE_XL, CUBE_T), chunks=(4, 4, 8),
+            dtype="int64", dims=("il", "xl", "t"),
+            compressor={"id": "zlib", "level": 1},
+        )
+        st.consolidate()
+    ds = MdioDataset.open(path)
+    c = F.round(F.col("v") * 100).cast("long")
+    derived = ds.var("amp").to_df(spark, value_col="v").select(
+        "il", "xl", "t", (c * c).alias("e")
+    )
+    from mdio_cpp_spark.sources.writer import write_array
+
+    write_array(derived, path, "energy", value_cols="e")
+    out = MdioDataset.open(path).var("energy").to_df(spark, value_col="e")
+    return out.select("il", "xl", "t", "e").orderBy("il", "xl", "t")
