@@ -4000,3 +4000,48 @@ def p15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_PS_SEED = "ps1"
+
+
+@declared(
+    "s10_priority_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5('{_PS_SEED}' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS u
+      FROM documents WHERE n_chars > 0),
+    ranked AS (
+      SELECT doc_id, n_chars,
+             CAST(u AS DOUBLE) / n_chars AS pk,
+             ROW_NUMBER() OVER (ORDER BY CAST(u AS DOUBLE) / n_chars, doc_id) AS rk
+      FROM keyed)
+    SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_chars, pk
+    FROM ranked WHERE rk <= 16 ORDER BY rk
+    """,
+)
+def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sample (the A-Res / Efraimidis–Spirakis reservoir
+    made deterministic): each document draws its priority key u/w — u an
+    engine-portable md5-derived 32-bit integer, w its size — and the
+    sample IS the k smallest keys; P(selected) rises with weight exactly
+    as weighted reservoir sampling prescribes, yet reruns and engines
+    agree bit-for-bit (u/w is ONE IEEE division of exact integers; no
+    RNG, no ln). s05's reservoir samples uniformly; this is its weighted
+    upgrade, and at any corpus size it compiles to map-side key
+    computation + TakeOrdered(k) — no shuffle of the corpus, no window."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(_PS_SEED), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    keyed = d.select("doc_id", "n_chars", (u.cast("double") / F.col("n_chars")).alias("pk"))
+    top = keyed.orderBy("pk", "doc_id").limit(16)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("pk", "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rk"), "doc_id", "n_chars", "pk"
+    ).orderBy("rk")

@@ -4187,3 +4187,28 @@ def zarr96(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_array(derived, path, "energy", value_cols="e")
     out = MdioDataset.open(path).var("energy").to_df(spark, value_col="e")
     return out.select("il", "xl", "t", "e").orderBy("il", "xl", "t")
+
+
+@declared(
+    "zarr97_cube_zonemap",
+    oracle=_CUBE_SQL + """
+    SELECT il, xl, t, v FROM cube WHERE v >= 450000.0 ORDER BY il, xl, t
+    """,
+)
+def zarr97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning at RANK 3: sidecar chunk stats over the cube's
+    4×4×8 boxes let a selective value predicate skip whole SUB-VOLUMES
+    before any byte read — completing the zonemap matrix (zarr29 rank 1,
+    zarr58 rank 2). The linear-chunk-id ravel the sidecar keys on is
+    rank-agnostic by construction; the decoder's residual in-memory
+    filter keeps exactness when a surviving box straddles the threshold.
+    Values pass through untouched."""
+    base = ensure_stores(spark, sf_dir)
+    cube = os.path.join(base, "cube_v2.zarr")
+    zonemap.ensure_chunk_stats(spark, cube, "amp")
+    ds = MdioDataset.open(cube)
+    return (
+        ds.var("amp")
+        .to_df(spark, value_col="v", value_filter=(">=", 450000.0))
+        .orderBy("il", "xl", "t")
+    )
