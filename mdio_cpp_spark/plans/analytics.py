@@ -2751,3 +2751,68 @@ def dq07(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("value") < 0, 1)).alias("n_violations"),
     )
     return r1.unionAll(r2).unionAll(r3).unionAll(r4).orderBy("rule")
+
+
+@declared(
+    "w15_rolling_corr",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                           THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT day,
+             CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+             CAST(SUM(x) OVER fr AS BIGINT) AS sx,
+             CAST(SUM(y) OVER fr AS BIGINT) AS sy,
+             CAST(SUM(x * x) OVER fr AS BIGINT) AS sxx,
+             CAST(SUM(y * y) OVER fr AS BIGINT) AS syy,
+             CAST(SUM(x * y) OVER fr AS BIGINT) AS sxy
+      FROM d
+      WINDOW fr AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT day,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+    FROM w WHERE n >= 3 ORDER BY day
+    """,
+)
+def w15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between the click and purchase revenue
+    series over a trailing 7-day frame — the co-movement monitor behind
+    attribution sanity checks (ev05 assigns credit; this watches whether
+    the channels still move together at all). The frame carries SIX exact
+    integer sums; the correlation evaluates per row from the integer
+    identities (n·Σxy − ΣxΣy over the two √(n·Σ²−Σ²) spreads) in one
+    fixed-shape expression — bit-identical, no rounding escape. The
+    window is keyless but runs over the |days|-row PER-DAY aggregate
+    (two-column pivot built map-side), never raw events; a multi-series
+    version would partition per pair."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0)).alias("y"),
+    )
+    fr = Window.orderBy("day").rowsBetween(-6, 0)
+    w = d.select(
+        "day",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("x").over(fr).alias("sx"),
+        F.sum("y").over(fr).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(fr).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(fr).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(fr).alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    )
+    return w.filter(F.col("n") >= 3).select("day", corr.alias("corr")).orderBy("day")

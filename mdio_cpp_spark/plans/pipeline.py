@@ -4045,3 +4045,88 @@ def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.row_number().over(w).cast("long").alias("rk"), "doc_id", "n_chars", "pk"
     ).orderBy("rk")
+
+
+@declared(
+    "ml07_calibration",
+    oracle="""
+    WITH pos AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (SELECT label AS cid, pos, AVG(x) AS c FROM pos GROUP BY label, pos),
+    cn AS (SELECT cid, sqrt(SUM(c * c)) AS cn FROM cent GROUP BY cid),
+    vn AS (SELECT vec_id, sqrt(SUM(x * x)) AS vn FROM pos GROUP BY vec_id),
+    dots AS (SELECT v.vec_id, v.label, c.cid, SUM(v.x * c.c) AS dot
+             FROM pos v JOIN cent c ON v.pos = c.pos
+             GROUP BY v.vec_id, v.label, c.cid),
+    scored AS (SELECT d.vec_id, d.label, d.cid,
+                      ROUND(d.dot / (vn.vn * cn.cn), 6) AS cc
+               FROM dots d JOIN vn USING (vec_id) JOIN cn USING (cid)),
+    pred AS (SELECT vec_id, label, cid, cc FROM (
+               SELECT vec_id, label, cid, cc,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cc DESC, cid DESC) AS rn
+               FROM scored) WHERE rn = 1)
+    SELECT CAST(FLOOR(cc * 20) AS BIGINT) AS conf_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE cid = label) AS BIGINT) AS n_correct,
+           CAST(COUNT(*) FILTER (WHERE cid = label) AS DOUBLE) / COUNT(*) AS accuracy
+    FROM pred GROUP BY 1 ORDER BY conf_bin
+    """,
+)
+def ml07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the nearest-centroid classifier: bin each
+    prediction by its winning-cosine confidence (20 bins) and report
+    per-bin accuracy — the reliability diagram that says whether a
+    routing threshold at confidence c actually delivers accuracy ≈ c
+    (ml06 scores the classifier; this scores its CONFIDENCE). Binning is
+    floor(cc·20) on the already-6dp-rounded argmax cosine — exact in both
+    engines; accuracy is one int/int division over a ≤20-key reduce. The
+    corpus-scale work is exactly v08's broadcast-centroid argmax with the
+    winning score carried through."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    cent = pos.groupBy(F.col("label").alias("cid"), "pos").agg(F.avg("x").alias("c"))
+    cn = cent.groupBy("cid").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"))
+    vn = pos.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vn"))
+    dots = (
+        pos.join(cent, "pos")
+        .groupBy("vec_id", "label", "cid")
+        .agg(F.sum(F.col("x") * F.col("c")).alias("dot"))
+    )
+    scored = (
+        dots.join(vn, "vec_id")
+        .join(F.broadcast(cn), "cid")
+        .select(
+            "vec_id", "label", "cid",
+            F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 6).alias("cc"),
+        )
+    )
+    pred = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("cc").desc(), F.col("cid").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        pred.groupBy(F.floor(F.col("cc") * 20).cast("long").alias("conf_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("cid") == F.col("label"), 1)).alias("n_correct"),
+            (
+                F.count(F.when(F.col("cid") == F.col("label"), 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("accuracy"),
+        )
+        .orderBy("conf_bin")
+    )

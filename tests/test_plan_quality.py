@@ -47,12 +47,15 @@ from mdio_cpp_spark.plans import REGISTRY
 #    width scales with the corpus so the window input is ≤4096 rows at
 #    any size; the data-sized running sum partitions on the bucket.
 #  - s10: the rank runs AFTER TakeOrdered(16) — t16/ev07's bounded shape.
+#  - w15: the rolling frame runs over the |days|-row per-day aggregate —
+#    the asof-boundary allowance (|time buckets|, not data); a multi-
+#    series variant partitions per series pair (docstring).
 _ALLOW_GLOBAL = {
     "asof01_event_order", "asof02_left", "asof05_nearest", "zarr09_write_roundtrip",
     "zarr55_ffill", "zarr57_bfill_limit", "p11_epoch_shuffle",
     "t16_zipf_slope", "ev07_top_paths", "zarr73_threshold_runs",
     "p14_curriculum", "zarr86_hist_equalize", "mm09_shard_plan",
-    "s10_priority_sample",
+    "s10_priority_sample", "w15_rolling_corr",
 }
 
 
