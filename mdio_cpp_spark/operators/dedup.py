@@ -105,12 +105,10 @@ def minhash_signatures(
     )
 
 
-def minhash_bands(df: DataFrame, id_col: str, text_col: str, bands: int, rows: int, shingle_n: int = 3) -> DataFrame:
-    """(id, band, bh) — one row per LSH band; bh = md5 of the ':'-joined
-    band slice of the signature (separator disambiguates adjacent numeric
-    minhashes). Docs with < shingle_n tokens are dropped."""
-    k = bands * rows
-    sig = minhash_signatures(df, id_col, text_col, k, shingle_n)
+def bands_from_signatures(sig: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+    """(id, band, bh) from an EXISTING wide signature frame (mh0..mh{k-1})
+    — lets callers that also need the raw signature (d14's estimator
+    audit) pay the shingle+md5 pipeline once instead of per consumer."""
     band_structs = F.array(
         *[
             F.struct(
@@ -127,6 +125,14 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str, bands: int, rows: i
     return sig.select(F.col(id_col), F.explode(band_structs).alias("e")).select(
         id_col, F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
     )
+
+
+def minhash_bands(df: DataFrame, id_col: str, text_col: str, bands: int, rows: int, shingle_n: int = 3) -> DataFrame:
+    """(id, band, bh) — one row per LSH band; bh = md5 of the ':'-joined
+    band slice of the signature (separator disambiguates adjacent numeric
+    minhashes). Docs with < shingle_n tokens are dropped."""
+    sig = minhash_signatures(df, id_col, text_col, bands * rows, shingle_n)
+    return bands_from_signatures(sig, id_col, bands, rows)
 
 
 def lsh_candidate_pairs(
@@ -151,6 +157,15 @@ def lsh_candidate_pairs(
     any single task's pair expansion. None = exact/uncapped (the oracle-
     matched default)."""
     b = minhash_bands(df, id_col, text_col, bands, rows)
+    return candidate_pairs_from_bands(b, id_col, max_bucket)
+
+
+def candidate_pairs_from_bands(
+    b: DataFrame, id_col: str, max_bucket: int | None = None
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs from an existing (id, band, bh)
+    frame — the grouped-bucket expansion of lsh_candidate_pairs, split out
+    so signature-sharing callers skip the second minhash pass."""
     buckets = (
         b.groupBy("band", "bh")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))

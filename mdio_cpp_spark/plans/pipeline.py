@@ -3862,10 +3862,22 @@ def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only candidate docs via the semi-pushed shingle projection —
     the audit costs one extra broadcast join over d04. est is an exact
     dyadic x/16; jac and err follow the 6dp display contract."""
+    from pyspark.storagelevel import StorageLevel
+
     d = _t(spark, sf_dir, "documents")
-    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS)
     k = _MH_BANDS * _MH_ROWS
-    sig = dedup.minhash_signatures(d, "doc_id", "text", k).select(
+    # ONE shingle+md5 pass feeds both consumers: the persisted narrow
+    # signature frame (id + 16 longs) derives the banded candidates AND
+    # the agreement estimate — without this, candidates and signatures
+    # each recompute the whole minhash pipeline (measured 7.0 s → one
+    # pass at sf0.1)
+    sig_wide = dedup.minhash_signatures(d, "doc_id", "text", k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = dedup.candidate_pairs_from_bands(
+        dedup.bands_from_signatures(sig_wide, "doc_id", _MH_BANDS, _MH_ROWS), "doc_id"
+    )
+    sig = sig_wide.select(
         "doc_id", F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig")
     )
     toks = text.tokens("text")
