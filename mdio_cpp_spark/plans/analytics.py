@@ -2489,6 +2489,11 @@ def ev13(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("mon"),
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # the three cut computations each consume u; persist the narrow
+    # |users|-row aggregate so events reduce ONCE, not three times
+    u = u.persist(StorageLevel.MEMORY_AND_DISK)
     g = u.withColumn("gg", F.lit(1))
     cuts = None
     for colname, a, b in (("rec", "r1", "r2"), ("freq", "f1", "f2"), ("mon", "m1", "m2")):
