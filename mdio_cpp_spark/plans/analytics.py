@@ -2821,3 +2821,49 @@ def w15(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
     )
     return w.filter(F.col("n") >= 3).select("day", corr.alias("corr")).orderBy("day")
+
+
+@declared(
+    "ev14_new_vs_returning",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day
+      FROM events),
+    fs AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id)
+    SELECT ud.day,
+           CAST(COUNT(*) FILTER (WHERE ud.day = fs.first_day) AS BIGINT) AS n_new,
+           CAST(COUNT(*) FILTER (WHERE ud.day > fs.first_day) AS BIGINT) AS n_returning,
+           CAST(COUNT(*) FILTER (WHERE ud.day = fs.first_day) AS DOUBLE) / COUNT(*)
+           AS new_share
+    FROM ud JOIN fs ON ud.user_id = fs.user_id
+    GROUP BY ud.day ORDER BY ud.day
+    """,
+)
+def ev14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split: classify each active (user, day)
+    against the user's first-seen day — the growth-accounting staple
+    (ev08 counts actives; this says whether they're acquisition or
+    retention). Events collapse FIRST to distinct (user, day) — the same
+    event-sized-reduces-immediately move as ev08 — then first-seen is one
+    user-keyed MIN that CO-PARTITIONS with the classify join (both keyed
+    on user_id, no extra exchange), and the day rollup is |days| keys.
+    All exact integers, one share division."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    fs = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new = F.count(F.when(F.col("day") == F.col("first_day"), 1))
+    return (
+        ud.join(fs, "user_id")
+        .groupBy("day")
+        .agg(
+            new.alias("n_new"),
+            F.count(F.when(F.col("day") > F.col("first_day"), 1)).alias("n_returning"),
+            (new.cast("double") / F.count(F.lit(1))).alias("new_share"),
+        )
+        .orderBy("day")
+    )

@@ -4212,3 +4212,35 @@ def zarr97(spark: SparkSession, sf_dir: str) -> DataFrame:
         .to_df(spark, value_col="v", value_filter=(">=", 450000.0))
         .orderBy("il", "xl", "t")
     )
+
+
+@declared(
+    "zarr98_cube_downsample",
+    oracle=_CUBE_SQL + """
+    SELECT il // 2 AS il2, xl // 2 AS xl2, t // 2 AS t2,
+           CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(*))
+           AS mean_amp
+    FROM cube GROUP BY 1, 2, 3 ORDER BY il2, xl2, t2
+    """,
+)
+def zarr98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview (pyramid) level at RANK 3: 2×2×2 mean-pool of the cube —
+    the multiscale decimation zarr34/zarr71 built for 2-D, generalized to
+    the volume renderer's LOD ladder. One groupBy on the three halved
+    indices; since 2 divides the 4×4×8 chunk edge on every axis, each
+    pooled cell's 8 sources are chunk-interior — the reduce is map-local
+    per chunk with an |il/2|·|xl/2|·|t/2|-key exchange of exact
+    integer-cent partials, one final division."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "cube_v2.zarr"))
+    scan = ds.var("amp").to_df(spark, value_col="v")
+    s = F.sum(F.round(F.col("v") * 100).cast("long"))
+    return (
+        scan.groupBy(
+            F.expr("il div 2").alias("il2"),
+            F.expr("xl div 2").alias("xl2"),
+            F.expr("t div 2").alias("t2"),
+        )
+        .agg((s.cast("double") / (100.0 * F.count(F.lit(1)))).alias("mean_amp"))
+        .orderBy("il2", "xl2", "t2")
+    )
