@@ -4142,3 +4142,91 @@ def ml07(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("conf_bin")
     )
+
+
+@declared(
+    "p16_dedup_curve",
+    oracle=f"""
+    WITH cand AS ({_dd_minhash_sql().replace("ORDER BY doc_a, doc_b", "")}),
+    sh2 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, {_DD_TOKS} AS w FROM documents) WHERE len(w) >= 3
+    ),
+    jac AS (
+      SELECT ROUND(len(list_intersect(a.sh, b.sh))
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+      FROM cand c JOIN sh2 a ON a.doc_id = c.doc_a JOIN sh2 b ON b.doc_id = c.doc_b
+    )
+    SELECT tau.tau, CAST(COUNT(*) FILTER (WHERE jac >= tau.tau) AS BIGINT) AS n_pairs
+    FROM jac CROSS JOIN (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS tau) tau
+    GROUP BY tau.tau ORDER BY tau.tau
+    """,
+)
+def p16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-sensitivity curve: how many candidate pairs survive
+    at each Jaccard cutoff τ ∈ {0.2,…,0.8} — the report that picks the
+    production threshold (d04 verifies pairs at one τ; this shows what
+    every τ would delete, the corpus-shrinkage dial). The exact-Jaccard
+    verify runs ONCE over the bounded LSH candidate set; the curve is a
+    4-way map-side fan-out of the scored pairs into a 4-key reduce —
+    evaluating more thresholds costs fan-out, never another verify pass.
+    τ literals are exact dyadic-free but compared against 6dp-rounded
+    jaccards identically in both engines."""
+    pairs = d04(spark, sf_dir).select("jac")
+    taus = F.explode(F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])).alias("tau")
+    return (
+        pairs.select("jac", taus)
+        .groupBy("tau")
+        .agg(F.count(F.when(F.col("jac") >= F.col("tau"), 1)).alias("n_pairs"))
+        .orderBy("tau")
+    )
+
+
+@declared(
+    "v13_ivf_balance",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_IVF_CELLS}),
+    scored AS (
+      SELECT e.vec_id, c.cid, ROUND({_dd_cosine("e.embedding", "c.cv")}, 6) AS cc
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid DESC) AS r
+        FROM scored) WHERE r = 1
+    ),
+    pop AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM assign GROUP BY cell)
+    SELECT cell, n,
+           CAST(n * (SELECT COUNT(*) FROM pop) AS DOUBLE)
+           / (SELECT SUM(n) FROM pop) AS balance
+    FROM pop ORDER BY cell
+    """,
+)
+def v13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health: per-cell population and its balance factor
+    (population ÷ ideal uniform share) — the number that predicts probe
+    latency variance before any query runs (a cell at 3× ideal makes
+    every single-probe search that lands there 3× slower; ml03's Lloyd
+    iterations push this toward 1). The corpus-scale work is ivf_assign's
+    broadcast argmax; the report reduces |cells| rows with one exact
+    integer ratio per cell. v10 audits recall; this audits the index's
+    COST model — together they bound both sides of the ANN trade."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.orderBy("vec_id").limit(_IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    assigned = similarity.ivf_assign(e, "vec_id", "embedding", cents)
+    pop = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    tot = pop.agg(
+        F.count(F.lit(1)).alias("n_cells"), F.sum("n").alias("n_vecs")
+    )
+    return (
+        pop.crossJoin(F.broadcast(tot))
+        .select(
+            "cell", "n",
+            ((F.col("n") * F.col("n_cells")).cast("double") / F.col("n_vecs")).alias("balance"),
+        )
+        .orderBy("cell")
+    )
