@@ -84,6 +84,16 @@ PICKS = {
     "a14_weighted_median": "weighted median: duplicate prices collapse in a partial agg BEFORE the per-group cumsum window (the window input is distinct values, repeats absorbed map-side); the crossing filter and final min are grouped reductions",
     "w12_activity_streaks": "gaps-and-islands: DISTINCT (user, day) collapse runs before the island window, so the window input is bounded at users*days; island grouping is one hash aggregate",
     "p13_curation_funnel": "all four funnel stages share one FileScan lineage with the filters stacked map-side; the dedup-survivor join is a (hash -> min id) aggregate, no corpus window; four 1-row counts union",
+    "v12_pq_adc": "PQ search without touching float vectors: the scan side carries 4 stored code ints per vector; scoring is FOUR BroadcastHashJoins against the per-query LUT (|q|*4*8 rows) and one fixed-order arithmetic expression; ranking partitions per query",
+    "mm09_shard_plan": "byte-offset shard packing: the only ordered-global window is the <=4096-row bucket-offset cumulation; the corpus-sized running sum partitions on the bucket (hashpartitioning(__pid)); shard rollup is one hash aggregate",
+    "zarr88_velocity_scan": "the trial-velocity panel is a BroadcastHashJoin of the 3*16*48-row analytic moveout table onto ONE chunk-pruned scan — more velocities grow the broadcast side, never the scan count; semblance reduces on (k, t0)",
+    "zarr90_cube_scan": "rank-3 chunk-box pruning: the il/xl/t isel ranges intersect the 4x4x8 chunk grid in the planner — the task manifest covers only boxes overlapping the requested brick",
+    "zarr96_cube_writeback": "rank-3 attribute write-back: derive map-side from the cube scan, ONE chunk-keyed exchange into the writer, verification scan reads the fresh store via PythonScan — no other shuffle",
+    "d14_minhash_estimate_audit": "estimator audit sharing ONE minhash pass: the persisted signature frame (InMemoryTableScan) feeds both the banded candidate expansion and the agreement estimate; exact Jaccard joins semi-pushed shingles for candidates only",
+    "zarr89_zonemap_report": "the index read back as data: two PythonScans over the tiny sidecar store (2*nchunks float64s), an equi-join on the linear id, constant div/mod to chunk coords — the data store is never touched",
+    "w15_rolling_corr": "rolling correlation from SIX exact integer frame sums over the per-day aggregate (|days| rows, the asof-boundary allowance); the correlation is one fixed-shape row expression — no second pass, no float accumulation",
+    "s10_priority_sample": "weighted sampling as TakeOrderedAndProject: priority keys compute map-side (one md5 + one division per row), the engine keeps per-partition top-16 — no shuffle of the corpus, no window over data",
+    "ga04_pagerank_step": "one message-passing iteration: bounded within-order pair expansion, a 2x map-side mirror, strength agg co-partitioned with the contribution join on src, dst-keyed rank update",
 }
 
 
