@@ -3963,8 +3963,9 @@ def zarr90(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossline × time — the reference's native seismic shape, SURVEY §2
     Q1 at rank 3): the store chunks on all three dims (4×4×8 boxes), so
     the il/xl/t isel ranges intersect the chunk grid BEFORE any byte
-    read — here 8 boxes shrink to the 2 overlapping the requested
-    brick, and partial overlaps trim in-memory after decode. This is
+    read — here the 8 boxes shrink to the 4 overlapping the requested
+    brick (pinned in test_zarr.test_cube_rank3_chunk_box_pruning), and
+    partial overlaps trim in-memory after decode. This is
     the access pattern 100-TB seismic volumes live on: a crossline
     window of a time window of an inline window touches O(sub-volume)
     bytes, never O(cube). Values pass through untouched — exact."""

@@ -864,3 +864,41 @@ def test_masked_write_back_idempotent(spark, sf_dir):
     # the shared fixture store is untouched: zarr01 still sees raw prices
     raw = REGISTRY["zarr01_scan"].spark(spark, sf_dir).toPandas()
     assert (raw["price"] > 450_000.0).any(), "fixture store must keep unclipped values"
+
+
+def test_cube_rank3_chunk_box_pruning(spark, sf_dir):
+    """zarr90's design claim, pinned structurally: the il/xl/t brick
+    (2..6, 0..4, 4..12) over the 8x8x16 cube chunked 4x4x8 must plan
+    exactly 2x1x2 = 4 of the 8 chunk boxes (t 4..11 straddles both
+    t-chunks), and the constant-t slice (zarr92) must plan the 4 boxes
+    containing that t-plane."""
+    import os
+
+    from mdio_cpp_spark.plans.zarr_queries import ensure_stores
+
+    base = ensure_stores(spark, sf_dir)
+    meta = ZarrStore.open(os.path.join(base, "cube_v2.zarr")).array_meta("amp")
+    per_dim, n = plan_chunks(meta, {"il": (2, 6), "xl": (0, 4), "t": (4, 12)})
+    assert [len(r) for r in per_dim] == [2, 1, 2] and n == 4
+    per_dim, n = plan_chunks(meta, {"t": (9, 10)})
+    assert [len(r) for r in per_dim] == [2, 2, 1] and n == 4
+    # full-volume plan covers all 8 boxes
+    assert plan_chunks(meta, None)[1] == 8
+
+
+def test_bands_from_signatures_matches_minhash_bands(spark, sf_dir):
+    """The d14 refactor's invariant: deriving bands from a precomputed
+    signature frame is byte-identical to the fused minhash_bands path
+    (the candidate sets of every LSH consumer hang off this)."""
+    import pandas as pd
+
+    from mdio_cpp_spark.catalog import table
+    from mdio_cpp_spark.operators import dedup
+
+    d = table(spark, sf_dir, "documents")
+    fused = dedup.minhash_bands(d, "doc_id", "text", bands=4, rows=4)
+    sig = dedup.minhash_signatures(d, "doc_id", "text", 16)
+    derived = dedup.bands_from_signatures(sig, "doc_id", 4, 4)
+    a = fused.orderBy("doc_id", "band").toPandas()
+    b = derived.orderBy("doc_id", "band").toPandas()
+    pd.testing.assert_frame_equal(a, b)
