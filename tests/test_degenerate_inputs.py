@@ -188,3 +188,63 @@ def test_transcode_empty_and_all_fill_store(spark, tmp_path):
     assert report == {"chunks_total": 10, "chunks_copied": 0}
     got = ZarrStore.open(dst).read_array("v")
     assert (got == 0.0).all()
+
+
+def test_priority_sample_zero_weight_excluded(spark):
+    """s10's u/w key divides by the weight: zero-weight rows must be
+    filtered (the declared query guards n_chars > 0), and the helper
+    expression itself must not abort under ANSI when the caller filters
+    first."""
+    rows = [(0, 10), (1, 0), (2, 5)]
+    d = spark.createDataFrame(rows, "doc_id long, n_chars long").filter(F.col("n_chars") > 0)
+    u = F.conv(F.substring(F.md5(F.concat(F.lit("s"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    out = d.select("doc_id", (u.cast("double") / F.col("n_chars")).alias("pk")).collect()
+    assert {r["doc_id"] for r in out} == {0, 2}
+    assert all(math.isfinite(r["pk"]) for r in out)
+
+
+def test_pq_assign_zero_subvector_ranks_last(spark):
+    """A zero subvector's cosine is NULL (guarded division) — max_by must
+    still pick a real centroid for the healthy subspaces and not crash on
+    the degenerate one."""
+    rows = [(i, [float(i + 1)] * 8) for i in range(4)] + [(9, [0.0] * 8)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from mdio_cpp_spark.functions import vectors
+
+    subs = e.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(s).cast("long") for s in range(2)])).alias("s"),
+        "embedding",
+    ).select("vec_id", "s", F.slice("embedding", F.col("s").cast("int") * 4 + 1, 4).alias("sv"))
+    cents = F.broadcast(
+        subs.filter(F.col("vec_id") < 2).select("s", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
+    )
+    scored = subs.join(cents, "s").select(
+        "vec_id", "s", "cid", F.round(vectors.cosine(F.col("sv"), F.col("cv")), 6).alias("cc")
+    )
+    codes = scored.groupBy("vec_id", "s").agg(
+        F.max_by("cid", F.struct(F.col("cc"), F.col("cid"))).alias("code")
+    )
+    got = {(r["vec_id"], r["s"]): r["code"] for r in codes.collect()}
+    # healthy vectors pick a real code on every subspace; the zero vector
+    # still yields a row per subspace (NULL cc ranks last, code is whatever
+    # max_by resolves — must not be an error)
+    assert all((v, s) in got for v in (0, 1, 2, 3, 9) for s in (0, 1))
+
+
+def test_ewma_isolated_day_self_normalizes(spark):
+    """ts02's dyadic ladder: a day with NO preceding activity must get
+    ewma == its own value (weight mass renormalizes to the present day
+    alone), not a decayed fraction."""
+    rows = [("a", 100, 200)]
+    d = spark.createDataFrame(rows, "event_type string, day long, x long")
+    ladder = F.explode(
+        F.array(*[F.struct(F.lit(l).cast("long").alias("lag"), F.lit(1 << (7 - l)).cast("long").alias("w")) for l in range(8)])
+    ).alias("lw")
+    f = d.select("event_type", "day", "x", ladder).select(
+        "event_type", (F.col("day") + F.col("lw.lag")).alias("tday"),
+        (F.col("x") * F.col("lw.w")).alias("wx"), F.col("lw.w").alias("w"),
+    )
+    g = f.groupBy("event_type", "tday").agg(F.sum("wx").alias("num"), F.sum("w").alias("den"))
+    got = g.join(d.select("event_type", F.col("day").alias("tday")), ["event_type", "tday"]).collect()
+    assert len(got) == 1 and got[0]["num"] / got[0]["den"] == 200.0
