@@ -4230,3 +4230,44 @@ def v13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@declared(
+    "d15_cross_source_dup",
+    oracle=f"""
+    WITH cand AS ({_dd_minhash_sql().replace("ORDER BY doc_a, doc_b", "")}),
+    m AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b
+      FROM cand c
+      JOIN documents da ON da.doc_id = c.doc_a
+      JOIN documents db ON db.doc_id = c.doc_b)
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM m GROUP BY source_a, source_b ORDER BY source_a, source_b
+    """,
+)
+def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-mass provenance matrix: near-dup candidate pairs rolled
+    up by unordered source pair — the report that tells you WHERE the
+    duplication comes from (within-source boilerplate vs cross-source
+    mirroring — d09 targets one benchmark; this profiles every source
+    against every other). Candidates are the bounded LSH set; attaching
+    provenance is two id-keyed joins that carry only (id, source); the
+    matrix reduce is ≤|sources|² keys. LEAST/GREATEST canonicalizes the
+    pair so mirrored orders collapse into one cell."""
+    d = _t(spark, sf_dir, "documents")
+    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS)
+    src = d.select("doc_id", "source")
+    m = (
+        cand.join(src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return (
+        m.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )

@@ -4245,3 +4245,50 @@ def zarr98(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((s.cast("double") / (100.0 * F.count(F.lit(1)))).alias("mean_amp"))
         .orderBy("il2", "xl2", "t2")
     )
+
+
+@declared(
+    "zarr99_horizon_slice",
+    oracle=_CUBE_SQL + """
+    , c AS (SELECT il, xl, t, CAST(ROUND(v * 100) AS BIGINT) AS c FROM cube),
+    picks AS (
+      SELECT il, xl, t AS pick FROM (
+        SELECT il, xl, t, ROW_NUMBER() OVER (PARTITION BY il, xl ORDER BY c DESC, t) AS rk
+        FROM c) WHERE rk = 1)
+    SELECT c.il, c.xl,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(c.c) AS DOUBLE) / (100.0 * COUNT(*)) AS horizon_amp
+    FROM c JOIN picks p ON c.il = p.il AND c.xl = p.xl
+    WHERE c.t BETWEEN p.pick - 1 AND p.pick + 1
+    GROUP BY c.il, c.xl ORDER BY c.il, c.xl
+    """,
+)
+def zarr99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizon-slice amplitude extraction: average the cube in a ±1-sample
+    slab AROUND zarr94's autopicked surface — the attribute-along-horizon
+    map that turns a structural pick into an interpretable amplitude
+    anomaly view (the end of the cube chain: pick → extract → map). The
+    pick table is |il|·|xl| tiny rows joined back BROADCAST onto the same
+    chunk-pruned scan (zarr78's flatten idiom at rank 3); the slab filter
+    is a map-side range test and the per-trace reduce is exact integer
+    cents with one division. Two passes over the cube (pick, extract) —
+    recomputing the pruned scan beats caching the volume at 100 TB."""
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "cube_v2.zarr"))
+    scan = ds.var("amp").to_df(spark, value_col="v")
+    cells = scan.select("il", "xl", "t", F.round(F.col("v") * 100).cast("long").alias("c"))
+    picks = (
+        cells.groupBy("il", "xl")
+        .agg(F.max(F.struct(F.col("c").alias("c"), (-F.col("t")).alias("nt"))).alias("m"))
+        .select("il", "xl", (-F.col("m.nt")).alias("pick"))
+    )
+    return (
+        cells.join(F.broadcast(picks), ["il", "xl"])
+        .filter(F.col("t").between(F.col("pick") - 1, F.col("pick") + 1))
+        .groupBy("il", "xl")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            (F.sum("c").cast("double") / (100.0 * F.count(F.lit(1)))).alias("horizon_amp"),
+        )
+        .orderBy("il", "xl")
+    )
