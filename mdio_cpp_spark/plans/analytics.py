@@ -2867,3 +2867,121 @@ def ev14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@declared(
+    "ev15_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_trunc('day', ts) AS day,
+             date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS dnum
+      FROM events),
+    grid AS (SELECT DISTINCT day, dnum FROM ud),
+    j AS (
+      SELECT g.day, g.dnum AS d, u.user_id, u.dnum AS ud
+      FROM grid g JOIN ud u ON u.dnum BETWEEN g.dnum - 27 AND g.dnum),
+    m AS (
+      SELECT day,
+             CAST(COUNT(DISTINCT CASE WHEN ud = d THEN user_id END) AS BIGINT) AS dau,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM j GROUP BY day)
+    SELECT day, dau, mau, CAST(dau AS DOUBLE) / mau AS stickiness
+    FROM m ORDER BY day
+    """,
+)
+def ev15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness (DAU/MAU): the engagement-frequency ratio product teams
+    steer by — how much of the monthly audience shows up on a given day.
+    COMPOSES ev08's machinery (distinct-first collapse, bounded 28-day
+    grid fanout, conditional distinct counts) and adds one exact int/int
+    division; the plan is ev08's plan minus the WAU branch. A rising DAU
+    with flat stickiness means acquisition, not habit — the distinction
+    ev14's new-vs-returning split corroborates from the other side."""
+    e = _t(spark, sf_dir, "events")
+    ud = (
+        e.select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("day"),
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("dnum"),
+        )
+        .distinct()
+    )
+    grid = ud.select("day", "dnum").distinct()
+    j = grid.alias("g").join(
+        ud.alias("u"),
+        F.col("u.dnum").between(F.col("g.dnum") - 27, F.col("g.dnum")),
+    ).select(
+        F.col("g.day").alias("day"), F.col("g.dnum").alias("d"),
+        F.col("u.user_id").alias("user_id"), F.col("u.dnum").alias("ud"),
+    )
+    m = j.groupBy("day").agg(
+        F.countDistinct(F.when(F.col("ud") == F.col("d"), F.col("user_id"))).alias("dau"),
+        F.countDistinct("user_id").alias("mau"),
+    )
+    return m.select(
+        "day", "dau", "mau", (F.col("dau").cast("double") / F.col("mau")).alias("stickiness")
+    ).orderBy("day")
+
+
+@declared(
+    "ml08_ab_ztest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+             CAST(CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase') > 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS conv
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE grp = 0) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+             CAST(COUNT(*) FILTER (WHERE grp = 1) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+      FROM u)
+    SELECT n0, c0, n1, c1,
+           CAST(c0 AS DOUBLE) / n0 AS p0,
+           CAST(c1 AS DOUBLE) / n1 AS p1,
+           (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+           / NULLIF(sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                         * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                         * (1.0 / n0 + 1.0 / n1)), 0.0) AS z
+    FROM s
+    """,
+)
+def ml08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the experiment readout: conversion rates of
+    two user cohorts (deterministic user_id-parity assignment standing in
+    for the bucketing hash) with the pooled-variance z statistic. The
+    corpus reduces ONCE to per-user (group, converted) — the same
+    sufficient-statistics discipline as ml01/ml04 — then FOUR integers
+    feed one fixed-shape expression (two rate divisions, the pooled rate,
+    one sqrt, one final division — identical IEEE op order both engines,
+    bit-exact with no rounding). Any experiment size returns exactly one
+    row; significance thresholds apply downstream."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("long").alias("grp"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("conv"),
+    )
+    s = u.agg(
+        F.count(F.when(F.col("grp") == 0, 1)).alias("n0"),
+        F.sum(F.when(F.col("grp") == 0, F.col("conv")).otherwise(0)).alias("c0"),
+        F.count(F.when(F.col("grp") == 1, 1)).alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("conv")).otherwise(0)).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    # a degenerate experiment (pooled rate 0 or 1) has zero variance: the
+    # z statistic is undefined — NULL, not a DIVIDE_BY_ZERO abort (ANSI)
+    z = (p0 - p1) / F.nullif(
+        F.sqrt(
+            pp * (F.lit(1.0) - pp) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+        ),
+        F.lit(0.0),
+    )
+    return s.select(
+        "n0", "c0", "n1", "c1", p0.alias("p0"), p1.alias("p1"), z.alias("z")
+    )
