@@ -4292,3 +4292,64 @@ def zarr99(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("il", "xl")
     )
+
+
+@declared(
+    "zarr100_processing_line",
+    oracle=_CELLS_CENTS + """
+    , tgt AS (
+      SELECT r.row, t.t0,
+             CAST(floor(sqrt(CAST(t.t0 * t.t0 + 4 * r.row * r.row AS DOUBLE)))
+                  AS BIGINT) AS i0
+      FROM (SELECT unnest(range(16)) AS row) r,
+           (SELECT unnest(range(48)) AS t0) t
+    ),
+    g AS (
+      SELECT tgt.row, tgt.t0, c.c,
+             LEAST(GREATEST(tgt.i0 - 2 * tgt.row + 1, 0), 4) AS wq
+      FROM tgt JOIN cells c ON c.row = tgt.row AND c.col = tgt.i0
+    )
+    SELECT t0, CAST(SUM(wq) AS BIGINT) AS fold_q,
+           CAST(SUM(c * wq) AS DOUBLE) / (100.0 * SUM(wq)) AS stack_v
+    FROM g WHERE wq > 0 GROUP BY t0 ORDER BY t0
+    """,
+)
+def zarr100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PROCESSING LINE: mute → NMO → weighted stack as ONE declarative
+    plan — the round-trip argument that a user of the reference can run
+    their whole 2-D flow as a single query. Each output sample gathers
+    its moveout-corrected input (zarr80's analytic table, nearest-sample
+    so cents STAY INTEGER), weights it by the offset-dependent mute taper
+    evaluated at the corrected time (zarr82's clamped quarter-units), and
+    the stack is a taper-weighted fold-normalized mean per t0. Every
+    stage is exact integer arithmetic until the single final division —
+    three processing steps, one broadcast join + one keyed reduce, no
+    intermediate volumes materialized anywhere (contrast a pipeline of
+    materialized mute/NMO cubes: here Catalyst fuses the whole line into
+    the scan's projection)."""
+    cells = _grid_cents(spark, sf_dir, 16)
+    rows = spark.range(16).select(F.col("id").alias("row"))
+    tgt = rows.select(
+        "row", F.explode(F.sequence(F.lit(0), F.lit(47))).alias("t0")
+    ).select(
+        "row",
+        "t0",
+        F.floor(
+            F.sqrt((F.col("t0") * F.col("t0") + 4 * F.col("row") * F.col("row")).cast("double"))
+        ).alias("i0"),
+    )
+    wq = F.least(F.greatest(F.col("i0") - 2 * F.col("row") + 1, F.lit(0)), F.lit(4))
+    g = (
+        cells.select("row", F.col("col").alias("i0"), "c")
+        .join(F.broadcast(tgt), ["row", "i0"])
+        .select("t0", "c", wq.alias("wq"))
+        .filter(F.col("wq") > 0)
+    )
+    return (
+        g.groupBy("t0")
+        .agg(
+            F.sum("wq").alias("fold_q"),
+            (F.sum(F.col("c") * F.col("wq")).cast("double") / (100.0 * F.sum("wq"))).alias("stack_v"),
+        )
+        .orderBy("t0")
+    )
