@@ -2985,3 +2985,61 @@ def ml08(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n0", "c0", "n1", "c1", p0.alias("p0"), p1.alias("p1"), z.alias("z")
     )
+
+
+@declared(
+    "ga05_label_prop_step",
+    oracle="""
+    WITH e AS (
+      SELECT l1.l_suppkey AS a, l2.l_suppkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+      GROUP BY a, b),
+    ud AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM ud)
+    SELECT n.node,
+           CAST(LEAST(n.node, MIN(ud.dst)) AS BIGINT) AS new_label
+    FROM nodes n LEFT JOIN ud ON ud.src = n.node
+    GROUP BY n.node ORDER BY n.node
+    """,
+)
+def ga05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One min-label propagation step over the supplier co-occurrence
+    graph: every node adopts the smallest label in its closed
+    neighborhood — THE primitive d06's distributed connected-components
+    fallback iterates to a fixed point, surfaced as its own declared
+    gate so the iteration's single step is differentially pinned (ga04
+    does the weighted-PageRank analog). One keyed min over the mirrored
+    edge list co-partitioned with the node set; per sweep the shuffle
+    carries one (src, dst) pair per edge and the state is one label per
+    node — the message-passing shape at any graph size. Exact integers."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("supps")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("supps"),
+                        lambda a: F.transform(
+                            F.col("supps"),
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").distinct()
+    ud = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    nodes = ud.select(F.col("src").alias("node")).distinct()
+    return (
+        nodes.join(ud, nodes["node"] == ud["src"], "left")
+        .groupBy("node")
+        .agg(F.least(F.col("node"), F.min("dst")).cast("long").alias("new_label"))
+        .orderBy("node")
+    )

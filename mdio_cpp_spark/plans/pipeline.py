@@ -4271,3 +4271,42 @@ def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+@declared(
+    "t23_lexical_complexity",
+    oracle=f"""
+    WITH w AS (SELECT lang, unnest({_DD_TOKS}) AS w FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_extract_all(w, '[aeiou]+'))) AS BIGINT) AS n_syllables,
+           CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(regexp_extract_all(w, '[aeiou]+'))) AS DOUBLE) / COUNT(*)
+           AS syl_per_word,
+           CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS chars_per_word
+    FROM w GROUP BY lang ORDER BY lang
+    """,
+)
+def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical complexity per language: syllables-per-word (vowel-group
+    approximation — the standard cheap proxy under Flesch-style
+    readability) and characters-per-word — the complexity axis of the
+    quality dashboard that t02's composite score and p15's fertility
+    don't isolate (a source drifting toward jargon shows here first).
+    Both counters are codegen'd regex/length expressions evaluated
+    map-side per token; the reduce is |langs| rows of exact integer sums
+    with one division per ratio."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    w = d.select("lang", F.explode(text.tokens(F.col("text"))).alias("w"))
+    syl = F.size(F.expr("regexp_extract_all(w, '[aeiou]+', 0)")).cast("long")
+    return (
+        w.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(syl).alias("n_syllables"),
+            F.sum(F.length("w").cast("long")).alias("n_chars"),
+            (F.sum(syl).cast("double") / F.count(F.lit(1))).alias("syl_per_word"),
+            (F.sum(F.length("w").cast("long")).cast("double") / F.count(F.lit(1))).alias("chars_per_word"),
+        )
+        .orderBy("lang")
+    )
