@@ -4310,3 +4310,32 @@ def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@declared(
+    "st08_sliding_rate",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS TIMESTAMP) AS s0
+      FROM events),
+    w AS (
+      SELECT event_type, s0 AS ws FROM x
+      UNION ALL
+      SELECT event_type, s0 - INTERVAL 5 MINUTE FROM x)
+    SELECT ws, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM w GROUP BY ws, event_type ORDER BY ws, event_type
+    """,
+)
+def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate, batch twin (streaming parity pinned in
+    test_streaming.test_sliding_rate_parity): 10-minute windows hopping
+    every 5 — the overlap that tumbling windows lack, so a burst
+    straddling a boundary still fills SOME window (the SLO-alert shape;
+    st01 is the tumbling counterpart). Each event expands into exactly
+    length/hop = 2 epoch-aligned windows map-side — the oracle writes
+    that expansion explicitly, Spark's F.window does it natively — then
+    one (window, type) partial agg; streaming keeps length/hop open
+    windows of state per key, bounded by the watermark."""
+    e = _t(spark, sf_dir, "events")
+    return ev.sliding_event_rate(e).orderBy("ws", "event_type")

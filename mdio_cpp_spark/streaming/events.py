@@ -161,3 +161,21 @@ def enrich_with_type_stats(events: DataFrame, type_stats: DataFrame) -> DataFram
         "event_type",
         (F.round(F.col("value") * 100).cast("double") - F.col("avg_value_e2")).alias("dev_e2"),
     )
+
+
+def sliding_event_rate(events: DataFrame, window: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    """SLIDING-window event counts per type (window length > hop → each
+    event lands in length/hop windows). The one window shape the tumbling
+    (windowed_event_agg) and session (sessionize) operators don't cover —
+    rate monitors and SLO alerts want overlap so a burst can't straddle a
+    boundary unseen. Same epoch-aligned ``F.window`` in batch and
+    streaming; in streaming the state per key is length/hop open windows."""
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+
+
+def stream_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_event_rate(stream_events(spark, sf_dir))

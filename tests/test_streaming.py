@@ -8,7 +8,12 @@ from __future__ import annotations
 import tempfile
 
 from mdio_cpp_spark.catalog import table
-from mdio_cpp_spark.streaming.events import stream_windowed_agg, windowed_event_agg
+from mdio_cpp_spark.streaming.events import (
+    sliding_event_rate,
+    stream_sliding_rate,
+    stream_windowed_agg,
+    windowed_event_agg,
+)
 
 
 def test_stream_windowed_agg_matches_batch(spark, sf_dir):
@@ -539,3 +544,29 @@ def test_stream_window_topk_parity(spark, sf_dir):
     ).collect()
     streamed = {(r["win_start"], r["rk"]): (r["event_type"], r["n"]) for r in rows}
     assert streamed == batch and len(batch) > 0
+
+
+def test_sliding_rate_parity(spark, sf_dir):
+    """st08's contract: the sliding-window (10 min / 5 min hop) rate from
+    the streaming path equals the batch twin exactly — every event in
+    BOTH its overlapping windows on both paths."""
+    batch = (
+        sliding_event_rate(table(spark, sf_dir, "events"))
+        .orderBy("ws", "event_type")
+        .collect()
+    )
+    stream_df = stream_sliding_rate(spark, sf_dir)
+    assert stream_df.isStreaming
+    with tempfile.TemporaryDirectory(dir="/root/repo/.zarr_cache") as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName("sliding_parity")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    streamed = spark.sql("SELECT * FROM sliding_parity").orderBy("ws", "event_type").collect()
+    assert len(streamed) == len(batch) and len(batch) > 0
+    assert streamed == batch
