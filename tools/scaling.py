@@ -38,6 +38,11 @@ PICKS = [
     ("p12_dataset_card", "per-source datasheet in one aggregate pass"),
     ("zarr67_where_update", "masked write-back (pushdown scan + chunk RMW)"),
     ("ga02_triangle_count", "triangle census on the persisted top-edge set"),
+    ("zarr90_cube_scan", "rank-3 chunk-box-pruned sub-volume extraction"),
+    ("zarr100_processing_line", "fused mute -> NMO -> stack, one plan"),
+    ("v12_pq_adc", "PQ asymmetric-distance search over stored codes"),
+    ("mm09_shard_plan", "byte-offset shard packing (two-level prefix sum)"),
+    ("d14_minhash_estimate_audit", "estimator audit off one shared minhash pass"),
 ]
 
 
