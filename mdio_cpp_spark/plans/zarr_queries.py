@@ -4353,3 +4353,50 @@ def zarr100(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t0")
     )
+
+
+@declared(
+    "zarr101_corner_turn",
+    oracle=_CELLS_CENTS + """
+    SELECT col, row, c / 100.0 AS v
+    FROM cells WHERE row < 16 ORDER BY col, row
+    """,
+)
+def zarr101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORNER TURN: materialize the transpose of the 2-D grid into a NEW
+    store with transposed dims AND transposed chunking — the famous
+    seismic re-layout (trace-order → slice-order) that turns zarr92's
+    adversarial access pattern into a sequential one, and historically
+    the single most IO-bound step in a processing shop. On Spark it is
+    exactly ONE chunk-keyed shuffle: the pruned scan re-keys (row, col) →
+    (col, row) map-side, the writer's chunk-aligned repartition routes
+    every cell to its TRANSPOSED chunk owner, and whole chunks write
+    once. The gate reopens the new store and hash-matches the written
+    bytes against the transposed SQL — write-path verification at a
+    chunking the source store never had. Idempotent per build marker
+    (own store; shared fixtures untouched)."""
+    from mdio_cpp_spark.sources.writer import write_array
+
+    base = ensure_stores(spark, sf_dir)
+    src = MdioDataset.open(os.path.join(base, "grid_v2.zarr"))
+    path = os.path.join(base, "corner.zarr")
+    marker = os.path.join(base, ".built_corner_v1")
+    scan = src.isel(row=(0, 16)).to_df(spark, "grid", value_col="v")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        st = ZarrStore.create(path, version=2, attrs={"name": "corner_mdio"})
+        st.create_array(
+            "gridT", shape=(GRID_C, 16), chunks=(32, 8),
+            dtype="float64", dims=("col", "row"),
+            compressor={"id": "zlib", "level": 1},
+        )
+        st.consolidate()
+        write_array(
+            scan.select("col", "row", "v"), path, "gridT", value_cols="v"
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    out = MdioDataset.open(path).var("gridT").to_df(spark, value_col="v")
+    return out.select("col", "row", "v").orderBy("col", "row")
