@@ -256,3 +256,29 @@ def test_grouped_percentiles_high_cardinality_groups(spark):
     for g in (0, 1, 4_999, 9_999):
         assert rows[g]["p50"] == float(g + 3)
         assert rows[g]["p25"] == float(g) + 1.5
+
+
+def test_zip_index_is_exact_sorted_permutation(spark):
+    """_zip_index (the no-global-window zipWithIndex) must assign EXACTLY
+    0..n-1, in the total order of its sort keys, for awkward shapes:
+    duplicate keys, skewed clusters, negatives, and n smaller than the
+    parallelism (empty quantile buckets)."""
+    import random
+
+    from mdio_cpp_spark.plans.zarr_queries import _zip_index
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    cases = [
+        [(rng.choice([1.0, 2.0, 3.0]), i) for i in range(50)],   # heavy dups
+        [(float(rng.randint(-5, 5)), i) for i in range(200)],    # negatives
+        [(1.0, i) for i in range(7)],                            # constant, tiny
+        [(rng.random() * (10 ** rng.randint(0, 6)), i) for i in range(300)],  # skew
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "k double, tie long")
+        out = _zip_index(df, ["k", "tie"], F.col("k"), "idx").collect()
+        got = sorted((r["idx"], r["k"], r["tie"]) for r in out)
+        assert [g[0] for g in got] == list(range(len(rows)))
+        expect = sorted((k, t) for k, t in rows)
+        assert [(g[1], g[2]) for g in got] == expect
