@@ -4400,3 +4400,32 @@ def zarr101(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write("ok")
     out = MdioDataset.open(path).var("gridT").to_df(spark, value_col="v")
     return out.select("col", "row", "v").orderBy("col", "row")
+
+
+@declared(
+    "zarr102_phase",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i,
+           ROUND(atan2(CAST(o_custkey * 100 AS BIGINT),
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT)), 4) AS phase
+    FROM (SELECT o_totalprice, o_custkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 900 AND rn - 1 < 5000
+    ORDER BY i
+    """,
+)
+def zarr102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instantaneous phase arg(z) = atan2(im, re) over the stored
+    complex128 array — zarr72's amplitude twin, together the polar
+    decomposition seismic attribute work starts from. The arguments are
+    exact integer cents (scaling cancels inside atan2), so the single
+    transcendental is the ONLY inexact op; atan2's libm-vs-java.lang.Math
+    ULP drift is absorbed by the 4dp display contract (a15's rule —
+    contrast zarr72, whose sqrt is correctly rounded and ships unrounded).
+    Pure map-side arithmetic over the chunk-pruned slice."""
+    ds = MdioDataset.open(_main_store(spark, sf_dir))
+    df = ds.isel(i=(900, 5000)).to_df(spark, "cpx")
+    re_c = F.round(F.col("value_re") * 100).cast("long")
+    im_c = (F.col("value_im") * 100).cast("long")
+    return df.select(
+        "i", F.round(F.atan2(im_c, re_c), 4).alias("phase")
+    ).orderBy("i")
