@@ -169,6 +169,29 @@ def ivf_assign(
     )
 
 
+def ivf_assign_scored(
+    df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame
+) -> DataFrame:
+    """ivf_assign, keeping the winning rounded cosine alongside the cell —
+    calibration/routing consumers (ml07) need the CONFIDENCE of the argmax,
+    not just its identity. Same broadcast + partial-agg shape; the packed
+    (cc, cid) struct max makes score and winner atomically consistent."""
+    cents = F.broadcast(centroids.withColumn("__cn", vectors.norm(F.col("cv"))))
+    scored = df.select(
+        F.col(id_col), F.col(vec_col), vectors.norm(F.col(vec_col)).alias("__vn")
+    ).join(cents, how="cross").select(
+        id_col,
+        F.col("cid"),
+        F.round(
+            vectors.cosine_parts(vectors.dot(F.col(vec_col), F.col("cv")), F.col("__vn"), F.col("__cn")), 6
+        ).alias("__cc"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("__cc").alias("cc"), F.col("cid").alias("cid"))).alias("m")
+    )
+    return best.select(id_col, F.col("m.cid").alias("cell"), F.col("m.cc").alias("cc"))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -4098,45 +4098,27 @@ def ml07(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; accuracy is one int/int division over a ≤20-key reduce. The
     corpus-scale work is exactly v08's broadcast-centroid argmax with the
     winning score carried through."""
-    from pyspark.sql import Window as W
-
     e = _t(spark, sf_dir, "embeddings")
     pos = e.select(
-        "vec_id", "label",
+        "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
     )
     cent = pos.groupBy(F.col("label").alias("cid"), "pos").agg(F.avg("x").alias("c"))
-    cn = cent.groupBy("cid").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"))
-    vn = pos.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vn"))
-    dots = (
-        pos.join(cent, "pos")
-        .groupBy("vec_id", "label", "cid")
-        .agg(F.sum(F.col("x") * F.col("c")).alias("dot"))
+    cent_arr = cent.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
     )
-    scored = (
-        dots.join(vn, "vec_id")
-        .join(F.broadcast(cn), "cid")
-        .select(
-            "vec_id", "label", "cid",
-            F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 6).alias("cc"),
-        )
-    )
-    pred = (
-        scored.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.col("cc").desc(), F.col("cid").desc())
-            ),
-        )
-        .filter(F.col("rn") == 1)
+    pred = similarity.ivf_assign_scored(e, "vec_id", "embedding", cent_arr).join(
+        e.select("vec_id", "label"), "vec_id"
     )
     return (
         pred.groupBy(F.floor(F.col("cc") * 20).cast("long").alias("conf_bin"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.count(F.when(F.col("cid") == F.col("label"), 1)).alias("n_correct"),
+            F.count(F.when(F.col("cell") == F.col("label"), 1)).alias("n_correct"),
             (
-                F.count(F.when(F.col("cid") == F.col("label"), 1)).cast("double")
+                F.count(F.when(F.col("cell") == F.col("label"), 1)).cast("double")
                 / F.count(F.lit(1))
             ).alias("accuracy"),
         )
