@@ -1,0 +1,178 @@
+"""Survey geolocation queries — the reference's ``seismic_reader`` example
+end-to-end (``examples/seismic_reader/main.cc:31-127``): read the UTM
+coordinate grids stored beside the cube, compute the survey footprint,
+convert to latitude/longitude (``utm.hh:82-148``), and geolocate the
+peak/trough amplitudes.
+
+The conversion formula lives ONCE in ``functions/geo.py`` as shared SQL text:
+the Spark plans fold it via ``selectExpr`` (pure built-in column math —
+codegen'd, map-side, no UDF) and the DuckDB oracles nest the identical text.
+The oracles re-derive the coordinate grid from its generating formula, so
+each query is a genuine store round-trip: Spark must read back exactly the
+grid the distributed writer laid down chunk-aligned.
+
+100-TB shape: coordinate grids are (inline × crossline) — for a real survey
+~1e8 cells, dwarfed by the amplitude volume. geo03 converts the WHOLE grid
+as map-side math on the chunk-pruned scan and reduces with a partial-agg
+min/max: no shuffle wider than the 1-row aggregate. geo02's pick frame is
+two rows, broadcast into the grid scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mdio_cpp_spark.functions.geo import apply_utm_stages, oracle_utm_sql
+from mdio_cpp_spark.model import MdioDataset
+from mdio_cpp_spark.plans.base import declared
+from mdio_cpp_spark.plans.zarr_queries import (
+    _CUBE_SQL,
+    CUBE_IL,
+    CUBE_XL,
+    ensure_stores,
+)
+
+# The grid's generating formula (see the cube-store build in
+# zarr_queries.ensure_stores): exact-integer doubles, re-derivable in SQL.
+_GRID_SQL = f"""
+    SELECT CAST(i.range AS BIGINT) AS il, CAST(x.range AS BIGINT) AS xl,
+           447000.0 + i.range * 250.0 + x.range * 25.0 AS easting,
+           7656000.0 + x.range * 250.0 - i.range * 25.0 AS northing
+    FROM range({CUBE_IL}) i, range({CUBE_XL}) x
+"""
+
+_GEO_COLS = "ROUND(lat, 6) AS lat, ROUND(lon, 6) AS lon"
+
+
+def _cube(spark: SparkSession, sf_dir: str) -> MdioDataset:
+    return MdioDataset.open(os.path.join(ensure_stores(spark, sf_dir), "cube_v2.zarr"))
+
+
+def _grid(spark: SparkSession, ds: MdioDataset) -> DataFrame:
+    """The (il, xl, easting, northing) grid read back from the store; the
+    join is chunk-aligned (both variables share the [4, 4] chunk grid)."""
+    gx = ds.var("cdp_x").to_df(spark, value_col="easting")
+    gy = ds.var("cdp_y").to_df(spark, value_col="northing")
+    return gx.join(gy, ["il", "xl"])
+
+
+@declared(
+    "geo01_survey_footprint",
+    oracle=oracle_utm_sql(
+        f"""
+        WITH grid AS ({_GRID_SQL}),
+        ext AS (SELECT MIN(easting) AS x_min, MAX(easting) AS x_max,
+                       MIN(northing) AS y_min, MAX(northing) AS y_max FROM grid)
+        SELECT c.corner,
+               CASE WHEN c.mx = 1 THEN ext.x_max ELSE ext.x_min END AS easting,
+               CASE WHEN c.my = 1 THEN ext.y_max ELSE ext.y_min END AS northing
+        FROM ext, (VALUES ('nw', 0, 1), ('ne', 1, 1), ('sw', 0, 0), ('se', 1, 0))
+                  AS c(corner, mx, my)
+        """,
+        f"corner, easting, northing, {_GEO_COLS}",
+    ) + " ORDER BY corner",
+)
+def geo01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey footprint (main.cc:41-53 ``GetExtents`` + ``print_corners`` /
+    ``web_display``): min/max extents of the stored UTM coordinate grids,
+    the four bounding-box corners, each converted to lat/lon. The extents
+    are partial-agg min/max over the coordinate scans (exact: the grid is
+    integer-valued doubles); the corner table is a 4-row literal crossed
+    against the 1-row extent frame — nothing data-sized moves."""
+    ds = _cube(spark, sf_dir)
+    ex = ds.var("cdp_x").to_df(spark, value_col="easting").agg(
+        F.min("easting").alias("x_min"), F.max("easting").alias("x_max"))
+    ey = ds.var("cdp_y").to_df(spark, value_col="northing").agg(
+        F.min("northing").alias("y_min"), F.max("northing").alias("y_max"))
+    corners = spark.createDataFrame(
+        [("nw", 0, 1), ("ne", 1, 1), ("sw", 0, 0), ("se", 1, 0)],
+        "corner string, mx int, my int")
+    pts = ex.crossJoin(ey).crossJoin(corners).selectExpr(
+        "corner",
+        "CASE WHEN mx = 1 THEN x_max ELSE x_min END AS easting",
+        "CASE WHEN my = 1 THEN y_max ELSE y_min END AS northing")
+    return apply_utm_stages(pts).selectExpr(
+        "corner", "easting", "northing", "ROUND(lat, 6) AS lat",
+        "ROUND(lon, 6) AS lon").orderBy("corner")
+
+
+@declared(
+    "geo02_peak_location",
+    oracle=oracle_utm_sql(
+        _CUBE_SQL + f""",
+        grid AS ({_GRID_SQL}),
+        picks AS (
+          SELECT * FROM (SELECT 'peak' AS kind, il, xl, t, v FROM cube
+                         ORDER BY v DESC, il, xl, t LIMIT 1)
+          UNION ALL
+          SELECT * FROM (SELECT 'trough' AS kind, il, xl, t, v FROM cube
+                         ORDER BY v ASC, il, xl, t LIMIT 1)
+        )
+        SELECT p.kind, p.il, p.xl, p.t,
+               CAST(ROUND(p.v * 100) AS BIGINT) AS v_cents,
+               g.easting, g.northing
+        FROM picks p JOIN grid g ON p.il = g.il AND p.xl = g.xl
+        """,
+        f"kind, il, xl, t, v_cents, easting, northing, {_GEO_COLS}",
+    ) + " ORDER BY kind",
+)
+def geo02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geolocate the volume's peak and trough amplitudes (main.cc:84-127:
+    ``CalculateVolumeStatistics`` positions → ``ds.sel`` on the coordinate
+    grids → ``utm_to_geo``). ONE pass over the amplitude volume computes
+    both picks as lexicographic struct min/max (exact compare, smallest
+    (il, xl, t) tie-break — the distributed form of the example's driver
+    walk, same shape as zarr43); the 2-row pick frame is then broadcast
+    into the chunk-aligned coordinate-grid join and converted map-side."""
+    ds = _cube(spark, sf_dir)
+    amp = ds.var("amp").to_df(spark, value_col="v")
+    agg = amp.agg(
+        F.max(F.struct(
+            F.col("v"), (-F.col("il")).alias("nil"),
+            (-F.col("xl")).alias("nxl"), (-F.col("t")).alias("nt"))).alias("pk"),
+        F.min(F.struct("v", "il", "xl", "t")).alias("tr"))
+    picks = agg.selectExpr(
+        "inline(array("
+        "named_struct('kind', 'peak', 'il', -pk.nil, 'xl', -pk.nxl,"
+        "             't', -pk.nt, 'v', pk.v),"
+        "named_struct('kind', 'trough', 'il', tr.il, 'xl', tr.xl,"
+        "             't', tr.t, 'v', tr.v)))")
+    pts = (
+        _grid(spark, ds)
+        .join(F.broadcast(picks), ["il", "xl"])
+        .withColumn("v_cents", F.round(F.col("v") * 100).cast("long"))
+        .drop("v")
+    )
+    return apply_utm_stages(pts).selectExpr(
+        "kind", "il", "xl", "t", "v_cents", "easting", "northing",
+        "ROUND(lat, 6) AS lat", "ROUND(lon, 6) AS lon").orderBy("kind")
+
+
+@declared(
+    "geo03_latlon_bbox",
+    oracle=oracle_utm_sql(
+        f"SELECT easting, northing FROM ({_GRID_SQL})",
+        "CAST(COUNT(*) AS BIGINT) AS n_points,"
+        " ROUND(MIN(lat), 6) AS lat_min, ROUND(MAX(lat), 6) AS lat_max,"
+        " ROUND(MIN(lon), 6) AS lon_min, ROUND(MAX(lon), 6) AS lon_max",
+    ),
+)
+def geo03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geographic bounding box of the FULL coordinate grid: convert every
+    (easting, northing) cell map-side and reduce to min/max lat/lon — the
+    exact footprint (the corner approximation geo01 mirrors from the example
+    is only exact for an axis-aligned grid; this grid is rotated, so the
+    true lat extremes land mid-edge). The scale shape: per-cell conversion
+    is codegen'd column math on the scan, the reduce is a partial-agg to one
+    row — no shuffle, no UDF, prunes with the chunk grid."""
+    ds = _cube(spark, sf_dir)
+    conv = apply_utm_stages(_grid(spark, ds).select("easting", "northing"))
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.min("lat"), 6).alias("lat_min"),
+        F.round(F.max("lat"), 6).alias("lat_max"),
+        F.round(F.min("lon"), 6).alias("lon_min"),
+        F.round(F.max("lon"), 6).alias("lon_max"))

@@ -39,7 +39,7 @@ from mdio_cpp_spark.sources.zarr_store import ZarrStore
 from mdio_cpp_spark.utils.trim import trim_dataset
 
 CACHE_ROOT = "/root/repo/.zarr_cache"
-BUILD_TAG = "v5"  # bump to invalidate cached stores after builder changes
+BUILD_TAG = "v6"  # bump to invalidate cached stores after builder changes
 CHUNK = 2048
 GRID_C = 64       # grid2d column count; rows adapt to sf (cap 128)
 CUBE_IL, CUBE_XL, CUBE_T = 8, 8, 16   # 3-D cube dims (zarr90/91); 8 chunk boxes of 4x4x8
@@ -296,6 +296,17 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> str:
                  "dimensions": ["il", "xl", "t"],
                  "metadata": {"chunkGrid": {"name": "regular",
                                             "configuration": {"chunkShape": [4, 4, 8]}}}},
+                # UTM coordinate grids (the reference survey's cdp-x/cdp-y,
+                # examples/seismic_reader/main.hh GetUTMCoords): 2-D over the
+                # lateral dims, chunked to align with amp's chunk boxes
+                {"name": "cdp_x", "dataType": "float64",
+                 "dimensions": ["il", "xl"],
+                 "metadata": {"chunkGrid": {"name": "regular",
+                                            "configuration": {"chunkShape": [4, 4]}}}},
+                {"name": "cdp_y", "dataType": "float64",
+                 "dimensions": ["il", "xl"],
+                 "metadata": {"chunkGrid": {"name": "regular",
+                                            "configuration": {"chunkShape": [4, 4]}}}},
             ],
         }
         cds = MdioDataset.from_json(cspec, cube)
@@ -307,6 +318,23 @@ def ensure_stores(spark: SparkSession, sf_dir: str) -> str:
             F.col("o_totalprice").alias("v"),
         )
         cds.var("amp").write_df(ccells, value_cols="v")
+        # a gently rotated acquisition grid in MGA Zone 51 (southern
+        # hemisphere): exact-integer doubles, so the store round-trip is
+        # bit-exact and the geo01-03 oracles can re-derive the grid
+        cgrid = ords.filter(F.col("i") < CUBE_IL * CUBE_XL).select(
+            F.expr(f"i div {CUBE_XL}").alias("il"),
+            (F.col("i") % CUBE_XL).alias("xl"),
+        )
+        cds.var("cdp_x").write_df(
+            cgrid.select("il", "xl",
+                         (447000.0 + F.col("il") * 250.0 + F.col("xl") * 25.0).alias("v")),
+            value_cols="v",
+        )
+        cds.var("cdp_y").write_df(
+            cgrid.select("il", "xl",
+                         (7656000.0 + F.col("xl") * 250.0 - F.col("il") * 25.0).alias("v")),
+            value_cols="v",
+        )
         for dn, sz in (("il", CUBE_IL), ("xl", CUBE_XL), ("t", CUBE_T)):
             cds.var(dn).write_df(
                 ords.filter(F.col("i") < sz).select(F.col("i").alias(dn), F.col("i").alias("v")),
