@@ -46,6 +46,18 @@ _GRID_SQL = f"""
 
 _GEO_COLS = "ROUND(lat, 6) AS lat, ROUND(lon, 6) AS lon"
 
+# extents → the four bounding-box corners (shared by geo01 and geo04)
+_CORNERS_SQL = f"""
+    WITH grid AS ({_GRID_SQL}),
+    ext AS (SELECT MIN(easting) AS x_min, MAX(easting) AS x_max,
+                   MIN(northing) AS y_min, MAX(northing) AS y_max FROM grid)
+    SELECT c.corner,
+           CASE WHEN c.mx = 1 THEN ext.x_max ELSE ext.x_min END AS easting,
+           CASE WHEN c.my = 1 THEN ext.y_max ELSE ext.y_min END AS northing
+    FROM ext, (VALUES ('nw', 0, 1), ('ne', 1, 1), ('sw', 0, 0), ('se', 1, 0))
+              AS c(corner, mx, my)
+"""
+
 
 def _cube(spark: SparkSession, sf_dir: str) -> MdioDataset:
     return MdioDataset.open(os.path.join(ensure_stores(spark, sf_dir), "cube_v2.zarr"))
@@ -62,16 +74,7 @@ def _grid(spark: SparkSession, ds: MdioDataset) -> DataFrame:
 @declared(
     "geo01_survey_footprint",
     oracle=oracle_utm_sql(
-        f"""
-        WITH grid AS ({_GRID_SQL}),
-        ext AS (SELECT MIN(easting) AS x_min, MAX(easting) AS x_max,
-                       MIN(northing) AS y_min, MAX(northing) AS y_max FROM grid)
-        SELECT c.corner,
-               CASE WHEN c.mx = 1 THEN ext.x_max ELSE ext.x_min END AS easting,
-               CASE WHEN c.my = 1 THEN ext.y_max ELSE ext.y_min END AS northing
-        FROM ext, (VALUES ('nw', 0, 1), ('ne', 1, 1), ('sw', 0, 0), ('se', 1, 0))
-                  AS c(corner, mx, my)
-        """,
+        _CORNERS_SQL,
         f"corner, easting, northing, {_GEO_COLS}",
     ) + " ORDER BY corner",
 )
@@ -176,3 +179,72 @@ def geo03(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("lat"), 6).alias("lat_max"),
         F.round(F.min("lon"), 6).alias("lon_min"),
         F.round(F.max("lon"), 6).alias("lon_max"))
+
+
+# ---- geo04: the example's GeoJSON polygon + web-map URL --------------------
+
+# urlEncode (utm.hh:158-174) keeps [A-Za-z0-9-_.~] and percent-encodes the
+# rest; these are the only non-kept characters the polygon string contains
+_URL_ENC = [("{", "%7B"), ("}", "%7D"), ('"', "%22"), (":", "%3A"),
+            ("[", "%5B"), ("]", "%5D"), (",", "%2C")]
+
+_GEOJSON_PREFIX = "http://geojson.io/#data=data:application/json,"
+
+
+def _poly_sql(fmtfn: str) -> str:
+    """The polygon-string aggregate over the 4-row (corner, lat, lon) frame,
+    ring order nw→ne→se→sw→nw (encodeGeoJSONBoundingBoxURL, utm.hh:196-213).
+    ``fmtfn`` is the engine's printf-style formatter (Spark `format_string`,
+    DuckDB `printf`) — fixed 6-dp display (≈0.1 m; the example prints ostream
+    6-significant-digit defaults, a lossier contract we tighten)."""
+    def pick(c: str, col: str) -> str:
+        return f"MAX(CASE WHEN corner = '{c}' THEN {fmtfn}('%.6f', ROUND({col}, 6)) END)"
+
+    def pt(c: str) -> str:
+        return f"'[' || {pick(c, 'lon')} || ',' || {pick(c, 'lat')} || ']'"
+
+    ring = " || ',' || ".join([pt("nw"), pt("ne"), pt("se"), pt("sw"), pt("nw")])
+    return '\'{"type":"Polygon","coordinates":[[\' || ' + ring + " || ']]}'"
+
+
+def _urlencode_sql(col: str) -> str:
+    out = col
+    for raw, enc in _URL_ENC:
+        out = f"replace({out}, '{raw}', '{enc}')"
+    return out
+
+
+@declared(
+    "geo04_geojson_url",
+    oracle=(
+        f"SELECT geojson, '{_GEOJSON_PREFIX}' || {_urlencode_sql('geojson')} AS url "
+        f"FROM (SELECT ({_poly_sql('printf')}) AS geojson "
+        f"FROM ({oracle_utm_sql(_CORNERS_SQL, 'corner, lat, lon')}))"
+    ),
+)
+def geo04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The example's shareable map link (``utm.hh:180-218``
+    ``encodeGeoJSONBoundingBoxURL`` + ``urlEncode``): the survey bounding
+    box as a closed GeoJSON Polygon ring (nw→ne→se→sw→nw) and its
+    percent-encoded geojson.io URL. String assembly is deterministic in
+    both engines: corners are pinned by geo01's hash gate, formatting is an
+    explicit ``%.6f`` contract (no locale/ostream defaults), and the encode
+    is a fixed replace chain over the characters the string can contain.
+    Everything past the 4-row corner frame is constant-size work."""
+    ds = _cube(spark, sf_dir)
+    ex = ds.var("cdp_x").to_df(spark, value_col="easting").agg(
+        F.min("easting").alias("x_min"), F.max("easting").alias("x_max"))
+    ey = ds.var("cdp_y").to_df(spark, value_col="northing").agg(
+        F.min("northing").alias("y_min"), F.max("northing").alias("y_max"))
+    corners = spark.createDataFrame(
+        [("nw", 0, 1), ("ne", 1, 1), ("sw", 0, 0), ("se", 1, 0)],
+        "corner string, mx int, my int")
+    pts = ex.crossJoin(ey).crossJoin(corners).selectExpr(
+        "corner",
+        "CASE WHEN mx = 1 THEN x_max ELSE x_min END AS easting",
+        "CASE WHEN my = 1 THEN y_max ELSE y_min END AS northing")
+    one = apply_utm_stages(pts).selectExpr(
+        f"({_poly_sql('format_string')}) AS geojson")
+    return one.selectExpr(
+        "geojson",
+        f"'{_GEOJSON_PREFIX}' || {_urlencode_sql('geojson')} AS url")

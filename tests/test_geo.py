@@ -78,6 +78,25 @@ def test_sql_stages_vectorized_grid(spark):
         assert got[p][1] == pytest.approx(float(lo), abs=1e-9)
 
 
+def test_geojson_url_wellformed(spark):
+    import json as _json
+
+    from mdio_cpp_spark.plans import REGISTRY
+
+    row = REGISTRY["geo04_geojson_url"].spark(
+        spark, "/root/testdata/sf0.001").collect()[0]
+    poly = _json.loads(row["geojson"])  # the string must BE valid GeoJSON
+    assert poly["type"] == "Polygon"
+    ring = poly["coordinates"][0]
+    assert len(ring) == 5 and ring[0] == ring[-1]  # closed ring
+    for lon, lat in ring:
+        assert 117 < lon < 129 and -90 < lat < 0
+    # every reserved char is percent-encoded (utm.hh urlEncode contract)
+    tail = row["url"].split("#data=data:application/json,", 1)[1]
+    assert not set(tail) & set('{}":[],')
+    assert row["url"].startswith("http://geojson.io/#data=")
+
+
 def test_stages_drop_scratch_columns(spark):
     df = spark.createDataFrame([(450_000.0, 7_650_000.0)],
                                "easting double, northing double")
