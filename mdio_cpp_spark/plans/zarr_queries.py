@@ -4457,3 +4457,39 @@ def zarr102(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "i", F.round(F.atan2(im_c, re_c), 4).alias("phase")
     ).orderBy("i")
+
+
+@declared(
+    "zarr103_npy_export",
+    oracle=_CUBE_SQL + """
+    SELECT il, xl, t, v FROM cube
+    WHERE il BETWEEN 2 AND 5 AND xl BETWEEN 1 AND 4 AND t BETWEEN 4 AND 11
+    ORDER BY il, xl, t
+    """,
+)
+def zarr103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real_data_example's export sink (real_data_example.cc:63-78:
+    isel a sub-volume, read into one accessor, ``WriteNumpy`` a .npy): the
+    chunk-pruned rank-3 selection materializes driver-side under
+    utils/npy.py's hard size bound, round-trips through the public npy v1.0
+    format, and the frame returned is what a CONSUMER reads back from the
+    file — so the gate pins the full export chain (chunk-box pruning →
+    C-order assembly → header/bytes → reload), not just the scan. Bounded
+    by contract: .npy is a single driver buffer; volume-scale exports go
+    per-chunk (mm09 shard shape) or via to_df + a distributed sink."""
+    import pandas as pd
+
+    from mdio_cpp_spark.utils.npy import export_npy, import_npy
+
+    base = ensure_stores(spark, sf_dir)
+    ds = MdioDataset.open(os.path.join(base, "cube_v2.zarr"))
+    sel = ds.isel(il=(2, 6), xl=(1, 5), t=(4, 12))
+    path = os.path.join(base, "export_amp.npy")
+    shape = export_npy(sel.var("amp"), path)
+    arr = import_npy(path)
+    assert arr.shape == shape == (4, 4, 8)
+    idx = np.indices(arr.shape)
+    pdf = pd.DataFrame({
+        "il": (idx[0] + 2).ravel(), "xl": (idx[1] + 1).ravel(),
+        "t": (idx[2] + 4).ravel(), "v": arr.ravel()})
+    return spark.createDataFrame(pdf)
