@@ -94,6 +94,8 @@ PICKS = {
     "w15_rolling_corr": "rolling correlation from SIX exact integer frame sums over the per-day aggregate (|days| rows, the asof-boundary allowance); the correlation is one fixed-shape row expression — no second pass, no float accumulation",
     "s10_priority_sample": "weighted sampling as TakeOrderedAndProject: priority keys compute map-side (one md5 + one division per row), the engine keeps per-partition top-16 — no shuffle of the corpus, no window over data",
     "ga04_pagerank_step": "one message-passing iteration: bounded within-order pair expansion, a 2x map-side mirror, strength agg co-partitioned with the contribution join on src, dst-keyed rank update",
+    "geo02_peak_location": "both picks (peak+trough) come from ONE partial-aggregatable pass over the volume (lexicographic struct min/max); the 2-row pick frame broadcasts into the chunk-aligned coordinate-grid join; the 14-stage UTM conversion is pure codegen'd column math after the join",
+    "geo03_latlon_bbox": "whole-grid UTM->geo: every transcendental stage is a projection over the chunk-pruned coordinate scans (no UDF, no Python), the grid join is chunk-aligned on (il, xl), and the only reduce is a partial-agg min/max to ONE row — nothing data-sized shuffles",
 }
 
 
