@@ -102,7 +102,14 @@ _SCRATCH = [n for n, _ in UTM_STAGES if n.startswith("g_")]
 
 def apply_utm_stages(df: DataFrame) -> DataFrame:
     """Fold the shared stages over a frame with ``easting``/``northing``
-    columns; adds ``lat``/``lon`` (degrees, unrounded) and drops scratch."""
+    columns; adds ``lat``/``lon`` (degrees, unrounded) and drops scratch.
+
+    Inputs are cast to double first: Spark parses bare ``123.0`` SQL
+    literals as DECIMAL, and a caller who derived the coordinates with such
+    literals would otherwise run the early stages in decimal arithmetic —
+    numerically different from the double contract the oracle shares."""
+    df = df.withColumn("easting", df["easting"].cast("double")).withColumn(
+        "northing", df["northing"].cast("double"))
     for name, expr in UTM_STAGES:
         df = df.selectExpr("*", f"({expr}) AS {name}")
     return df.drop(*_SCRATCH)

@@ -78,6 +78,28 @@ def test_sql_stages_vectorized_grid(spark):
         assert got[p][1] == pytest.approx(float(lo), abs=1e-9)
 
 
+def test_sql_stages_large_grid_distributed(spark):
+    """The 100-TB shape in miniature: 50k grid cells converted as column
+    math over a partitioned range — checked pointwise against the numpy
+    twin (no collect-driven math on the Spark side)."""
+    n = 50_000
+    # CAST: bare `400000.0` in Spark SQL is a DECIMAL literal; without the
+    # cast the derived columns would be decimal and the conversion would run
+    # in decimal arithmetic (exact here, but not the double contract)
+    df = spark.range(n, numPartitions=8).selectExpr(
+        "id",
+        "CAST(400000.0 + (id % 251) * 800.0 AS DOUBLE) AS easting",
+        "CAST(7500000.0 + (id div 251) * 2000.0 AS DOUBLE) AS northing")
+    rows = apply_utm_stages(df).orderBy("id").collect()
+    ids = np.arange(n)
+    lat, lon = utm_to_geo_np(400000.0 + (ids % 251) * 800.0,
+                             7500000.0 + (ids // 251) * 2000.0)
+    got_lat = np.array([r["lat"] for r in rows])
+    got_lon = np.array([r["lon"] for r in rows])
+    assert np.max(np.abs(got_lat - lat)) < 1e-9
+    assert np.max(np.abs(got_lon - lon)) < 1e-9
+
+
 def test_geojson_url_wellformed(spark):
     import json as _json
 
