@@ -86,6 +86,20 @@ def main() -> None:
         spans = located.var("stack").get_intervals()
         print(f"  sel({il_val}, {xl_val}) -> index box {spans}")
 
+    # survey geolocation (main.cc:31-53 + utm.hh): UTM extents of a cdp
+    # grid → corner lat/lon → shareable geojson.io link. The conversion is
+    # the shared SQL stage text (functions/geo.py) folded into the plan.
+    from mdio_cpp_spark.functions.geo import apply_utm_stages
+
+    cdp = spark.range(IL * XL).selectExpr(
+        f"CAST(447000.0 + (id div {XL}) * 250.0 + (id % {XL}) * 25.0 AS DOUBLE) AS easting",
+        f"CAST(7656000.0 + (id % {XL}) * 250.0 - (id div {XL}) * 25.0 AS DOUBLE) AS northing")
+    bbox = apply_utm_stages(cdp).agg(
+        F.round(F.min("lat"), 6).alias("lat_min"), F.round(F.max("lat"), 6).alias("lat_max"),
+        F.round(F.min("lon"), 6).alias("lon_min"), F.round(F.max("lon"), 6).alias("lon_max"),
+    ).collect()[0]
+    print("survey lat/lon bbox:", bbox.asDict())
+
     # commit the stats into the store metadata (A6/IO7)
     ds.set_stats("stack", {k: (float(v) if v is not None else None) for k, v in stats.asDict().items()})
     ds.commit_metadata()
