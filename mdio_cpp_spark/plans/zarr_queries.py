@@ -4493,3 +4493,55 @@ def zarr103(spark: SparkSession, sf_dir: str) -> DataFrame:
         "il": (idx[0] + 2).ravel(), "xl": (idx[1] + 1).ravel(),
         "t": (idx[2] + 4).ravel(), "v": arr.ravel()})
     return spark.createDataFrame(pdf)
+
+
+@declared(
+    "zarr104_blosc_lz4_store",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+    FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 500 AND rn - 1 < 4500
+    """,
+)
+def zarr104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blosc-LZ4 store round-trip with NO wheel — zarr51's gate extended to
+    the cname the reference family actually defaults to: chunks encode and
+    decode through the pure-Python LZ4 block codec (sources/lz4.py, public
+    block format) inside blosc1 frames, INCLUDING c-blosc's split-stream
+    layout (full blocks here split into 8 byte-lane sub-streams: typesize 8,
+    block/8 >= 128). Decode sniffs split vs single-stream from each block's
+    region extent, so reading c-blosc's own frames does not depend on
+    replicating its predicate constants. Store built once, then a
+    chunk-pruned isel slice aggregates against the orders oracle."""
+    from mdio_cpp_spark.sources.writer import write_array
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "blosc_lz4.zarr")
+    marker = os.path.join(base, ".built_blosc_lz4_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select(
+            "i", F.col("o_totalprice").alias("v")
+        )
+        n = ords.count()
+        st = ZarrStore.create(path, version=2, attrs={"name": "blosc_lz4_mdio"})
+        st.create_array(
+            "price", shape=(n,), chunks=(CHUNK,), dtype="float64", dims=("i",),
+            compressor={"id": "blosc", "cname": "lz4", "clevel": 5,
+                        "shuffle": 1, "typesize": 8},
+        )
+        st.consolidate()
+        write_array(ords, path, "price", value_cols="v")
+        with open(marker, "w") as f:
+            f.write("1")
+    ds = MdioDataset.open(path)
+    return ds.isel(i=(500, 4500)).to_df(spark, "price", value_col="v").agg(
+        F.count("v").cast("long").alias("cnt"),
+        F.round(F.sum("v"), 2).alias("total"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )

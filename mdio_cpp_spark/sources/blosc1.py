@@ -28,9 +28,26 @@ vectorized. This module implements that subset natively:
       (little-endian bit order, the bitshuffle library's layout), same
       tail rule.
 
-Frames with any other cname raise CodecError — lz4/blosclz/snappy/zstd
-payloads genuinely need their wheels and stay honestly gated. Memcpy'd
-frames decode regardless of codec id (no decompression is involved).
+``cname=lz4`` frames are ALSO handled natively (sources/lz4.py implements
+the public LZ4 block format), including c-blosc's split-stream layout:
+blosclz/lz4 full blocks are split into ``typesize`` sub-streams, each with
+its own ``i32 csize | stream`` header (c-blosc 1.x blosc.c ``split_block``;
+leftover blocks never split). DECODE does not trust any predicate: each
+block's region extent (next block offset, else cbytes) determines whether
+one stream or ``typesize`` streams are present — a single-stream region is
+exactly ``4 + csize`` bytes, a split one cannot be — so reading real
+c-blosc frames is robust even if the predicate's constants drift between
+releases. ENCODE replicates the predicate (split lz4 full blocks when
+``typesize <= 16`` and ``blocksize/typesize >= 128``) so c-blosc's
+predicate-driven decoder lays our frames out the same way; with no wheel
+installable in-container this is transcribed from the public source, not
+differentially verified (tests/INTEROP_PROBE.md) — which is why the
+engine's own stores keep writing cname=zlib (never split in either
+implementation) unless a spec explicitly asks for lz4.
+
+Frames with blosclz/snappy/zstd payloads genuinely need their wheels and
+stay honestly gated. Memcpy'd frames decode regardless of codec id (no
+decompression is involved).
 """
 
 from __future__ import annotations
@@ -41,6 +58,8 @@ import zlib
 
 import numpy as np
 
+from mdio_cpp_spark.sources import lz4 as _lz4
+
 
 class BloscFormatError(RuntimeError):
     pass
@@ -49,6 +68,10 @@ class BloscFormatError(RuntimeError):
 BLOSC_VERSION_FORMAT = 2
 _CODEC_NAMES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
 _ZLIB_ID = 3
+_LZ4_ID = 1
+# c-blosc split predicate constants (blosc.c: MAX_SPLITS / MIN_BUFFERSIZE)
+_MAX_SPLITS = 16
+_MIN_BUFFERSIZE = 128
 _FLAG_SHUFFLE = 0x1
 _FLAG_MEMCPY = 0x2
 _FLAG_BITSHUFFLE = 0x4
@@ -134,9 +157,9 @@ def decompress(frame: bytes) -> bytes:
             raise BloscFormatError("memcpy frame shorter than nbytes")
         return bytes(frame[16 : 16 + nbytes])
     codec = (flags >> 5) & 0x7
-    if codec != _ZLIB_ID:
+    if codec not in (_ZLIB_ID, _LZ4_ID):
         raise BloscFormatError(
-            f"pure-python blosc decodes cname=zlib only; this frame is "
+            f"pure-python blosc decodes cname=zlib/lz4 only; this frame is "
             f"cname={_CODEC_NAMES.get(codec, codec)!r} (needs the blosc wheel)"
         )
     if blocksize <= 0:
@@ -145,22 +168,59 @@ def decompress(frame: bytes) -> bytes:
     if len(frame) < 16 + 4 * nblocks:
         raise BloscFormatError("blosc frame truncated in block index")
     bstarts = struct.unpack_from(f"<{nblocks}i", frame, 16)
+    # each block's region ends where the next one (by offset) starts; the
+    # last runs to cbytes — this extent decides split vs single-stream
+    # layout without trusting any encoder predicate (see module docstring)
+    ordered = sorted(bstarts)
+    region_end = {off: (ordered[k + 1] if k + 1 < nblocks else cbytes)
+                  for k, off in enumerate(ordered)}
+
+    def _stream(raw: bytes, want: int) -> bytes:
+        if len(raw) == want:
+            return bytes(raw)  # csize == uncompressed size → stored raw
+        if codec == _ZLIB_ID:
+            got = zlib.decompress(raw)
+        else:
+            try:
+                got = _lz4.decompress_block(raw, want)
+            except _lz4.LZ4FormatError as e:
+                raise BloscFormatError(f"lz4 stream: {e}") from e
+        if len(got) != want:
+            raise BloscFormatError(
+                f"stream decoded to {len(got)} bytes, expected {want}")
+        return got
+
     out = bytearray()
     for i in range(nblocks):
         bsize = min(blocksize, nbytes - i * blocksize)
         off = bstarts[i]
         if off < 16 or off + 4 > len(frame):
             raise BloscFormatError(f"block {i} offset {off} out of range")
-        (csize,) = struct.unpack_from("<i", frame, off)
-        if csize < 0 or off + 4 + csize > len(frame):
-            raise BloscFormatError(f"block {i} stream size {csize} out of range")
-        raw = frame[off + 4 : off + 4 + csize]
-        block = bytes(raw) if csize == bsize else zlib.decompress(raw)
-        if len(block) != bsize:
-            raise BloscFormatError(
-                f"block {i} decoded to {len(block)} bytes, expected {bsize}"
-            )
-        out += _undo_shuffle(block, flags, typesize)
+        end = min(region_end[off], len(frame))
+        (csize0,) = struct.unpack_from("<i", frame, off)
+        if csize0 < 0 or off + 4 + csize0 > len(frame):
+            raise BloscFormatError(f"block {i} stream size {csize0} out of range")
+        if typesize == 1 or off + 4 + csize0 == end or bsize % typesize:
+            # single stream fills the region exactly (split regions cannot:
+            # they hold >= 2 sub-streams of >= 4 bytes each)
+            out += _undo_shuffle(_stream(frame[off + 4 : off + 4 + csize0],
+                                         bsize), flags, typesize)
+            continue
+        # split layout: typesize sub-streams of bsize/typesize bytes each
+        neblock = bsize // typesize
+        block = bytearray()
+        pos = off
+        for s in range(typesize):
+            if pos + 4 > end:
+                raise BloscFormatError(f"block {i} truncated in sub-stream {s}")
+            (cs,) = struct.unpack_from("<i", frame, pos)
+            pos += 4
+            if cs < 0 or pos + cs > end:
+                raise BloscFormatError(
+                    f"block {i} sub-stream {s} size {cs} out of range")
+            block += _stream(frame[pos : pos + cs], neblock)
+            pos += cs
+        out += _undo_shuffle(bytes(block), flags, typesize)
     return bytes(out)
 
 
@@ -170,13 +230,19 @@ def compress(
     clevel: int = 5,
     shuffle: int = 1,
     blocksize: int = 0,
+    cname: str = "zlib",
 ) -> bytes:
-    """Encode one blosc1 frame with zlib streams. ``shuffle``: 0 none,
-    1 byte-shuffle, 2 bit-shuffle (c-blosc's constants)."""
+    """Encode one blosc1 frame. ``shuffle``: 0 none, 1 byte-shuffle,
+    2 bit-shuffle (c-blosc's constants). ``cname``: 'zlib' (default — never
+    split, byte-layout verified against stdlib zlib) or 'lz4' (split per
+    c-blosc's predicate; see the module docstring's interop caveat)."""
+    if cname not in ("zlib", "lz4"):
+        raise BloscFormatError(f"pure-python blosc encodes zlib/lz4, not {cname!r}")
+    codec_id = _ZLIB_ID if cname == "zlib" else _LZ4_ID
     nbytes = len(data)
     if not 1 <= typesize <= 255:
         typesize = 1  # c-blosc treats out-of-range typesize as 1 (no shuffle)
-    flags = _ZLIB_ID << 5
+    flags = codec_id << 5
     if typesize > 1 and nbytes >= typesize:
         if shuffle == 1:
             flags |= _FLAG_SHUFFLE
@@ -186,7 +252,7 @@ def compress(
     def _memcpy_frame() -> bytes:
         head = struct.pack(
             "<BBBB iii",
-            BLOSC_VERSION_FORMAT, 1, (_ZLIB_ID << 5) | _FLAG_MEMCPY,
+            BLOSC_VERSION_FORMAT, 1, (codec_id << 5) | _FLAG_MEMCPY,
             typesize & 0xFF, nbytes, max(nbytes, 1), nbytes + 16,
         )
         return head + data
@@ -201,17 +267,34 @@ def compress(
         blocksize = max(group, blocksize - blocksize % group)
     blocksize = min(blocksize, nbytes)
     nblocks = math.ceil(nbytes / blocksize)
+
+    def _one(sub: bytes) -> bytes:
+        """One [i32 csize | stream] unit with c-blosc's per-stream
+        raw-storage fallback (csize == uncompressed size)."""
+        comp = (zlib.compress(sub, clevel) if codec_id == _ZLIB_ID
+                else _lz4.compress_block(sub))
+        if len(comp) >= len(sub):
+            return struct.pack("<i", len(sub)) + sub
+        return struct.pack("<i", len(comp)) + comp
+
     streams: list[bytes] = []
     for i in range(nblocks):
         lo = i * blocksize
         block = data[lo : lo + blocksize]
         shuffled = _apply_shuffle(block, flags, typesize)
-        comp = zlib.compress(shuffled, clevel)
-        if len(comp) >= len(block):
-            # stored raw; csize == bsize signals no decompression
-            streams.append(struct.pack("<i", len(block)) + shuffled)
+        # c-blosc split predicate (blosc.c split_block + !leftoverblock):
+        # lz4 FULL blocks split into typesize sub-streams
+        split = (
+            codec_id == _LZ4_ID and 1 < typesize <= _MAX_SPLITS
+            and len(block) == blocksize and len(block) % typesize == 0
+            and len(block) // typesize >= _MIN_BUFFERSIZE
+        )
+        if split:
+            ne = len(shuffled) // typesize
+            streams.append(b"".join(
+                _one(shuffled[s * ne : (s + 1) * ne]) for s in range(typesize)))
         else:
-            streams.append(struct.pack("<i", len(comp)) + comp)
+            streams.append(_one(shuffled))
     total = 16 + 4 * nblocks + sum(len(s) for s in streams)
     if total >= nbytes + 16:
         return _memcpy_frame()  # compression lost: c-blosc's memcpy fallback

@@ -5,9 +5,11 @@ TensorStore ships it. This container has no blosc/numcodecs wheel, so the
 engine's own stores default to stdlib codecs (zlib/gzip). Blosc frames are
 handled in two tiers: the ``blosc`` wheel when importable, else a pure-Python
 blosc1 codec (sources/blosc1.py, public frame format) that covers
-``cname=zlib`` with any shuffle — so reference-written blosc-zlib stores are
-readable with no wheel. Other cnames (lz4/blosclz/snappy/zstd payloads)
-still raise a clear error until the wheel exists.
+``cname=zlib`` AND ``cname=lz4`` (sources/lz4.py, public LZ4 block format;
+split-stream layout handled) with any shuffle — so reference-written
+blosc-zlib/-lz4 stores are readable with no wheel. Other cnames
+(blosclz/snappy/zstd payloads) still raise a clear error until the wheel
+exists.
 
 Zarr v2 compressor JSON: ``null`` | {"id": "zlib"|"gzip"|"blosc", ...}.
 Zarr v3 codec chain: [{"name": "bytes", ...}, {"name": "gzip"|"zstd", ...}].
@@ -85,16 +87,17 @@ def compress_v2(data: bytes, compressor: dict | None) -> bytes:
                 clevel=compressor.get("clevel", 5),
                 shuffle=compressor.get("shuffle", 1),
             )
-        if cname == "zlib":
+        if cname in ("zlib", "lz4"):
             return _blosc1.compress(
                 data,
                 typesize=compressor.get("typesize", 8) or 8,
                 clevel=compressor.get("clevel", 5),
                 shuffle=compressor.get("shuffle", 1),
+                cname=cname,
             )
         raise CodecError(
             f"blosc cname={cname!r} needs the blosc wheel (not installed); "
-            "cname='zlib' works without it"
+            "cname='zlib'/'lz4' work without it"
         )
     raise CodecError(f"unsupported v2 compressor {cid!r}")
 
@@ -142,14 +145,15 @@ def compress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
                                        cname=cname,
                                        clevel=conf.get("clevel", 5),
                                        shuffle=_blosc_shuffle(conf.get("shuffle", "shuffle")))
-            elif cname == "zlib":
+            elif cname in ("zlib", "lz4"):
                 data = _blosc1.compress(data, typesize=conf.get("typesize", 8) or 8,
                                         clevel=conf.get("clevel", 5),
-                                        shuffle=_blosc_shuffle(conf.get("shuffle", "shuffle")))
+                                        shuffle=_blosc_shuffle(conf.get("shuffle", "shuffle")),
+                                        cname=cname)
             else:
                 raise CodecError(
                     f"blosc cname={cname!r} needs the blosc wheel (not installed); "
-                    "cname='zlib' works without it"
+                    "cname='zlib'/'lz4' work without it"
                 )
         else:
             raise CodecError(f"unsupported v3 codec {name!r}")

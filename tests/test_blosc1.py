@@ -97,14 +97,14 @@ def test_decode_handcrafted_frame_from_spec():
 def test_foreign_cname_gated_loudly():
     data = np.arange(100, dtype="<i4").tobytes()
     frame = bytearray(blosc1.compress(data, typesize=4))
-    frame[2] = (frame[2] & 0x1F) | (1 << 5)  # rewrite codec id → lz4
-    with pytest.raises(blosc1.BloscFormatError, match="lz4"):
+    frame[2] = (frame[2] & 0x1F) | (4 << 5)  # rewrite codec id → zstd
+    with pytest.raises(blosc1.BloscFormatError, match="zstd"):
         blosc1.decompress(bytes(frame))
     # ... but a memcpy'd frame decodes regardless of its codec id
     rnd = np.random.default_rng(2).integers(0, 256, 64, dtype=np.uint8).tobytes()
     mframe = bytearray(blosc1.compress(rnd, typesize=1))
     assert mframe[2] & 0x2
-    mframe[2] = (mframe[2] & 0x1F) | (1 << 5)
+    mframe[2] = (mframe[2] & 0x1F) | (4 << 5)
     assert blosc1.decompress(bytes(mframe)) == rnd
 
 
@@ -122,8 +122,9 @@ def test_codecs_v2_blosc_zlib_without_wheel():
     enc = compress_v2(data, comp)
     assert len(enc) < len(data)
     assert decompress_v2(enc, comp) == data
-    with pytest.raises(CodecError, match="lz4"):
-        compress_v2(data, {"id": "blosc", "cname": "lz4"})
+    # lz4 is handled natively now; the remaining gated cnames error loudly
+    with pytest.raises(CodecError, match="snappy"):
+        compress_v2(data, {"id": "blosc", "cname": "snappy"})
 
 
 # ------------------------------------------------------- store-level gates
