@@ -141,6 +141,25 @@ def test_codecs_v2_blosc_lz4_without_wheel():
     assert codecs.decompress_v3(enc3, chain) == data
 
 
+@pytest.mark.parametrize("version", [2, 3])
+def test_store_level_blosc_lz4_roundtrip(tmp_path, version):
+    """Both zarr versions: a store created with blosc-lz4 writes real split
+    frames and reads back bit-exact, wheel-free."""
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    root = str(tmp_path / f"lz4_v{version}.zarr")
+    st = ZarrStore.create(root, version=version)
+    st.create_array("v", shape=(700,), chunks=(256,), dtype="float64",
+                    dims=("i",),
+                    compressor={"id": "blosc", "cname": "lz4", "shuffle": 1})
+    if version == 2:
+        st.consolidate()
+    vals = (np.arange(700, dtype=np.float64) % 113) * 0.25
+    st.write_array_numpy("v", vals)
+    got = ZarrStore.open(root).read_array("v", {"i": (0, 700)})
+    np.testing.assert_array_equal(got, vals)
+
+
 def test_zlib_frames_unchanged_by_lz4_support():
     """The production write codec's bytes must be byte-stable: the region
     sniffing and cname plumbing must not perturb zlib frames."""
