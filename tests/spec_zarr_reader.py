@@ -58,32 +58,82 @@ def _fill_np(fill_json, dt: np.dtype):
     return dt.type(fill_json)
 
 
+def _lz4_block_decode(src: bytes) -> bytes:
+    """Independent LZ4 block decode, straight from the public block format
+    (lz4_Block_format.md): ``token | literals [offset u16 LE, matchlen]``
+    sequences, 15-valued nibbles extended by 255-continuation bytes,
+    4-byte minimum match, matches copy byte-serially (overlap = RLE)."""
+    o, i, n = bytearray(), 0, len(src)
+    while i < n:
+        t = src[i]; i += 1
+        ln = t >> 4
+        if ln == 15:
+            while src[i] == 255:
+                ln += 255; i += 1
+            ln += src[i]; i += 1
+        o += src[i : i + ln]; i += ln
+        if i >= n:
+            break
+        off = src[i] | (src[i + 1] << 8); i += 2
+        ml = (t & 15) + 4
+        if t & 15 == 15:
+            while src[i] == 255:
+                ml += 255; i += 1
+            ml += src[i]; i += 1
+        p = len(o) - off
+        for k in range(ml):
+            o.append(o[p + k])
+    return bytes(o)
+
+
 def _blosc_decode(frame: bytes) -> bytes:
-    """Independent blosc1 frame decode (zlib cname), straight from the
-    public c-blosc container spec (README_HEADER.rst): 16-byte LE header
+    """Independent blosc1 frame decode (zlib + lz4 cnames), straight from
+    the public c-blosc container spec (README_HEADER.rst): 16-byte LE header
     ``version u8|versionlz u8|flags u8|typesize u8|nbytes i32|blocksize i32|
     cbytes i32``; flags bit0 byte-shuffle, bit1 memcpy, bit2 bit-shuffle,
-    bits5-7 codec (3=zlib); then i32 bstarts[nblocks] and per block
-    ``i32 csize|stream`` (csize == block size → stored raw). Shuffles are
-    per-block byte/bit transposes, element-incomplete tails unshuffled."""
+    bits5-7 codec (1=lz4, 3=zlib); then i32 bstarts[nblocks] and per block
+    ``i32 csize|stream`` (csize == stream's uncompressed size → stored raw).
+    blosclz/lz4 FULL blocks may be SPLIT into ``typesize`` sub-streams
+    (c-blosc blosc.c split_block) — detected here from the block's region
+    extent (single-stream regions are exactly ``4+csize`` bytes long).
+    Shuffles are per-block byte/bit transposes, element-incomplete tails
+    unshuffled."""
     import struct
 
     flags, typesize = frame[2], frame[3] or 256
-    nbytes, blocksize, _cbytes = struct.unpack_from("<iii", frame, 4)
+    nbytes, blocksize, cbytes = struct.unpack_from("<iii", frame, 4)
     if nbytes == 0:
         return b""
     if flags & 0x2:  # memcpy'd: raw original payload
         return frame[16 : 16 + nbytes]
-    if (flags >> 5) & 0x7 != 3:
-        raise ValueError("spec reader: blosc frame is not cname=zlib")
+    codec = (flags >> 5) & 0x7
+    if codec not in (1, 3):
+        raise ValueError("spec reader: blosc frame is not cname=zlib/lz4")
     nblocks = -(-nbytes // blocksize)
     bstarts = struct.unpack_from(f"<{nblocks}i", frame, 16)
+    srt = sorted(bstarts)
+    ends = {off: (srt[k + 1] if k + 1 < nblocks else cbytes)
+            for k, off in enumerate(srt)}
+
+    def _one(raw: bytes, want: int) -> bytes:
+        if len(raw) == want:
+            return bytes(raw)
+        return zlib.decompress(raw) if codec == 3 else _lz4_block_decode(raw)
+
     out = bytearray()
     for i in range(nblocks):
         bsize = min(blocksize, nbytes - i * blocksize)
         (csize,) = struct.unpack_from("<i", frame, bstarts[i])
-        raw = frame[bstarts[i] + 4 : bstarts[i] + 4 + csize]
-        block = bytes(raw) if csize == bsize else zlib.decompress(raw)
+        if typesize == 1 or bstarts[i] + 4 + csize == ends[bstarts[i]] or bsize % typesize:
+            raw = frame[bstarts[i] + 4 : bstarts[i] + 4 + csize]
+            block = _one(raw, bsize)
+        else:  # split: typesize sub-streams of bsize/typesize each
+            ne, pos, parts = bsize // typesize, bstarts[i], bytearray()
+            for _s in range(typesize):
+                (cs,) = struct.unpack_from("<i", frame, pos)
+                parts += _one(frame[pos + 4 : pos + 4 + cs], ne)
+                pos += 4 + cs
+            block = bytes(parts)
         if flags & 0x1 and typesize > 1:  # byte unshuffle
             n = len(block) - len(block) % typesize
             if n:

@@ -170,3 +170,24 @@ def test_zarr_python_readback(version):
     st.consolidate()
     grp = zarr.open(root, mode="r")
     assert np.array_equal(np.asarray(grp["a"]), vals)
+
+
+@pytest.mark.parametrize("version", [2, 3])
+@pytest.mark.parametrize("cname,shuffle", [
+    ("zlib", 1), ("lz4", 0), ("lz4", 1), ("lz4", 2),
+])
+def test_blosc_frames_via_spec_reader(version, cname, shuffle):
+    """The engine's blosc frames (zlib AND lz4 cnames, incl. lz4's split
+    full blocks) validated by the INDEPENDENT spec reader — its own LZ4
+    block decoder and extent-based split detection, zero engine imports."""
+    root = _fresh(f"blosc_{cname}_s{shuffle}_v{version}")
+    st = ZarrStore.create(root, version=version)
+    vals = ((np.arange(900) * 37) % 1009).astype("f8")
+    st.create_array(
+        "a", shape=(900,), chunks=(256,), dtype="float64", dims=("i",),
+        compressor={"id": "blosc", "cname": cname, "clevel": 5, "shuffle": shuffle},
+    )
+    st.write_array_numpy("a", vals)
+    st.consolidate()
+    got = specr.read_zarr_array(root, "a")
+    assert np.array_equal(got, vals)
