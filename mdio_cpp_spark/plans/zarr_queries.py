@@ -4507,7 +4507,8 @@ def zarr103(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def zarr104(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blosc-LZ4 store round-trip with NO wheel — zarr51's gate extended to
-    the cname the reference family actually defaults to: chunks encode and
+    the reference's DEFAULT cname (dataset_factory.h:244 resolve_blosc_cname
+    returns "lz4" when the spec names none): chunks encode and
     decode through the pure-Python LZ4 block codec (sources/lz4.py, public
     block format) inside blosc1 frames, INCLUDING c-blosc's split-stream
     layout (full blocks here split into 8 byte-lane sub-streams: typesize 8,

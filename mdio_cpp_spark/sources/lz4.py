@@ -1,7 +1,10 @@
 """Pure-Python LZ4 *block* codec (the raw block format, no frame wrapper).
 
 c-blosc's ``cname=lz4`` streams are raw LZ4 blocks (one per blosc
-sub-stream). The block format is public and tiny
+sub-stream) — and lz4 is the cname the reference DEFAULTS to when a spec
+says ``{"name": "blosc"}`` with no cname (dataset_factory.h:237-244), so
+this decoder is what makes typical reference-written stores readable
+here. The block format is public and tiny
 (https://github.com/lz4/lz4/blob/dev/doc/lz4_Block_format.md):
 
     sequence := token(1B) [litlen-ext 255*...] literals

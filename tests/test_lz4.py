@@ -160,6 +160,34 @@ def test_store_level_blosc_lz4_roundtrip(tmp_path, version):
     np.testing.assert_array_equal(got, vals)
 
 
+def test_from_json_default_cname_now_honored(tmp_path):
+    """A spec saying just {"name": "blosc"} means cname=lz4 in the
+    reference (dataset_factory.h:237-244 resolve_blosc_cname); from_json
+    must now WRITE real lz4 frames for it instead of the zlib fallback."""
+    from mdio_cpp_spark.model import MdioDataset
+
+    spec = {
+        "metadata": {"name": "lz4_default", "apiVersion": "1.0.0"},
+        "variables": [
+            {"name": "v", "dataType": "float64",
+             "dimensions": [{"name": "i", "size": 600}],
+             "metadata": {"chunkGrid": {"name": "regular",
+                                        "configuration": {"chunkShape": [256]}}},
+             "compressor": {"name": "blosc"}},
+            {"name": "i", "dataType": "int64",
+             "dimensions": [{"name": "i", "size": 600}]},
+        ],
+    }
+    root = str(tmp_path / "lz4_default.zarr")
+    ds = MdioDataset.from_json(spec, root)
+    vals = (np.arange(600, dtype=np.float64) % 89) * 2.0
+    ds.store.write_array_numpy("v", vals)
+    chunk0 = ds.store._kv.read(ds.store.array_meta("v").chunk_key((0,)))
+    assert (chunk0[2] >> 5) & 0x7 == 1  # lz4 codec id in the frame header
+    got = MdioDataset.open(root).var("v").read()
+    np.testing.assert_array_equal(got, vals)
+
+
 def test_zlib_frames_unchanged_by_lz4_support():
     """The production write codec's bytes must be byte-stable: the region
     sniffing and cname plumbing must not perturb zlib frames."""
