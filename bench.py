@@ -102,6 +102,13 @@ def main() -> None:
         d = REGISTRY[name]
         samples: list[float] = []
         for _ in range(runs):
+            # several queries persist() small intermediates (candidate-pair
+            # lists, group medians) as part of their own plan; Spark's
+            # CacheManager would hand run 2+ the SAME cache entry (keyed on
+            # the analyzed plan), making repeat runs artificially free and
+            # the median measure cache hits instead of work. Clear between
+            # runs so every sample pays the query's real cost.
+            spark.catalog.clearCache()
             t0 = time.time()
             try:
                 df = d.spark(spark, sf_dir)

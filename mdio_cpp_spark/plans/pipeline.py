@@ -178,24 +178,31 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (the 100 TB dedup shape: candidates ≪ n², verify is an equi-join
     of shingle sets onto the candidate list)."""
     d = _t(spark, sf_dir, "documents")
-    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS)
+    # the candidate list feeds THREE consumers (the verify join plus the two
+    # broadcast id sets); without the persist Spark re-runs the whole minhash
+    # pipeline (one md5 per shingle over the corpus) once per consumer —
+    # measured 5 doc scans / 3 signature passes in the executed plan. The
+    # cached frame is id pairs only (candidates ≪ n²), never bodies.
+    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS).persist()
     toks = text.tokens("text")
     base = dedup.ensure_map_parallelism(d.filter(F.size(toks) >= 3))
 
-    def side(pair_col: str, out_id: str, out_sh: str) -> DataFrame:
-        # semi-join on id BEFORE building shingle arrays: Catalyst pushes the
-        # broadcast semi-join below the (expensive) shingle projection, so
-        # only candidate docs — a small fraction of the corpus — ever pay it
-        ids = cand.select(F.col(pair_col).alias("doc_id")).distinct()
-        docs = base.join(F.broadcast(ids), on="doc_id", how="left_semi")
-        return docs.select(
-            F.col("doc_id").alias(out_id),
-            F.array_distinct(text.word_shingles(toks, 3)).alias(out_sh),
-        )
-
+    # semi-join on id BEFORE building shingle arrays: Catalyst pushes the
+    # broadcast semi-join below the (expensive) shingle projection, so only
+    # candidate docs — a small fraction of the corpus — ever pay it. ONE
+    # shingle pass over the UNION of both pair sides (the sides overlap
+    # heavily in a dup cluster); the persisted result is joined twice.
+    ids = (
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    )
+    sh = (
+        base.join(F.broadcast(ids), on="doc_id", how="left_semi")
+        .select("doc_id", F.array_distinct(text.word_shingles(toks, 3)).alias("sh"))
+        .persist()
+    )
     return (
-        cand.join(side("doc_a", "doc_a", "sa"), on="doc_a")
-        .join(side("doc_b", "doc_b", "sb"), on="doc_b")
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")), on="doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")), on="doc_b")
         .select("doc_a", "doc_b", F.round(dedup.ngram_jaccard(F.col("sa"), F.col("sb")), 6).alias("jac"))
         .orderBy("doc_a", "doc_b")
     )
@@ -3154,24 +3161,26 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins; the ratio is one int/int division on exact intersect/size
     counts, rounded per the ln-free 6dp display contract."""
     d = _t(spark, sf_dir, "documents")
-    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS)
+    # same one-pass shape as d04: persist the tiny pair list (three
+    # consumers would otherwise re-run the minhash pipeline each), build
+    # ONE shingle projection over the union of pair sides, join it twice
+    cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS).persist()
     toks = text.tokens("text")
     base = dedup.ensure_map_parallelism(d.filter(F.size(toks) >= 3))
-
-    def side(pair_col: str, out_id: str, out_sh: str) -> DataFrame:
-        ids = cand.select(F.col(pair_col).alias("doc_id")).distinct()
-        docs = base.join(F.broadcast(ids), on="doc_id", how="left_semi")
-        return docs.select(
-            F.col("doc_id").alias(out_id),
-            F.array_distinct(text.word_shingles(toks, 3)).alias(out_sh),
-        )
-
+    ids = (
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    )
+    sh = (
+        base.join(F.broadcast(ids), on="doc_id", how="left_semi")
+        .select("doc_id", F.array_distinct(text.word_shingles(toks, 3)).alias("sh"))
+        .persist()
+    )
     contain = F.size(F.array_intersect(F.col("sa"), F.col("sb"))) / F.least(
         F.size("sa"), F.size("sb")
     )
     return (
-        cand.join(side("doc_a", "doc_a", "sa"), on="doc_a")
-        .join(side("doc_b", "doc_b", "sb"), on="doc_b")
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")), on="doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")), on="doc_b")
         .select("doc_a", "doc_b", F.round(contain, 6).alias("containment"))
         .orderBy("doc_a", "doc_b")
     )
