@@ -2491,14 +2491,22 @@ def ev13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.storagelevel import StorageLevel
 
-    # the three cut computations each consume u; persist the narrow
+    # the cut computations each consume u; persist the narrow
     # |users|-row aggregate so events reduce ONCE, not three times
     u = u.persist(StorageLevel.MEMORY_AND_DISK)
-    g = u.withColumn("gg", F.lit(1))
-    cuts = None
-    for colname, a, b in (("rec", "r1", "r2"), ("freq", "f1", "f2"), ("mon", "m1", "m2")):
-        p = _stats.grouped_percentiles(g, "gg", colname, [(0.25, a), (0.75, b)])
-        cuts = p if cuts is None else cuts.join(p, "gg")
+    # ONE percentile pass for all three axes: unpivot (axis, value) and let
+    # the axis BE the group key — the exact-percentile machinery prices its
+    # passes per invocation, so three separate calls cost 3× the jobs for
+    # the same answer. The 3-row (axis, lo, hi) result folds into the
+    # 6-literal cut row with one conditional aggregate.
+    longs = u.selectExpr("stack(3, 'rec', rec, 'freq', freq, 'mon', mon) AS (ax, val)")
+    p = _stats.grouped_percentiles(longs, "ax", "val", [(0.25, "lo"), (0.75, "hi")])
+    pick = lambda ax, c: F.max(F.when(F.col("ax") == ax, F.col(c)))
+    cuts = p.agg(
+        pick("rec", "lo").alias("r1"), pick("rec", "hi").alias("r2"),
+        pick("freq", "lo").alias("f1"), pick("freq", "hi").alias("f2"),
+        pick("mon", "lo").alias("m1"), pick("mon", "hi").alias("m2"),
+    ).withColumn("gg", F.lit(1))
     band = lambda v, c1, c2: (F.col(v) >= F.col(c1)).cast("int") + (F.col(v) >= F.col(c2)).cast("int")
     seg = (
         u.crossJoin(F.broadcast(cuts.drop("gg")))
