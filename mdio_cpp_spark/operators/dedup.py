@@ -393,10 +393,18 @@ def semantic_dedup(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
     assigned = ivf_assign(df, id_col, vec_col, cents)
+    # THREE consumers read the assignment (both pair sides + the final
+    # kept-join); unpersisted, each re-runs the scan + centroid argmin —
+    # measured 6 embeddings scans in the executed plan. Persist the
+    # (id, vec, cell, norm) frame ONCE (the same rows the pair join
+    # shuffles anyway; MEMORY_AND_DISK spills rather than OOMs at scale)
+    # and precompute the norm so neither side re-derives it.
+    from pyspark.storagelevel import StorageLevel
+
     b = assigned.select(
         F.col(id_col), F.col(vec_col), "cell",
         vectors.norm(F.col(vec_col)).alias("nv"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = b.select(F.col(id_col).alias("__ida"), F.col(vec_col).alias("va"), "cell",
                  F.col("nv").alias("na"))
     c = b.select(F.col(id_col).alias("__idb"), F.col(vec_col).alias("vb"), "cell",
@@ -412,7 +420,7 @@ def semantic_dedup(
         .withColumn("__dropped", F.lit(True))
     )
     return (
-        assigned.join(dropped, on=id_col, how="left")
+        b.join(dropped, on=id_col, how="left")
         .select(
             id_col,
             F.col("cell").cast("long").alias("cell"),

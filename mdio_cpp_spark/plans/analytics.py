@@ -2580,7 +2580,10 @@ def ga04(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.a", "p.b")
-    e = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    # the edge table feeds four plan positions (both mirror halves, each
+    # consumed by the strength agg AND the contribution join); persist the
+    # small (a, b, w) list so the lineitem scan + pair expansion runs once
+    e = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w")).persist()
     ud = e.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w").unionAll(
         e.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
     )
@@ -3041,6 +3044,10 @@ def ga05(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.a", "p.b").distinct()
+    # four plan positions read the edge list (mirror halves × node-set +
+    # neighborhood join); persist the small (a, b) pairs so the lineitem
+    # scan + within-order expansion runs once
+    pairs = pairs.persist()
     ud = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )

@@ -3369,7 +3369,9 @@ def p14(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_cpp_spark.operators import stats as _stats
 
     d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
-    q = d.select("doc_id", text.quality_score("text").alias("score"))
+    # (doc_id, score) feeds the percentile pass AND the banding projection;
+    # persist the narrow frame so the quality-score scan runs once
+    q = d.select("doc_id", text.quality_score("text").alias("score")).persist()
     cuts = _stats.grouped_percentiles(
         q.withColumn("g", F.lit(1)), "g", "score", [(0.25, "q1"), (0.5, "q2"), (0.75, "q3")]
     ).drop("g")
@@ -3385,7 +3387,7 @@ def p14(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__k", F.md5(F.concat(F.lit(_CUR_SEED), F.col("doc_id").cast("string")))
         )
         .withColumn("__b", F.substring("__k", 1, 1))
-    )
+    ).persist()  # the rank window AND the bucket-size agg both read this
     w_in = Window.partitionBy("band", "__b").orderBy("__k", "doc_id")
     ranked = keyed.withColumn("__r", F.row_number().over(w_in))
     sizes = keyed.groupBy("band", "__b").agg(F.count(F.lit(1)).alias("__n"))
