@@ -120,6 +120,7 @@ def grouped_percentiles(
     col: str,
     ps: Sequence[tuple[float, float]] | Sequence[tuple[float, str]],
     round_to: int = 4,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """EXACT grouped percentiles (quantile_cont linear interpolation) with
     no per-group value buffering anywhere — the 100 TB-safe alternative to
@@ -151,6 +152,14 @@ def grouped_percentiles(
     of ~n/nparts rows. A fully-constant column short-circuits after pass 1.
 
     ``ps`` is a list of (fraction, output_column_name).
+
+    ``bounds=(lo, hi)`` skips pass 1 entirely — one fewer full-scan job —
+    when the caller already knows a value range (a score in [0, 1], a
+    deviation column bounded by a prior pass's spread). The bounds only
+    steer bucket BALANCE, never correctness: the bucket id is monotone in
+    the value and out-of-range values clamp into the end buckets, so rank
+    arithmetic and the within-bucket interpolation stay exact even under
+    loose (or outright wrong) bounds.
     """
     spark = df.sparkSession
     nparts = 4 * max(1, spark.sparkContext.defaultParallelism)
@@ -174,13 +183,16 @@ def grouped_percentiles(
             *[F.round(F.max(F.col(col)), round_to).alias(name) for _, name in ps]
         )
 
-    lo_hi = base.agg(
-        F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
-    ).first()
-    vmin, vmax = lo_hi[0], lo_hi[1]
-    if vmin is None:  # empty (or all-NaN) input: schema-correct result
-        base.unpersist()
-        return _empty_result()
+    if bounds is not None:
+        vmin, vmax = float(bounds[0]), float(bounds[1])
+    else:
+        lo_hi = base.agg(
+            F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
+        ).first()
+        vmin, vmax = lo_hi[0], lo_hi[1]
+        if vmin is None:  # empty (or all-NaN) input: schema-correct result
+            base.unpersist()
+            return _empty_result()
     if vmax == vmin:  # constant column: every percentile IS the value
         base.unpersist()
         return df.groupBy(group).agg(
@@ -211,6 +223,10 @@ def grouped_percentiles(
         tagged.groupBy(group, "__pid").agg(F.count(F.lit(1)).alias("__s"))
     ).persist()  # tiny; probed once, then feeds offsets/totals/cover joins
     head = counts.limit(_DRIVER_META_BOUND + 1).collect()
+    if not head:  # empty input reached only via caller-supplied bounds
+        base.unpersist()
+        counts.unpersist()
+        return _empty_result()
     if len(head) <= _DRIVER_META_BOUND:
         per_group: dict = {}
         for r in head:

@@ -181,6 +181,42 @@ def test_grouped_percentiles_empty_input(spark):
     assert out.columns == ["g", "p50"] and out.count() == 0
 
 
+def test_grouped_percentiles_caller_bounds(spark):
+    """bounds=(lo, hi) skips the bounds pass without changing results —
+    exact under tight, loose, AND wrong bounds (out-of-range values clamp
+    into the end buckets but the rank arithmetic never sees bucket ids,
+    only counts, so ordering is all that matters). Empty input with bounds
+    supplied must still return the schema-correct empty frame."""
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.operators.stats import grouped_percentiles
+
+    rows = [("a", float(v)) for v in [1, 1, 1, 2, 2, 3, 10, 10, 50, 100]]
+    rows += [("b", float(v)) for v in range(1, 8)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    want = {
+        r["g"]: (r["p50"], r["p90"])
+        for r in df.groupBy("g")
+        .agg(
+            F.round(F.expr("percentile(v, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(v, 0.9)"), 4).alias("p90"),
+        )
+        .collect()
+    }
+    for b in [(1.0, 100.0), (-1e6, 1e6), (40.0, 45.0)]:  # tight, loose, wrong
+        got = {
+            r["g"]: (r["p50"], r["p90"])
+            for r in grouped_percentiles(
+                df, "g", "v", [(0.5, "p50"), (0.9, "p90")], bounds=b
+            ).collect()
+        }
+        assert got == want, f"bounds={b}"
+
+    empty = spark.createDataFrame([], "g string, v double")
+    out = grouped_percentiles(empty, "g", "v", [(0.5, "p50")], bounds=(0.0, 1.0))
+    assert out.columns == ["g", "p50"] and out.count() == 0
+
+
 def test_grouped_percentiles_randomized_differential(spark):
     """Percentile rewrite vs Spark's exact percentile UDAF over adversarial
     distributions: duplicates, skew, negatives, tiny groups, constants."""
