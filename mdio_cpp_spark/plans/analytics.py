@@ -2299,6 +2299,293 @@ def ts02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ts03_ohlc_downsample",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc,
+             epoch_ms(ts) * 1000000 + event_id AS k
+      FROM events)
+    SELECT event_type, day,
+           CAST(arg_min(vc, k) AS DOUBLE) / 100.0 AS open,
+           CAST(MAX(vc) AS DOUBLE) / 100.0 AS high,
+           CAST(MIN(vc) AS DOUBLE) / 100.0 AS low,
+           CAST(arg_max(vc, k) AS DOUBLE) / 100.0 AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM d GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ts03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling — the tick→bar compaction every market/telemetry
+    store runs before charting: per (event_type, day), the first, max, min,
+    and last value. ONE partial-aggregating groupBy; open/close ride
+    min_by/max_by over a composite integer order key (ms-epoch ⋅ 10⁶ +
+    event_id, a total order even under timestamp ties) so no sorted window
+    and no per-group buffering — first/last are combiner-mergeable pairs.
+    Values travel as integer cents; the /100.0 happens once per output
+    cell, so both engines divide the same integers."""
+    e = _t(spark, sf_dir, "events")
+    k = (
+        F.floor(F.unix_micros("ts") / 1000) * F.lit(1000000).cast("long")
+        + F.col("event_id")
+    ).alias("k")
+    d = e.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        k,
+    )
+    g = d.groupBy("event_type", "day").agg(
+        F.min_by("vc", "k").alias("oc"),
+        F.max("vc").alias("hc"),
+        F.min("vc").alias("lc"),
+        F.max_by("vc", "k").alias("cc"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return g.select(
+        "event_type", "day",
+        (F.col("oc").cast("double") / 100.0).alias("open"),
+        (F.col("hc").cast("double") / 100.0).alias("high"),
+        (F.col("lc").cast("double") / 100.0).alias("low"),
+        (F.col("cc").cast("double") / 100.0).alias("close"),
+        "n_events",
+    ).orderBy("event_type", "day")
+
+
+@declared(
+    "ts04_gap_interpolate",
+    oracle="""
+    WITH d0 AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    d AS (SELECT * FROM d0 WHERE day % 7 NOT IN (2, 3)),
+    nx AS (
+      SELECT event_type, day, x,
+             LEAD(day) OVER w AS nday, LEAD(x) OVER w AS nx
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    fill AS (
+      SELECT event_type, f.fday AS day,
+             CAST(x * (nday - f.fday) + nx * (f.fday - day) AS BIGINT) AS num,
+             (nday - day) * 100 AS den
+      FROM nx, unnest(range(day + 1, nday)) AS f(fday)
+      WHERE nday IS NOT NULL AND nday > day + 1)
+    SELECT event_type, day, CAST(x AS DOUBLE) / 100.0 AS value, 'obs' AS src
+    FROM d
+    UNION ALL
+    SELECT event_type, day, CAST(num AS DOUBLE) / den AS value, 'interp' AS src
+    FROM fill
+    ORDER BY event_type, day
+    """,
+)
+def ts04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap repair by LINEAR interpolation (ts01 is the step/LOCF variant):
+    missing days between consecutive observations are synthesized on the
+    line joining their neighbors. One lead() window per key over the tiny
+    per-day aggregate finds each gap locally — no calendar cross-join, no
+    global densify — and sequence()+explode emits only the missing days
+    (output ∝ gaps, not ∝ span). The interpolated value is the integer
+    identity (x·(next−f) + nx·(f−cur)) / ((next−cur)·100): one double
+    division of exact integers, bit-identical across engines. The test
+    corpus has a dense calendar, so the series is first THINNED
+    deterministically (days ≡ 2,3 mod 7 dropped — a simulated two-day
+    weekly sensor outage) to guarantee the interpolation path is the one
+    under oracle gate, multi-day gaps included."""
+    e = _t(spark, sf_dir, "events")
+    d = (
+        e.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+        .filter(~(F.col("day") % 7).isin(2, 3))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    nx = d.select(
+        "event_type", "day", "x",
+        F.lead("day").over(w).alias("nday"),
+        F.lead("x").over(w).alias("nx"),
+    )
+    fill = (
+        nx.filter(F.col("nday").isNotNull() & (F.col("nday") > F.col("day") + 1))
+        .select(
+            "event_type", "day", "x", "nday", "nx",
+            F.explode(F.sequence(F.col("day") + 1, F.col("nday") - 1)).alias("fday"),
+        )
+        .select(
+            "event_type",
+            F.col("fday").alias("day"),
+            (
+                (
+                    F.col("x") * (F.col("nday") - F.col("fday"))
+                    + F.col("nx") * (F.col("fday") - F.col("day"))
+                ).cast("double")
+                / ((F.col("nday") - F.col("day")) * 100).cast("double")
+            ).alias("value"),
+            F.lit("interp").alias("src"),
+        )
+    )
+    obs = d.select(
+        "event_type", "day",
+        (F.col("x").cast("double") / 100.0).alias("value"),
+        F.lit("obs").alias("src"),
+    )
+    return obs.unionAll(fill).orderBy("event_type", "day")
+
+
+@declared(
+    "ts05_crosscorr_lags",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+    j AS (
+      SELECT l.lag, a.c AS ca, b.c AS cb
+      FROM (SELECT unnest(range(7)) AS lag) l
+      JOIN d a ON a.event_type = 'click'
+      JOIN d b ON b.event_type = 'purchase' AND b.day = a.day + l.lag),
+    m AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ca) AS BIGINT) AS sa, CAST(SUM(cb) AS BIGINT) AS sb,
+             CAST(SUM(ca * cb) AS BIGINT) AS sab,
+             CAST(SUM(ca * ca) AS BIGINT) AS saa,
+             CAST(SUM(cb * cb) AS BIGINT) AS sbb
+      FROM j GROUP BY lag)
+    SELECT lag, n,
+           CAST(n * sab - sa * sb AS DOUBLE)
+             / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))) AS r
+    FROM m ORDER BY lag
+    """,
+)
+def ts05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag discovery: Pearson correlation between daily click volume
+    and purchase volume shifted by 0–6 days — does engagement predict
+    revenue, and at what delay? The raw events collapse to per-day counts
+    FIRST (one partial agg), so the 7-lag fan-out and the lag-joins touch
+    |days| rows, never events. The correlation evaluates from six exact
+    integer sums via the textbook identity under a fixed expression shape
+    (two sqrts, one product, one division) — no accumulation-order
+    dependence anywhere."""
+    e = _t(spark, sf_dir, "events")
+    d = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # both lag-join sides read the same tiny daily table
+    )
+    a = d.filter(F.col("event_type") == "click").select("day", F.col("c").alias("ca"))
+    b = d.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("bday"), F.col("c").alias("cb")
+    )
+    lags = spark.range(7).select(F.col("id").alias("lag"))
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bday") == F.col("day") + F.col("lag"))
+    )
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ca").alias("sa"),
+        F.sum("cb").alias("sb"),
+        F.sum(F.col("ca") * F.col("cb")).alias("sab"),
+        F.sum(F.col("ca") * F.col("ca")).alias("saa"),
+        F.sum(F.col("cb") * F.col("cb")).alias("sbb"),
+    )
+    r = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double") / (
+        F.sqrt((F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double"))
+        * F.sqrt((F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double"))
+    )
+    return m.select("lag", "n", r.alias("r")).orderBy("lag")
+
+
+@declared(
+    "ts06_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY 1),
+    c AS (
+      SELECT d.event_type, d.day, t.n, t.s,
+             CAST(SUM(d.x) OVER (PARTITION BY d.event_type ORDER BY d.day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day)
+                  AS BIGINT) AS k
+      FROM d JOIN t USING (event_type)),
+    z AS (
+      SELECT event_type, day, n,
+             abs(n * cum - k * s) AS dev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs(n * cum - k * s) DESC, day) AS rn
+      FROM c)
+    SELECT event_type, day AS change_day,
+           CAST(dev AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS max_cusum
+    FROM z WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def ts06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point estimate: per event type, the day where the
+    cumulative deviation of daily revenue from its own mean peaks — the
+    classic level-shift locator. The mean never materializes as a float:
+    the deviation is scaled by n (n·cum_k − k·S, all exact integers), so
+    the argmax and its tie-break (earliest day) are integer comparisons;
+    one division at the very end converts the winning deviation to the
+    conventional Σ(x−x̄) units. Per-key windows over per-day aggregates —
+    nothing grows with the raw event count."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    t = d.groupBy("event_type").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    c = d.join(F.broadcast(t), "event_type").select(
+        "event_type", "day", "n", "s",
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).cast("long").alias("k"),
+    )
+    dev = F.abs(F.col("n") * F.col("cum") - F.col("k") * F.col("s"))
+    z = c.select(
+        "event_type", "day", "n", dev.alias("dev"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(dev.desc(), F.col("day")))
+        .alias("rn"),
+    )
+    return (
+        z.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            (F.col("dev").cast("double") / (F.col("n").cast("double") * 100.0)).alias(
+                "max_cusum"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared(
     "ev12_hourly_profile",
     oracle="""
     WITH h AS (
