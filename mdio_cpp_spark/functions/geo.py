@@ -124,6 +124,26 @@ def oracle_utm_sql(inner: str, final_select: str) -> str:
     return f"SELECT {final_select} FROM ({q})"
 
 
+EARTH_R_M = 6371008.8  # IUGG mean earth radius, meters
+
+
+def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Great-circle distance in meters as SQL text over four degree-valued
+    column names — one formula string shared by the Spark ``selectExpr``
+    and the DuckDB oracle (the same single-source contract as UTM_STAGES).
+    RADIANS/SIN/COS/ASIN/SQRT all exist in both dialects; the remaining
+    libm-vs-Math ULP drift is ~1e-10 m over survey-scale distances,
+    absorbed by 2-dp rounding at the call sites."""
+    dphi = f"RADIANS({lat2} - {lat1}) / 2.0"
+    dlam = f"RADIANS({lon2} - {lon1}) / 2.0"
+    return (
+        f"2.0 * {_lit(EARTH_R_M)} * ASIN(SQRT("
+        f"SIN({dphi}) * SIN({dphi})"
+        f" + COS(RADIANS({lat1})) * COS(RADIANS({lat2}))"
+        f" * SIN({dlam}) * SIN({dlam})))"
+    )
+
+
 def utm_to_geo_np(easting, northing):
     """Independent numpy twin of utm.hh:82-148 for the test oracle — a third
     libm, compared against the Spark/DuckDB results at tolerance (not via

@@ -3367,3 +3367,53 @@ def ga05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.least(F.col("node"), F.min("dst")).cast("long").alias("new_label"))
         .orderBy("node")
     )
+
+
+@declared(
+    "dq08_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM d)
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS DOUBLE) / MAX(n.total) AS obs_share,
+           ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_share
+    FROM d, n GROUP BY digit ORDER BY digit
+    """,
+)
+def dq08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic fabricated-
+    data screen a quality monitor runs over any money-like column. The
+    leading digit comes from INTEGER cents rendered as a string (never
+    floor(log10(x)): libm log10 of an exact power of 10 can land a hair
+    under the integer and shift every boundary value's digit), so the digit
+    histogram is exact in both engines; shares are single divisions of
+    exact counts and the Benford expectation ln(1+1/d)/ln(10) is a fixed
+    per-row expression. One partial-agg groupBy over the scan + a 1-row
+    broadcast total — no shuffle wider than 9 rows."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "n_orders",
+            (F.col("n_orders").cast("double") / F.col("total")).alias("obs_share"),
+            F.round(F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 6).alias(
+                "benford_share"
+            ),
+        )
+        .orderBy("digit")
+    )

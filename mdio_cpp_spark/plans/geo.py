@@ -25,7 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mdio_cpp_spark.functions.geo import apply_utm_stages, oracle_utm_sql
+from mdio_cpp_spark.functions.geo import apply_utm_stages, haversine_sql, oracle_utm_sql
 from mdio_cpp_spark.model import MdioDataset
 from mdio_cpp_spark.plans.base import declared
 from mdio_cpp_spark.plans.zarr_queries import (
@@ -248,3 +248,63 @@ def geo04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.selectExpr(
         "geojson",
         f"'{_GEOJSON_PREFIX}' || {_urlencode_sql('geojson')} AS url")
+
+
+# ---- geo05: survey perimeter via great-circle segment lengths --------------
+
+_RING_VALUES = ("(VALUES ('nw-ne', 'nw', 'ne'), ('ne-se', 'ne', 'se'), "
+                "('se-sw', 'se', 'sw'), ('sw-nw', 'sw', 'nw')) AS s(seg, ca, cb)")
+
+_HAV = haversine_sql("lat1", "lon1", "lat2", "lon2")
+
+
+@declared(
+    "geo05_survey_perimeter",
+    oracle=f"""
+    WITH c AS ({oracle_utm_sql(_CORNERS_SQL,
+                               "corner, ROUND(lat, 6) AS lat, ROUND(lon, 6) AS lon")}),
+    p AS (
+      SELECT s.seg, a.lat AS lat1, a.lon AS lon1, b.lat AS lat2, b.lon AS lon2
+      FROM {_RING_VALUES}
+      JOIN c a ON a.corner = s.ca
+      JOIN c b ON b.corner = s.cb)
+    SELECT seg, ROUND({_HAV}, 2) AS dist_m FROM p
+    UNION ALL
+    SELECT 'total', ROUND(SUM(ROUND({_HAV}, 2)), 2) FROM p
+    ORDER BY seg
+    """,
+)
+def geo05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey perimeter: the four bounding-box corners (geo01's frame) walk
+    the ring nw→ne→se→sw→nw and each leg gets its great-circle length from
+    the SHARED haversine text (functions/geo.haversine_sql — one formula
+    string, both engines), plus a total row. Inputs are the 6-dp-rounded
+    lat/lon, so both engines feed identical doubles into the identical
+    formula; segment lengths round to cm before the 4-term total. Work
+    past the coordinate-extent scan is a 4-row broadcast self-join —
+    constant-size at any survey scale."""
+    ds = _cube(spark, sf_dir)
+    ex = ds.var("cdp_x").to_df(spark, value_col="easting").agg(
+        F.min("easting").alias("x_min"), F.max("easting").alias("x_max"))
+    ey = ds.var("cdp_y").to_df(spark, value_col="northing").agg(
+        F.min("northing").alias("y_min"), F.max("northing").alias("y_max"))
+    corners = spark.createDataFrame(
+        [("nw", 0, 1), ("ne", 1, 1), ("sw", 0, 0), ("se", 1, 0)],
+        "corner string, mx int, my int")
+    pts = ex.crossJoin(ey).crossJoin(corners).selectExpr(
+        "corner",
+        "CASE WHEN mx = 1 THEN x_max ELSE x_min END AS easting",
+        "CASE WHEN my = 1 THEN y_max ELSE y_min END AS northing")
+    c = apply_utm_stages(pts).selectExpr(
+        "corner", "ROUND(lat, 6) AS lat", "ROUND(lon, 6) AS lon")
+    ring = spark.createDataFrame(
+        [("nw-ne", "nw", "ne"), ("ne-se", "ne", "se"),
+         ("se-sw", "se", "sw"), ("sw-nw", "sw", "nw")],
+        "seg string, ca string, cb string")
+    a = c.selectExpr("corner AS ca", "lat AS lat1", "lon AS lon1")
+    b = c.selectExpr("corner AS cb", "lat AS lat2", "lon AS lon2")
+    p = ring.join(F.broadcast(a), "ca").join(F.broadcast(b), "cb")
+    segs = p.selectExpr("seg", f"ROUND({_HAV}, 2) AS dist_m")
+    total = p.selectExpr(f"ROUND({_HAV}, 2) AS d").agg(
+        F.lit("total").alias("seg"), F.round(F.sum("d"), 2).alias("dist_m"))
+    return segs.unionAll(total).orderBy("seg")

@@ -4332,3 +4332,130 @@ def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows of state per key, bounded by the watermark."""
     e = _t(spark, sf_dir, "events")
     return ev.sliding_event_rate(e).orderBy("ws", "event_type")
+
+
+@declared(
+    "ml09_naive_bayes",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(w) AS term
+      FROM (SELECT doc_id, lang, {_DD_TOKS} AS w FROM documents)
+      WHERE len(w) >= 1),
+    tr AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+    te AS (SELECT doc_id, lang, term, CAST(COUNT(*) AS BIGINT) AS k
+           FROM tok WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+    v AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS vsz FROM tr),
+    ndt AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tr),
+    langs AS (
+      SELECT lang AS cand, tc, vsz,
+             CAST(ROUND(ln(1.0 / (tc + vsz)) * 1000000) AS BIGINT) AS qd,
+             CAST(ROUND(ln(CAST(nd AS DOUBLE) / n) * 1000000) AS BIGINT) AS qp
+      FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS tc,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+            FROM tr GROUP BY lang), v, ndt),
+    model AS (
+      SELECT l.cand, t.term,
+             CAST(ROUND(ln((t.c + 1.0) / (l.tc + l.vsz)) * 1000000) AS BIGINT) AS q
+      FROM (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tr GROUP BY 1, 2) t
+      JOIN langs l ON l.cand = t.lang),
+    scores AS (
+      SELECT te.doc_id, MAX(te.lang) AS true_lang, l.cand,
+             MAX(l.qp) + SUM(te.k * COALESCE(m.q, l.qd)) AS s
+      FROM te CROSS JOIN langs l
+      LEFT JOIN model m ON m.cand = l.cand AND m.term = te.term
+      GROUP BY te.doc_id, l.cand),
+    win AS (
+      SELECT doc_id, true_lang, cand,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, cand) AS rn
+      FROM scores)
+    SELECT true_lang AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN cand = true_lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN cand = true_lang THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS accuracy
+    FROM win WHERE rn = 1 GROUP BY 1 ORDER BY 1
+    """,
+)
+def ml09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes trained and evaluated IN the engine: an
+    80/20 deterministic split (doc_id mod 5), Laplace-smoothed per-class
+    token likelihoods, argmax classification of the held-out docs, per-class
+    accuracy. The log-likelihoods are QUANTIZED to integer micro-nats at
+    model-build time (ROUND(ln(p)·1e6)), so every downstream sum is exact
+    integer arithmetic — the classifier's argmax (with lexicographic
+    tie-break) is accumulation-order-free, where a raw float log-sum could
+    flip a near-tie between engines. Scale shape: the model is |vocab|×
+    |classes| rows built by one partial agg; scoring fans each distinct
+    (test doc, term) into |classes| rows (bounded fan-out), joins the model
+    on (class, term) — AQE handles stopword skew — and reduces per doc. No
+    per-doc state, no driver materialization."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    tok = (
+        d.select("doc_id", "lang", text.tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 1)
+        .select("doc_id", "lang", F.explode("w").alias("term"))
+    )
+    tr = tok.filter(F.col("doc_id") % 5 != 0).persist()  # feeds vocab, class
+    # totals, AND the model counts — one tokenize, three aggregates
+    te = (
+        tok.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    v = tr.agg(F.countDistinct("term").alias("vsz"))
+    ndt = tr.agg(F.countDistinct("doc_id").alias("n"))
+    cls = tr.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("tc"), F.countDistinct("doc_id").alias("nd")
+    )
+    qz = lambda c: F.round(F.log(c) * 1000000).cast("long")
+    langs = (
+        cls.crossJoin(v)
+        .crossJoin(ndt)
+        .select(
+            F.col("lang").alias("cand"),
+            "tc",
+            "vsz",
+            qz(F.lit(1.0) / (F.col("tc") + F.col("vsz"))).alias("qd"),
+            qz(F.col("nd").cast("double") / F.col("n")).alias("qp"),
+        )
+    )
+    model = (
+        tr.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(langs.withColumnRenamed("cand", "lang"), "lang")
+        .select(
+            F.col("lang").alias("cand"),
+            "term",
+            qz((F.col("c") + 1.0) / (F.col("tc") + F.col("vsz"))).alias("q"),
+        )
+    )
+    scores = (
+        te.crossJoin(F.broadcast(langs.select("cand", "qd", "qp")))
+        .join(model, ["cand", "term"], "left")
+        .groupBy("doc_id", "cand")
+        .agg(
+            F.max("lang").alias("true_lang"),
+            (F.max("qp") + F.sum(F.col("k") * F.coalesce(F.col("q"), F.col("qd"))))
+            .alias("s"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    win = scores.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("cand"))
+        ),
+    ).filter(F.col("rn") == 1)
+    hit = F.when(F.col("cand") == F.col("true_lang"), 1).otherwise(0)
+    return (
+        win.groupBy(F.col("true_lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(hit).alias("n_correct"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("accuracy"),
+        )
+        .orderBy("lang")
+    )
