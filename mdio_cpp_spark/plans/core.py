@@ -2050,3 +2050,79 @@ def w13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@declared(
+    "w15_max_drawdown",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    c0 AS (
+      SELECT event_type, day,
+             CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM d),
+    c AS (
+      SELECT event_type, day, cum,
+             CAST(MAX(cum) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+      FROM c0),
+    z AS (
+      SELECT event_type, day, peak, peak - cum AS dd,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY peak - cum DESC, day) AS rn
+      FROM c)
+    SELECT event_type, day AS trough_day,
+           CAST(dd AS DOUBLE) / 100.0 AS max_drawdown,
+           CAST(peak AS DOUBLE) / 100.0 AS peak_cum,
+           CAST(dd AS DOUBLE) / peak AS dd_frac
+    FROM z WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def w15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of cumulative daily revenue per event type — the
+    running-peak-minus-current envelope risk metric (the window shape ts06's
+    CUSUM doesn't cover: a max-OVER-a-sum, two nested running aggregates in
+    one frame). Both the cumulative sum and its running peak ride exact
+    integer cents through a single per-key ordered window, the argmax
+    tie-breaks on the earliest day with integer compares, and doubles
+    appear only in the three final output divisions. Per-key windows over
+    per-day aggregates: state is one row per (type, day), never per event."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = d.select(
+        "event_type", "day", F.sum("x").over(w).alias("cum")
+    ).select("event_type", "day", "cum", F.max("cum").over(w).alias("peak"))
+    dd = (F.col("peak") - F.col("cum")).alias("dd")
+    z = c.select(
+        "event_type", "day", "peak", dd,
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                (F.col("peak") - F.col("cum")).desc(), F.col("day")
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        z.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("trough_day"),
+            (F.col("dd").cast("double") / 100.0).alias("max_drawdown"),
+            (F.col("peak").cast("double") / 100.0).alias("peak_cum"),
+            (F.col("dd").cast("double") / F.col("peak")).alias("dd_frac"),
+        )
+        .orderBy("event_type")
+    )
