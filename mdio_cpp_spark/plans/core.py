@@ -2053,7 +2053,7 @@ def w13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
-    "w15_max_drawdown",
+    "w16_max_drawdown",
     oracle="""
     WITH d AS (
       SELECT event_type,
