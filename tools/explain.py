@@ -96,6 +96,10 @@ PICKS = {
     "ga04_pagerank_step": "one message-passing iteration: bounded within-order pair expansion, a 2x map-side mirror, strength agg co-partitioned with the contribution join on src, dst-keyed rank update",
     "geo02_peak_location": "both picks (peak+trough) come from ONE partial-aggregatable pass over the volume (lexicographic struct min/max); the 2-row pick frame broadcasts into the chunk-aligned coordinate-grid join; the 14-stage UTM conversion is pure codegen'd column math after the join",
     "geo03_latlon_bbox": "whole-grid UTM->geo: every transcendental stage is a projection over the chunk-pruned coordinate scans (no UDF, no Python), the grid join is chunk-aligned on (il, xl), and the only reduce is a partial-agg min/max to ONE row — nothing data-sized shuffles",
+    "ts03_ohlc_downsample": "tick->bar compaction is ONE partial-then-final hash aggregate: open/close are min_by/max_by pairs over the composite integer order key — no sorted window, no per-group buffer, the bar table is |keys|*|days|",
+    "ts04_gap_interpolate": "gap discovery is a per-key lead() window over the per-day aggregate; missing days emit via sequence+explode map-side (output proportional to gaps, not span); no calendar cross-join anywhere",
+    "ml09_naive_bayes": "NB train+classify in-plan: model is a (class,term) partial agg; scoring fans test tokens x |classes| (bounded), joins the model on (class,term), reduces per doc — quantized integer scores, no driver state",
+    "w16_max_drawdown": "two stacked per-key running windows (cumsum then running max) over the per-day aggregate share one event_type partitioning; argmax is a row_number on integer deviations — no SinglePartition stage",
 }
 
 
