@@ -4459,3 +4459,81 @@ def ml09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_D15_TAU = 0.5  # exact-Jaccard leak threshold over the LSH candidates
+
+
+def _d15_is_train(col: str) -> str:
+    e = f"CAST({col} AS VARCHAR)"
+    frac = f"(256 * {_dd_hexv_of(e, 1)} + 16 * {_dd_hexv_of(e, 2)} + {_dd_hexv_of(e, 3)})"
+    return f"({frac} < {_SPLIT_CUT} * 4096)"
+
+
+@declared(
+    "d15_fuzzy_split_leakage",
+    oracle=f"""
+    WITH cand AS ({_dd_minhash_sql().replace("ORDER BY doc_a, doc_b", "")}),
+    x AS (
+      SELECT CASE WHEN {_d15_is_train('doc_a')} THEN doc_a ELSE doc_b END AS train_doc,
+             CASE WHEN {_d15_is_train('doc_a')} THEN doc_b ELSE doc_a END AS val_doc
+      FROM cand
+      WHERE {_d15_is_train('doc_a')} <> {_d15_is_train('doc_b')}),
+    sh2 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, {_DD_TOKS} AS w FROM documents) WHERE len(w) >= 3)
+    SELECT * FROM (
+      SELECT x.train_doc, x.val_doc,
+             ROUND(len(list_intersect(a.sh, b.sh))
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+      FROM x JOIN sh2 a ON a.doc_id = x.train_doc
+             JOIN sh2 b ON b.doc_id = x.val_doc)
+    WHERE jac >= {_D15_TAU} ORDER BY train_doc, val_doc
+    """,
+)
+def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY train/val split leakage — the near-duplicate leak p09's exact
+    fingerprints cannot see (a doc lightly edited between crawls lands on
+    both sides of the split and inflates eval). Same deterministic hash
+    split as p09 (membership recomputable from the id alone, map-side on
+    BOTH pair columns — no join back to the corpus), LSH candidates from
+    the shared minhash pipeline, cross-split pairs normalized to
+    (train_doc, val_doc), then d04's verify shape: exact bigram Jaccard
+    computed ONLY for candidate docs (semi-join pushed below the shingle
+    build). At 100 TB the shuffle carries (band, hash, id) then id pairs —
+    document bodies move never."""
+    from mdio_cpp_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    cut = F.lit(_SPLIT_CUT * 4096.0)
+    is_tr = lambda c: sampling.hash_fraction(F.col(c)) < cut
+    cand = (
+        dedup.lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS)
+        .filter(is_tr("doc_a") != is_tr("doc_b"))
+        .select(
+            F.when(is_tr("doc_a"), F.col("doc_a")).otherwise(F.col("doc_b")).alias("train_doc"),
+            F.when(is_tr("doc_a"), F.col("doc_b")).otherwise(F.col("doc_a")).alias("val_doc"),
+        )
+        .persist()  # feeds the id set AND both verify joins
+    )
+    toks = text.tokens("text")
+    base = dedup.ensure_map_parallelism(d.filter(F.size(toks) >= 3))
+    ids = (
+        cand.select(F.explode(F.array("train_doc", "val_doc")).alias("doc_id")).distinct()
+    )
+    sh = (
+        base.join(F.broadcast(ids), on="doc_id", how="left_semi")
+        .select("doc_id", F.array_distinct(text.word_shingles(toks, 3)).alias("sh"))
+        .persist()
+    )
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("train_doc"), F.col("sh").alias("sa")), "train_doc")
+        .join(sh.select(F.col("doc_id").alias("val_doc"), F.col("sh").alias("sb")), "val_doc")
+        .select(
+            "train_doc", "val_doc",
+            F.round(dedup.ngram_jaccard(F.col("sa"), F.col("sb")), 6).alias("jac"),
+        )
+        .filter(F.col("jac") >= _D15_TAU)
+        .orderBy("train_doc", "val_doc")
+    )

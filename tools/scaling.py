@@ -43,6 +43,10 @@ PICKS = [
     ("v12_pq_adc", "PQ asymmetric-distance search over stored codes"),
     ("mm09_shard_plan", "byte-offset shard packing (two-level prefix sum)"),
     ("d14_minhash_estimate_audit", "estimator audit off one shared minhash pass"),
+    ("ts03_ohlc_downsample", "tick->bar OHLC compaction (min_by/max_by, no window)"),
+    ("ml09_naive_bayes", "in-engine NB train + classify (quantized integer scores)"),
+    ("w16_max_drawdown", "stacked running windows on per-day aggregates"),
+    ("a11_grouped_mad", "two-pass grouped MAD sharing one bounds job"),
 ]
 
 
