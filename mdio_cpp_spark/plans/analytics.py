@@ -3417,3 +3417,78 @@ def dq08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@declared(
+    "ev15_seasonal_anomaly",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT event_type, day % 7 AS wd,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ss
+      FROM d GROUP BY 1, 2),
+    z AS (
+      SELECT d.event_type, d.day, d.day % 7 AS wd,
+             CAST(d.x AS DOUBLE) / 100.0 AS revenue,
+             CAST(d.x * (b.n - 1) - (b.s - d.x) AS DOUBLE)
+               / sqrt(CAST((b.n - 1) * (b.ss - d.x * d.x)
+                           - (b.s - d.x) * (b.s - d.x) AS DOUBLE)) AS zn
+      FROM d JOIN b ON b.event_type = d.event_type AND b.wd = d.day % 7
+      WHERE b.n >= 4
+        AND (b.n - 1) * (b.ss - d.x * d.x) > (b.s - d.x) * (b.s - d.x))
+    SELECT event_type, day, wd, revenue, ROUND(zn, 4) AS z
+    FROM z WHERE abs(zn) > 3.0
+    ORDER BY event_type, day
+    """,
+)
+def ev15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly days: each day's revenue is scored
+    against its OWN weekday's baseline (Mondays vs Mondays), catching the
+    "weekend dip is normal, a weekday dip is not" case that w14's rolling
+    band smears across the week. The baseline is LEAVE-ONE-OUT — the day
+    under test is subtracted from its weekday's sufficient statistics
+    (n−1, Σx−x, Σx²−x²) before scoring, so an outlier can't dilute its own
+    reference (with only ~4 same-weekday peers, in-sample z is bounded by
+    (n−1)/√n ≈ 2 and would flag nothing, ever). Day 0 is a Monday, so
+    wd = day mod 7 needs no calendar function and no locale-dependent
+    DAYOFWEEK convention; the z is one fixed-shape expression over exact
+    integers — engine-reproducible flagging at |z| > 3. Two partial aggs +
+    a broadcast-sized baseline join back onto the |days|-row frame —
+    nothing event-sized past the first agg."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    b = d.select("event_type", (F.col("day") % 7).alias("wd"), "x").groupBy(
+        "event_type", "wd"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    j = d.withColumn("wd", F.col("day") % 7).join(F.broadcast(b), ["event_type", "wd"])
+    nl = F.col("n") - 1
+    sl = F.col("s") - F.col("x")
+    ssl = F.col("ss") - F.col("x") * F.col("x")
+    zn = (F.col("x") * nl - sl).cast("double") / F.sqrt(
+        (nl * ssl - sl * sl).cast("double")
+    )
+    return (
+        j.filter((F.col("n") >= 4) & (nl * ssl > sl * sl))
+        .select(
+            "event_type", "day", "wd",
+            (F.col("x").cast("double") / 100.0).alias("revenue"),
+            F.round(zn, 4).alias("z"),
+        )
+        .filter(F.abs(zn) > 3.0)
+        .orderBy("event_type", "day")
+    )
