@@ -4537,3 +4537,34 @@ def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jac") >= _D15_TAU)
         .orderBy("train_doc", "val_doc")
     )
+
+
+@declared(
+    "st09_stream_ohlc",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
+                  AS TIMESTAMP) AS ws,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc,
+             epoch_ms(ts) * 1000000 + event_id AS k
+      FROM events)
+    SELECT ws, event_type,
+           CAST(arg_min(vc, k) AS DOUBLE) / 100.0 AS open,
+           CAST(MAX(vc) AS DOUBLE) / 100.0 AS high,
+           CAST(MIN(vc) AS DOUBLE) / 100.0 AS low,
+           CAST(arg_max(vc, k) AS DOUBLE) / 100.0 AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM x GROUP BY 1, 2 ORDER BY ws, event_type
+    """,
+)
+def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars, batch twin (streaming parity pinned in
+    test_streaming.test_ohlc_parity): ts03's tick→bar compaction rebuilt on
+    the epoch-aligned F.window so the SAME aggregate runs as a watermarked
+    streaming query — open/close are min_by/max_by (declarative,
+    update-mergeable pairs), so streaming state is one 4-number bar per
+    open (window, type), never a tick buffer. The oracle writes the window
+    floor explicitly."""
+    e = _t(spark, sf_dir, "events")
+    return ev.ohlc_bars(e).orderBy("ws", "event_type")

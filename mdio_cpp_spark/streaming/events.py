@@ -179,3 +179,42 @@ def sliding_event_rate(events: DataFrame, window: str = "10 minutes", slide: str
 
 def stream_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_event_rate(stream_events(spark, sf_dir))
+
+
+def ohlc_bars(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Windowed OHLC bars per event type — the tick→bar compaction as ONE
+    windowed aggregate. Open/close are min_by/max_by over a composite
+    integer order key (ms-epoch·10⁶ + event_id: a total order even under
+    timestamp ties), which are DECLARATIVE aggregates — update-mergeable
+    (value, key) pairs — so the identical expression runs batch and
+    streaming; streaming state is one 4-number bar per open (window, type),
+    never a buffer of ticks. Values ride integer cents; the /100.0 happens
+    once per emitted bar."""
+    k = (
+        F.floor(F.unix_micros("ts") / 1000) * F.lit(1000000).cast("long")
+        + F.col("event_id")
+    )
+    vc = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min_by(vc, k).alias("oc"),
+            F.max(vc).alias("hc"),
+            F.min(vc).alias("lc"),
+            F.max_by(vc, k).alias("cc"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("ws"),
+            "event_type",
+            (F.col("oc").cast("double") / 100.0).alias("open"),
+            (F.col("hc").cast("double") / 100.0).alias("high"),
+            (F.col("lc").cast("double") / 100.0).alias("low"),
+            (F.col("cc").cast("double") / 100.0).alias("close"),
+            "n_events",
+        )
+    )
+
+
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlc_bars(stream_events(spark, sf_dir))

@@ -9,7 +9,9 @@ import tempfile
 
 from mdio_cpp_spark.catalog import table
 from mdio_cpp_spark.streaming.events import (
+    ohlc_bars,
     sliding_event_rate,
+    stream_ohlc_bars,
     stream_sliding_rate,
     stream_windowed_agg,
     windowed_event_agg,
@@ -568,5 +570,33 @@ def test_sliding_rate_parity(spark, sf_dir):
         )
         q.awaitTermination(300)
     streamed = spark.sql("SELECT * FROM sliding_parity").orderBy("ws", "event_type").collect()
+    assert len(streamed) == len(batch) and len(batch) > 0
+    assert streamed == batch
+
+
+def test_ohlc_parity(spark, sf_dir):
+    """st09's contract: hourly OHLC bars from the streaming path equal the
+    batch twin exactly — min_by/max_by open/close must merge correctly
+    across streaming state updates (pair-mergeable, not order-dependent)."""
+    batch = (
+        ohlc_bars(table(spark, sf_dir, "events"))
+        .orderBy("ws", "event_type")
+        .collect()
+    )
+    stream_df = stream_ohlc_bars(spark, sf_dir)
+    assert stream_df.isStreaming
+    with tempfile.TemporaryDirectory(dir="/root/repo/.zarr_cache") as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName("ohlc_parity")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    streamed = (
+        spark.sql("SELECT * FROM ohlc_parity").orderBy("ws", "event_type").collect()
+    )
     assert len(streamed) == len(batch) and len(batch) > 0
     assert streamed == batch
