@@ -100,6 +100,11 @@ _PLAN_CONTRACTS = {
     "j03_anti_join": ["LeftAnti"],
     "u02_scd2_history": ["BroadcastHashJoin"],
     "h20_sole_returning_supplier": ["HashAggregate"],
+    # ts03: tick->bar OHLC must stay a pure aggregate — open/close via
+    # min_by/max_by pairs, never a sorted window over ticks
+    "ts03_ohlc_downsample": ["min_by", "max_by"],
+    "d15_fuzzy_split_leakage": ["BroadcastHashJoin", "LeftSemi"],
+    "ev15_seasonal_anomaly": ["BroadcastHashJoin"],
 }
 
 
