@@ -4568,3 +4568,124 @@ def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor explicitly."""
     e = _t(spark, sf_dir, "events")
     return ev.ohlc_bars(e).orderBy("ws", "event_type")
+
+
+@declared(
+    "u06_incremental_agg",
+    oracle=f"""
+    WITH chg AS (
+      SELECT o_orderkey AS k, 'U' AS op, 'P' AS s, o_totalprice + 1000.0 AS p
+      FROM orders WHERE o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey, 'D', NULL, NULL FROM orders WHERE o_orderkey % 13 = 1
+      UNION ALL
+      SELECT o_orderkey + {_U01_OFFSET}, 'I', 'N', o_totalprice / 2
+      FROM orders WHERE o_orderkey % 13 = 2
+    ),
+    merged AS (
+      SELECT COALESCE(t.o_orderkey, c.k) AS o_orderkey,
+             CASE WHEN (t.o_orderkey IS NOT NULL AND c.op = 'U')
+                    OR (t.o_orderkey IS NULL AND c.op = 'I')
+                  THEN c.s ELSE t.o_orderstatus END AS o_orderstatus,
+             CASE WHEN (t.o_orderkey IS NOT NULL AND c.op = 'U')
+                    OR (t.o_orderkey IS NULL AND c.op = 'I')
+                  THEN c.p ELSE t.o_totalprice END AS o_totalprice
+      FROM orders t FULL OUTER JOIN chg c ON t.o_orderkey = c.k
+      WHERE c.op IS NULL
+         OR (t.o_orderkey IS NOT NULL AND c.op <> 'D')
+         OR (t.o_orderkey IS NULL AND c.op = 'I')
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total
+    FROM merged GROUP BY 1 ORDER BY 1
+    """,
+)
+def u06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL aggregate maintenance: keep a per-status (count, total)
+    materialization current under u01's CDC changeset WITHOUT re-aggregating
+    the table — the delta algebra every streaming materialized view rests
+    on. The oracle recomputes from the fully-merged table; the Spark side
+    folds only changeset-sized deltas into the pre-change aggregate
+    (status-moving updates subtract from the old group AND add to the new —
+    the case naive "update in place" maintenance silently corrupts; deletes
+    retract; inserts on absent keys add; U-on-missing / I-on-existing are
+    no-ops, matching MERGE semantics). Exact integer cents make retraction
+    lossless — float totals would drift under subtract-then-add. At scale:
+    the base aggregate is |groups| rows, the delta join touches changeset
+    keys only (broadcast), the table never re-scans."""
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n0"), F.sum(cents).alias("t0")
+    )
+    chg = (
+        o.filter(key % 13 == 0)
+        .select(key.alias("k"), F.lit("U").alias("op"), F.lit("P").alias("s"),
+                (F.col("o_totalprice") + 1000.0).alias("p"))
+        .unionAll(
+            o.filter(key % 13 == 1).select(
+                key.alias("k"), F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("s"),
+                F.lit(None).cast("double").alias("p"))
+        )
+        .unionAll(
+            o.filter(key % 13 == 2).select(
+                (key + _U01_OFFSET).alias("k"), F.lit("I").alias("op"),
+                F.lit("N").alias("s"), (F.col("o_totalprice") / 2).alias("p"))
+        )
+    )
+    j = F.broadcast(chg).join(
+        o.select(key.alias("k"), F.col("o_orderstatus").alias("olds"),
+                 cents.alias("oldc")),
+        "k", "left",
+    )
+    newc = F.round(F.col("p") * 100).cast("long")
+    matched = F.col("olds").isNotNull()
+    # each changeset row emits its retractions/additions as (status, dn, dt)
+    # structs; no-op cases emit an empty array
+    deltas = j.select(
+        F.explode(
+            F.when(
+                (F.col("op") == "U") & matched,
+                F.array(
+                    F.struct(F.col("olds").alias("g"), F.lit(-1).cast("long").alias("dn"),
+                             (-F.col("oldc")).alias("dt")),
+                    F.struct(F.col("s").alias("g"), F.lit(1).cast("long").alias("dn"),
+                             newc.alias("dt")),
+                ),
+            )
+            .when(
+                (F.col("op") == "D") & matched,
+                F.array(F.struct(F.col("olds").alias("g"),
+                                 F.lit(-1).cast("long").alias("dn"),
+                                 (-F.col("oldc")).alias("dt"))),
+            )
+            .when(
+                (F.col("op") == "I") & ~matched,
+                F.array(F.struct(F.col("s").alias("g"),
+                                 F.lit(1).cast("long").alias("dn"),
+                                 newc.alias("dt"))),
+            )
+            .otherwise(F.array().cast("array<struct<g:string,dn:long,dt:long>>"))
+        ).alias("d")
+    ).select("d.g", "d.dn", "d.dt")
+    dagg = deltas.groupBy("g").agg(F.sum("dn").alias("dn"), F.sum("dt").alias("dt"))
+    return (
+        base.join(dagg, base["o_orderstatus"] == dagg["g"], "full")
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.col("g")).alias("o_orderstatus"),
+            (F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+            .alias("n_orders"),
+            (F.coalesce(F.col("t0"), F.lit(0)) + F.coalesce(F.col("dt"), F.lit(0)))
+            .alias("dt_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "o_orderstatus", "n_orders",
+            (F.col("dt_cents").cast("double") / 100.0).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
