@@ -3492,3 +3492,54 @@ def ev15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(zn) > 3.0)
         .orderBy("event_type", "day")
     )
+
+
+_A17_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@declared(
+    "a17_correlation_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT corr(l_quantity, l_extendedprice) AS c01,
+             corr(l_quantity, l_discount) AS c02,
+             corr(l_quantity, l_tax) AS c03,
+             corr(l_extendedprice, l_discount) AS c12,
+             corr(l_extendedprice, l_tax) AS c13,
+             corr(l_discount, l_tax) AS c23
+      FROM lineitem)
+    SELECT var_a, var_b, ROUND(r, 4) AS corr
+    FROM m, LATERAL (VALUES
+      ('l_quantity', 'l_extendedprice', c01),
+      ('l_quantity', 'l_discount', c02),
+      ('l_quantity', 'l_tax', c03),
+      ('l_extendedprice', 'l_discount', c12),
+      ('l_extendedprice', 'l_tax', c13),
+      ('l_discount', 'l_tax', c23)) AS p(var_a, var_b, r)
+    ORDER BY var_a, var_b
+    """,
+)
+def a17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix of the four lineitem measures in ONE
+    pass — the feature-redundancy screen run before any modeling. All six
+    coefficients are co-moment aggregates inside a single partial-then-
+    final HashAggregate (Chan et al. merge, a08's machinery widened to the
+    full upper triangle), so the table scans once however many column
+    pairs there are; the 1×6 result unpivots to matrix rows via a literal
+    stack. 4-dp rounding absorbs accumulation-order ulps (the a08
+    rounding contract)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b) for i, a in enumerate(_A17_COLS) for b in _A17_COLS[i + 1:]
+    ]
+    m = li.agg(
+        *[F.corr(a, b).alias(f"c{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack = ", ".join(
+        f"'{a}', '{b}', c{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return (
+        m.selectExpr(f"stack({len(pairs)}, {stack}) AS (var_a, var_b, r)")
+        .select("var_a", "var_b", F.round("r", 4).alias("corr"))
+        .orderBy("var_a", "var_b")
+    )
