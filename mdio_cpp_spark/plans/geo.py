@@ -308,3 +308,77 @@ def geo05(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = p.selectExpr(f"ROUND({_HAV}, 2) AS d").agg(
         F.lit("total").alias("seg"), F.round(F.sum("d"), 2).alias("dist_m"))
     return segs.unionAll(total).orderBy("seg")
+
+
+# ---- geo06: nearest-CDP lookup via lat/lon cell bucketing -------------------
+
+_G6_CELL = 0.005  # degrees ≈ 550 m ≫ the 250 m grid pitch → 3×3 probe is exact
+_G6_QUERIES = [("q1", -21.1950, 122.4950), ("q2", -21.1850, 122.5050),
+               ("q3", -21.1900, 122.4920)]
+_G6_HAV = haversine_sql("qlat", "qlon", "lat", "lon")
+
+
+@declared(
+    "geo06_nearest_cdp",
+    oracle=f"""
+    WITH c AS ({oracle_utm_sql(_GRID_SQL,
+                               "il, xl, ROUND(lat, 6) AS lat, ROUND(lon, 6) AS lon")}),
+    q(qid, qlat, qlon) AS (VALUES {", ".join(f"('{q}', {la}, {lo})" for q, la, lo in _G6_QUERIES)}),
+    d AS (
+      SELECT q.qid, c.il, c.xl, c.lat, c.lon,
+             ROUND({_G6_HAV}, 3) AS d3, {_G6_HAV} AS dm
+      FROM q CROSS JOIN c)
+    SELECT qid, il, xl, lat, lon, ROUND(dm, 2) AS dist_m
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d3, il, xl) AS rn
+          FROM d)
+    WHERE rn = 1 ORDER BY qid
+    """,
+)
+def geo06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-CDP lookup: geolocate field positions onto the stored survey
+    grid — the reverse of geo02 (grid→map; this is map→grid). The Spark
+    side is the SCALE path: grid points bucket into 0.005° lat/lon cells
+    map-side, each query probes only its 3×3 cell neighborhood (an equi-
+    join, v03's IVF shape on geographic cells), and the winner is an exact
+    lexicographic struct-min on (mm-rounded distance, il, xl). The probe is
+    EXACT by construction — the cell edge (~550 m) exceeds any point's
+    distance to its nearest grid neighbor (≤~177 m inside the hull), so
+    the true nearest is always in the probed cells; the oracle brute-forces
+    all pairs to prove it. Distances come from the shared haversine text
+    over 6-dp-rounded coordinates — identical doubles into an identical
+    formula in both engines."""
+    ds = _cube(spark, sf_dir)
+    g = apply_utm_stages(_grid(spark, ds)).selectExpr(
+        "il", "xl", "ROUND(lat, 6) AS lat", "ROUND(lon, 6) AS lon"
+    ).withColumn("cla", F.floor(F.col("lat") / _G6_CELL).cast("long")) \
+     .withColumn("clo", F.floor(F.col("lon") / _G6_CELL).cast("long"))
+    q = spark.createDataFrame(_G6_QUERIES, "qid string, qlat double, qlon double")
+    nb = q.select(
+        "qid", "qlat", "qlon",
+        (F.floor(F.col("qlat") / _G6_CELL).cast("long")).alias("qa"),
+        (F.floor(F.col("qlon") / _G6_CELL).cast("long")).alias("qo"),
+    ).select(
+        "qid", "qlat", "qlon",
+        F.explode(F.expr(
+            "flatten(transform(sequence(-1, 1), da -> "
+            "transform(sequence(-1, 1), do -> struct(qa + da AS cla, qo + do AS clo))))"
+        )).alias("cell"),
+    ).select("qid", "qlat", "qlon", "cell.cla", "cell.clo")
+    cand = g.join(F.broadcast(nb), ["cla", "clo"])
+    hav = F.expr(_G6_HAV)
+    best = (
+        cand.select(
+            "qid",
+            F.struct(
+                F.round(hav, 3).alias("d3"), "il", "xl", "lat", "lon",
+                hav.alias("dm"),
+            ).alias("s"),
+        )
+        .groupBy("qid")
+        .agg(F.min("s").alias("s"))
+    )
+    return best.select(
+        "qid", F.col("s.il").alias("il"), F.col("s.xl").alias("xl"),
+        F.col("s.lat").alias("lat"), F.col("s.lon").alias("lon"),
+        F.round(F.col("s.dm"), 2).alias("dist_m"),
+    ).orderBy("qid")
