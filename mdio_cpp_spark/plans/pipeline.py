@@ -4689,3 +4689,71 @@ def u06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@declared(
+    "t25_bigram_novelty",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, {_DD_TOKS} AS w,
+             CASE WHEN (256 * {_dd_hexv_of('CAST(doc_id AS VARCHAR)', 1)}
+                        + 16 * {_dd_hexv_of('CAST(doc_id AS VARCHAR)', 2)}
+                        + {_dd_hexv_of('CAST(doc_id AS VARCHAR)', 3)})
+                       < {_SPLIT_CUT} * 4096 THEN 'train' ELSE 'val' END AS split
+      FROM documents),
+    bg AS (
+      SELECT DISTINCT lang, split, unnest(
+        list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+      ) AS b
+      FROM d WHERE len(w) >= 2),
+    v AS (SELECT lang, b FROM bg WHERE split = 'val'),
+    t AS (SELECT lang, b FROM bg WHERE split = 'train')
+    SELECT v.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_val_bigrams,
+           CAST(SUM(CASE WHEN t.b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN t.b IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty
+    FROM v LEFT JOIN t ON t.lang = v.lang AND t.b = v.b
+    GROUP BY v.lang ORDER BY v.lang
+    """,
+)
+def t25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram NOVELTY of the validation split against training — how much
+    of val's phrase inventory the model never saw (novelty ≈ 0 means the
+    split leaks boilerplate and eval overstates memorization; the
+    complement of d15's pair-level leak, measured at the n-gram level).
+    Distinct (lang, split, bigram) collapse happens in a partial agg BEFORE
+    any join, so the anti-probe moves one row per distinct bigram, not per
+    occurrence; membership is the same left-anti shape as p03. Counts and
+    the final single division are exact."""
+    from mdio_cpp_spark.operators import sampling
+
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    toks = text.tokens("text")
+    split = F.when(
+        sampling.hash_fraction(F.col("doc_id")) < F.lit(_SPLIT_CUT * 4096.0),
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    bg = (
+        d.filter(F.size(toks) >= 2)
+        .select("lang", split.alias("split"),
+                F.explode(text.word_shingles(toks, 2)).alias("b"))
+        .distinct()
+    )
+    v = bg.filter(F.col("split") == "val").select("lang", "b")
+    t = bg.filter(F.col("split") == "train").select(
+        F.col("lang").alias("tl"), F.col("b").alias("tb"), F.lit(1).alias("seen")
+    )
+    j = v.join(
+        t, (F.col("lang") == F.col("tl")) & (F.col("b") == F.col("tb")), "left"
+    )
+    novel = F.when(F.col("seen").isNull(), 1).otherwise(0)
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_val_bigrams"),
+            F.sum(novel).alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+        .orderBy("lang")
+    )
