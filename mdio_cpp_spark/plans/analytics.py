@@ -3543,3 +3543,85 @@ def a17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("var_a", "var_b", F.round("r", 4).alias("corr"))
         .orderBy("var_a", "var_b")
     )
+
+
+@declared(
+    "ev16_concurrency_sweep",
+    oracle="""
+    WITH a AS (
+      SELECT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
+             CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi
+      FROM events GROUP BY 1, 2),
+    f AS (SELECT * FROM a WHERE lo < hi),
+    p AS (
+      SELECT x.day, GREATEST(x.lo, y.lo) AS g, LEAST(x.hi, y.hi) AS l
+      FROM f x JOIN f y
+        ON x.day = y.day AND x.user_id < y.user_id
+       AND x.lo < y.hi AND y.lo < x.hi)
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(l - g) AS DOUBLE) / 60000000.0, 2) AS total_overlap_min
+    FROM p GROUP BY day ORDER BY day
+    """,
+)
+def ev16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j06's aggregate computed WITHOUT materializing a single pair — the
+    sweep line. When intervals are dense (every user active all day),
+    overlapping pairs are Θ(n²) and any join-based plan pays for each one;
+    but the AGGREGATE only needs the active-count profile: at each
+    interval start with k others active, n_pairs += k, and between
+    consecutive boundaries with k active, total overlap += C(k,2)·Δt.
+    One per-day ordered window over 2 boundary rows per interval —
+    O(n log n) against the join's Θ(n²), and the oracle brute-forces the
+    pairs to prove the identity. Boundary order (ends before starts)
+    realizes the strict-overlap convention; degenerate point intervals
+    (single-event user-days) are excluded on both paths; timestamps are
+    unique so no residual ties exist. Overlap accumulates as exact integer
+    µs·pairs (DECIMAL would take over at corpus scales where
+    C(k,2)·Δt exceeds int64)."""
+    e = _t(spark, sf_dir, "events")
+    a = (
+        e.groupBy(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+    )
+    ev = a.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("t"), F.lit(1).cast("long").alias("dlt")),
+                F.struct(F.col("hi").alias("t"), F.lit(-1).cast("long").alias("dlt")),
+            )
+        ).alias("b"),
+    ).select("day", "b.t", "b.dlt")
+    w = Window.partitionBy("day").orderBy("t", "dlt")
+    s = ev.select(
+        "day", "t", "dlt",
+        F.sum("dlt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("k"),
+        F.lead("t").over(w).alias("nt"),
+    )
+    seg_overlap = F.when(
+        F.col("nt").isNotNull(),
+        (F.col("k") * (F.col("k") - 1) / 2).cast("long") * (F.col("nt") - F.col("t")),
+    ).otherwise(F.lit(0))
+    started_pairs = F.when(F.col("dlt") == 1, F.col("k") - 1).otherwise(F.lit(0))
+    return (
+        s.groupBy("day")
+        .agg(
+            F.sum(started_pairs).alias("n_pairs"),
+            F.round(F.sum(seg_overlap).cast("double") / 60000000.0, 2).alias(
+                "total_overlap_min"
+            ),
+        )
+        .orderBy("day")
+    )

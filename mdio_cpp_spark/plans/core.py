@@ -2126,3 +2126,94 @@ def w15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declared(
+    "j06_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
+             CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT x.day, GREATEST(x.lo, y.lo) AS g, LEAST(x.hi, y.hi) AS l
+      FROM a x JOIN a y
+        ON x.day = y.day AND x.user_id < y.user_id
+       AND x.lo < y.hi AND y.lo < x.hi)
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(l - g) AS DOUBLE) / 60000000.0, 2) AS total_overlap_min
+    FROM p GROUP BY day ORDER BY day
+    """,
+)
+def j06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval OVERLAP join with BOTH sides data-sized — the shape j05's
+    broadcast NLJ can't scale to (genomics ranges, concurrent sessions,
+    temporal conflicts). Each per-(user, day) activity interval explodes
+    into the HOUR CELLS it covers (≤24, bounded fan-out), candidates meet
+    in an equi-join on (day, cell) — never an all-pairs product within a
+    day — and each true pair is emitted at exactly ONE canonical cell: the
+    cell containing the overlap's start max(lo₁, lo₂), which both
+    intervals provably cover. That residual replaces the naive
+    distinct-on-pair-key, whose dedup shuffle carries |pairs|·|shared
+    cells| rows (measured 25× slower here with day-long intervals). The
+    oracle brute-forces within each day to prove the decomposition is
+    lossless. Overlap minutes sum as exact integer microseconds, one
+    division at the end. Cell width should track interval scale — cells ≪
+    intervals inflate candidate generation, cells ≫ intervals degenerate
+    to the per-bucket cross product. This data is pair-DENSE (day-long
+    intervals → Θ(n²) true pairs), the join shape's worst case: when only
+    the aggregate is needed, ev16_concurrency_sweep computes the identical
+    result via a sweep line in O(n log n) — measured 8× faster at sf0.1 —
+    while this query remains the form that returns the pairs themselves."""
+    e = _t(spark, sf_dir, "events")
+    a = e.groupBy(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    hour_us = 3_600_000_000
+    cells = a.select(
+        "user_id", "day", "lo", "hi",
+        F.explode(
+            F.sequence(F.floor(F.col("lo") / hour_us), F.floor(F.col("hi") / hour_us))
+        ).alias("cell"),
+    )
+    x = cells.select(
+        F.col("day"), F.col("cell"), F.col("user_id").alias("u1"),
+        F.col("lo").alias("lo1"), F.col("hi").alias("hi1"),
+    )
+    y = cells.select(
+        F.col("day").alias("d2"), F.col("cell").alias("c2"),
+        F.col("user_id").alias("u2"), F.col("lo").alias("lo2"),
+        F.col("hi").alias("hi2"),
+    )
+    pairs = x.join(
+        y,
+        (F.col("day") == F.col("d2")) & (F.col("cell") == F.col("c2"))
+        & (F.col("u1") < F.col("u2"))
+        & (F.col("lo1") < F.col("hi2")) & (F.col("lo2") < F.col("hi1"))
+        # canonical-cell residual: count the pair only in the cell holding
+        # the overlap's start — exactly one cell per true pair, no distinct
+        & (F.col("cell") == F.floor(F.greatest("lo1", "lo2") / hour_us)),
+    ).select("day", "u1", "u2", "lo1", "hi1", "lo2", "hi2")
+    return (
+        pairs.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(
+                    F.least("hi1", "hi2") - F.greatest("lo1", "lo2")
+                ).cast("double")
+                / 60000000.0,
+                2,
+            ).alias("total_overlap_min"),
+        )
+        .orderBy("day")
+    )
