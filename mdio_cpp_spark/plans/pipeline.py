@@ -4757,3 +4757,70 @@ def t25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_S11_BUCKETS = 256  # keep hash_fraction(key) < 256 of 4096 → a 1/16 sample
+
+
+@declared(
+    "s11_coordinated_sample",
+    oracle=f"""
+    WITH os AS (
+      SELECT o_orderkey, o_orderpriority
+      FROM orders
+      WHERE (256 * {_dd_hexv_of('CAST(o_orderkey AS VARCHAR)', 1)}
+             + 16 * {_dd_hexv_of('CAST(o_orderkey AS VARCHAR)', 2)}
+             + {_dd_hexv_of('CAST(o_orderkey AS VARCHAR)', 3)}) < {_S11_BUCKETS}),
+    ls AS (
+      SELECT l_orderkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem
+      WHERE (256 * {_dd_hexv_of('CAST(l_orderkey AS VARCHAR)', 1)}
+             + 16 * {_dd_hexv_of('CAST(l_orderkey AS VARCHAR)', 2)}
+             + {_dd_hexv_of('CAST(l_orderkey AS VARCHAR)', 3)}) < {_S11_BUCKETS})
+    SELECT o.o_orderpriority,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders_sample,
+           CAST(COUNT(DISTINCT o.o_orderkey) * 16 AS BIGINT) AS n_orders_est,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lineitems_sample,
+           CAST(SUM(l.pc) * 16 AS DOUBLE) / 100.0 AS revenue_est
+    FROM os o JOIN ls l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COORDINATED sampling across tables: orders AND lineitem keep the
+    same 1/16 of the keyspace (identical md5-bucket predicate on the JOIN
+    key), so a sampled order arrives with ALL its lineitems — per-order
+    joins and aggregates on the sample are exact for sampled keys and
+    scale up unbiased (×16), where independent per-table sampling keeps
+    only 1/256 of join pairs and biases per-order statistics toward
+    small orders (coordination pinned in
+    tests/test_merge_sampling.test_coordinated_sample_join_lossless).
+    Membership recomputes map-side from the key on each table — pure
+    filters at the scans, no sampling coordination state, no shuffle
+    beyond the (already 1/16-sized) join."""
+    from mdio_cpp_spark.operators import sampling
+
+    cut = F.lit(float(_S11_BUCKETS))
+    o = _t(spark, sf_dir, "orders").filter(
+        sampling.hash_fraction(F.col("o_orderkey")) < cut
+    ).select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        sampling.hash_fraction(F.col("l_orderkey")) < cut
+    ).select(
+        "l_orderkey", F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc")
+    )
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders_sample"),
+            (F.countDistinct("o_orderkey") * 16).alias("n_orders_est"),
+            F.count("l_orderkey").alias("n_lineitems_sample"),
+            (F.sum("pc") * 16).cast("double").alias("rev16"),
+        )
+        .select(
+            "o_orderpriority", "n_orders_sample", "n_orders_est",
+            "n_lineitems_sample", (F.col("rev16") / 100.0).alias("revenue_est"),
+        )
+        .orderBy("o_orderpriority")
+    )

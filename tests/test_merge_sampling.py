@@ -199,3 +199,35 @@ def test_scd2_null_safe_and_history_only_keys(spark):
         (3, 30.0): ("2020-01-01", "2021-01-01"),   # history untouched
         (3, 9.0): ("2022-06-01", None),            # insert despite history match
     }
+
+
+def test_coordinated_sample_join_lossless(spark, sf_dir):
+    """s11's contract: sampling BOTH tables with the same hash predicate on
+    the join key keeps every sampled order's full lineitem set — zero
+    orphan lineitems, and per-sampled-order line counts identical to the
+    unsampled table's counts for those keys."""
+    from mdio_cpp_spark.catalog import table
+    from mdio_cpp_spark.operators.sampling import hash_fraction
+
+    cut = F.lit(256.0)
+    o = table(spark, sf_dir, "orders").filter(
+        hash_fraction(F.col("o_orderkey")) < cut
+    ).select("o_orderkey")
+    li_all = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    li_s = li_all.filter(hash_fraction(F.col("l_orderkey")) < cut)
+
+    # no sampled lineitem lacks its order (coordination, not luck)
+    orphans = li_s.join(o, li_s["l_orderkey"] == o["o_orderkey"], "left_anti")
+    assert orphans.count() == 0
+
+    # sampled per-order line counts == full-table counts for sampled keys
+    full = {
+        r["l_orderkey"]: r["n"]
+        for r in li_all.join(o, li_all["l_orderkey"] == o["o_orderkey"], "left_semi")
+        .groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    samp = {
+        r["l_orderkey"]: r["n"]
+        for r in li_s.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert full == samp and len(samp) > 0
