@@ -2217,3 +2217,62 @@ def j06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@declared(
+    "w17_rolling_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day,
+             CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+             CAST(SUM(day) OVER fr AS BIGINT) AS st,
+             CAST(SUM(x) OVER fr AS BIGINT) AS sx,
+             CAST(SUM(day * x) OVER fr AS BIGINT) AS stx,
+             CAST(SUM(day * day) OVER fr AS BIGINT) AS stt
+      FROM d
+      WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day,
+           ROUND(CAST(n * stx - st * sx AS DOUBLE)
+                 / (100.0 * (n * stt - st * st)), 4) AS slope
+    FROM w WHERE n >= 3 ORDER BY event_type, day
+    """,
+)
+def w17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS trend slope of daily revenue — "how fast is this
+    series moving right now", the windowed form of zarr63's bit-exact
+    per-axis trend and the regression sibling of w14's bands. The frame
+    carries FIVE exact integer sufficient statistics (n, Σt, Σx, Σtx, Σt²
+    in cents·days), so the slope is one fixed-shape division per row —
+    no float accumulation inside the window, engine-identical before the
+    4-dp display rounding. Same per-key window over per-day aggregates as
+    w14/w16: state is one frame of integers per (type, day)."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    fr = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    w = d.select(
+        "event_type", "day",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("day").over(fr).alias("st"),
+        F.sum("x").over(fr).alias("sx"),
+        F.sum(F.col("day") * F.col("x")).over(fr).alias("stx"),
+        F.sum(F.col("day") * F.col("day")).over(fr).alias("stt"),
+    )
+    slope = (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")).cast("double") / (
+        100.0 * (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+    )
+    return (
+        w.filter(F.col("n") >= 3)
+        .select("event_type", "day", F.round(slope, 4).alias("slope"))
+        .orderBy("event_type", "day")
+    )
