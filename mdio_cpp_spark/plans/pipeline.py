@@ -4824,3 +4824,57 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@declared(
+    "p16_pack_efficiency",
+    oracle=f"""
+    WITH p AS ({_dd_packing_sql().replace("ORDER BY doc_id", "")}),
+    per_pack AS (
+      SELECT shard, pack_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS tok
+      FROM p GROUP BY 1, 2)
+    SELECT shard,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_packs,
+           CAST(SUM(tok) AS BIGINT) AS tokens,
+           ROUND(CAST(SUM(tok) AS DOUBLE) / (COUNT(*) * {_PACK_BUDGET}), 4)
+             AS fill_ratio,
+           CAST(MAX(tok) AS BIGINT) AS max_pack_tokens
+    FROM per_pack GROUP BY shard ORDER BY shard
+    """,
+)
+def p16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over p01's pack assignment — the number a
+    training team actually tunes budget/sharding against: per shard, how
+    many packs, how full they run (fill_ratio > 1 means docs spilling past
+    budget boundaries under the streaming-packing convention — wasted
+    compute comes from BOTH underfill and spill), and the fattest pack
+    (the step-time straggler). Two stacked partial aggs over the packing
+    frame ((shard, pack) then shard); pack_ids are contiguous per shard by
+    construction so n_packs is a plain count. Exact integer tokens; the
+    single fill division rounds at 4 dp."""
+    from mdio_cpp_spark.operators.sampling import sequence_packing
+
+    d = _t(spark, sf_dir, "documents")
+    p = sequence_packing(
+        d, "doc_id", text.token_count("text"), budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+    )
+    per_pack = p.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tok")
+    )
+    return (
+        per_pack.groupBy("shard")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("tok").alias("tokens"),
+            F.round(
+                F.sum("tok").cast("double") / (F.count(F.lit(1)) * _PACK_BUDGET), 4
+            ).alias("fill_ratio"),
+            F.max("tok").alias("max_pack_tokens"),
+        )
+        .orderBy("shard")
+    )
