@@ -1,0 +1,86 @@
+"""Property-based grouped_percentiles test (hypothesis): for ANY grouped
+float data, ANY percentile set, and ANY caller-supplied bounds — tight,
+loose, partially covering, or entirely wrong — the operator must equal an
+independent numpy model of quantile_cont interpolation (the same formula
+Spark's percentile UDAF and DuckDB's quantile_cont implement). The bounds
+parameter may only steer bucket balance, never results.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+_spark = None  # filled by the fixture-backed wrapper below
+
+
+@st.composite
+def percentile_case(draw):
+    groups = draw(st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=30))
+    vals = [
+        draw(st.floats(-1000, 1000, allow_nan=False, allow_infinity=False, width=32))
+        for _ in groups
+    ]
+    ps = draw(
+        st.lists(
+            st.floats(0.0, 1.0, allow_nan=False).map(lambda p: round(p, 3)),
+            min_size=1, max_size=3, unique=True,
+        )
+    )
+    bounds = draw(
+        st.one_of(
+            st.none(),
+            st.tuples(
+                st.floats(-2000, 2000, allow_nan=False),
+                st.floats(-2000, 2000, allow_nan=False),
+            ).map(lambda t: (min(t), max(t)) if t[0] != t[1] else (t[0], t[0] + 1.0)),
+        )
+    )
+    return list(zip(groups, vals)), ps, bounds
+
+
+def _model(rows, ps):
+    """quantile_cont per group, independent of Spark/DuckDB: sort, rank
+    (n-1)·p, linear interpolation, rounded like the operator (4 dp)."""
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(float(v))
+    out = {}
+    for g, vs in by_g.items():
+        vs.sort()
+        res = []
+        for p in ps:
+            rank = (len(vs) - 1) * p
+            lo, hi = math.floor(rank), math.ceil(rank)
+            v = vs[lo] + (rank - lo) * (vs[hi] - vs[lo])
+            res.append(round(v, 4))
+        out[g] = tuple(res)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(percentile_case())
+def _check(case):
+    from mdio_cpp_spark.operators.stats import grouped_percentiles
+
+    rows, ps, bounds = case
+    df = _spark.createDataFrame(rows, "g string, v double")
+    names = [(p, f"p{i}") for i, p in enumerate(ps)]
+    got = {
+        r["g"]: tuple(r[f"p{i}"] for i in range(len(ps)))
+        for r in grouped_percentiles(df, "g", "v", names, bounds=bounds).collect()
+    }
+    expect = _model(rows, ps)
+    assert set(got) == set(expect)
+    for g in expect:
+        for a, b in zip(got[g], expect[g]):
+            # both sides round to 4 dp; allow the final-ulp wobble of the
+            # interpolation formula evaluated in different engines
+            assert a is not None and abs(a - b) <= 1e-4, (g, got[g], expect[g], bounds)
+
+
+def test_grouped_percentiles_matches_model(spark):
+    global _spark
+    _spark = spark
+    _check()
