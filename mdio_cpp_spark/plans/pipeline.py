@@ -4637,11 +4637,15 @@ def u06(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("N").alias("s"), (F.col("o_totalprice") / 2).alias("p"))
         )
     )
-    j = F.broadcast(chg).join(
-        o.select(key.alias("k"), F.col("o_orderstatus").alias("olds"),
-                 cents.alias("oldc")),
-        "k", "left",
-    )
+    # the scalable old-value fetch: Spark can only BUILD the right side of
+    # a LEFT join, so `broadcast(chg).join(target, "left")` would broadcast
+    # the TARGET — fatal at scale. Instead the target streams through a
+    # broadcast LeftSemi prune (changeset keys only survive), and the left
+    # join then runs changeset-sized vs changeset-sized.
+    old = o.select(
+        key.alias("k"), F.col("o_orderstatus").alias("olds"), cents.alias("oldc")
+    ).join(F.broadcast(chg.select("k")), "k", "left_semi")
+    j = chg.join(old, "k", "left")
     newc = F.round(F.col("p") * 100).cast("long")
     matched = F.col("olds").isNotNull()
     # each changeset row emits its retractions/additions as (status, dn, dt)

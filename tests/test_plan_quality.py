@@ -105,6 +105,9 @@ _PLAN_CONTRACTS = {
     "ts03_ohlc_downsample": ["min_by", "max_by"],
     "d15_fuzzy_split_leakage": ["BroadcastHashJoin", "LeftSemi"],
     "ev15_seasonal_anomaly": ["BroadcastHashJoin"],
+    # u06: the target must stream through a broadcast semi prune — never be
+    # the build side of the old-value fetch
+    "u06_incremental_agg": ["LeftSemi, BuildRight"],
 }
 
 

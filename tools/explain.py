@@ -100,6 +100,11 @@ PICKS = {
     "ts04_gap_interpolate": "gap discovery is a per-key lead() window over the per-day aggregate; missing days emit via sequence+explode map-side (output proportional to gaps, not span); no calendar cross-join anywhere",
     "ml09_naive_bayes": "NB train+classify in-plan: model is a (class,term) partial agg; scoring fans test tokens x |classes| (bounded), joins the model on (class,term), reduces per doc — quantized integer scores, no driver state",
     "w16_max_drawdown": "two stacked per-key running windows (cumsum then running max) over the per-day aggregate share one event_type partitioning; argmax is a row_number on integer deviations — no SinglePartition stage",
+    "j06_interval_overlap": "interval overlap as an equi-join on (day, hour-cell) with the canonical-cell residual — no dedup shuffle after the join, no within-day cross product in the plan",
+    "ev16_concurrency_sweep": "the sweep line: 2 boundary rows per interval through ONE day-partitioned ordered window (running k, lead) — no pair materialization anywhere in the plan",
+    "u06_incremental_agg": "delta maintenance: the target STREAMS through a broadcast LeftSemi prune (changeset keys build side), the old-value join is changeset-sized-vs-changeset-sized, and the only data-sized aggregate is the |groups|-row base — Spark can't build the right side of broadcast(chg).join(target, 'left'), so the naive form would broadcast the TARGET",
+    "s11_coordinated_sample": "both sample predicates sit directly on the FileScans (map-side md5 filters, no sampling state); the join runs over 1/16-sized inputs",
+    "p16_pack_efficiency": "two stacked partial aggs ((shard, pack) then shard) over the packing frame; the packing windows partition by shard — no global stage",
 }
 
 
