@@ -940,29 +940,31 @@ def zarr23(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def zarr24(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running aggregate over a stored array with NO global window: the
-    array's chunk grid is the natural prefix-sum bucketing. Per-chunk sums
-    collect to the driver (n_chunks scalars), cumulate into offsets, and the
-    running sum is a chunk-PARTITIONED window plus its bucket offset — every
-    stage parallel, exact result, any array length. (Rounding is safe: sums
-    of 2-decimal prices have 2 exact decimals, so fp drift from the
-    different accumulation orders never crosses a rounding boundary.)"""
+    """Running aggregate over a stored array with NO data-sized global
+    window: the array's chunk grid is the natural prefix-sum bucketing.
+    Per-chunk sums stay a DataFrame — the cross-chunk offsets cumulate in a
+    window over that ONE-ROW-PER-CHUNK carry table (zarr55's gap-fill
+    allowance: bounded by the chunk count, never by the data; nothing is
+    ever driver-resident, unlike a collect-and-rebroadcast which holds
+    n_chunks scalars on the driver — ~12M at 100 TB), and the running sum
+    is a chunk-PARTITIONED window plus its joined bucket offset — the
+    offset join keys on the chunk id, so AQE broadcasts it while it fits
+    and shuffle-joins beyond that. (Rounding is safe: sums of 2-decimal
+    prices have 2 exact decimals, and both offset folds accumulate in the
+    same chunk order, so fp drift never crosses a rounding boundary.)"""
     ds = MdioDataset.open(_main_store(spark, sf_dir))
     scan = ds.isel(i=(0, 8192)).to_df(spark, "price", value_col="v")
     bucket = (F.col("i") / F.lit(CHUNK)).cast("long")
     tagged = scan.withColumn("__b", bucket)
-    sums = {
-        r["__b"]: r["s"]
-        for r in tagged.groupBy("__b").agg(F.sum("v").alias("s")).collect()
-    }
-    offs, acc = [], 0.0
-    for b in sorted(sums):
-        offs.append((b, acc))
-        acc += sums[b]
-    off_df = tagged.sparkSession.createDataFrame(offs or [(0, 0.0)], "__b long, __off double")
+    wg = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = (
+        tagged.groupBy("__b")
+        .agg(F.sum("v").alias("__s"))
+        .select("__b", F.coalesce(F.sum("__s").over(wg), F.lit(0.0)).alias("__off"))
+    )
     w = Window.partitionBy("__b").orderBy("i")
     return (
-        tagged.join(F.broadcast(off_df), "__b")
+        tagged.join(off_df, "__b")
         .withColumn("run_sum", F.round(F.sum("v").over(w) + F.col("__off"), 2))
         .select("i", "run_sum")
         .orderBy("i")
@@ -2531,28 +2533,24 @@ def zarr58(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def zarr59(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running MAX over a stored array (xarray ``cummax``) — zarr24's
-    prefix shape with max as the monoid: per-chunk maxima (n_chunks
-    scalars) cumulate into per-chunk prefix maxima, and the running max is
-    a chunk-PARTITIONED window combined with its bucket's prefix — every
-    stage parallel, no global window, exact (max has no accumulation-order
-    drift at all)."""
+    prefix shape with max as the monoid: per-chunk maxima stay a DataFrame
+    and their prefix maxima cumulate in a window over the one-row-per-chunk
+    carry table (the zarr55 allowance — bounded by chunk count, nothing
+    driver-resident); the running max is a chunk-PARTITIONED window
+    combined with its bucket's joined prefix — every stage parallel, exact
+    (max has no accumulation-order drift at all)."""
     ds = MdioDataset.open(_main_store(spark, sf_dir))
     scan = ds.isel(i=(0, 8192)).to_df(spark, "price", value_col="v")
     tagged = scan.withColumn("__b", (F.col("i") / F.lit(CHUNK)).cast("long"))
-    maxes = {
-        r["__b"]: r["m"]
-        for r in tagged.groupBy("__b").agg(F.max("v").alias("m")).collect()
-    }
-    offs, acc = [], None
-    for b in sorted(maxes):
-        offs.append((b, acc))
-        acc = maxes[b] if acc is None else max(acc, maxes[b])
-    off_df = tagged.sparkSession.createDataFrame(
-        offs or [(0, None)], "__b long, __pmax double"
+    wg = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = (
+        tagged.groupBy("__b")
+        .agg(F.max("v").alias("__m"))
+        .select("__b", F.max("__m").over(wg).alias("__pmax"))
     )
     w = Window.partitionBy("__b").orderBy("i")
     return (
-        tagged.join(F.broadcast(off_df), "__b")
+        tagged.join(off_df, "__b")
         .withColumn(
             "run_max",
             F.greatest(F.max("v").over(w), F.coalesce("__pmax", F.col("v"))),

@@ -50,8 +50,12 @@ from mdio_cpp_spark.plans import REGISTRY
 #  - w15: the rolling frame runs over the |days|-row per-day aggregate —
 #    the asof-boundary allowance (|time buckets|, not data); a multi-
 #    series variant partitions per series pair (docstring).
+#  - zarr24/zarr59: the cross-chunk prefix offsets — ONE row per chunk —
+#    cumulate globally (the zarr55 carry shape, previously a driver
+#    collect); the data-sized running window partitions on the chunk id.
 _ALLOW_GLOBAL = {
     "asof01_event_order", "asof02_left", "asof05_nearest", "zarr09_write_roundtrip",
+    "zarr24_prefix_sum", "zarr59_cummax",
     "zarr55_ffill", "zarr57_bfill_limit", "p11_epoch_shuffle",
     "t16_zipf_slope", "ev07_top_paths", "zarr73_threshold_runs",
     "p14_curriculum", "zarr86_hist_equalize", "mm09_shard_plan",
