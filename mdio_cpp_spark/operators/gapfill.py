@@ -85,8 +85,11 @@ def fill_gaps(
         filled = F.when(
             F.col("__gx") - donor.getField("x") <= F.lit(int(limit)), donor.getField("v")
         )
+    # carry is one row per bucket — broadcast-sized for any store a single
+    # query touches, but NOT forced: at ~12M chunks (100 TB) AQE falls back
+    # to a shuffle join keyed on __gb, co-partitioned with the window above
     out = (
-        carried.join(F.broadcast(carry), "__gb", "left")
+        carried.join(carry, "__gb", "left")
         .withColumn("__g_fill", F.coalesce(F.col(value_col), filled))
     )
     return out.select(
