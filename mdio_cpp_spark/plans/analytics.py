@@ -3625,3 +3625,79 @@ def ev16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@declared(
+    "dq09_value_reconciliation",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS lc
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS oc, l.lc
+      FROM orders o LEFT JOIN l ON l.l_orderkey = o.o_orderkey),
+    b AS (
+      SELECT CASE
+               WHEN lc IS NULL THEN 0
+               WHEN oc = lc THEN 1
+               WHEN ABS(oc - lc) * 1000 <= oc THEN 2
+               WHEN ABS(oc - lc) * 100 <= oc THEN 3
+               WHEN ABS(oc - lc) * 10 <= oc THEN 4
+               ELSE 5 END AS sev
+      FROM j),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM b)
+    SELECT sev,
+           CASE sev WHEN 0 THEN 'no_lines' WHEN 1 THEN 'exact'
+                    WHEN 2 THEN 'within_0.1pct' WHEN 3 THEN 'within_1pct'
+                    WHEN 4 THEN 'within_10pct' ELSE 'over_10pct' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS DOUBLE) / MAX(n.total) AS share
+    FROM b, n GROUP BY sev ORDER BY sev
+    """,
+)
+def dq09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table VALUE reconciliation: does each order's stored total
+    equal the sum of its lineitems? — the money-column integrity audit
+    (dq03 checks keys exist; this checks the amounts agree), bucketed by
+    relative error. Every boundary is an exact integer cross-multiplication
+    (|Δ|·1000 ≤ total for 0.1%, never a float threshold), so bucket
+    membership is engine-identical. One partial agg collapses lineitem to
+    order grain BEFORE the fact-fact join — the only wide shuffle carries
+    (orderkey, cents) — and the severity rollup is 6 rows."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("lc")
+    )
+    j = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("oc"), "o_orderkey"
+    ).join(li, o["o_orderkey"] == li["l_orderkey"], "left")
+    d = F.abs(F.col("oc") - F.col("lc"))
+    sev = (
+        F.when(F.col("lc").isNull(), 0)
+        .when(F.col("oc") == F.col("lc"), 1)
+        .when(d * 1000 <= F.col("oc"), 2)
+        .when(d * 100 <= F.col("oc"), 3)
+        .when(d * 10 <= F.col("oc"), 4)
+        .otherwise(5)
+    )
+    b = j.select(sev.alias("sev"))
+    n = b.agg(F.count(F.lit(1)).alias("total"))
+    name = (
+        F.when(F.col("sev") == 0, "no_lines")
+        .when(F.col("sev") == 1, "exact")
+        .when(F.col("sev") == 2, "within_0.1pct")
+        .when(F.col("sev") == 3, "within_1pct")
+        .when(F.col("sev") == 4, "within_10pct")
+        .otherwise("over_10pct")
+    )
+    return (
+        b.groupBy("sev")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "sev", name.alias("bucket"), "n_orders",
+            (F.col("n_orders").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy("sev")
+    )
