@@ -3623,6 +3623,10 @@ def ev16(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_overlap_min"
             ),
         )
+        # a day whose intervals never overlap produces no PAIR — the join
+        # formulation emits nothing for it, so the sweep must not either
+        # (caught by test_degenerate_inputs: the gate corpus overlaps daily)
+        .filter(F.col("n_pairs") > 0)
         .orderBy("day")
     )
 

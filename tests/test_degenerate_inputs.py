@@ -248,3 +248,57 @@ def test_ewma_isolated_day_self_normalizes(spark):
     g = f.groupBy("event_type", "tday").agg(F.sum("wx").alias("num"), F.sum("w").alias("den"))
     got = g.join(d.select("event_type", F.col("day").alias("tday")), ["event_type", "tday"]).collect()
     assert len(got) == 1 and got[0]["num"] / got[0]["den"] == 200.0
+
+
+def _mini_events(spark, tmp_path, rows):
+    """A minimal events.parquet a declared query can read via catalog.table."""
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type", "value",
+        F.lit('{"k": 1}').alias("props"),
+    )
+    d = str(tmp_path / "sf_mini")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+def test_ev16_point_intervals_excluded_and_exact(spark, tmp_path):
+    """ev16's sweep: single-event user-days are degenerate POINT intervals —
+    excluded on both paths by contract — and the remaining overlap math must
+    match a brute-force Python model."""
+    from mdio_cpp_spark.plans import REGISTRY
+
+    rows = [
+        # day 0: u1 [00:10, 01:10], u2 [00:40, 02:00] -> overlap 30 min
+        (0, "2024-01-01 00:10:00", 1, "click", 1.0),
+        (1, "2024-01-01 01:10:00", 1, "click", 1.0),
+        (2, "2024-01-01 00:40:00", 2, "view", 1.0),
+        (3, "2024-01-01 02:00:00", 2, "view", 1.0),
+        # u3: ONE event inside u1's interval — a point interval, excluded
+        (4, "2024-01-01 00:30:00", 3, "view", 1.0),
+        # day 1: two users, intervals touch end-to-start -> NOT an overlap
+        (5, "2024-01-02 03:00:00", 1, "click", 1.0),
+        (6, "2024-01-02 04:00:00", 1, "click", 1.0),
+        (7, "2024-01-02 04:00:01", 2, "view", 1.0),
+        (8, "2024-01-02 05:00:00", 2, "view", 1.0),
+    ]
+    d = _mini_events(spark, tmp_path, rows)
+    got = {r["day"]: (r["n_pairs"], r["total_overlap_min"])
+           for r in REGISTRY["ev16_concurrency_sweep"].spark(spark, d).collect()}
+    assert got == {0: (1, 30.0)}  # day 1 emits nothing: no overlapping pair
+
+
+def test_ts04_singleton_series_no_interp(spark, tmp_path):
+    """ts04: a type with ONE observed day has no lead() successor — it must
+    emit its obs row and no interp rows (and not crash on the empty gap
+    frame)."""
+    from mdio_cpp_spark.plans import REGISTRY
+
+    rows = [(0, "2024-01-01 10:00:00", 1, "solo", 2.0)]
+    d = _mini_events(spark, tmp_path, rows)
+    out = REGISTRY["ts04_gap_interpolate"].spark(spark, d).collect()
+    assert [(r["event_type"], r["day"], r["value"], r["src"]) for r in out] == [
+        ("solo", 0, 2.0, "obs")
+    ]
