@@ -4882,3 +4882,54 @@ def p16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@declared(
+    "v14_filtered_ann",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 3)
+    SELECT q_id, vec_id, cos, rk FROM (
+      SELECT q_id, vec_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+                  AS BIGINT) AS rk
+      FROM (
+        SELECT q.q_id, e.vec_id, ROUND({_dd_cosine("q.qv", "e.embedding")}, 4) AS cos
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.q_id AND e.label = q.ql
+      )
+    ) WHERE rk <= 5 ORDER BY q_id, rk
+    """,
+)
+def v14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k under a metadata predicate (here:
+    same label as the query; in production "lang = 'en' AND license IS
+    permissive"), the retrieval mode plain ANN indexes fumble. The
+    predicate applies to the CORPUS side before ranking, so it pushes to
+    the corpus scan below the broadcast-queries join — Catalyst folds it
+    into the same stage, no post-rank refill loop where a top-k-then-
+    filter would under-deliver k. The IVF composition is the same shape:
+    the in-cell candidate scan takes the predicate as a residual filter,
+    probing more cells only when a cell empties (v06's multi-probe
+    machinery)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("__qid"), F.col("embedding").alias("__qv"),
+        F.col("label").alias("__ql"),
+    )
+    cand = e.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("__qid")) & (F.col("label") == F.col("__ql")),
+    )
+    from pyspark.sql.window import Window as _W
+
+    cos = F.round(vectors.cosine(F.col("__qv"), F.col("embedding")), 4)
+    ranked = cand.select(
+        F.col("__qid").alias("q_id"), "vec_id", cos.alias("cos")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            _W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+        ).cast("long"),
+    )
+    return ranked.filter(F.col("rk") <= 5).orderBy("q_id", "rk")
