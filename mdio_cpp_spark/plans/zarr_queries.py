@@ -4544,3 +4544,73 @@ def zarr104(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+# DFT trig table, quantized to integer micro-units in PYTHON so both engines
+# consume identical literals: k frequencies × GRID_C sample positions
+_DFT_K = 8
+
+
+def _dft_trig_rows() -> list[tuple[int, int, int, int]]:
+    import math as _m
+
+    out = []
+    for k in range(_DFT_K):
+        for t in range(GRID_C):
+            ang = 2.0 * _m.pi * k * t / GRID_C
+            out.append((k, t, round(_m.cos(ang) * 1_000_000),
+                        round(-_m.sin(ang) * 1_000_000)))
+    return out
+
+
+def _dft_trig_values_sql() -> str:
+    rows = ", ".join(f"({k}, {t}, {cq}, {sq})" for k, t, cq, sq in _dft_trig_rows())
+    return f"(VALUES {rows}) AS trig(k, t, cq, sq)"
+
+
+@declared(
+    "zarr105_dft_spectrum",
+    oracle=_CELLS_CENTS + f"""
+    SELECT row, k,
+           ROUND(sqrt(CAST(re AS DOUBLE) * re + CAST(im AS DOUBLE) * im)
+                 / 100000000.0, 4) AS amp
+    FROM (
+      SELECT c2.row, trig.k,
+             CAST(SUM(c2.c * trig.cq) AS BIGINT) AS re,
+             CAST(SUM(c2.c * trig.sq) AS BIGINT) AS im
+      FROM (SELECT * FROM cells WHERE row < 8) c2
+      JOIN {_dft_trig_values_sql()} ON trig.t = c2.col
+      GROUP BY c2.row, trig.k
+    ) ORDER BY row, k
+    """,
+)
+def zarr105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Fourier power spectrum of each stored trace (first 8 grid
+    rows × the full 64-sample col axis, 8 frequency bins) — the spectral
+    primitive behind f-k filtering and resonance QC that zarr81's Walsh
+    transform only approximates with square waves. The trig basis is
+    QUANTIZED to integer micro-units once in Python and embedded in both
+    engines as the same 512 literals, so Σ c·cos and Σ c·sin are exact
+    integer dot products (no float accumulation, no libm parity risk);
+    one sqrt per (trace, bin) converts to amplitude at the end. Shape: the
+    basis broadcasts (|k|·|t| rows), the chunk-pruned scan fans out |k|×
+    per cell map-side, and ONE partial agg keyed on (row, k) reduces —
+    more frequencies grow the broadcast, never the scan count."""
+    cells = _grid_cents(spark, sf_dir, 8)
+    trig = cells.sparkSession.createDataFrame(
+        _dft_trig_rows(), "k long, t long, cq long, sq long"
+    )
+    j = cells.join(F.broadcast(trig), cells["col"] == trig["t"])
+    g = j.groupBy("row", "k").agg(
+        F.sum(F.col("c") * F.col("cq")).alias("re"),
+        F.sum(F.col("c") * F.col("sq")).alias("im"),
+    )
+    amp = F.round(
+        F.sqrt(
+            F.col("re").cast("double") * F.col("re")
+            + F.col("im").cast("double") * F.col("im")
+        )
+        / 100000000.0,
+        4,
+    )
+    return g.select("row", "k", amp.alias("amp")).orderBy("row", "k")
