@@ -112,6 +112,9 @@ _PLAN_CONTRACTS = {
     # u06: the target must stream through a broadcast semi prune — never be
     # the build side of the old-value fetch
     "u06_incremental_agg": ["LeftSemi, BuildRight"],
+    # zarr105: the trig basis must be the broadcast build side of the scan
+    # fan-out — the scan never shuffles before the (row, k) reduce
+    "zarr105_dft_spectrum": ["BroadcastHashJoin"],
 }
 
 
