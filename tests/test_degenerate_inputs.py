@@ -302,3 +302,34 @@ def test_ts04_singleton_series_no_interp(spark, tmp_path):
     assert [(r["event_type"], r["day"], r["value"], r["src"]) for r in out] == [
         ("solo", 0, 2.0, "obs")
     ]
+
+
+def test_w16_ts06_single_day_series(spark, tmp_path):
+    """One observed day per type: drawdown must be 0 at the only day (cum
+    equals its own peak) and the CUSUM deviation is identically 0 — both
+    queries emit exactly one well-defined row instead of crashing on the
+    1-row windows."""
+    from mdio_cpp_spark.plans import REGISTRY
+
+    rows = [(0, "2024-01-01 10:00:00", 1, "solo", 2.0),
+            (1, "2024-01-01 11:00:00", 2, "solo", 4.0)]
+    d = _mini_events(spark, tmp_path, rows)
+    dd = REGISTRY["w16_max_drawdown"].spark(spark, d).collect()
+    assert [(r["event_type"], r["trough_day"], r["max_drawdown"], r["dd_frac"])
+            for r in dd] == [("solo", 0, 0.0, 0.0)]
+    cu = REGISTRY["ts06_cusum_changepoint"].spark(spark, d).collect()
+    assert [(r["event_type"], r["change_day"], r["max_cusum"]) for r in cu] == [
+        ("solo", 0, 0.0)
+    ]
+
+
+def test_ts05_no_purchase_days(spark, tmp_path):
+    """Cross-correlation when one series is EMPTY: every lag's join matches
+    nothing, so the result is empty on both engines — never a divide-by-zero
+    from an n=0 correlation."""
+    from mdio_cpp_spark.plans import REGISTRY
+
+    rows = [(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (1, "2024-01-02 10:00:00", 1, "click", 1.0)]
+    d = _mini_events(spark, tmp_path, rows)
+    assert REGISTRY["ts05_crosscorr_lags"].spark(spark, d).count() == 0
