@@ -333,3 +333,26 @@ def test_ts05_no_purchase_days(spark, tmp_path):
             (1, "2024-01-02 10:00:00", 1, "click", 1.0)]
     d = _mini_events(spark, tmp_path, rows)
     assert REGISTRY["ts05_crosscorr_lags"].spark(spark, d).count() == 0
+
+
+def test_u06_deletes_empty_a_whole_group(spark, tmp_path):
+    """u06's delta algebra when the changeset deletes EVERY row of a group:
+    the group's maintained count reaches 0 and the row must vanish (the
+    recompute-from-scratch semantics), not linger as a (status, 0, 0.0)
+    zombie."""
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.plans import REGISTRY
+
+    # status 'X' rows all have keys ≡ 1 (mod 13) → the fixed changeset
+    # deletes all of them; 'Y' keys ≡ 3..5 (mod 13) → untouched
+    rows = [(1, "X", 10.0), (14, "X", 20.0), (27, "X", 30.0),
+            (3, "Y", 5.0), (4, "Y", 6.0), (5, "Y", 7.0)]
+    d = str(tmp_path / "sf_mini2")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    got = {(r["o_orderstatus"]): (r["n_orders"], r["total"])
+           for r in REGISTRY["u06_incremental_agg"].spark(spark, d).collect()}
+    assert "X" not in got          # emptied group vanishes
+    assert got["Y"] == (3, 18.0)   # untouched group exact
