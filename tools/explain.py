@@ -26,7 +26,7 @@ PICKS = {
     "t07_tfidf": "two partial aggs (tf then df) with map-side combine; N joins as a broadcast of a 1-row agg; the top-term window partitions by doc_id — no SinglePartition window. tf is a diamond (re-derived, two scans) — deliberate vs the skewed window-over-term single-scan alternative",
     "p02_corpus_curation": "quality+length Filter sits directly on the FileScan (before any exchange); the dedup window shuffles on md5(text) only for survivors",
     "a07_exact_percentiles": "no per-group value buffer and no data-sized shuffle: arithmetic bucket ids, G×nparts bucket counts to the driver, then ONLY the rank-covering buckets re-read and rank in a (group,bucket)-partitioned window",
-    "zarr24_prefix_sum": "running sum over the store with the chunk grid as prefix-sum buckets: window partitions by chunk id (hashpartitioning(__b)), offsets broadcast — no SinglePartition window over the array",
+    "zarr24_prefix_sum": "running sum over the store with the chunk grid as prefix-sum buckets: the data-sized window partitions by chunk id (hashpartitioning(__b)); cross-chunk offsets cumulate in a window over the one-row-per-chunk carry table (never driver-resident) and join back on the chunk id",
     "h01_shipping_priority": "date filters pushed to all three FileScans; customer side broadcast; ORDER BY+LIMIT compiles to TakeOrderedAndProject (per-partition top-k), never a global Sort",
     "d07_best_per_source": "keep-best is ONE partial-then-final hash aggregate (max_by) — no window, no per-partition sort of the corpus",
     "p03_contamination": "the semi-join shuffles int64 shingle hashes only (xxhash64 projected before the Exchange); no shingle string ever crosses the wire",
