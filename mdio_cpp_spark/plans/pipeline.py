@@ -4831,7 +4831,7 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
-    "p16_pack_efficiency",
+    "p17_pack_efficiency",
     oracle=f"""
     WITH p AS ({_dd_packing_sql().replace("ORDER BY doc_id", "")}),
     per_pack AS (
