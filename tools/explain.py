@@ -104,7 +104,7 @@ PICKS = {
     "ev16_concurrency_sweep": "the sweep line: 2 boundary rows per interval through ONE day-partitioned ordered window (running k, lead) — no pair materialization anywhere in the plan",
     "u06_incremental_agg": "delta maintenance: the target STREAMS through a broadcast LeftSemi prune (changeset keys build side), the old-value join is changeset-sized-vs-changeset-sized, and the only data-sized aggregate is the |groups|-row base — Spark can't build the right side of broadcast(chg).join(target, 'left'), so the naive form would broadcast the TARGET",
     "s11_coordinated_sample": "both sample predicates sit directly on the FileScans (map-side md5 filters, no sampling state); the join runs over 1/16-sized inputs",
-    "p16_pack_efficiency": "two stacked partial aggs ((shard, pack) then shard) over the packing frame; the packing windows partition by shard — no global stage",
+    "p17_pack_efficiency": "two stacked partial aggs ((shard, pack) then shard) over the packing frame; the packing windows partition by shard — no global stage",
 }
 
 
