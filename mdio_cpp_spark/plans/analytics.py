@@ -3705,3 +3705,78 @@ def dq09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sev")
     )
+
+
+@declared(
+    "a18_grouped_skew_kurt",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS s2,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS s4
+      FROM lineitem GROUP BY 1),
+    c AS (
+      SELECT l_returnflag, n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS v2,
+             CAST(s3 AS DOUBLE) / n
+               - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+               + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n) AS m3,
+             CAST(s4 AS DOUBLE) / n
+               - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+               + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s2 AS DOUBLE) / n)
+               - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+      FROM m)
+    SELECT l_returnflag, n,
+           ROUND(mu, 4) AS mean_qty,
+           ROUND(m3 / (v2 * sqrt(v2)), 4) + 0.0 AS skewness,
+           ROUND(m4 / (v2 * v2) - 3.0, 4) + 0.0 AS excess_kurtosis
+    FROM c ORDER BY l_returnflag
+    """,
+)
+def a18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped skewness and excess kurtosis — the shape moments a
+    distribution monitor tracks beyond a08's variance. The quantity column
+    is integral, so ALL FOUR power sums ride exact int64 through the one
+    partial-aggregatable pass (Σx⁴ ≤ 50⁴·n keeps headroom past sf1 —
+    fixed-point moments of cents-scaled columns would switch to
+    DECIMAL(38)); the central-moment identities then evaluate in one
+    fixed-shape double expression per group, so 4-dp rounding holds with
+    no accumulation-order exposure at all — stronger than a08's
+    covar/corr, which round away distributed-merge ulps. The one residual
+    cross-engine hazard is IEEE signed zero (a symmetric group's m3 is a
+    tiny negative in one engine, rounding to −0.0); + 0.0 after the ROUND
+    canonicalizes it on both sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    e2 = F.col("s2") / n
+    e3 = F.col("s3") / n
+    e4 = F.col("s4") / n
+    v2 = e2 - mu * mu
+    m3 = e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu
+    m4 = e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2 - 3.0 * mu * mu * mu * mu
+    return m.select(
+        "l_returnflag", "n",
+        F.round(mu, 4).alias("mean_qty"),
+        (F.round(m3 / (v2 * F.sqrt(v2)), 4) + 0.0).alias("skewness"),
+        (F.round(m4 / (v2 * v2) - 3.0, 4) + 0.0).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")
