@@ -4614,3 +4614,108 @@ def zarr105(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     return g.select("row", "k", amp.alias("amp")).orderBy("row", "k")
+
+
+# inverse-DFT trig at 1e3 quantization (coarser on purpose: the inverse
+# multiplies the ~1e15-magnitude forward sums, so headroom matters more
+# than basis resolution); same Python-literal sharing as the forward table
+_BP_BAND = (1, 2, 3)  # keep bins 1..3 of 8 — a low-cut + high-cut bandpass
+
+
+def _bp_itrig_rows() -> list[tuple[int, int, int, int]]:
+    import math as _m
+
+    out = []
+    for k in _BP_BAND:
+        for t in range(GRID_C):
+            ang = 2.0 * _m.pi * k * t / GRID_C
+            out.append((k, t, round(_m.cos(ang) * 1000), round(_m.sin(ang) * 1000)))
+    return out
+
+
+def _bp_itrig_values_sql() -> str:
+    rows = ", ".join(f"({k}, {t}, {c2}, {s2})" for k, t, c2, s2 in _bp_itrig_rows())
+    return f"(VALUES {rows}) AS itrig(k, t, c2, s2)"
+
+
+# exact int64 floor-division by 10^6, written the same way in both engines:
+# subtract the POSITIVE remainder, then the division is exact (the quotient
+# magnitude ≤ ~3e9 is exactly representable, so the double divide can't
+# round) — a bare floor(x / 1e6) could disagree with integer // at exact
+# multiples after the double rounds
+_BP_FDIV_SQL = "CAST((({x}) - ((({x}) % 1000000 + 1000000) % 1000000)) / 1000000 AS BIGINT)"
+
+
+@declared(
+    "zarr106_bandpass",
+    oracle=_CELLS_CENTS + f"""
+    , fwd AS (
+      SELECT c2.row, trig.k,
+             CAST(SUM(c2.c * trig.cq) AS BIGINT) AS re,
+             CAST(SUM(c2.c * trig.sq) AS BIGINT) AS im
+      FROM (SELECT * FROM cells WHERE row < 4) c2
+      JOIN {_dft_trig_values_sql()} ON trig.t = c2.col
+      WHERE trig.k IN {_BP_BAND}
+      GROUP BY c2.row, trig.k),
+    scaled AS (
+      SELECT row, k,
+             {_BP_FDIV_SQL.format(x='re')} AS re_s,
+             {_BP_FDIV_SQL.format(x='im')} AS im_s
+      FROM fwd)
+    SELECT s.row, itrig.t,
+           ROUND(2.0 * CAST(SUM(s.re_s * itrig.c2 - s.im_s * itrig.s2) AS DOUBLE)
+                 / ({GRID_C} * 1000.0 * 100.0), 3) AS y
+    FROM scaled s JOIN {_bp_itrig_values_sql()} ON itrig.k = s.k
+    GROUP BY s.row, itrig.t ORDER BY s.row, itrig.t
+    """,
+)
+def zarr106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BANDPASS filter of stored traces entirely in the engine: forward DFT
+    restricted to bins 1–3 (zarr105's integer-quantized basis), then the
+    inverse synthesis back to the 64 time samples — the f-k-style filter a
+    processing line applies before stacking. Exactness chain: forward sums
+    are exact int64 dot products; the rescale to inverse headroom is an
+    explicit remainder-subtracting floor division (bare floor(x/1e6) could
+    disagree with integer // at exact multiples once the double rounds);
+    the inverse is again an exact integer dot product with a coarser 1e3
+    basis; ONE double op (the final 2/(N·scales) normalization) per output
+    cell. Shape: both trig tables broadcast, the scan reduces to |band|
+    coefficients per trace, the synthesis fans those out |t|× map-side —
+    chunk count and trace length never multiply."""
+    cells = _grid_cents(spark, sf_dir, 4)
+    ss = cells.sparkSession
+    trig = ss.createDataFrame(
+        [r for r in _dft_trig_rows() if r[0] in _BP_BAND],
+        "k long, t long, cq long, sq long",
+    )
+    fwd = (
+        cells.join(F.broadcast(trig), cells["col"] == trig["t"])
+        .groupBy("row", "k")
+        .agg(
+            F.sum(F.col("c") * F.col("cq")).alias("re"),
+            F.sum(F.col("c") * F.col("sq")).alias("im"),
+        )
+    )
+
+    def fdiv(col):
+        return ((col - ((col % 1000000 + 1000000) % 1000000)) / 1000000).cast("long")
+
+    scaled = fwd.select(
+        "row", "k", fdiv(F.col("re")).alias("re_s"), fdiv(F.col("im")).alias("im_s")
+    )
+    itrig = ss.createDataFrame(_bp_itrig_rows(), "k long, t long, c2 long, s2 long")
+    y = (
+        scaled.join(F.broadcast(itrig), "k")
+        .groupBy("row", "t")
+        .agg(
+            F.round(
+                2.0
+                * F.sum(
+                    F.col("re_s") * F.col("c2") - F.col("im_s") * F.col("s2")
+                ).cast("double")
+                / (GRID_C * 1000.0 * 100.0),
+                3,
+            ).alias("y")
+        )
+    )
+    return y.orderBy("row", "t")
