@@ -185,6 +185,8 @@ def grouped_percentiles(
 
     if bounds is not None:
         vmin, vmax = float(bounds[0]), float(bounds[1])
+        if vmax < vmin:  # bucket ids must stay monotone in the value
+            vmin, vmax = vmax, vmin
     else:
         lo_hi = base.agg(
             F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
@@ -201,12 +203,16 @@ def grouped_percentiles(
 
     step = (vmax - vmin) / nparts
     # O(1) arithmetic bucket id (not a comparison chain): uniform buckets,
-    # top value clamped into the last bucket.
+    # out-of-range values clamped into the end buckets. The clamp happens
+    # in the DOUBLE domain BEFORE the int cast: with caller bounds far
+    # narrower than the data ((v-vmin)/step ~ 1e17, or ±inf when step
+    # underflows), casting first is an ANSI CAST_OVERFLOW (found by
+    # tests/test_percentile_properties.py).
     v = F.col(col).cast("double")
     pid = F.least(
-        F.lit(nparts - 1),
-        F.greatest(F.lit(0), F.floor((v - F.lit(vmin)) / F.lit(step)).cast("int")),
-    )
+        F.lit(float(nparts - 1)),
+        F.greatest(F.lit(0.0), F.floor((v - F.lit(vmin)) / F.lit(step))),
+    ).cast("int")
     tagged = base.withColumn("__pid", pid)
 
     # pass 2: per-(group, bucket) counts. Two tiers, both hard-bounded on
