@@ -84,3 +84,65 @@ def test_grouped_percentiles_matches_model(spark):
     global _spark
     _spark = spark
     _check()
+
+
+# ---- sequence_packing vs an independent Python fold -------------------------
+
+from hypothesis import given as _given, settings as _settings, strategies as _st
+
+
+@_st.composite
+def packing_case(draw):
+    n = draw(_st.integers(0, 25))
+    toks = [draw(_st.integers(0, 40)) for _ in range(n)]  # includes 0-token docs
+    budget = draw(_st.sampled_from([1, 7, 32]))
+    shards = draw(_st.sampled_from([1, 4]))
+    return toks, budget, shards
+
+
+def _packing_model(ids_toks, budget):
+    """Shard-local greedy in id order, independent of Spark: running start
+    offset; pack = start // budget (docs spill past boundaries)."""
+    out, acc = {}, 0
+    for i, t in ids_toks:  # caller pre-sorts by id within one shard
+        out[i] = (acc, acc // budget)
+        acc += t
+    return out
+
+
+@_settings(max_examples=10, deadline=None)
+@_given(packing_case())
+def _check_packing(case):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.operators.sampling import sequence_packing
+
+    toks, budget, shards = case
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = _spark.createDataFrame(rows or [(None, None)], "doc_id long, n_tok long")
+    if not rows:
+        df = df.filter("doc_id IS NOT NULL")
+    got = {
+        r["doc_id"]: (r["shard"], r["start_off"], r["pack_id"])
+        for r in sequence_packing(df, "doc_id", F.col("n_tok"), budget=budget,
+                                  n_shards=shards).collect()
+    }
+    # independent shard assignment: first 4 md5 hex digits mod n_shards
+    by_shard: dict = {}
+    for i, t in rows:
+        s = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % shards
+        by_shard.setdefault(s, []).append((i, t))
+    expect = {}
+    for s, items in by_shard.items():
+        model = _packing_model(sorted(items), budget)
+        for i, (off, pack) in model.items():
+            expect[i] = (s, off, pack)
+    assert got == expect
+
+
+def test_sequence_packing_matches_model(spark):
+    global _spark
+    _spark = spark
+    _check_packing()
