@@ -1,4 +1,4 @@
-"""Property-based grouped_percentiles test (hypothesis): for ANY grouped
+"""Property-based operator tests (hypothesis): grouped_percentiles: for ANY grouped
 float data, ANY percentile set, and ANY caller-supplied bounds — tight,
 loose, partially covering, or entirely wrong — the operator must equal an
 independent numpy model of quantile_cont interpolation (the same formula
