@@ -47,6 +47,10 @@ PICKS = [
     ("ml09_naive_bayes", "in-engine NB train + classify (quantized integer scores)"),
     ("w16_max_drawdown", "stacked running windows on per-day aggregates"),
     ("a11_grouped_mad", "two-pass grouped MAD sharing one bounds job"),
+    ("ev16_concurrency_sweep", "sweep-line pairwise overlap (no pair materialization)"),
+    ("u06_incremental_agg", "delta-maintained aggregate (broadcast semi prune)"),
+    ("zarr105_dft_spectrum", "integer-quantized DFT over stored traces"),
+    ("d15_fuzzy_split_leakage", "cross-split LSH candidates + exact verify"),
 ]
 
 
