@@ -146,3 +146,31 @@ def test_sequence_packing_matches_model(spark):
     global _spark
     _spark = spark
     _check_packing()
+
+
+def test_dft_fixed_point_headroom():
+    """The spectral queries' overflow analysis as an executable invariant:
+    with cents ≤ 10^8 per cell and the committed quantizations, every
+    intermediate stays inside int64 — forward dot products, the rescaled
+    coefficients, and the inverse synthesis products."""
+    from mdio_cpp_spark.plans.zarr_queries import (
+        GRID_C, _BP_BAND, _bp_itrig_rows, _dft_trig_rows,
+    )
+
+    max_cents = 10**8
+    fwd = _dft_trig_rows()
+    assert len(fwd) == 8 * GRID_C
+    max_q = max(max(abs(cq), abs(sq)) for _, _, cq, sq in fwd)
+    assert max_q <= 1_000_000
+    # forward: |Σ c·q| ≤ cells · cents · quant
+    fwd_bound = GRID_C * max_cents * max_q
+    assert fwd_bound < 2**63 - 1
+    # rescale: // 1e6 back to ~cents·cells
+    scaled_bound = fwd_bound // 1_000_000
+    inv = _bp_itrig_rows()
+    assert {k for k, *_ in inv} == set(_BP_BAND)
+    max_iq = max(max(abs(c2), abs(s2)) for _, _, c2, s2 in inv)
+    assert max_iq <= 1000
+    # inverse: |Σ_band (re_s·c2 − im_s·s2)| ≤ |band| · scaled · 2·quant
+    inv_bound = len(_BP_BAND) * scaled_bound * 2 * max_iq
+    assert inv_bound < 2**63 - 1, inv_bound
