@@ -174,3 +174,27 @@ def test_dft_fixed_point_headroom():
     # inverse: |Σ_band (re_s·c2 − im_s·s2)| ≤ |band| · scaled · 2·quant
     inv_bound = len(_BP_BAND) * scaled_bound * 2 * max_iq
     assert inv_bound < 2**63 - 1, inv_bound
+
+
+@_settings(max_examples=10, deadline=None)
+@_given(_st.lists(_st.integers(-10**9, 10**9), unique=True, min_size=1, max_size=40))
+def _check_hash_fraction(ids):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.operators.sampling import hash_fraction
+
+    df = _spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r["id"]: r["h"] for r in df.select("id", hash_fraction(F.col("id")).alias("h")).collect()}
+    expect = {i: int(hashlib.md5(str(i).encode()).hexdigest()[:3], 16) for i in ids}
+    assert got == expect
+
+
+def test_hash_fraction_matches_hashlib(spark):
+    """Every split/sample/shard decision in the engine reduces to
+    hash_fraction's md5 prefix — pin it against an independent hashlib
+    model (including negative ids, whose string form is what's hashed)."""
+    global _spark
+    _spark = spark
+    _check_hash_fraction()
