@@ -32,9 +32,15 @@ def token_count(text: str | Column) -> Column:
 
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
-    """All n-word shingles (space-joined), in order. Requires size >= n;
-    callers should filter shorter docs first."""
-    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    """All n-word shingles (space-joined), in order; EMPTY for docs shorter
+    than n. The guard matters: ``sequence(0, size-n)`` runs DESCENDING when
+    size < n, and the resulting 0/negative slice index is a runtime error
+    under ANSI — a single short document would kill the whole job where
+    callers forgot to pre-filter (found by
+    tests/test_operator_properties.test_tokens_match_re_model)."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
 
 

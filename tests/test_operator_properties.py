@@ -198,3 +198,34 @@ def test_hash_fraction_matches_hashlib(spark):
     global _spark
     _spark = spark
     _check_hash_fraction()
+
+
+@_settings(max_examples=10, deadline=None)
+@_given(_st.lists(_st.text(
+    alphabet=_st.sampled_from(list("abz019 .,!-_ÄéΩ")), max_size=40), min_size=1, max_size=8))
+def _check_tokens(texts):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.functions import text as T
+
+    df = _spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {r["i"]: (r["w"], r["sh"]) for r in df.select(
+        "i", T.tokens(F.col("t")).alias("w"),
+        T.word_shingles(T.tokens(F.col("t")), 2).alias("sh")).collect()}
+    for i, t in enumerate(texts):
+        # the engine contract: lowercase, split on [^a-z0-9]+, drop empties
+        # (non-latin letters are separators by design — the corpus is ascii)
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        shingles = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        assert got[i][0] == toks, (t, got[i][0], toks)
+        assert got[i][1] == shingles, (t, got[i][1], shingles)
+
+
+def test_tokens_match_re_model(spark):
+    """tokens/word_shingles pinned to an independent Python re model —
+    every dedup signature and text metric starts from this split."""
+    global _spark
+    _spark = spark
+    _check_tokens()
