@@ -229,3 +229,45 @@ def test_tokens_match_re_model(spark):
     global _spark
     _spark = spark
     _check_tokens()
+
+
+@_settings(max_examples=10, deadline=None)
+@_given(_st.lists(_st.tuples(
+    _st.lists(_st.floats(-10, 10, allow_nan=False, allow_infinity=False, width=32),
+              min_size=4, max_size=4),
+    _st.lists(_st.floats(-10, 10, allow_nan=False, allow_infinity=False, width=32),
+              min_size=4, max_size=4)), min_size=1, max_size=12))
+def _check_cosine(pairs):
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.functions import vectors
+
+    rows = [(i, [float(x) for x in a], [float(x) for x in b])
+            for i, (a, b) in enumerate(pairs)]
+    df = _spark.createDataFrame(rows, "i long, a array<float>, b array<float>")
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", vectors.cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    for i, a, b in rows:
+        # inputs truncate to float32 (the column type) but ALL arithmetic
+        # runs in float64 — norms must not underflow at float32 (subnormal
+        # components are still nonzero vectors to the engine)
+        a32 = np.asarray(a, np.float32).astype(np.float64)
+        b32 = np.asarray(b, np.float32).astype(np.float64)
+        na, nb = float(np.linalg.norm(a32)), float(np.linalg.norm(b32))
+        if na == 0.0 or nb == 0.0:
+            assert got[i] is None or (got[i] != got[i])  # null/NaN, never a crash
+        else:
+            want = float(np.dot(a32, b32)) / (na * nb)
+            assert got[i] is not None and math.isfinite(got[i])
+            assert abs(got[i] - want) <= 1e-5, (i, got[i], want)
+
+
+def test_cosine_matches_numpy(spark):
+    """vectors.cosine pinned to a numpy model at float32 input precision —
+    zero-norm vectors degrade to null/NaN, never an ANSI divide error."""
+    global _spark
+    _spark = spark
+    _check_cosine()
