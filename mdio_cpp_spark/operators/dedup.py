@@ -363,6 +363,12 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
+# semantic_dedup's internal persist must outlive the caller's action; this
+# holds the previous call's handle so the next call can free it (see the
+# docstring's cache-lifetime contract).
+_SEMDEDUP_PREV_CACHE: list = []
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -386,6 +392,13 @@ def semantic_dedup(
 
     Returns (``id_col``, cell, kept) for every input vector, kept=false for
     dropped near-duplicates.
+
+    Cache lifetime: the internal (id, vec, cell, norm) persist MUST outlive
+    the caller's action (the returned frame is lazy), so it cannot be
+    unpersisted here. Callers own it via ``result.cached_deps`` (a tuple of
+    persisted frames to ``unpersist()`` after consuming the result); as a
+    backstop for long-lived sessions that never do, each call unpersists
+    the PREVIOUS call's handle, bounding the leak to one call's cache.
     """
     from mdio_cpp_spark.operators.similarity import ivf_assign
 
@@ -405,6 +418,12 @@ def semantic_dedup(
         F.col(id_col), F.col(vec_col), "cell",
         vectors.norm(F.col(vec_col)).alias("nv"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    while _SEMDEDUP_PREV_CACHE:  # bound the cross-call leak to one handle
+        try:
+            _SEMDEDUP_PREV_CACHE.pop().unpersist()
+        except Exception:  # session of the old handle may be gone
+            pass
+    _SEMDEDUP_PREV_CACHE.append(b)
     a = b.select(F.col(id_col).alias("__ida"), F.col(vec_col).alias("va"), "cell",
                  F.col("nv").alias("na"))
     c = b.select(F.col(id_col).alias("__idb"), F.col(vec_col).alias("vb"), "cell",
@@ -419,7 +438,7 @@ def semantic_dedup(
         .distinct()
         .withColumn("__dropped", F.lit(True))
     )
-    return (
+    out = (
         b.join(dropped, on=id_col, how="left")
         .select(
             id_col,
@@ -427,3 +446,5 @@ def semantic_dedup(
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
         )
     )
+    out.cached_deps = (b,)  # caller-owned: unpersist after the action
+    return out

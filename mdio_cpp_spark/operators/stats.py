@@ -187,7 +187,13 @@ def grouped_percentiles(
         vmin, vmax = float(bounds[0]), float(bounds[1])
         if vmax < vmin:  # bucket ids must stay monotone in the value
             vmin, vmax = vmax, vmin
-    else:
+        if vmax == vmin:
+            # Collapsed CALLER bounds say nothing about the column — the
+            # constant-column shortcut below would return the group MAX as
+            # every percentile over a non-constant column. Fall back to the
+            # pass-1 scan the caller tried to skip (correctness > one job).
+            bounds = None
+    if bounds is None:
         lo_hi = base.agg(
             F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
         ).first()
@@ -195,11 +201,11 @@ def grouped_percentiles(
         if vmin is None:  # empty (or all-NaN) input: schema-correct result
             base.unpersist()
             return _empty_result()
-    if vmax == vmin:  # constant column: every percentile IS the value
-        base.unpersist()
-        return df.groupBy(group).agg(
-            *[F.round(F.max(F.col(col)), round_to).alias(name) for _, name in ps]
-        )
+        if vmax == vmin:  # constant column (MEASURED): every percentile IS it
+            base.unpersist()
+            return df.groupBy(group).agg(
+                *[F.round(F.max(F.col(col)), round_to).alias(name) for _, name in ps]
+            )
 
     step = (vmax - vmin) / nparts
     # O(1) arithmetic bucket id (not a comparison chain): uniform buckets,

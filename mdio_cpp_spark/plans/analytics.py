@@ -2305,13 +2305,13 @@ def ts02(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
              CAST(ROUND(value * 100) AS BIGINT) AS vc,
-             epoch_ms(ts) * 1000000 + event_id AS k
+             ts, event_id
       FROM events)
     SELECT event_type, day,
-           CAST(arg_min(vc, k) AS DOUBLE) / 100.0 AS open,
+           CAST(first(vc ORDER BY ts, event_id) AS DOUBLE) / 100.0 AS open,
            CAST(MAX(vc) AS DOUBLE) / 100.0 AS high,
            CAST(MIN(vc) AS DOUBLE) / 100.0 AS low,
-           CAST(arg_max(vc, k) AS DOUBLE) / 100.0 AS close,
+           CAST(last(vc ORDER BY ts, event_id) AS DOUBLE) / 100.0 AS close,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM d GROUP BY 1, 2 ORDER BY 1, 2
     """,
@@ -2320,16 +2320,15 @@ def ts03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC bar downsampling — the tick→bar compaction every market/telemetry
     store runs before charting: per (event_type, day), the first, max, min,
     and last value. ONE partial-aggregating groupBy; open/close ride
-    min_by/max_by over a composite integer order key (ms-epoch ⋅ 10⁶ +
-    event_id, a total order even under timestamp ties) so no sorted window
-    and no per-group buffering — first/last are combiner-mergeable pairs.
-    Values travel as integer cents; the /100.0 happens once per output
-    cell, so both engines divide the same integers."""
+    min_by/max_by over a composite STRUCT order key (ts, event_id) —
+    lexicographic struct comparison gives a total order even under
+    timestamp ties without packing both fields into one integer (a packed
+    ms·10⁶+id key silently mis-orders once event_id ≥ 10⁶) — so no sorted
+    window and no per-group buffering: first/last are combiner-mergeable
+    (value, key) pairs. Values travel as integer cents; the /100.0 happens
+    once per output cell, so both engines divide the same integers."""
     e = _t(spark, sf_dir, "events")
-    k = (
-        F.floor(F.unix_micros("ts") / 1000) * F.lit(1000000).cast("long")
-        + F.col("event_id")
-    ).alias("k")
+    k = F.struct(F.col("ts"), F.col("event_id")).alias("k")
     d = e.select(
         "event_type",
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))

@@ -4547,13 +4547,13 @@ def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
                   AS TIMESTAMP) AS ws,
              CAST(ROUND(value * 100) AS BIGINT) AS vc,
-             epoch_ms(ts) * 1000000 + event_id AS k
+             ts, event_id
       FROM events)
     SELECT ws, event_type,
-           CAST(arg_min(vc, k) AS DOUBLE) / 100.0 AS open,
+           CAST(first(vc ORDER BY ts, event_id) AS DOUBLE) / 100.0 AS open,
            CAST(MAX(vc) AS DOUBLE) / 100.0 AS high,
            CAST(MIN(vc) AS DOUBLE) / 100.0 AS low,
-           CAST(arg_max(vc, k) AS DOUBLE) / 100.0 AS close,
+           CAST(last(vc ORDER BY ts, event_id) AS DOUBLE) / 100.0 AS close,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM x GROUP BY 1, 2 ORDER BY ws, event_type
     """,

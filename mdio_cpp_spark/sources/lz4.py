@@ -46,10 +46,15 @@ _MFLIMIT = 12
 
 def decompress_block(src: bytes, expected_size: int | None = None) -> bytes:
     """Decode one raw LZ4 block. ``expected_size``, when given, is enforced
-    exactly (blosc knows every sub-stream's uncompressed size)."""
+    exactly (blosc knows every sub-stream's uncompressed size) — and
+    enforced EARLY: the output is bounds-checked inside the sequence loop,
+    so a corrupt or hostile block (an RLE overlap match with long
+    extensions can expand kilobytes into gigabytes) aborts as soon as it
+    exceeds the declared size instead of first materializing the bomb."""
     n = len(src)
     dst = bytearray()
     i = 0
+    cap = expected_size if expected_size is not None else None
     while i < n:
         token = src[i]
         i += 1
@@ -66,6 +71,9 @@ def decompress_block(src: bytes, expected_size: int | None = None) -> bytes:
                     break
         if i + lit > n:
             raise LZ4FormatError("literal run past end of input")
+        if cap is not None and len(dst) + lit > cap:
+            raise LZ4FormatError(
+                f"block exceeds declared size {cap} during literal run")
         dst += src[i : i + lit]
         i += lit
         if i == n:
@@ -87,6 +95,9 @@ def decompress_block(src: bytes, expected_size: int | None = None) -> bytes:
                 mlen += b
                 if b != 255:
                     break
+        if cap is not None and len(dst) + mlen > cap:
+            raise LZ4FormatError(
+                f"block exceeds declared size {cap} during match copy")
         start = len(dst) - offset
         if offset >= mlen:
             dst += dst[start : start + mlen]

@@ -184,16 +184,15 @@ def stream_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ohlc_bars(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Windowed OHLC bars per event type — the tick→bar compaction as ONE
     windowed aggregate. Open/close are min_by/max_by over a composite
-    integer order key (ms-epoch·10⁶ + event_id: a total order even under
-    timestamp ties), which are DECLARATIVE aggregates — update-mergeable
-    (value, key) pairs — so the identical expression runs batch and
-    streaming; streaming state is one 4-number bar per open (window, type),
-    never a buffer of ticks. Values ride integer cents; the /100.0 happens
-    once per emitted bar."""
-    k = (
-        F.floor(F.unix_micros("ts") / 1000) * F.lit(1000000).cast("long")
-        + F.col("event_id")
-    )
+    STRUCT order key (ts, event_id): lexicographic struct comparison is a
+    total order even under timestamp ties, and unlike a packed
+    ms-epoch·10⁶ + event_id integer it stays correct when event_id ≥ 10⁶.
+    These are DECLARATIVE aggregates — update-mergeable (value, key)
+    pairs — so the identical expression runs batch and streaming;
+    streaming state is one 4-number bar per open (window, type), never a
+    buffer of ticks. Values ride integer cents; the /100.0 happens once
+    per emitted bar."""
+    k = F.struct(F.col("ts"), F.col("event_id"))
     vc = F.round(F.col("value") * 100).cast("long")
     return (
         events.groupBy(F.window("ts", window).alias("w"), "event_type")

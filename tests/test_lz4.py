@@ -56,6 +56,21 @@ def test_decode_rejects_malformed():
         decompress_block(b"\x50hello", expected_size=9)  # wrong size
 
 
+def test_decode_bomb_bounded_by_expected_size():
+    """A hostile block whose RLE overlap match declares ~100 MB of output
+    must abort AT the declared-size boundary, not after materializing the
+    expansion — the early in-loop check bounds memory to expected_size."""
+    # token 0x1F: 1 literal, match len 15+4+ext; offset 1 → RLE of 'a'
+    ext = bytes([255]) * 400_000 + bytes([0])     # mlen ≈ 102e6
+    blk = bytes([0x1F]) + b"a" + b"\x01\x00" + ext + bytes([0x10]) + b"."
+    with pytest.raises(LZ4FormatError, match="exceeds declared size"):
+        decompress_block(blk, expected_size=16)
+    # literal-run form of the same bomb: 100 KB of literals vs declared 8
+    lit = bytes([0xF0]) + bytes([255]) * 392 + bytes([4]) + bytes(100_000)
+    with pytest.raises(LZ4FormatError, match="exceeds declared size"):
+        decompress_block(lit, expected_size=8)
+
+
 @pytest.mark.parametrize("payload", [
     b"",
     b"x",

@@ -34,7 +34,8 @@ def percentile_case(draw):
             st.tuples(
                 st.floats(-2000, 2000, allow_nan=False),
                 st.floats(-2000, 2000, allow_nan=False),
-            ).map(lambda t: (min(t), max(t)) if t[0] != t[1] else (t[0], t[0] + 1.0)),
+            ).map(lambda t: (min(t), max(t))),  # equal bounds allowed: the
+            # operator must fall back to the measured min/max, not shortcut
         )
     )
     return list(zip(groups, vals)), ps, bounds
@@ -84,6 +85,26 @@ def test_grouped_percentiles_matches_model(spark):
     global _spark
     _spark = spark
     _check()
+
+
+def test_grouped_percentiles_collapsed_caller_bounds(spark):
+    """lo == hi caller bounds over a NON-constant column must not trigger
+    the constant-column shortcut (which would return the group MAX as every
+    percentile); the operator falls back to the measured min/max scan."""
+    from mdio_cpp_spark.operators.stats import grouped_percentiles
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 10.0), ("a", 20.0), ("b", 4.0), ("b", 8.0)],
+        "g string, v double",
+    )
+    for bad in [(5.0, 5.0), (7.0, 3.0)]:  # collapsed; reversed stays valid
+        got = {
+            r["g"]: (r["p50"], r["p100"])
+            for r in grouped_percentiles(
+                df, "g", "v", [(0.5, "p50"), (1.0, "p100")], bounds=bad
+            ).collect()
+        }
+        assert got == {"a": (10.0, 20.0), "b": (6.0, 8.0)}, (bad, got)
 
 
 # ---- sequence_packing vs an independent Python fold -------------------------
