@@ -3419,7 +3419,8 @@ def dq08(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
-    "ev15_seasonal_anomaly",
+    "ev17_seasonal_anomaly",
+    aliases=("ev15_seasonal_anomaly",),
     oracle="""
     WITH d AS (
       SELECT event_type,

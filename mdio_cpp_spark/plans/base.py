@@ -29,11 +29,22 @@ class Declared:
 REGISTRY: dict[str, Declared] = {}
 
 
-def declared(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
+def declared(
+    name: str,
+    oracle: str | None = None,
+    aliases: tuple[str, ...] = (),
+) -> Callable[[SparkQuery], SparkQuery]:
+    """Register a query under ``name``; ``aliases`` register the SAME plan
+    and oracle under retired names so historical artifacts (CORRECTNESS_r*,
+    SCALING.md rows) stay resolvable after a rename."""
+
     def deco(fn: SparkQuery) -> SparkQuery:
-        if name in REGISTRY:
-            raise ValueError(f"duplicate declared query {name!r}")
-        REGISTRY[name] = Declared(name=name, doc=(fn.__doc__ or "").strip(), spark=fn, oracle=oracle)
+        for n in (name, *aliases):
+            if n in REGISTRY:
+                raise ValueError(f"duplicate declared query {n!r}")
+            REGISTRY[n] = Declared(
+                name=n, doc=(fn.__doc__ or "").strip(), spark=fn, oracle=oracle
+            )
         return fn
 
     return deco

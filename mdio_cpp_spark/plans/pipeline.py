@@ -4471,7 +4471,8 @@ def _d15_is_train(col: str) -> str:
 
 
 @declared(
-    "d15_fuzzy_split_leakage",
+    "d16_fuzzy_split_leakage",
+    aliases=("d15_fuzzy_split_leakage",),
     oracle=f"""
     WITH cand AS ({_dd_minhash_sql().replace("ORDER BY doc_a, doc_b", "")}),
     x AS (

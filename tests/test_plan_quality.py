@@ -107,8 +107,8 @@ _PLAN_CONTRACTS = {
     # ts03: tick->bar OHLC must stay a pure aggregate — open/close via
     # min_by/max_by pairs, never a sorted window over ticks
     "ts03_ohlc_downsample": ["min_by", "max_by"],
-    "d15_fuzzy_split_leakage": ["BroadcastHashJoin", "LeftSemi"],
-    "ev15_seasonal_anomaly": ["BroadcastHashJoin"],
+    "d16_fuzzy_split_leakage": ["BroadcastHashJoin", "LeftSemi"],
+    "ev17_seasonal_anomaly": ["BroadcastHashJoin"],
     # u06: the target must stream through a broadcast semi prune — never be
     # the build side of the old-value fetch
     "u06_incremental_agg": ["LeftSemi, BuildRight"],

@@ -50,7 +50,7 @@ PICKS = [
     ("ev16_concurrency_sweep", "sweep-line pairwise overlap (no pair materialization)"),
     ("u06_incremental_agg", "delta-maintained aggregate (broadcast semi prune)"),
     ("zarr105_dft_spectrum", "integer-quantized DFT over stored traces"),
-    ("d15_fuzzy_split_leakage", "cross-split LSH candidates + exact verify"),
+    ("d16_fuzzy_split_leakage", "cross-split LSH candidates + exact verify"),
 ]
 
 
