@@ -4719,3 +4719,60 @@ def zarr106(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return y.orderBy("row", "t")
+
+
+@declared(
+    "zarr107_v3_v2key_store",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+    FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 700 AND rn - 1 < 5300
+    """,
+)
+def zarr107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr v3 store using the spec's 'v2' chunk-key encoding (bare "0.1"
+    keys, "." separator — the layout a store migrated from zarr v2 keeps;
+    spec §chunk-key-encoding, reference accepts both via TensorStore). The
+    store is WRITTEN through the distributed writer with
+    chunk_key_encoding="v2" — the builder asserts the on-disk keys really
+    are bare (no c/ tree) so the gate can't silently pass through the
+    default scheme — then read back via a chunk-pruned isel slice against
+    the orders oracle. Completes v3 read+write coverage for both spec key
+    schemes (the old guard refused 'v2' loudly)."""
+    from mdio_cpp_spark.sources.writer import write_array
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "v3_v2keys.zarr")
+    marker = os.path.join(base, ".built_v3_v2keys_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select(
+            "i", F.col("o_totalprice").alias("v")
+        )
+        n = ords.count()
+        st = ZarrStore.create(path, version=3, attrs={"name": "v3_v2keys_mdio"})
+        st.create_array(
+            "price", shape=(n,), chunks=(CHUNK,), dtype="float64", dims=("i",),
+            compressor={"id": "gzip", "level": 3},
+            chunk_key_encoding="v2",
+        )
+        write_array(ords, path, "price", value_cols="v")
+        assert os.path.exists(os.path.join(path, "price", "0")), (
+            "v2-encoded chunk keys missing — writer fell back to default scheme"
+        )
+        assert not os.path.exists(os.path.join(path, "price", "c")), (
+            "default-scheme c/ tree present under v2 chunk-key encoding"
+        )
+        with open(marker, "w") as f:
+            f.write("1")
+    ds = MdioDataset.open(path)
+    return ds.isel(i=(700, 5300)).to_df(spark, "price", value_col="v").agg(
+        F.count("v").cast("long").alias("cnt"),
+        F.round(F.sum("v"), 2).alias("total"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )

@@ -80,6 +80,9 @@ class ZarrArrayMeta:
     v3_codecs: list = field(default_factory=list)
     order: str = "C"
     separator: str = "."
+    # v3 only: "default" → "c/0/1"-style keys; "v2" → bare "0.1"-style keys
+    # (zarr v3 spec §chunk-key-encoding; a v3 store may legally use either)
+    key_encoding: str = "default"
     dims: tuple[str, ...] = ()
     attrs: dict = field(default_factory=dict)
     header_only: bool = False
@@ -100,13 +103,20 @@ class ZarrArrayMeta:
 
     def chunk_key(self, coords: tuple[int, ...]) -> str:
         if self.zarr_version == 3:
+            if self.key_encoding == "v2":
+                # v2-style encoding on a v3 store: bare sep-joined coords,
+                # no "c" prefix; rank-0 arrays use the spec's "0" key
+                sep = self.separator or "."
+                return f"{self.name}/" + (sep.join(str(c) for c in coords) or "0")
             # default chunk-key encoding: "c" + sep + sep-joined coords
             # (a "." separator yields keys like "c.0.1" — ignoring it would
             # read every chunk as absent/fill)
             sep = self.separator or "/"
             parts = ["c", *[str(c) for c in coords]]
             return f"{self.name}/" + sep.join(parts)
-        return f"{self.name}/" + self.separator.join(str(c) for c in coords)
+        return f"{self.name}/" + (
+            self.separator.join(str(c) for c in coords) or "0"
+        )
 
     def fill_scalar(self) -> Any:
         """Fill as a numpy scalar; None (v2 bool null) degrades to the
@@ -174,7 +184,10 @@ def _v3_array_json(meta: ZarrArrayMeta) -> dict:
         "shape": list(meta.shape),
         "data_type": data_type,
         "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": list(meta.chunks)}},
-        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "chunk_key_encoding": {
+            "name": meta.key_encoding,
+            "configuration": {"separator": meta.separator},
+        },
         "fill_value": fill_json,
         "codecs": meta.v3_codecs or [{"name": "bytes", "configuration": {"endian": "little"}}],
         "attributes": meta.attrs,
@@ -283,17 +296,22 @@ def _meta_from_v3(name: str, zjson: dict) -> ZarrArrayMeta:
                 if np_dt.kind in "iufc" and np_dt.itemsize > 1:
                     stored = np_dt.newbyteorder(">")
             break
-    # chunk-key encoding: only the spec's 'default' scheme ("c/0/1"-style
-    # keys) is implemented. A store written with {"name": "v2"} uses bare
-    # "0.1" keys — reading it through the default scheme would silently find
-    # NO chunks and synthesize fill everywhere, so refuse loudly instead
-    # (the same posture as the unsupported-data_type and BE-struct guards).
+    # chunk-key encoding: both spec schemes are implemented — 'default'
+    # ("c/0/1"-style keys) and 'v2' (bare "0.1"-style keys, the scheme a
+    # migrated v2 store keeps). Anything else (a future/extension scheme)
+    # would silently find NO chunks and synthesize fill everywhere, so
+    # refuse loudly (same posture as the unsupported-data_type guards).
     cke = zjson.get("chunk_key_encoding") or {}
-    if cke.get("name") not in (None, "default"):
+    cke_name = cke.get("name") or "default"
+    if cke_name not in ("default", "v2"):
         raise NotImplementedError(
-            f"array {name!r}: chunk_key_encoding {cke.get('name')!r} not "
-            "supported (only 'default')"
+            f"array {name!r}: chunk_key_encoding {cke_name!r} not "
+            "supported (only 'default' and 'v2')"
         )
+    # spec default separator differs per scheme: "/" for default, "." for v2
+    cke_sep = cke.get("configuration", {}).get("separator") or (
+        "/" if cke_name == "default" else "."
+    )
     fill = decode_fill_json(zjson.get("fill_value"), np_dt)
     return ZarrArrayMeta(
         name=name,
@@ -304,7 +322,8 @@ def _meta_from_v3(name: str, zjson: dict) -> ZarrArrayMeta:
         fill=fill,
         zarr_version=3,
         v3_codecs=list(zjson.get("codecs", [])),
-        separator=zjson.get("chunk_key_encoding", {}).get("configuration", {}).get("separator", "/"),
+        separator=cke_sep,
+        key_encoding=cke_name,
         dims=tuple(zjson.get("dimension_names") or ()),
         attrs=dict(zjson.get("attributes", {})),
         header_only=header_only,
@@ -444,9 +463,18 @@ class ZarrStore:
         attrs: dict | None = None,
         compressor: dict | None = None,
         fill: Any = "auto",
+        chunk_key_encoding: str = "default",
     ) -> ZarrArrayMeta:
-        """Create one array with MDIO fill semantics (IO2/IO3 analog)."""
+        """Create one array with MDIO fill semantics (IO2/IO3 analog).
+
+        ``chunk_key_encoding`` (v3 stores only): "default" → "c/0/1"-style
+        keys; "v2" → bare "0.1"-style keys (the scheme a store migrated
+        from zarr v2 keeps, zarr v3 spec §chunk-key-encoding)."""
         attrs = dict(attrs or {})
+        if chunk_key_encoding not in ("default", "v2"):
+            raise ValueError(
+                f"chunk_key_encoding {chunk_key_encoding!r}: only 'default' and 'v2'"
+            )
         if isinstance(dtype, dict) and "fields" in dtype:
             np_dt = struct_numpy_dtype(dtype["fields"])
             mdio_name = None
@@ -493,7 +521,11 @@ class ZarrStore:
                     ),
                 }] if compressor else [])
             ) if self.version == 3 else [],
-            separator="." if self.version == 2 else "/",
+            separator=(
+                "." if self.version == 2
+                else ("." if chunk_key_encoding == "v2" else "/")
+            ),
+            key_encoding=chunk_key_encoding if self.version == 3 else "default",
             dims=tuple(dims),
             attrs=attrs,
             header_only=np_dt.kind in HEADER_ONLY_KINDS,

@@ -268,7 +268,13 @@ def _read_v3(root: str, name: str) -> np.ndarray:
     grid_conf = zjson["chunk_grid"]
     assert grid_conf["name"] == "regular"
     chunks = tuple(grid_conf["configuration"]["chunk_shape"])
-    sep = zjson.get("chunk_key_encoding", {}).get("configuration", {}).get("separator", "/")
+    cke = zjson.get("chunk_key_encoding") or {}
+    cke_name = cke.get("name") or "default"
+    assert cke_name in ("default", "v2"), cke_name
+    # spec default separator differs per scheme: "/" (default) vs "." (v2)
+    sep = cke.get("configuration", {}).get("separator") or (
+        "/" if cke_name == "default" else "."
+    )
     fill = _fill_np(zjson.get("fill_value"), dt)
     codecs = zjson.get("codecs", [])
     for codec in codecs:  # default 'bytes' codec: little-endian only here
@@ -276,9 +282,14 @@ def _read_v3(root: str, name: str) -> np.ndarray:
             assert codec.get("configuration", {}).get("endian", "little") == "little"
 
     def chunk_bytes(coords):
-        # default chunk-key encoding: "c" + sep + sep-joined coords — with
-        # a "." separator the key is a single file "c.0.1", not a c/ tree
-        path = os.path.join(adir, sep.join(["c", *[str(c) for c in coords]]))
+        # default encoding: "c" + sep + sep-joined coords — with a "."
+        # separator the key is a single file "c.0.1", not a c/ tree.
+        # v2 encoding: bare sep-joined coords ("0.1"), rank-0 key "0".
+        if cke_name == "v2":
+            key = sep.join(str(c) for c in coords) or "0"
+        else:
+            key = sep.join(["c", *[str(c) for c in coords]])
+        path = os.path.join(adir, key)
         if not os.path.exists(path):
             return None
         with open(path, "rb") as f:

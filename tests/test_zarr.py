@@ -726,13 +726,14 @@ def test_kvstore_rejects_unknown_url_scheme():
         open_kvstore("ftp://bucket/store")
 
 
-def test_v3_nondefault_chunk_key_encoding_refused(tmp_path):
-    """A v3 store written with the spec's {"name": "v2"} chunk-key encoding
-    keys chunks as '0.1' (no 'c/' prefix) — reading it through the default
-    scheme would silently synthesize fill for every chunk. Refuse loudly
-    instead (ADVICE r4)."""
+def test_v3_chunk_key_encoding_schemes(tmp_path):
+    """Both spec chunk-key schemes are readable: {"name": "v2"} maps to bare
+    '0.1' keys (r5 implemented what ADVICE r4's guard refused). An UNKNOWN
+    scheme still refuses loudly — reading it through the wrong scheme would
+    silently synthesize fill for every chunk."""
     import json
 
+    import numpy as np
     import pytest
 
     from mdio_cpp_spark.sources.zarr_store import ZarrStore
@@ -742,6 +743,16 @@ def test_v3_nondefault_chunk_key_encoding_refused(tmp_path):
     st.create_array("v", shape=(10,), chunks=(5,), dtype="float64", dims=("i",))
     obj = json.loads((tmp_path / "cke.zarr" / "v" / "zarr.json").read_text())
     obj["chunk_key_encoding"] = {"name": "v2", "configuration": {"separator": "."}}
+    (tmp_path / "cke.zarr" / "v" / "zarr.json").write_text(json.dumps(obj))
+    st2 = ZarrStore.open(root)
+    meta = st2.array_meta("v")
+    assert (meta.key_encoding, meta.separator) == ("v2", ".")
+    vals = np.arange(10, dtype="f8")
+    st2.write_array_numpy("v", vals)
+    assert (tmp_path / "cke.zarr" / "v" / "0").exists()  # bare key, no c/
+    assert np.array_equal(st2.read_array("v"), vals)
+    # unknown scheme: refuse loudly
+    obj["chunk_key_encoding"] = {"name": "irregular"}
     (tmp_path / "cke.zarr" / "v" / "zarr.json").write_text(json.dumps(obj))
     with pytest.raises(NotImplementedError, match="chunk_key_encoding"):
         ZarrStore.open(root).array_meta("v")
