@@ -4776,3 +4776,57 @@ def zarr107(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+@declared(
+    "zarr108_blosclz_store",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+    FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 300 AND rn - 1 < 4100
+    """,
+)
+def zarr108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blosc-BLOSCLZ store round-trip with NO wheel — closes the last
+    wheel-free cname the reference accepts (dataset_factory.h:288-386;
+    blosclz enumerated at dataset_schema.h:148). BloscLZ is c-blosc's
+    native LZ77 (public token format, FastLZ level-2 derivative) and has
+    no other implementation anywhere, so sources/blosclz.py implements it
+    pure-Python; chunks encode and decode through it inside blosc1 frames
+    INCLUDING c-blosc's split-stream layout (blosclz is in the
+    FORWARD_COMPAT split list alongside lz4: typesize 8 sub-streams here).
+    Store built once through the distributed writer, then a chunk-pruned
+    isel slice aggregates against the orders oracle — zarr104's lz4 gate
+    mirrored for the remaining cname."""
+    from mdio_cpp_spark.sources.writer import write_array
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "blosclz.zarr")
+    marker = os.path.join(base, ".built_blosclz_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select(
+            "i", F.col("o_totalprice").alias("v")
+        )
+        n = ords.count()
+        st = ZarrStore.create(path, version=2, attrs={"name": "blosclz_mdio"})
+        st.create_array(
+            "price", shape=(n,), chunks=(CHUNK,), dtype="float64", dims=("i",),
+            compressor={"id": "blosc", "cname": "blosclz", "clevel": 5,
+                        "shuffle": 1, "typesize": 8},
+        )
+        st.consolidate()
+        write_array(ords, path, "price", value_cols="v")
+        with open(marker, "w") as f:
+            f.write("1")
+    ds = MdioDataset.open(path)
+    return ds.isel(i=(300, 4100)).to_df(spark, "price", value_col="v").agg(
+        F.count("v").cast("long").alias("cnt"),
+        F.round(F.sum("v"), 2).alias("total"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )

@@ -45,9 +45,13 @@ differentially verified (tests/INTEROP_PROBE.md) — which is why the
 engine's own stores keep writing cname=zlib (never split in either
 implementation) unless a spec explicitly asks for lz4.
 
-Frames with blosclz/snappy/zstd payloads genuinely need their wheels and
-stay honestly gated. Memcpy'd frames decode regardless of codec id (no
-decompression is involved).
+``cname=blosclz`` — c-blosc's native LZ77, the one cname with no other
+implementation anywhere — is handled by sources/blosclz.py (public token
+format, FastLZ level-2 derivative), split-stream layout included (blosclz
+is in c-blosc's FORWARD_COMPAT split list alongside lz4). Frames with
+snappy/zstd payloads genuinely need their wheels and stay honestly gated.
+Memcpy'd frames decode regardless of codec id (no decompression is
+involved).
 """
 
 from __future__ import annotations
@@ -58,6 +62,7 @@ import zlib
 
 import numpy as np
 
+from mdio_cpp_spark.sources import blosclz as _blosclz
 from mdio_cpp_spark.sources import lz4 as _lz4
 
 
@@ -69,6 +74,7 @@ BLOSC_VERSION_FORMAT = 2
 _CODEC_NAMES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
 _ZLIB_ID = 3
 _LZ4_ID = 1
+_BLOSCLZ_ID = 0
 # c-blosc split predicate constants (blosc.c: MAX_SPLITS / MIN_BUFFERSIZE)
 _MAX_SPLITS = 16
 _MIN_BUFFERSIZE = 128
@@ -137,8 +143,9 @@ def _undo_shuffle(block: bytes, flags: int, typesize: int) -> bytes:
 
 
 def decompress(frame: bytes) -> bytes:
-    """Decode one blosc1 frame. Handles zlib-cname frames (any shuffle) and
-    memcpy'd frames of ANY cname; other cnames raise BloscFormatError."""
+    """Decode one blosc1 frame. Handles zlib/lz4/blosclz-cname frames (any
+    shuffle) and memcpy'd frames of ANY cname; snappy/zstd raise
+    BloscFormatError."""
     if len(frame) < 16:
         raise BloscFormatError(f"blosc frame too short ({len(frame)} bytes)")
     version, _versionlz, flags, typesize = frame[0], frame[1], frame[2], frame[3]
@@ -157,10 +164,11 @@ def decompress(frame: bytes) -> bytes:
             raise BloscFormatError("memcpy frame shorter than nbytes")
         return bytes(frame[16 : 16 + nbytes])
     codec = (flags >> 5) & 0x7
-    if codec not in (_ZLIB_ID, _LZ4_ID):
+    if codec not in (_ZLIB_ID, _LZ4_ID, _BLOSCLZ_ID):
         raise BloscFormatError(
-            f"pure-python blosc decodes cname=zlib/lz4 only; this frame is "
-            f"cname={_CODEC_NAMES.get(codec, codec)!r} (needs the blosc wheel)"
+            f"pure-python blosc decodes cname=zlib/lz4/blosclz only; this "
+            f"frame is cname={_CODEC_NAMES.get(codec, codec)!r} (needs the "
+            "blosc wheel)"
         )
     if blocksize <= 0:
         raise BloscFormatError("corrupt blosc header (blocksize <= 0)")
@@ -180,6 +188,11 @@ def decompress(frame: bytes) -> bytes:
             return bytes(raw)  # csize == uncompressed size → stored raw
         if codec == _ZLIB_ID:
             got = zlib.decompress(raw)
+        elif codec == _BLOSCLZ_ID:
+            try:
+                got = _blosclz.decompress_block(raw, want)
+            except _blosclz.BloscLZFormatError as e:
+                raise BloscFormatError(f"blosclz stream: {e}") from e
         else:
             try:
                 got = _lz4.decompress_block(raw, want)
@@ -236,9 +249,10 @@ def compress(
     2 bit-shuffle (c-blosc's constants). ``cname``: 'zlib' (default — never
     split, byte-layout verified against stdlib zlib) or 'lz4' (split per
     c-blosc's predicate; see the module docstring's interop caveat)."""
-    if cname not in ("zlib", "lz4"):
-        raise BloscFormatError(f"pure-python blosc encodes zlib/lz4, not {cname!r}")
-    codec_id = _ZLIB_ID if cname == "zlib" else _LZ4_ID
+    if cname not in ("zlib", "lz4", "blosclz"):
+        raise BloscFormatError(
+            f"pure-python blosc encodes zlib/lz4/blosclz, not {cname!r}")
+    codec_id = {"zlib": _ZLIB_ID, "lz4": _LZ4_ID, "blosclz": _BLOSCLZ_ID}[cname]
     nbytes = len(data)
     if not 1 <= typesize <= 255:
         typesize = 1  # c-blosc treats out-of-range typesize as 1 (no shuffle)
@@ -271,8 +285,12 @@ def compress(
     def _one(sub: bytes) -> bytes:
         """One [i32 csize | stream] unit with c-blosc's per-stream
         raw-storage fallback (csize == uncompressed size)."""
-        comp = (zlib.compress(sub, clevel) if codec_id == _ZLIB_ID
-                else _lz4.compress_block(sub))
+        if codec_id == _ZLIB_ID:
+            comp = zlib.compress(sub, clevel)
+        elif codec_id == _BLOSCLZ_ID:
+            comp = _blosclz.compress_block(sub)
+        else:
+            comp = _lz4.compress_block(sub)
         if len(comp) >= len(sub):
             return struct.pack("<i", len(sub)) + sub
         return struct.pack("<i", len(comp)) + comp
@@ -283,9 +301,9 @@ def compress(
         block = data[lo : lo + blocksize]
         shuffled = _apply_shuffle(block, flags, typesize)
         # c-blosc split predicate (blosc.c split_block + !leftoverblock):
-        # lz4 FULL blocks split into typesize sub-streams
+        # blosclz/lz4 FULL blocks split into typesize sub-streams
         split = (
-            codec_id == _LZ4_ID and 1 < typesize <= _MAX_SPLITS
+            codec_id in (_LZ4_ID, _BLOSCLZ_ID) and 1 < typesize <= _MAX_SPLITS
             and len(block) == blocksize and len(block) % typesize == 0
             and len(block) // typesize >= _MIN_BUFFERSIZE
         )

@@ -5,11 +5,11 @@ TensorStore ships it. This container has no blosc/numcodecs wheel, so the
 engine's own stores default to stdlib codecs (zlib/gzip). Blosc frames are
 handled in two tiers: the ``blosc`` wheel when importable, else a pure-Python
 blosc1 codec (sources/blosc1.py, public frame format) that covers
-``cname=zlib`` AND ``cname=lz4`` (sources/lz4.py, public LZ4 block format;
-split-stream layout handled) with any shuffle — so reference-written
-blosc-zlib/-lz4 stores are readable with no wheel. Other cnames
-(blosclz/snappy/zstd payloads) still raise a clear error until the wheel
-exists.
+``cname=zlib``, ``cname=lz4`` (sources/lz4.py, public LZ4 block format;
+split-stream layout handled) AND ``cname=blosclz`` (sources/blosclz.py,
+c-blosc's native LZ77) with any shuffle — so reference-written
+blosc stores are readable with no wheel. snappy/zstd payloads still raise
+a clear error until the wheel exists.
 
 Zarr v2 compressor JSON: ``null`` | {"id": "zlib"|"gzip"|"blosc", ...}.
 Zarr v3 codec chain: [{"name": "bytes", ...}, {"name": "gzip"|"zstd", ...}].
@@ -87,7 +87,7 @@ def compress_v2(data: bytes, compressor: dict | None) -> bytes:
                 clevel=compressor.get("clevel", 5),
                 shuffle=compressor.get("shuffle", 1),
             )
-        if cname in ("zlib", "lz4"):
+        if cname in ("zlib", "lz4", "blosclz"):
             return _blosc1.compress(
                 data,
                 typesize=compressor.get("typesize", 8) or 8,
@@ -97,7 +97,7 @@ def compress_v2(data: bytes, compressor: dict | None) -> bytes:
             )
         raise CodecError(
             f"blosc cname={cname!r} needs the blosc wheel (not installed); "
-            "cname='zlib'/'lz4' work without it"
+            "cname='zlib'/'lz4'/'blosclz' work without it"
         )
     raise CodecError(f"unsupported v2 compressor {cid!r}")
 
@@ -145,7 +145,7 @@ def compress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
                                        cname=cname,
                                        clevel=conf.get("clevel", 5),
                                        shuffle=_blosc_shuffle(conf.get("shuffle", "shuffle")))
-            elif cname in ("zlib", "lz4"):
+            elif cname in ("zlib", "lz4", "blosclz"):
                 data = _blosc1.compress(data, typesize=conf.get("typesize", 8) or 8,
                                         clevel=conf.get("clevel", 5),
                                         shuffle=_blosc_shuffle(conf.get("shuffle", "shuffle")),
@@ -153,7 +153,7 @@ def compress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
             else:
                 raise CodecError(
                     f"blosc cname={cname!r} needs the blosc wheel (not installed); "
-                    "cname='zlib'/'lz4' work without it"
+                    "cname='zlib'/'lz4'/'blosclz' work without it"
                 )
         else:
             raise CodecError(f"unsupported v3 codec {name!r}")
