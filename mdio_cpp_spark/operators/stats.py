@@ -121,6 +121,7 @@ def grouped_percentiles(
     ps: Sequence[tuple[float, float]] | Sequence[tuple[float, str]],
     round_to: int = 4,
     bounds: tuple[float, float] | None = None,
+    input_cached: bool = False,
 ) -> DataFrame:
     """EXACT grouped percentiles (quantile_cont linear interpolation) with
     no per-group value buffering anywhere — the 100 TB-safe alternative to
@@ -153,6 +154,12 @@ def grouped_percentiles(
 
     ``ps`` is a list of (fraction, output_column_name).
 
+    ``input_cached=True`` is the caller's guarantee that ``df`` is already
+    persisted (or a cheap map-side derivation of a persisted frame): the
+    internal MEMORY_AND_DISK persist of the narrow projection is skipped,
+    saving a full second cache materialization per call — the multi-pass
+    consumers re-read the caller's cache through the narrow filter instead.
+
     ``bounds=(lo, hi)`` skips pass 1 entirely — one fewer full-scan job —
     when the caller already knows a value range (a score in [0, 1], a
     deviation column bounded by a prior pass's spread). The bounds only
@@ -172,11 +179,15 @@ def grouped_percentiles(
     # NaNs dropped BEFORE the bounds pass: a single NaN would make
     # vmax (and the bucket step) NaN, collapsing every row into bucket 0 —
     # exactly the single-reducer sort this operator exists to avoid
-    base = (
-        df.select(group, col)
-        .where(F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    base = df.select(group, col).where(
+        F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
     )
+    if not input_cached:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _drop_base():
+        if not input_cached:
+            base.unpersist()
 
     def _empty_result():
         return df.groupBy(group).agg(
@@ -199,10 +210,10 @@ def grouped_percentiles(
         ).first()
         vmin, vmax = lo_hi[0], lo_hi[1]
         if vmin is None:  # empty (or all-NaN) input: schema-correct result
-            base.unpersist()
+            _drop_base()
             return _empty_result()
         if vmax == vmin:  # constant column (MEASURED): every percentile IS it
-            base.unpersist()
+            _drop_base()
             return df.groupBy(group).agg(
                 *[F.round(F.max(F.col(col)), round_to).alias(name) for _, name in ps]
             )
@@ -236,7 +247,7 @@ def grouped_percentiles(
     ).persist()  # tiny; probed once, then feeds offsets/totals/cover joins
     head = counts.limit(_DRIVER_META_BOUND + 1).collect()
     if not head:  # empty input reached only via caller-supplied bounds
-        base.unpersist()
+        _drop_base()
         counts.unpersist()
         return _empty_result()
     if len(head) <= _DRIVER_META_BOUND:
@@ -353,4 +364,122 @@ def grouped_percentiles(
             F.round(F.max(F.when(F.col("__name") == name, F.col("__val"))), round_to).alias(name)
             for _, name in ps
         ]
+    )
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """F.round / DuckDB ROUND parity: HALF_UP on the shortest decimal
+    repr (BigDecimal semantics), not Python's banker's rounding."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _quantile_cont(sorted_val_cnt: list, n: int, p: float) -> float:
+    """quantile_cont over a sorted (value, count) run-length table."""
+    rank = (n - 1) * p
+    fl, ce = math.floor(rank), math.ceil(rank)
+    v_lo = v_hi = None
+    acc = 0
+    for v, c in sorted_val_cnt:
+        lo, hi = acc, acc + c
+        if v_lo is None and lo <= fl < hi:
+            v_lo = v
+        if v_hi is None and lo <= ce < hi:
+            v_hi = v
+        if v_lo is not None and v_hi is not None:
+            break
+        acc = hi
+    return v_lo + (rank - fl) * (v_hi - v_lo)
+
+
+def grouped_mad(
+    df: DataFrame,
+    group: str,
+    col: str,
+    round_to: int = 4,
+    distinct_bound: int = _DRIVER_META_BOUND,
+) -> DataFrame:
+    """EXACT grouped (median, median-absolute-deviation) — the robust
+    dispersion pair — with a duplicate-collapsing fast path.
+
+    MAD is two dependent quantiles (the deviation values exist only after
+    the median is known), so the generic composition is two full
+    grouped_percentiles pipelines ≈ 5 scans. But whenever the per-(group,
+    value) count table is SMALL — discrete domains (integer quantities,
+    prices in cents, ratings), which is where MAD monitors live — both
+    quantiles are exactly derivable from that one run-length table: ONE
+    distributed pass (partial-agg groupBy, shuffle = G × distinct values),
+    then quantile_cont walks per group and the deviation table |v − med|
+    re-aggregates driver-side on the same ≤ ``distinct_bound`` rows. The
+    limit(+1) probe makes the bound a guarantee (the _DRIVER_META_BOUND
+    posture); past it, the operator falls back to the two-pass
+    grouped_percentiles composition — unbounded cardinality stays fully
+    distributed, nothing ever buffers a group's raw values.
+    """
+    from pyspark.storagelevel import StorageLevel
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    base = df.select(group, col).where(
+        F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cnts = base.groupBy(group, col).agg(F.count(F.lit(1)).alias("__c")).persist()
+    head = cnts.limit(distinct_bound + 1).collect()
+    out_schema = T.StructType([
+        df.schema[group],
+        T.StructField("med", T.DoubleType()),
+        T.StructField("mad", T.DoubleType()),
+    ])
+    if len(head) <= distinct_bound:
+        cnts.unpersist()
+        base.unpersist()
+        by_g: dict = {}
+        for r in head:
+            by_g.setdefault(r[group], []).append((float(r[col]), int(r["__c"])))
+        rows = []
+        for g, pairs in by_g.items():
+            pairs.sort()
+            n = sum(c for _, c in pairs)
+            med = _quantile_cont(pairs, n, 0.5)
+            devs: dict = {}
+            for v, c in pairs:
+                d = abs(v - med)
+                devs[d] = devs.get(d, 0) + c
+            mad = _quantile_cont(sorted(devs.items()), n, 0.5)
+            rows.append((g, _round_half_up(med, round_to), _round_half_up(mad, round_to)))
+        return spark.createDataFrame(rows, out_schema)
+
+    # distributed fallback: the two-pass composition. base is persisted
+    # here, and dev is a map-side derivation of it, so both passes run
+    # with input_cached=True.
+    lo_hi = base.agg(
+        F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
+    ).first()
+    vmin, vmax = lo_hi[0], lo_hi[1]
+    if vmin is None:  # empty input: schema-correct empty result
+        cnts.unpersist()
+        base.unpersist()
+        return spark.createDataFrame([], out_schema)
+    med = grouped_percentiles(
+        base, group, col, [(0.5, "med")], bounds=(vmin, vmax), input_cached=True
+    ).persist()
+    dev = base.join(F.broadcast(med), group).select(
+        group, F.abs(F.col(col) - F.col("med")).alias("__ad")
+    )
+    mad = grouped_percentiles(
+        dev, group, "__ad", [(0.5, "mad")], bounds=(0.0, vmax - vmin),
+        input_cached=True,
+    )
+    return (
+        med.join(mad, group)
+        .select(
+            group,
+            F.round("med", round_to).cast("double").alias("med"),
+            F.round("mad", round_to).cast("double").alias("mad"),
+        )
     )

@@ -1082,51 +1082,19 @@ def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust dispersion: grouped median absolute deviation, composed from
-    TWO passes of the buffer-free exact-percentile operator (median of the
-    values, then median of |value − median| — the outlier-resistant scale
-    estimate a data-quality monitor wants where stddev is blown up by a
-    single bad row). The group medians broadcast back onto the scan for
-    the deviation pass; no reducer ever buffers a group's values
-    (operators/stats.grouped_percentiles, a07's machinery)."""
-    from mdio_cpp_spark.operators.stats import grouped_percentiles
+    """Robust dispersion: grouped median absolute deviation via
+    operators/stats.grouped_mad — ONE distributed pass collapses the scan
+    to a per-(group, value) run-length table (l_quantity is a discrete
+    1..50 domain, exactly where MAD monitors live) and both dependent
+    quantiles derive exactly from it; the limit-probe bounds the table on
+    the driver, and unbounded-cardinality inputs fall back to the two-pass
+    buffer-free grouped_percentiles composition (round-4/5 a11 design).
+    The outlier-resistant scale estimate a data-quality monitor wants
+    where stddev is blown up by a single bad row."""
+    from mdio_cpp_spark.operators.stats import grouped_mad
 
-    # the narrow (flag, qty) projection feeds BOTH percentile passes (the
-    # deviation pass re-derives it under the broadcast join); persisted,
-    # the parquet scan runs once — two columns, shuffle-file-sized at scale
-    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity").persist()
-    # ONE bounds job serves both percentile passes: pass 1 takes the global
-    # [vmin, vmax] directly, and the deviation column is bounded by the
-    # spread (|q − med| ≤ vmax − vmin since med ∈ [vmin, vmax]), so pass 2
-    # skips its bounds scan too — two full-scan jobs gone, exactness intact
-    # (bounds steer bucket balance only; see grouped_percentiles)
-    lo_hi = li.agg(
-        F.min(F.col("l_quantity").cast("double")),
-        F.max(F.col("l_quantity").cast("double")),
-    ).first()
-    vmin, vmax = lo_hi[0], lo_hi[1]
-    if vmin is None:  # empty table: schema-correct empty result
-        return li.groupBy("l_returnflag").agg(
-            F.round(F.max("l_quantity"), 4).alias("med"),
-            F.round(F.max("l_quantity"), 4).alias("mad"),
-        )
-    # the group medians are consumed twice (deviation pass + final join);
-    # without the persist each consumer re-runs the ENTIRE median DAG —
-    # a 3-row cache collapses the query from 3 percentile pipelines to 2
-    med = grouped_percentiles(
-        li, "l_returnflag", "l_quantity", [(0.5, "med")], bounds=(vmin, vmax)
-    ).persist()
-    dev = li.join(F.broadcast(med), "l_returnflag").select(
-        "l_returnflag", F.abs(F.col("l_quantity") - F.col("med")).alias("ad")
-    )
-    mad = grouped_percentiles(
-        dev, "l_returnflag", "ad", [(0.5, "mad")], bounds=(0.0, vmax - vmin)
-    )
-    return (
-        med.join(mad, "l_returnflag")
-        .select("l_returnflag", F.round("med", 4).alias("med"), F.round("mad", 4).alias("mad"))
-        .orderBy("l_returnflag")
-    )
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return grouped_mad(li, "l_returnflag", "l_quantity").orderBy("l_returnflag")
 
 
 @declared(

@@ -87,6 +87,34 @@ def test_grouped_percentiles_matches_model(spark):
     _check()
 
 
+def test_grouped_mad_fast_path_equals_fallback(spark):
+    """grouped_mad's duplicate-collapsing driver walk and its distributed
+    two-pass fallback must agree exactly — force the fallback by shrinking
+    distinct_bound below the table's distinct count."""
+    import random
+
+    from mdio_cpp_spark.operators.stats import grouped_mad
+
+    rng = random.Random(17)
+    rows = [(g, float(rng.randint(0, 40)) / 4.0)
+            for g in ("a", "b", "c") for _ in range(200)]
+    rows += [("d", 7.25)]  # single-row group: med == value, mad == 0
+    df = spark.createDataFrame(rows, "g string, v double")
+    fast = {r["g"]: (r["med"], r["mad"])
+            for r in grouped_mad(df, "g", "v").collect()}
+    slow = {r["g"]: (r["med"], r["mad"])
+            for r in grouped_mad(df, "g", "v", distinct_bound=5).collect()}
+    assert fast == slow
+    assert fast["d"] == (7.25, 0.0)
+    # independent model for one group
+    import statistics
+
+    vs = sorted(v for g, v in rows if g == "a")
+    med = statistics.median(vs)
+    mad = statistics.median(sorted(abs(v - med) for v in vs))
+    assert fast["a"] == (round(med, 4), round(mad, 4))
+
+
 def test_grouped_percentiles_collapsed_caller_bounds(spark):
     """lo == hi caller bounds over a NON-constant column must not trigger
     the constant-column shortcut (which would return the group MAX as every
