@@ -1136,17 +1136,42 @@ def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_PLANES, _KNN_K = 5, 3
+_KNN_K = 3
+
+
+def _adaptive_bucket_ctes() -> str:
+    """SQL twin of similarity.adaptive_n_planes + truncated bucketing: a
+    20-plane CTE builds the FULL bucket string (hyperplane_weights rows
+    depend only on their index, so the first n of 20 planes ARE the
+    n-plane family), a levels table picks the same integer n via the
+    identical ``(1 << n) * 16 >= N`` comparison, and the bucket is the
+    string's first n bits."""
+    from mdio_cpp_spark.operators.similarity import (
+        _ADAPT_MAX_PLANES,
+        _ADAPT_MIN_PLANES,
+        _ADAPT_TARGET,
+    )
+
+    levels = ", ".join(
+        f"({n})" for n in range(_ADAPT_MIN_PLANES, _ADAPT_MAX_PLANES + 1)
+    )
+    return f"""{_dd_planes_cte(_ADAPT_MAX_PLANES, _ND_DIM)},
+    nsel AS (
+      SELECT COALESCE(MIN(n), {_ADAPT_MAX_PLANES}) AS n
+      FROM (VALUES {levels}) lv(n)
+      WHERE (1 << n) * {_ADAPT_TARGET} >= (SELECT COUNT(*) FROM embeddings)
+    ),
+    b AS (
+      SELECT vec_id, embedding,
+             substring({_dd_bucket("embedding")}, 1, (SELECT n FROM nsel)) AS bk
+      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding
+    )"""
 
 
 @declared(
     "v05_knn_join",
     oracle=f"""
-    WITH {{planes}},
-    b AS (
-      SELECT vec_id, embedding, {{bucket}} AS bk
-      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding
-    )
+    WITH {{ctes}}
     SELECT q_id, vec_id, cos, rk FROM (
       SELECT q_id, vec_id, cos,
              CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
@@ -1156,8 +1181,7 @@ _KNN_PLANES, _KNN_K = 5, 3
       )
     ) WHERE rk <= {_KNN_K} ORDER BY q_id, rk
     """.format(
-        planes=_dd_planes_cte(_KNN_PLANES, _ND_DIM),
-        bucket=_dd_bucket("embedding"),
+        ctes=_adaptive_bucket_ctes(),
         cos=_dd_cosine("q.embedding", "e.embedding"),
     ),
 )
@@ -1165,10 +1189,14 @@ def v05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs k-NN graph over the whole embedding table: LSH bucket
     self-join (no broadcast — both sides corpus-sized), exact cosine rank
     within bucket. The building block for near-dup graph construction and
-    kNN-classifier labeling at corpus scale."""
+    kNN-classifier labeling at corpus scale. Plane count is DENSITY-
+    ADAPTIVE (similarity.adaptive_n_planes; round-5 verdict's v05 scale
+    item): buckets target a constant expected population, so in-bucket
+    pair work stays bounded as the corpus grows — the oracle replicates
+    the integer plane-selection rule and truncated bucketing exactly."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.knn_join(
-        e, "vec_id", "embedding", dim=_ND_DIM, k=_KNN_K, n_planes=_KNN_PLANES
+        e, "vec_id", "embedding", dim=_ND_DIM, k=_KNN_K, n_planes=None
     ).orderBy("q_id", "rk")
 
 
@@ -2072,25 +2100,20 @@ def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept
 
 
-_RAD_PLANES, _RAD_TAU = 5, 0.35
+_RAD_TAU = 0.35
 
 
 @declared(
     "v07_radius_search",
     oracle=f"""
-    WITH {{planes}},
-    b AS (
-      SELECT vec_id, embedding, {{bucket}} AS bk
-      FROM embeddings CROSS JOIN planes GROUP BY vec_id, embedding
-    )
+    WITH {{ctes}}
     SELECT q_id, vec_id, cos FROM (
       SELECT q.vec_id AS q_id, e.vec_id, ROUND({{cos}}, 4) AS cos
       FROM b q JOIN b e ON e.bk = q.bk AND e.vec_id <> q.vec_id
     ) WHERE cos >= {_RAD_TAU}
     ORDER BY q_id, vec_id
     """.format(
-        planes=_dd_planes_cte(_RAD_PLANES, _ND_DIM),
-        bucket=_dd_bucket("embedding"),
+        ctes=_adaptive_bucket_ctes(),
         cos=_dd_cosine("q.embedding", "e.embedding"),
     ),
 )
@@ -2099,12 +2122,13 @@ def v07(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine ≥ τ — the "all neighbors above threshold" sibling of the
     kNN graph (v05), the edge-building primitive for near-dup graphs and
     density estimation. One shuffle keyed on the LSH bucket, norms map-side,
-    no broadcast, no cross product; the oracle replicates the identical
-    bucketing in SQL so the differential is exact."""
+    no broadcast, no cross product; plane count density-adaptive like v05,
+    and the oracle replicates the plane-selection integers and truncated
+    bucketing exactly so the differential stays exact at every sf."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.radius_join(
         e, "vec_id", "embedding", dim=_ND_DIM, threshold=_RAD_TAU,
-        n_planes=_RAD_PLANES,
+        n_planes=None,
     ).orderBy("q_id", "vec_id")
 
 

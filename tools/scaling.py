@@ -19,7 +19,7 @@ PICKS = [
     ("h02_pricing_summary", "full-scan fixed-point aggregate"),
     ("h03_local_supplier_volume", "six-way broadcast join"),
     ("d02_minhash_lsh", "MinHash+LSH dedup (heaviest map work)"),
-    ("v05_knn_join", "all-pairs kNN bucket self-join"),
+    ("v05_knn_join", "all-pairs kNN bucket self-join (density-adaptive planes)"),
     ("t07_tfidf", "two-level tf/df aggregation"),
     ("zarr01_scan", "pruned zarr chunk scan"),
     ("a07_exact_percentiles", "distributed exact percentiles"),
@@ -46,7 +46,7 @@ PICKS = [
     ("ts03_ohlc_downsample", "tick->bar OHLC compaction (min_by/max_by, no window)"),
     ("ml09_naive_bayes", "in-engine NB train + classify (quantized integer scores)"),
     ("w16_max_drawdown", "stacked running windows on per-day aggregates"),
-    ("a11_grouped_mad", "two-pass grouped MAD sharing one bounds job"),
+    ("a11_grouped_mad", "grouped MAD via duplicate-collapsing run-length table"),
     ("ev16_concurrency_sweep", "sweep-line pairwise overlap (no pair materialization)"),
     ("u06_incremental_agg", "delta-maintained aggregate (broadcast semi prune)"),
     ("zarr105_dft_spectrum", "integer-quantized DFT over stored traces"),
