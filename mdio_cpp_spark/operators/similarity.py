@@ -390,3 +390,66 @@ def radius_join(
         )
         .filter(F.col("cos") >= F.lit(threshold))
     )
+
+
+def lloyd_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 3,
+) -> list:
+    """In-engine k-means (Lloyd) training of the IVF coarse quantizer —
+    deterministic and ORACLE-REPLICABLE, so trained centroids can gate
+    against a SQL twin that replays the identical recurrence:
+
+      cents_0   = the k smallest-id vectors (exemplar init, upcast double)
+      assign_t  = rounded-cosine(6dp) argmax, ties to the larger cid
+                  (ivf_assign — broadcast centroids, map-side cosines)
+      coord_t+1 = SUM(ROUND(x·10⁶)::BIGINT) / (COUNT · 10⁶) per (cell, d):
+                  the mean as an exact integer sum and ONE double division,
+                  bit-identical across engines regardless of accumulation
+                  order (a raw AVG(double) is order-dependent and would
+                  drift the NEXT iteration's assignments)
+      empty cell → carries its previous coordinates
+
+    Each iteration is one assignment scan + one (cell, d) partial agg of
+    K·dim rows collected to the driver (the centroid table is index-sized,
+    not corpus-sized — the same driver posture as broadcast joins).
+    Returns ``[(cid, [coords...]), ...]`` sorted by cid.
+    """
+    exemplars = (
+        corpus.orderBy(F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    cents = {int(r[0]): [float(x) for x in r[1]] for r in exemplars}
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(c, v) for c, v in sorted(cents.items())], "cid long, cv array<double>"
+        )
+        assigned = ivf_assign(corpus, id_col, vec_col, cdf)
+        rows = (
+            assigned.select(
+                "cell",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+            )
+            .groupBy("cell", "d")
+            .agg(
+                F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        means: dict = {}
+        for r in rows:
+            means.setdefault(int(r["cell"]), {})[int(r["d"])] = (
+                float(r["s"]) / (float(r["n"]) * 1e6)
+            )
+        cents = {
+            c: [means.get(c, {}).get(d, prev[d]) for d in range(len(prev))]
+            for c, prev in cents.items()
+        }
+    return sorted(cents.items())

@@ -3110,6 +3110,91 @@ def ml03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LLOYD_ITERS = 3
+
+
+def _lloyd_cents_ctes(k: int, iters: int, final_name: str = "cvf") -> str:
+    """SQL twin of similarity.lloyd_train's recurrence: exemplar init,
+    rounded-cosine(6dp) argmax assignment (ties to larger cid), quantized
+    recentering SUM(ROUND(x·10⁶)::BIGINT)/(COUNT·10⁶) — an exact integer
+    sum and ONE double division, so the next iteration's assignments are
+    bit-identical across engines — and empty-cell carry-forward via a
+    LEFT JOIN on the previous coordinates."""
+    parts = [
+        f"""c0 AS (
+      SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings WHERE vec_id < {k})"""
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        cv, a, m, c = f"cv{t-1}", f"a{t-1}", f"m{t}", f"c{t}"
+        parts.append(
+            f"{cv} AS (SELECT cid, list(x ORDER BY pos) AS cv FROM {prev} GROUP BY cid)"
+        )
+        parts.append(f"""{a} AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ROUND({_dd_cosine("e.embedding", "c.cv")}, 6) DESC,
+                          c.cid DESC) AS r
+        FROM embeddings e CROSS JOIN {cv} c
+      ) WHERE r = 1)""")
+        parts.append(f"""{m} AS (
+      SELECT cell AS cid, pos, SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM (SELECT cell, generate_subscripts(embedding, 1) AS pos,
+                   unnest(embedding)::DOUBLE AS x FROM {a})
+      GROUP BY cell, pos)""")
+        parts.append(f"""{c} AS (
+      SELECT p.cid, p.pos,
+             COALESCE(CAST(m.s AS DOUBLE) / (m.n * 1000000.0), p.x) AS x
+      FROM {prev} p LEFT JOIN {m} m ON m.cid = p.cid AND m.pos = p.pos)""")
+        prev = c
+    parts.append(
+        f"{final_name} AS (SELECT cid, list(x ORDER BY pos) AS cv FROM {prev} GROUP BY cid)"
+    )
+    return ",\n    ".join(parts)
+
+
+@declared(
+    "ml10_kmeans_train",
+    oracle=f"""
+    WITH {_lloyd_cents_ctes(_IVF_CELLS, _LLOYD_ITERS)}
+    SELECT vec_id, cell, cc FROM (
+      SELECT e.vec_id, c.cid AS cell,
+             ROUND({_dd_cosine("e.embedding", "c.cv")}, 6) AS cc,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND({_dd_cosine("e.embedding", "c.cv")}, 6) DESC,
+                        c.cid DESC) AS r
+      FROM embeddings e CROSS JOIN cvf c
+    ) WHERE r = 1 ORDER BY vec_id
+    """,
+)
+def ml10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED coarse quantizer (round-5 verdict item 6): ml03's Lloyd
+    step looped {_LLOYD_ITERS} iterations in-engine (similarity.lloyd_train
+    — each iteration one assignment scan + one K·dim partial agg; the
+    corpus never shuffles vectors), then every vector assigned under the
+    TRAINED centroids with its winning rounded cosine. The oracle replays
+    the full fixed-iteration recurrence — exemplar init, 6dp-rounded
+    argmax, quantized integer-sum recentering, empty-cell carry-forward —
+    so the differential gates the entire training trajectory, not just
+    the final assignment."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = similarity.lloyd_train(
+        e, "vec_id", "embedding", k=_IVF_CELLS, iters=_LLOYD_ITERS
+    )
+    cdf = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cid long, cv array<double>"
+    )
+    return (
+        similarity.ivf_assign_scored(e, "vec_id", "embedding", cdf)
+        .select("vec_id", "cell", "cc")
+        .orderBy("vec_id")
+    )
+
+
 @declared(
     "t20_ttr_hapax",
     oracle=f"""

@@ -4830,3 +4830,135 @@ def zarr108(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+# -------------------------------------- stored TRAINED ANN index (v15)
+
+def _trained_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """Like _ivf_store, but the coarse quantizer is TRAINED in-engine
+    (similarity.lloyd_train: fixed-iteration Lloyd with quantized
+    recentering) before being persisted — centroids are k-means means, not
+    raw exemplar vectors, and the cell array holds assignments under the
+    trained quantizer (round-5 verdict item 6: the v09 path upgraded from
+    exemplar to trained centroids)."""
+    from mdio_cpp_spark.operators import similarity
+    from mdio_cpp_spark.plans.pipeline import _IVF_CELLS, _LLOYD_ITERS
+    from mdio_cpp_spark.sources.writer import write_array
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "ivf_trained.zarr")
+    marker = os.path.join(base, ".built_ivf_trained_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        e = table(spark, sf_dir, "embeddings")
+        n = e.count()
+        cents = similarity.lloyd_train(
+            e, "vec_id", "embedding", k=_IVF_CELLS, iters=_LLOYD_ITERS
+        )
+        dim = len(cents[0][1])
+        cdf = spark.createDataFrame(
+            [(c, v) for c, v in cents], "cid long, cv array<double>"
+        )
+        assign = similarity.ivf_assign(e, "vec_id", "embedding", cdf)
+        st = ZarrStore.create(path, version=2, attrs={"name": "ivf_trained"})
+        st.create_array("cell", shape=(n,), chunks=(CHUNK,), dtype="int64",
+                        dims=("i",), compressor={"id": "zlib", "level": 1})
+        st.create_array("centroid", shape=(_IVF_CELLS, dim),
+                        chunks=(_IVF_CELLS, dim), dtype="float64",
+                        dims=("c", "d"), compressor={"id": "zlib", "level": 1})
+        write_array(
+            assign.select(F.col("vec_id").alias("i"), F.col("cell").alias("v")),
+            path, "cell", value_cols="v",
+        )
+        cent_rows = [
+            (int(c), int(d), float(x))
+            for c, v in cents for d, x in enumerate(v)
+        ]
+        write_array(
+            spark.createDataFrame(cent_rows, "c long, d long, v double"),
+            path, "centroid", value_cols="v",
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def _v15_oracle() -> str:
+    from mdio_cpp_spark.plans.pipeline import (
+        _IVF_CELLS,
+        _LLOYD_ITERS,
+        _dd_cosine,
+        _lloyd_cents_ctes,
+    )
+
+    return f"""
+    WITH {_lloyd_cents_ctes(_IVF_CELLS, _LLOYD_ITERS)},
+    af AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ROUND({_dd_cosine("e.embedding", "c.cv")}, 6) DESC,
+                          c.cid DESC) AS r
+        FROM embeddings e CROSS JOIN cvf c
+      ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, cell FROM af WHERE vec_id < 3)
+    SELECT q_id, vec_id, cos, rk FROM (
+      SELECT q.q_id, e.vec_id, ROUND({_dd_cosine("q.qv", "e.embedding")}, 4) AS cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id
+                  ORDER BY ROUND({_dd_cosine("q.qv", "e.embedding")}, 4) DESC, e.vec_id) AS BIGINT) AS rk
+      FROM q JOIN af e ON e.cell = q.cell AND e.vec_id <> q.q_id
+    ) WHERE rk <= 5 ORDER BY q_id, rk
+    """
+
+
+@declared("v15_trained_ivf", oracle=_v15_oracle())
+def v15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from a PERSISTED **trained** index: v09's store-resident
+    IVF upgraded from exemplar to Lloyd-trained centroids. The quantizer is
+    trained in-engine (similarity.lloyd_train), the K×dim trained means and
+    the per-vector cell assignments are written to an MDIO store, then the
+    query path REOPENS the store: reassemble centroid vectors from the
+    centroid array, assign the 3 query vectors map-side, search only each
+    query's cell over the stored cell array joined to the parquet payload.
+    The oracle replays the ENTIRE training recurrence in SQL and then the
+    same cell-restricted search — so the gate covers training, persistence
+    round-trip (float64 exact), and serving in one differential."""
+    from mdio_cpp_spark.operators import similarity
+    from mdio_cpp_spark.operators.similarity import _ranked
+    from mdio_cpp_spark.functions import vectors
+
+    path = _trained_ivf_store(spark, sf_dir)
+    ds = MdioDataset.open(path)
+    cents = (
+        ds.to_df(spark, "centroid", value_col="x")
+        .groupBy(F.col("c").alias("cid"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "x"))), lambda s: s["x"]
+            ).alias("cv")
+        )
+    )
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    q_assigned = F.broadcast(
+        similarity.ivf_assign(q, "vec_id", "embedding", cents).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "cell"
+        )
+    )
+    corpus = (
+        ds.to_df(spark, "cell", value_col="cell")
+        .select(F.col("i").alias("vec_id"), "cell")
+        .join(e, "vec_id")
+    )
+    pairs = (
+        corpus.join(q_assigned, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id",
+            F.round(vectors.cosine(F.col("qv"), F.col("embedding")), 4).alias("cos"),
+        )
+    )
+    return _ranked(pairs, 5).orderBy("q_id", "rk")
