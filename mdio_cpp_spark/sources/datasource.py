@@ -807,8 +807,15 @@ class MdioStreamReader(DataSourceStreamReader):
     cold start itself with ``starting_offset=latest``); ``fields`` /
     ``value_col`` as on the batch reader.
 
-    1-D only: tailing means a single append dimension; the reference's
-    resize is equally per-dimension metadata (utils/trim.h's inverse).
+    N-D stores append along ONE nominated dimension (``append_dim``
+    option, default the first dimension): the frontier is the store's
+    length along that dimension, each micro-batch emits the newly
+    appended SLABS — the full extent of every other dimension crossed
+    with the new append-dim range — and partitions stay chunk-aligned
+    along the append dimension (a task may decode several chunks across
+    the other dimensions, but no two tasks share a chunk). That is the
+    reference's resize model exactly: per-dimension metadata growth
+    (utils/trim.h's inverse), rows land per-slab.
     """
 
     def __init__(self, root: str, version: int, var: str, options):
@@ -817,17 +824,20 @@ class MdioStreamReader(DataSourceStreamReader):
         self.var = var
         self.value_col = options.get("value_col", "value")
         meta = ZarrStore(root, version).array_meta(var)
-        if meta.ndim != 1:
+        self.dims = _dim_names(meta)
+        append_dim = options.get("append_dim") or self.dims[0]
+        if append_dim not in self.dims:
             raise ValueError(
-                f"streaming tail needs a 1-D append dimension; {var!r} has "
-                f"ndim={meta.ndim}"
+                f"append_dim {append_dim!r} is not a dimension of {var!r} "
+                f"(has {self.dims})"
             )
+        self.axis = self.dims.index(append_dim)
         fields = options.get("fields")
         self.fields = fields.split(",") if fields else (
             list(meta.np_dtype.names) if meta.is_struct else None
         )
-        self.dim = _dim_names(meta)[0]
-        self.chunk = int(meta.chunks[0])
+        self.dim = append_dim
+        self.chunk = int(meta.chunks[self.axis])
         self.start_latest = options.get("starting_offset", "earliest") == "latest"
         cap = options.get("max_cells_per_trigger")
         self.max_cells = int(cap) if cap else None
@@ -836,10 +846,11 @@ class MdioStreamReader(DataSourceStreamReader):
     # ------------------------------------------------------------- offsets
 
     def _frontier(self) -> int:
-        # ONE fresh consolidated-metadata read: shape is the high-water
-        # mark, clamped by the producer's post-write watermark when present
+        # ONE fresh consolidated-metadata read: the append-dim length is
+        # the high-water mark, clamped by the producer's post-write
+        # watermark when present
         meta = ZarrStore(self.root, self.version).array_meta(self.var)
-        n = int(meta.shape[0])
+        n = int(meta.shape[self.axis])
         frontier = meta.attrs.get("frontier")
         return min(n, int(frontier)) if frontier is not None else n
 
@@ -881,12 +892,26 @@ class MdioStreamReader(DataSourceStreamReader):
     def read(self, partition: MdioTailPartition) -> Iterator[pa.RecordBatch]:
         if partition.hi <= partition.lo:
             return
+        import itertools
+
         store = ZarrStore(self.root, self.version)
         meta = store.array_meta(self.var)
-        box = ((partition.lo, partition.hi),)
-        for c in range(partition.lo // self.chunk, (partition.hi - 1) // self.chunk + 1):
+        # box: the new append-dim slab crossed with every other dim's full
+        # extent; chunk coords iterate the product of per-dim chunk ranges
+        box = tuple(
+            (partition.lo, partition.hi) if d == self.axis
+            else (0, int(meta.shape[d]))
+            for d in range(meta.ndim)
+        )
+        ranges = [
+            range(b[0] // meta.chunks[d], (b[1] - 1) // meta.chunks[d] + 1)
+            for d, b in enumerate(box)
+        ]
+        steps = (1,) * meta.ndim
+        for coords in itertools.product(*ranges):
             pdf = _decode_chunk_to_pdf(
-                store, meta, (c,), box, (1,), [self.dim], self.fields, self.value_col,
+                store, meta, coords, box, steps, self.dims, self.fields,
+                self.value_col,
             )
             if len(pdf):
                 yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)

@@ -1,5 +1,6 @@
-"""Streaming SOURCE for the mdio format: readStream tails a growing 1-D
-store. Offset = array length (one consolidated-metadata read per trigger),
+"""Streaming SOURCE for the mdio format: readStream tails a growing store
+along its nominated append dimension (1-D arrays and N-D row-slabs).
+Offset = append-dim length (one consolidated-metadata read per trigger),
 so a checkpointed restart re-reads exactly the appended half-open range —
 the streaming inverse of the zarr26 append workflow."""
 
@@ -76,8 +77,61 @@ def test_tail_initial_then_append_exactly_once(tmp_path, spark):
     assert got2[N0] == N0 * 2.0 and got2[N1 - 1] == (N1 - 1) * 2.0
 
 
-def test_tail_rejects_2d(tmp_path, spark):
+def _drain2d(spark, path, checkpoint, append_dim=None):
+    register(spark)
+    rd = (spark.readStream.format("mdio")
+          .option("path", path).option("variable", "g"))
+    if append_dim:
+        rd = rd.option("append_dim", append_dim)
+    stream = rd.load()
+    rows: dict[tuple, float] = {}
+
+    def sink(df, _bid):
+        rows.update({(r["r"], r["c"]): r["value"] for r in df.collect()})
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return rows
+
+
+def test_tail_2d_row_slab_appends(tmp_path, spark):
+    """N-D tailing (round-5 verdict item 7): a 2-D grid grows along its
+    nominated append dimension; each pass emits ONLY the new row-slabs —
+    every new row crossed with the FULL column extent — through
+    chunk-aligned partitions along the append dim. Mid-chunk boundaries on
+    both ends of the append range exercise the RMW/padding path."""
+    R0, R1, C = 6, 13, 10   # chunks (4, 4): partial chunks everywhere
     path = os.path.join(str(tmp_path), "grid.zarr")
+    st = ZarrStore.create(path, version=2, attrs={"name": "grid_tail"})
+    st.create_array("g", shape=(R0, C), chunks=(4, 4), dtype="float64",
+                    dims=("r", "c"), compressor={"id": "zlib", "level": 1})
+    st.consolidate()
+
+    def rows_df(lo, hi):
+        return (spark.range(lo * C, hi * C).select(
+            (F.col("id") / C).cast("long").alias("r"),
+            (F.col("id") % C).alias("c"),
+            (F.col("id") * 1.5).alias("val")))
+
+    write_array(rows_df(0, R0), path, "g", value_cols="val")
+    ckpt = os.path.join(str(tmp_path), "ckpt2d")
+    got = _drain2d(spark, path, ckpt, append_dim="r")
+    assert len(got) == R0 * C
+    assert got[(0, 0)] == 0.0 and got[(R0 - 1, C - 1)] == (R0 * C - 1) * 1.5
+
+    grow_dataset(path, r=R1)
+    write_array(rows_df(R0, R1), path, "g", value_cols="val")
+    got2 = _drain2d(spark, path, ckpt, append_dim="r")
+    assert set(got2) == {(r, c) for r in range(R0, R1) for c in range(C)}, \
+        "second pass must emit ONLY the appended row-slabs"
+    assert got2[(R0, 0)] == R0 * C * 1.5
+    assert got2[(R1 - 1, C - 1)] == (R1 * C - 1) * 1.5
+
+
+def test_tail_rejects_unknown_append_dim(tmp_path, spark):
+    path = os.path.join(str(tmp_path), "grid_bad.zarr")
     st = ZarrStore.create(path, version=2)
     st.create_array("g", shape=(8, 8), chunks=(4, 4), dtype="float64",
                     dims=("r", "c"))
@@ -85,9 +139,10 @@ def test_tail_rejects_2d(tmp_path, spark):
     register(spark)
     stream = (
         spark.readStream.format("mdio")
-        .option("path", path).option("variable", "g").load()
+        .option("path", path).option("variable", "g")
+        .option("append_dim", "ghost").load()
     )
-    with pytest.raises(Exception, match="1-D append dimension"):
+    with pytest.raises(Exception, match="append_dim"):
         q = (
             stream.writeStream.foreachBatch(lambda df, bid: None)
             .option("checkpointLocation", os.path.join(str(tmp_path), "c2"))
