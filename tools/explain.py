@@ -35,7 +35,7 @@ PICKS = {
     "h03_local_supplier_volume": "region→nation prune runs BEFORE the fact joins; supplier/customer/nation/region all broadcast — the only exchanges left are lineitem⋈orders and the 5-row group-by",
     "t11_repetition": "bigrams built map-side inside codegen (array transform + explode), then two keyed hash aggregates — (doc_id,bigram) then doc_id; partial agg absorbs within-doc repeats before the exchange",
     "d08_block_dedup": "16-token blocks become 32-char md5 hashes MAP-SIDE, so the shuffle carries (hash,id) only; two-phase count-distinct agg; HAVING filter after partial agg",
-    "v05_knn_join": "all-pairs kNN with NO broadcast and NO cross product: one shuffle keyed on the LSH bucket string (self equi-join), per-query rank window partitions on q_id",
+    "v05_knn_join": "all-pairs kNN with NO broadcast and NO cross product: one shuffle keyed on the LSH bucket string (self equi-join, plane count density-adaptive from a count probe), per-query rank window partitions on q_id",
     "p04_token_budget_mix": "token counts map-side; ONE window partitioned by source (parallel across sources, never global); budget filter after the running sum",
     "zarr27_halo_stencil": "halo exchange relationally: boundary cells replicate into neighbor chunk buckets map-side (explode of ≤2 targets), window partitions on bucket — no SinglePartition window over the array",
     "u01_merge_upsert": "MERGE with a small changeset: the target NEVER shuffles — U/D apply via BroadcastHashJoin LeftOuter, inserts via broadcast LeftSemi probe + tiny LeftAnti; the only exchange is the gate's output sort",
@@ -60,7 +60,7 @@ PICKS = {
     "h22_nation_profit": "part-name broadcast prune runs before the lineitem-orders join (the only fact-fact edge); supplier/nation broadcast; profit is one exact fixed-point expression inside the partial agg",
     "zarr50_dsv2_value_pushdown": "Catalyst-pushed value predicate: the PythonScan consumed value>=450000 via pushFilters (decoder-exact mask + zone-map chunk skip) — the only Filter left upstream is the isnotnull residual, and pruned chunks never get a kvstore GET",
     "zarr53_dsv2_multivar_fused": "fused multi-variable read: NO Join anywhere — both aligned arrays decode in the same PythonScan task per chunk, and the only exchange is the 10-group partial aggregate",
-    "a11_grouped_mad": "two buffer-free percentile passes; the 3-row group-median result is persisted (InMemoryTableScan) so the deviation pass and the final join reuse it instead of re-running the median DAG",
+    "a11_grouped_mad": "duplicate-collapsing MAD: ONE partial-agg groupBy to the (group, value) run-length table (limit-probe bounded), both quantiles derived from it; the plan shows a single scan + hash aggregate, no window, no second pass (distributed two-pass fallback kicks in past the probe bound)",
     "zarr55_ffill": "gap fill with NO global data window: the in-chunk LOCF window partitions on the chunk id; the only global window is the one-row-per-chunk carry table (bounded by construction), joined back broadcast",
     "p11_epoch_shuffle": "deterministic epoch shuffle without a global row_number: 16 hash-digit bucket windows rank in parallel; positions = broadcast bucket offsets + in-bucket rank",
     "v07_radius_search": "all-pairs radius query: one shuffle keyed on the LSH bucket string (self equi-join), exact cosine threshold filter — no broadcast, no cross product",
