@@ -414,15 +414,20 @@ def semantic_dedup(
     # and precompute the norm so neither side re-derives it.
     from pyspark.storagelevel import StorageLevel
 
-    b = assigned.select(
-        F.col(id_col), F.col(vec_col), "cell",
-        vectors.norm(F.col(vec_col)).alias("nv"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    while _SEMDEDUP_PREV_CACHE:  # bound the cross-call leak to one handle
+    # Bound the cross-call leak to one handle — and unpersist BEFORE the
+    # new persist registers: Spark's CacheManager resolves unpersist by
+    # CANONICALIZED plan, so a repeat call with the identical frame would
+    # otherwise have its brand-new cache entry dropped by the old handle
+    # (measured: d10 1.2 s → 4.6 s from exactly that ordering bug).
+    while _SEMDEDUP_PREV_CACHE:
         try:
             _SEMDEDUP_PREV_CACHE.pop().unpersist()
         except Exception:  # session of the old handle may be gone
             pass
+    b = assigned.select(
+        F.col(id_col), F.col(vec_col), "cell",
+        vectors.norm(F.col(vec_col)).alias("nv"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     _SEMDEDUP_PREV_CACHE.append(b)
     a = b.select(F.col(id_col).alias("__ida"), F.col(vec_col).alias("va"), "cell",
                  F.col("nv").alias("na"))
