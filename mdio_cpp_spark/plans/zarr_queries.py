@@ -4962,3 +4962,58 @@ def v15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _ranked(pairs, 5).orderBy("q_id", "rk")
+
+
+@declared(
+    "zarr109_sharded_store",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+    FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 900 AND rn - 1 < 6100
+    """,
+)
+def zarr109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr v3 SHARDED store (ZEP 2, `sharding_indexed`) round-trip — the
+    100-TB object-store layout: one storage object per shard holds many
+    inner chunks plus a crc32c-guarded (offset, nbytes) u64-LE index, so a
+    12M-chunk grid becomes ~thousands of objects instead of millions. The
+    reference reads v3 via TensorStore, which WRITES this codec — sharded
+    stores are real read-compat surface, not an extension. Here the
+    distributed writer shuffles on the SHARD grid (meta.chunks is the
+    shard shape — pruning, keys, zone maps, and write-exclusivity all
+    operate per shard with no sharding-specific Spark code), inner chunks
+    encode through the ordinary v3 chain, all-fill inner chunks are elided
+    as MISSING index entries, and the chunk-pruned isel read aggregates
+    against the orders oracle. Independent decode is pinned by the
+    spec reader's own shard/crc32c parser (tests/test_sharding.py)."""
+    from mdio_cpp_spark.sources.writer import write_array
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "sharded.zarr")
+    marker = os.path.join(base, ".built_sharded_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select(
+            "i", F.col("o_totalprice").alias("v")
+        )
+        n = ords.count()
+        st = ZarrStore.create(path, version=3, attrs={"name": "sharded_mdio"})
+        st.create_array(
+            "price", shape=(n,), chunks=(512,), shards=(CHUNK * 2,),
+            dtype="float64", dims=("i",),
+            compressor={"id": "gzip", "level": 3},
+        )
+        write_array(ords, path, "price", value_cols="v")
+        with open(marker, "w") as f:
+            f.write("1")
+    ds = MdioDataset.open(path)
+    return ds.isel(i=(900, 6100)).to_df(spark, "price", value_col="v").agg(
+        F.count("v").cast("long").alias("cnt"),
+        F.round(F.sum("v"), 2).alias("total"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )

@@ -18,6 +18,7 @@ Zarr v3 codec chain: [{"name": "bytes", ...}, {"name": "gzip"|"zstd", ...}].
 from __future__ import annotations
 
 import gzip
+import struct
 import zlib
 from typing import Any
 
@@ -59,6 +60,26 @@ except ImportError:
 
 class CodecError(RuntimeError):
     pass
+
+
+# CRC-32C (Castagnoli, reflected polynomial 0x82F63B78) — the checksum the
+# zarr v3 `crc32c` codec and the sharding_indexed index default to
+# (zarr-python writes index_codecs [bytes, crc32c]). The stdlib has only
+# CRC-32 (zlib.crc32, polynomial 0xEDB88320), so this is table-driven pure
+# Python from the public polynomial.
+_CRC32C_TABLE = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
 
 
 def _blosc_shuffle(val: Any) -> int:
@@ -155,6 +176,8 @@ def compress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
                     f"blosc cname={cname!r} needs the blosc wheel (not installed); "
                     "cname='zlib'/'lz4'/'blosclz' work without it"
                 )
+        elif name == "crc32c":
+            data = data + struct.pack("<I", crc32c(data))
         else:
             raise CodecError(f"unsupported v3 codec {name!r}")
     return data
@@ -181,6 +204,15 @@ def decompress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
                     data = _blosc1.decompress(data)
                 except _blosc1.BloscFormatError as e:
                     raise CodecError(str(e)) from e
+        elif name == "crc32c":
+            if len(data) < 4:
+                raise CodecError("crc32c codec: payload shorter than checksum")
+            body, want = data[:-4], struct.unpack("<I", data[-4:])[0]
+            got = crc32c(body)
+            if got != want:
+                raise CodecError(
+                    f"crc32c mismatch: stored {want:#010x}, computed {got:#010x}")
+            data = body
         else:
             raise CodecError(f"unsupported v3 codec {name!r}")
     return data

@@ -83,6 +83,13 @@ class ZarrArrayMeta:
     # v3 only: "default" → "c/0/1"-style keys; "v2" → bare "0.1"-style keys
     # (zarr v3 spec §chunk-key-encoding; a v3 store may legally use either)
     key_encoding: str = "default"
+    # v3 sharding_indexed (ZEP 2): when set, ``chunks`` is the SHARD shape
+    # (the chunk_grid unit — keys, pruning, write-shuffle all operate on
+    # shards) and this dict holds {"chunk_shape": inner-chunk tuple,
+    # "codecs": inner chain, "index_codecs": [...], "index_location":
+    # "end"|"start"}. The shard binary format is concatenated encoded inner
+    # chunks + a fixed-size (offset, nbytes) u64-LE index.
+    shard: dict | None = None
     dims: tuple[str, ...] = ()
     attrs: dict = field(default_factory=dict)
     header_only: bool = False
@@ -195,6 +202,107 @@ def _v3_array_json(meta: ZarrArrayMeta) -> dict:
     }
 
 
+def _shard_grid(meta: ZarrArrayMeta) -> tuple[tuple[int, ...], int]:
+    """Inner-chunk grid of one shard and its cell count."""
+    inner = meta.shard["chunk_shape"]
+    grid = tuple(c // i for c, i in zip(meta.chunks, inner))
+    return grid, int(np.prod(grid))
+
+
+def _shard_index_size(meta: ZarrArrayMeta, n: int) -> int:
+    """Encoded index size: n (offset, nbytes) u64-LE pairs, +4 bytes per
+    crc32c stage — every supported index codec is fixed-size (the spec
+    requires it; variable-size index codecs are refused at parse time)."""
+    extra = sum(4 for c in meta.shard["index_codecs"] if c.get("name") == "crc32c")
+    return n * 16 + extra
+
+
+_SHARD_MISSING = (1 << 64) - 1
+
+
+def _decode_shard(meta: ZarrArrayMeta, raw: bytes) -> np.ndarray:
+    """Parse one shard container (ZEP 2): fixed-size index locates each
+    encoded inner chunk; missing entries synthesize fill. Returns the full
+    shard-shaped block (array-edge clipping happens in the callers, same
+    as plain chunks)."""
+    inner = meta.shard["chunk_shape"]
+    grid, n = _shard_grid(meta)
+    isize = _shard_index_size(meta, n)
+    if len(raw) < isize:
+        raise ValueError(
+            f"shard for {meta.name!r} shorter ({len(raw)} B) than its "
+            f"index ({isize} B)")
+    enc_idx = raw[-isize:] if meta.shard["index_location"] == "end" else raw[:isize]
+    idx = _codecs.decompress_v3(enc_idx, meta.shard["index_codecs"])
+    pairs = np.frombuffer(idx, dtype="<u8").reshape(n, 2)
+    disk_dtype = meta.stored_dtype or meta.np_dtype
+    block = np.full(meta.chunks, meta.fill_scalar(), dtype=meta.np_dtype)
+    for k in range(n):
+        off, ln = int(pairs[k, 0]), int(pairs[k, 1])
+        if off == _SHARD_MISSING and ln == _SHARD_MISSING:
+            continue
+        if off + ln > len(raw):
+            raise ValueError(
+                f"shard for {meta.name!r}: inner chunk {k} extent "
+                f"[{off}, {off + ln}) past shard end {len(raw)}")
+        sub_raw = _codecs.decompress_v3(raw[off : off + ln], meta.shard["codecs"])
+        arr = np.frombuffer(sub_raw, dtype=disk_dtype)
+        if meta.stored_dtype is not None:
+            arr = arr.astype(meta.np_dtype)
+        coords_in = np.unravel_index(k, grid)
+        sl = tuple(
+            slice(int(c) * i, (int(c) + 1) * i) for c, i in zip(coords_in, inner)
+        )
+        block[sl] = arr.reshape(inner, order=meta.order)
+    return block
+
+
+def _all_fill(sub: np.ndarray, fill) -> bool:
+    """True when every cell equals the fill (NaN-aware); conservative False
+    on dtypes where comparison is awkward (struct) — those inner chunks are
+    simply written instead of elided."""
+    try:
+        if sub.dtype.kind == "f" and isinstance(fill, (float, np.floating)) and np.isnan(fill):
+            return bool(np.isnan(sub).all())
+        return bool((sub == fill).all())
+    except (TypeError, ValueError):  # pragma: no cover - exotic dtypes
+        return False
+
+
+def _encode_shard(meta: ZarrArrayMeta, block: np.ndarray) -> bytes:
+    """Serialize one full shard: encode inner chunks through the inner
+    codec chain, elide all-fill inner chunks as MISSING index entries
+    (sparse shards cost index-only bytes), then append/prepend the encoded
+    (offset, nbytes) index."""
+    inner = meta.shard["chunk_shape"]
+    grid, n = _shard_grid(meta)
+    isize = _shard_index_size(meta, n)
+    at_start = meta.shard["index_location"] == "start"
+    disk_dtype = meta.stored_dtype or meta.np_dtype
+    fill = meta.fill_scalar()
+    pairs = np.full((n, 2), _SHARD_MISSING, dtype="<u8")
+    parts: list[bytes] = []
+    cursor = isize if at_start else 0
+    for k in range(n):
+        coords_in = np.unravel_index(k, grid)
+        sl = tuple(
+            slice(int(c) * i, (int(c) + 1) * i) for c, i in zip(coords_in, inner)
+        )
+        sub = block[sl]
+        if meta.fill is not None and _all_fill(sub, fill):
+            continue
+        raw = np.ascontiguousarray(sub, dtype=disk_dtype).tobytes(order=meta.order)
+        enc = _codecs.compress_v3(raw, meta.shard["codecs"])
+        pairs[k, 0], pairs[k, 1] = cursor, len(enc)
+        parts.append(enc)
+        cursor += len(enc)
+    enc_idx = _codecs.compress_v3(pairs.tobytes(), meta.shard["index_codecs"])
+    assert len(enc_idx) == isize  # fixed-size contract enforced at parse
+    if at_start:
+        return enc_idx + b"".join(parts)
+    return b"".join(parts) + enc_idx
+
+
 def _meta_from_v2(name: str, zarray: dict, zattrs: dict) -> ZarrArrayMeta:
     if zarray.get("filters"):
         # a filter chain we don't implement would decode to garbage — refuse
@@ -283,7 +391,46 @@ def _meta_from_v3(name: str, zjson: dict) -> ZarrArrayMeta:
     # big-endian dtype strings use); silently assuming native order would
     # read every value as byte-swapped garbage
     stored = None
-    for codec in zjson.get("codecs", []):
+    codecs_list = list(zjson.get("codecs", []))
+    shard_conf = None
+    if codecs_list and codecs_list[0].get("name") == "sharding_indexed":
+        conf = codecs_list[0].get("configuration") or {}
+        outer = tuple(int(x) for x in zjson["chunk_grid"]["configuration"]["chunk_shape"])
+        inner = tuple(int(x) for x in conf["chunk_shape"])
+        if len(inner) != len(outer) or any(o % i for o, i in zip(outer, inner)):
+            raise NotImplementedError(
+                f"array {name!r}: shard shape {outer} not a multiple of "
+                f"inner chunk shape {inner}"
+            )
+        index_codecs = list(conf.get("index_codecs") or
+                            [{"name": "bytes", "configuration": {"endian": "little"}},
+                             {"name": "crc32c"}])
+        for ic in index_codecs:
+            icn = ic.get("name")
+            if icn == "bytes":
+                if (ic.get("configuration") or {}).get("endian", "little") != "little":
+                    raise NotImplementedError(
+                        f"array {name!r}: big-endian shard index not supported")
+            elif icn != "crc32c":
+                # a variable-size index codec would make the index
+                # unlocatable without the spec's fixed-size guarantee
+                raise NotImplementedError(
+                    f"array {name!r}: shard index codec {icn!r} not supported")
+        loc = conf.get("index_location", "end")
+        if loc not in ("end", "start"):
+            raise NotImplementedError(
+                f"array {name!r}: index_location {loc!r} not supported")
+        shard_conf = {
+            "chunk_shape": inner,
+            "codecs": list(conf.get("codecs") or
+                           [{"name": "bytes", "configuration": {"endian": "little"}}]),
+            "index_codecs": index_codecs,
+            "index_location": loc,
+        }
+    # the endianness-bearing 'bytes' codec lives at the top level for plain
+    # arrays and INSIDE the sharding config for sharded ones
+    endian_chain = shard_conf["codecs"] if shard_conf else codecs_list
+    for codec in endian_chain:
         if codec.get("name") == "bytes":
             endian = (codec.get("configuration") or {}).get("endian", "little")
             if endian == "big":
@@ -321,9 +468,10 @@ def _meta_from_v3(name: str, zjson: dict) -> ZarrArrayMeta:
         mdio_type=mdio_name,
         fill=fill,
         zarr_version=3,
-        v3_codecs=list(zjson.get("codecs", [])),
+        v3_codecs=codecs_list,
         separator=cke_sep,
         key_encoding=cke_name,
+        shard=shard_conf,
         dims=tuple(zjson.get("dimension_names") or ()),
         attrs=dict(zjson.get("attributes", {})),
         header_only=header_only,
@@ -464,13 +612,33 @@ class ZarrStore:
         compressor: dict | None = None,
         fill: Any = "auto",
         chunk_key_encoding: str = "default",
+        shards: tuple[int, ...] | list[int] | None = None,
     ) -> ZarrArrayMeta:
         """Create one array with MDIO fill semantics (IO2/IO3 analog).
 
         ``chunk_key_encoding`` (v3 stores only): "default" → "c/0/1"-style
         keys; "v2" → bare "0.1"-style keys (the scheme a store migrated
-        from zarr v2 keeps, zarr v3 spec §chunk-key-encoding)."""
+        from zarr v2 keeps, zarr v3 spec §chunk-key-encoding).
+
+        ``shards`` (v3 only, ZEP 2): the SHARD shape — one storage object
+        holding many ``chunks``-shaped inner chunks (zarr-python's
+        create_array convention: ``chunks`` = inner, ``shards`` = outer).
+        Must be an element-wise multiple of ``chunks``. The compressor
+        applies to the INNER chain; the index is [bytes, crc32c] at the
+        shard end (zarr-python's default)."""
         attrs = dict(attrs or {})
+        if shards is not None and self.version != 3:
+            raise ValueError("shards requires a v3 store (sharding_indexed is a v3 codec)")
+        if shards is not None:
+            shards = tuple(int(x) for x in shards)
+            inner_chunks = tuple(int(c) for c in chunks)
+            if len(shards) != len(inner_chunks) or any(
+                s_ % c_ for s_, c_ in zip(shards, inner_chunks)
+            ):
+                raise ValueError(
+                    f"shard shape {shards} must be an element-wise multiple "
+                    f"of chunk shape {inner_chunks}"
+                )
         if chunk_key_encoding not in ("default", "v2"):
             raise ValueError(
                 f"chunk_key_encoding {chunk_key_encoding!r}: only 'default' and 'v2'"
@@ -499,28 +667,49 @@ class ZarrStore:
             # dtype's itemsize so the filter is layout-correct, not the
             # codec default of 8
             compressor = {**compressor, "typesize": int(np_dt.itemsize)}
+        inner_codecs = (
+            [{"name": "bytes", "configuration": {"endian": "little"}}]
+            + ([{
+                "name": compressor["id"],
+                "configuration": (
+                    {k: v for k, v in compressor.items() if k != "id"}
+                    if compressor["id"] == "blosc"
+                    else {"level": compressor.get("level", 5)}
+                ),
+            }] if compressor else [])
+        ) if self.version == 3 else []
+        shard_conf = None
+        v3_chain = inner_codecs
+        if shards is not None:
+            shard_conf = {
+                "chunk_shape": tuple(int(c) for c in chunks),
+                "codecs": inner_codecs,
+                "index_codecs": [
+                    {"name": "bytes", "configuration": {"endian": "little"}},
+                    {"name": "crc32c"},
+                ],
+                "index_location": "end",
+            }
+            v3_chain = [{
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": list(shard_conf["chunk_shape"]),
+                    "codecs": inner_codecs,
+                    "index_codecs": shard_conf["index_codecs"],
+                    "index_location": "end",
+                },
+            }]
         meta = ZarrArrayMeta(
             name=name,
             shape=tuple(int(s) for s in shape),
-            chunks=tuple(int(c) for c in chunks),
+            chunks=tuple(int(c) for c in chunks) if shards is None else shards,
             np_dtype=np_dt,
             mdio_type=mdio_name,
             fill=fill_np,
             zarr_version=self.version,
             compressor=compressor if self.version == 2 else None,
-            v3_codecs=(
-                [{"name": "bytes", "configuration": {"endian": "little"}}]
-                + ([{
-                    "name": compressor["id"],
-                    # blosc carries cname/clevel/shuffle/typesize; the stdlib
-                    # codecs carry just a level — pass the config through
-                    "configuration": (
-                        {k: v for k, v in compressor.items() if k != "id"}
-                        if compressor["id"] == "blosc"
-                        else {"level": compressor.get("level", 5)}
-                    ),
-                }] if compressor else [])
-            ) if self.version == 3 else [],
+            v3_codecs=v3_chain,
+            shard=shard_conf,
             separator=(
                 "." if self.version == 2
                 else ("." if chunk_key_encoding == "v2" else "/")
@@ -618,6 +807,8 @@ class ZarrStore:
             return None
         if meta.zarr_version == 2:
             raw = _codecs.decompress_v2(raw, meta.compressor)
+        elif meta.shard is not None:
+            return _decode_shard(meta, raw)
         else:
             raw = _codecs.decompress_v3(raw, meta.v3_codecs)
         arr = np.frombuffer(raw, dtype=meta.stored_dtype or meta.np_dtype)
@@ -632,6 +823,8 @@ class ZarrStore:
     def encode_chunk(self, meta: ZarrArrayMeta, block: np.ndarray) -> bytes:
         if tuple(block.shape) != meta.chunks:
             raise ValueError(f"chunk block shape {block.shape} != chunk shape {meta.chunks}")
+        if meta.zarr_version == 3 and meta.shard is not None:
+            return _encode_shard(meta, np.asarray(block, dtype=meta.np_dtype))
         disk_dtype = meta.stored_dtype or meta.np_dtype
         raw = np.ascontiguousarray(block, dtype=disk_dtype).tobytes(order=meta.order)
         if meta.zarr_version == 2:

@@ -247,6 +247,65 @@ def _read_v2(root: str, name: str) -> np.ndarray:
     return _assemble(shape, chunks, dt, fill, order, chunk_bytes)
 
 
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli), table-driven from the public reflected
+    polynomial 0x82F63B78 — independent of the implementation under test."""
+    tbl = getattr(_crc32c, "_tbl", None)
+    if tbl is None:
+        tbl = []
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _crc32c._tbl = tbl
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = tbl[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _shard_block_bytes(raw, conf, shard_shape, dt, fill):
+    """ZEP-2 shard container → the full shard's raw C-order bytes: parse
+    the fixed-size (offset, nbytes) u64-LE index (crc32c-verified when the
+    index codecs say so), decode present inner chunks, synthesize fill for
+    MISSING (2^64-1, 2^64-1) entries."""
+    import struct as _st
+
+    inner = tuple(conf["chunk_shape"])
+    inner_codecs = conf.get("codecs") or [{"name": "bytes"}]
+    index_codecs = conf.get("index_codecs") or [
+        {"name": "bytes"}, {"name": "crc32c"}]
+    grid = [s // i for s, i in zip(shard_shape, inner)]
+    n = 1
+    for g in grid:
+        n *= g
+    isize = n * 16 + 4 * sum(1 for c in index_codecs if c.get("name") == "crc32c")
+    assert len(raw) >= isize, "shard shorter than its index"
+    idx = raw[-isize:] if conf.get("index_location", "end") == "end" else raw[:isize]
+    for codec in reversed(index_codecs):
+        cn = codec.get("name")
+        if cn == "crc32c":
+            body, want = idx[:-4], _st.unpack("<I", idx[-4:])[0]
+            assert _crc32c(body) == want, "shard index crc32c mismatch"
+            idx = body
+        else:
+            assert cn == "bytes", cn
+    pairs = list(_st.iter_unpack("<QQ", idx))
+    block = np.zeros(shard_shape, dtype=dt) if fill is None else np.full(
+        shard_shape, fill, dtype=dt)
+    missing = (1 << 64) - 1
+    for k, (off, ln) in enumerate(pairs):
+        if off == missing and ln == missing:
+            continue
+        sub = _decompress(raw[off:off + ln], None, inner_codecs)
+        coords = np.unravel_index(k, grid)
+        sel = tuple(slice(int(c) * i, (int(c) + 1) * i)
+                    for c, i in zip(coords, inner))
+        block[sel] = np.frombuffer(sub, dtype=dt).reshape(inner)
+    return block.tobytes(order="C")
+
+
 def _read_v3(root: str, name: str) -> np.ndarray:
     adir = os.path.join(root, name)
     with open(os.path.join(adir, "zarr.json")) as f:
@@ -277,6 +336,10 @@ def _read_v3(root: str, name: str) -> np.ndarray:
     )
     fill = _fill_np(zjson.get("fill_value"), dt)
     codecs = zjson.get("codecs", [])
+    shard = None
+    if codecs and codecs[0].get("name") == "sharding_indexed":
+        shard = codecs[0].get("configuration") or {}
+        codecs = shard.get("codecs") or [{"name": "bytes"}]
     for codec in codecs:  # default 'bytes' codec: little-endian only here
         if codec.get("name") == "bytes":
             assert codec.get("configuration", {}).get("endian", "little") == "little"
@@ -293,6 +356,9 @@ def _read_v3(root: str, name: str) -> np.ndarray:
         if not os.path.exists(path):
             return None
         with open(path, "rb") as f:
-            return _decompress(f.read(), None, codecs)
+            raw = f.read()
+        if shard is not None:
+            return _shard_block_bytes(raw, shard, chunks, dt, fill)
+        return _decompress(raw, None, codecs)
 
     return _assemble(shape, chunks, dt, fill, "C", chunk_bytes)

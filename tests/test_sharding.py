@@ -1,0 +1,202 @@
+"""Zarr v3 sharding_indexed (ZEP 2) + crc32c codec.
+
+Sharding is THE 100-TB layout: one storage object holds many inner chunks
+(object stores melt under millions of tiny chunk files), with a fixed-size
+(offset, nbytes) u64-LE index locating each inner chunk inside the shard.
+The reference reads v3 through TensorStore, which writes this codec — so a
+reference user's sharded store must decode here. Coverage: crc32c vectors,
+handcrafted shard bytes (decode pinned independently of our encoder),
+roundtrip through our writer, missing-inner-chunk fill synthesis, both
+index locations, the independent spec reader differential, and the
+chunk-aligned Spark write path (shards are the write-shuffle unit)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+
+import numpy as np
+import pytest
+
+from mdio_cpp_spark.sources.codecs import CodecError, crc32c
+from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+from tests import spec_zarr_reader as specr
+
+TMP = "/root/repo/.zarr_cache/_tests/sharding"
+
+
+def _fresh(name: str) -> str:
+    path = os.path.join(TMP, name)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def test_crc32c_vectors():
+    # RFC 3720 / public test vectors for CRC-32C (Castagnoli)
+    assert crc32c(b"") == 0x00000000
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(bytes(range(32))) == 0x46DD794E
+
+
+def test_crc32c_codec_roundtrip_and_corruption():
+    from mdio_cpp_spark.sources.codecs import compress_v3, decompress_v3
+
+    chain = [{"name": "bytes"}, {"name": "gzip", "configuration": {"level": 1}},
+             {"name": "crc32c"}]
+    data = b"payload" * 100
+    enc = compress_v3(data, chain)
+    assert decompress_v3(enc, chain) == data
+    bad = enc[:-1] + bytes([enc[-1] ^ 0x5A])
+    with pytest.raises(CodecError, match="crc32c mismatch"):
+        decompress_v3(bad, chain)
+
+
+def _handcrafted_shard(vals: np.ndarray, inner: tuple, skip: set,
+                       index_location: str = "end",
+                       with_crc: bool = True) -> bytes:
+    """Assemble a shard BY HAND from the ZEP-2 wire format (raw inner
+    chunks, no compression) — pins decode independently of our encoder."""
+    grid = tuple(s // i for s, i in zip(vals.shape, inner))
+    n = int(np.prod(grid))
+    isize = n * 16 + (4 if with_crc else 0)
+    parts, pairs = [], []
+    cursor = isize if index_location == "start" else 0
+    for k in range(n):
+        c = np.unravel_index(k, grid)
+        if k in skip:
+            pairs.append((2**64 - 1, 2**64 - 1))
+            continue
+        sl = tuple(slice(int(x) * i, (int(x) + 1) * i) for x, i in zip(c, inner))
+        raw = np.ascontiguousarray(vals[sl]).tobytes()
+        pairs.append((cursor, len(raw)))
+        parts.append(raw)
+        cursor += len(raw)
+    idx = b"".join(struct.pack("<QQ", o, l) for o, l in pairs)
+    if with_crc:
+        idx += struct.pack("<I", crc32c(idx))
+    body = b"".join(parts)
+    return idx + body if index_location == "start" else body + idx
+
+
+@pytest.mark.parametrize("index_location", ["end", "start"])
+@pytest.mark.parametrize("with_crc", [True, False])
+def test_handcrafted_shard_decodes(index_location, with_crc):
+    """Hand-assembled shard bytes (uncompressed inner chunks, real index)
+    must decode through our store — including MISSING entries → fill."""
+    import json
+
+    root = _fresh(f"hand_{index_location}_{with_crc}")
+    st = ZarrStore.create(root, version=3)
+    st.create_array("g", shape=(8, 12), chunks=(4, 6), shards=(8, 12),
+                    dtype="float64", dims=("r", "c"), fill=-1.0)
+    vals = np.arange(96, dtype="f8").reshape(8, 12)
+    # rewrite the array doc with the wanted index config
+    doc = json.loads(open(os.path.join(root, "g", "zarr.json")).read())
+    idx_codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if with_crc:
+        idx_codecs.append({"name": "crc32c"})
+    doc["codecs"][0]["configuration"]["index_codecs"] = idx_codecs
+    doc["codecs"][0]["configuration"]["index_location"] = index_location
+    doc["codecs"][0]["configuration"]["codecs"] = [
+        {"name": "bytes", "configuration": {"endian": "little"}}]
+    open(os.path.join(root, "g", "zarr.json"), "w").write(json.dumps(doc))
+    # one shard covering the whole array; inner grid 2x2; skip inner #2
+    shard = _handcrafted_shard(vals, (4, 6), skip={2},
+                               index_location=index_location,
+                               with_crc=with_crc)
+    st2 = ZarrStore.open(root)
+    st2.write_bytes("g/c/0/0", shard)
+    got = st2.read_array("g")
+    want = vals.copy()
+    want[4:8, 0:6] = -1.0  # inner chunk #2 (row 1, col 0) is MISSING → fill
+    assert np.array_equal(got, want)
+    # the independent spec reader agrees on the same bytes
+    assert np.array_equal(specr.read_zarr_array(root, "g"), want)
+
+
+def test_sharded_roundtrip_and_spec_reader():
+    root = _fresh("rt")
+    st = ZarrStore.create(root, version=3)
+    st.create_array("g", shape=(50, 70), chunks=(8, 16), shards=(16, 32),
+                    dtype="float32", dims=("r", "c"),
+                    compressor={"id": "gzip", "level": 3})
+    vals = np.arange(50 * 70, dtype="f4").reshape(50, 70)
+    st.write_array_numpy("g", vals)
+    st2 = ZarrStore.open(root)
+    meta = st2.array_meta("g")
+    assert meta.shard is not None and meta.chunks == (16, 32)
+    assert meta.shard["chunk_shape"] == (8, 16)
+    assert np.array_equal(st2.read_array("g"), vals)
+    got = st2.read_array("g", ranges={"r": (5, 45), "c": (10, 66)})
+    assert np.array_equal(got, vals[5:45, 10:66])
+    # independent spec-reader differential over the same raw bytes
+    assert np.array_equal(specr.read_zarr_array(root, "g"), vals)
+    # fewer objects than inner chunks: that's the point of sharding
+    n_objects = sum(len(fs) for _, _, fs in os.walk(os.path.join(root, "g")))
+    assert n_objects <= 1 + (4 * 3)  # zarr.json + ceil(50/16)*ceil(70/32)
+
+
+def test_sharded_sparse_write_elides_fill_inner_chunks():
+    """All-fill inner chunks are written as MISSING index entries — a
+    sparse shard costs index-only bytes, and reads synthesize fill."""
+    root = _fresh("sparse")
+    st = ZarrStore.create(root, version=3)
+    m = st.create_array("g", shape=(16, 16), chunks=(4, 4), shards=(16, 16),
+                        dtype="int32", dims=("r", "c"), fill=0)
+    vals = np.zeros((16, 16), dtype="i4")
+    vals[0:4, 0:4] = 7       # exactly one inner chunk has data
+    st.write_array_numpy("g", vals)
+    raw = ZarrStore.open(root).read_bytes(m.chunk_key((0, 0)))
+    n = 16  # 4x4 inner grid
+    isize = n * 16 + 4
+    idx = raw[-isize:-4]
+    pairs = list(struct.iter_unpack("<QQ", idx))
+    present = [p for p in pairs if p[0] != 2**64 - 1]
+    assert len(present) == 1
+    assert np.array_equal(ZarrStore.open(root).read_array("g"), vals)
+
+
+def test_sharded_rejects_bad_shapes_and_unknown_index_codec():
+    import json
+
+    root = _fresh("bad")
+    st = ZarrStore.create(root, version=3)
+    with pytest.raises(ValueError, match="multiple"):
+        st.create_array("g", shape=(8, 8), chunks=(3, 3), shards=(8, 8),
+                        dtype="float64", dims=("r", "c"))
+    st.create_array("g", shape=(8, 8), chunks=(4, 4), shards=(8, 8),
+                    dtype="float64", dims=("r", "c"))
+    doc = json.loads(open(os.path.join(root, "g", "zarr.json")).read())
+    doc["codecs"][0]["configuration"]["index_codecs"] = [{"name": "gzip"}]
+    open(os.path.join(root, "g", "zarr.json"), "w").write(json.dumps(doc))
+    with pytest.raises(NotImplementedError, match="index codec"):
+        ZarrStore.open(root).array_meta("g")
+
+
+def test_sharded_spark_write_path(tmp_path, spark):
+    """The distributed writer shuffles on the SHARD grid (meta.chunks is
+    the shard shape), so each shard is written exactly once — the Spark
+    path needs no sharding-specific code."""
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.sources.writer import write_array
+
+    root = str(tmp_path / "spark_shard.zarr")
+    st = ZarrStore.create(root, version=3, attrs={"name": "shard_mdio"})
+    st.create_array("v", shape=(5000,), chunks=(256,), shards=(1024,),
+                    dtype="float64", dims=("i",),
+                    compressor={"id": "gzip", "level": 1})
+    df = spark.range(5000).select(F.col("id").alias("i"),
+                                  (F.col("id") * 0.5).alias("val"))
+    write_array(df, root, "v", value_cols="val")
+    st2 = ZarrStore.open(root)
+    got = st2.read_array("v")
+    assert np.array_equal(got, np.arange(5000) * 0.5)
+    # object count: ceil(5000/1024) = 5 shards, not ceil(5000/256) = 20
+    cdir = os.path.join(root, "v", "c")
+    n_keys = sum(len(fs) for _, _, fs in os.walk(cdir))
+    assert n_keys == 5
+    assert np.array_equal(specr.read_zarr_array(root, "v"), np.arange(5000) * 0.5)
