@@ -86,6 +86,47 @@ def _lz4_block_decode(src: bytes) -> bytes:
     return bytes(o)
 
 
+def _blosclz_block_decode(src: bytes) -> bytes:
+    """Independent BloscLZ block decode, straight from the public token
+    format (c-blosc blosclz.c, FastLZ level-2 family): first byte masked
+    to a literal run; token<32 → run of token+1 literals; else match with
+    length code token>>5 (7 → 255-continued extensions), distance
+    ofs+code+1 from ((token&31)<<8, next byte), far escape code==255 &&
+    ofs==31<<8 → two explicit big-endian bytes + 8192 base."""
+    if not src:
+        return b""
+    o = bytearray()
+    ctrl = src[0] & 31
+    i = 1
+    n = len(src)
+    while True:
+        if ctrl >= 32:
+            ln = (ctrl >> 5) - 1
+            ofs = (ctrl & 31) << 8
+            if ln == 6:
+                while True:
+                    code = src[i]; i += 1
+                    ln += code
+                    if code != 255:
+                        break
+            code = src[i]; i += 1
+            if code == 255 and ofs == (31 << 8):
+                dist = ((src[i] << 8) | src[i + 1]) + 8191 + 1
+                i += 2
+            else:
+                dist = ofs + code + 1
+            p = len(o) - dist
+            for k in range(ln + 3):
+                o.append(o[p + k])
+        else:
+            o += src[i : i + ctrl + 1]
+            i += ctrl + 1
+        if i >= n:
+            break
+        ctrl = src[i]; i += 1
+    return bytes(o)
+
+
 def _blosc_decode(frame: bytes) -> bytes:
     """Independent blosc1 frame decode (zlib + lz4 cnames), straight from
     the public c-blosc container spec (README_HEADER.rst): 16-byte LE header
@@ -107,8 +148,8 @@ def _blosc_decode(frame: bytes) -> bytes:
     if flags & 0x2:  # memcpy'd: raw original payload
         return frame[16 : 16 + nbytes]
     codec = (flags >> 5) & 0x7
-    if codec not in (1, 3):
-        raise ValueError("spec reader: blosc frame is not cname=zlib/lz4")
+    if codec not in (0, 1, 3):
+        raise ValueError("spec reader: blosc frame is not cname=blosclz/zlib/lz4")
     nblocks = -(-nbytes // blocksize)
     bstarts = struct.unpack_from(f"<{nblocks}i", frame, 16)
     srt = sorted(bstarts)
@@ -118,7 +159,11 @@ def _blosc_decode(frame: bytes) -> bytes:
     def _one(raw: bytes, want: int) -> bytes:
         if len(raw) == want:
             return bytes(raw)
-        return zlib.decompress(raw) if codec == 3 else _lz4_block_decode(raw)
+        if codec == 3:
+            return zlib.decompress(raw)
+        if codec == 0:
+            return _blosclz_block_decode(raw)
+        return _lz4_block_decode(raw)
 
     out = bytearray()
     for i in range(nblocks):

@@ -232,3 +232,23 @@ try:
         assert blosc1.decompress(frame) == data
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_spec_reader_differential_on_blosclz_store(tmp_path):
+    """Our writer's blosclz frames decoded by the INDEPENDENT spec reader
+    (its own token-format decoder, no shared code path) — both
+    implementations derive from the public format, so agreement on split,
+    shuffled, multi-block frames pins the wire bytes."""
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+    from tests import spec_zarr_reader as specr
+
+    root = str(tmp_path / "bl_spec.zarr")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("v", shape=(6000,), chunks=(2048,), dtype="float64",
+                    dims=("i",),
+                    compressor={"id": "blosc", "cname": "blosclz", "clevel": 5,
+                                "shuffle": 1, "typesize": 8})
+    vals = np.cbrt(np.arange(6000, dtype="f8"))
+    st.write_array_numpy("v", vals)
+    st.consolidate()
+    assert np.array_equal(specr.read_zarr_array(root, "v"), vals)
