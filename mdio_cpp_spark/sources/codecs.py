@@ -151,6 +151,8 @@ def compress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
             if conf.get("endian", "little") != "little":
                 raise CodecError("big-endian 'bytes' codec not supported")
             continue
+        if name == "transpose":
+            continue  # array-level permutation; applied by the chunk codec
         if name == "gzip":
             data = gzip.compress(data, compresslevel=conf.get("level", 5))
         elif name == "zlib":
@@ -186,8 +188,8 @@ def compress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
 def decompress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
     for codec in reversed(codecs):
         name = codec.get("name")
-        if name == "bytes":
-            continue
+        if name in ("bytes", "transpose"):
+            continue  # transpose is array-level; applied by the chunk codec
         if name == "gzip":
             data = gzip.decompress(data)
         elif name == "zlib":

@@ -83,6 +83,11 @@ class ZarrArrayMeta:
     # v3 only: "default" → "c/0/1"-style keys; "v2" → bare "0.1"-style keys
     # (zarr v3 spec §chunk-key-encoding; a v3 store may legally use either)
     key_encoding: str = "default"
+    # v3 `transpose` codec order (None → identity): stored inner/plain
+    # chunks are laid out permuted; decode inverse-transposes, encode
+    # transposes. For sharded arrays the permutation applies to INNER
+    # chunks (the codec lives in the sharding config's inner chain).
+    transpose: tuple | None = None
     # v3 sharding_indexed (ZEP 2): when set, ``chunks`` is the SHARD shape
     # (the chunk_grid unit — keys, pruning, write-shuffle all operate on
     # shards) and this dict holds {"chunk_shape": inner-chunk tuple,
@@ -202,6 +207,35 @@ def _v3_array_json(meta: ZarrArrayMeta) -> dict:
     }
 
 
+def _inv_perm(perm: tuple) -> tuple:
+    inv = [0] * len(perm)
+    for i, p in enumerate(perm):
+        inv[p] = i
+    return tuple(inv)
+
+
+def _block_from_raw(meta: ZarrArrayMeta, raw: bytes, shape: tuple) -> np.ndarray:
+    """Typed block of ``shape`` from decompressed chunk bytes, honoring the
+    stored byte order and the v3 transpose codec's permuted layout."""
+    arr = np.frombuffer(raw, dtype=meta.stored_dtype or meta.np_dtype)
+    if meta.stored_dtype is not None:
+        arr = arr.astype(meta.np_dtype)  # byteswap big-endian → native
+    if meta.transpose is not None:
+        pshape = tuple(shape[p] for p in meta.transpose)
+        return arr.reshape(pshape, order="C").transpose(_inv_perm(meta.transpose))
+    return arr.reshape(shape, order=meta.order)
+
+
+def _raw_from_block(meta: ZarrArrayMeta, block: np.ndarray) -> bytes:
+    """Serialize one typed block to chunk bytes (transpose-aware inverse
+    of _block_from_raw)."""
+    disk_dtype = meta.stored_dtype or meta.np_dtype
+    if meta.transpose is not None:
+        block = np.transpose(block, meta.transpose)
+        return np.ascontiguousarray(block, dtype=disk_dtype).tobytes(order="C")
+    return np.ascontiguousarray(block, dtype=disk_dtype).tobytes(order=meta.order)
+
+
 def _shard_grid(meta: ZarrArrayMeta) -> tuple[tuple[int, ...], int]:
     """Inner-chunk grid of one shard and its cell count."""
     inner = meta.shard["chunk_shape"]
@@ -235,7 +269,6 @@ def _decode_shard(meta: ZarrArrayMeta, raw: bytes) -> np.ndarray:
     enc_idx = raw[-isize:] if meta.shard["index_location"] == "end" else raw[:isize]
     idx = _codecs.decompress_v3(enc_idx, meta.shard["index_codecs"])
     pairs = np.frombuffer(idx, dtype="<u8").reshape(n, 2)
-    disk_dtype = meta.stored_dtype or meta.np_dtype
     block = np.full(meta.chunks, meta.fill_scalar(), dtype=meta.np_dtype)
     for k in range(n):
         off, ln = int(pairs[k, 0]), int(pairs[k, 1])
@@ -246,14 +279,11 @@ def _decode_shard(meta: ZarrArrayMeta, raw: bytes) -> np.ndarray:
                 f"shard for {meta.name!r}: inner chunk {k} extent "
                 f"[{off}, {off + ln}) past shard end {len(raw)}")
         sub_raw = _codecs.decompress_v3(raw[off : off + ln], meta.shard["codecs"])
-        arr = np.frombuffer(sub_raw, dtype=disk_dtype)
-        if meta.stored_dtype is not None:
-            arr = arr.astype(meta.np_dtype)
         coords_in = np.unravel_index(k, grid)
         sl = tuple(
             slice(int(c) * i, (int(c) + 1) * i) for c, i in zip(coords_in, inner)
         )
-        block[sl] = arr.reshape(inner, order=meta.order)
+        block[sl] = _block_from_raw(meta, sub_raw, inner)
     return block
 
 
@@ -278,7 +308,6 @@ def _encode_shard(meta: ZarrArrayMeta, block: np.ndarray) -> bytes:
     grid, n = _shard_grid(meta)
     isize = _shard_index_size(meta, n)
     at_start = meta.shard["index_location"] == "start"
-    disk_dtype = meta.stored_dtype or meta.np_dtype
     fill = meta.fill_scalar()
     pairs = np.full((n, 2), _SHARD_MISSING, dtype="<u8")
     parts: list[bytes] = []
@@ -291,8 +320,7 @@ def _encode_shard(meta: ZarrArrayMeta, block: np.ndarray) -> bytes:
         sub = block[sl]
         if meta.fill is not None and _all_fill(sub, fill):
             continue
-        raw = np.ascontiguousarray(sub, dtype=disk_dtype).tobytes(order=meta.order)
-        enc = _codecs.compress_v3(raw, meta.shard["codecs"])
+        enc = _codecs.compress_v3(_raw_from_block(meta, sub), meta.shard["codecs"])
         pairs[k, 0], pairs[k, 1] = cursor, len(enc)
         parts.append(enc)
         cursor += len(enc)
@@ -430,6 +458,19 @@ def _meta_from_v3(name: str, zjson: dict) -> ZarrArrayMeta:
     # the endianness-bearing 'bytes' codec lives at the top level for plain
     # arrays and INSIDE the sharding config for sharded ones
     endian_chain = shard_conf["codecs"] if shard_conf else codecs_list
+    ndim = len(zjson["shape"])
+    transpose = None
+    for codec in endian_chain:
+        if codec.get("name") == "transpose":
+            p = tuple(int(x) for x in (codec.get("configuration") or {}).get("order") or ())
+            if sorted(p) != list(range(ndim)):
+                raise NotImplementedError(
+                    f"array {name!r}: transpose order {p!r} is not a "
+                    f"permutation of {ndim} dims")
+            if transpose is not None:
+                raise NotImplementedError(
+                    f"array {name!r}: multiple transpose codecs unsupported")
+            transpose = p
     for codec in endian_chain:
         if codec.get("name") == "bytes":
             endian = (codec.get("configuration") or {}).get("endian", "little")
@@ -472,6 +513,7 @@ def _meta_from_v3(name: str, zjson: dict) -> ZarrArrayMeta:
         separator=cke_sep,
         key_encoding=cke_name,
         shard=shard_conf,
+        transpose=transpose,
         dims=tuple(zjson.get("dimension_names") or ()),
         attrs=dict(zjson.get("attributes", {})),
         header_only=header_only,
@@ -811,6 +853,7 @@ class ZarrStore:
             return _decode_shard(meta, raw)
         else:
             raw = _codecs.decompress_v3(raw, meta.v3_codecs)
+            return _block_from_raw(meta, raw, meta.chunks)
         arr = np.frombuffer(raw, dtype=meta.stored_dtype or meta.np_dtype)
         if meta.stored_dtype is not None:
             arr = arr.astype(meta.np_dtype)  # byteswap big-endian → native
@@ -825,11 +868,11 @@ class ZarrStore:
             raise ValueError(f"chunk block shape {block.shape} != chunk shape {meta.chunks}")
         if meta.zarr_version == 3 and meta.shard is not None:
             return _encode_shard(meta, np.asarray(block, dtype=meta.np_dtype))
-        disk_dtype = meta.stored_dtype or meta.np_dtype
-        raw = np.ascontiguousarray(block, dtype=disk_dtype).tobytes(order=meta.order)
         if meta.zarr_version == 2:
+            disk_dtype = meta.stored_dtype or meta.np_dtype
+            raw = np.ascontiguousarray(block, dtype=disk_dtype).tobytes(order=meta.order)
             return _codecs.compress_v2(raw, meta.compressor)
-        return _codecs.compress_v3(raw, meta.v3_codecs)
+        return _codecs.compress_v3(_raw_from_block(meta, block), meta.v3_codecs)
 
     def write_chunk(self, meta: ZarrArrayMeta, coords: tuple[int, ...], block: np.ndarray) -> None:
         self.write_bytes(meta.chunk_key(coords), self.encode_chunk(meta, block))

@@ -207,8 +207,8 @@ def _decompress(raw: bytes, compressor, v3_codecs) -> bytes:
         raise ValueError(f"spec reader: unsupported v2 compressor {cid}")
     for codec in reversed(v3_codecs or []):
         name = codec.get("name")
-        if name == "bytes":
-            continue
+        if name in ("bytes", "transpose"):
+            continue  # transpose handled at the array level (_unpermute)
         elif name == "gzip":
             raw = gzip.decompress(raw)
         elif name == "zlib":
@@ -310,6 +310,18 @@ def _crc32c(data: bytes) -> int:
     return crc ^ 0xFFFFFFFF
 
 
+def _unpermute(raw: bytes, dt, shape, perm):
+    """Stored-permuted chunk bytes → canonical C-order bytes."""
+    if perm is None:
+        return raw
+    pshape = tuple(shape[p] for p in perm)
+    inv = [0] * len(perm)
+    for i, p in enumerate(perm):
+        inv[p] = i
+    arr = np.frombuffer(raw, dtype=dt).reshape(pshape).transpose(inv)
+    return np.ascontiguousarray(arr).tobytes()
+
+
 def _shard_block_bytes(raw, conf, shard_shape, dt, fill):
     """ZEP-2 shard container → the full shard's raw C-order bytes: parse
     the fixed-size (offset, nbytes) u64-LE index (crc32c-verified when the
@@ -319,6 +331,10 @@ def _shard_block_bytes(raw, conf, shard_shape, dt, fill):
 
     inner = tuple(conf["chunk_shape"])
     inner_codecs = conf.get("codecs") or [{"name": "bytes"}]
+    perm = None
+    for codec in inner_codecs:
+        if codec.get("name") == "transpose":
+            perm = tuple(codec["configuration"]["order"])
     index_codecs = conf.get("index_codecs") or [
         {"name": "bytes"}, {"name": "crc32c"}]
     grid = [s // i for s, i in zip(shard_shape, inner)]
@@ -343,7 +359,8 @@ def _shard_block_bytes(raw, conf, shard_shape, dt, fill):
     for k, (off, ln) in enumerate(pairs):
         if off == missing and ln == missing:
             continue
-        sub = _decompress(raw[off:off + ln], None, inner_codecs)
+        sub = _unpermute(_decompress(raw[off:off + ln], None, inner_codecs),
+                         dt, inner, perm)
         coords = np.unravel_index(k, grid)
         sel = tuple(slice(int(c) * i, (int(c) + 1) * i)
                     for c, i in zip(coords, inner))
@@ -385,6 +402,10 @@ def _read_v3(root: str, name: str) -> np.ndarray:
     if codecs and codecs[0].get("name") == "sharding_indexed":
         shard = codecs[0].get("configuration") or {}
         codecs = shard.get("codecs") or [{"name": "bytes"}]
+    perm = None
+    for codec in codecs:  # v3 transpose codec: stored layout is permuted
+        if codec.get("name") == "transpose":
+            perm = tuple(codec["configuration"]["order"])
     for codec in codecs:  # default 'bytes' codec: little-endian only here
         if codec.get("name") == "bytes":
             assert codec.get("configuration", {}).get("endian", "little") == "little"
@@ -404,6 +425,6 @@ def _read_v3(root: str, name: str) -> np.ndarray:
             raw = f.read()
         if shard is not None:
             return _shard_block_bytes(raw, shard, chunks, dt, fill)
-        return _decompress(raw, None, codecs)
+        return _unpermute(_decompress(raw, None, codecs), dt, chunks, perm)
 
     return _assemble(shape, chunks, dt, fill, "C", chunk_bytes)

@@ -200,3 +200,92 @@ def test_sharded_spark_write_path(tmp_path, spark):
     n_keys = sum(len(fs) for _, _, fs in os.walk(cdir))
     assert n_keys == 5
     assert np.array_equal(specr.read_zarr_array(root, "v"), np.arange(5000) * 0.5)
+
+
+# --------------------------------------------------- v3 transpose codec
+
+
+def test_transpose_codec_handcrafted_bytes():
+    """Chunk bytes written BY HAND in the permuted layout must decode to
+    the canonical array — pins the transpose semantics (stored array =
+    input.transpose(order)) independent of our encoder."""
+    import json
+
+    root = _fresh("transp_hand")
+    st = ZarrStore.create(root, version=3)
+    st.create_array("g", shape=(4, 6), chunks=(4, 6), dtype="int32",
+                    dims=("r", "c"))
+    doc = json.loads(open(os.path.join(root, "g", "zarr.json")).read())
+    doc["codecs"] = [{"name": "transpose", "configuration": {"order": [1, 0]}},
+                     {"name": "bytes", "configuration": {"endian": "little"}}]
+    open(os.path.join(root, "g", "zarr.json"), "w").write(json.dumps(doc))
+    vals = np.arange(24, dtype="i4").reshape(4, 6)
+    st2 = ZarrStore.open(root)
+    assert st2.array_meta("g").transpose == (1, 0)
+    # stored layout = vals.T serialized C-order
+    st2.write_bytes("g/c/0/0", np.ascontiguousarray(vals.T).tobytes())
+    assert np.array_equal(st2.read_array("g"), vals)
+    assert np.array_equal(specr.read_zarr_array(root, "g"), vals)
+
+
+def test_transpose_codec_roundtrip_and_spec_reader():
+    """Our writer honors a transpose codec on re-open: encode permutes,
+    decode un-permutes; spec reader (own transpose branch) agrees."""
+    import json
+
+    root = _fresh("transp_rt")
+    st = ZarrStore.create(root, version=3)
+    st.create_array("g", shape=(10, 14, 6), chunks=(4, 8, 6),
+                    dtype="float64", dims=("a", "b", "t"),
+                    compressor={"id": "gzip", "level": 1})
+    doc = json.loads(open(os.path.join(root, "g", "zarr.json")).read())
+    doc["codecs"] = [{"name": "transpose", "configuration": {"order": [2, 0, 1]}}] + doc["codecs"]
+    open(os.path.join(root, "g", "zarr.json"), "w").write(json.dumps(doc))
+    st2 = ZarrStore.open(root)
+    assert st2.array_meta("g").transpose == (2, 0, 1)
+    vals = np.arange(10 * 14 * 6, dtype="f8").reshape(10, 14, 6)
+    st2.write_array_numpy("g", vals)
+    assert np.array_equal(ZarrStore.open(root).read_array("g"), vals)
+    assert np.array_equal(specr.read_zarr_array(root, "g"), vals)
+    got = ZarrStore.open(root).read_array(
+        "g", ranges={"a": (3, 9), "b": (5, 13), "t": (1, 5)})
+    assert np.array_equal(got, vals[3:9, 5:13, 1:5])
+
+
+def test_transpose_inside_shard_inner_chain():
+    """transpose in the sharding config's INNER chain permutes each inner
+    chunk's stored layout; decode and spec reader both honor it."""
+    import json
+
+    root = _fresh("transp_shard")
+    st = ZarrStore.create(root, version=3)
+    st.create_array("g", shape=(16, 12), chunks=(4, 6), shards=(8, 12),
+                    dtype="float32", dims=("r", "c"),
+                    compressor={"id": "gzip", "level": 1})
+    doc = json.loads(open(os.path.join(root, "g", "zarr.json")).read())
+    inner = doc["codecs"][0]["configuration"]["codecs"]
+    doc["codecs"][0]["configuration"]["codecs"] = [
+        {"name": "transpose", "configuration": {"order": [1, 0]}}] + inner
+    open(os.path.join(root, "g", "zarr.json"), "w").write(json.dumps(doc))
+    st2 = ZarrStore.open(root)
+    m = st2.array_meta("g")
+    assert m.shard is not None and m.transpose == (1, 0)
+    vals = np.arange(16 * 12, dtype="f4").reshape(16, 12)
+    st2.write_array_numpy("g", vals)
+    assert np.array_equal(ZarrStore.open(root).read_array("g"), vals)
+    assert np.array_equal(specr.read_zarr_array(root, "g"), vals)
+
+
+def test_transpose_rejects_bad_order():
+    import json
+
+    root = _fresh("transp_bad")
+    st = ZarrStore.create(root, version=3)
+    st.create_array("g", shape=(4, 6), chunks=(4, 6), dtype="int32",
+                    dims=("r", "c"))
+    doc = json.loads(open(os.path.join(root, "g", "zarr.json")).read())
+    doc["codecs"] = [{"name": "transpose", "configuration": {"order": [0, 0]}},
+                     {"name": "bytes", "configuration": {"endian": "little"}}]
+    open(os.path.join(root, "g", "zarr.json"), "w").write(json.dumps(doc))
+    with pytest.raises(NotImplementedError, match="permutation"):
+        ZarrStore.open(root).array_meta("g")
