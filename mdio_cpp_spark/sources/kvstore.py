@@ -35,6 +35,25 @@ class KVStore:
     def read(self, key: str) -> bytes | None:
         raise NotImplementedError
 
+    def size(self, key: str) -> int | None:
+        """Value size in bytes; None if absent. Object stores answer this
+        with a HEAD request — no byte transfer."""
+        data = self.read(key)
+        return None if data is None else len(data)
+
+    def read_range(self, key: str, start: int, length: int) -> bytes | None:
+        """``length`` bytes from ``start`` (negative start = from the end,
+        HTTP suffix-range style); None if the key is absent. Base fallback
+        reads the whole value — subclasses override with real range I/O
+        (seek locally, range GET via fsspec) so shard-index and inner-chunk
+        fetches never pull the full shard object."""
+        data = self.read(key)
+        if data is None:
+            return None
+        if start < 0:
+            start = max(0, len(data) + start)
+        return data[start : start + length]
+
     def write(self, key: str, data: bytes) -> None:
         raise NotImplementedError
 
@@ -67,6 +86,22 @@ class LocalKVStore(KVStore):
             return None
         with open(path, "rb") as f:
             return f.read()
+
+    def size(self, key: str) -> int | None:
+        path = self._path(key)
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return None
+
+    def read_range(self, key: str, start: int, length: int) -> bytes | None:
+        path = self._path(key)
+        try:
+            with open(path, "rb") as f:
+                f.seek(start, os.SEEK_END if start < 0 else os.SEEK_SET)
+                return f.read(length)
+        except OSError:
+            return None
 
     def write(self, key: str, data: bytes) -> None:
         path = self._path(key)
@@ -176,6 +211,22 @@ class FsspecKVStore(KVStore):
         except FileNotFoundError:
             return None
 
+    def size(self, key: str) -> int | None:
+        try:
+            return int(self._fs.size(self._path(key)))
+        except FileNotFoundError:
+            return None
+
+    def read_range(self, key: str, start: int, length: int) -> bytes | None:
+        try:
+            if start < 0:  # suffix range: resolve against the object size
+                sz = int(self._fs.size(self._path(key)))
+                start = max(0, sz + start)
+            return self._fs.cat_file(self._path(key), start=start,
+                                     end=start + length)
+        except FileNotFoundError:
+            return None
+
     def write(self, key: str, data: bytes) -> None:
         # object stores publish atomically on close; no tmp-rename dance
         with self._fs.open(self._path(key), "wb") as f:
@@ -273,6 +324,12 @@ class RetryingKVStore(KVStore):
 
     def read(self, key: str) -> bytes | None:
         return self._retry(lambda: self.inner.read(key), key)
+
+    def size(self, key: str) -> int | None:
+        return self._retry(lambda: self.inner.size(key), key)
+
+    def read_range(self, key: str, start: int, length: int) -> bytes | None:
+        return self._retry(lambda: self.inner.read_range(key, start, length), key)
 
     def write(self, key: str, data: bytes) -> None:
         return self._retry(lambda: self.inner.write(key, data), key)

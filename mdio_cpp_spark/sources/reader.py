@@ -267,11 +267,21 @@ def scan_array(
                 out = out[mask]
             return out
 
+        if meta.shard is not None:
+            # sharded arrays: the prefetch unit is the box-aware PARTIAL
+            # shard read (index + touched inner chunks via range reads);
+            # raw-bytes prefetch would pull whole shard objects
+            def _fetch(coords):
+                return task_store.decode_chunk_box(meta, coords, box)
+        else:
+            def _fetch(coords):
+                return task_store.read_bytes(meta.chunk_key(coords))
+
         with ThreadPoolExecutor(max_workers=_PREFETCH_DEPTH) as pool:
             pending = deque()
             for coords in _iter_coords(batches):
                 pending.append(
-                    (coords, pool.submit(task_store.read_bytes, meta.chunk_key(coords)))
+                    (coords, pool.submit(_fetch, coords))
                 )
                 if len(pending) >= _PREFETCH_DEPTH:
                     c, fut = pending.popleft()
@@ -505,11 +515,18 @@ def _decode_chunk_to_pdf(
     for name, m in zip(dim_names, mesh):
         cols[name] = m.ravel()
 
-    block = (
-        store.decode_chunk(meta, coords)
-        if raw is _RAW_UNSET
-        else store.decode_raw(meta, raw)  # prefetched bytes (or absent=None)
-    )
+    if raw is _RAW_UNSET:
+        # box-aware path: sharded arrays range-read only the index + the
+        # inner chunks the box touches (sources/zarr_store.decode_chunk_box)
+        block = (
+            store.decode_chunk_box(meta, coords, box)
+            if meta.shard is not None
+            else store.decode_chunk(meta, coords)
+        )
+    elif isinstance(raw, np.ndarray):
+        block = raw  # prefetcher already produced the decoded block
+    else:
+        block = store.decode_raw(meta, raw)  # prefetched bytes (or absent=None)
     if block is None:
         # fill synthesis: unwritten chunk, no I/O (dataset_factory.h:500-545)
         vals = np.full(n, meta.fill_scalar(), dtype=meta.np_dtype)

@@ -863,6 +863,68 @@ class ZarrStore:
         """Read+decode one chunk; None if absent (fill semantics upstream)."""
         return self.decode_raw(meta, self.read_bytes(meta.chunk_key(coords)))
 
+    def decode_chunk_box(
+        self,
+        meta: ZarrArrayMeta,
+        coords: tuple[int, ...],
+        box: tuple[tuple[int, int], ...] | None,
+    ) -> np.ndarray | None:
+        """Box-aware chunk decode. For SHARDED arrays this is the partial
+        read the shard index exists for: fetch the fixed-size index with a
+        (suffix-)range read, then range-read ONLY the inner chunks whose
+        global extent intersects ``box`` — at object-store latency a scan
+        touching one inner chunk of a 2 GiB shard transfers ~index + one
+        inner chunk, not the shard. Cells outside ``box`` come back as
+        fill (callers slice the box out anyway). Plain chunks and full-box
+        reads fall through to the whole-object path."""
+        if meta.shard is None or box is None:
+            return self.decode_chunk(meta, coords)
+        inner = meta.shard["chunk_shape"]
+        grid, n = _shard_grid(meta)
+        origin = tuple(c * s for c, s in zip(coords, meta.chunks))
+        # inner-chunk ranges of the shard that intersect the box, per dim
+        rngs = []
+        for d in range(meta.ndim):
+            lo = max(box[d][0], origin[d]) - origin[d]
+            hi = min(box[d][1], origin[d] + meta.chunks[d]) - origin[d]
+            if hi <= lo:
+                return None  # no overlap: caller synthesizes fill
+            rngs.append(range(lo // inner[d], (hi - 1) // inner[d] + 1))
+        if all(len(r) == g for r, g in zip(rngs, grid)):
+            return self.decode_chunk(meta, coords)  # full shard needed
+        key = meta.chunk_key(coords)
+        isize = _shard_index_size(meta, n)
+        enc_idx = (
+            self._kv.read_range(key, -isize, isize)
+            if meta.shard["index_location"] == "end"
+            else self._kv.read_range(key, 0, isize)
+        )
+        if enc_idx is None:
+            return None  # absent shard
+        if len(enc_idx) < isize:
+            raise ValueError(
+                f"shard for {meta.name!r} shorter than its index ({isize} B)")
+        idx = _codecs.decompress_v3(enc_idx, meta.shard["index_codecs"])
+        pairs = np.frombuffer(idx, dtype="<u8").reshape(n, 2)
+        block = np.full(meta.chunks, meta.fill_scalar(), dtype=meta.np_dtype)
+        for coords_in in itertools.product(*rngs):
+            k = int(np.ravel_multi_index(coords_in, grid))
+            off, ln = int(pairs[k, 0]), int(pairs[k, 1])
+            if off == _SHARD_MISSING and ln == _SHARD_MISSING:
+                continue
+            raw = self._kv.read_range(key, off, ln)
+            if raw is None or len(raw) != ln:
+                raise ValueError(
+                    f"shard for {meta.name!r}: range read of inner chunk "
+                    f"{k} [{off}, {off + ln}) failed")
+            sub_raw = _codecs.decompress_v3(raw, meta.shard["codecs"])
+            sl = tuple(
+                slice(int(c) * i, (int(c) + 1) * i)
+                for c, i in zip(coords_in, inner)
+            )
+            block[sl] = _block_from_raw(meta, sub_raw, inner)
+        return block
+
     def encode_chunk(self, meta: ZarrArrayMeta, block: np.ndarray) -> bytes:
         if tuple(block.shape) != meta.chunks:
             raise ValueError(f"chunk block shape {block.shape} != chunk shape {meta.chunks}")

@@ -289,3 +289,84 @@ def test_transpose_rejects_bad_order():
     open(os.path.join(root, "g", "zarr.json"), "w").write(json.dumps(doc))
     with pytest.raises(NotImplementedError, match="permutation"):
         ZarrStore.open(root).array_meta("g")
+
+
+# ------------------------------------------------- partial shard reads
+
+
+class _CountingKV:
+    """Wraps a KVStore; counts full reads vs range reads per key."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.full_reads = []
+        self.range_reads = []
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+    def read(self, key):
+        self.full_reads.append(key)
+        return self.inner.read(key)
+
+    def read_range(self, key, start, length):
+        self.range_reads.append((key, start, length))
+        return self.inner.read_range(key, start, length)
+
+
+def test_partial_shard_read_uses_range_gets():
+    """decode_chunk_box on a narrow box must fetch the index (one suffix
+    range read) plus ONLY the touched inner chunks — never the whole shard
+    object — and agree exactly with the full decode."""
+    root = _fresh("partial")
+    st = ZarrStore.create(root, version=3)
+    st.create_array("g", shape=(64, 64), chunks=(8, 8), shards=(64, 64),
+                    dtype="float64", dims=("r", "c"),
+                    compressor={"id": "gzip", "level": 1})
+    vals = np.arange(64 * 64, dtype="f8").reshape(64, 64)
+    st.write_array_numpy("g", vals)
+
+    st2 = ZarrStore.open(root)
+    meta = st2.array_meta("g")
+    ckv = _CountingKV(st2._kv)
+    st2._kv = ckv
+    # box touching exactly inner chunks (1,1) and (1,2): 2 of 64
+    box = ((9, 15), (10, 20))
+    block = st2.decode_chunk_box(meta, (0, 0), box)
+    assert np.array_equal(block[9:15, 10:20], vals[9:15, 10:20])
+    # outside-box cells are fill (NaN for float64 auto-fill) or data from
+    # the two fetched inner chunks — but NEVER a full-object read:
+    assert ckv.full_reads == []
+    keys = {k for k, _, _ in ckv.range_reads}
+    assert keys == {meta.chunk_key((0, 0))}
+    # index read (suffix) + exactly 2 inner-chunk reads
+    assert len(ckv.range_reads) == 3
+    assert ckv.range_reads[0][1] < 0  # suffix range for the end index
+    # a box covering the whole shard falls back to ONE full object read
+    ckv.full_reads.clear(); ckv.range_reads.clear()
+    full = st2.decode_chunk_box(meta, (0, 0), ((0, 64), (0, 64)))
+    assert np.array_equal(full, vals)
+    assert len(ckv.full_reads) == 1 and ckv.range_reads == []
+
+
+def test_partial_shard_read_through_spark_scan(tmp_path, spark):
+    """A chunk-pruned isel through the DSv2 reader over a sharded store
+    returns exactly the sliced values (the partial-read path is what the
+    scan now exercises for sharded metas)."""
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.sources.reader import scan_array
+    from mdio_cpp_spark.sources.writer import write_array
+
+    root = str(tmp_path / "pscan.zarr")
+    st = ZarrStore.create(root, version=3, attrs={"name": "pscan"})
+    st.create_array("v", shape=(10000,), chunks=(250,), shards=(2000,),
+                    dtype="float64", dims=("i",),
+                    compressor={"id": "gzip", "level": 1})
+    df = spark.range(10000).select(F.col("id").alias("i"),
+                                   (F.col("id") * 3.0).alias("val"))
+    write_array(df, root, "v", value_cols="val")
+    got = (scan_array(spark, root, "v", ranges={"i": (3100, 3350)})
+           .orderBy("i").collect())
+    assert [r["i"] for r in got] == list(range(3100, 3350))
+    assert [r["value"] for r in got] == [i * 3.0 for i in range(3100, 3350)]
