@@ -456,24 +456,30 @@ def grouped_mad(
 
     # distributed fallback: the two-pass composition. base is persisted
     # here, and dev is a map-side derivation of it, so both passes run
-    # with input_cached=True.
+    # with input_cached=True. cnts is only needed by the fast path — release
+    # it as soon as the probe picks this branch.
+    cnts.unpersist()
+    # inner quantiles must carry at least the caller's precision or the
+    # final F.round(round_to) re-rounds already-rounded values and the
+    # fallback disagrees with the driver fast path for round_to > 4.
+    inner_round = max(round_to, 4) + 2
     lo_hi = base.agg(
         F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
     ).first()
     vmin, vmax = lo_hi[0], lo_hi[1]
     if vmin is None:  # empty input: schema-correct empty result
-        cnts.unpersist()
         base.unpersist()
         return spark.createDataFrame([], out_schema)
     med = grouped_percentiles(
-        base, group, col, [(0.5, "med")], bounds=(vmin, vmax), input_cached=True
+        base, group, col, [(0.5, "med")], round_to=inner_round,
+        bounds=(vmin, vmax), input_cached=True,
     ).persist()
     dev = base.join(F.broadcast(med), group).select(
         group, F.abs(F.col(col) - F.col("med")).alias("__ad")
     )
     mad = grouped_percentiles(
-        dev, group, "__ad", [(0.5, "mad")], bounds=(0.0, vmax - vmin),
-        input_cached=True,
+        dev, group, "__ad", [(0.5, "mad")], round_to=inner_round,
+        bounds=(0.0, vmax - vmin), input_cached=True,
     )
     return (
         med.join(mad, group)

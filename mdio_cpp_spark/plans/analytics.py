@@ -3415,7 +3415,7 @@ def dq08(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type, day
     """,
 )
-def ev15(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ev17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonality-adjusted anomaly days: each day's revenue is scored
     against its OWN weekday's baseline (Mondays vs Mondays), catching the
     "weekend dip is normal, a weekday dip is not" case that w14's rolling

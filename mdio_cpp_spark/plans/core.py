@@ -2082,7 +2082,7 @@ def w13(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM z WHERE rn = 1 ORDER BY event_type
     """,
 )
-def w15(spark: SparkSession, sf_dir: str) -> DataFrame:
+def w16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown of cumulative daily revenue per event type — the
     running-peak-minus-current envelope risk metric (the window shape ts06's
     CUSUM doesn't cover: a max-OVER-a-sum, two nested running aggregates in

@@ -4602,7 +4602,7 @@ def _d15_is_train(col: str) -> str:
     WHERE jac >= {_D15_TAU} ORDER BY train_doc, val_doc
     """,
 )
-def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUZZY train/val split leakage — the near-duplicate leak p09's exact
     fingerprints cannot see (a doc lightly edited between crawls lands on
     both sides of the split and inflates eval). Same deterministic hash
@@ -4959,7 +4959,7 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_pack GROUP BY shard ORDER BY shard
     """,
 )
-def p16(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-efficiency audit over p01's pack assignment — the number a
     training team actually tunes budget/sharding against: per shard, how
     many packs, how full they run (fill_ratio > 1 means docs spilling past

@@ -98,7 +98,17 @@ class LocalKVStore(KVStore):
         path = self._path(key)
         try:
             with open(path, "rb") as f:
-                f.seek(start, os.SEEK_END if start < 0 else os.SEEK_SET)
+                if start < 0:
+                    # Clamp a suffix read larger than the object to the whole
+                    # object (HTTP Range suffix semantics). Without this, a
+                    # present-but-truncated shard would hit OSError on the
+                    # negative seek and read as ABSENT, silently synthesizing
+                    # fill values where the whole-object path raises
+                    # "shorter than its index".
+                    size = os.fstat(f.fileno()).st_size
+                    f.seek(max(-size, start), os.SEEK_END)
+                else:
+                    f.seek(start, os.SEEK_SET)
                 return f.read(length)
         except OSError:
             return None

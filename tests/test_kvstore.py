@@ -287,3 +287,23 @@ def test_fsspec_store_against_real_memory_fs():
     kv2 = FsspecKVStore(root)
     kv2.delete_all()
     assert not kv2.exists(".zgroup")
+
+
+def test_local_read_range_suffix_clamps_to_object_size(tmp_path):
+    """A suffix (negative-start) read bigger than the object must return the
+    WHOLE object, not None — HTTP Range suffix semantics. Before the clamp, a
+    present-but-truncated shard hit OSError on the negative seek, read as
+    ABSENT, and the shard-index path silently synthesized fill values where
+    the whole-object path raises 'shorter than its index' (ADVICE r6)."""
+    from mdio_cpp_spark.sources.kvstore import LocalKVStore
+
+    kv = LocalKVStore(str(tmp_path))
+    kv.write("short", b"abcdef")
+    # suffix larger than the file: clamp to the full 6 bytes
+    assert kv.read_range("short", -100, 100) == b"abcdef"
+    # normal suffix still exact
+    assert kv.read_range("short", -4, 4) == b"cdef"
+    # positive start past EOF: empty bytes (not None — the object exists)
+    assert kv.read_range("short", 10, 4) == b""
+    # missing object: None
+    assert kv.read_range("missing", -16, 16) is None

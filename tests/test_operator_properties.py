@@ -320,3 +320,21 @@ def test_cosine_matches_numpy(spark):
     global _spark
     _spark = spark
     _check_cosine()
+
+
+def test_grouped_mad_fallback_honors_round_to(spark):
+    """round_to > 4 must survive the distributed fallback: the inner
+    grouped_percentiles calls run at higher internal precision so the outer
+    round is the ONLY rounding (ADVICE r6 — the fallback used to round the
+    inner median to 4 dp first and disagree with the driver fast path)."""
+    from mdio_cpp_spark.operators.stats import grouped_mad
+
+    rows = [("a", i / 64.0) for i in range(33)]  # median 16/64 = 0.25 exactly,
+    # but quartile-ish deviations land on 6-dp-relevant values
+    rows += [("a", 0.015625)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    fast = {r["g"]: (r["med"], r["mad"])
+            for r in grouped_mad(df, "g", "v", round_to=6).collect()}
+    slow = {r["g"]: (r["med"], r["mad"])
+            for r in grouped_mad(df, "g", "v", round_to=6, distinct_bound=5).collect()}
+    assert fast == slow

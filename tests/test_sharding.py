@@ -370,3 +370,30 @@ def test_partial_shard_read_through_spark_scan(tmp_path, spark):
            .orderBy("i").collect())
     assert [r["i"] for r in got] == list(range(3100, 3350))
     assert [r["value"] for r in got] == [i * 3.0 for i in range(3100, 3350)]
+
+
+def test_truncated_shard_raises_on_both_read_paths():
+    """A present-but-truncated shard (e.g. a torn upload) must raise loudly
+    from BOTH the whole-object decode AND the partial (range-GET) path.
+    Before kvstore's suffix-read clamp, the partial path's oversized negative
+    seek hit OSError, read the shard as ABSENT, and silently synthesized fill
+    values — corruption masked as missing data (ADVICE r6, medium)."""
+    root = _fresh("trunc")
+    st = ZarrStore.create(root, version=3)
+    st.create_array("g", shape=(16, 16), chunks=(4, 4), shards=(16, 16),
+                    dtype="float64", dims=("r", "c"))
+    st.write_array_numpy("g", np.arange(256, dtype="f8").reshape(16, 16))
+    meta = st.array_meta("g")
+    key = meta.chunk_key((0, 0))
+    # truncate the shard object to fewer bytes than its index needs
+    path = os.path.join(root, key)
+    with open(path, "r+b") as f:
+        f.truncate(8)
+
+    st2 = ZarrStore.open(root)
+    meta2 = st2.array_meta("g")
+    with pytest.raises(ValueError, match="shorter.*than its index"):
+        st2.decode_chunk(meta2, (0, 0))
+    # partial path: box touching 1 of 16 inner chunks → suffix index read
+    with pytest.raises(ValueError, match="shorter than its index"):
+        st2.decode_chunk_box(meta2, (0, 0), ((0, 4), (0, 4)))

@@ -913,3 +913,16 @@ def test_bands_from_signatures_matches_minhash_bands(spark, sf_dir):
     a = fused.orderBy("doc_id", "band").toPandas()
     b = derived.orderBy("doc_id", "band").toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_spec_compressor_blosclz_honored_natively():
+    """cname=blosclz must map to a real blosc codec, not the zlib fallback —
+    sources/blosclz.py implements the block format wheel-free (ADVICE r6).
+    snappy/zstd still fall back to zlib at the same level until their pure
+    decoders land on the WRITE path."""
+    from mdio_cpp_spark.model import _map_spec_compressor
+
+    out = _map_spec_compressor({"name": "blosc", "cname": "blosclz", "clevel": 7})
+    assert out == {"id": "blosc", "cname": "blosclz", "clevel": 7, "shuffle": 1}
+    fb = _map_spec_compressor({"name": "blosc", "cname": "zstd", "clevel": 3})
+    assert fb == {"id": "zlib", "level": 3}
