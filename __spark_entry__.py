@@ -52,8 +52,12 @@ _DRIVER_VERIFIED = _driver_verified()
 
 def _ordered_names() -> list[str]:
     """Registry names with never-driver-verified entries FIRST (see
-    _DRIVER_VERIFIED), rest sorted. Every name appears exactly once."""
-    fresh = [n for n in sorted(REGISTRY) if n not in _DRIVER_VERIFIED]
+    _DRIVER_VERIFIED), rest sorted. Every name appears exactly once.
+    Fresh names keep REGISTRY insertion order — NOT alphabetical — so a
+    query added this round (e.g. zarr110) queues BEHIND the existing
+    backlog (zarr23 < zarr110 lexically but zarr23 registered first)
+    instead of jumping it."""
+    fresh = [n for n in REGISTRY if n not in _DRIVER_VERIFIED]
     rest = [n for n in sorted(REGISTRY) if n in _DRIVER_VERIFIED]
     return fresh + rest
 

@@ -839,11 +839,11 @@ def _map_spec_compressor(comp: dict | None) -> dict | None:
     name = comp.get("name")
     if name == "blosc":
         # honored natively when the wheel exists OR when cname is
-        # zlib/lz4/blosclz (sources/blosc1.py + sources/lz4.py +
-        # sources/blosclz.py implement those subsets of the public formats
-        # with no wheel — lz4 being the reference's DEFAULT cname,
-        # dataset_factory.h:244); snappy/zstd fall back to plain zlib at
-        # the same level (layout/metadata unchanged, documented deviation)
+        # zlib/lz4/blosclz/snappy (sources/blosc1.py + lz4.py + blosclz.py
+        # + snappy.py implement those subsets of the public formats with
+        # no wheel — lz4 being the reference's DEFAULT cname,
+        # dataset_factory.h:244); zstd falls back to plain zlib at the
+        # same level (layout/metadata unchanged, documented deviation)
         cname = comp.get("cname", "lz4")
         try:
             import blosc  # type: ignore  # noqa: F401
@@ -851,7 +851,7 @@ def _map_spec_compressor(comp: dict | None) -> dict | None:
             wheel = True
         except ImportError:
             wheel = False
-        if wheel or cname in ("zlib", "lz4", "blosclz"):
+        if wheel or cname in ("zlib", "lz4", "blosclz", "snappy"):
             return {
                 "id": "blosc",
                 "cname": cname,

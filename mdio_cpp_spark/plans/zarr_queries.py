@@ -5017,3 +5017,55 @@ def zarr109(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+@declared(
+    "zarr110_snappy_store",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+    FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 700 AND rn - 1 < 4700
+    """,
+)
+def zarr110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blosc-SNAPPY store round-trip with NO wheel — the last non-zstd
+    cname the reference accepts (dataset_factory.h:288-386; snappy
+    enumerated at dataset_schema.h:148). google/snappy's raw block format
+    is public (format_description.txt); sources/snappy.py implements
+    decode (bomb-bounded) plus a greedy matcher, dispatched as cname id 2
+    inside blosc1 frames (snappy is NOT in c-blosc's FORWARD_COMPAT split
+    list, so blocks stay single-stream). Store built once through the
+    distributed writer, then a chunk-pruned isel slice aggregates against
+    the orders oracle — zarr108's blosclz gate mirrored for snappy."""
+    from mdio_cpp_spark.sources.writer import write_array
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "snappy.zarr")
+    marker = os.path.join(base, ".built_snappy_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select(
+            "i", F.col("o_totalprice").alias("v")
+        )
+        n = ords.count()
+        st = ZarrStore.create(path, version=2, attrs={"name": "snappy_mdio"})
+        st.create_array(
+            "price", shape=(n,), chunks=(CHUNK,), dtype="float64", dims=("i",),
+            compressor={"id": "blosc", "cname": "snappy", "clevel": 5,
+                        "shuffle": 1, "typesize": 8},
+        )
+        st.consolidate()
+        write_array(ords, path, "price", value_cols="v")
+        with open(marker, "w") as f:
+            f.write("1")
+    ds = MdioDataset.open(path)
+    return ds.isel(i=(700, 4700)).to_df(spark, "price", value_col="v").agg(
+        F.count("v").cast("long").alias("cnt"),
+        F.round(F.sum("v"), 2).alias("total"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )

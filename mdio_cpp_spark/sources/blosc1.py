@@ -48,8 +48,13 @@ implementation) unless a spec explicitly asks for lz4.
 ``cname=blosclz`` — c-blosc's native LZ77, the one cname with no other
 implementation anywhere — is handled by sources/blosclz.py (public token
 format, FastLZ level-2 derivative), split-stream layout included (blosclz
-is in c-blosc's FORWARD_COMPAT split list alongside lz4). Frames with
-snappy/zstd payloads genuinely need their wheels and stay honestly gated.
+is in c-blosc's FORWARD_COMPAT split list alongside lz4).
+
+``cname=snappy`` — google/snappy's raw block format (public
+format_description.txt) — is handled by sources/snappy.py; snappy is NOT
+in c-blosc's split list, so its full blocks stay single-stream (the
+region-extent detection above would decode split frames anyway). Frames
+with zstd payloads genuinely need the wheel and stay honestly gated.
 Memcpy'd frames decode regardless of codec id (no decompression is
 involved).
 """
@@ -64,6 +69,7 @@ import numpy as np
 
 from mdio_cpp_spark.sources import blosclz as _blosclz
 from mdio_cpp_spark.sources import lz4 as _lz4
+from mdio_cpp_spark.sources import snappy as _snappy
 
 
 class BloscFormatError(RuntimeError):
@@ -75,6 +81,7 @@ _CODEC_NAMES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
 _ZLIB_ID = 3
 _LZ4_ID = 1
 _BLOSCLZ_ID = 0
+_SNAPPY_ID = 2
 # c-blosc split predicate constants (blosc.c: MAX_SPLITS / MIN_BUFFERSIZE)
 _MAX_SPLITS = 16
 _MIN_BUFFERSIZE = 128
@@ -143,9 +150,9 @@ def _undo_shuffle(block: bytes, flags: int, typesize: int) -> bytes:
 
 
 def decompress(frame: bytes) -> bytes:
-    """Decode one blosc1 frame. Handles zlib/lz4/blosclz-cname frames (any
-    shuffle) and memcpy'd frames of ANY cname; snappy/zstd raise
-    BloscFormatError."""
+    """Decode one blosc1 frame. Handles zlib/lz4/blosclz/snappy-cname
+    frames (any shuffle) and memcpy'd frames of ANY cname; zstd raises
+    BloscFormatError (needs the wheel)."""
     if len(frame) < 16:
         raise BloscFormatError(f"blosc frame too short ({len(frame)} bytes)")
     version, _versionlz, flags, typesize = frame[0], frame[1], frame[2], frame[3]
@@ -164,11 +171,11 @@ def decompress(frame: bytes) -> bytes:
             raise BloscFormatError("memcpy frame shorter than nbytes")
         return bytes(frame[16 : 16 + nbytes])
     codec = (flags >> 5) & 0x7
-    if codec not in (_ZLIB_ID, _LZ4_ID, _BLOSCLZ_ID):
+    if codec not in (_ZLIB_ID, _LZ4_ID, _BLOSCLZ_ID, _SNAPPY_ID):
         raise BloscFormatError(
-            f"pure-python blosc decodes cname=zlib/lz4/blosclz only; this "
-            f"frame is cname={_CODEC_NAMES.get(codec, codec)!r} (needs the "
-            "blosc wheel)"
+            f"pure-python blosc decodes cname=zlib/lz4/blosclz/snappy only; "
+            f"this frame is cname={_CODEC_NAMES.get(codec, codec)!r} (needs "
+            "the blosc wheel)"
         )
     if blocksize <= 0:
         raise BloscFormatError("corrupt blosc header (blocksize <= 0)")
@@ -193,6 +200,11 @@ def decompress(frame: bytes) -> bytes:
                 got = _blosclz.decompress_block(raw, want)
             except _blosclz.BloscLZFormatError as e:
                 raise BloscFormatError(f"blosclz stream: {e}") from e
+        elif codec == _SNAPPY_ID:
+            try:
+                got = _snappy.decompress_block(raw, want)
+            except _snappy.SnappyFormatError as e:
+                raise BloscFormatError(f"snappy stream: {e}") from e
         else:
             try:
                 got = _lz4.decompress_block(raw, want)
@@ -249,10 +261,11 @@ def compress(
     2 bit-shuffle (c-blosc's constants). ``cname``: 'zlib' (default — never
     split, byte-layout verified against stdlib zlib) or 'lz4' (split per
     c-blosc's predicate; see the module docstring's interop caveat)."""
-    if cname not in ("zlib", "lz4", "blosclz"):
+    if cname not in ("zlib", "lz4", "blosclz", "snappy"):
         raise BloscFormatError(
-            f"pure-python blosc encodes zlib/lz4/blosclz, not {cname!r}")
-    codec_id = {"zlib": _ZLIB_ID, "lz4": _LZ4_ID, "blosclz": _BLOSCLZ_ID}[cname]
+            f"pure-python blosc encodes zlib/lz4/blosclz/snappy, not {cname!r}")
+    codec_id = {"zlib": _ZLIB_ID, "lz4": _LZ4_ID, "blosclz": _BLOSCLZ_ID,
+                "snappy": _SNAPPY_ID}[cname]
     nbytes = len(data)
     if not 1 <= typesize <= 255:
         typesize = 1  # c-blosc treats out-of-range typesize as 1 (no shuffle)
@@ -289,6 +302,8 @@ def compress(
             comp = zlib.compress(sub, clevel)
         elif codec_id == _BLOSCLZ_ID:
             comp = _blosclz.compress_block(sub)
+        elif codec_id == _SNAPPY_ID:
+            comp = _snappy.compress_block(sub)
         else:
             comp = _lz4.compress_block(sub)
         if len(comp) >= len(sub):

@@ -6,10 +6,11 @@ engine's own stores default to stdlib codecs (zlib/gzip). Blosc frames are
 handled in two tiers: the ``blosc`` wheel when importable, else a pure-Python
 blosc1 codec (sources/blosc1.py, public frame format) that covers
 ``cname=zlib``, ``cname=lz4`` (sources/lz4.py, public LZ4 block format;
-split-stream layout handled) AND ``cname=blosclz`` (sources/blosclz.py,
-c-blosc's native LZ77) with any shuffle — so reference-written
-blosc stores are readable with no wheel. snappy/zstd payloads still raise
-a clear error until the wheel exists.
+split-stream layout handled), ``cname=blosclz`` (sources/blosclz.py,
+c-blosc's native LZ77) AND ``cname=snappy`` (sources/snappy.py, google
+raw block format) with any shuffle — so reference-written blosc stores
+are readable with no wheel. zstd payloads still raise a clear error
+until the wheel exists.
 
 Zarr v2 compressor JSON: ``null`` | {"id": "zlib"|"gzip"|"blosc", ...}.
 Zarr v3 codec chain: [{"name": "bytes", ...}, {"name": "gzip"|"zstd", ...}].
@@ -27,9 +28,9 @@ try:  # optional, not in this container
 except ImportError:  # pragma: no cover
     _blosc = None
 
-# pure-Python blosc1 fallback (cname=zlib, shuffle 0/1/2) from the public
-# frame format — stores written with the reference's blosc-zlib config are
-# readable with NO wheel; other cnames still raise a clear error
+# pure-Python blosc1 fallback (cname=zlib/lz4/blosclz/snappy, shuffle
+# 0/1/2) from the public frame formats — stores written with the
+# reference's blosc configs are readable with NO wheel; zstd still raises
 from mdio_cpp_spark.sources import blosc1 as _blosc1
 
 # zstd is the de-facto default codec for externally-written Zarr v3 stores.
@@ -108,7 +109,7 @@ def compress_v2(data: bytes, compressor: dict | None) -> bytes:
                 clevel=compressor.get("clevel", 5),
                 shuffle=compressor.get("shuffle", 1),
             )
-        if cname in ("zlib", "lz4", "blosclz"):
+        if cname in ("zlib", "lz4", "blosclz", "snappy"):
             return _blosc1.compress(
                 data,
                 typesize=compressor.get("typesize", 8) or 8,
@@ -118,7 +119,7 @@ def compress_v2(data: bytes, compressor: dict | None) -> bytes:
             )
         raise CodecError(
             f"blosc cname={cname!r} needs the blosc wheel (not installed); "
-            "cname='zlib'/'lz4'/'blosclz' work without it"
+            "cname='zlib'/'lz4'/'blosclz'/'snappy' work without it"
         )
     raise CodecError(f"unsupported v2 compressor {cid!r}")
 
@@ -168,7 +169,7 @@ def compress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
                                        cname=cname,
                                        clevel=conf.get("clevel", 5),
                                        shuffle=_blosc_shuffle(conf.get("shuffle", "shuffle")))
-            elif cname in ("zlib", "lz4", "blosclz"):
+            elif cname in ("zlib", "lz4", "blosclz", "snappy"):
                 data = _blosc1.compress(data, typesize=conf.get("typesize", 8) or 8,
                                         clevel=conf.get("clevel", 5),
                                         shuffle=_blosc_shuffle(conf.get("shuffle", "shuffle")),
@@ -176,7 +177,7 @@ def compress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
             else:
                 raise CodecError(
                     f"blosc cname={cname!r} needs the blosc wheel (not installed); "
-                    "cname='zlib'/'lz4'/'blosclz' work without it"
+                    "cname='zlib'/'lz4'/'blosclz'/'snappy' work without it"
                 )
         elif name == "crc32c":
             data = data + struct.pack("<I", crc32c(data))

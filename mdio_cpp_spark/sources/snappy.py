@@ -1,4 +1,4 @@
-"""Pure-Python Snappy raw-block codec (decode + a literal-only encoder).
+"""Pure-Python Snappy raw-block codec (decode + a greedy encoder).
 
 Blosc cname id 2 wraps google/snappy's RAW block format per sub-stream —
 public and simple (snappy format_description.txt):
@@ -16,13 +16,14 @@ public and simple (snappy format_description.txt):
   copies may overlap their output (byte-serial RLE semantics, like LZ4).
 
 DECODE is the interop surface (reading externally-written blosc-snappy
-stores); it enforces the declared length early (bomb bound, same posture
-as lz4.py/blosclz.py). The ENCODER emits literal-only streams — valid
-snappy any decoder accepts (compression comes from the REAL library;
-blosc1's per-stream raw-storage fallback already stores incompressible
-streams uncompressed, so a literal-only "compressor" mostly short-circuits
-to that). Handcrafted copy-element vectors pin the decode format since no
-wheel is installable here (tests/INTEROP_PROBE.md).
+stores, cname id 2 in blosc1.py's block dispatch); it enforces the
+declared length early (bomb bound, same posture as lz4.py/blosclz.py).
+The ENCODER is a greedy single-slot-hash matcher over 4-byte prefixes
+(the lz4.py pattern) emitting literal runs + COPY-2 elements — any
+spec-conforming decoder accepts its streams; it exists so the engine can
+honor spec-requested cname=snappy and so frames in tests exercise real
+copy elements. Handcrafted copy-element vectors pin the decode format
+since no wheel is installable here (tests/INTEROP_PROBE.md).
 """
 
 from __future__ import annotations
@@ -122,13 +123,10 @@ def _write_varint(out: bytearray, v: int) -> None:
     out.append(v)
 
 
-def compress_block(data: bytes) -> bytes:
-    """Literal-only snappy stream (valid per the spec; see module doc)."""
-    out = bytearray()
-    _write_varint(out, len(data))
-    i = 0
-    while i < len(data):
-        run = min(len(data) - i, 65536)  # length-1 fits 2 extra bytes
+def _emit_literal(out: bytearray, data: bytes, start: int, end: int) -> None:
+    i = start
+    while i < end:
+        run = min(end - i, 65536)  # length-1 fits 2 extra bytes
         if run <= 60:
             out.append((run - 1) << 2)
         else:
@@ -136,4 +134,40 @@ def compress_block(data: bytes) -> bytes:
             out += (run - 1).to_bytes(2, "little")
         out += data[i : i + run]
         i += run
+
+
+def compress_block(data: bytes) -> bytes:
+    """Greedy snappy encoder: single-slot hash over 4-byte prefixes (the
+    lz4.py matcher pattern), literals + COPY-2 elements (u16 LE offset, so
+    the match window is 65535 B; matches longer than 64 B chain multiple
+    copy elements, spec-legal)."""
+    n = len(data)
+    out = bytearray()
+    _write_varint(out, n)
+    table: dict[bytes, int] = {}
+    anchor = 0
+    i = 0
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= 65535 and data[j : j + 4] == key:
+            mlen = 4
+            while i + mlen < n and data[j + mlen] == data[i + mlen]:
+                mlen += 1
+            _emit_literal(out, data, anchor, i)
+            off = i - j
+            rem = mlen
+            while rem:
+                ln = min(rem, 64)
+                if ln < 4:  # trailing sliver: cheaper as part of the next
+                    break   # literal run than as its own 3-byte copy element
+                out.append(((ln - 1) << 2) | 2)  # COPY-2
+                out += off.to_bytes(2, "little")
+                rem -= ln
+            i += mlen - rem
+            anchor = i
+            continue
+        i += 1
+    _emit_literal(out, data, anchor, n)
     return bytes(out)

@@ -127,12 +127,57 @@ def _blosclz_block_decode(src: bytes) -> bytes:
     return bytes(o)
 
 
+
+def _snappy_block_decode(src: bytes) -> bytes:
+    """Independent Snappy raw-block decode, straight from the public spec
+    (google/snappy format_description.txt): varint32 uncompressed-length
+    preamble, then tagged elements — 00 literal (6-bit length-1, values
+    60..63 escape to 1..4 extra LE length bytes), 01 copy with 11-bit
+    offset and 3-bit length-4, 10 copy with u16 LE offset, 11 copy with
+    u32 LE offset; copies may overlap (byte-serial)."""
+    want = 0
+    i = shift = 0
+    while True:
+        b = src[i]; i += 1
+        want |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    o = bytearray()
+    n = len(src)
+    while i < n:
+        tag = src[i]; i += 1
+        t = tag & 3
+        if t == 0:
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                ln = int.from_bytes(src[i : i + nb], "little"); i += nb
+            o += src[i : i + ln + 1]; i += ln + 1
+            continue
+        if t == 1:
+            ln = 4 + ((tag >> 2) & 0x7)
+            off = ((tag >> 5) << 8) | src[i]; i += 1
+        elif t == 2:
+            ln = (tag >> 2) + 1
+            off = src[i] | (src[i + 1] << 8); i += 2
+        else:
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(src[i : i + 4], "little"); i += 4
+        p = len(o) - off
+        for k in range(ln):
+            o.append(o[p + k])
+    assert len(o) == want, "snappy stream length != preamble"
+    return bytes(o)
+
+
 def _blosc_decode(frame: bytes) -> bytes:
     """Independent blosc1 frame decode (zlib + lz4 cnames), straight from
     the public c-blosc container spec (README_HEADER.rst): 16-byte LE header
     ``version u8|versionlz u8|flags u8|typesize u8|nbytes i32|blocksize i32|
     cbytes i32``; flags bit0 byte-shuffle, bit1 memcpy, bit2 bit-shuffle,
-    bits5-7 codec (1=lz4, 3=zlib); then i32 bstarts[nblocks] and per block
+    bits5-7 codec (0=blosclz, 1=lz4, 2=snappy, 3=zlib); then i32
+    bstarts[nblocks] and per block
     ``i32 csize|stream`` (csize == stream's uncompressed size → stored raw).
     blosclz/lz4 FULL blocks may be SPLIT into ``typesize`` sub-streams
     (c-blosc blosc.c split_block) — detected here from the block's region
@@ -148,8 +193,9 @@ def _blosc_decode(frame: bytes) -> bytes:
     if flags & 0x2:  # memcpy'd: raw original payload
         return frame[16 : 16 + nbytes]
     codec = (flags >> 5) & 0x7
-    if codec not in (0, 1, 3):
-        raise ValueError("spec reader: blosc frame is not cname=blosclz/zlib/lz4")
+    if codec not in (0, 1, 2, 3):
+        raise ValueError(
+            "spec reader: blosc frame is not cname=blosclz/lz4/snappy/zlib")
     nblocks = -(-nbytes // blocksize)
     bstarts = struct.unpack_from(f"<{nblocks}i", frame, 16)
     srt = sorted(bstarts)
@@ -163,6 +209,8 @@ def _blosc_decode(frame: bytes) -> bytes:
             return zlib.decompress(raw)
         if codec == 0:
             return _blosclz_block_decode(raw)
+        if codec == 2:
+            return _snappy_block_decode(raw)
         return _lz4_block_decode(raw)
 
     out = bytearray()

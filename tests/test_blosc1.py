@@ -122,9 +122,13 @@ def test_codecs_v2_blosc_zlib_without_wheel():
     enc = compress_v2(data, comp)
     assert len(enc) < len(data)
     assert decompress_v2(enc, comp) == data
-    # lz4 is handled natively now; the remaining gated cnames error loudly
-    with pytest.raises(CodecError, match="snappy"):
-        compress_v2(data, {"id": "blosc", "cname": "snappy"})
+    # snappy is handled natively now too; the one remaining gated cname
+    # (zstd) errors loudly
+    enc_sn = compress_v2(data, {"id": "blosc", "cname": "snappy",
+                                "shuffle": 1, "typesize": 8})
+    assert decompress_v2(enc_sn, comp) == data
+    with pytest.raises(CodecError, match="zstd"):
+        compress_v2(data, {"id": "blosc", "cname": "zstd"})
 
 
 # ------------------------------------------------------- store-level gates
