@@ -5069,3 +5069,65 @@ def zarr110(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+@declared(
+    "zarr112_sharded_lz4_pushdown",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(price), 2) AS total,
+           MIN(price) AS min_v, MAX(price) AS max_v
+    FROM (SELECT o_totalprice AS price, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 1100 AND rn - 1 < 5900 AND price >= 200000.0
+    """,
+)
+def zarr112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharding COMPOSED with a compressed inner chain under pushdown: the
+    shard's inner chunks encode through blosc-lz4 (pure-Python lz4.py
+    inside blosc1 frames), and the scan arrives through the SQL surface —
+    ``spark.read.format('mdio')`` with BOTH a dimension-range filter
+    (consumed into the chunk-pruning box, so sharded metas take the
+    partial range-GET path: index suffix + only the touched inner chunks,
+    sources/zarr_store.decode_chunk_box) and a value predicate (consumed
+    by pushFilters, decoder-exact numpy mask). The byte-fetch shape is
+    pinned by pytest (tests/test_sharding.py
+    test_sharded_lz4_dsv2_pushdown_fetches_only_touched_ranges); this gate
+    pins the VALUES against the orders oracle."""
+    from mdio_cpp_spark.sources.datasource import register
+    from mdio_cpp_spark.sources.writer import write_array
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "sharded_lz4.zarr")
+    marker = os.path.join(base, ".built_sharded_lz4_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select(
+            "i", F.col("o_totalprice").alias("v")
+        )
+        n = ords.count()
+        st = ZarrStore.create(path, version=3, attrs={"name": "sharded_lz4"})
+        st.create_array(
+            "price", shape=(n,), chunks=(512,), shards=(CHUNK * 2,),
+            dtype="float64", dims=("i",),
+            compressor={"id": "blosc", "cname": "lz4", "clevel": 5,
+                        "shuffle": 1},
+        )
+        write_array(ords, path, "price", value_cols="v")
+        with open(marker, "w") as f:
+            f.write("1")
+    register(spark)
+    return (
+        spark.read.format("mdio")
+        .option("path", path).option("variable", "price")
+        .load()
+        .filter((F.col("i") >= 1100) & (F.col("i") < 5900)
+                & (F.col("value") >= 200000.0))
+        .agg(
+            F.count("value").cast("long").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )

@@ -397,3 +397,86 @@ def test_truncated_shard_raises_on_both_read_paths():
     # partial path: box touching 1 of 16 inner chunks → suffix index read
     with pytest.raises(ValueError, match="shorter than its index"):
         st2.decode_chunk_box(meta2, (0, 0), ((0, 4), (0, 4)))
+
+
+def test_sharded_lz4_dsv2_pushdown_fetches_only_touched_ranges(tmp_path, spark, monkeypatch):
+    """Sharding composed with a COMPRESSED inner chain (blosc-lz4) under
+    DSv2 pushdown: a dim-range + value predicate arrives through
+    pushFilters, the range is consumed into the box, and the partition
+    read fetches ONLY the shard index (suffix range-GET) plus the inner
+    chunks the box touches — never whole shard objects — while the value
+    predicate masks rows decoder-side. Byte-fetch shape asserted via a
+    counting KV injected into the DSv2 read path (driver-process read()
+    call, no Spark job)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import GreaterThan, GreaterThanOrEqual, LessThan
+
+    from mdio_cpp_spark.sources import datasource as ds_mod
+    from mdio_cpp_spark.sources.datasource import MdioDataSource
+    from mdio_cpp_spark.sources.writer import write_array
+
+    root = str(tmp_path / "slz4.zarr")
+    st = ZarrStore.create(root, version=3, attrs={"name": "slz4"})
+    st.create_array("v", shape=(10000,), chunks=(250,), shards=(2000,),
+                    dtype="float64", dims=("i",),
+                    compressor={"id": "blosc", "cname": "lz4", "clevel": 5,
+                                "shuffle": 1})
+    df = spark.range(10000).select(F.col("id").alias("i"),
+                                   (F.col("id") * 3.0).alias("val"))
+    write_array(df, root, "v", value_cols="val")
+
+    # the stored inner chunks really are blosc-lz4 frames: parse the shard
+    # index by hand and check the first present inner chunk's codec id
+    st2 = ZarrStore.open(root)
+    meta = st2.array_meta("v")
+    raw = st2.read_bytes(meta.chunk_key((1,)))
+    grid_n = 2000 // 250
+    isize = grid_n * 16 + 4  # [bytes, crc32c] index
+    pairs = np.frombuffer(
+        np.frombuffer(raw[-isize:-4], dtype="<u8"), dtype="<u8"
+    ).reshape(grid_n, 2)
+    off, ln = int(pairs[0][0]), int(pairs[0][1])
+    frame = raw[off : off + ln]
+    assert not frame[2] & 0x2 and (frame[2] >> 5) & 0x7 == 1  # lz4, not memcpy
+
+    # in-process DSv2: pushFilters consumes dim bounds AND the value
+    # predicate; read() over the pruned partitions with a counting KV
+    src = MdioDataSource({"path": root, "variable": "v"})
+    reader = src.reader(src.schema())
+    leftover = list(reader.pushFilters([
+        GreaterThanOrEqual(("i",), 3100), LessThan(("i",), 3350),
+        GreaterThan(("value",), 9500.0),
+    ]))
+    assert leftover == []  # everything consumed
+
+    counters = []
+    real_store = ZarrStore
+
+    def counting_store(root_, version_):
+        s = real_store(root_, version_)
+        ckv = _CountingKV(s._kv)
+        s._kv = ckv
+        counters.append(ckv)
+        return s
+
+    monkeypatch.setattr(ds_mod, "ZarrStore", counting_store)
+    rows = []
+    for part in reader.partitions():
+        for batch in reader.read(part):
+            rows.extend(batch.to_pylist())
+    got = sorted(r["i"] for r in rows)
+    # i in [3167, 3350): intersection of the dim range and value > 9500
+    assert got == list(range(3167, 3350))
+    assert all(abs(r["value"] - r["i"] * 3.0) < 1e-12 for r in rows)
+
+    full = [k for c in counters for k in c.full_reads]
+    ranged = [(k, s, ln) for c in counters for (k, s, ln) in c.range_reads]
+    assert full == []  # no whole-shard object reads anywhere
+    # the box [3100, 3350) touches ONE shard (coords (1,): rows 2000-4000)
+    # and inner chunks 12 (3000-3250) and 13 (3250-3500) of its 8:
+    keys = {k for k, _, _ in ranged}
+    assert keys == {meta.chunk_key((1,))}
+    suffix = [r for r in ranged if r[1] < 0]
+    inner = [r for r in ranged if r[1] >= 0]
+    assert len(suffix) == 1 and suffix[0][2] == 8 * 16 + 4  # one index GET
+    assert len(inner) == 2  # exactly the two touched inner chunks
