@@ -838,27 +838,18 @@ def _map_spec_compressor(comp: dict | None) -> dict | None:
         return {"id": "zlib", "level": 5}
     name = comp.get("name")
     if name == "blosc":
-        # honored natively when the wheel exists OR when cname is
-        # zlib/lz4/blosclz/snappy (sources/blosc1.py + lz4.py + blosclz.py
-        # + snappy.py implement those subsets of the public formats with
-        # no wheel — lz4 being the reference's DEFAULT cname,
-        # dataset_factory.h:244); zstd falls back to plain zlib at the
-        # same level (layout/metadata unchanged, documented deviation)
+        # every cname the reference accepts (dataset_factory.h:288-386)
+        # is honored natively: blosc1.py + lz4.py + blosclz.py + snappy.py
+        # + zstd.py implement the public formats wheel-free (zstd WRITE is
+        # store-mode — valid frames, no entropy coding — until a wheel
+        # exists; decode is full RFC 8878)
         cname = comp.get("cname", "lz4")
-        try:
-            import blosc  # type: ignore  # noqa: F401
-
-            wheel = True
-        except ImportError:
-            wheel = False
-        if wheel or cname in ("zlib", "lz4", "blosclz", "snappy"):
-            return {
-                "id": "blosc",
-                "cname": cname,
-                "clevel": comp.get("clevel", 5),
-                "shuffle": comp.get("shuffle", 1),
-            }
-        return {"id": "zlib", "level": int(comp.get("clevel", 5))}
+        return {
+            "id": "blosc",
+            "cname": cname,
+            "clevel": comp.get("clevel", 5),
+            "shuffle": comp.get("shuffle", 1),
+        }
     if name in ("zlib", "gzip"):
         return {"id": name, "level": int(comp.get("clevel", comp.get("level", 5)))}
     return {"id": "zlib", "level": 5}

@@ -53,10 +53,12 @@ is in c-blosc's FORWARD_COMPAT split list alongside lz4).
 ``cname=snappy`` — google/snappy's raw block format (public
 format_description.txt) — is handled by sources/snappy.py; snappy is NOT
 in c-blosc's split list, so its full blocks stay single-stream (the
-region-extent detection above would decode split frames anyway). Frames
-with zstd payloads genuinely need the wheel and stay honestly gated.
-Memcpy'd frames decode regardless of codec id (no decompression is
-involved).
+region-extent detection above would decode split frames anyway).
+
+``cname=zstd`` — RFC 8878 — is handled by sources/zstd.py (full FSE +
+Huffman decode; store-mode encode), closing the LAST cname: every blosc
+configuration the reference accepts now decodes wheel-free. Memcpy'd
+frames decode regardless of codec id (no decompression is involved).
 """
 
 from __future__ import annotations
@@ -70,6 +72,7 @@ import numpy as np
 from mdio_cpp_spark.sources import blosclz as _blosclz
 from mdio_cpp_spark.sources import lz4 as _lz4
 from mdio_cpp_spark.sources import snappy as _snappy
+from mdio_cpp_spark.sources import zstd as _zstd
 
 
 class BloscFormatError(RuntimeError):
@@ -82,6 +85,7 @@ _ZLIB_ID = 3
 _LZ4_ID = 1
 _BLOSCLZ_ID = 0
 _SNAPPY_ID = 2
+_ZSTD_ID = 4
 # c-blosc split predicate constants (blosc.c: MAX_SPLITS / MIN_BUFFERSIZE)
 _MAX_SPLITS = 16
 _MIN_BUFFERSIZE = 128
@@ -150,9 +154,9 @@ def _undo_shuffle(block: bytes, flags: int, typesize: int) -> bytes:
 
 
 def decompress(frame: bytes) -> bytes:
-    """Decode one blosc1 frame. Handles zlib/lz4/blosclz/snappy-cname
-    frames (any shuffle) and memcpy'd frames of ANY cname; zstd raises
-    BloscFormatError (needs the wheel)."""
+    """Decode one blosc1 frame. Handles ALL five cnames
+    (zlib/lz4/blosclz/snappy/zstd, any shuffle) plus memcpy'd frames —
+    every blosc configuration the reference accepts decodes wheel-free."""
     if len(frame) < 16:
         raise BloscFormatError(f"blosc frame too short ({len(frame)} bytes)")
     version, _versionlz, flags, typesize = frame[0], frame[1], frame[2], frame[3]
@@ -171,11 +175,10 @@ def decompress(frame: bytes) -> bytes:
             raise BloscFormatError("memcpy frame shorter than nbytes")
         return bytes(frame[16 : 16 + nbytes])
     codec = (flags >> 5) & 0x7
-    if codec not in (_ZLIB_ID, _LZ4_ID, _BLOSCLZ_ID, _SNAPPY_ID):
+    if codec not in (_ZLIB_ID, _LZ4_ID, _BLOSCLZ_ID, _SNAPPY_ID, _ZSTD_ID):
         raise BloscFormatError(
-            f"pure-python blosc decodes cname=zlib/lz4/blosclz/snappy only; "
-            f"this frame is cname={_CODEC_NAMES.get(codec, codec)!r} (needs "
-            "the blosc wheel)"
+            f"unknown blosc codec id in frame flags: "
+            f"{_CODEC_NAMES.get(codec, codec)!r}"
         )
     if blocksize <= 0:
         raise BloscFormatError("corrupt blosc header (blocksize <= 0)")
@@ -205,6 +208,11 @@ def decompress(frame: bytes) -> bytes:
                 got = _snappy.decompress_block(raw, want)
             except _snappy.SnappyFormatError as e:
                 raise BloscFormatError(f"snappy stream: {e}") from e
+        elif codec == _ZSTD_ID:
+            try:
+                got = _zstd.decompress(raw, want)
+            except _zstd.ZstdFormatError as e:
+                raise BloscFormatError(f"zstd stream: {e}") from e
         else:
             try:
                 got = _lz4.decompress_block(raw, want)
@@ -261,11 +269,12 @@ def compress(
     2 bit-shuffle (c-blosc's constants). ``cname``: 'zlib' (default — never
     split, byte-layout verified against stdlib zlib) or 'lz4' (split per
     c-blosc's predicate; see the module docstring's interop caveat)."""
-    if cname not in ("zlib", "lz4", "blosclz", "snappy"):
+    if cname not in ("zlib", "lz4", "blosclz", "snappy", "zstd"):
         raise BloscFormatError(
-            f"pure-python blosc encodes zlib/lz4/blosclz/snappy, not {cname!r}")
+            f"pure-python blosc encodes zlib/lz4/blosclz/snappy/zstd, "
+            f"not {cname!r}")
     codec_id = {"zlib": _ZLIB_ID, "lz4": _LZ4_ID, "blosclz": _BLOSCLZ_ID,
-                "snappy": _SNAPPY_ID}[cname]
+                "snappy": _SNAPPY_ID, "zstd": _ZSTD_ID}[cname]
     nbytes = len(data)
     if not 1 <= typesize <= 255:
         typesize = 1  # c-blosc treats out-of-range typesize as 1 (no shuffle)
@@ -304,6 +313,10 @@ def compress(
             comp = _blosclz.compress_block(sub)
         elif codec_id == _SNAPPY_ID:
             comp = _snappy.compress_block(sub)
+        elif codec_id == _ZSTD_ID:
+            # store-mode frames (sources/zstd.py): valid zstd, no entropy
+            # coding — streams land in the raw-storage fallback below
+            comp = _zstd.compress(sub)
         else:
             comp = _lz4.compress_block(sub)
         if len(comp) >= len(sub):

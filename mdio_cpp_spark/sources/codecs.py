@@ -5,12 +5,11 @@ TensorStore ships it. This container has no blosc/numcodecs wheel, so the
 engine's own stores default to stdlib codecs (zlib/gzip). Blosc frames are
 handled in two tiers: the ``blosc`` wheel when importable, else a pure-Python
 blosc1 codec (sources/blosc1.py, public frame format) that covers
-``cname=zlib``, ``cname=lz4`` (sources/lz4.py, public LZ4 block format;
-split-stream layout handled), ``cname=blosclz`` (sources/blosclz.py,
-c-blosc's native LZ77) AND ``cname=snappy`` (sources/snappy.py, google
-raw block format) with any shuffle — so reference-written blosc stores
-are readable with no wheel. zstd payloads still raise a clear error
-until the wheel exists.
+ALL FIVE cnames with any shuffle: ``zlib`` (stdlib), ``lz4``
+(sources/lz4.py), ``blosclz`` (sources/blosclz.py), ``snappy``
+(sources/snappy.py) and ``zstd`` (sources/zstd.py, full RFC 8878
+decode) — every blosc configuration the reference accepts is readable
+with no wheel.
 
 Zarr v2 compressor JSON: ``null`` | {"id": "zlib"|"gzip"|"blosc", ...}.
 Zarr v3 codec chain: [{"name": "bytes", ...}, {"name": "gzip"|"zstd", ...}].
@@ -28,15 +27,19 @@ try:  # optional, not in this container
 except ImportError:  # pragma: no cover
     _blosc = None
 
-# pure-Python blosc1 fallback (cname=zlib/lz4/blosclz/snappy, shuffle
-# 0/1/2) from the public frame formats — stores written with the
-# reference's blosc configs are readable with NO wheel; zstd still raises
+# pure-Python blosc1 fallback (all five cnames, shuffle 0/1/2) from the
+# public frame formats — stores written with ANY of the reference's blosc
+# configs are readable with NO wheel
 from mdio_cpp_spark.sources import blosc1 as _blosc1
 
 # zstd is the de-facto default codec for externally-written Zarr v3 stores.
 # Python 3.14+ ships compression.zstd in the stdlib; earlier interpreters can
 # have the `zstandard` wheel. Neither is in this container (probe log in
-# tests/INTEROP_PROBE.md) so the branch stays import-gated.
+# tests/INTEROP_PROBE.md) — the pure-Python RFC 8878 decoder
+# (sources/zstd.py: full FSE + Huffman) covers DECODE wheel-free, and its
+# store-mode encoder (raw blocks + checksum, valid frames, no entropy
+# coding) covers WRITE for spec-requested zstd chains. The stdlib/wheel
+# still takes priority when importable.
 _zstd_compress = _zstd_decompress = None
 try:  # pragma: no cover - stdlib on 3.14+
     from compression import zstd as _stdlib_zstd  # type: ignore
@@ -57,6 +60,15 @@ except ImportError:
             return _zstandard.ZstdDecompressor().decompress(data)
     except ImportError:
         pass
+
+if _zstd_decompress is None:
+    from mdio_cpp_spark.sources import zstd as _pyzstd
+
+    def _zstd_compress(data: bytes, level: int) -> bytes:
+        return _pyzstd.compress(data, level)
+
+    def _zstd_decompress(data: bytes) -> bytes:
+        return _pyzstd.decompress(data)
 
 
 class CodecError(RuntimeError):
@@ -109,7 +121,7 @@ def compress_v2(data: bytes, compressor: dict | None) -> bytes:
                 clevel=compressor.get("clevel", 5),
                 shuffle=compressor.get("shuffle", 1),
             )
-        if cname in ("zlib", "lz4", "blosclz", "snappy"):
+        if cname in ("zlib", "lz4", "blosclz", "snappy", "zstd"):
             return _blosc1.compress(
                 data,
                 typesize=compressor.get("typesize", 8) or 8,
@@ -117,10 +129,7 @@ def compress_v2(data: bytes, compressor: dict | None) -> bytes:
                 shuffle=compressor.get("shuffle", 1),
                 cname=cname,
             )
-        raise CodecError(
-            f"blosc cname={cname!r} needs the blosc wheel (not installed); "
-            "cname='zlib'/'lz4'/'blosclz'/'snappy' work without it"
-        )
+        raise CodecError(f"unknown blosc cname {cname!r}")
     raise CodecError(f"unsupported v2 compressor {cid!r}")
 
 
@@ -159,8 +168,6 @@ def compress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
         elif name == "zlib":
             data = zlib.compress(data, conf.get("level", 5))
         elif name == "zstd":
-            if _zstd_compress is None:
-                raise CodecError("zstd codec needs compression.zstd (py3.14+) or the zstandard wheel")
             data = _zstd_compress(data, conf.get("level", 3))
         elif name == "blosc":
             cname = conf.get("cname", "lz4")
@@ -169,16 +176,13 @@ def compress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
                                        cname=cname,
                                        clevel=conf.get("clevel", 5),
                                        shuffle=_blosc_shuffle(conf.get("shuffle", "shuffle")))
-            elif cname in ("zlib", "lz4", "blosclz", "snappy"):
+            elif cname in ("zlib", "lz4", "blosclz", "snappy", "zstd"):
                 data = _blosc1.compress(data, typesize=conf.get("typesize", 8) or 8,
                                         clevel=conf.get("clevel", 5),
                                         shuffle=_blosc_shuffle(conf.get("shuffle", "shuffle")),
                                         cname=cname)
             else:
-                raise CodecError(
-                    f"blosc cname={cname!r} needs the blosc wheel (not installed); "
-                    "cname='zlib'/'lz4'/'blosclz'/'snappy' work without it"
-                )
+                raise CodecError(f"unknown blosc cname {cname!r}")
         elif name == "crc32c":
             data = data + struct.pack("<I", crc32c(data))
         else:
@@ -196,9 +200,10 @@ def decompress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
         elif name == "zlib":
             data = zlib.decompress(data)
         elif name == "zstd":
-            if _zstd_decompress is None:
-                raise CodecError("zstd codec needs compression.zstd (py3.14+) or the zstandard wheel")
-            data = _zstd_decompress(data)
+            try:
+                data = _zstd_decompress(data)
+            except Exception as e:  # wheel and pure paths raise differently
+                raise CodecError(f"zstd chunk: {e}") from e
         elif name == "blosc":
             if _blosc is not None:
                 data = _blosc.decompress(data)

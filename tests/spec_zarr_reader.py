@@ -243,6 +243,48 @@ def _blosc_decode(frame: bytes) -> bytes:
     return bytes(out)
 
 
+
+def _zstd_store_decode(src: bytes) -> bytes:
+    """Independent decode of STORE-MODE zstd frames (RFC 8878 frame/block
+    headers; raw + RLE blocks) — the layout the engine's wheel-free writer
+    emits. Entropy-coded blocks are out of the spec reader's scope (the
+    engine's full decoder is differentially pinned against the independent
+    test encoder in tests/test_zstd.py instead)."""
+    import struct as _st
+
+    out = bytearray()
+    i = 0
+    while i < len(src):
+        (magic,) = _st.unpack_from("<I", src, i); i += 4
+        if 0x184D2A50 <= magic <= 0x184D2A5F:  # skippable frame
+            (n,) = _st.unpack_from("<I", src, i); i += 4 + n
+            continue
+        assert magic == 0xFD2FB528, "spec reader: bad zstd magic"
+        fhd = src[i]; i += 1
+        single = bool(fhd & 0x20)
+        if not single:
+            i += 1  # window descriptor
+        i += (0, 1, 2, 4)[fhd & 3]  # dictionary id
+        fcs_flag = fhd >> 6
+        flen = (1 if single else 0, 2, 4, 8)[fcs_flag]
+        i += flen  # content size (not needed to walk blocks)
+        while True:
+            bh = src[i] | (src[i + 1] << 8) | (src[i + 2] << 16); i += 3
+            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+            if btype == 0:
+                out += src[i : i + bsize]; i += bsize
+            elif btype == 1:
+                out += bytes([src[i]]) * bsize; i += 1
+            else:
+                raise ValueError(
+                    "spec reader: entropy-coded zstd block (store-mode only)")
+            if last:
+                break
+        if fhd & 0x4:
+            i += 4  # content checksum
+    return bytes(out)
+
+
 def _decompress(raw: bytes, compressor, v3_codecs) -> bytes:
     if compressor is not None:  # v2
         cid = compressor.get("id")
@@ -263,6 +305,8 @@ def _decompress(raw: bytes, compressor, v3_codecs) -> bytes:
             raw = zlib.decompress(raw)
         elif name == "blosc":
             raw = _blosc_decode(raw)
+        elif name == "zstd":
+            raw = _zstd_store_decode(raw)
         else:
             raise ValueError(f"spec reader: unsupported v3 codec {name}")
     return raw

@@ -122,13 +122,13 @@ def test_codecs_v2_blosc_zlib_without_wheel():
     enc = compress_v2(data, comp)
     assert len(enc) < len(data)
     assert decompress_v2(enc, comp) == data
-    # snappy is handled natively now too; the one remaining gated cname
-    # (zstd) errors loudly
-    enc_sn = compress_v2(data, {"id": "blosc", "cname": "snappy",
-                                "shuffle": 1, "typesize": 8})
-    assert decompress_v2(enc_sn, comp) == data
-    with pytest.raises(CodecError, match="zstd"):
-        compress_v2(data, {"id": "blosc", "cname": "zstd"})
+    # every cname is handled natively now; an unknown one errors loudly
+    for cname in ("snappy", "zstd", "lz4", "blosclz"):
+        enc_n = compress_v2(data, {"id": "blosc", "cname": cname,
+                                   "shuffle": 1, "typesize": 8})
+        assert decompress_v2(enc_n, comp) == data, cname
+    with pytest.raises(CodecError, match="unknown blosc cname"):
+        compress_v2(data, {"id": "blosc", "cname": "lzma"})
 
 
 # ------------------------------------------------------- store-level gates

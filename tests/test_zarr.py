@@ -915,14 +915,15 @@ def test_bands_from_signatures_matches_minhash_bands(spark, sf_dir):
     pd.testing.assert_frame_equal(a, b)
 
 
-def test_spec_compressor_blosclz_honored_natively():
-    """cname=blosclz must map to a real blosc codec, not the zlib fallback —
-    sources/blosclz.py implements the block format wheel-free (ADVICE r6).
-    snappy/zstd still fall back to zlib at the same level until their pure
-    decoders land on the WRITE path."""
+def test_spec_compressor_all_cnames_honored_natively():
+    """Every blosc cname the reference accepts maps to a real blosc codec —
+    no zlib fallback remains (blosclz per ADVICE r6; snappy and zstd now
+    have wheel-free paths too: snappy.py greedy encoder, zstd.py
+    store-mode frames + full RFC 8878 decode)."""
     from mdio_cpp_spark.model import _map_spec_compressor
 
-    out = _map_spec_compressor({"name": "blosc", "cname": "blosclz", "clevel": 7})
-    assert out == {"id": "blosc", "cname": "blosclz", "clevel": 7, "shuffle": 1}
-    fb = _map_spec_compressor({"name": "blosc", "cname": "zstd", "clevel": 3})
-    assert fb == {"id": "zlib", "level": 3}
+    for cname in ("blosclz", "snappy", "zstd", "lz4", "zlib"):
+        out = _map_spec_compressor(
+            {"name": "blosc", "cname": cname, "clevel": 7})
+        assert out == {"id": "blosc", "cname": cname, "clevel": 7,
+                       "shuffle": 1}, cname
