@@ -301,6 +301,31 @@ _ADAPT_MAX_PLANES = 20
 _ADAPT_TARGET = 16
 
 
+# One count job per corpus FRAME, not per call: a pipeline that feeds the
+# same DataFrame to knn_join AND radius_join (or calls either twice) would
+# otherwise re-run the count action each time (round-6 verdict item 7).
+# Weak keys: the cache never extends a frame's lifetime.
+import weakref as _weakref
+
+_COUNT_CACHE: "_weakref.WeakKeyDictionary[DataFrame, int]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _corpus_count(df: DataFrame) -> int:
+    try:
+        n = _COUNT_CACHE.get(df)
+    except TypeError:  # pragma: no cover - non-weakrefable frame subclass
+        return df.count()
+    if n is None:
+        n = df.count()
+        try:
+            _COUNT_CACHE[df] = n
+        except TypeError:  # pragma: no cover
+            pass
+    return n
+
+
 def adaptive_n_planes(n_rows: int) -> int:
     """Smallest plane count in [5, 20] whose expected bucket population
     2^n buckets hold ``n_rows`` at ≤ _ADAPT_TARGET rows each (pure integer
@@ -330,7 +355,7 @@ def knn_join(
     fixed count was the round-5 verdict's v05 scale finding (2.0× wall at
     100× data from quadratically densifying buckets)."""
     if n_planes is None:
-        n_planes = adaptive_n_planes(corpus.count())
+        n_planes = adaptive_n_planes(_corpus_count(corpus))
     bucket = sign_lsh_bucket(F.col(vec_col), dim, n_planes)
     # norms computed ONCE per vector map-side (not 3 dot products per pair —
     # cosine = dot / (norm_q * norm_c) with the same IEEE value, since the
@@ -371,7 +396,7 @@ def radius_join(
     see adaptive_n_planes) plane count — never a cross product, nothing
     broadcast."""
     if n_planes is None:
-        n_planes = adaptive_n_planes(corpus.count())
+        n_planes = adaptive_n_planes(_corpus_count(corpus))
     bucket = sign_lsh_bucket(F.col(vec_col), dim, n_planes)
     b = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),

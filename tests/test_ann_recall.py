@@ -106,3 +106,24 @@ def test_knn_join_adaptive_equals_explicit(spark):
         n_planes=similarity.adaptive_n_planes(300),
     )
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, expl.collect()))
+
+
+def test_corpus_count_cached_across_knn_and_radius(spark):
+    """One count job per corpus frame: knn_join and radius_join on the
+    SAME DataFrame must reuse the cached size for adaptive_n_planes
+    (round-6 verdict item 7)."""
+    from unittest import mock
+
+    from mdio_cpp_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float((i * 3) % 7)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    with mock.patch.object(
+        type(df), "count", autospec=True, side_effect=type(df).count
+    ) as spy:
+        similarity.knn_join(df, "vec_id", "embedding", dim=2, k=2).collect()
+        similarity.radius_join(df, "vec_id", "embedding", dim=2,
+                               threshold=0.5).collect()
+    assert spy.call_count == 1
