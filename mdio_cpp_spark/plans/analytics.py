@@ -3296,10 +3296,14 @@ def ga05(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood — THE primitive d06's distributed connected-components
     fallback iterates to a fixed point, surfaced as its own declared
     gate so the iteration's single step is differentially pinned (ga04
-    does the weighted-PageRank analog). One keyed min over the mirrored
-    edge list co-partitioned with the node set; per sweep the shuffle
-    carries one (src, dst) pair per edge and the state is one label per
-    node — the message-passing shape at any graph size. Exact integers."""
+    does the weighted-PageRank analog). ONE keyed min over the mirrored
+    edge list — the node set is exactly distinct(src) of the mirrored
+    edges, so the closed-neighborhood min is a single groupBy(src) with
+    least(src, min(dst)); no separate node frame, no join. Both mirror
+    directions explode from one pass over the pair list (no persist, no
+    double scan). Per sweep the shuffle carries one (src, dst) pair per
+    edge and the state is one label per node — the message-passing shape
+    at any graph size. Exact integers."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
     per_order = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_suppkey")).alias("supps")
@@ -3320,17 +3324,16 @@ def ga05(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.a", "p.b").distinct()
-    # four plan positions read the edge list (mirror halves × node-set +
-    # neighborhood join); persist the small (a, b) pairs so the lineitem
-    # scan + within-order expansion runs once
-    pairs = pairs.persist()
-    ud = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
-    nodes = ud.select(F.col("src").alias("node")).distinct()
+    ud = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return (
-        nodes.join(ud, nodes["node"] == ud["src"], "left")
-        .groupBy("node")
+        ud.groupBy(F.col("src").alias("node"))
         .agg(F.least(F.col("node"), F.min("dst")).cast("long").alias("new_label"))
         .orderBy("node")
     )

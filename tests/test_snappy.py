@@ -206,13 +206,14 @@ def test_blosc_snappy_multiblock_and_spec_reader():
     assert _blosc_decode(frame) == data
 
 
-def test_blosc_zstd_still_rejected():
-    """Wiring snappy must not silently accept the remaining wheel-gated
-    cname: a zstd (codec id 4) frame still raises loudly."""
+def test_blosc_unknown_codec_id_rejected():
+    """All five real cname ids decode now (zstd landed after snappy); a
+    frame whose flags carry an id outside the c-blosc enum still raises
+    loudly instead of guessing."""
     data = b"payload-bytes" * 50
     comp = zlib.compress(data, 5)
-    head = struct.pack("<BBBB iii", 2, 1, 4 << 5, 1, len(data), len(data),
+    head = struct.pack("<BBBB iii", 2, 1, 5 << 5, 1, len(data), len(data),
                        16 + 4 + 4 + len(comp))
     frame = head + struct.pack("<i", 16 + 4) + struct.pack("<i", len(comp)) + comp
-    with pytest.raises(blosc1.BloscFormatError, match="cname='zstd'"):
+    with pytest.raises(blosc1.BloscFormatError, match="unknown blosc codec"):
         blosc1.decompress(frame)
