@@ -5043,3 +5043,73 @@ def v14(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
     )
     return ranked.filter(F.col("rk") <= 5).orderBy("q_id", "rk")
+
+
+@declared(
+    "p18_boilerplate_strip",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DD_TOKS} AS w FROM documents),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(w) // {_BLK}),
+                    i -> md5(array_to_string(w[i * {_BLK} + 1 : i * {_BLK} + {_BLK}], ' ')))) AS bh
+      FROM toks WHERE len(w) >= {_BLK}
+    ),
+    shared AS (SELECT bh FROM b GROUP BY bh HAVING COUNT(DISTINCT doc_id) >= 2),
+    dropped AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dropped_blocks
+      FROM b JOIN shared USING (bh) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tok,
+           CAST(len(t.w) - {_BLK} * COALESCE(d.dropped_blocks, 0) AS BIGINT) AS kept_tok,
+           CAST(COALESCE(d.dropped_blocks, 0) AS BIGINT) AS dropped_blocks,
+           ROUND(CAST({_BLK} * COALESCE(d.dropped_blocks, 0) AS DOUBLE)
+                 / GREATEST(len(t.w), 1), 4) + 0.0 AS drop_frac
+    FROM toks t LEFT JOIN dropped d USING (doc_id) ORDER BY t.doc_id
+    """,
+)
+def p18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span STRIP — the apply step for d08's block-level dedup
+    (the Falcon/RefinedWeb exact-span removal shape): every 16-token block
+    whose hash appears in ≥2 distinct documents is dropped; per document
+    the report carries total tokens, retained tokens (tail tokens past the
+    last full block always survive), dropped-block count, and the dropped
+    fraction. Scale shape: blocks shuffle as (doc_id, 32-char hash) pairs
+    only; the shared set is an aggregate on the SAME bh key, so the
+    back-join is co-partitioned (exchange reuse, no extra shuffle); a
+    left-semi keeps per-occurrence rows without materializing widths. At
+    100 TB ubiquitous boilerplate hashes are exactly the keys AQE's
+    skew-join splits. Exact integer token accounting; one rounded ratio."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    toksd = d.select("doc_id", text.tokens(F.col("text")).alias("w")).select(
+        "doc_id", F.col("w"), F.size("w").alias("n")
+    )
+    blocks = toksd.filter(F.col("n") >= _BLK).select(
+        "doc_id", F.explode(text.token_blocks(F.col("w"), _BLK)).alias("bh")
+    )
+    shared = (
+        blocks.groupBy("bh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("bh")
+    )
+    dropped = (
+        blocks.join(shared, "bh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dropped_blocks"))
+    )
+    db = F.coalesce(F.col("dropped_blocks"), F.lit(0)).cast("long")
+    return (
+        toksd.select("doc_id", "n")
+        .join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tok"),
+            (F.col("n") - _BLK * db).cast("long").alias("kept_tok"),
+            db.alias("dropped_blocks"),
+            (F.round((_BLK * db).cast("double") / F.greatest(F.col("n"), F.lit(1)), 4)
+             + 0.0).alias("drop_frac"),
+        )
+        .orderBy("doc_id")
+    )
