@@ -217,3 +217,22 @@ def test_blosc_unknown_codec_id_rejected():
     frame = head + struct.pack("<i", 16 + 4) + struct.pack("<i", len(comp)) + comp
     with pytest.raises(blosc1.BloscFormatError, match="unknown blosc codec"):
         blosc1.decompress(frame)
+
+
+def test_corruption_fuzz_never_hangs_or_overallocates():
+    """Random single-byte corruption of snappy streams must decode-or-
+    raise SnappyFormatError with bounded output — the bomb-bound posture
+    under adversarial chunks."""
+    import random
+
+    rng = random.Random(77)
+    base = compress_block(bytes(rng.randrange(8) for _ in range(5000)))
+    for _ in range(400):
+        mut = bytearray(base)
+        i = rng.randrange(len(mut))
+        mut[i] ^= 1 << rng.randrange(8)
+        try:
+            out = decompress_block(bytes(mut))
+            assert len(out) <= len(base) * 64
+        except SnappyFormatError:
+            pass

@@ -360,3 +360,30 @@ def test_entropy_coded_zstd_store_reads_through_spark(spark, tmp_path):
     assert np.array_equal(arr, want)
     # driver-side whole-array read agrees too
     assert np.array_equal(ZarrStore.open(root).read_array("v"), want)
+
+
+def test_corruption_fuzz_never_hangs_or_overallocates():
+    """Random single-byte corruptions of valid frames (both store-mode and
+    entropy-coded) must either still decode to SOMETHING size-bounded or
+    raise ZstdFormatError — never hang, never materialize more than the
+    bomb bound, never escape with a foreign exception."""
+    rng = random.Random(99)
+    lits = b"abcdefghij_XYZ_0123"
+    seqs = [(4, 4 + 3, 5), (3, 2 + 3, 4), (0, 9 + 3, 3)]
+    block = enc.literals_raw(lits) + enc.encode_sequences(
+        seqs, ("predef",), ("predef",), ("predef",))
+    want_len = len(_run_frame([(lits, [(4, 4, 5), (3, 2, 4), (0, 9, 3)])]))
+    frames = [
+        compress(bytes(rng.randrange(256) for _ in range(3000))),
+        enc.frame([(2, block, None)], want_len),
+    ]
+    for base in frames:
+        for _ in range(400):
+            mut = bytearray(base)
+            i = rng.randrange(len(mut))
+            mut[i] ^= 1 << rng.randrange(8)
+            try:
+                out = decompress(bytes(mut))
+                assert len(out) <= len(base) * 64  # no amplification blowup
+            except ZstdFormatError:
+                pass  # the expected loud failure

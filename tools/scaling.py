@@ -51,6 +51,9 @@ PICKS = [
     ("u06_incremental_agg", "delta-maintained aggregate (broadcast semi prune)"),
     ("zarr105_dft_spectrum", "integer-quantized DFT over stored traces"),
     ("d16_fuzzy_split_leakage", "cross-split LSH candidates + exact verify"),
+    ("ga05_label_prop_step", "label-prop step: one groupBy(src) over mirrored edges"),
+    ("p18_boilerplate_strip", "block-hash strip: co-keyed agg + semi join, exchange reuse"),
+    ("zarr112_sharded_lz4_pushdown", "sharded + compressed + DSv2 pushdown partial reads"),
 ]
 
 
