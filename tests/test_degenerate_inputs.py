@@ -356,3 +356,54 @@ def test_u06_deletes_empty_a_whole_group(spark, tmp_path):
            for r in REGISTRY["u06_incremental_agg"].spark(spark, d).collect()}
     assert "X" not in got          # emptied group vanishes
     assert got["Y"] == (3, 18.0)   # untouched group exact
+
+
+def test_boilerplate_strip_short_and_empty_docs(spark):
+    """p18's strip math on inputs the gate corpus lacks: an empty doc, a
+    doc shorter than one block (nothing strippable — all tokens kept), and
+    two docs sharing their ONLY full block (both lose exactly 16 tokens,
+    tails survive). drop_frac must never divide by zero."""
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.functions import text
+    from mdio_cpp_spark.plans.pipeline import _BLK
+
+    shared = " ".join(f"tok{i}" for i in range(_BLK))
+    rows = [
+        (1, ""),                            # empty: 0 tokens, frac 0
+        (2, "just a few words"),            # < one block: all kept
+        (3, shared + " tail1 tail2"),       # shared block + 2-token tail
+        (4, shared),                        # shared block, no tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = df.select("doc_id", text.tokens(F.col("text")).alias("w")).select(
+        "doc_id", "w", F.size("w").alias("n")
+    )
+    blocks = toks.filter(F.col("n") >= _BLK).select(
+        "doc_id", F.explode(text.token_blocks(F.col("w"), _BLK)).alias("bh")
+    )
+    sharedb = (
+        blocks.groupBy("bh").agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2).select("bh")
+    )
+    dropped = (
+        blocks.join(sharedb, "bh", "left_semi")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("dropped_blocks"))
+    )
+    db = F.coalesce(F.col("dropped_blocks"), F.lit(0)).cast("long")
+    out = {
+        r["doc_id"]: (r["n_tok"], r["kept"], r["frac"])
+        for r in toks.select("doc_id", "n")
+        .join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tok"),
+            (F.col("n") - _BLK * db).cast("long").alias("kept"),
+            (F.round((_BLK * db).cast("double")
+                     / F.greatest(F.col("n"), F.lit(1)), 4) + 0.0).alias("frac"),
+        ).collect()
+    }
+    assert out[1] == (0, 0, 0.0)
+    assert out[2] == (4, 4, 0.0)
+    assert out[3] == (_BLK + 2, 2, round(_BLK / (_BLK + 2), 4))
+    assert out[4] == (_BLK, 0, 1.0)

@@ -387,3 +387,38 @@ def test_corruption_fuzz_never_hangs_or_overallocates():
                 assert len(out) <= len(base) * 64  # no amplification blowup
             except ZstdFormatError:
                 pass  # the expected loud failure
+
+
+def test_randomized_sequence_programs_roundtrip():
+    """Property-style differential: random VALID (literals, sequences)
+    programs — offsets always within the produced output, lengths drawn
+    across the code tables' extra-bit ranges — encoded by the independent
+    encoder and decoded by the engine, 60 programs x up to 12 sequences."""
+    rng = random.Random(20260815)
+    for trial in range(60):
+        n_seq = rng.randint(1, 12)
+        lits = bytes(rng.randrange(97, 123) for _ in range(rng.randint(n_seq, 200)))
+        # walk a reference execution to keep every offset legal
+        out_len = 0
+        lit_left = len(lits)
+        seqs = []
+        resolved = []
+        for s in range(n_seq):
+            max_ll = lit_left - (n_seq - 1 - s)  # leave 0+ for later seqs
+            ll = rng.randint(0, min(max_ll, 40))
+            lit_left -= ll
+            out_len += ll
+            if out_len == 0:
+                ll = 1  # first sequence must produce a byte before a match
+                lit_left -= 1
+                out_len += 1
+            off = rng.randint(1, out_len)
+            ml = rng.choice([3, 4, 5, 17, 33, 44, 70, 131])
+            seqs.append((ll, off + 3, ml))
+            resolved.append((ll, off, ml))
+            out_len += ml
+        want = _run_frame([(lits, resolved)])
+        block = enc.literals_raw(lits) + enc.encode_sequences(
+            seqs, ("predef",), ("predef",), ("predef",))
+        got = decompress(enc.frame([(2, block, None)], len(want)))
+        assert got == want, f"trial {trial}"
