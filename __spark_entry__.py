@@ -50,16 +50,47 @@ def _driver_verified() -> set[str]:
 _DRIVER_VERIFIED = _driver_verified()
 
 
+def _backlog_era() -> set[str]:
+    """Names that existed in a PRIOR round's registry — i.e. appear in a
+    CHECK_FULL artifact from a round strictly before the newest one (the
+    newest is regenerated mid-round and already contains this round's
+    additions). Fresh names from earlier rounds form the verification
+    backlog; names newer than that era queue strictly behind it."""
+    import re as _re
+
+    by_round: dict[int, list[str]] = {}
+    for path in _glob.glob(_os.path.join(_ROOT, "CHECK_FULL_r*.json")):
+        m = _re.search(r"CHECK_FULL_r(\d+)", _os.path.basename(path))
+        if m:
+            by_round.setdefault(int(m.group(1)), []).append(path)
+    if not by_round:
+        return set()
+    rounds = sorted(by_round)
+    prior = rounds[:-1] if len(rounds) > 1 else rounds
+    seen: set[str] = set()
+    for r in prior:
+        for path in by_round[r]:
+            try:
+                with open(path) as f:
+                    seen |= set(_json.load(f))
+            except (OSError, ValueError):
+                continue
+    return seen
+
+
 def _ordered_names() -> list[str]:
-    """Registry names with never-driver-verified entries FIRST (see
-    _DRIVER_VERIFIED), rest sorted. Every name appears exactly once.
-    Fresh names keep REGISTRY insertion order — NOT alphabetical — so a
-    query added this round (e.g. zarr110) queues BEHIND the existing
-    backlog (zarr23 < zarr110 lexically but zarr23 registered first)
-    instead of jumping it."""
-    fresh = [n for n in REGISTRY if n not in _DRIVER_VERIFIED]
+    """Registry names ordered: (1) never-driver-verified names from PRIOR
+    rounds (the backlog, in REGISTRY insertion order), (2) names added
+    after the last committed CHECK_FULL snapshot (this round's new
+    queries — they must not jump the backlog), (3) driver-verified names,
+    sorted. Every name appears exactly once."""
+    era = _backlog_era()
+    backlog = [n for n in REGISTRY
+               if n not in _DRIVER_VERIFIED and (not era or n in era)]
+    brand_new = [n for n in REGISTRY
+                 if n not in _DRIVER_VERIFIED and era and n not in era]
     rest = [n for n in sorted(REGISTRY) if n in _DRIVER_VERIFIED]
-    return fresh + rest
+    return backlog + brand_new + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
