@@ -238,6 +238,8 @@ def _fse_read_description(
         if prev_zero:
             flag = bits.read(2)
             probs.extend([0] * flag)
+            if len(probs) > max_symbol + 1:
+                raise ZstdFormatError("FSE description has too many symbols")
             if flag == 3:
                 continue
             prev_zero = False
@@ -261,6 +263,8 @@ def _fse_read_description(
             threshold >>= 1
     if remaining != 1:
         raise ZstdFormatError("corrupt FSE description (counts overshoot)")
+    if len(probs) > max_symbol + 1:
+        raise ZstdFormatError("FSE description has too many symbols")
     return probs, log
 
 
@@ -376,13 +380,13 @@ def _huf_read_tree(src: bytes) -> tuple[_HufTable, int]:
             weights.append(table.sym[s2])
             break
         s1 = table.base[s1] + bits.read(table.nb[s1])
+        if len(weights) > 253:  # next two appends would pass 255
+            raise ZstdFormatError("more than 255 Huffman weights")
         weights.append(table.sym[s2])
         if table.nb[s2] > bits.pos:
             weights.append(table.sym[s1])
             break
         s2 = table.base[s2] + bits.read(table.nb[s2])
-        if len(weights) > 254:
-            raise ZstdFormatError("more than 255 Huffman weights")
     if len(weights) > 255:
         raise ZstdFormatError("more than 255 Huffman weights")
     return _huf_from_weights(weights), 1 + hb

@@ -234,3 +234,27 @@ try:
         assert blosc1._bit_unshuffle(blosc1._bit_shuffle(blob, typesize), typesize) == blob
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_frame_corruption_fuzz_never_hangs_or_overallocates():
+    """Random single-byte corruption of whole blosc1 frames, one per
+    cname: every mutation decodes to a bounded buffer or raises
+    BloscFormatError — the shared bomb-bound posture of every block codec
+    (lz4/blosclz/snappy/zstd streams sit inside these frames, so this
+    fuzzes their container dispatch too)."""
+    import random
+
+    rng = random.Random(4242)
+    data = (np.arange(6000) % 251).astype("<f8").tobytes()
+    frames = [blosc1.compress(data, typesize=8, shuffle=1, cname=c)
+              for c in ("zlib", "lz4", "blosclz", "snappy", "zstd")]
+    for base in frames:
+        for _ in range(250):
+            mut = bytearray(base)
+            i = rng.randrange(len(mut))
+            mut[i] ^= 1 << rng.randrange(8)
+            try:
+                out = blosc1.decompress(bytes(mut))
+                assert len(out) <= len(data) * 64
+            except (blosc1.BloscFormatError, zlib.error):
+                pass
