@@ -206,7 +206,7 @@ def encode_sequences(seqs, ll_spec, of_spec, ml_spec) -> bytes:
         out.append(128 + (nseq >> 8))
         out.append(nseq & 0xFF)
     else:
-        out += bytes([255, nseq - 0x7F00 & 0xFF, (nseq - 0x7F00) >> 8])
+        out += bytes([255, (nseq - 0x7F00) & 0xFF, (nseq - 0x7F00) >> 8])
     mode_of = {"predef": 0, "rle": 1, "fse": 2, "repeat": 3}
     modes = (mode_of[ll_spec[0]] << 6) | (mode_of[of_spec[0]] << 4) | (
         mode_of[ml_spec[0]] << 2)
