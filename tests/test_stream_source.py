@@ -296,3 +296,38 @@ def test_patch_array_attrs_merges_not_replaces(tmp_path, spark):
     st.patch_array_attrs("v", {"frontier": N0})
     attrs = ZarrStore.open(path).array_meta("v").attrs
     assert attrs["custom:tag"] == "keepme" and attrs["frontier"] == N0
+
+
+def test_tail_sharded_v3_store(tmp_path, spark):
+    """Streaming tail composes with ZEP-2 sharding: a v3 SHARDED grid
+    (inner chunks 4x5 inside 8x10 shards, gzip inner chain) grows along
+    its append dim; each pass emits only the new row-slabs, and the
+    partition decode takes the box-aware PARTIAL shard read path
+    (index + touched inner chunks) because the slab box covers only part
+    of each boundary shard."""
+    R0, R1, C = 6, 13, 10
+    path = os.path.join(str(tmp_path), "sgrid.zarr")
+    st = ZarrStore.create(path, version=3, attrs={"name": "sgrid_tail"})
+    st.create_array("g", shape=(R0, C), chunks=(4, 5), shards=(8, 10),
+                    dtype="float64", dims=("r", "c"),
+                    compressor={"id": "gzip", "level": 1})
+
+    def rows_df(lo, hi):
+        return (spark.range(lo * C, hi * C).select(
+            (F.col("id") / C).cast("long").alias("r"),
+            (F.col("id") % C).alias("c"),
+            (F.col("id") * 1.5).alias("val")))
+
+    write_array(rows_df(0, R0), path, "g", value_cols="val")
+    ckpt = os.path.join(str(tmp_path), "ckpt_sharded")
+    got = _drain2d(spark, path, ckpt, append_dim="r")
+    assert len(got) == R0 * C
+    assert got[(0, 0)] == 0.0 and got[(R0 - 1, C - 1)] == (R0 * C - 1) * 1.5
+
+    grow_dataset(path, r=R1)
+    write_array(rows_df(R0, R1), path, "g", value_cols="val")
+    got2 = _drain2d(spark, path, ckpt, append_dim="r")
+    assert set(got2) == {(r, c) for r in range(R0, R1) for c in range(C)}, \
+        "second pass must emit ONLY the appended row-slabs"
+    assert got2[(R0, 0)] == R0 * C * 1.5
+    assert got2[(R1 - 1, C - 1)] == (R1 * C - 1) * 1.5
