@@ -5204,3 +5204,63 @@ def zarr111(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+@declared(
+    "zarr113_reshard_migration",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(price), 2) AS total,
+           MIN(price) AS min_v, MAX(price) AS max_v
+    FROM (SELECT o_totalprice AS price, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 1500 AND rn - 1 < 6900
+    """,
+)
+def zarr113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshard MIGRATION: a legacy v2 zlib store (one object per 2048-cell
+    chunk) is migrated by utils/transcode.reshard_array into the ZEP-2
+    sharded v3 layout (4096-cell shards of 512-cell blosc-lz4 inner
+    chunks) — the move a petascale store makes to stop melting object
+    stores under millions of tiny objects. The copy partitions over
+    DESTINATION shards (each task reads exactly its shard's source box,
+    writes ONE object; zero shuffle; all-fill shards elided; stale-grid
+    zone maps dropped), then the chunk-pruned partial-read scan aggregates
+    the migrated store against the orders oracle."""
+    from mdio_cpp_spark.utils.transcode import reshard_array
+    from mdio_cpp_spark.sources.writer import write_array
+
+    base = ensure_stores(spark, sf_dir)
+    legacy = os.path.join(base, "reshard_src.zarr")
+    path = os.path.join(base, "resharded.zarr")
+    marker = os.path.join(base, ".built_resharded_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(legacy, ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select(
+            "i", F.col("o_totalprice").alias("v")
+        )
+        n = ords.count()
+        st = ZarrStore.create(legacy, version=2, attrs={"name": "reshard_src"})
+        st.create_array(
+            "price", shape=(n,), chunks=(CHUNK,), dtype="float64", dims=("i",),
+            compressor={"id": "zlib", "level": 1},
+        )
+        st.consolidate()
+        write_array(ords, legacy, "price", value_cols="v")
+        reshard_array(
+            spark, legacy, path, "price", shards=(CHUNK * 2,),
+            inner_chunks=(512,),
+            compressor={"id": "blosc", "cname": "lz4", "clevel": 5,
+                        "shuffle": 1},
+        )
+        with open(marker, "w") as f:
+            f.write("1")
+    ds = MdioDataset.open(path)
+    return ds.isel(i=(1500, 6900)).to_df(spark, "price", value_col="v").agg(
+        F.count("v").cast("long").alias("cnt"),
+        F.round(F.sum("v"), 2).alias("total"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )

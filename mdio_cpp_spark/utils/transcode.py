@@ -85,3 +85,103 @@ def transcode_array(
         .collect()[0]
     )
     return {"chunks_total": int(row[0] or 0), "chunks_copied": int(row[1] or 0)}
+
+
+def reshard_array(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    var: str,
+    shards: tuple[int, ...],
+    inner_chunks: tuple[int, ...] | None = None,
+    compressor: dict | None = None,
+    shards_per_task: int = 2,
+) -> dict:
+    """Migrate ``var`` into a ZEP-2 SHARDED v3 layout — the move a legacy
+    store makes to become object-store friendly (millions of tiny chunk
+    objects → thousands of shard objects, each holding an indexed grid of
+    inner chunks; zarr109's layout).
+
+    Scale design: partition over DESTINATION shard ids — each task reads
+    exactly the source region its shard covers (chunk-pruned
+    ``read_array`` box; absent source chunks synthesize fill for free),
+    encodes the shard's inner chunks through ``compressor``, and writes
+    ONE object. ZERO shuffle, no driver materialization beyond scalars; a
+    source chunk straddling a shard boundary is decoded once per touching
+    shard — bounded by the neighbor count, never by data size. All-fill
+    shards are elided entirely (the destination synthesizes fill), and
+    all-fill INNER chunks inside a written shard cost index-only bytes
+    (MISSING entries), so sparsity survives the migration. The source
+    zone maps (attr manifest AND sidecar marker) are dropped — they index
+    the OLD chunk grid; rebuild with zonemap.ensure_chunk_stats if pruning
+    is wanted on the new grid.
+
+    ``inner_chunks`` defaults to the source chunk shape (so existing read
+    patterns keep their granularity); ``shards`` must be an element-wise
+    multiple of it. Returns {shards_total, shards_written}."""
+    from mdio_cpp_spark.sources.zonemap import SIDECAR_ATTR, STATS_KEY
+
+    src = ZarrStore.open(src_root)
+    meta = src.array_meta(var)
+    inner = tuple(int(x) for x in (inner_chunks or meta.chunks))
+    shards = tuple(int(x) for x in shards)
+    try:
+        dst = ZarrStore.open(dst_root)
+    except FileNotFoundError:
+        dst = ZarrStore.create(dst_root, version=3, attrs=dict(src.attrs))
+    if var not in dst.arrays():
+        # both zone forms index the OLD chunk grid — neither survives
+        attrs = {k: v for k, v in meta.attrs.items()
+                 if k not in (STATS_KEY, SIDECAR_ATTR)}
+        dst.create_array(
+            var, shape=meta.shape, chunks=inner, shards=shards,
+            dtype=meta.np_dtype, dims=meta.dims, attrs=attrs,
+            compressor=compressor, fill=meta.fill,
+        )
+
+    dmeta = dst.array_meta(var)  # dmeta.chunks == shard shape
+    n = dmeta.nchunks()
+    grid = dmeta.grid_shape()
+    dims = meta.dims or tuple(f"dim_{d}" for d in range(meta.ndim))
+    src_path, src_ver = src.root, src.version
+    dst_path, dst_ver = dst.root, dst.version
+    shape = tuple(meta.shape)
+
+    def copy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        s = ZarrStore(src_path, src_ver)
+        d = ZarrStore(dst_path, dst_ver)
+        dm = d.array_meta(var)
+        fill = dm.fill_scalar()
+        for pdf in batches:
+            written = 0
+            for linear in pdf["id"].to_numpy():
+                coords = tuple(int(c) for c in np.unravel_index(int(linear), grid))
+                lo = tuple(c * sh for c, sh in zip(coords, dm.chunks))
+                hi = tuple(min(l + sh, sz) for l, sh, sz in zip(lo, dm.chunks, shape))
+                region = s.read_array(var, ranges={
+                    dims[k]: (lo[k], hi[k]) for k in range(len(dims))
+                })
+                block = np.full(dm.chunks, fill, dtype=dm.np_dtype)
+                block[tuple(slice(0, h - l) for l, h in zip(lo, hi))] = region
+                try:  # all-fill shard: elide the object entirely
+                    if dm.np_dtype.kind == "f" and isinstance(fill, float) and np.isnan(fill):
+                        if bool(np.isnan(block).all()):
+                            continue
+                    elif bool((block == fill).all()):
+                        continue
+                except (TypeError, ValueError):
+                    pass  # exotic dtypes: just write it
+                d.write_chunk(dm, coords, block)
+                written += 1
+            yield pd.DataFrame({"n": [len(pdf)], "written": [written]})
+
+    par = max(1, spark.sparkContext.defaultParallelism)
+    n_parts = min(max(1, math.ceil(n / max(1, shards_per_task))), 64 * par)
+    row = (
+        spark.range(n, numPartitions=n_parts)
+        .mapInPandas(copy, "n long, written long")
+        .groupBy()
+        .sum("n", "written")
+        .collect()[0]
+    )
+    return {"shards_total": int(row[0] or 0), "shards_written": int(row[1] or 0)}

@@ -480,3 +480,63 @@ def test_sharded_lz4_dsv2_pushdown_fetches_only_touched_ranges(tmp_path, spark, 
     inner = [r for r in ranged if r[1] >= 0]
     assert len(suffix) == 1 and suffix[0][2] == 8 * 16 + 4  # one index GET
     assert len(inner) == 2  # exactly the two touched inner chunks
+
+
+def test_reshard_migration_v2_to_sharded_v3(tmp_path, spark):
+    """reshard_array: a legacy v2 zlib store (many small chunk objects,
+    one sparse region) migrates into a sharded v3 blosc-lz4 layout —
+    values identical through both the driver read and the independent
+    spec reader, object count collapses, all-fill shards elided, and the
+    source zone manifest (old grid) is NOT carried over."""
+    import numpy as np
+
+    from mdio_cpp_spark.sources import zonemap
+    from mdio_cpp_spark.utils.transcode import reshard_array
+
+    src = str(tmp_path / "legacy.zarr")
+    st = ZarrStore.create(src, version=2, attrs={"name": "legacy"})
+    st.create_array("v", shape=(40, 40), chunks=(5, 5), dtype="float64",
+                    dims=("r", "c"), compressor={"id": "zlib", "level": 1},
+                    fill=0.0)
+    st.consolidate()
+    vals = np.fromfunction(lambda r, c: (r * 40 + c) % 97, (40, 40))
+    vals[20:40, 0:20] = 0.0  # a quarter of the array is pure fill
+    st.write_array_numpy("v", vals)
+    zonemap.ensure_chunk_stats(spark, src, "v")
+    src_attrs = ZarrStore.open(src).array_meta("v").attrs
+    assert (zonemap.STATS_KEY in src_attrs
+            or zonemap.SIDECAR_ATTR in src_attrs)
+
+    dst = str(tmp_path / "sharded.zarr")
+    report = reshard_array(
+        spark, src, dst, "v", shards=(20, 20), inner_chunks=(5, 5),
+        compressor={"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
+    )
+    assert report == {"shards_total": 4, "shards_written": 3}  # 1 all-fill
+
+    d = ZarrStore.open(dst)
+    dm = d.array_meta("v")
+    assert dm.shard is not None and dm.chunks == (20, 20)
+    assert dm.shard["chunk_shape"] == (5, 5)
+    # old-grid zone maps dropped (both the attr manifest and the sidecar
+    # marker index the 8x8 source grid, meaningless on the 2x2 shard grid)
+    assert zonemap.STATS_KEY not in dm.attrs
+    assert zonemap.SIDECAR_ATTR not in dm.attrs
+    assert np.array_equal(d.read_array("v"), vals)
+    assert np.array_equal(specr.read_zarr_array(dst, "v"), vals)
+    # object economics: 64 source chunk objects -> 3 shard objects
+    n_objects = sum(len(fs) for _, _, fs in os.walk(os.path.join(dst, "v")))
+    assert n_objects <= 1 + 3  # zarr.json + 3 written shards
+    # the written shards' inner chunks really are blosc-lz4
+    raw = d.read_bytes(dm.chunk_key((0, 0)))
+    isize = 16 * 16 + 4
+    pairs = np.frombuffer(raw[-isize:-4], dtype="<u8").reshape(16, 2)
+    off, ln = int(pairs[0][0]), int(pairs[0][1])
+    frame = raw[off : off + ln]
+    assert not frame[2] & 0x2 and (frame[2] >> 5) & 0x7 == 1
+    # distributed scan agrees too
+    from mdio_cpp_spark.sources.reader import scan_array
+
+    got = scan_array(spark, dst, "v", ranges={"r": (3, 27), "c": (12, 33)}).collect()
+    for row in got[:50]:
+        assert row["value"] == vals[row["r"], row["c"]]
