@@ -540,3 +540,32 @@ def test_reshard_migration_v2_to_sharded_v3(tmp_path, spark):
     got = scan_array(spark, dst, "v", ranges={"r": (3, 27), "c": (12, 33)}).collect()
     for row in got[:50]:
         assert row["value"] == vals[row["r"], row["c"]]
+
+
+def test_reshard_struct_dtype_and_default_inner(tmp_path, spark):
+    """reshard_array edges: a STRUCT-dtype array (all-fill detection takes
+    the conservative write path) with inner_chunks defaulted to the source
+    chunk shape — values survive field-for-field."""
+    import numpy as np
+
+    from mdio_cpp_spark.utils.transcode import reshard_array
+
+    src = str(tmp_path / "hdr_src.zarr")
+    st = ZarrStore.create(src, version=2)
+    st.create_array("h", shape=(24,), chunks=(4,), dtype={"fields": [
+        {"name": "a", "format": "int32"}, {"name": "b", "format": "int64"}]},
+        dims=("i",))
+    st.consolidate()
+    rec = np.zeros(24, dtype=[("a", "<i4"), ("b", "<i8")])
+    rec["a"] = np.arange(24)
+    rec["b"] = np.arange(24) * 11
+    st.write_array_numpy("h", rec)
+
+    dst = str(tmp_path / "hdr_sharded.zarr")
+    report = reshard_array(spark, src, dst, "h", shards=(8,))
+    assert report["shards_total"] == 3
+    d = ZarrStore.open(dst)
+    dm = d.array_meta("h")
+    assert dm.shard is not None and dm.shard["chunk_shape"] == (4,)
+    got = d.read_array("h")
+    assert np.array_equal(got["a"], rec["a"]) and np.array_equal(got["b"], rec["b"])
