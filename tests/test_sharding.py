@@ -569,3 +569,25 @@ def test_reshard_struct_dtype_and_default_inner(tmp_path, spark):
     assert dm.shard is not None and dm.shard["chunk_shape"] == (4,)
     got = d.read_array("h")
     assert np.array_equal(got["a"], rec["a"]) and np.array_equal(got["b"], rec["b"])
+
+
+def test_trim_composes_with_sharding():
+    """trim_dataset on a sharded v3 store: the shard grid IS the chunk
+    grid, so out-of-range SHARD objects delete and the boundary shard's
+    now-out-of-range inner cells clip on read."""
+    import numpy as np
+
+    from mdio_cpp_spark.utils.trim import trim_dataset
+
+    root = _fresh("trim")
+    st = ZarrStore.create(root, version=3)
+    st.create_array("g", shape=(32,), chunks=(4,), shards=(16,),
+                    dtype="float64", dims=("i",))
+    st.write_array_numpy("g", np.arange(32.0))
+    assert sum(len(f) for _, _, f in os.walk(os.path.join(root, "g"))) == 3
+    trim_dataset(root, i=10)
+    st2 = ZarrStore.open(root)
+    assert st2.array_meta("g").shape == (10,)
+    # the second shard object (cells 16-31, fully out of range) is gone
+    assert sum(len(f) for _, _, f in os.walk(os.path.join(root, "g"))) == 2
+    assert np.array_equal(st2.read_array("g"), np.arange(10.0))
