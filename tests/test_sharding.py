@@ -591,3 +591,40 @@ def test_trim_composes_with_sharding():
     # the second shard object (cells 16-31, fully out of range) is gone
     assert sum(len(f) for _, _, f in os.walk(os.path.join(root, "g"))) == 2
     assert np.array_equal(st2.read_array("g"), np.arange(10.0))
+
+
+def test_zone_maps_prune_shards(tmp_path, spark):
+    """Zone-map value pruning operates on the SHARD grid (meta.chunks is
+    the shard shape): a pushed `value >= 7000` filter keeps ONE of four
+    shard objects — no GET, no index read, no decode for the other three.
+    Composed with the partial inner-chunk reads this is the full
+    object-store story: prune to the right shard, then range-GET only the
+    touched inner chunks inside it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from mdio_cpp_spark.sources import zonemap
+    from mdio_cpp_spark.sources.datasource import MdioDataSource
+    from mdio_cpp_spark.sources.writer import write_array
+
+    root = str(tmp_path / "zs.zarr")
+    st = ZarrStore.create(root, version=3)
+    st.create_array("v", shape=(8000,), chunks=(250,), shards=(2000,),
+                    dtype="float64", dims=("i",))
+    df = spark.range(8000).select(F.col("id").alias("i"),
+                                  F.col("id").cast("double").alias("val"))
+    write_array(df, root, "v", value_cols="val")
+    zonemap.ensure_chunk_stats(spark, root, "v")
+
+    s = MdioDataSource({"path": root, "variable": "v"})
+    r = s.reader(s.schema())
+    leftover = list(r.pushFilters([GreaterThanOrEqual(("value",), 7000.0)]))
+    assert leftover == []
+    zk = r._zone_keeper()
+    assert zk is not None
+    survivors = [c for p in r.partitions() for c in p.coords_iter() if zk(c)]
+    assert survivors == [(3,)]  # cells 6000-8000 only
+    # and the surviving shard's rows come back right
+    rows = [row for p in r.partitions() for b in r.read(p)
+            for row in b.to_pylist()]
+    assert sorted(x["i"] for x in rows) == list(range(7000, 8000))
