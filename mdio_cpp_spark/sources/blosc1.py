@@ -56,7 +56,7 @@ in c-blosc's split list, so its full blocks stay single-stream (the
 region-extent detection above would decode split frames anyway).
 
 ``cname=zstd`` — RFC 8878 — is handled by sources/zstd.py (full FSE +
-Huffman decode; store-mode encode), closing the LAST cname: every blosc
+Huffman decode; compressed-block encode), closing the LAST cname: every blosc
 configuration the reference accepts now decodes wheel-free. Memcpy'd
 frames decode regardless of codec id (no decompression is involved).
 """
@@ -314,8 +314,6 @@ def compress(
         elif codec_id == _SNAPPY_ID:
             comp = _snappy.compress_block(sub)
         elif codec_id == _ZSTD_ID:
-            # store-mode frames (sources/zstd.py): valid zstd, no entropy
-            # coding — streams land in the raw-storage fallback below
             comp = _zstd.compress(sub)
         else:
             comp = _lz4.compress_block(sub)

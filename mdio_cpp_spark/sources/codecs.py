@@ -37,9 +37,9 @@ from mdio_cpp_spark.sources import blosc1 as _blosc1
 # have the `zstandard` wheel. Neither is in this container (probe log in
 # tests/INTEROP_PROBE.md) — the pure-Python RFC 8878 decoder
 # (sources/zstd.py: full FSE + Huffman) covers DECODE wheel-free, and its
-# store-mode encoder (raw blocks + checksum, valid frames, no entropy
-# coding) covers WRITE for spec-requested zstd chains. The stdlib/wheel
-# still takes priority when importable.
+# compressed-block encoder (Huffman literals + predefined-FSE sequences,
+# raw-block fallback) covers WRITE for spec-requested zstd chains. The
+# stdlib/wheel still takes priority when importable.
 _zstd_compress = _zstd_decompress = None
 try:  # pragma: no cover - stdlib on 3.14+
     from compression import zstd as _stdlib_zstd  # type: ignore

@@ -26,10 +26,14 @@ byte is materialized, sequence copies are bounds-checked against the
 produced output, and the backward bitstreams refuse reads past their start
 except where the spec allows zero-fill (Huffman tails).
 
-ENCODE is store-mode only: raw blocks + checksum — a valid zstd frame any
-decoder accepts (real entropy coding needs the wheel; the engine's own
-stores default to zlib/gzip anyway). It exists so spec-requested v3
-``zstd`` chains round-trip wheel-free.
+ENCODE emits one compressed-block mode — greedy-LZ sequences over the
+PREDEFINED FSE tables + Huffman-compressed literals (direct 4-bit
+weights, package-merge length-limited codes) — with a per-block raw
+fallback whenever entropy coding does not shrink the chunk, so
+spec-requested v3 ``zstd`` chains actually compress wheel-free.
+``level <= 0`` keeps the round-7 store mode (raw blocks only). The
+encoder is pinned differentially: the independent spec reader
+(tests/spec_zarr_reader.py, zero engine imports) must decode its frames.
 
 Dictionaries (dictionary_ID != 0) are refused loudly — out of scope.
 """
@@ -540,10 +544,12 @@ def _read_seq_table(
 
 
 def _decode_block(block: bytes, ctx: _Ctx, out_cap: int,
-                  history: bytes) -> bytes:
+                  history: bytes | bytearray) -> bytes:
     """One compressed block → regenerated bytes (≤ out_cap). ``history``
     is the frame output so far — matches may reach across block
-    boundaries (the window spans the whole frame, RFC §3.1.1.2)."""
+    boundaries (the window spans the whole frame, RFC §3.1.1.2). Passed
+    by reference (a bytearray), never copied per block: copying made
+    decode O(blocks × frame_size) on multi-MB chunks."""
     lits, pos = _decode_literals(block, ctx)
     if pos >= len(block):
         raise ZstdFormatError("block ends before its sequences section")
@@ -721,8 +727,7 @@ def _decode_frame(src: bytes, i: int, expected_left: int | None) -> tuple[bytes,
             block_cap = min(_BLOCK_MAX, cap - len(out))
             if window is not None:
                 block_cap = min(block_cap, window)
-            out += _decode_block(src[i : i + bsize], ctx, block_cap,
-                                 bytes(out))
+            out += _decode_block(src[i : i + bsize], ctx, block_cap, out)
             i += bsize
         if last:
             break
@@ -774,15 +779,293 @@ def decompress(src: bytes, expected_size: int | None = None) -> bytes:
     return bytes(out)
 
 
-# ---------------------------------------------------- store-mode encoder
+# ----------------------------------------------------------- encoder
+# One compressed-block mode (RFC 8878 §3.1.1.3): Huffman-compressed
+# literals (direct 4-bit weights, 1- and 4-stream) + sequences over the
+# PREDEFINED FSE tables, with per-block raw fallback when entropy coding
+# does not shrink the chunk. The reference accepts cname=zstd
+# (dataset_factory.h:288-386); this makes spec-requested zstd chains
+# actually compress wheel-free. Pinned differentially: the independent
+# spec reader (tests/spec_zarr_reader.py, zero engine imports) must
+# decode every frame this encoder emits.
+
+
+def _pack_backward(fields: list[tuple[int, int]]) -> bytes:
+    """Pack (value, nbits) fields given in DECODE-READ order into a
+    backward bitstream (sentinel bit on top, LSB-first bytes) — the exact
+    layout _BackBits consumes. O(total bits): fields are laid down in
+    reverse with a small rolling accumulator, never a big int."""
+    buf = bytearray()
+    acc = 0
+    nb = 0
+    for v, n in reversed(fields):
+        acc |= v << nb
+        nb += n
+        while nb >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    acc |= 1 << nb  # padding sentinel
+    nb += 1
+    while nb > 0:
+        buf.append(acc & 0xFF)
+        acc >>= 8
+        nb -= 8
+    return bytes(buf)
+
+
+def _huf_limited_lengths(freqs: dict[int, int], max_len: int) -> dict[int, int]:
+    """Optimal length-limited prefix-code lengths (package-merge). Returns
+    {symbol: code_length} with Kraft EQUALITY — required so the implied
+    last weight completes a power of two. Needs >= 2 symbols."""
+    leaves = sorted((f, (s,)) for s, f in freqs.items())
+    n = len(leaves)
+    if n > (1 << max_len):
+        raise ZstdFormatError("alphabet too large for the length limit")
+    lst: list[tuple[int, tuple[int, ...]]] = list(leaves)
+    for _ in range(max_len - 1):
+        pairs = [(a[0] + b[0], a[1] + b[1])
+                 for a, b in zip(lst[0::2], lst[1::2])]
+        lst = sorted(pairs + leaves)
+    lens = dict.fromkeys(freqs, 0)
+    for _, syms in lst[: 2 * n - 2]:
+        for s in syms:
+            lens[s] += 1
+    return lens
+
+
+class _HufEncoder:
+    """Canonical Huffman codes + the direct-form tree description, laid
+    out exactly as _huf_from_weights reconstructs them (weight w spans at
+    ascending table positions, code = top bits of the span start)."""
+
+    def __init__(self, freqs: dict[int, int]):
+        lens = _huf_limited_lengths(freqs, 11)
+        self.max_bits = max(lens.values())
+        self.last_sym = max(freqs)
+        # weights for symbols 0 .. last_sym (zeros for absent); the last
+        # one is implied by the decoder's power-of-two completion
+        weights = [0] * (self.last_sym + 1)
+        for s, ln in lens.items():
+            weights[s] = self.max_bits + 1 - ln
+        self.weights = weights
+        self.code: list[tuple[int, int] | None] = [None] * 256
+        pos = 0
+        for w in range(1, self.max_bits + 1):
+            span = 1 << (w - 1)
+            for s, ws in enumerate(weights):
+                if ws == w:
+                    nb = self.max_bits + 1 - w
+                    self.code[s] = (pos >> (self.max_bits - nb), nb)
+                    pos += span
+        if pos != 1 << self.max_bits:
+            raise ZstdFormatError("incomplete Huffman code (Kraft != 1)")
+
+    def tree_direct(self) -> bytes:
+        """Direct 4-bit weights header: symbols 0..last_sym-1 explicit,
+        last implied. Valid only while last_sym <= 128 (header byte is
+        127 + n); the caller falls back to raw literals otherwise."""
+        n = self.last_sym  # number of EXPLICIT weights
+        out = bytearray([127 + n])
+        for i in range(0, n, 2):
+            hi = self.weights[i] << 4
+            lo = self.weights[i + 1] if i + 1 < n else 0
+            out.append(hi | lo)
+        return bytes(out)
+
+    def encode_stream(self, data: bytes) -> bytes:
+        code = self.code
+        return _pack_backward([code[b] for b in data])
+
+
+def _encode_huffman_literals(lits: bytes) -> bytes | None:
+    """Compressed-literals section (lb_type 2) or None when Huffman can't
+    apply (one symbol, high-byte alphabet) or doesn't shrink."""
+    from collections import Counter
+
+    freqs: dict[int, int] = dict(Counter(lits))
+    if len(freqs) < 2 or max(freqs) > 128:
+        return None  # RLE/raw literals handle these
+    huf = _HufEncoder(freqs)
+    tree = huf.tree_direct()
+    regen = len(lits)
+    four = regen > 1023
+    if four:
+        part = (regen + 3) // 4
+        chunks = (lits[:part], lits[part : 2 * part],
+                  lits[2 * part : 3 * part], lits[3 * part :])
+        streams = [huf.encode_stream(c) for c in chunks]
+        if max(len(s) for s in streams[:3]) > 0xFFFF:
+            return None  # jump-table u16 overflow: incompressible anyway
+        body = tree + struct.pack(
+            "<HHH", len(streams[0]), len(streams[1]), len(streams[2])
+        ) + b"".join(streams)
+    else:
+        body = tree + huf.encode_stream(lits)
+    comp = len(body)
+    if not four:
+        if comp > 1023:
+            return None
+        head = (2 | (0 << 2) | (regen << 4) | (comp << 14)).to_bytes(3, "little")
+    elif regen < 1024 and comp < 1024:
+        head = (2 | (1 << 2) | (regen << 4) | (comp << 14)).to_bytes(3, "little")
+    elif regen < (1 << 14) and comp < (1 << 14):
+        head = (2 | (2 << 2) | (regen << 4) | (comp << 18)).to_bytes(4, "little")
+    else:
+        head = (2 | (3 << 2) | (regen << 4) | (comp << 22)).to_bytes(5, "little")
+    return head + body
+
+
+def _encode_raw_literals(lits: bytes) -> bytes:
+    n = len(lits)
+    if n < 32:
+        return bytes([n << 3]) + lits
+    if n < 4096:
+        return (0 | (1 << 2) | (n << 4)).to_bytes(2, "little") + lits
+    return (0 | (3 << 2) | (n << 4)).to_bytes(3, "little") + lits
+
+
+def _encode_rle_literals(byte: int, n: int) -> bytes:
+    if n < 32:
+        return bytes([1 | (n << 3), byte])
+    if n < 4096:
+        return (1 | (1 << 2) | (n << 4)).to_bytes(2, "little") + bytes([byte])
+    return (1 | (3 << 2) | (n << 4)).to_bytes(3, "little") + bytes([byte])
+
+
+def _encode_literals_section(lits: bytes) -> bytes:
+    if lits and len(set(lits)) == 1:
+        return _encode_rle_literals(lits[0], len(lits))
+    raw = _encode_raw_literals(lits)
+    huf = _encode_huffman_literals(lits)
+    return huf if huf is not None and len(huf) < len(raw) else raw
+
+
+def _lz_parse(block: bytes) -> tuple[list[tuple[int, int, int]], bytes]:
+    """Greedy single-slot-hash LZ parse of one block (matches stay within
+    the block, so offsets never exceed 128 KiB). Returns
+    ([(literal_len, offset_value, match_len)], literals) where
+    offset_value = offset + 3 (no repeat-offset shorthand — keeps every
+    independent decoder path trivial)."""
+    n = len(block)
+    seqs: list[tuple[int, int, int]] = []
+    lits = bytearray()
+    table: dict[bytes, int] = {}
+    anchor = 0
+    i = 0
+    miss = 0
+    while i + 4 <= n:
+        key = block[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is None:
+            i += 1 + (miss >> 6)  # lz4-style acceleration through noise
+            miss += 1
+            continue
+        miss = 0
+        m = 4
+        while i + m + 8 <= n and block[j + m : j + m + 8] == block[i + m : i + m + 8]:
+            m += 8
+        while i + m < n and block[j + m] == block[i + m]:
+            m += 1
+        lits += block[anchor:i]
+        seqs.append((i - anchor, (i - j) + 3, m))
+        end = i + m
+        k = i + 1
+        stop = min(end - 1, i + 8, n - 4)  # strictly before end: the main
+        while k <= stop:  # loop re-probes end and must not self-match
+            table[block[k : k + 4]] = k
+            k += 1
+        i = end
+        anchor = end
+    lits += block[anchor:]
+    return seqs, bytes(lits)
+
+
+def _fse_walk(table: _FseTable, codes: list[int]) -> tuple[int, list[tuple[int, int]]]:
+    """Backward walk over a DECODE table: produce (initial_state, update
+    fields) such that reading them regenerates ``codes``. The predecessor
+    of successor state ``succ`` emitting symbol s is the unique state u
+    with sym(u)==s whose [baseline, baseline+2^nb) window contains succ;
+    the update field is (succ - baseline, nb)."""
+    by_sym: dict[int, list[int]] = {}
+    for st, s in enumerate(table.sym):
+        by_sym.setdefault(s, []).append(st)
+    rev = [by_sym[codes[-1]][0]]
+    for s in reversed(codes[:-1]):
+        succ = rev[-1]
+        for u in by_sym[s]:
+            if table.base[u] <= succ < table.base[u] + (1 << table.nb[u]):
+                rev.append(u)
+                break
+        else:  # pragma: no cover - full decode tables always have one
+            raise ZstdFormatError("no FSE predecessor state")
+    states = rev[::-1]
+    fields = [(states[i + 1] - table.base[states[i]], table.nb[states[i]])
+              for i in range(len(states) - 1)]
+    return states[0], fields
+
+
+def _seq_code(value: int, bases: list[int], bits: list[int]) -> tuple[int, int, int]:
+    for c in range(len(bases) - 1, -1, -1):
+        if bases[c] <= value:
+            return c, value - bases[c], bits[c]
+    raise ZstdFormatError(f"no sequence code for {value}")
+
+
+def _encode_sequences_section(seqs: list[tuple[int, int, int]]) -> bytes:
+    """Sequences section: count, modes byte 0 (predefined LL/OF/ML), and
+    the interleaved backward bitstream in the spec's read order."""
+    nseq = len(seqs)
+    out = bytearray()
+    if nseq < 128:
+        out.append(nseq)
+    elif nseq < 0x7F00:
+        out += bytes([128 + (nseq >> 8), nseq & 0xFF])
+    else:
+        out += bytes([255, (nseq - 0x7F00) & 0xFF, (nseq - 0x7F00) >> 8])
+    out.append(0)  # predefined mode for all three machines
+    ll_codes, of_codes, ml_codes = [], [], []
+    extras: list[list[tuple[int, int]]] = []
+    for ll, ov, ml in seqs:
+        lc, le, lb = _seq_code(ll, _LL_BASE, _LL_BITS)
+        oc = ov.bit_length() - 1
+        mc, me, mb = _seq_code(ml, _ML_BASE, _ML_BITS)
+        ll_codes.append(lc)
+        of_codes.append(oc)
+        ml_codes.append(mc)
+        extras.append([(ov - (1 << oc), oc), (me, mb), (le, lb)])
+    global _PREDEF
+    if _PREDEF is None:
+        _PREDEF = _predef_tables()
+    ll0, ll_f = _fse_walk(_PREDEF["ll"], ll_codes)
+    of0, of_f = _fse_walk(_PREDEF["of"], of_codes)
+    ml0, ml_f = _fse_walk(_PREDEF["ml"], ml_codes)
+    fields: list[tuple[int, int]] = [(ll0, 6), (of0, 5), (ml0, 6)]
+    for i in range(nseq):
+        fields += extras[i]
+        if i + 1 < nseq:
+            fields += [ll_f[i], ml_f[i], of_f[i]]
+    out += _pack_backward(fields)
+    return bytes(out)
+
+
+def _encode_block(chunk: bytes) -> bytes | None:
+    """One compressed block (lb_type-2 literals + predef sequences) or
+    None when entropy coding does not beat a raw block."""
+    seqs, lits = _lz_parse(chunk)
+    body = _encode_literals_section(lits)
+    body += _encode_sequences_section(seqs) if seqs else b"\x00"
+    return body if len(body) < len(chunk) else None
 
 
 def compress(data: bytes, level: int = 3) -> bytes:
-    """Store-mode zstd frame: single-segment header with exact content
-    size, raw blocks (≤128 KiB each), xxh64 content checksum. Valid per
-    RFC 8878 and accepted by any decoder; no entropy coding (``level`` is
-    accepted for signature compatibility and ignored — real compression
-    needs the wheel, tests/INTEROP_PROBE.md)."""
+    """zstd frame: single-segment header with exact content size, xxh64
+    content checksum, and per 128-KiB block either a compressed block
+    (Huffman literals + predefined-FSE sequences) or a raw block when
+    coding doesn't shrink it. ``level <= 0`` forces store mode (raw
+    blocks only — the pre-round-8 behavior, kept for write-throughput
+    paths that prefer speed over size)."""
     n = len(data)
     if n < 256:
         fcs_flag, fcs = 0, n.to_bytes(1, "little")
@@ -800,7 +1083,12 @@ def compress(data: bytes, level: int = 3) -> bytes:
         for off in range(0, n, _BLOCK_MAX):
             chunk = data[off : off + _BLOCK_MAX]
             last = 1 if off + _BLOCK_MAX >= n else 0
-            bh = last | (len(chunk) << 3)  # type 0 = raw
-            blocks += bh.to_bytes(3, "little") + chunk
+            comp = _encode_block(chunk) if level > 0 else None
+            if comp is not None:
+                blocks += (last | 4 | (len(comp) << 3)).to_bytes(3, "little")
+                blocks += comp
+            else:
+                blocks += (last | (len(chunk) << 3)).to_bytes(3, "little")
+                blocks += chunk
     check = struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
     return head + bytes(blocks) + check

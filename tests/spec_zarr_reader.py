@@ -193,9 +193,9 @@ def _blosc_decode(frame: bytes) -> bytes:
     if flags & 0x2:  # memcpy'd: raw original payload
         return frame[16 : 16 + nbytes]
     codec = (flags >> 5) & 0x7
-    if codec not in (0, 1, 2, 3):
+    if codec not in (0, 1, 2, 3, 4):
         raise ValueError(
-            "spec reader: blosc frame is not cname=blosclz/lz4/snappy/zlib")
+            "spec reader: blosc frame is not cname=blosclz/lz4/snappy/zlib/zstd")
     nblocks = -(-nbytes // blocksize)
     bstarts = struct.unpack_from(f"<{nblocks}i", frame, 16)
     srt = sorted(bstarts)
@@ -211,6 +211,8 @@ def _blosc_decode(frame: bytes) -> bytes:
             return _blosclz_block_decode(raw)
         if codec == 2:
             return _snappy_block_decode(raw)
+        if codec == 4:
+            return _zstd_decode(raw)
         return _lz4_block_decode(raw)
 
     out = bytearray()
@@ -244,12 +246,251 @@ def _blosc_decode(frame: bytes) -> bytes:
 
 
 
-def _zstd_store_decode(src: bytes) -> bytes:
-    """Independent decode of STORE-MODE zstd frames (RFC 8878 frame/block
-    headers; raw + RLE blocks) — the layout the engine's wheel-free writer
-    emits. Entropy-coded blocks are out of the spec reader's scope (the
-    engine's full decoder is differentially pinned against the independent
-    test encoder in tests/test_zstd.py instead)."""
+class _ZBackBits:
+    """RFC 8878 backward bitstream: LSB-packed bytes consumed from the
+    end; the last byte's top set bit is the padding sentinel."""
+
+    def __init__(self, data: bytes):
+        assert data and data[-1] != 0, "spec reader: missing zstd sentinel"
+        self.data = data
+        self.pos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+
+    def read(self, n: int, zero_fill: bool = False) -> int:
+        if n == 0:
+            return 0
+        have = min(n, self.pos) if zero_fill else n
+        assert have <= self.pos, "spec reader: zstd bitstream overread"
+        self.pos -= have
+        lo, hi = self.pos >> 3, (self.pos + have - 1) >> 3
+        chunk = int.from_bytes(self.data[lo : hi + 1], "little")
+        v = (chunk >> (self.pos & 7)) & ((1 << have) - 1)
+        return v << (n - have)
+
+
+def _zstd_fse_table(probs, log):
+    """Canonical FSE decode table from normalized counts — the spec's
+    spread + state-numbering rules, written against RFC 8878 §4.1."""
+    size = 1 << log
+    cells = [0] * size
+    high = size - 1
+    for s, p in enumerate(probs):
+        if p == -1:
+            cells[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    pos = 0
+    for s, p in enumerate(probs):
+        for _ in range(max(p, 0)):
+            cells[pos] = s
+            pos = (pos + step) & (size - 1)
+            while pos > high:
+                pos = (pos + step) & (size - 1)
+    assert pos == 0, "spec reader: FSE spread does not close"
+    nxt = [1 if p == -1 else p for p in probs]
+    sym, nb, base = [0] * size, [0] * size, [0] * size
+    for i in range(size):
+        s = cells[i]
+        x = nxt[s]
+        nxt[s] += 1
+        bits = log - (x.bit_length() - 1)
+        sym[i], nb[i], base[i] = s, bits, (x << bits) - size
+    return sym, nb, base
+
+
+# RFC 8878 predefined sequence distributions + LL/ML code tables
+# (public constants, transcribed independently of the engine's copies)
+_Z_LL_DEF = [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2,
+             2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1]
+_Z_ML_DEF = [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+             1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+             1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1]
+_Z_OF_DEF = [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+             1, 1, 1, 1, -1, -1, -1, -1, -1]
+_Z_LL_BASE = list(range(16)) + [16, 18, 20, 22, 24, 28, 32, 40, 48, 64,
+                                128, 256, 512, 1024, 2048, 4096, 8192,
+                                16384, 32768, 65536]
+_Z_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11,
+                         12, 13, 14, 15, 16]
+_Z_ML_BASE = list(range(3, 35)) + [35, 37, 39, 41, 43, 47, 51, 59, 67, 83,
+                                   99, 131, 259, 515, 1027, 2051, 4099,
+                                   8195, 16387, 32771, 65539]
+_Z_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11,
+                         12, 13, 14, 15, 16]
+_Z_PREDEF = None
+
+
+def _zstd_huf_codes(weights):
+    """Canonical Huffman decode map {(nbits, code): symbol} from explicit
+    weights + the implied last weight (power-of-two completion)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    target = 1 << total.bit_length()
+    implied = target - total
+    assert implied & (implied - 1) == 0, "spec reader: bad Huffman weights"
+    weights = list(weights) + [implied.bit_length()]
+    max_bits = target.bit_length() - 1
+    table = {}
+    pos = 0
+    for w in range(1, max_bits + 1):
+        for s, ws in enumerate(weights):
+            if ws == w:
+                nb = max_bits + 1 - w
+                table[(nb, pos >> (max_bits - nb))] = s
+                pos += 1 << (w - 1)
+    assert pos == 1 << max_bits, "spec reader: Huffman weights incomplete"
+    return table, max_bits
+
+
+def _zstd_huf_stream(table, max_bits, src: bytes, out_len: int) -> bytes:
+    bits = _ZBackBits(src)
+    out = bytearray()
+    while len(out) < out_len:
+        code, nb = 0, 0
+        while (nb, code) not in table:
+            code = (code << 1) | bits.read(1, zero_fill=True)
+            nb += 1
+            assert nb <= max_bits, "spec reader: bad Huffman code"
+        out.append(table[(nb, code)])
+    return bytes(out)
+
+
+def _zstd_literals(block: bytes):
+    """Literals section → (literals, bytes consumed). Raw, RLE, and
+    Huffman-compressed with DIRECT weights (1- and 4-stream) — the forms
+    a fresh-per-block encoder emits; treeless/FSE-weights are out of the
+    spec reader's scope and rejected loudly."""
+    import struct as _st
+
+    b0 = block[0]
+    lb_type, size_fmt = b0 & 3, (b0 >> 2) & 3
+    if lb_type in (0, 1):
+        if size_fmt in (0, 2):
+            regen, hlen = b0 >> 3, 1
+        elif size_fmt == 1:
+            regen, hlen = (b0 >> 4) + (block[1] << 4), 2
+        else:
+            regen, hlen = (b0 >> 4) + (block[1] << 4) + (block[2] << 12), 3
+        if lb_type == 0:
+            return bytes(block[hlen : hlen + regen]), hlen + regen
+        return bytes([block[hlen]]) * regen, hlen + 1
+    assert lb_type == 2, "spec reader: treeless zstd literals unsupported"
+    if size_fmt == 0:
+        four, hlen = False, 3
+        regen = (b0 >> 4) + ((block[1] & 0x3F) << 4)
+        comp = (block[1] >> 6) + (block[2] << 2)
+    elif size_fmt == 1:
+        four, hlen = True, 3
+        regen = (b0 >> 4) + ((block[1] & 0x3F) << 4)
+        comp = (block[1] >> 6) + (block[2] << 2)
+    elif size_fmt == 2:
+        four, hlen = True, 4
+        regen = (b0 >> 4) + (block[1] << 4) + ((block[2] & 0x3) << 12)
+        comp = (block[2] >> 2) + (block[3] << 6)
+    else:
+        four, hlen = True, 5
+        regen = (b0 >> 4) + (block[1] << 4) + ((block[2] & 0x3F) << 12)
+        comp = (block[2] >> 6) + (block[3] << 2) + (block[4] << 10)
+    body = block[hlen : hlen + comp]
+    hb = body[0]
+    assert hb >= 128, "spec reader: FSE-compressed Huffman weights unsupported"
+    nw = hb - 127
+    weights = []
+    for i in range(nw):
+        b = body[1 + (i >> 1)]
+        weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+    table, max_bits = _zstd_huf_codes(weights)
+    payload = body[1 + (nw + 1) // 2 :]
+    if not four:
+        lits = _zstd_huf_stream(table, max_bits, payload, regen)
+    else:
+        s1, s2, s3 = _st.unpack_from("<HHH", payload, 0)
+        rest = payload[6:]
+        part = (regen + 3) // 4
+        chunks = [rest[:s1], rest[s1 : s1 + s2], rest[s1 + s2 : s1 + s2 + s3],
+                  rest[s1 + s2 + s3 :]]
+        sizes = [part, part, part, regen - 3 * part]
+        lits = b"".join(_zstd_huf_stream(table, max_bits, c, n)
+                        for c, n in zip(chunks, sizes))
+    return lits, hlen + comp
+
+
+def _zstd_block(block: bytes, history: bytearray) -> bytes:
+    """One compressed block: literals + sequences over the PREDEFINED FSE
+    tables (modes byte 0). Described/RLE/repeat sequence tables are out
+    of the spec reader's scope."""
+    global _Z_PREDEF
+    lits, pos = _zstd_literals(block)
+    b0 = block[pos]
+    if b0 == 0:
+        return lits
+    if b0 < 128:
+        nseq, pos = b0, pos + 1
+    elif b0 < 255:
+        nseq, pos = ((b0 - 128) << 8) + block[pos + 1], pos + 2
+    else:
+        nseq, pos = block[pos + 1] + (block[pos + 2] << 8) + 0x7F00, pos + 3
+    assert block[pos] == 0, "spec reader: non-predefined zstd sequence tables"
+    pos += 1
+    if _Z_PREDEF is None:
+        _Z_PREDEF = {
+            "ll": _zstd_fse_table(_Z_LL_DEF, 6),
+            "of": _zstd_fse_table(_Z_OF_DEF, 5),
+            "ml": _zstd_fse_table(_Z_ML_DEF, 6),
+        }
+    (ll_s, ll_n, ll_b) = _Z_PREDEF["ll"]
+    (of_s, of_n, of_b) = _Z_PREDEF["of"]
+    (ml_s, ml_n, ml_b) = _Z_PREDEF["ml"]
+    bits = _ZBackBits(block[pos:])
+    st_ll = bits.read(6)
+    st_of = bits.read(5)
+    st_ml = bits.read(6)
+    out = bytearray()
+    lit_pos = 0
+    reps = [1, 4, 8]
+    hlen = len(history)
+    for i in range(nseq):
+        of_code = of_s[st_of]
+        offset_value = (1 << of_code) + bits.read(of_code)
+        mc = ml_s[st_ml]
+        ml = _Z_ML_BASE[mc] + bits.read(_Z_ML_BITS[mc])
+        lc = ll_s[st_ll]
+        ll = _Z_LL_BASE[lc] + bits.read(_Z_LL_BITS[lc])
+        if offset_value > 3:
+            offset = offset_value - 3
+            reps[2], reps[1], reps[0] = reps[1], reps[0], offset
+        else:
+            if ll == 0:
+                offset_value += 1
+            if offset_value == 1:
+                offset = reps[0]
+            elif offset_value == 2:
+                offset = reps[1]
+                reps[1], reps[0] = reps[0], offset
+            elif offset_value == 3:
+                offset = reps[2]
+                reps[2], reps[1], reps[0] = reps[1], reps[0], offset
+            else:
+                offset = reps[0] - 1
+                reps[2], reps[1], reps[0] = reps[1], reps[0], offset
+        out += lits[lit_pos : lit_pos + ll]
+        lit_pos += ll
+        for k in range(ml):
+            p = len(out) - offset
+            out.append(out[p] if p >= 0 else history[hlen + p])
+        if i + 1 < nseq:
+            st_ll = ll_b[st_ll] + bits.read(ll_n[st_ll])
+            st_ml = ml_b[st_ml] + bits.read(ml_n[st_ml])
+            st_of = of_b[st_of] + bits.read(of_n[st_of])
+    assert bits.pos == 0, "spec reader: zstd sequence bits left over"
+    out += lits[lit_pos:]
+    return bytes(out)
+
+
+def _zstd_decode(src: bytes) -> bytes:
+    """Independent decode of zstd frames (RFC 8878): raw + RLE blocks
+    (the engine's store mode) plus compressed blocks in the shape a
+    fresh-per-block encoder emits — raw/RLE/Huffman-direct literals and
+    predefined-FSE sequences. Verifies the xxh64-low-32 checksum is
+    present structurally (value checking stays the engine's job)."""
     import struct as _st
 
     out = bytearray()
@@ -275,14 +516,19 @@ def _zstd_store_decode(src: bytes) -> bytes:
                 out += src[i : i + bsize]; i += bsize
             elif btype == 1:
                 out += bytes([src[i]]) * bsize; i += 1
+            elif btype == 2:
+                out += _zstd_block(src[i : i + bsize], out); i += bsize
             else:
-                raise ValueError(
-                    "spec reader: entropy-coded zstd block (store-mode only)")
+                raise ValueError("spec reader: reserved zstd block type")
             if last:
                 break
         if fhd & 0x4:
             i += 4  # content checksum
     return bytes(out)
+
+
+# backward-compatible alias (store-mode frames are a subset)
+_zstd_store_decode = _zstd_decode
 
 
 def _decompress(raw: bytes, compressor, v3_codecs) -> bytes:

@@ -301,9 +301,9 @@ def test_blosc_zstd_roundtrip_and_codec_chain():
 
 
 def test_v3_zstd_store_roundtrip_spark_and_spec_reader(spark, tmp_path):
-    """A v3 store with a {'name': 'zstd'} chain: distributed write (store-
-    mode frames), distributed scan, plus the independent spec reader's
-    store-mode zstd branch over the same bytes."""
+    """A v3 store with a {'name': 'zstd'} chain: distributed write
+    (compressed-block frames since round 8), distributed scan, plus the
+    independent spec reader's zstd branch over the same bytes."""
     from pyspark.sql import functions as F
 
     from mdio_cpp_spark.sources.reader import scan_array
