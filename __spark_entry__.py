@@ -66,7 +66,13 @@ def _backlog_era() -> set[str]:
     if not by_round:
         return set()
     rounds = sorted(by_round)
-    prior = rounds[:-1] if len(rounds) > 1 else rounds
+    # With a single committed round there is no "prior" era to separate
+    # new names from — return EMPTY so every unverified name sorts into
+    # the backlog (the docstring's rule would otherwise misfile names
+    # added after that round's snapshot; harness ordering only).
+    if len(rounds) == 1:
+        return set()
+    prior = rounds[:-1]
     seen: set[str] = set()
     for r in prior:
         for path in by_round[r]:

@@ -304,7 +304,11 @@ _ADAPT_TARGET = 16
 # One count job per corpus FRAME, not per call: a pipeline that feeds the
 # same DataFrame to knn_join AND radius_join (or calls either twice) would
 # otherwise re-run the count action each time (round-6 verdict item 7).
-# Weak keys: the cache never extends a frame's lifetime.
+# Weak keys: the cache never extends a frame's lifetime. The cache keys by
+# OBJECT IDENTITY — two logically identical DataFrames built by separate
+# spark.read calls never share an entry (round-7 advice). Callers that
+# rebuild the corpus per call should pass ``corpus_count`` (or
+# ``n_planes``) explicitly instead of relying on this cache.
 import weakref as _weakref
 
 _COUNT_CACHE: "_weakref.WeakKeyDictionary[DataFrame, int]" = (
@@ -344,6 +348,7 @@ def knn_join(
     dim: int,
     k: int = 3,
     n_planes: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Symmetric all-pairs approximate k-NN (every vector is both query and
     candidate): sign-LSH bucket each vector once, then a bucket equi-SELF-
@@ -353,9 +358,15 @@ def knn_join(
     plane count from the corpus size (adaptive_n_planes — one cheap count
     job) so the in-bucket quadratic term stays bounded under growth; a
     fixed count was the round-5 verdict's v05 scale finding (2.0× wall at
-    100× data from quadratically densifying buckets)."""
+    100× data from quadratically densifying buckets).
+
+    The count job is memoized by DataFrame IDENTITY only — if you rebuild
+    the corpus frame per call, pass ``corpus_count`` (a known size) or
+    ``n_planes`` directly to skip the action."""
     if n_planes is None:
-        n_planes = adaptive_n_planes(_corpus_count(corpus))
+        n_planes = adaptive_n_planes(
+            corpus_count if corpus_count is not None
+            else _corpus_count(corpus))
     bucket = sign_lsh_bucket(F.col(vec_col), dim, n_planes)
     # norms computed ONCE per vector map-side (not 3 dot products per pair —
     # cosine = dot / (norm_q * norm_c) with the same IEEE value, since the
@@ -386,6 +397,7 @@ def radius_join(
     dim: int,
     threshold: float,
     n_planes: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Symmetric all-pairs RADIUS search: every pair in the same sign-LSH
     bucket with exact cosine ≥ ``threshold`` (the range-query sibling of
@@ -394,9 +406,12 @@ def radius_join(
     shuffle keyed on the bucket string, norms computed once map-side, the
     in-bucket quadratic term bounded by the (default density-adaptive,
     see adaptive_n_planes) plane count — never a cross product, nothing
-    broadcast."""
+    broadcast. The count memo is identity-keyed (see knn_join): rebuilt
+    frames should pass ``corpus_count`` or ``n_planes`` explicitly."""
     if n_planes is None:
-        n_planes = adaptive_n_planes(_corpus_count(corpus))
+        n_planes = adaptive_n_planes(
+            corpus_count if corpus_count is not None
+            else _corpus_count(corpus))
     bucket = sign_lsh_bucket(F.col(vec_col), dim, n_planes)
     b = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),

@@ -119,7 +119,7 @@ def grouped_percentiles(
     group: str,
     col: str,
     ps: Sequence[tuple[float, float]] | Sequence[tuple[float, str]],
-    round_to: int = 4,
+    round_to: int | None = 4,
     bounds: tuple[float, float] | None = None,
     input_cached: bool = False,
 ) -> DataFrame:
@@ -154,6 +154,11 @@ def grouped_percentiles(
 
     ``ps`` is a list of (fraction, output_column_name).
 
+    ``round_to=None`` returns UNROUNDED doubles — for internal callers
+    (grouped_mad) that compose percentile passes and must apply exactly
+    one final rounding, so the distributed path cannot double-round into
+    disagreement with the driver fast path on boundary values.
+
     ``input_cached=True`` is the caller's guarantee that ``df`` is already
     persisted (or a cheap map-side derivation of a persisted frame): the
     internal MEMORY_AND_DISK persist of the narrow projection is skipped,
@@ -170,6 +175,10 @@ def grouped_percentiles(
     """
     spark = df.sparkSession
     nparts = 4 * max(1, spark.sparkContext.defaultParallelism)
+
+    def _rnd(c):
+        return F.round(c, round_to) if round_to is not None else c
+
     # cache the NARROW (group, value) projection: three consumers (bounds,
     # bucket counts, targeted pass) would otherwise recompute the upstream
     # plan — ruinous when the value is derived (p06 scores text). Two
@@ -191,7 +200,7 @@ def grouped_percentiles(
 
     def _empty_result():
         return df.groupBy(group).agg(
-            *[F.round(F.max(F.col(col)), round_to).alias(name) for _, name in ps]
+            *[_rnd(F.max(F.col(col))).alias(name) for _, name in ps]
         )
 
     if bounds is not None:
@@ -215,7 +224,7 @@ def grouped_percentiles(
         if vmax == vmin:  # constant column (MEASURED): every percentile IS it
             _drop_base()
             return df.groupBy(group).agg(
-                *[F.round(F.max(F.col(col)), round_to).alias(name) for _, name in ps]
+                *[_rnd(F.max(F.col(col))).alias(name) for _, name in ps]
             )
 
     step = (vmax - vmin) / nparts
@@ -361,7 +370,7 @@ def grouped_percentiles(
     )
     return res.groupBy(group).agg(
         *[
-            F.round(F.max(F.when(F.col("__name") == name, F.col("__val"))), round_to).alias(name)
+            _rnd(F.max(F.when(F.col("__name") == name, F.col("__val")))).alias(name)
             for _, name in ps
         ]
     )
@@ -459,10 +468,11 @@ def grouped_mad(
     # with input_cached=True. cnts is only needed by the fast path — release
     # it as soon as the probe picks this branch.
     cnts.unpersist()
-    # inner quantiles must carry at least the caller's precision or the
-    # final F.round(round_to) re-rounds already-rounded values and the
-    # fallback disagrees with the driver fast path for round_to > 4.
-    inner_round = max(round_to, 4) + 2
+    # inner quantiles UNROUNDED: any inner rounding (even at extra digits)
+    # can disagree with the driver fast path's single _round_half_up on
+    # boundary values — exactly one rounding happens, at the end, and
+    # F.round on doubles is BigDecimal(Double.toString) HALF_UP, the same
+    # rule _round_half_up implements.
     lo_hi = base.agg(
         F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
     ).first()
@@ -471,14 +481,14 @@ def grouped_mad(
         base.unpersist()
         return spark.createDataFrame([], out_schema)
     med = grouped_percentiles(
-        base, group, col, [(0.5, "med")], round_to=inner_round,
+        base, group, col, [(0.5, "med")], round_to=None,
         bounds=(vmin, vmax), input_cached=True,
     ).persist()
     dev = base.join(F.broadcast(med), group).select(
         group, F.abs(F.col(col) - F.col("med")).alias("__ad")
     )
     mad = grouped_percentiles(
-        dev, group, "__ad", [(0.5, "mad")], round_to=inner_round,
+        dev, group, "__ad", [(0.5, "mad")], round_to=None,
         bounds=(0.0, vmax - vmin), input_cached=True,
     )
     return (

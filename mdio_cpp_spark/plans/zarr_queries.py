@@ -5264,3 +5264,77 @@ def zarr113(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
     )
+
+
+@declared(
+    "zarr114_reshard_struct",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(o_orderkey * 2) AS BIGINT) AS sum_ok2,
+           CAST(MIN(o_orderkey * 2) AS BIGINT) AS min_ok2,
+           CAST(MAX(o_orderkey * 2) AS BIGINT) AS max_ok2
+    FROM (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 1200 AND rn - 1 < 12000
+    """,
+)
+def zarr114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshard migration of a STRUCT-dtype v2 store (round-8 lift): the
+    legacy header array (record dtype {ck:int32, ok2:int64}, zlib chunks)
+    migrates into sharded v3 with blosc-ZSTD inner chunks — the round-8
+    compressed-block encoder on the write side. The source shape carries
+    two shard-widths of pure-fill tail, and the build asserts those shards
+    were ELIDED (bytes-level struct fill detection, utils/transcode.py),
+    not written. The scan then SelectFields ok2 out of the migrated store;
+    fill rows drop via the pushed value filter."""
+    from mdio_cpp_spark.utils.transcode import reshard_array
+    from mdio_cpp_spark.sources.writer import write_arrays
+
+    base = ensure_stores(spark, sf_dir)
+    legacy = os.path.join(base, "reshard_struct_src.zarr")
+    path = os.path.join(base, "resharded_struct.zarr")
+    marker = os.path.join(base, ".built_resharded_struct_v1")
+    shard = CHUNK * 2
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(legacy, ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select(
+            "i",
+            F.col("o_custkey").cast("int").alias("ck"),
+            (F.col("o_orderkey") * 2).cast("long").alias("ok2"),
+        )
+        n = ords.count()
+        st = ZarrStore.create(legacy, version=2,
+                              attrs={"name": "reshard_struct_src"})
+        st.create_array(
+            "hdr", shape=(n + 2 * shard,), chunks=(CHUNK,),
+            dtype={"fields": [{"name": "ck", "format": "int32"},
+                              {"name": "ok2", "format": "int64"}]},
+            dims=("i",), compressor={"id": "zlib", "level": 1},
+        )
+        st.consolidate()
+        write_arrays(ords, legacy, {"hdr": {"ck": "ck", "ok2": "ok2"}})
+        report = reshard_array(
+            spark, legacy, path, "hdr", shards=(shard,),
+            compressor={"id": "blosc", "cname": "zstd", "clevel": 3,
+                        "shuffle": 1},
+        )
+        # the gate's point: struct shards that are pure fill get elided
+        if report["shards_written"] > report["shards_total"] - 2:
+            raise AssertionError(
+                f"struct fill elision regressed: {report}")
+        with open(marker, "w") as f:
+            f.write("1")
+    ds = MdioDataset.open(path)
+    return (
+        ds.isel(i=(1200, 12000))
+        .select_field(spark, "hdr", "ok2")
+        .where(F.col("ok2") > 0)
+        .agg(
+            F.count("ok2").cast("long").alias("cnt"),
+            F.sum("ok2").cast("long").alias("sum_ok2"),
+            F.min("ok2").cast("long").alias("min_ok2"),
+            F.max("ok2").cast("long").alias("max_ok2"),
+        )
+    )

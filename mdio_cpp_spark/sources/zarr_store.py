@@ -702,8 +702,14 @@ class ZarrStore:
                 fill_np = np.zeros((), dtype=np_dt)[()]
             else:
                 fill_np = None  # header-only / non-MDIO dtypes: no fill
+        elif fill is None:
+            fill_np = None
+        elif isinstance(fill, (str, list)):
+            # JSON-form fills (v2 base64 struct bytes, "NaN"/"Infinity",
+            # complex [re, im]) — same decoding as metadata reads
+            fill_np = decode_fill_json(fill, np_dt)
         else:
-            fill_np = None if fill is None else np.asarray(fill, np_dt)[()] if not np.isscalar(fill) else np_dt.type(fill)
+            fill_np = np.asarray(fill, np_dt)[()] if not np.isscalar(fill) else np_dt.type(fill)
         if compressor is not None and compressor.get("id") == "blosc" and "typesize" not in compressor:
             # blosc's shuffle operates on element boundaries — pin the
             # dtype's itemsize so the filter is layout-correct, not the

@@ -23,7 +23,75 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 
-from mdio_cpp_spark.sources.zarr_store import ZarrStore
+from mdio_cpp_spark.sources.zarr_store import ZarrArrayMeta, ZarrStore
+
+
+def _block_is_fill(block: np.ndarray, fill) -> bool:
+    """True when every cell equals the fill. NaN-aware value compare
+    first; dtypes where comparison raises (exotic structs, objects) fall
+    back to a BYTES-level check against one materialized fill element —
+    so sparse struct arrays keep eliding instead of writing every shard."""
+    try:
+        if block.dtype.kind == "f" and isinstance(fill, (float, np.floating)) \
+                and np.isnan(fill):
+            return bool(np.isnan(block).all())
+        return bool((block == fill).all())
+    except (TypeError, ValueError):
+        pass
+    try:
+        fb = np.full(1, fill, dtype=block.dtype).tobytes()
+    except (TypeError, ValueError):
+        return False  # un-materializable fill: write unconditionally
+    return np.ascontiguousarray(block).tobytes() == fb * block.size
+
+
+def _prepare_existing_destination(
+    dst: ZarrStore, var: str, want_shape, want_chunks, want_dtype,
+    want_shard_of,
+) -> ZarrArrayMeta:
+    """Validate a PRE-EXISTING destination array against the requested
+    layout and strip its zone-map metadata.
+
+    A silently-reused destination was the round-7 advice's medium finding:
+    the caller's layout was ignored, and chunk stats written by a prior
+    population would go stale (write_chunk bypasses zone-map maintenance)
+    and could wrongly prune later scans. Mismatched layouts now raise;
+    matching ones get their zone manifest/sidecar marker dropped (rebuild
+    with zonemap.ensure_chunk_stats after the migration if wanted)."""
+    from mdio_cpp_spark.sources.zonemap import SIDECAR_ATTR, STATS_KEY
+
+    dmeta = dst.array_meta(var)
+    if tuple(dmeta.shape) != tuple(want_shape):
+        raise ValueError(
+            f"destination {var!r} exists with shape {tuple(dmeta.shape)}, "
+            f"requested {tuple(want_shape)}")
+    if tuple(dmeta.chunks) != tuple(want_chunks):
+        raise ValueError(
+            f"destination {var!r} exists with chunk/shard shape "
+            f"{tuple(dmeta.chunks)}, requested {tuple(want_chunks)}")
+    if dmeta.np_dtype != want_dtype:
+        raise ValueError(
+            f"destination {var!r} exists with dtype {dmeta.np_dtype}, "
+            f"requested {want_dtype}")
+    if want_shard_of is not None:
+        if dmeta.shard is None:
+            raise ValueError(f"destination {var!r} exists unsharded; "
+                             f"reshard requested inner chunks {want_shard_of}")
+        have_inner = tuple(dmeta.shard["chunk_shape"])
+        if have_inner != tuple(want_shard_of):
+            raise ValueError(
+                f"destination {var!r} exists with inner chunks {have_inner}, "
+                f"requested {tuple(want_shard_of)}")
+    elif dmeta.shard is not None:
+        raise ValueError(f"destination {var!r} exists SHARDED; transcode "
+                         f"writes a plain chunk grid")
+    if STATS_KEY in dmeta.attrs or SIDECAR_ATTR in dmeta.attrs:
+        dst.update_array_attrs(var, {
+            k: v for k, v in dmeta.attrs.items()
+            if k not in (STATS_KEY, SIDECAR_ATTR)
+        })
+        dmeta = dst.array_meta(var)
+    return dmeta
 
 
 def transcode_array(
@@ -53,6 +121,9 @@ def transcode_array(
             fill=meta.fill,
         )
         dst.consolidate()
+    else:
+        _prepare_existing_destination(
+            dst, var, meta.shape, meta.chunks, meta.np_dtype, None)
 
     n = meta.nchunks()
     grid = meta.grid_shape()
@@ -70,7 +141,10 @@ def transcode_array(
                 coords = tuple(int(c) for c in np.unravel_index(int(linear), grid))
                 block = s.decode_chunk(sm, coords)
                 if block is None:
-                    continue  # fill-only: sparsity survives for free
+                    # fill-only: sparsity survives for free — but a stale
+                    # object from a prior population must not shadow it
+                    d._kv.delete(dm.chunk_key(coords))
+                    continue
                 d.write_chunk(dm, coords, block)
                 copied += 1
             yield pd.DataFrame({"n": [len(pdf)], "copied": [copied]})
@@ -138,8 +212,10 @@ def reshard_array(
             dtype=meta.np_dtype, dims=meta.dims, attrs=attrs,
             compressor=compressor, fill=meta.fill,
         )
-
-    dmeta = dst.array_meta(var)  # dmeta.chunks == shard shape
+        dmeta = dst.array_meta(var)  # dmeta.chunks == shard shape
+    else:
+        dmeta = _prepare_existing_destination(
+            dst, var, meta.shape, shards, meta.np_dtype, inner)
     n = dmeta.nchunks()
     grid = dmeta.grid_shape()
     dims = meta.dims or tuple(f"dim_{d}" for d in range(meta.ndim))
@@ -163,14 +239,12 @@ def reshard_array(
                 })
                 block = np.full(dm.chunks, fill, dtype=dm.np_dtype)
                 block[tuple(slice(0, h - l) for l, h in zip(lo, hi))] = region
-                try:  # all-fill shard: elide the object entirely
-                    if dm.np_dtype.kind == "f" and isinstance(fill, float) and np.isnan(fill):
-                        if bool(np.isnan(block).all()):
-                            continue
-                    elif bool((block == fill).all()):
-                        continue
-                except (TypeError, ValueError):
-                    pass  # exotic dtypes: just write it
+                if _block_is_fill(block, fill):
+                    # all-fill shard: elide the object entirely (bytes-
+                    # level detection covers struct dtypes too) — and
+                    # drop any stale object a prior population left
+                    d._kv.delete(dm.chunk_key(coords))
+                    continue
                 d.write_chunk(dm, coords, block)
                 written += 1
             yield pd.DataFrame({"n": [len(pdf)], "written": [written]})

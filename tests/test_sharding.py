@@ -543,9 +543,10 @@ def test_reshard_migration_v2_to_sharded_v3(tmp_path, spark):
 
 
 def test_reshard_struct_dtype_and_default_inner(tmp_path, spark):
-    """reshard_array edges: a STRUCT-dtype array (all-fill detection takes
-    the conservative write path) with inner_chunks defaulted to the source
-    chunk shape — values survive field-for-field."""
+    """reshard_array edges: a STRUCT-dtype array with inner_chunks
+    defaulted to the source chunk shape — values survive field-for-field,
+    and (round-8 lift) all-fill STRUCT shards are ELIDED via the bytes-
+    level fill detection instead of written unconditionally."""
     import numpy as np
 
     from mdio_cpp_spark.utils.transcode import reshard_array
@@ -557,18 +558,139 @@ def test_reshard_struct_dtype_and_default_inner(tmp_path, spark):
         dims=("i",))
     st.consolidate()
     rec = np.zeros(24, dtype=[("a", "<i4"), ("b", "<i8")])
-    rec["a"] = np.arange(24)
-    rec["b"] = np.arange(24) * 11
+    rec["a"][:16] = np.arange(16)  # last shard (rows 16..24) stays fill
+    rec["b"][:16] = np.arange(16) * 11
     st.write_array_numpy("h", rec)
 
     dst = str(tmp_path / "hdr_sharded.zarr")
     report = reshard_array(spark, src, dst, "h", shards=(8,))
-    assert report["shards_total"] == 3
+    assert report == {"shards_total": 3, "shards_written": 2}  # 1 elided
     d = ZarrStore.open(dst)
     dm = d.array_meta("h")
     assert dm.shard is not None and dm.shard["chunk_shape"] == (4,)
+    assert d.read_bytes(dm.chunk_key((2,))) is None  # truly absent
     got = d.read_array("h")
     assert np.array_equal(got["a"], rec["a"]) and np.array_equal(got["b"], rec["b"])
+
+
+def test_reshard_struct_nondefault_fill_elides(tmp_path, spark):
+    """v2 struct source with a NON-default fill: bytes-level detection
+    must compare against the real fill pattern, not zeros."""
+    import base64
+
+    import numpy as np
+
+    from mdio_cpp_spark.utils.transcode import reshard_array
+
+    dt = np.dtype([("a", "<i4"), ("b", "<i8")])
+    fillv = np.zeros((), dt)
+    fillv["a"], fillv["b"] = -1, 7
+    src = str(tmp_path / "nf_src.zarr")
+    st = ZarrStore.create(src, version=2)
+    st.create_array("h", shape=(24,), chunks=(4,), dtype={"fields": [
+        {"name": "a", "format": "int32"}, {"name": "b", "format": "int64"}]},
+        dims=("i",), fill=base64.b64encode(fillv.tobytes()).decode())
+    st.consolidate()
+    rec = np.full(24, fillv[()], dtype=dt)
+    rec["a"][:8] = np.arange(8)
+    st.write_array_numpy("h", rec)
+
+    dst = str(tmp_path / "nf_dst.zarr")
+    report = reshard_array(spark, src, dst, "h", shards=(8,))
+    assert report == {"shards_total": 3, "shards_written": 1}
+    got = ZarrStore.open(dst).read_array("h")
+    assert np.array_equal(got["a"], rec["a"]) and np.array_equal(got["b"], rec["b"])
+
+
+def test_reshard_existing_destination_validated_and_cleaned(tmp_path, spark):
+    """Round-7 advice (medium): re-migration onto a pre-existing
+    destination must (a) reject a mismatched layout loudly, (b) drop the
+    destination's stale zone-map attrs, and (c) DELETE shard objects that
+    became all-fill since the prior population instead of leaving them to
+    shadow the new fill."""
+    import numpy as np
+
+    from mdio_cpp_spark.sources import zonemap
+    from mdio_cpp_spark.utils.transcode import reshard_array
+
+    src = str(tmp_path / "src.zarr")
+    st = ZarrStore.create(src, version=2)
+    st.create_array("v", shape=(32,), chunks=(4,), dtype="float64",
+                    dims=("i",), compressor={"id": "zlib", "level": 1},
+                    fill=0.0)
+    st.consolidate()
+    vals = np.arange(32, dtype="f8") + 1.0
+    st.write_array_numpy("v", vals)
+
+    dst = str(tmp_path / "dst.zarr")
+    r1 = reshard_array(spark, src, dst, "v", shards=(16,))
+    assert r1 == {"shards_total": 2, "shards_written": 2}
+
+    # (a) mismatched layouts raise instead of silently reusing
+    with pytest.raises(ValueError, match="shard shape|chunk/shard"):
+        reshard_array(spark, src, dst, "v", shards=(8,))
+    with pytest.raises(ValueError, match="inner chunks"):
+        reshard_array(spark, src, dst, "v", shards=(16,), inner_chunks=(8,))
+
+    # (b) zone stats built on the destination between migrations go stale
+    zonemap.ensure_chunk_stats(spark, dst, "v")
+    dm = ZarrStore.open(dst).array_meta("v")
+    assert zonemap.STATS_KEY in dm.attrs or zonemap.SIDECAR_ATTR in dm.attrs
+
+    # source changes: second half becomes pure fill
+    st.write_array_numpy("v", np.zeros(16, dtype="f8"), origin=(16,))
+    r2 = reshard_array(spark, src, dst, "v", shards=(16,))
+    assert r2 == {"shards_total": 2, "shards_written": 1}
+    d = ZarrStore.open(dst)
+    dm = d.array_meta("v")
+    assert zonemap.STATS_KEY not in dm.attrs
+    assert zonemap.SIDECAR_ATTR not in dm.attrs
+    # (c) the stale second-shard object is gone, not shadowing fill
+    assert d.read_bytes(dm.chunk_key((1,))) is None
+    want = np.concatenate([vals[:16], np.zeros(16)])
+    assert np.array_equal(d.read_array("v"), want)
+    assert np.array_equal(specr.read_zarr_array(dst, "v"), want)
+
+
+def test_transcode_existing_destination_validated_and_cleaned(tmp_path, spark):
+    """Same contract for transcode_array: layout validation + stale
+    fill-only chunk objects deleted on re-migration."""
+    import numpy as np
+
+    from mdio_cpp_spark.utils.transcode import transcode_array
+
+    src = str(tmp_path / "tsrc.zarr")
+    st = ZarrStore.create(src, version=2)
+    st.create_array("v", shape=(20,), chunks=(5,), dtype="float64",
+                    dims=("i",), compressor={"id": "zlib", "level": 1},
+                    fill=0.0)
+    st.consolidate()
+    st.write_array_numpy("v", np.arange(20, dtype="f8") + 1.0)
+
+    dst = str(tmp_path / "tdst.zarr")
+    r1 = transcode_array(spark, src, dst, "v", {"id": "zlib", "level": 9})
+    assert r1 == {"chunks_total": 4, "chunks_copied": 4}
+
+    # mismatched layout: a different array shape in the destination
+    dst2 = str(tmp_path / "tdst2.zarr")
+    s2 = ZarrStore.create(dst2, version=2)
+    s2.create_array("v", shape=(10,), chunks=(5,), dtype="float64",
+                    dims=("i",), fill=0.0)
+    s2.consolidate()
+    with pytest.raises(ValueError, match="shape"):
+        transcode_array(spark, src, dst2, "v", {"id": "zlib", "level": 9})
+
+    # source loses its last chunk's data -> re-transcode deletes the object
+    st.write_array_numpy("v", np.zeros(5, dtype="f8"), origin=(15,))
+    sm = ZarrStore.open(src).array_meta("v")
+    ZarrStore.open(src)._kv.delete(sm.chunk_key((3,)))  # now truly absent
+    r2 = transcode_array(spark, src, dst, "v", {"id": "zlib", "level": 9})
+    assert r2 == {"chunks_total": 4, "chunks_copied": 3}
+    d = ZarrStore.open(dst)
+    dm = d.array_meta("v")
+    assert d.read_bytes(dm.chunk_key((3,))) is None
+    want = np.concatenate([np.arange(15, dtype="f8") + 1.0, np.zeros(5)])
+    assert np.array_equal(d.read_array("v"), want)
 
 
 def test_trim_composes_with_sharding():
