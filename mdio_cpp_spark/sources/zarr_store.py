@@ -931,6 +931,54 @@ class ZarrStore:
             block[sl] = _block_from_raw(meta, sub_raw, inner)
         return block
 
+    def shard_inner_blocks(
+        self, meta: ZarrArrayMeta, coords: tuple[int, ...]
+    ) -> Iterator[tuple[tuple[int, ...], np.ndarray | None]] | None:
+        """Stream one shard's inner chunks WITHOUT materializing the shard:
+        one ranged read for the fixed-size index, then one ranged read per
+        PRESENT inner chunk — task memory stays one inner chunk, not one
+        shard (a 2 GiB shard streams in inner-chunk-sized pieces). Yields
+        (inner_coords, block) for every inner cell in C order; missing
+        inner chunks yield ``None`` (fill semantics are the caller's).
+        Returns ``None`` when the shard OBJECT is absent."""
+        if meta.shard is None:
+            raise ValueError(f"{meta.name!r} is not sharded")
+        key = meta.chunk_key(coords)
+        grid, n = _shard_grid(meta)
+        isize = _shard_index_size(meta, n)
+        enc_idx = (
+            self._kv.read_range(key, -isize, isize)
+            if meta.shard["index_location"] == "end"
+            else self._kv.read_range(key, 0, isize)
+        )
+        if enc_idx is None:
+            return None
+        if len(enc_idx) < isize:
+            raise ValueError(
+                f"shard for {meta.name!r} shorter than its index ({isize} B)")
+        idx = _codecs.decompress_v3(enc_idx, meta.shard["index_codecs"])
+        pairs = np.frombuffer(idx, dtype="<u8").reshape(n, 2)
+        inner = meta.shard["chunk_shape"]
+
+        def gen() -> Iterator[tuple[tuple[int, ...], np.ndarray | None]]:
+            # C-order product == sequential ravel index into the pairs
+            for k, coords_in in enumerate(
+                itertools.product(*[range(g) for g in grid])
+            ):
+                off, ln = int(pairs[k, 0]), int(pairs[k, 1])
+                if off == _SHARD_MISSING and ln == _SHARD_MISSING:
+                    yield coords_in, None
+                    continue
+                raw = self._kv.read_range(key, off, ln)
+                if raw is None or len(raw) != ln:
+                    raise ValueError(
+                        f"shard for {meta.name!r}: range read of inner "
+                        f"chunk {k} [{off}, {off + ln}) failed")
+                sub_raw = _codecs.decompress_v3(raw, meta.shard["codecs"])
+                yield coords_in, _block_from_raw(meta, sub_raw, inner)
+
+        return gen()
+
     def encode_chunk(self, meta: ZarrArrayMeta, block: np.ndarray) -> bytes:
         if tuple(block.shape) != meta.chunks:
             raise ValueError(f"chunk block shape {block.shape} != chunk shape {meta.chunks}")

@@ -53,6 +53,57 @@ def _coords_key(coords: tuple[int, ...]) -> str:
     return ",".join(str(c) for c in coords)
 
 
+def _chunk_zone(ts, m, coords: tuple[int, ...]) -> list[float] | None:
+    """[vmin, vmax] of ONE chunk's valid (in-shape) extent; None for an
+    absent / fill-only / all-NaN chunk.
+
+    SHARDED stores stream inner chunks through partial shard reads
+    (ZarrStore.shard_inner_blocks: one ranged index GET + one ranged GET
+    per present inner chunk) instead of decoding the whole shard object —
+    task memory stays one INNER chunk, and a stats pass over a 2 GiB
+    shard never materializes 2 GiB. Missing inner cells inside a present
+    shard contribute the FILL to the zone (a scan synthesizes fill there,
+    so excluding it could wrongly prune ``v == fill`` predicates) —
+    identical semantics to zoning the fully-decoded shard block."""
+    shape, chunks = m.shape, m.chunks
+    if m.shard is not None:
+        it = ts.shard_inner_blocks(m, coords)
+        if it is None:
+            return None  # absent shard: pure fill
+        inner = tuple(m.shard["chunk_shape"])
+        origin = tuple(c * ch for c, ch in zip(coords, chunks))
+        vmin = math.inf
+        vmax = -math.inf
+        seen = False
+        fill_in_shape = False
+        for coords_in, block in it:
+            lo = tuple(origin[d] + coords_in[d] * inner[d]
+                       for d in range(len(shape)))
+            ext = tuple(min(inner[d], shape[d] - lo[d])
+                        for d in range(len(shape)))
+            if any(e <= 0 for e in ext):
+                continue  # inner cell entirely outside the array shape
+            if block is None:
+                fill_in_shape = True
+                continue
+            z = zone_of(block[tuple(slice(0, e) for e in ext)])
+            if z is not None:
+                vmin, vmax, seen = min(vmin, z[0]), max(vmax, z[1]), True
+        if fill_in_shape:
+            z = zone_of(np.asarray([m.fill_scalar()], dtype=m.np_dtype))
+            if z is not None:
+                vmin, vmax, seen = min(vmin, z[0]), max(vmax, z[1]), True
+        return [vmin, vmax] if seen else None
+    block = ts.decode_chunk(m, coords)
+    if block is None:
+        return None
+    valid = tuple(
+        slice(0, min(chunks[d], shape[d] - coords[d] * chunks[d]))
+        for d in range(len(shape))
+    )
+    return zone_of(block[valid])
+
+
 def compute_chunk_stats(
     spark: SparkSession, root: str, var: str, chunks_per_task: int = 8
 ) -> dict[str, list[float] | None]:
@@ -82,16 +133,8 @@ def compute_chunk_stats(
             rows = []
             for linear in pdf["id"].to_numpy():
                 coords = tuple(int(c) for c in np.unravel_index(int(linear), grid))
-                block = ts.decode_chunk(m, coords)
+                z = _chunk_zone(ts, m, coords)
                 key = _coords_key(coords)
-                if block is None:
-                    rows.append((key, None, None))
-                    continue
-                valid = tuple(
-                    slice(0, min(chunks[d], shape[d] - coords[d] * chunks[d]))
-                    for d in range(len(shape))
-                )
-                z = zone_of(block[valid])
                 rows.append((key, None, None) if z is None else (key, z[0], z[1]))
             yield pd.DataFrame(rows, columns=["key", "vmin", "vmax"])
 
@@ -371,15 +414,7 @@ def build_sidecar_stats(
             vmax = np.empty(len(ids))
             for j, linear in enumerate(ids):
                 coords = tuple(int(c) for c in np.unravel_index(int(linear), grid))
-                block = ts.decode_chunk(m, coords)
-                if block is None:
-                    vmin[j] = vmax[j] = np.nan
-                    continue
-                valid = tuple(
-                    slice(0, min(chunks[d], shape[d] - coords[d] * chunks[d]))
-                    for d in range(len(shape))
-                )
-                z = zone_of(block[valid])
+                z = _chunk_zone(ts, m, coords)
                 if z is None:
                     vmin[j] = vmax[j] = np.nan
                 else:

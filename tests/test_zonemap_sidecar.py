@@ -297,3 +297,110 @@ def test_pruning_report_driver_and_distributed(spark, tmp_path, monkeypatch):
     root2, _ = _mk_store(tmp_path / "nostats")
     rep3 = zonemap.pruning_report(root2, "v", (">=", 750.0))
     assert rep3 == {"planned": 10, "kept": 10, "pruned": 0, "source": None}
+
+
+class _CountingKV:
+    """Wraps a KVStore; records full-object reads vs ranged reads."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.full_reads = []
+        self.range_reads = []
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+    def read(self, key):
+        self.full_reads.append(key)
+        return self.inner.read(key)
+
+    def read_range(self, key, start, length):
+        self.range_reads.append((key, start, length))
+        return self.inner.read_range(key, start, length)
+
+
+def _mk_sharded(tmp_path, spark, fill=0.0, n=8000, written=5000):
+    """v3 sharded lz4 store: shards of 2000 rows / 250-row inner chunks;
+    rows [0, written) populated, the tail pure fill (absent objects /
+    MISSING inner entries)."""
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.sources.writer import write_array
+
+    root = str(tmp_path / "shz.zarr")
+    st = ZarrStore.create(root, version=3)
+    st.create_array("v", shape=(n,), chunks=(250,), shards=(2000,),
+                    dtype="float64", dims=("i",), fill=fill,
+                    compressor={"id": "blosc", "cname": "lz4", "clevel": 5,
+                                "shuffle": 1})
+    df = spark.range(written).select(F.col("id").alias("i"),
+                                     (F.col("id") * 2.0 + 1.0).alias("val"))
+    write_array(df, root, "v", value_cols="val")
+    return root
+
+
+def test_sidecar_decode_pass_partial_reads_on_sharded_store(spark, tmp_path):
+    """Round-8 gate: the sidecar builder's per-chunk decode (_chunk_zone,
+    shared by BOTH manifest builders) stats-scans a SHARDED store through
+    partial shard reads — one ranged index GET + one ranged GET per
+    PRESENT inner chunk, ZERO whole-object reads — mirroring
+    test_sharded_lz4_dsv2_pushdown_fetches_only_touched_ranges for the
+    build path. Task memory never holds a whole shard."""
+    root = _mk_sharded(tmp_path, spark)
+    st = ZarrStore.open(root)
+    meta = st.array_meta("v")
+    ckv = _CountingKV(st._kv)
+    st._kv = ckv
+
+    # shard 2 (rows 4000..6000): inner chunks 0..3 present, 4..7 MISSING
+    z = zonemap._chunk_zone(st, meta, (2,))
+    # values rows [4000, 5000): 2i+1 in [8001, 9999]; missing cells = fill 0.0
+    assert z == [0.0, 9999.0]
+    assert ckv.full_reads == []  # NEVER the whole shard object
+    key = meta.chunk_key((2,))
+    suffix = [r for r in ckv.range_reads if r[0] == key and r[1] < 0]
+    inner = [r for r in ckv.range_reads if r[0] == key and r[1] >= 0]
+    assert len(suffix) == 1 and suffix[0][2] == 8 * 16 + 4  # ONE index GET
+    assert len(inner) == 4  # exactly the four PRESENT inner chunks
+
+    # absent shard object: one index probe, nothing else, fill-only result
+    ckv.range_reads.clear()
+    assert zonemap._chunk_zone(st, meta, (3,)) is None
+    assert ckv.full_reads == [] and len(ckv.range_reads) == 1
+
+
+def test_chunk_zone_streamed_equals_whole_block(spark, tmp_path):
+    """The streamed shard zone must equal zoning the fully-decoded shard
+    block — including fill contribution from MISSING inner cells, edge
+    shards clipped to the array shape, and NaN fills excluded."""
+    from mdio_cpp_spark.sources.zarr_store import zone_of
+
+    for fill in (0.0, -5.5, float("nan")):
+        root = _mk_sharded(tmp_path / f"f{fill}", spark, fill=fill,
+                           n=7300, written=4600)  # edge shard clipped
+        st = ZarrStore.open(root)
+        meta = st.array_meta("v")
+        for c in range(meta.nchunks()):
+            got = zonemap._chunk_zone(st, meta, (c,))
+            block = st.decode_chunk(meta, (c,))
+            if block is None:
+                assert got is None, (fill, c)
+                continue
+            valid = (slice(0, min(2000, 7300 - c * 2000)),)
+            assert got == zone_of(block[valid]), (fill, c)
+
+
+def test_sidecar_build_end_to_end_on_sharded_store(spark, tmp_path):
+    """build_sidecar_stats over a sharded store: manifest rows match the
+    whole-block zones, and the published sidecar actually prunes a
+    pushed value filter down to the right shard objects."""
+    root = _mk_sharded(tmp_path, spark)
+    info = zonemap.build_sidecar_stats(spark, root, "v")
+    assert info["nchunks"] == 4  # the SHARD grid is the zone grid
+    got = sorted(
+        r["i"] for r in
+        scan_array(spark, root, "v", value_filter=(">=", 9000.0)).collect()
+    )
+    assert got == list(range(4500, 5000))  # rows with 2i+1 >= 9000
+    rep = zonemap.pruning_report(root, "v", (">=", 9000.0))
+    assert rep == {"planned": 4, "kept": 1, "pruned": 3, "source": "sidecar"}
