@@ -5338,3 +5338,96 @@ def zarr114(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ok2").cast("long").alias("max_ok2"),
         )
     )
+
+
+@declared(
+    "segy01_ingest",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(MIN(v) AS BIGINT) AS min_v,
+           CAST(MAX(v) AS BIGINT) AS max_v
+    FROM (
+      SELECT ((o.o_orderkey % 65536) * 16 + s.s) AS v
+      FROM (SELECT o_orderkey,
+                   ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS t
+            FROM orders) o
+      CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+                         (8),(9),(10),(11),(12),(13),(14),(15)) AS s(s)
+      WHERE o.t < LEAST((SELECT COUNT(*) FROM orders) // 32 * 32, 2048)
+        AND (o.t // 32) >= 4 AND (o.t // 32) < 20
+        AND (o.t % 32) >= 8 AND (o.t % 32) < 24
+    )
+    """,
+)
+def segy01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEG-Y ingest end to end (round-8): a rev1 fixture file (EBCDIC-free
+    ASCII text header, big-endian binary header, IBM hexadecimal-float
+    samples — integers < 2^24 so IBM encoding is EXACT) is built from the
+    orders keys, ingested by sources/segy.ingest_to_store onto the
+    PostStack3D (inline, crossline, sample) cube — the reference's
+    flagship real-data path (regression_tests/
+    multidimio_compatibility_test.py:45-110, HeaderField customization +
+    segy_to_mdio) — then a chunk-pruned isel box over the cube aggregates
+    against the orders oracle. The distributed scan partitions the trace
+    index space (one contiguous read per task, zero shuffle); the store
+    write is the standard chunk-keyed shuffle."""
+    import struct as _st
+
+    from mdio_cpp_spark.sources.segy import ingest_to_store
+
+    base = ensure_stores(spark, sf_dir)
+    sgy = os.path.join(base, "fixture.sgy")
+    path = os.path.join(base, "segy_cube.zarr")
+    marker = os.path.join(base, ".built_segy_v1")
+    W, CAP, NS = 32, 2048, 16
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        okeys = [int(r[0]) for r in _orders_indexed(spark, sf_dir)
+                 .orderBy("i").select("o_orderkey").limit(CAP).collect()]
+        n_tr = (len(okeys) // W) * W
+        okeys = okeys[:n_tr]
+
+        def ibm_u32(v: int) -> int:
+            # integer < 2^24 → exact IBM: h hex digits, exp 64+h,
+            # fraction left-justified to 24 bits
+            h = max(1, (v.bit_length() + 3) // 4)
+            return ((64 + h) << 24) | (v << (24 - 4 * h))
+
+        out = bytearray()
+        out += ("C 1 spark-graft segy01 fixture".ljust(3200)).encode("ascii")
+        bh = bytearray(400)
+        _st.pack_into(">h", bh, 16, 2000)  # sample interval us
+        _st.pack_into(">h", bh, 20, NS)
+        _st.pack_into(">h", bh, 24, 1)  # IBM float
+        _st.pack_into(">h", bh, 300, 0x0100)
+        _st.pack_into(">h", bh, 302, 1)
+        out += bh
+        for t, ok in enumerate(okeys):
+            th = bytearray(240)
+            _st.pack_into(">i", th, 0, t + 1)
+            _st.pack_into(">h", th, 114, NS)
+            _st.pack_into(">i", th, 188, 10 + t // W)  # inline
+            _st.pack_into(">i", th, 192, 5 + t % W)  # crossline
+            out += th
+            v0 = (ok % 65536) * 16
+            out += b"".join(_st.pack(">I", ibm_u32(v0 + s)) for s in range(NS))
+        with open(sgy, "wb") as f:
+            f.write(out)
+        ingest_to_store(spark, sgy, path, grid_by=("inline", "crossline"),
+                        chunks=(8, 16, NS), compressor={"id": "zlib", "level": 1})
+        with open(marker, "w") as f:
+            f.write("1")
+    ds = MdioDataset.open(path)
+    return (
+        ds.isel(inline=(4, 20), crossline=(8, 24))
+        .to_df(spark, "amplitude", value_col="v")
+        .agg(
+            F.count("v").cast("long").alias("cnt"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.min("v").cast("long").alias("min_v"),
+            F.max("v").cast("long").alias("max_v"),
+        )
+    )

@@ -1,0 +1,373 @@
+"""SEG-Y rev0/rev1 ingest source (public SEG standard) — wheel-free.
+
+The reference's real-data workflow STARTS from SEG-Y: its regression test
+ingests a remote .sgy with customizable trace-header fields and a 3D
+poststack template (regression_tests/multidimio_compatibility_test.py:
+45-110 — ``HeaderField(name, byte, format)``, ``segy_to_mdio``), and
+examples/seismic_reader consumes the resulting store. This module is the
+PySpark-native analog, derived purely from the public SEG-Y rev1 format
+(SEG technical standard):
+
+  * 3200-byte textual header (EBCDIC cp037 or ASCII — auto-detected),
+  * 400-byte big-endian binary file header (sample interval, samples per
+    trace, data-format code, extended-header count),
+  * per-trace 240-byte big-endian headers with caller-declared
+    ``HeaderField(name, byte, format)`` extraction (the reference's
+    customization point, byte offsets 1-based per the standard),
+  * sample formats 1 (IBM 4-byte hexadecimal float), 2 (int32),
+    3 (int16), 5 (IEEE float32), 8 (int8).
+
+Scale design: a SEG-Y file with fixed-length traces is a flat byte grid —
+``data_start + trace_index * trace_bytes`` addresses any trace with pure
+arithmetic. ``scan_traces`` therefore partitions the TRACE INDEX SPACE
+(``spark.range``), and each task performs ONE contiguous read of its
+slice, parses headers vectorized (numpy strided views, no per-field
+Python loops), and converts samples in bulk — zero shuffle, no driver
+materialization, embarrassingly parallel at any file size. The ingest
+(``ingest_to_store``) reuses the chunk-aligned writer, so store placement
+is the same single chunk-keyed shuffle every other ingest pays.
+
+IBM float conversion is vectorized and pinned against hand-computed
+vectors plus an independent spec-derived ENCODER in tests (the
+codec-verification posture: two independent implementations of a public
+format check each other).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TEXT_LEN = 3200
+BIN_LEN = 400
+TRACE_HEADER_LEN = 240
+
+# data-format code (binary header bytes 3225-3226) → (kind, bytes/sample)
+_FORMATS = {
+    1: ("ibm", 4),
+    2: (">i4", 4),
+    3: (">i2", 2),
+    5: (">f4", 4),
+    8: ("b", 1),
+}
+
+_FIELD_FMT = {"int32": (">i4", 4), "int16": (">i2", 2), "uint16": (">u2", 2)}
+
+
+class SegyFormatError(RuntimeError):
+    pass
+
+
+@dataclass(frozen=True)
+class HeaderField:
+    """One trace-header field to extract: ``byte`` is the 1-BASED offset
+    within the 240-byte trace header (the standard's convention and the
+    reference's customization signature)."""
+
+    name: str
+    byte: int
+    format: str = "int32"
+
+    def __post_init__(self):
+        if self.format not in _FIELD_FMT:
+            raise SegyFormatError(
+                f"header field format {self.format!r}: one of {sorted(_FIELD_FMT)}")
+        width = _FIELD_FMT[self.format][1]
+        if not 1 <= self.byte <= TRACE_HEADER_LEN - width + 1:
+            raise SegyFormatError(
+                f"header byte {self.byte} outside the 240-byte trace header")
+
+
+# the standard's best-known fields (rev1 table 3) — callers pick a subset
+# or bring their own, exactly like the reference's HeaderField list
+STANDARD_FIELDS = {
+    "trace_seq_line": HeaderField("trace_seq_line", 1),
+    "field_record": HeaderField("field_record", 9),
+    "trace_in_record": HeaderField("trace_in_record", 13),
+    "energy_source_point": HeaderField("energy_source_point", 17),
+    "ensemble": HeaderField("ensemble", 21),
+    "trace_in_ensemble": HeaderField("trace_in_ensemble", 25),
+    "trace_id": HeaderField("trace_id", 29, "int16"),
+    "coord_scalar": HeaderField("coord_scalar", 71, "int16"),
+    "source_x": HeaderField("source_x", 73),
+    "source_y": HeaderField("source_y", 77),
+    "group_x": HeaderField("group_x", 81),
+    "group_y": HeaderField("group_y", 85),
+    "nsamples": HeaderField("nsamples", 115, "uint16"),
+    "sample_interval_us": HeaderField("sample_interval_us", 117, "uint16"),
+    "cdp_x": HeaderField("cdp_x", 181),
+    "cdp_y": HeaderField("cdp_y", 185),
+    "inline": HeaderField("inline", 189),
+    "crossline": HeaderField("crossline", 193),
+}
+
+
+# -------------------------------------------------------------- IBM float
+
+
+def ibm_to_ieee(u32: np.ndarray) -> np.ndarray:
+    """IBM System/360 hexadecimal float → float64, vectorized.
+
+    Layout (SEG-Y rev1 §3.1 data format 1): sign bit, 7-bit base-16
+    exponent in excess-64, 24-bit fraction; value =
+    (-1)^s · 0.F₁₆ · 16^(E-64). A zero fraction decodes to 0.0 regardless
+    of the exponent bits (hardware convention)."""
+    u32 = np.asarray(u32, dtype=np.uint32)
+    sign = np.where(u32 >> 31, -1.0, 1.0)
+    exp = ((u32 >> 24) & 0x7F).astype(np.int64) - 64
+    frac = (u32 & 0xFFFFFF).astype(np.float64) / float(1 << 24)
+    out = sign * frac * np.power(16.0, exp, dtype=np.float64)
+    return np.where(u32 & 0xFFFFFF, out, 0.0)
+
+
+# ------------------------------------------------------------ file headers
+
+
+def read_text_header(path: str) -> str:
+    """The 3200-byte textual header as 40 80-char lines joined by newlines.
+    EBCDIC (cp037 — the standard's default) vs ASCII is auto-detected: an
+    EBCDIC header's 'C' card prefix is byte 0xC3."""
+    with open(path, "rb") as f:
+        raw = f.read(TEXT_LEN)
+    if len(raw) < TEXT_LEN:
+        raise SegyFormatError("file shorter than the 3200-byte textual header")
+    text = raw.decode("cp037") if raw[0] == 0xC3 else raw.decode(
+        "ascii", errors="replace")
+    return "\n".join(text[i : i + 80] for i in range(0, TEXT_LEN, 80))
+
+
+def read_binary_header(path: str) -> dict:
+    """The 400-byte binary file header's load-bearing fields (big-endian,
+    1-based byte positions per the standard: 3213.. within the file)."""
+    with open(path, "rb") as f:
+        f.seek(TEXT_LEN)
+        raw = f.read(BIN_LEN)
+    if len(raw) < BIN_LEN:
+        raise SegyFormatError("file shorter than the 400-byte binary header")
+
+    def i16(pos: int) -> int:  # pos is 1-based within the binary header
+        return struct.unpack_from(">h", raw, pos - 1)[0]
+
+    rev = i16(301)
+    return {
+        "traces_per_ensemble": i16(13),
+        "aux_traces_per_ensemble": i16(15),
+        "sample_interval_us": i16(17),
+        "samples_per_trace": i16(21),
+        "format": i16(25),
+        "measurement_system": i16(55),
+        "segy_revision": rev,
+        "fixed_length_traces": i16(303),
+        "n_extended_text_headers": i16(305),
+    }
+
+
+def file_geometry(path: str) -> dict:
+    """Resolve the trace layout: data start offset, bytes per trace, trace
+    count — everything scan_traces needs to address traces arithmetically.
+    Variable-length extensions are refused loudly (count -1), and a file
+    whose data region is not an exact multiple of the trace record raises
+    instead of silently truncating."""
+    hdr = read_binary_header(path)
+    fmt = hdr["format"]
+    if fmt not in _FORMATS:
+        raise SegyFormatError(
+            f"data format code {fmt}: supported {sorted(_FORMATS)}")
+    ns = hdr["samples_per_trace"]
+    if ns <= 0:
+        raise SegyFormatError(f"samples per trace {ns} must be positive")
+    n_ext = hdr["n_extended_text_headers"]
+    if n_ext < 0:
+        raise SegyFormatError(
+            "variable-count extended textual headers are unsupported")
+    data_start = TEXT_LEN + BIN_LEN + TEXT_LEN * n_ext
+    sample_bytes = _FORMATS[fmt][1]
+    trace_bytes = TRACE_HEADER_LEN + ns * sample_bytes
+    size = os.path.getsize(path)
+    body = size - data_start
+    if body < 0 or body % trace_bytes:
+        raise SegyFormatError(
+            f"data region {body} B is not a whole number of "
+            f"{trace_bytes}-B trace records (variable-length traces?)")
+    return {
+        **hdr,
+        "data_start": data_start,
+        "trace_bytes": trace_bytes,
+        "n_traces": body // trace_bytes,
+        "sample_bytes": sample_bytes,
+    }
+
+
+# ------------------------------------------------------- distributed scan
+
+
+def _decode_samples(raw: np.ndarray, fmt: int) -> np.ndarray:
+    """(ntraces, ns*sample_bytes) u1 view → (ntraces, ns) float64."""
+    kind, width = _FORMATS[fmt]
+    if kind == "ibm":
+        u32 = raw.reshape(raw.shape[0], -1, 4)
+        vals = (
+            u32[:, :, 0].astype(np.uint32) << 24
+        ) | (u32[:, :, 1].astype(np.uint32) << 16) | (
+            u32[:, :, 2].astype(np.uint32) << 8
+        ) | u32[:, :, 3]
+        return ibm_to_ieee(vals)
+    return (
+        raw.reshape(raw.shape[0], -1)
+        .view(kind)
+        .astype(np.float64)
+    )
+
+
+def scan_traces(
+    spark: SparkSession,
+    path: str,
+    header_fields: list[HeaderField] | None = None,
+    with_samples: bool = True,
+    traces_per_task: int = 2048,
+) -> DataFrame:
+    """Distributed SEG-Y trace scan → one row per trace:
+    (trace, <header fields...>, samples array<double>).
+
+    Partitions the trace index space; each task does ONE contiguous read
+    of its slice and parses it with numpy strided views — per-task memory
+    is its slice, the driver sees nothing but the plan."""
+    import math
+
+    geo = file_geometry(path)
+    n, tb, start, fmt = (geo["n_traces"], geo["trace_bytes"],
+                         geo["data_start"], geo["format"])
+    fields = list(header_fields or [])
+    seen = set()
+    for fld in fields:
+        if fld.name in ("trace", "samples") or fld.name in seen:
+            raise SegyFormatError(f"duplicate/reserved field name {fld.name!r}")
+        seen.add(fld.name)
+
+    par = max(1, spark.sparkContext.defaultParallelism)
+    n_parts = min(max(1, math.ceil(n / max(1, traces_per_task))), 64 * par)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with open(path, "rb") as f:
+            for pdf in batches:
+                ids = pdf["id"].to_numpy(dtype=np.int64)
+                if len(ids) == 0:
+                    continue
+                # ids from spark.range are contiguous per batch: one read
+                lo, hi = int(ids[0]), int(ids[-1])
+                f.seek(start + lo * tb)
+                buf = f.read((hi - lo + 1) * tb)
+                mat = np.frombuffer(buf, dtype=np.uint8).reshape(-1, tb)
+                mat = mat[ids - lo]  # robust to non-contiguous ids
+                cols: dict = {"trace": ids}
+                for fld in fields:
+                    dt, width = _FIELD_FMT[fld.format]
+                    sl = mat[:, fld.byte - 1 : fld.byte - 1 + width]
+                    cols[fld.name] = (
+                        np.ascontiguousarray(sl).view(dt).astype(np.int64).ravel()
+                    )
+                if with_samples:
+                    body = mat[:, TRACE_HEADER_LEN:]
+                    vals = _decode_samples(np.ascontiguousarray(body), fmt)
+                    cols["samples"] = list(vals)
+                yield pd.DataFrame(cols)
+
+    schema = "trace long" + "".join(f", {f.name} long" for f in fields)
+    if with_samples:
+        schema += ", samples array<double>"
+    return spark.range(n, numPartitions=n_parts).mapInPandas(parse, schema)
+
+
+# ---------------------------------------------------------------- ingest
+
+
+def ingest_to_store(
+    spark: SparkSession,
+    segy_path: str,
+    root: str,
+    var: str = "amplitude",
+    grid_by: tuple[str, str] | None = None,
+    header_fields: list[HeaderField] | None = None,
+    chunks: tuple[int, ...] | None = None,
+    compressor: dict | None = None,
+) -> dict:
+    """SEG-Y → MDIO store, end to end (the reference's segy_to_mdio
+    analog, regression_tests/multidimio_compatibility_test.py:77-85).
+
+    ``grid_by=None``: a (trace, sample) 2-D array. ``grid_by=(il, xl)``:
+    the PostStack3D shape — traces place onto the (inline, crossline,
+    sample) cube by their header values' sorted ranks, and the two
+    coordinate arrays are stored alongside (sel by real inline numbers).
+    The coordinate vocabularies are grid-sized (thousands), so their
+    distinct-collect is driver-safe at any file size; the cell placement
+    itself is a broadcast-map join, and the store write is the standard
+    chunk-aligned shuffle."""
+    from mdio_cpp_spark.sources.writer import write_array
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    geo = file_geometry(segy_path)
+    ns = geo["samples_per_trace"]
+    fields = list(header_fields or [])
+    if grid_by is not None:
+        have = {f.name for f in fields}
+        fields += [STANDARD_FIELDS[g] for g in grid_by
+                   if g not in have and g in STANDARD_FIELDS]
+        missing = [g for g in grid_by
+                   if g not in {f.name for f in fields}]
+        if missing:
+            raise SegyFormatError(f"grid_by fields not declared: {missing}")
+    traces = scan_traces(spark, segy_path, header_fields=fields)
+
+    st = ZarrStore.create(root, version=2, attrs={
+        "source": os.path.basename(segy_path),
+        "sample_interval_us": int(geo["sample_interval_us"]),
+        "segy_format": int(geo["format"]),
+    })
+    long = traces.select(
+        "trace", *[f.name for f in fields],
+        F.posexplode("samples").alias("sample", "v"),
+    )
+    if grid_by is None:
+        shape = (geo["n_traces"], ns)
+        st.create_array(var, shape=shape,
+                        chunks=chunks or (min(2048, shape[0]), ns),
+                        dtype="float64", dims=("trace", "sample"),
+                        compressor=compressor)
+        st.consolidate()
+        report = write_array(long, root, var, value_cols="v")
+        return {**report, "shape": list(shape)}
+
+    il_name, xl_name = grid_by
+    # grid vocabularies: thousands of values, driver-safe by construction
+    il_vals = sorted(r[0] for r in traces.select(il_name).distinct().collect())
+    xl_vals = sorted(r[0] for r in traces.select(xl_name).distinct().collect())
+    il_rank = {v: i for i, v in enumerate(il_vals)}
+    xl_rank = {v: i for i, v in enumerate(xl_vals)}
+    shape = (len(il_vals), len(xl_vals), ns)
+    st.create_array(var, shape=shape,
+                    chunks=chunks or (min(64, shape[0]), min(64, shape[1]), ns),
+                    dtype="float64", dims=(il_name, xl_name, "sample"),
+                    compressor=compressor)
+    st.create_array(f"{il_name}_coord", shape=(shape[0],), chunks=(shape[0],),
+                    dtype="int64", dims=(il_name,))
+    st.create_array(f"{xl_name}_coord", shape=(shape[1],), chunks=(shape[1],),
+                    dtype="int64", dims=(xl_name,))
+    st.consolidate()
+    st.write_array_numpy(f"{il_name}_coord", np.asarray(il_vals, dtype=np.int64))
+    st.write_array_numpy(f"{xl_name}_coord", np.asarray(xl_vals, dtype=np.int64))
+    il_map = F.create_map(*[F.lit(x) for kv in il_rank.items() for x in kv])
+    xl_map = F.create_map(*[F.lit(x) for kv in xl_rank.items() for x in kv])
+    cells = long.select(
+        il_map[F.col(il_name)].alias(il_name),
+        xl_map[F.col(xl_name)].alias(xl_name),
+        "sample", "v",
+    )
+    report = write_array(cells, root, var, value_cols="v")
+    return {**report, "shape": list(shape)}

@@ -1,0 +1,273 @@
+"""SEG-Y ingest source gates.
+
+The engine's reader (sources/segy.py) is pinned the codec-verification
+way: this file carries an INDEPENDENT spec-derived SEG-Y WRITER (EBCDIC
+text header, big-endian binary header, trace headers, IBM/IEEE/int
+sample encodings — no engine imports in the builder), hand-computed IBM
+hexadecimal-float vectors, and end-to-end ingest → store → scan checks.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from mdio_cpp_spark.sources.segy import (
+    HeaderField,
+    SegyFormatError,
+    file_geometry,
+    ibm_to_ieee,
+    ingest_to_store,
+    read_binary_header,
+    read_text_header,
+    scan_traces,
+)
+
+# ---------------------------------------------------- independent writer
+
+
+def ieee_to_ibm(x: float) -> int:
+    """Spec-derived IBM System/360 float encoder (tests-only counterpart
+    of the engine's decoder): value = (-1)^s · 0.F₁₆ · 16^(E-64)."""
+    if x == 0:
+        return 0
+    sign = 0x80000000 if x < 0 else 0
+    x = abs(x)
+    exp = 64
+    while x >= 1.0:
+        x /= 16.0
+        exp += 1
+    while x < 1.0 / 16.0:
+        x *= 16.0
+        exp -= 1
+    frac = int(round(x * (1 << 24)))
+    if frac == 1 << 24:  # rounding carried into a new hex digit
+        frac >>= 4
+        exp += 1
+    assert 0 <= exp <= 127, "exponent out of IBM range"
+    return sign | (exp << 24) | frac
+
+
+def write_segy(
+    path: str,
+    samples: np.ndarray,  # (n_traces, ns) float64
+    fmt: int = 1,
+    headers: dict[int, np.ndarray] | None = None,  # 1-based byte → int32s
+    interval_us: int = 2000,
+    n_ext_text: int = 0,
+    text: str = "C 1 CLIENT spark-graft test fixture",
+) -> None:
+    """Write a SEG-Y rev1 file straight from the public standard."""
+    n, ns = samples.shape
+    out = bytearray()
+    card = text.ljust(80)[:80]
+    txt = (card + " " * 80 * 39)[: 80 * 40]
+    out += txt.encode("cp037")  # EBCDIC, the standard's default
+    binhdr = bytearray(400)
+    struct.pack_into(">h", binhdr, 16, interval_us)  # 3217-3218
+    struct.pack_into(">h", binhdr, 20, ns)  # 3221-3222
+    struct.pack_into(">h", binhdr, 24, fmt)  # 3225-3226
+    struct.pack_into(">h", binhdr, 300, 0x0100)  # rev1
+    struct.pack_into(">h", binhdr, 302, 1)  # fixed-length traces
+    struct.pack_into(">h", binhdr, 304, n_ext_text)
+    out += binhdr
+    out += b"\x40" * (3200 * n_ext_text)  # extended text headers (blank)
+    for t in range(n):
+        th = bytearray(240)
+        struct.pack_into(">i", th, 0, t + 1)  # trace sequence in line
+        struct.pack_into(">h", th, 114, ns)  # per-trace nsamples
+        struct.pack_into(">h", th, 116, interval_us)
+        for byte1, vals in (headers or {}).items():
+            struct.pack_into(">i", th, byte1 - 1, int(vals[t]))
+        out += th
+        row = samples[t]
+        if fmt == 1:
+            out += b"".join(struct.pack(">I", ieee_to_ibm(float(v))) for v in row)
+        elif fmt == 2:
+            out += row.astype(">i4").tobytes()
+        elif fmt == 3:
+            out += row.astype(">i2").tobytes()
+        elif fmt == 5:
+            out += row.astype(">f4").tobytes()
+        elif fmt == 8:
+            out += row.astype("i1").tobytes()
+        else:
+            raise AssertionError(fmt)
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+# --------------------------------------------------------- IBM vectors
+
+
+def test_ibm_float_hand_vectors():
+    """Hand-computed IBM hexadecimal-float vectors (the public worked
+    examples): value = (-1)^s · 0.F₁₆ · 16^(E-64)."""
+    vecs = {
+        0x00000000: 0.0,
+        0x41100000: 1.0,  # 0x.1 * 16^1
+        0xC1100000: -1.0,
+        0x40800000: 0.5,  # 0x.8 * 16^0
+        0x41200000: 2.0,
+        0x42640000: 100.0,  # 0x.64 * 16^2
+        0xC2640000: -100.0,
+        0x4276A000: 118.625,  # the standard worked example 0x76.A
+        0xC276A000: -118.625,
+        0x3F100000: 1.0 / 256.0,  # 0x.1 * 16^-1
+        0x7F000000: 0.0,  # zero fraction decodes 0 regardless of exponent
+    }
+    got = ibm_to_ieee(np.array(sorted(vecs), dtype=np.uint32))
+    for u, want in zip(sorted(vecs), got):
+        assert got[sorted(vecs).index(u)] == vecs[u], hex(u)
+    # differential vs the independent encoder over awkward magnitudes
+    vals = [3.0, -7.25, 1e-6, 123456.0, 16777215.0, 0.0001220703125]
+    enc = np.array([ieee_to_ibm(v) for v in vals], dtype=np.uint32)
+    dec = ibm_to_ieee(enc)
+    assert np.allclose(dec, vals, rtol=1e-6)
+    # integers < 2^24 are EXACT in IBM format (the gate relies on this)
+    ints = np.array([ieee_to_ibm(float(v)) for v in (1, 2, 977, 65535, 1048576)],
+                    dtype=np.uint32)
+    assert list(ibm_to_ieee(ints)) == [1.0, 2.0, 977.0, 65535.0, 1048576.0]
+
+
+# ------------------------------------------------------------ file layer
+
+
+def test_headers_and_geometry(tmp_path):
+    path = str(tmp_path / "a.sgy")
+    samples = np.arange(12, dtype="f8").reshape(3, 4)
+    write_segy(path, samples, fmt=5, n_ext_text=2,
+               text="C 1 CLIENT spark-graft test fixture")
+    txt = read_text_header(path)
+    assert txt.splitlines()[0].startswith("C 1 CLIENT spark-graft")
+    hdr = read_binary_header(path)
+    assert hdr["samples_per_trace"] == 4
+    assert hdr["format"] == 5
+    assert hdr["sample_interval_us"] == 2000
+    assert hdr["segy_revision"] == 0x0100
+    assert hdr["n_extended_text_headers"] == 2
+    geo = file_geometry(path)
+    assert geo["data_start"] == 3600 + 2 * 3200
+    assert geo["trace_bytes"] == 240 + 4 * 4
+    assert geo["n_traces"] == 3
+
+
+def test_geometry_rejects_malformed(tmp_path):
+    path = str(tmp_path / "b.sgy")
+    write_segy(path, np.zeros((2, 4)), fmt=5)
+    with open(path, "ab") as f:
+        f.write(b"\x00" * 7)  # ragged tail
+    with pytest.raises(SegyFormatError, match="whole number"):
+        file_geometry(path)
+    path2 = str(tmp_path / "c.sgy")
+    write_segy(path2, np.zeros((1, 4)), fmt=5)
+    with open(path2, "r+b") as f:
+        f.seek(3200 + 24)
+        f.write(struct.pack(">h", 4))  # unsupported format code
+    with pytest.raises(SegyFormatError, match="format code"):
+        file_geometry(path2)
+    with open(path2, "r+b") as f:
+        f.seek(3200 + 24)
+        f.write(struct.pack(">h", 5))
+        f.seek(3200 + 304)
+        f.write(struct.pack(">h", -1))  # variable ext headers
+    with pytest.raises(SegyFormatError, match="variable-count"):
+        file_geometry(path2)
+
+
+# -------------------------------------------------------- distributed scan
+
+
+@pytest.mark.parametrize("fmt", [1, 2, 3, 5, 8])
+def test_scan_traces_all_formats(tmp_path, spark, fmt):
+    rng = np.random.RandomState(fmt)
+    n, ns = 37, 11
+    if fmt == 1:
+        vals = rng.randint(-10000, 10000, (n, ns)).astype("f8")
+    elif fmt == 2:
+        vals = rng.randint(-(2**30), 2**30, (n, ns)).astype("f8")
+    elif fmt == 3:
+        vals = rng.randint(-32768, 32767, (n, ns)).astype("f8")
+    elif fmt == 5:
+        vals = rng.randn(n, ns).astype("f4").astype("f8")
+    else:
+        vals = rng.randint(-128, 127, (n, ns)).astype("f8")
+    path = str(tmp_path / f"f{fmt}.sgy")
+    il = 100 + np.arange(n) // 8
+    write_segy(path, vals, fmt=fmt, headers={189: il})
+    df = scan_traces(spark, path,
+                     header_fields=[HeaderField("inline", 189)],
+                     traces_per_task=10)
+    rows = {r["trace"]: r for r in df.collect()}
+    assert len(rows) == n
+    for t in range(n):
+        assert rows[t]["inline"] == il[t]
+        assert np.array_equal(np.asarray(rows[t]["samples"]), vals[t]), (fmt, t)
+
+
+def test_scan_headers_only_and_int16_field(tmp_path, spark):
+    path = str(tmp_path / "h.sgy")
+    n = 9
+    write_segy(path, np.zeros((n, 4)), fmt=5,
+               headers={21: np.arange(n) * 3 + 1})
+    df = scan_traces(
+        spark, path, with_samples=False,
+        header_fields=[HeaderField("ensemble", 21),
+                       HeaderField("nsamples", 115, "uint16")])
+    rows = sorted(df.collect(), key=lambda r: r["trace"])
+    assert "samples" not in df.columns
+    assert [r["ensemble"] for r in rows] == [t * 3 + 1 for t in range(n)]
+    assert all(r["nsamples"] == 4 for r in rows)
+
+
+# ---------------------------------------------------------------- ingest
+
+
+def test_ingest_2d_trace_sample(tmp_path, spark):
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+    from tests.spec_zarr_reader import read_zarr_array
+
+    path = str(tmp_path / "i.sgy")
+    n, ns = 50, 8
+    vals = (np.arange(n * ns, dtype="f8") % 977).reshape(n, ns)
+    write_segy(path, vals, fmt=1)
+    root = str(tmp_path / "i.zarr")
+    rep = ingest_to_store(spark, path, root, var="amp",
+                          compressor={"id": "zlib", "level": 1})
+    assert rep["shape"] == [n, ns]
+    assert np.array_equal(ZarrStore.open(root).read_array("amp"), vals)
+    assert np.array_equal(read_zarr_array(root, "amp"), vals)
+
+
+def test_ingest_poststack3d_cube(tmp_path, spark):
+    """The reference's flagship shape (PostStack3D: inline × crossline ×
+    sample): traces place by header-value RANK, coordinate arrays stored,
+    and a chunk-pruned isel box scans back exactly."""
+    from mdio_cpp_spark.model import MdioDataset
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    path = str(tmp_path / "cube.sgy")
+    n_il, n_xl, ns = 6, 5, 7
+    n = n_il * n_xl
+    il = 10 + 2 * (np.arange(n) // n_xl)  # non-contiguous inline numbers
+    xl = 300 + (np.arange(n) % n_xl)
+    cube = np.fromfunction(
+        lambda i, x, s: i * 1000 + x * 10 + s, (n_il, n_xl, ns))
+    vals = cube.reshape(n, ns)
+    write_segy(path, vals, fmt=1, headers={189: il, 193: xl})
+    root = str(tmp_path / "cube.zarr")
+    rep = ingest_to_store(spark, path, root,
+                          grid_by=("inline", "crossline"))
+    assert rep["shape"] == [n_il, n_xl, ns]
+    st = ZarrStore.open(root)
+    assert np.array_equal(st.read_array("amplitude"), cube)
+    assert list(st.read_array("inline_coord")) == [10, 12, 14, 16, 18, 20]
+    assert list(st.read_array("crossline_coord")) == [300, 301, 302, 303, 304]
+    ds = MdioDataset.open(root)
+    got = (ds.isel(inline=(1, 4), crossline=(2, 4))
+           .to_df(spark, "amplitude", value_col="v").collect())
+    assert len(got) == 3 * 2 * ns
+    for r in got:
+        assert r["v"] == cube[r["inline"], r["crossline"], r["sample"]]
