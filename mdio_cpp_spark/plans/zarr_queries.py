@@ -5340,38 +5340,12 @@ def zarr114(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared(
-    "segy01_ingest",
-    oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(SUM(v) AS BIGINT) AS sum_v,
-           CAST(MIN(v) AS BIGINT) AS min_v,
-           CAST(MAX(v) AS BIGINT) AS max_v
-    FROM (
-      SELECT ((o.o_orderkey % 65536) * 16 + s.s) AS v
-      FROM (SELECT o_orderkey,
-                   ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS t
-            FROM orders) o
-      CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
-                         (8),(9),(10),(11),(12),(13),(14),(15)) AS s(s)
-      WHERE o.t < LEAST((SELECT COUNT(*) FROM orders) // 32 * 32, 2048)
-        AND (o.t // 32) >= 4 AND (o.t // 32) < 20
-        AND (o.t % 32) >= 8 AND (o.t % 32) < 24
-    )
-    """,
-)
-def segy01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SEG-Y ingest end to end (round-8): a rev1 fixture file (EBCDIC-free
-    ASCII text header, big-endian binary header, IBM hexadecimal-float
-    samples — integers < 2^24 so IBM encoding is EXACT) is built from the
-    orders keys, ingested by sources/segy.ingest_to_store onto the
-    PostStack3D (inline, crossline, sample) cube — the reference's
-    flagship real-data path (regression_tests/
-    multidimio_compatibility_test.py:45-110, HeaderField customization +
-    segy_to_mdio) — then a chunk-pruned isel box over the cube aggregates
-    against the orders oracle. The distributed scan partitions the trace
-    index space (one contiguous read per task, zero shuffle); the store
-    write is the standard chunk-keyed shuffle."""
+def _ensure_segy_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per sf) the SEG-Y rev1 fixture file + its ingested
+    PostStack3D cube store. Trace t carries inline 10 + t//32, crossline
+    5 + t%32, and 16 IBM-float samples (okey%65536)*16 + s — integers
+    < 2^24, so IBM encoding is EXACT and every derived gate hash-matches.
+    Returns (sgy_path, cube_store_path)."""
     import struct as _st
 
     from mdio_cpp_spark.sources.segy import ingest_to_store
@@ -5420,10 +5394,144 @@ def segy01(spark: SparkSession, sf_dir: str) -> DataFrame:
                         chunks=(8, 16, NS), compressor={"id": "zlib", "level": 1})
         with open(marker, "w") as f:
             f.write("1")
+    return sgy, path
+
+
+@declared(
+    "segy01_ingest",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(MIN(v) AS BIGINT) AS min_v,
+           CAST(MAX(v) AS BIGINT) AS max_v
+    FROM (
+      SELECT ((o.o_orderkey % 65536) * 16 + s.s) AS v
+      FROM (SELECT o_orderkey,
+                   ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS t
+            FROM orders) o
+      CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+                         (8),(9),(10),(11),(12),(13),(14),(15)) AS s(s)
+      WHERE o.t < LEAST((SELECT COUNT(*) FROM orders) // 32 * 32, 2048)
+        AND (o.t // 32) >= 4 AND (o.t // 32) < 20
+        AND (o.t % 32) >= 8 AND (o.t % 32) < 24
+    )
+    """,
+)
+def segy01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEG-Y ingest end to end (round-8): a rev1 fixture file (EBCDIC-free
+    ASCII text header, big-endian binary header, IBM hexadecimal-float
+    samples — integers < 2^24 so IBM encoding is EXACT) is built from the
+    orders keys, ingested by sources/segy.ingest_to_store onto the
+    PostStack3D (inline, crossline, sample) cube — the reference's
+    flagship real-data path (regression_tests/
+    multidimio_compatibility_test.py:45-110, HeaderField customization +
+    segy_to_mdio) — then a chunk-pruned isel box over the cube aggregates
+    against the orders oracle. The distributed scan partitions the trace
+    index space (one contiguous read per task, zero shuffle); the store
+    write is the standard chunk-keyed shuffle."""
+    _, path = _ensure_segy_fixture(spark, sf_dir)
     ds = MdioDataset.open(path)
     return (
         ds.isel(inline=(4, 20), crossline=(8, 24))
         .to_df(spark, "amplitude", value_col="v")
+        .agg(
+            F.count("v").cast("long").alias("cnt"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.min("v").cast("long").alias("min_v"),
+            F.max("v").cast("long").alias("max_v"),
+        )
+    )
+
+
+@declared(
+    "segy02_header_qc",
+    oracle="""
+    SELECT CAST(10 + o.t // 32 AS BIGINT) AS inline,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(5 + o.t % 32) AS BIGINT) AS min_xl,
+           CAST(MAX(5 + o.t % 32) AS BIGINT) AS max_xl,
+           CAST(SUM((o.o_orderkey % 65536) * 16) AS BIGINT) AS sum_s0
+    FROM (SELECT o_orderkey,
+                 ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS t
+          FROM orders) o
+    WHERE o.t < LEAST((SELECT COUNT(*) FROM orders) // 32 * 32, 2048)
+    GROUP BY 1
+    ORDER BY inline
+    """,
+)
+def segy02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEG-Y header QC straight off the FILE (no store in between): the
+    distributed trace scan (sources/segy.scan_traces — trace-index
+    partitions, one contiguous read per task, vectorized big-endian
+    header parsing) exposes trace headers + samples as a DataFrame, and a
+    per-inline acquisition-QC rollup (trace count, crossline extent,
+    first-sample checksum) aggregates against the orders oracle. This is
+    the pre-ingest survey sanity pass a real SEG-Y pipeline runs before
+    committing to a grid — the reference has no file-level relational
+    surface at all (its regression flow shells straight into ingest)."""
+    from mdio_cpp_spark.sources.segy import HeaderField, scan_traces
+
+    sgy, _ = _ensure_segy_fixture(spark, sf_dir)
+    tr = scan_traces(
+        spark, sgy,
+        header_fields=[HeaderField("inline", 189),
+                       HeaderField("crossline", 193)],
+    )
+    return (
+        tr.select("inline", "crossline",
+                  F.element_at("samples", 1).alias("s0"))
+        .groupBy("inline")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("crossline").cast("long").alias("min_xl"),
+            F.max("crossline").cast("long").alias("max_xl"),
+            F.sum("s0").cast("long").alias("sum_s0"),
+        )
+        .orderBy("inline")
+    )
+
+
+@declared(
+    "segy03_export_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(MIN(v) AS BIGINT) AS min_v,
+           CAST(MAX(v) AS BIGINT) AS max_v
+    FROM (
+      SELECT ((o.o_orderkey % 65536) * 16 + s.s) AS v
+      FROM (SELECT o_orderkey,
+                   ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS t
+            FROM orders) o
+      CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),
+                         (8),(9),(10),(11),(12),(13),(14),(15)) AS s(s)
+      WHERE o.t < LEAST((SELECT COUNT(*) FROM orders) // 32 * 32, 2048)
+    )
+    """,
+)
+def segy03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEG-Y EXPORT closes the loop (round-8): the ingested cube store is
+    exported back to a rev1 file (sources/segy.export_segy — IBM float
+    re-encode, one contiguous positioned write per first-dim slab,
+    coordinate headers restored from the stored <dim>_coord arrays), and
+    the EXPORTED FILE is re-scanned by the trace reader and aggregated
+    against the same orders oracle — store → SEG-Y → scan must preserve
+    every sample bit-exactly (IBM-exact integer fixture). The reference
+    has no export path at all; legacy-tool handoff is a one-way door
+    there."""
+    from mdio_cpp_spark.sources.segy import export_segy, scan_traces
+
+    _, cube = _ensure_segy_fixture(spark, sf_dir)
+    base = ensure_stores(spark, sf_dir)
+    out = os.path.join(base, "fixture_export.sgy")
+    marker = os.path.join(base, ".built_segy_export_v1")
+    if not os.path.exists(marker):
+        export_segy(spark, cube, "amplitude", out, fmt=1)
+        with open(marker, "w") as f:
+            f.write("1")
+    tr = scan_traces(spark, out)
+    return (
+        tr.select(F.explode("samples").alias("v"))
         .agg(
             F.count("v").cast("long").alias("cnt"),
             F.sum("v").cast("long").alias("sum_v"),

@@ -127,6 +127,35 @@ def ibm_to_ieee(u32: np.ndarray) -> np.ndarray:
     return np.where(u32 & 0xFFFFFF, out, 0.0)
 
 
+def ieee_to_ibm(vals: np.ndarray) -> np.ndarray:
+    """float64 → normalized IBM hexadecimal float (uint32), vectorized —
+    the export side of format 1. Mantissa is normalized into [1/16, 1)
+    (first hex digit nonzero), round-to-nearest on the 24-bit fraction
+    with the hex-digit carry handled; values beyond 16^63 raise,
+    underflow past 16^-65 flushes to +0 (the hardware convention)."""
+    v = np.asarray(vals, dtype=np.float64)
+    if not np.all(np.isfinite(v)):
+        raise SegyFormatError("IBM floats cannot encode NaN/Inf samples")
+    sign = np.where(np.signbit(v), np.uint32(0x80000000), np.uint32(0))
+    a = np.abs(v)
+    m2, e2 = np.frexp(a)  # a = m2 * 2^e2, m2 in [0.5, 1)
+    e16 = np.ceil(e2 / 4.0).astype(np.int64)  # base-16 exponent
+    mant = np.ldexp(m2, e2 - 4 * e16)  # in [1/16, 1)
+    frac = np.rint(mant * float(1 << 24)).astype(np.int64)
+    carry = frac >= (1 << 24)  # rounding overflowed into a new hex digit
+    frac = np.where(carry, frac >> 4, frac)
+    e16 = e16 + carry
+    exp = e16 + 64
+    nonzero = a > 0
+    if np.any((exp > 127) & nonzero):
+        raise SegyFormatError("sample magnitude exceeds the IBM float range")
+    flush = (exp < 0) | ~nonzero  # underflow / true zero → +0
+    exp_b = np.where(flush, 0, exp).astype(np.uint32)
+    frac_b = np.where(flush, 0, frac).astype(np.uint32)
+    out = sign | (exp_b << np.uint32(24)) | frac_b
+    return np.where(flush, np.uint32(0), out).astype(np.uint32)
+
+
 # ------------------------------------------------------------ file headers
 
 
@@ -371,3 +400,139 @@ def ingest_to_store(
     )
     report = write_array(cells, root, var, value_cols="v")
     return {**report, "shape": list(shape)}
+
+
+# ---------------------------------------------------------------- export
+
+
+def _encode_samples(vals: np.ndarray, fmt: int) -> bytes:
+    """(ntraces, ns) float64 → big-endian sample bytes for one task."""
+    if fmt == 1:
+        return ieee_to_ibm(vals).astype(">u4").tobytes()
+    kind, _ = _FORMATS[fmt]
+    if kind == "b":
+        return np.rint(vals).astype("i1").tobytes()
+    if kind in (">i4", ">i2"):
+        return np.rint(vals).astype(kind).tobytes()
+    return vals.astype(kind).tobytes()
+
+
+def export_segy(
+    spark: SparkSession,
+    root: str,
+    var: str,
+    out_path: str,
+    fmt: int = 1,
+    text: str = "C 1 exported by mdio-spark",
+    rows_per_task: int = 64,
+) -> dict:
+    """Store → SEG-Y rev1 file, the reverse of ingest_to_store — the step
+    a processed cube takes back to legacy seismic tooling. The reference
+    has no export at all (its regression flow is ingest-only).
+
+    The source array's LAST dimension is the sample axis; every leading
+    dimension flattens into the trace index in C order, so a (inline,
+    crossline, sample) cube exports in the standard inline-major trace
+    order. The output file is a flat byte grid (fixed-length traces), so
+    the write parallelizes perfectly: the driver writes the two file
+    headers and pre-sizes the file; each task reads a FIRST-DIM slab via
+    the chunk-pruned store read, encodes its traces, and performs ONE
+    contiguous positioned write — disjoint extents, no coordination, the
+    local-filesystem analog of a multipart object upload. Trace headers
+    carry the sequence number, nsamples/interval, and — when the store
+    has ``<dim>_coord`` arrays (ingest_to_store writes them) — the real
+    inline/crossline numbers at the standard byte positions 189/193."""
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    if fmt not in _FORMATS:
+        raise SegyFormatError(f"data format code {fmt}: supported {sorted(_FORMATS)}")
+    st = ZarrStore.open(root)
+    meta = st.array_meta(var)
+    if meta.ndim < 2:
+        raise SegyFormatError("export needs >= 2 dims (trace axes + samples)")
+    shape = tuple(meta.shape)
+    ns = shape[-1]
+    if ns > 32767:
+        raise SegyFormatError(f"{ns} samples per trace exceeds the i16 header field")
+    lead = shape[:-1]
+    n_traces = int(np.prod(lead))
+    dims = meta.dims or tuple(f"dim_{d}" for d in range(meta.ndim))
+    interval = int(st.attrs.get("sample_interval_us", 0) or
+                   meta.attrs.get("sample_interval_us", 0) or 2000)
+    sample_bytes = _FORMATS[fmt][1]
+    tb = TRACE_HEADER_LEN + ns * sample_bytes
+
+    # coordinate arrays for the standard inline/crossline header slots
+    il_coord = xl_coord = None
+    arrays = st.arrays()
+    if meta.ndim == 3:
+        if f"{dims[0]}_coord" in arrays:
+            il_coord = [int(x) for x in st.read_array(f"{dims[0]}_coord")]
+        if f"{dims[1]}_coord" in arrays:
+            xl_coord = [int(x) for x in st.read_array(f"{dims[1]}_coord")]
+
+    # ---- driver: the two file headers + pre-sized data region
+    card = text.ljust(80)[:80]
+    txt = (card + " " * 80 * 39)[: 80 * 40]
+    bh = bytearray(BIN_LEN)
+    struct.pack_into(">h", bh, 16, interval)
+    struct.pack_into(">h", bh, 20, ns)
+    struct.pack_into(">h", bh, 24, fmt)
+    struct.pack_into(">h", bh, 300, 0x0100)  # rev1
+    struct.pack_into(">h", bh, 302, 1)  # fixed-length traces
+    with open(out_path, "wb") as f:
+        f.write(txt.encode("cp037"))
+        f.write(bh)
+        f.truncate(TEXT_LEN + BIN_LEN + n_traces * tb)
+
+    n0 = lead[0]
+    rest = int(np.prod(lead[1:])) if len(lead) > 1 else 1
+    root_path, version = st.root, st.version
+    import math
+
+    par = max(1, spark.sparkContext.defaultParallelism)
+    n_parts = min(max(1, math.ceil(n0 / max(1, rows_per_task))), 64 * par)
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        s = ZarrStore(root_path, version)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                continue
+            lo, hi = int(ids[0]), int(ids[-1]) + 1
+            ranges = {dims[0]: (lo, hi)}
+            block = s.read_array(var, ranges=ranges)
+            vals = np.asarray(block, dtype=np.float64).reshape(-1, ns)
+            t0 = lo * rest
+            samp = _encode_samples(vals, fmt)  # one bulk encode per slab
+            row_b = ns * sample_bytes
+            out = bytearray()
+            for j in range(vals.shape[0]):
+                t = t0 + j
+                th = bytearray(TRACE_HEADER_LEN)
+                struct.pack_into(">i", th, 0, t + 1)
+                struct.pack_into(">h", th, 114, ns)
+                struct.pack_into(">h", th, 116, interval)
+                if il_coord is not None:
+                    struct.pack_into(">i", th, 188, il_coord[t // rest])
+                if xl_coord is not None:
+                    struct.pack_into(">i", th, 192, xl_coord[t % rest])
+                out += th
+                out += samp[j * row_b : (j + 1) * row_b]
+            with open(out_path, "r+b") as f:
+                f.seek(TEXT_LEN + BIN_LEN + t0 * tb)
+                f.write(out)
+            yield pd.DataFrame({"n": [vals.shape[0]]})
+
+    total = (
+        spark.range(n0, numPartitions=n_parts)
+        .mapInPandas(emit, "n long")
+        .groupBy()
+        .sum("n")
+        .collect()[0][0]
+    )
+    if int(total or 0) != n_traces:
+        raise SegyFormatError(
+            f"export wrote {total} traces, expected {n_traces}")
+    return {"n_traces": n_traces, "samples_per_trace": ns, "format": fmt,
+            "bytes": TEXT_LEN + BIN_LEN + n_traces * tb}

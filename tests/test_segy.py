@@ -271,3 +271,92 @@ def test_ingest_poststack3d_cube(tmp_path, spark):
     assert len(got) == 3 * 2 * ns
     for r in got:
         assert r["v"] == cube[r["inline"], r["crossline"], r["sample"]]
+
+
+# ---------------------------------------------------------------- export
+
+
+def test_ieee_to_ibm_engine_matches_independent_encoder():
+    """The engine's vectorized export encoder and the tests' scalar
+    spec-derived encoder must agree bit-for-bit on every exactly-
+    representable value (both emit the normalized canonical form)."""
+    from mdio_cpp_spark.sources.segy import ieee_to_ibm as engine_enc
+
+    vals = [0.0, 1.0, -1.0, 0.5, 2.0, 100.0, -100.0, 118.625, -118.625,
+            1.0 / 256.0, 977.0, 65535.0, 1048576.0, 3.0, -7.25,
+            0.0001220703125, 16777215.0]
+    eng = engine_enc(np.array(vals))
+    ind = np.array([ieee_to_ibm(v) for v in vals], dtype=np.uint32)
+    assert np.array_equal(eng, ind), [hex(a) + "/" + hex(b)
+                                      for a, b in zip(eng, ind) if a != b]
+    # round-trip closure on inexact magnitudes (decode(encode(x)) ~ x)
+    rng = np.random.RandomState(4)
+    xs = rng.randn(2000) * np.power(10.0, rng.randint(-8, 8, 2000))
+    from mdio_cpp_spark.sources.segy import ibm_to_ieee
+
+    back = ibm_to_ieee(engine_enc(xs))
+    assert np.allclose(back, xs, rtol=1e-6)
+    with pytest.raises(SegyFormatError, match="NaN/Inf"):
+        engine_enc(np.array([1.0, float("nan")]))
+    with pytest.raises(SegyFormatError, match="range"):
+        engine_enc(np.array([1e80]))
+    # underflow flushes to +0
+    assert engine_enc(np.array([1e-100]))[0] == 0
+
+
+def test_export_roundtrip_cube(tmp_path, spark):
+    """store → SEG-Y → scan_traces closes the loop: the exported file's
+    headers carry the REAL inline/crossline numbers and the samples
+    regenerate the cube exactly (IBM-exact integer fixture)."""
+    from mdio_cpp_spark.sources.segy import export_segy
+
+    path = str(tmp_path / "cube.sgy")
+    n_il, n_xl, ns = 5, 4, 6
+    n = n_il * n_xl
+    il = 10 + 2 * (np.arange(n) // n_xl)
+    xl = 300 + (np.arange(n) % n_xl)
+    cube = np.fromfunction(lambda i, x, s: i * 1000 + x * 10 + s,
+                           (n_il, n_xl, ns))
+    write_segy(path, cube.reshape(n, ns), fmt=1, headers={189: il, 193: xl})
+    root = str(tmp_path / "cube.zarr")
+    ingest_to_store(spark, path, root, grid_by=("inline", "crossline"))
+
+    out = str(tmp_path / "exported.sgy")
+    rep = export_segy(spark, root, "amplitude", out, fmt=1, rows_per_task=2)
+    assert rep["n_traces"] == n and rep["samples_per_trace"] == ns
+    geo = file_geometry(out)
+    assert geo["format"] == 1 and geo["n_traces"] == n
+    df = scan_traces(spark, out, header_fields=[
+        HeaderField("inline", 189), HeaderField("crossline", 193),
+        HeaderField("seq", 1)])
+    rows = sorted(df.collect(), key=lambda r: r["trace"])
+    for r in rows:
+        i, x = (r["inline"] - 10) // 2, r["crossline"] - 300
+        assert r["seq"] == r["trace"] + 1
+        assert np.array_equal(np.asarray(r["samples"]), cube[i, x]), r["trace"]
+    # text header survives the EBCDIC round-trip
+    assert read_text_header(out).splitlines()[0].startswith("C 1 exported")
+
+
+@pytest.mark.parametrize("fmt", [2, 3, 5, 8])
+def test_export_formats_2d(tmp_path, spark, fmt):
+    """(trace, sample) export in every non-IBM format, re-read by the
+    independent scan path."""
+    from mdio_cpp_spark.sources.segy import export_segy
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    n, ns = 13, 5
+    lim = {2: 2**30, 3: 30000, 5: 1000, 8: 120}[fmt]
+    vals = (np.random.RandomState(fmt).randint(-lim, lim, (n, ns))).astype("f8")
+    root = str(tmp_path / "v.zarr")
+    st = ZarrStore.create(root, version=2)
+    st.create_array("v", shape=(n, ns), chunks=(4, ns), dtype="float64",
+                    dims=("trace", "sample"))
+    st.consolidate()
+    st.write_array_numpy("v", vals)
+    out = str(tmp_path / f"v{fmt}.sgy")
+    export_segy(spark, root, "v", out, fmt=fmt, rows_per_task=3)
+    got = {r["trace"]: np.asarray(r["samples"])
+           for r in scan_traces(spark, out).collect()}
+    for t in range(n):
+        assert np.array_equal(got[t], vals[t]), (fmt, t)

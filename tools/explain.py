@@ -109,6 +109,8 @@ PICKS = {
     "u06_incremental_agg": "delta maintenance: the target STREAMS through a broadcast LeftSemi prune (changeset keys build side), the old-value join is changeset-sized-vs-changeset-sized, and the only data-sized aggregate is the |groups|-row base — Spark can't build the right side of broadcast(chg).join(target, 'left'), so the naive form would broadcast the TARGET",
     "s11_coordinated_sample": "both sample predicates sit directly on the FileScans (map-side md5 filters, no sampling state); the join runs over 1/16-sized inputs",
     "p17_pack_efficiency": "two stacked partial aggs ((shard, pack) then shard) over the packing frame; the packing windows partition by shard — no global stage",
+    "zarr114_reshard_struct": "the migrated struct cube scans through the chunk-pruned mapInPandas path (shard grid = chunk grid); the ok2 value filter sits inside the scan before the one-row aggregate — no data-sized exchange",
+    "segy01_ingest": "the cube scan plans only the isel box's chunks; aggregate is partial-then-final over the pruned scan — ingest (trace-index-parallel read + chunk-keyed write shuffle) happens once at build, never in the measured query",
 }
 
 

@@ -54,6 +54,8 @@ PICKS = [
     ("ga05_label_prop_step", "label-prop step: one groupBy(src) over mirrored edges"),
     ("p18_boilerplate_strip", "block-hash strip: co-keyed agg + semi join, exchange reuse"),
     ("zarr112_sharded_lz4_pushdown", "sharded + compressed + DSv2 pushdown partial reads"),
+    ("zarr114_reshard_struct", "struct reshard migration + SelectField pruned scan"),
+    ("segy01_ingest", "SEG-Y trace-parallel ingest -> cube -> pruned isel box"),
 ]
 
 
