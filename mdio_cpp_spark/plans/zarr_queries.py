@@ -5539,3 +5539,41 @@ def segy03(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").cast("long").alias("max_v"),
         )
     )
+
+
+@declared(
+    "segy04_dsv2_sql",
+    oracle="""
+    SELECT CAST(10 + o.t // 32 AS BIGINT) AS inline,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM((o.o_orderkey % 65536) * 16 + 15) AS BIGINT) AS sum_last
+    FROM (SELECT o_orderkey,
+                 ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS t
+          FROM orders) o
+    WHERE o.t < LEAST((SELECT COUNT(*) FROM orders) // 32 * 32, 2048)
+    GROUP BY 1
+    ORDER BY inline
+    """,
+)
+def segy04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEG-Y as a first-class Spark SQL source: ``spark.read.
+    format("segy")`` (the DSv2 Python data source, sources/segy.py
+    SegyDataSource — trace-range partitions, one contiguous read per
+    task) registers as a temp view and plain SQL aggregates the trace
+    headers + last sample per inline against the orders oracle. The same
+    source tails a GROWING file via readStream (offset = trace count;
+    exactly-once pinned in tests/test_segy.py)."""
+    from mdio_cpp_spark.sources.segy import register_segy
+
+    sgy, _ = _ensure_segy_fixture(spark, sf_dir)
+    register_segy(spark)
+    (
+        spark.read.format("segy").option("path", sgy)
+        .option("header_fields", "inline:189").load()
+        .createOrReplaceTempView("segy_traces")
+    )
+    return spark.sql("""
+        SELECT inline, COUNT(*) AS cnt,
+               CAST(SUM(element_at(samples, 16)) AS BIGINT) AS sum_last
+        FROM segy_traces GROUP BY inline ORDER BY inline
+    """)

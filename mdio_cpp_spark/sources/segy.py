@@ -198,12 +198,16 @@ def read_binary_header(path: str) -> dict:
     }
 
 
-def file_geometry(path: str) -> dict:
+def file_geometry(path: str, lenient: bool = False) -> dict:
     """Resolve the trace layout: data start offset, bytes per trace, trace
     count — everything scan_traces needs to address traces arithmetically.
-    Variable-length extensions are refused loudly (count -1), and a file
-    whose data region is not an exact multiple of the trace record raises
-    instead of silently truncating."""
+    Variable-length extensions are refused loudly (count -1). A file whose
+    data region is not an exact multiple of the trace record raises
+    instead of silently truncating — EXCEPT under ``lenient=True`` (the
+    streaming tail source: a growing file may momentarily end mid-record
+    while the producer's append is in flight; whole records are counted
+    by floor division and the ragged remainder is revisited next
+    trigger)."""
     hdr = read_binary_header(path)
     fmt = hdr["format"]
     if fmt not in _FORMATS:
@@ -221,7 +225,7 @@ def file_geometry(path: str) -> dict:
     trace_bytes = TRACE_HEADER_LEN + ns * sample_bytes
     size = os.path.getsize(path)
     body = size - data_start
-    if body < 0 or body % trace_bytes:
+    if body < 0 or (body % trace_bytes and not lenient):
         raise SegyFormatError(
             f"data region {body} B is not a whole number of "
             f"{trace_bytes}-B trace records (variable-length traces?)")
@@ -255,6 +259,48 @@ def _decode_samples(raw: np.ndarray, fmt: int) -> np.ndarray:
     )
 
 
+def _validate_fields(fields: list[HeaderField]) -> None:
+    seen = set()
+    for fld in fields:
+        if fld.name in ("trace", "samples") or fld.name in seen:
+            raise SegyFormatError(f"duplicate/reserved field name {fld.name!r}")
+        seen.add(fld.name)
+
+
+def _parse_trace_matrix(
+    mat: np.ndarray, ids: np.ndarray, fields: list[HeaderField],
+    fmt: int, with_samples: bool,
+) -> pd.DataFrame:
+    """(n, trace_bytes) u1 matrix + trace ids → one row per trace."""
+    cols: dict = {"trace": ids}
+    for fld in fields:
+        dt, width = _FIELD_FMT[fld.format]
+        sl = mat[:, fld.byte - 1 : fld.byte - 1 + width]
+        cols[fld.name] = (
+            np.ascontiguousarray(sl).view(dt).astype(np.int64).ravel()
+        )
+    if with_samples:
+        body = mat[:, TRACE_HEADER_LEN:]
+        cols["samples"] = list(_decode_samples(np.ascontiguousarray(body), fmt))
+    return pd.DataFrame(cols)
+
+
+def _read_trace_range(
+    path: str, lo: int, hi: int, tb: int, start: int,
+    fields: list[HeaderField], fmt: int, with_samples: bool,
+) -> pd.DataFrame:
+    """ONE contiguous read of traces [lo, hi) → parsed rows."""
+    with open(path, "rb") as f:
+        f.seek(start + lo * tb)
+        buf = f.read((hi - lo) * tb)
+    if len(buf) < (hi - lo) * tb:
+        raise SegyFormatError(
+            f"trace range [{lo}, {hi}) runs past the file (truncated?)")
+    mat = np.frombuffer(buf, dtype=np.uint8).reshape(-1, tb)
+    return _parse_trace_matrix(mat, np.arange(lo, hi, dtype=np.int64),
+                               fields, fmt, with_samples)
+
+
 def scan_traces(
     spark: SparkSession,
     path: str,
@@ -274,11 +320,7 @@ def scan_traces(
     n, tb, start, fmt = (geo["n_traces"], geo["trace_bytes"],
                          geo["data_start"], geo["format"])
     fields = list(header_fields or [])
-    seen = set()
-    for fld in fields:
-        if fld.name in ("trace", "samples") or fld.name in seen:
-            raise SegyFormatError(f"duplicate/reserved field name {fld.name!r}")
-        seen.add(fld.name)
+    _validate_fields(fields)
 
     par = max(1, spark.sparkContext.defaultParallelism)
     n_parts = min(max(1, math.ceil(n / max(1, traces_per_task))), 64 * par)
@@ -295,18 +337,7 @@ def scan_traces(
                 buf = f.read((hi - lo + 1) * tb)
                 mat = np.frombuffer(buf, dtype=np.uint8).reshape(-1, tb)
                 mat = mat[ids - lo]  # robust to non-contiguous ids
-                cols: dict = {"trace": ids}
-                for fld in fields:
-                    dt, width = _FIELD_FMT[fld.format]
-                    sl = mat[:, fld.byte - 1 : fld.byte - 1 + width]
-                    cols[fld.name] = (
-                        np.ascontiguousarray(sl).view(dt).astype(np.int64).ravel()
-                    )
-                if with_samples:
-                    body = mat[:, TRACE_HEADER_LEN:]
-                    vals = _decode_samples(np.ascontiguousarray(body), fmt)
-                    cols["samples"] = list(vals)
-                yield pd.DataFrame(cols)
+                yield _parse_trace_matrix(mat, ids, fields, fmt, with_samples)
 
     schema = "trace long" + "".join(f", {f.name} long" for f in fields)
     if with_samples:
@@ -536,3 +567,188 @@ def export_segy(
             f"export wrote {total} traces, expected {n_traces}")
     return {"n_traces": n_traces, "samples_per_trace": ns, "format": fmt,
             "bytes": TEXT_LEN + BIN_LEN + n_traces * tb}
+
+
+# ------------------------------------------- Spark Data Source (format "segy")
+
+
+def _parse_field_option(raw: str | None) -> list[HeaderField]:
+    """``"inline:189:int32,crossline:193"`` → HeaderFields (format
+    defaults to int32 — the reference's HeaderField default)."""
+    if not raw:
+        return []
+    out = []
+    for entry in raw.split(","):
+        parts = entry.strip().split(":")
+        if len(parts) == 2:
+            out.append(HeaderField(parts[0], int(parts[1])))
+        elif len(parts) == 3:
+            out.append(HeaderField(parts[0], int(parts[1]), parts[2]))
+        else:
+            raise SegyFormatError(
+                f"header_fields entry {entry!r}: want name:byte[:format]")
+    _validate_fields(out)
+    return out
+
+
+def _lenient_trace_count(path: str, data_start: int, tb: int) -> int:
+    """Trace count by FLOOR division — a growing file may momentarily end
+    mid-trace (the producer's append in flight); the tail source reads
+    only whole traces and revisits the ragged remainder next trigger."""
+    body = os.path.getsize(path) - data_start
+    return max(0, body // tb)
+
+
+from pyspark.sql.datasource import (  # noqa: E402 - section import
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class SegyDataSource(DataSource):
+    """``format("segy")`` — SEG-Y rev0/rev1 trace files as a Spark source.
+
+    Batch: one row per trace (trace, <header_fields...>, samples).
+    Streaming: TAIL a GROWING file — acquisition systems append
+    fixed-length trace records, so the offset is simply the trace count
+    (file-size arithmetic, no metadata read); each micro-batch emits the
+    traces appended since the last committed offset through trace-range
+    partitions (one contiguous read per task). Replay after a checkpoint
+    restart re-reads the same half-open trace range — exactly-once as
+    long as appended traces are immutable (they are: the format is
+    append-only by construction).
+
+    Options: ``path``; ``header_fields`` = "name:byte[:format],…" (byte is
+    1-based in the 240-byte trace header, the standard's convention);
+    ``with_samples`` = true|false; ``traces_per_task``;
+    ``starting_offset`` = earliest|latest (streaming);
+    ``max_traces_per_trigger`` (streaming cap; the first batch of a run
+    is uncapped — same contract as the mdio tail source)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "segy"
+
+    def _parsed(self):
+        path = self.options.get("path")
+        if not path:
+            raise SegyFormatError("format('segy') requires .option('path', …)")
+        if path.startswith("file://"):
+            path = path[len("file://"):]
+        elif path.startswith("file:"):
+            path = path[len("file:"):]
+        fields = _parse_field_option(self.options.get("header_fields"))
+        with_samples = str(self.options.get("with_samples", "true")).lower() != "false"
+        return path, fields, with_samples
+
+    def schema(self):
+        from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                       StructField, StructType)
+
+        _, fields, with_samples = self._parsed()
+        out = [StructField("trace", LongType(), False)]
+        out += [StructField(f.name, LongType(), True) for f in fields]
+        if with_samples:
+            out.append(StructField("samples", ArrayType(DoubleType()), True))
+        return StructType(out)
+
+    def reader(self, schema) -> "SegyReader":
+        path, fields, with_samples = self._parsed()
+        return SegyReader(path, fields, with_samples, self.options)
+
+    def streamReader(self, schema) -> "SegyStreamReader":
+        path, fields, with_samples = self._parsed()
+        return SegyStreamReader(path, fields, with_samples, self.options)
+
+
+@dataclass
+class SegyTracePartition(InputPartition):
+    """One half-open trace range [lo, hi)."""
+
+    lo: int
+    hi: int
+
+
+class _SegyReadCore:
+    """Shared geometry + per-partition execute for batch and stream."""
+
+    def __init__(self, path, fields, with_samples, options, lenient=False):
+        geo = file_geometry(path, lenient=lenient)
+        self.path = path
+        self.fields = fields
+        self.with_samples = with_samples
+        self.tb = geo["trace_bytes"]
+        self.start = geo["data_start"]
+        self.fmt = geo["format"]
+        self.n_traces = geo["n_traces"]
+        self.per_task = int(options.get("traces_per_task", 2048) or 2048)
+
+    def _slices(self, lo: int, hi: int) -> list[SegyTracePartition]:
+        out = []
+        b = lo
+        while b < hi:
+            nxt = min(b + self.per_task, hi)
+            out.append(SegyTracePartition(b, nxt))
+            b = nxt
+        return out
+
+    def read(self, partition: SegyTracePartition):
+        import pyarrow as pa
+
+        if partition.hi <= partition.lo:
+            return
+        pdf = _read_trace_range(
+            self.path, partition.lo, partition.hi, self.tb, self.start,
+            self.fields, self.fmt, self.with_samples,
+        )
+        yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+
+
+class SegyReader(_SegyReadCore, DataSourceReader):
+    def partitions(self) -> list[SegyTracePartition]:
+        return self._slices(0, self.n_traces) or [SegyTracePartition(0, 0)]
+
+
+class SegyStreamReader(_SegyReadCore, DataSourceStreamReader):
+    def __init__(self, path, fields, with_samples, options):
+        # lenient: a tailed file may end mid-record between triggers
+        super().__init__(path, fields, with_samples, options, lenient=True)
+        self.start_latest = options.get("starting_offset", "earliest") == "latest"
+        cap = options.get("max_traces_per_trigger")
+        self.max_traces = int(cap) if cap else None
+        self._last_end: int | None = None
+
+    def _frontier(self) -> int:
+        return _lenient_trace_count(self.path, self.start, self.tb)
+
+    def initialOffset(self) -> dict:
+        start = self._frontier() if self.start_latest else 0
+        self._last_end = start
+        return {"trace": start}
+
+    def latestOffset(self) -> dict:
+        # stateless across repeated probes within one trigger; the cap
+        # keys off the last KNOWN baseline and never applies blind (a
+        # blind cap could regress a restored checkpoint)
+        end = self._frontier()
+        if self.max_traces is not None and self._last_end is not None:
+            end = max(min(end, self._last_end + self.max_traces), self._last_end)
+        return {"trace": end}
+
+    def partitions(self, start: dict, end: dict) -> list[SegyTracePartition]:
+        lo, hi = int(start["trace"]), int(end["trace"])
+        if self._last_end is None or lo > self._last_end:
+            self._last_end = lo
+        if hi <= lo:
+            return [SegyTracePartition(lo, lo)]  # empty batch
+        return self._slices(lo, hi)
+
+    def commit(self, end: dict) -> None:
+        self._last_end = int(end["trace"])
+
+
+def register_segy(spark) -> None:
+    """Register the segy format on a session (idempotent)."""
+    spark.dataSource.register(SegyDataSource)

@@ -360,3 +360,116 @@ def test_export_formats_2d(tmp_path, spark, fmt):
            for r in scan_traces(spark, out).collect()}
     for t in range(n):
         assert np.array_equal(got[t], vals[t]), (fmt, t)
+
+
+# ------------------------------------------------- DSv2 source (format segy)
+
+
+def test_segy_datasource_batch_and_sql(tmp_path, spark):
+    from mdio_cpp_spark.sources.segy import register_segy
+
+    path = str(tmp_path / "ds.sgy")
+    n, ns = 23, 4
+    vals = (np.arange(n * ns, dtype="f8") % 91).reshape(n, ns)
+    il = 7 + np.arange(n) // 5
+    write_segy(path, vals, fmt=1, headers={189: il})
+    register_segy(spark)
+    df = (spark.read.format("segy").option("path", path)
+          .option("header_fields", "inline:189,seq:1").load())
+    assert [f.name for f in df.schema.fields] == ["trace", "inline", "seq", "samples"]
+    rows = sorted(df.collect(), key=lambda r: r["trace"])
+    assert len(rows) == n
+    for t in (0, 11, 22):
+        assert rows[t]["inline"] == il[t] and rows[t]["seq"] == t + 1
+        assert np.array_equal(np.asarray(rows[t]["samples"]), vals[t])
+    # SQL over the source + headers-only projection
+    df.createOrReplaceTempView("segy_traces")
+    got = spark.sql(
+        "SELECT inline, COUNT(*) AS n FROM segy_traces GROUP BY inline ORDER BY inline"
+    ).collect()
+    assert [(r["inline"], r["n"]) for r in got[:2]] == [(7, 5), (8, 5)]
+    slim = (spark.read.format("segy").option("path", path)
+            .option("with_samples", "false").load())
+    assert "samples" not in slim.columns and slim.count() == n
+
+
+def _append_traces(path, vals_rows, ns):
+    """Append whole IBM-format trace records to a growing file."""
+    with open(path, "ab") as f:
+        for row in vals_rows:
+            th = bytearray(240)
+            struct.pack_into(">h", th, 114, ns)
+            f.write(th)
+            f.write(b"".join(struct.pack(">I", ieee_to_ibm(float(v)))
+                             for v in row))
+
+
+def test_segy_stream_tail_exactly_once(tmp_path, spark):
+    """readStream.format('segy'): initial drain, then an appended delta
+    arrives in the NEXT run without re-emitting old traces (checkpointed
+    offset = trace count); a ragged in-flight tail is not read until the
+    record completes."""
+    from mdio_cpp_spark.sources.segy import register_segy
+
+    register_segy(spark)
+    path = str(tmp_path / "grow.sgy")
+    ns = 3
+    base = np.arange(30, dtype="f8").reshape(10, ns)
+    write_segy(path, base, fmt=1)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        got = {}
+
+        def sink(bdf, _bid):
+            got.update({r["trace"]: list(r["samples"]) for r in bdf.collect()})
+
+        q = (spark.readStream.format("segy").option("path", path)
+             .option("traces_per_task", "4").load()
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return got
+
+    first = drain()
+    assert sorted(first) == list(range(10))
+    assert first[7] == list(base[7])
+
+    # append 5 whole records + one RAGGED partial record
+    delta = np.arange(100, 115, dtype="f8").reshape(5, ns)
+    _append_traces(path, delta, ns)
+    with open(path, "ab") as f:
+        f.write(b"\x00" * 100)  # in-flight partial trace
+    second = drain()
+    assert sorted(second) == list(range(10, 15))  # delta only, no replay
+    assert second[12] == list(delta[2])
+
+    # complete the ragged record -> exactly one more trace appears
+    rec_bytes = 240 + ns * 4
+    with open(path, "ab") as f:
+        f.write(b"\x00" * (rec_bytes - 100))
+    third = drain()
+    assert sorted(third) == [15]
+    assert third[15] == [0.0, 0.0, 0.0]
+
+
+def test_segy_stream_cap_and_latest(tmp_path, spark):
+    from mdio_cpp_spark.sources.segy import SegyStreamReader
+
+    path = str(tmp_path / "cap.sgy")
+    ns = 2
+    write_segy(path, np.zeros((9, ns)), fmt=5)
+    r = SegyStreamReader(path, [], True,
+                         {"max_traces_per_trigger": "4"})
+    assert r.initialOffset() == {"trace": 0}
+    assert r.latestOffset() == {"trace": 4}  # capped
+    parts = r.partitions({"trace": 0}, {"trace": 4})
+    assert [(p.lo, p.hi) for p in parts] == [(0, 4)]
+    r.commit({"trace": 4})
+    assert r.latestOffset() == {"trace": 8}
+    r.commit({"trace": 8})
+    assert r.latestOffset() == {"trace": 9}
+    # starting_offset=latest skips the backlog
+    r2 = SegyStreamReader(path, [], True, {"starting_offset": "latest"})
+    assert r2.initialOffset() == {"trace": 9}
