@@ -65,6 +65,26 @@ class SegyFormatError(RuntimeError):
     pass
 
 
+def _file_kv(path: str):
+    """Scheme-routed (kvstore, key) pair addressing ONE file. SEG-Y bytes
+    flow through the same IO10 seam as the zarr layer (sources/kvstore.py)
+    so ``memory://`` (the fake-fs cloud tests) and ``gs://``/``s3://``
+    (fsspec when importable) paths work unchanged — the reference ingests
+    straight from an S3 URL (multidimio_compatibility_test.py:53); local
+    paths stay os-level. The file's directory is the store root, its
+    basename the key."""
+    from mdio_cpp_spark.sources.kvstore import open_kvstore
+
+    p = path
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    if "://" in p:
+        root, _, key = p.rpartition("/")
+        return open_kvstore(root), key
+    root, key = os.path.split(os.path.abspath(p))
+    return open_kvstore(root), key
+
+
 @dataclass(frozen=True)
 class HeaderField:
     """One trace-header field to extract: ``byte`` is the 1-BASED offset
@@ -163,8 +183,10 @@ def read_text_header(path: str) -> str:
     """The 3200-byte textual header as 40 80-char lines joined by newlines.
     EBCDIC (cp037 — the standard's default) vs ASCII is auto-detected: an
     EBCDIC header's 'C' card prefix is byte 0xC3."""
-    with open(path, "rb") as f:
-        raw = f.read(TEXT_LEN)
+    kv, key = _file_kv(path)
+    raw = kv.read_range(key, 0, TEXT_LEN)
+    if raw is None:
+        raise SegyFormatError(f"{path}: no such file")
     if len(raw) < TEXT_LEN:
         raise SegyFormatError("file shorter than the 3200-byte textual header")
     text = raw.decode("cp037") if raw[0] == 0xC3 else raw.decode(
@@ -175,9 +197,10 @@ def read_text_header(path: str) -> str:
 def read_binary_header(path: str) -> dict:
     """The 400-byte binary file header's load-bearing fields (big-endian,
     1-based byte positions per the standard: 3213.. within the file)."""
-    with open(path, "rb") as f:
-        f.seek(TEXT_LEN)
-        raw = f.read(BIN_LEN)
+    kv, key = _file_kv(path)
+    raw = kv.read_range(key, TEXT_LEN, BIN_LEN)
+    if raw is None:
+        raise SegyFormatError(f"{path}: no such file")
     if len(raw) < BIN_LEN:
         raise SegyFormatError("file shorter than the 400-byte binary header")
 
@@ -223,7 +246,10 @@ def file_geometry(path: str, lenient: bool = False) -> dict:
     data_start = TEXT_LEN + BIN_LEN + TEXT_LEN * n_ext
     sample_bytes = _FORMATS[fmt][1]
     trace_bytes = TRACE_HEADER_LEN + ns * sample_bytes
-    size = os.path.getsize(path)
+    kv, key = _file_kv(path)
+    size = kv.size(key)
+    if size is None:
+        raise SegyFormatError(f"{path}: no such file")
     body = size - data_start
     if body < 0 or (body % trace_bytes and not lenient):
         raise SegyFormatError(
@@ -290,10 +316,9 @@ def _read_trace_range(
     fields: list[HeaderField], fmt: int, with_samples: bool,
 ) -> pd.DataFrame:
     """ONE contiguous read of traces [lo, hi) → parsed rows."""
-    with open(path, "rb") as f:
-        f.seek(start + lo * tb)
-        buf = f.read((hi - lo) * tb)
-    if len(buf) < (hi - lo) * tb:
+    kv, key = _file_kv(path)
+    buf = kv.read_range(key, start + lo * tb, (hi - lo) * tb)
+    if buf is None or len(buf) < (hi - lo) * tb:
         raise SegyFormatError(
             f"trace range [{lo}, {hi}) runs past the file (truncated?)")
     mat = np.frombuffer(buf, dtype=np.uint8).reshape(-1, tb)
@@ -326,18 +351,17 @@ def scan_traces(
     n_parts = min(max(1, math.ceil(n / max(1, traces_per_task))), 64 * par)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with open(path, "rb") as f:
-            for pdf in batches:
-                ids = pdf["id"].to_numpy(dtype=np.int64)
-                if len(ids) == 0:
-                    continue
-                # ids from spark.range are contiguous per batch: one read
-                lo, hi = int(ids[0]), int(ids[-1])
-                f.seek(start + lo * tb)
-                buf = f.read((hi - lo + 1) * tb)
-                mat = np.frombuffer(buf, dtype=np.uint8).reshape(-1, tb)
-                mat = mat[ids - lo]  # robust to non-contiguous ids
-                yield _parse_trace_matrix(mat, ids, fields, fmt, with_samples)
+        kv, key = _file_kv(path)  # rebuilt per task from the string
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                continue
+            # ids from spark.range are contiguous per batch: one read
+            lo, hi = int(ids[0]), int(ids[-1])
+            buf = kv.read_range(key, start + lo * tb, (hi - lo + 1) * tb)
+            mat = np.frombuffer(buf, dtype=np.uint8).reshape(-1, tb)
+            mat = mat[ids - lo]  # robust to non-contiguous ids
+            yield _parse_trace_matrix(mat, ids, fields, fmt, with_samples)
 
     schema = "trace long" + "".join(f", {f.name} long" for f in fields)
     if with_samples:
@@ -477,6 +501,13 @@ def export_segy(
 
     if fmt not in _FORMATS:
         raise SegyFormatError(f"data format code {fmt}: supported {sorted(_FORMATS)}")
+    p = out_path[len("file://"):] if out_path.startswith("file://") else out_path
+    if "://" in p:
+        raise SegyFormatError(
+            "export_segy writes with positioned I/O and supports local "
+            "paths only; an object-store target needs a multipart upload "
+            "(one part per slab) — not available wheel-free")
+    out_path = p
     st = ZarrStore.open(root)
     meta = st.array_meta(var)
     if meta.ndim < 2:
@@ -595,8 +626,11 @@ def _lenient_trace_count(path: str, data_start: int, tb: int) -> int:
     """Trace count by FLOOR division — a growing file may momentarily end
     mid-trace (the producer's append in flight); the tail source reads
     only whole traces and revisits the ragged remainder next trigger."""
-    body = os.path.getsize(path) - data_start
-    return max(0, body // tb)
+    kv, key = _file_kv(path)
+    size = kv.size(key)
+    if size is None:
+        return 0  # the tailed file may not exist yet
+    return max(0, (size - data_start) // tb)
 
 
 from pyspark.sql.datasource import (  # noqa: E402 - section import

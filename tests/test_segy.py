@@ -473,3 +473,38 @@ def test_segy_stream_cap_and_latest(tmp_path, spark):
     # starting_offset=latest skips the backlog
     r2 = SegyStreamReader(path, [], True, {"starting_offset": "latest"})
     assert r2.initialOffset() == {"trace": 9}
+
+
+def test_segy_over_memory_scheme(tmp_path, spark):
+    """Cloud-path posture: SEG-Y bytes flow through the kvstore seam, so a
+    ``memory://`` URL (the fake filesystem the zarr cloud tests use) reads
+    through the SAME code the reference exercises against live S3
+    (multidimio_compatibility_test.py:53 ingests http/s3 directly).
+    Headers, geometry and the driver-side trace parse all run scheme-
+    routed; nothing touches os.path."""
+    from mdio_cpp_spark.sources.kvstore import open_kvstore
+    from mdio_cpp_spark.sources.segy import (_read_trace_range,
+                                             file_geometry)
+
+    local = str(tmp_path / "m.sgy")
+    vals = (np.arange(24, dtype="f8") % 7).reshape(6, 4)
+    write_segy(local, vals, fmt=5, headers={189: 50 + np.arange(6)})
+    with open(local, "rb") as f:
+        blob = f.read()
+    kv = open_kvstore("memory://segybkt")
+    kv.write("survey.sgy", blob)
+    url = "memory://segybkt/survey.sgy"
+
+    assert read_text_header(url).splitlines()[0].startswith("C 1 CLIENT")
+    hdr = read_binary_header(url)
+    assert hdr["samples_per_trace"] == 4 and hdr["format"] == 5
+    geo = file_geometry(url)
+    assert geo["n_traces"] == 6
+    pdf = _read_trace_range(url, 1, 4, geo["trace_bytes"],
+                            geo["data_start"],
+                            [HeaderField("inline", 189)], 5, True)
+    assert list(pdf["inline"]) == [51, 52, 53]
+    assert np.array_equal(np.stack(pdf["samples"].to_numpy()), vals[1:4])
+    # absent object: loud, not silent-empty
+    with pytest.raises(SegyFormatError, match="no such file"):
+        file_geometry("memory://segybkt/missing.sgy")
