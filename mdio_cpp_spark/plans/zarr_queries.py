@@ -5353,7 +5353,7 @@ def _ensure_segy_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     base = ensure_stores(spark, sf_dir)
     sgy = os.path.join(base, "fixture.sgy")
     path = os.path.join(base, "segy_cube.zarr")
-    marker = os.path.join(base, ".built_segy_v1")
+    marker = os.path.join(base, ".built_segy_v2")
     W, CAP, NS = 32, 2048, 16
     if not os.path.exists(marker):
         import shutil
@@ -5382,6 +5382,9 @@ def _ensure_segy_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         for t, ok in enumerate(okeys):
             th = bytearray(240)
             _st.pack_into(">i", th, 0, t + 1)
+            _st.pack_into(">h", th, 70, -100)  # coord scalar: divide by 100
+            _st.pack_into(">i", th, 72, 100 * (2000 + t % W) + 25)  # source_x
+            _st.pack_into(">i", th, 76, 100 * (7000 + t // W) + 75)  # source_y
             _st.pack_into(">h", th, 114, NS)
             _st.pack_into(">i", th, 188, 10 + t // W)  # inline
             _st.pack_into(">i", th, 192, 5 + t % W)  # crossline
@@ -5524,7 +5527,7 @@ def segy03(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, cube = _ensure_segy_fixture(spark, sf_dir)
     base = ensure_stores(spark, sf_dir)
     out = os.path.join(base, "fixture_export.sgy")
-    marker = os.path.join(base, ".built_segy_export_v1")
+    marker = os.path.join(base, ".built_segy_export_v2")
     if not os.path.exists(marker):
         export_segy(spark, cube, "amplitude", out, fmt=1)
         with open(marker, "w") as f:
@@ -5577,3 +5580,44 @@ def segy04(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(element_at(samples, 16)) AS BIGINT) AS sum_last
         FROM segy_traces GROUP BY inline ORDER BY inline
     """)
+
+
+@declared(
+    "segy05_coord_scalar",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM((100.0 * (2000 + o.t % 32) + 25) / 100), 2) AS sum_x,
+           ROUND(SUM((100.0 * (7000 + o.t // 32) + 75) / 100), 2) AS sum_y,
+           ROUND(MIN((100.0 * (2000 + o.t % 32) + 25) / 100), 2) AS min_x,
+           ROUND(MAX((100.0 * (7000 + o.t // 32) + 75) / 100), 2) AS max_y
+    FROM (SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS t
+          FROM orders) o
+    WHERE o.t < LEAST((SELECT COUNT(*) FROM orders) // 32 * 32, 2048)
+    """,
+)
+def segy05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEG-Y coordinate-scalar semantics (rev1 trace-header bytes 71-72 —
+    positive multiplies, NEGATIVE divides, the wart every real SEG-Y
+    consumer must honor): the fixture stores source x/y in hundredths
+    with scalar -100, the scan extracts coordinates + scalar as columns,
+    and apply_coord_scalar (pure codegen column arithmetic, no UDF)
+    recovers the survey coordinates — aggregated against the oracle's
+    replication of the same CASE rule."""
+    from mdio_cpp_spark.sources.segy import (HeaderField,
+                                             apply_coord_scalar, scan_traces)
+
+    sgy, _ = _ensure_segy_fixture(spark, sf_dir)
+    tr = scan_traces(
+        spark, sgy, with_samples=False,
+        header_fields=[HeaderField("sx", 73), HeaderField("sy", 77),
+                       HeaderField("scalar", 71, "int16")],
+    )
+    sx = apply_coord_scalar(F.col("sx"), F.col("scalar"))
+    sy = apply_coord_scalar(F.col("sy"), F.col("scalar"))
+    return tr.agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.round(F.sum(sx), 2).alias("sum_x"),
+        F.round(F.sum(sy), 2).alias("sum_y"),
+        F.round(F.min(sx), 2).alias("min_x"),
+        F.round(F.max(sy), 2).alias("max_y"),
+    )

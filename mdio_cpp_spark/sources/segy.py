@@ -786,3 +786,18 @@ class SegyStreamReader(_SegyReadCore, DataSourceStreamReader):
 def register_segy(spark) -> None:
     """Register the segy format on a session (idempotent)."""
     spark.dataSource.register(SegyDataSource)
+
+
+def apply_coord_scalar(coord, scalar):
+    """SEG-Y coordinate scalar semantics (trace-header bytes 71-72,
+    rev1 §C-3): a POSITIVE scalar multiplies the stored coordinate, a
+    NEGATIVE one divides by its magnitude, zero means unscaled. Pure
+    column arithmetic (whole-stage codegen, no UDF); returns double."""
+    from pyspark.sql import functions as F
+
+    coord = coord.cast("double")
+    return (
+        F.when(scalar > 0, coord * scalar)
+        .when(scalar < 0, coord / -scalar)
+        .otherwise(coord)
+    )
