@@ -194,3 +194,35 @@ def test_blosc_zstd_streams_actually_compress_and_spec_read():
     from tests.spec_zarr_reader import _blosc_decode
 
     assert _blosc_decode(fr) == data
+
+
+def test_roundtrip_hypothesis_property():
+    """Property fuzz: decompress(compress(x), len(x)) == x for arbitrary
+    byte strings, through BOTH decoders (engine + independent spec
+    reader). Shrinking gives a minimal counterexample if the encoder
+    ever regresses."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=20000))
+    def prop(data):
+        enc = compress(data)
+        assert decompress(enc, len(data)) == data
+        assert _zstd_decode(enc) == data
+
+    prop()
+
+    # structured generator: repeated slices of a small alphabet (the
+    # LZ-heavy shape random binaries never produce)
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.sampled_from([b"abc", b"zz", b"hello world ",
+                                     b"\x00\x00\x00\x00", b"q"]),
+                    max_size=400))
+    def prop2(parts):
+        data = b"".join(parts)
+        enc = compress(data)
+        assert decompress(enc, len(data)) == data
+        assert _zstd_decode(enc) == data
+
+    prop2()
