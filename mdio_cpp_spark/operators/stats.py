@@ -228,6 +228,12 @@ def grouped_percentiles(
             )
 
     step = (vmax - vmin) / nparts
+    if step <= 0.0 or not math.isfinite(step):
+        # a sub-normal (or ±inf) caller range underflows the bucket width —
+        # ANSI double division by 0 RAISES (hypothesis: bounds (0, 5e-324)).
+        # One bucket is still CORRECT (ids only steer balance, the clamp
+        # and rank arithmetic stay exact), so pin a positive width.
+        step = 1.0
     # O(1) arithmetic bucket id (not a comparison chain): uniform buckets,
     # out-of-range values clamped into the end buckets. The clamp happens
     # in the DOUBLE domain BEFORE the int cast: with caller bounds far
