@@ -432,8 +432,6 @@ def ingest_to_store(
     # grid vocabularies: thousands of values, driver-safe by construction
     il_vals = sorted(r[0] for r in traces.select(il_name).distinct().collect())
     xl_vals = sorted(r[0] for r in traces.select(xl_name).distinct().collect())
-    il_rank = {v: i for i, v in enumerate(il_vals)}
-    xl_rank = {v: i for i, v in enumerate(xl_vals)}
     shape = (len(il_vals), len(xl_vals), ns)
     st.create_array(var, shape=shape,
                     chunks=chunks or (min(64, shape[0]), min(64, shape[1]), ns),
@@ -446,12 +444,20 @@ def ingest_to_store(
     st.consolidate()
     st.write_array_numpy(f"{il_name}_coord", np.asarray(il_vals, dtype=np.int64))
     st.write_array_numpy(f"{xl_name}_coord", np.asarray(xl_vals, dtype=np.int64))
-    il_map = F.create_map(*[F.lit(x) for kv in il_rank.items() for x in kv])
-    xl_map = F.create_map(*[F.lit(x) for kv in xl_rank.items() for x in kv])
-    cells = long.select(
-        il_map[F.col(il_name)].alias(il_name),
-        xl_map[F.col(xl_name)].alias(xl_name),
-        "sample", "v",
+    # value → rank via BROADCAST joins (two grid-axis-sized build sides),
+    # not a create_map literal: a survey-scale axis (10⁴-10⁵ values)
+    # embedded as plan literals bloats every task's serialized plan; a
+    # broadcast hash join is the shape that survives any grid
+    spark = traces.sparkSession
+    il_df = spark.createDataFrame(
+        [(int(v), i) for i, v in enumerate(il_vals)], f"{il_name} long, __il long")
+    xl_df = spark.createDataFrame(
+        [(int(v), i) for i, v in enumerate(xl_vals)], f"{xl_name} long, __xl long")
+    cells = (
+        long.join(F.broadcast(il_df), il_name)
+        .join(F.broadcast(xl_df), xl_name)
+        .select(F.col("__il").alias(il_name), F.col("__xl").alias(xl_name),
+                "sample", "v")
     )
     report = write_array(cells, root, var, value_cols="v")
     return {**report, "shape": list(shape)}
