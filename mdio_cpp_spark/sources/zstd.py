@@ -941,44 +941,56 @@ def _encode_literals_section(lits: bytes) -> bytes:
     return huf if huf is not None and len(huf) < len(raw) else raw
 
 
-def _lz_parse(block: bytes) -> tuple[list[tuple[int, int, int]], bytes]:
-    """Greedy single-slot-hash LZ parse of one block (matches stay within
-    the block, so offsets never exceed 128 KiB). Returns
+def _lz_parse(
+    data: bytes,
+    lo: int = 0,
+    hi: int | None = None,
+    table: dict[bytes, int] | None = None,
+) -> tuple[list[tuple[int, int, int]], bytes]:
+    """Greedy single-slot-hash LZ parse of ``data[lo:hi)``. Returns
     ([(literal_len, offset_value, match_len)], literals) where
     offset_value = offset + 3 (no repeat-offset shorthand — keeps every
-    independent decoder path trivial)."""
-    n = len(block)
+    independent decoder path trivial).
+
+    ``table`` carries absolute positions and is SHARED across the frame's
+    blocks: matches may reach back into earlier blocks (the zstd window
+    spans the whole single-segment frame, and the decoder's history
+    parameter resolves them), so a multi-block chunk with long-range
+    repetition compresses instead of resetting every 128 KiB. Offsets are
+    capped below 2^28 (the predefined OF table's last code)."""
+    n = len(data) if hi is None else hi
     seqs: list[tuple[int, int, int]] = []
     lits = bytearray()
-    table: dict[bytes, int] = {}
-    anchor = 0
-    i = 0
+    if table is None:
+        table = {}
+    anchor = lo
+    i = lo
     miss = 0
     while i + 4 <= n:
-        key = block[i : i + 4]
+        key = data[i : i + 4]
         j = table.get(key)
         table[key] = i
-        if j is None:
+        if j is None or (i - j) + 3 >= (1 << 28):
             i += 1 + (miss >> 6)  # lz4-style acceleration through noise
             miss += 1
             continue
         miss = 0
         m = 4
-        while i + m + 8 <= n and block[j + m : j + m + 8] == block[i + m : i + m + 8]:
+        while i + m + 8 <= n and data[j + m : j + m + 8] == data[i + m : i + m + 8]:
             m += 8
-        while i + m < n and block[j + m] == block[i + m]:
+        while i + m < n and data[j + m] == data[i + m]:
             m += 1
-        lits += block[anchor:i]
+        lits += data[anchor:i]
         seqs.append((i - anchor, (i - j) + 3, m))
         end = i + m
         k = i + 1
         stop = min(end - 1, i + 8, n - 4)  # strictly before end: the main
         while k <= stop:  # loop re-probes end and must not self-match
-            table[block[k : k + 4]] = k
+            table[data[k : k + 4]] = k
             k += 1
         i = end
         anchor = end
-    lits += block[anchor:]
+    lits += data[anchor:n]  # tail bounded at hi, not the whole buffer
     return seqs, bytes(lits)
 
 
@@ -1050,13 +1062,21 @@ def _encode_sequences_section(seqs: list[tuple[int, int, int]]) -> bytes:
     return bytes(out)
 
 
-def _encode_block(chunk: bytes) -> bytes | None:
-    """One compressed block (lb_type-2 literals + predef sequences) or
+def _encode_block(
+    data: bytes,
+    lo: int = 0,
+    hi: int | None = None,
+    table: dict[bytes, int] | None = None,
+) -> bytes | None:
+    """One compressed block over ``data[lo:hi)`` (lb_type-2 literals +
+    predef sequences; cross-block matches via the shared ``table``) or
     None when entropy coding does not beat a raw block."""
-    seqs, lits = _lz_parse(chunk)
+    if hi is None:
+        hi = len(data)
+    seqs, lits = _lz_parse(data, lo, hi, table)
     body = _encode_literals_section(lits)
     body += _encode_sequences_section(seqs) if seqs else b"\x00"
-    return body if len(body) < len(chunk) else None
+    return body if len(body) < hi - lo else None
 
 
 def compress(data: bytes, level: int = 3) -> bytes:
@@ -1080,15 +1100,16 @@ def compress(data: bytes, level: int = 3) -> bytes:
     if n == 0:
         blocks += (1).to_bytes(3, "little")  # last, raw, size 0
     else:
+        table: dict[bytes, int] = {}  # frame-wide: matches cross blocks
         for off in range(0, n, _BLOCK_MAX):
-            chunk = data[off : off + _BLOCK_MAX]
-            last = 1 if off + _BLOCK_MAX >= n else 0
-            comp = _encode_block(chunk) if level > 0 else None
+            hi = min(off + _BLOCK_MAX, n)
+            last = 1 if hi >= n else 0
+            comp = _encode_block(data, off, hi, table) if level > 0 else None
             if comp is not None:
                 blocks += (last | 4 | (len(comp) << 3)).to_bytes(3, "little")
                 blocks += comp
             else:
-                blocks += (last | (len(chunk) << 3)).to_bytes(3, "little")
-                blocks += chunk
+                blocks += (last | ((hi - off) << 3)).to_bytes(3, "little")
+                blocks += data[off:hi]
     check = struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
     return head + bytes(blocks) + check

@@ -226,3 +226,23 @@ def test_roundtrip_hypothesis_property():
         assert _zstd_decode(enc) == data
 
     prop2()
+
+
+def test_cross_block_matches_reach_into_history():
+    """A second 128-KiB block that repeats the first must encode as
+    history matches (offsets past the block start), not re-learn: the
+    two-block frame compresses to near one block's size. Raw-fallback
+    blocks also count as history."""
+    npr = np.random.RandomState(21)
+    first = npr.bytes(131072)  # incompressible -> raw block 1
+    data = first + first  # block 2 = one giant match into history
+    enc = compress(data)
+    assert len(enc) < 131072 + 4096, len(enc)
+    assert decompress(enc, len(data)) == data
+    assert _zstd_decode(enc) == data
+    # and a compressible first block followed by its repeat
+    base = (b"seismic trace header " * 7000)[:131072]
+    enc2 = compress(base + base)
+    assert len(enc2) < len(compress(base)) + 256
+    assert decompress(enc2, 262144) == base + base
+    assert _zstd_decode(enc2) == base + base
