@@ -409,10 +409,19 @@ def ingest_to_store(
             raise SegyFormatError(f"grid_by fields not declared: {missing}")
     traces = scan_traces(spark, segy_path, header_fields=fields)
 
+    # the reference's SAVE_SEGY_FILE_HEADER behavior (regression test
+    # sets MDIO__IMPORT__SAVE_SEGY_FILE_HEADER=true, line 48; its
+    # HeaderVariable stores exactly this, header_variable.h:100-248):
+    # both FILE headers ride the store as attributes, so provenance
+    # survives the format hop
     st = ZarrStore.create(root, version=2, attrs={
         "source": os.path.basename(segy_path),
         "sample_interval_us": int(geo["sample_interval_us"]),
         "segy_format": int(geo["format"]),
+        "segy_text_header": read_text_header(segy_path),
+        "segy_binary_header": {
+            k: int(v) for k, v in read_binary_header(segy_path).items()
+        },
     })
     long = traces.select(
         "trace", *[f.name for f in fields],
@@ -424,8 +433,24 @@ def ingest_to_store(
                         chunks=chunks or (min(2048, shape[0]), ns),
                         dtype="float64", dims=("trace", "sample"),
                         compressor=compressor)
+        if fields:
+            # per-trace headers land as a STRUCT array on the trace grid
+            # (the reference's header-variable shape): one fused write
+            st.create_array(
+                "headers", shape=(shape[0],),
+                chunks=(chunks[0] if chunks else min(2048, shape[0]),),
+                dtype={"fields": [{"name": f.name, "format": "int64"}
+                                  for f in fields]},
+                dims=("trace",),
+            )
         st.consolidate()
         report = write_array(long, root, var, value_cols="v")
+        if fields:
+            write_array(
+                traces.select("trace", *[f.name for f in fields]),
+                root, "headers",
+                value_cols={f.name: f.name for f in fields},
+            )
         return {**report, "shape": list(shape)}
 
     il_name, xl_name = grid_by

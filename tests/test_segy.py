@@ -508,3 +508,36 @@ def test_segy_over_memory_scheme(tmp_path, spark):
     # absent object: loud, not silent-empty
     with pytest.raises(SegyFormatError, match="no such file"):
         file_geometry("memory://segybkt/missing.sgy")
+
+
+def test_ingest_saves_file_headers_and_trace_headers(tmp_path, spark):
+    """Reference parity: SAVE_SEGY_FILE_HEADER behavior — the ingested
+    store carries the textual + binary file headers as attrs, and (2-D
+    path) declared trace headers land as a struct array on the trace
+    grid (the HeaderVariable shape)."""
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    path = str(tmp_path / "hh.sgy")
+    n, ns = 18, 4
+    vals = np.arange(n * ns, dtype="f8").reshape(n, ns)
+    il = 40 + np.arange(n) // 6
+    write_segy(path, vals, fmt=1, headers={189: il},
+               text="C 1 CLIENT acme CREW 7")
+    root = str(tmp_path / "hh.zarr")
+    ingest_to_store(spark, path, root, var="amp",
+                    header_fields=[HeaderField("inline", 189)])
+    st = ZarrStore.open(root)
+    assert st.attrs["segy_text_header"].splitlines()[0].startswith(
+        "C 1 CLIENT acme CREW 7")
+    assert st.attrs["segy_binary_header"]["samples_per_trace"] == ns
+    assert st.attrs["segy_binary_header"]["format"] == 1
+    hdr = st.read_array("headers")
+    assert list(hdr["inline"]) == list(il)
+    assert np.array_equal(st.read_array("amp"), vals)
+    # the cube path keeps the attrs too
+    xl = 300 + np.arange(n) % 6
+    path2 = str(tmp_path / "hh2.sgy")
+    write_segy(path2, vals, fmt=1, headers={189: il, 193: xl})
+    root2 = str(tmp_path / "hh2.zarr")
+    ingest_to_store(spark, path2, root2, grid_by=("inline", "crossline"))
+    assert "segy_text_header" in ZarrStore.open(root2).attrs
