@@ -5113,3 +5113,323 @@ def p18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------- lexical retrieval / fusion
+
+# BM25 constants shared by the Spark plan and the DuckDB oracle. Terms are
+# deterministic literals drawn from the synthetic vocabulary; k1/b are the
+# textbook Robertson defaults. The score of a doc is the FIXED-ORDER sum
+# c(term1) + c(term2) + c(term3) — conditional-aggregated into one column
+# per term on BOTH sides so double addition order cannot drift between
+# engines (a groupBy SUM would add in partition order).
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TOPK = 15
+
+
+def _dd_bm25_ranked(limit: int) -> str:
+    """CTE block ending in ``ranked(doc_id, score, rk)`` — BM25 over the
+    query terms with rank by (rounded score DESC, doc_id)."""
+    terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    ccols = ",\n        ".join(
+        f"COALESCE(MAX(CASE WHEN tok = '{t}' THEN contrib END), 0.0) AS c{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    csum = " + ".join(f"c{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+    t AS (SELECT doc_id, {_DD_TOKS} AS w FROM documents),
+    dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+      WHERE tok IN ({terms_in}) GROUP BY 1, 2),
+    idf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    c AS (
+      SELECT tf.doc_id, tf.tok,
+             ln(1.0 + (s.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+             * (CAST(tf.tf AS DOUBLE) * {_BM25_K1 + 1.0})
+             / (CAST(tf.tf AS DOUBLE)
+                + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * dl.dl / s.avgdl)) AS contrib
+      FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) CROSS JOIN s),
+    p AS (
+      SELECT doc_id,
+        {ccols}
+      FROM c GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, score, rk FROM (
+        SELECT doc_id, ROUND({csum}, 4) AS score,
+               CAST(ROW_NUMBER() OVER (ORDER BY ROUND({csum}, 4) DESC, doc_id)
+                    AS BIGINT) AS rk
+        FROM p)
+      WHERE rk <= {limit})
+    """
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str, limit: int) -> DataFrame:
+    """BM25 ranking of documents against the fixed query-term set:
+    (doc_id, score, rk), rk <= limit.
+
+    Scale shape: tokens reduce map-side to a (doc, term) tf table that is
+    query-term-filtered BEFORE the shuffle (3 terms → the shuffled tf frame
+    is at most |terms|·|docs| rows of integers, never corpus-sized); df and
+    the corpus stats (N, avgdl) are single-row / |terms|-row aggregates that
+    BROADCAST back; the per-term contributions pivot into fixed columns so
+    the final score is one map-side expression. The only rank is over the
+    already-tiny scored frame. No document text survives past the first
+    projection."""
+    from pyspark.sql.window import Window
+
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", text.tokens(F.col("text")).alias("w"))
+    dl = toks.select("doc_id", F.size("w").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("w").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    idf = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(_BM25_K1)
+                    * (
+                        F.lit(1.0 - _BM25_B)
+                        + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("contrib"),
+        )
+    )
+    pivoted = contrib.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("tok") == t, F.col("contrib"))), F.lit(0.0)
+            ).alias(f"c{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    score = F.round(
+        sum((F.col(f"c{i}") for i in range(1, len(_BM25_TERMS))), F.col("c0")), 4
+    )
+    # Distributed top-k (TakeOrderedAndProject), THEN a row_number over the
+    # ≤limit surviving rows — the global window never sees more than `limit`
+    # rows, so there is no corpus-sized single-partition sort anywhere.
+    topk = (
+        pivoted.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(limit)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+@declared(
+    "t26_bm25",
+    oracle=f"""
+    WITH {_dd_bm25_ranked(_BM25_TOPK)}
+    SELECT doc_id, score, rk FROM ranked ORDER BY rk
+    """,
+)
+def t26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson k1=1.2, b=0.75, the Lucene-shaped
+    ``ln(1+(N-df+.5)/(df+.5))`` idf): top-15 documents for a fixed 3-term
+    query. The per-term contributions are conditional-aggregated into one
+    column per term and summed in FIXED literal order on both engines —
+    double addition order cannot drift the 4dp-rounded score; ranking is
+    (rounded score DESC, doc_id). The final global row_number runs over an
+    at-most-|docs-with-a-hit| frame of 3 columns — tiny by construction —
+    and everything upstream is partial-aggregatable. The retrieval half of
+    v16's hybrid fusion."""
+    return _bm25_ranked(spark, sf_dir, _BM25_TOPK).orderBy("rk")
+
+
+_RRF_K = 60          # the standard reciprocal-rank-fusion damping constant
+_RRF_LIST = 50       # depth of each retrieval list fed into the fusion
+_RRF_TOPK = 10
+_RRF_QVEC = 0        # query = the embedding of vec_id 0 (doc_id-aligned)
+
+
+@declared(
+    "v16_hybrid_rrf",
+    oracle=f"""
+    WITH {_dd_bm25_ranked(_RRF_LIST)},
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_RRF_QVEC}),
+    vrank AS (
+      SELECT vec_id AS doc_id, rk AS rk_vec FROM (
+        SELECT e.vec_id,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY ROUND({_dd_cosine("qv.qv", "e.embedding")}, 4) DESC,
+                          e.vec_id) AS BIGINT) AS rk
+        FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> {_RRF_QVEC})
+      WHERE rk <= {_RRF_LIST}),
+    lrank AS (SELECT doc_id, rk AS rk_lex FROM ranked
+              WHERE doc_id <> {_RRF_QVEC}),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.rk_lex, v.rk_vec,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + l.rk_lex), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + v.rk_vec), 0.0), 6) AS rrf
+      FROM lrank l FULL OUTER JOIN vrank v USING (doc_id))
+    SELECT doc_id, rk_lex, rk_vec, rrf,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+    FROM fused QUALIFY rk <= {_RRF_TOPK} ORDER BY rk
+    """,
+)
+def v16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion (RRF, k=60) of a BM25
+    lexical list and an exact-cosine vector list, the two-tower RAG /
+    training-retrieval shape: score = Σ 1/(60+rank) over the lists a doc
+    appears in (missing from a list contributes 0 — the standard RRF
+    convention). Both input ranks are integers computed over
+    deterministically-rounded scores with id tiebreaks, so the fused score
+    is bit-exact across engines. Scale shape: each list is its operator's
+    own distributed top-R (R=50) — BM25's term-filtered tf pipeline and a
+    broadcast-query cosine scan that never shuffles corpus vectors — and
+    the fusion is a full outer join of two R-row frames: driver-side work
+    is O(R), corpus-side work is two scans. doc_id/vec_id alignment is the
+    synthetic corpus's documents↔embeddings contract."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == _RRF_QVEC)
+    vrank = (
+        similarity.cosine_topk(e, q, "vec_id", "embedding", k=_RRF_LIST)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rk").alias("rk_vec"))
+    )
+    lrank = (
+        _bm25_ranked(spark, sf_dir, _RRF_LIST)
+        .filter(F.col("doc_id") != _RRF_QVEC)
+        .select("doc_id", F.col("rk").alias("rk_lex"))
+    )
+    fused = lrank.join(vrank, "doc_id", "full_outer").select(
+        "doc_id",
+        "rk_lex",
+        "rk_vec",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rk_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rk_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    top = fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(_RRF_TOPK)
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return top.withColumn("rk", F.row_number().over(w).cast("long")).orderBy("rk")
+
+
+_SPAN_W = 5  # duplicated-substring window width (tokens)
+
+
+@declared(
+    "d17_substring_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DD_TOKS} AS w FROM documents),
+    wins AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+{_SPAN_W - 1}], ' ')) AS h
+      FROM t, UNNEST(range(1, greatest(len(w) - {_SPAN_W - 1}, 0) + 1)) AS u(i)
+    ),
+    dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+    d AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h)),
+    fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_W}
+                  THEN 1 ELSE 0 END AS nf
+      FROM d),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM fl)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_SPAN_W - 1} AS BIGINT) AS span_end,
+           CAST(MAX(pos) + {_SPAN_W} - MIN(pos) AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+)
+def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-substring spans — the distributed analog of
+    suffix-array training-data dedup (find every maximal token span whose
+    every {W}-token window occurs at least twice in the corpus; d08/p18's
+    block dedup only sees ALIGNED 16-token blocks, this sees every sliding
+    window). Per doc: hash all W=5-token windows (one md5 per window,
+    JVM-side), keep windows whose hash repeats corpus-wide, and merge
+    overlapping hits into maximal spans with one gaps-and-islands pass
+    (lag + running sum per doc). Output is 1-based token positions:
+    (doc_id, span_start, span_end, span_tokens).
+
+    Scale shape: the shuffle carries (hash, doc_id, pos) triples — window
+    TEXT never leaves the map side; the repeated-hash set is an aggregate
+    on the SAME key as the back-join (exchange reuse, no second shuffle);
+    islands partition by doc_id (high cardinality). Ubiquitous boilerplate
+    hashes are skewed keys — exactly what AQE skew-join splits. W=5 and
+    md5 are shared literals with the oracle; exact integer output."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", text.tokens(F.col("text")).alias("w"))
+    wins = (
+        toks.filter(F.size("w") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_SPAN_W - 1}),"
+                    f" i -> struct(i AS pos,"
+                    f" md5(concat_ws(' ', slice(w, i, {_SPAN_W}))) AS h))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.h").alias("h"))
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("h")
+    )
+    hits = wins.join(dup, "h", "left_semi").select("doc_id", "pos")
+    from pyspark.sql.window import Window
+
+    byw = Window.partitionBy("doc_id").orderBy("pos")
+    fl = hits.withColumn(
+        "nf",
+        F.when(
+            F.lag("pos").over(byw).isNull()
+            | (F.col("pos") - F.lag("pos").over(byw) > _SPAN_W),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    isl = fl.withColumn(
+        "island",
+        F.sum("nf").over(byw.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (_SPAN_W - 1)).cast("long").alias("span_end"),
+            (F.max("pos") + _SPAN_W - F.min("pos")).cast("long").alias("span_tokens"),
+        )
+        .drop("island")
+        .orderBy("doc_id", "span_start")
+    )

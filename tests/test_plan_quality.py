@@ -47,6 +47,10 @@ from mdio_cpp_spark.plans import REGISTRY
 #    width scales with the corpus so the window input is ≤4096 rows at
 #    any size; the data-sized running sum partitions on the bucket.
 #  - s10: the rank runs AFTER TakeOrdered(16) — t16/ev07's bounded shape.
+#  - t26/v16: the rk assignment runs AFTER ORDER BY + LIMIT
+#    (TakeOrdered 15 / 10 rows; v16's two input lists are themselves
+#    ≤50-row TakeOrdered results) — t16/ev07's bounded shape
+#    (plans/pipeline.py _bm25_ranked, v16).
 #  - w15: the rolling frame runs over the |days|-row per-day aggregate —
 #    the asof-boundary allowance (|time buckets|, not data); a multi-
 #    series variant partitions per series pair (docstring).
@@ -60,6 +64,7 @@ _ALLOW_GLOBAL = {
     "t16_zipf_slope", "ev07_top_paths", "zarr73_threshold_runs",
     "p14_curriculum", "zarr86_hist_equalize", "mm09_shard_plan",
     "s10_priority_sample", "w15_rolling_corr",
+    "t26_bm25", "v16_hybrid_rrf",
 }
 
 
