@@ -5621,3 +5621,107 @@ def segy05(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(sx), 2).alias("min_x"),
         F.round(F.max(sy), 2).alias("max_y"),
     )
+
+
+def _ensure_segy_le_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf) a SEG-Y REV2 little-endian float64 fixture —
+    the byte-order mark (bytes 3297-3300) carries 0x01020304 in LE order,
+    every binary value (file header, trace headers, samples) is
+    little-endian, data format 6 (IEEE float64, a rev2 addition). Trace t
+    carries inline 10 + t//32 and 16 samples (okey%65536)*16 + s —
+    integers, so float64 holds them exactly and the gate hashes exactly."""
+    import struct as _st
+
+    base = ensure_stores(spark, sf_dir)
+    sgy = os.path.join(base, "fixture_rev2le.sgy")
+    marker = os.path.join(base, ".built_segy_le_v1")
+    W, CAP, NS = 32, 2048, 16
+    if not os.path.exists(marker):
+        okeys = [int(r[0]) for r in _orders_indexed(spark, sf_dir)
+                 .orderBy("i").select("o_orderkey").limit(CAP).collect()]
+        n_tr = (len(okeys) // W) * W
+        okeys = okeys[:n_tr]
+        out = bytearray()
+        out += ("C 1 spark-graft segy06 rev2 little-endian fixture"
+                .ljust(3200)).encode("ascii")
+        bh = bytearray(400)
+        _st.pack_into("<h", bh, 16, 2000)   # sample interval us
+        _st.pack_into("<h", bh, 20, NS)
+        _st.pack_into("<h", bh, 24, 6)      # IEEE float64 (rev2)
+        _st.pack_into("<I", bh, 96, 0x01020304)  # byte-order mark, LE
+        _st.pack_into("<h", bh, 300, 0x0200)  # rev2
+        _st.pack_into("<h", bh, 302, 1)
+        out += bh
+        import numpy as _np
+
+        for t, ok in enumerate(okeys):
+            th = bytearray(240)
+            _st.pack_into("<i", th, 0, t + 1)
+            _st.pack_into("<h", th, 114, NS)
+            _st.pack_into("<i", th, 188, 10 + t // W)  # inline
+            out += th
+            v0 = (ok % 65536) * 16
+            out += _np.arange(v0, v0 + NS, dtype="<f8").tobytes()
+        with open(sgy, "wb") as f:
+            f.write(out)
+        with open(marker, "w") as f:
+            f.write("1")
+    return sgy
+
+
+@declared(
+    "segy06_rev2_le",
+    oracle="""
+    SELECT CAST(10 + o.t // 32 AS BIGINT) AS inline,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM((o.o_orderkey % 65536) * 16 * 16 + 120) AS BIGINT) AS sum_v,
+           CAST(MIN((o.o_orderkey % 65536) * 16) AS BIGINT) AS min_v,
+           CAST(MAX((o.o_orderkey % 65536) * 16 + 15) AS BIGINT) AS max_v
+    FROM (SELECT o_orderkey,
+                 ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS t
+          FROM orders) o
+    WHERE o.t < LEAST((SELECT COUNT(*) FROM orders) // 32 * 32, 2048)
+    GROUP BY 1
+    ORDER BY inline
+    """,
+)
+def segy06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEG-Y REV2 little-endian ingest (SEG technical standard 2017): the
+    fixture carries the rev2 byte-order mark (bytes 3297-3300 hold
+    0x01020304 in the file's own order) and IEEE float64 samples (data
+    format 6, a rev2 addition). The ``format('segy')`` DSv2 batch source
+    resolves the byte order ONCE from the mark (sources/segy.py
+    read_binary_header) and every downstream decode — binary header,
+    per-trace header fields, bulk sample conversion — flips accordingly;
+    the scan itself is the same trace-index-partitioned single-read-per-
+    task shape as the big-endian path (endianness is metadata, not a
+    plan change). Per-inline rollup of trace count and exact integer
+    sample stats against the orders oracle."""
+    sgy = _ensure_segy_le_fixture(spark, sf_dir)
+    from mdio_cpp_spark.sources.segy import register_segy
+
+    register_segy(spark)
+    tr = (
+        spark.read.format("segy")
+        .option("path", sgy)
+        .option("header_fields", "inline:189:int32")
+        .load()
+    )
+    per_trace = tr.select(
+        "inline",
+        F.aggregate(
+            "samples", F.lit(0.0), lambda acc, x: acc + x
+        ).alias("tsum"),
+        F.array_min("samples").alias("tmin"),
+        F.array_max("samples").alias("tmax"),
+    )
+    return (
+        per_trace.groupBy("inline")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("tsum").cast("long").alias("sum_v"),
+            F.min("tmin").cast("long").alias("min_v"),
+            F.max("tmax").cast("long").alias("max_v"),
+        )
+        .orderBy("inline")
+    )

@@ -1,4 +1,4 @@
-"""SEG-Y rev0/rev1 ingest source (public SEG standard) — wheel-free.
+"""SEG-Y rev0/rev1/rev2 ingest source (public SEG standard) — wheel-free.
 
 The reference's real-data workflow STARTS from SEG-Y: its regression test
 ingests a remote .sgy with customizable trace-header fields and a 3D
@@ -15,7 +15,11 @@ PySpark-native analog, derived purely from the public SEG-Y rev1 format
     ``HeaderField(name, byte, format)`` extraction (the reference's
     customization point, byte offsets 1-based per the standard),
   * sample formats 1 (IBM 4-byte hexadecimal float), 2 (int32),
-    3 (int16), 5 (IEEE float32), 8 (int8).
+    3 (int16), 5 (IEEE float32), 8 (int8), and the rev2 additions
+    6 (IEEE float64), 9 (int64), 10 (uint32), 11 (uint16), 16 (uint8),
+  * rev2 byte-order resolution: the 3297-3300 byte-order mark selects
+    big- vs little-endian for every binary value (file header, trace
+    headers, samples); pairwise-swapped files are refused loudly.
 
 Scale design: a SEG-Y file with fixed-length traces is a flat byte grid —
 ``data_start + trace_index * trace_bytes`` addresses any trace with pure
@@ -49,14 +53,30 @@ TEXT_LEN = 3200
 BIN_LEN = 400
 TRACE_HEADER_LEN = 240
 
-# data-format code (binary header bytes 3225-3226) → (kind, bytes/sample)
+# data-format code (binary header bytes 3225-3226) → (kind, bytes/sample).
+# Codes 6/9/10/11/16 are SEG-Y rev2 additions (SEG technical standard,
+# 2017): IEEE float64, int64, uint32, uint16, uint8. Kinds are stored
+# big-endian; a little-endian file (rev2 byte-order mark) flips the prefix
+# at decode time.
 _FORMATS = {
     1: ("ibm", 4),
     2: (">i4", 4),
     3: (">i2", 2),
     5: (">f4", 4),
+    6: (">f8", 8),
     8: ("b", 1),
+    9: (">i8", 8),
+    10: (">u4", 4),
+    11: (">u2", 2),
+    16: ("B", 1),
 }
+
+# rev2 byte-order mark (binary-header bytes 3297-3300, 1-based 97-100
+# within the header): the integer constant 0x01020304 read in the file's
+# byte order. 0 → pre-rev2 file, big-endian by definition.
+_BOM_BIG = 0x01020304
+_BOM_LITTLE = 0x04030201  # the constant as seen through a big-endian read
+_BOM_PAIRSWAP = 0x02010403  # rev2 "pairwise byte swap" legacy — refused
 
 _FIELD_FMT = {"int32": (">i4", 4), "int16": (">i2", 2), "uint16": (">u2", 2)}
 
@@ -195,8 +215,12 @@ def read_text_header(path: str) -> str:
 
 
 def read_binary_header(path: str) -> dict:
-    """The 400-byte binary file header's load-bearing fields (big-endian,
-    1-based byte positions per the standard: 3213.. within the file)."""
+    """The 400-byte binary file header's load-bearing fields (1-based byte
+    positions per the standard: 3213.. within the file). Byte order is
+    resolved FIRST from the rev2 byte-order mark (bytes 3297-3300): the
+    constant 0x01020304 stored in the file's own order. Absent (zero) mark
+    → pre-rev2 file, big-endian by definition; the rev2 'pairwise byte
+    swap' legacy encoding is refused loudly rather than misdecoded."""
     kv, key = _file_kv(path)
     raw = kv.read_range(key, TEXT_LEN, BIN_LEN)
     if raw is None:
@@ -204,8 +228,21 @@ def read_binary_header(path: str) -> dict:
     if len(raw) < BIN_LEN:
         raise SegyFormatError("file shorter than the 400-byte binary header")
 
+    bom = struct.unpack_from(">I", raw, 96)[0]
+    if bom in (0, _BOM_BIG):
+        endianness = "big"
+    elif bom == _BOM_LITTLE:
+        endianness = "little"
+    elif bom == _BOM_PAIRSWAP:
+        raise SegyFormatError(
+            "rev2 pairwise-byte-swapped file: unsupported byte ordering")
+    else:
+        raise SegyFormatError(
+            f"byte-order mark 0x{bom:08x} is not a valid SEG-Y rev2 value")
+    e = ">" if endianness == "big" else "<"
+
     def i16(pos: int) -> int:  # pos is 1-based within the binary header
-        return struct.unpack_from(">h", raw, pos - 1)[0]
+        return struct.unpack_from(f"{e}h", raw, pos - 1)[0]
 
     rev = i16(301)
     return {
@@ -218,6 +255,7 @@ def read_binary_header(path: str) -> dict:
         "segy_revision": rev,
         "fixed_length_traces": i16(303),
         "n_extended_text_headers": i16(305),
+        "endianness": endianness,
     }
 
 
@@ -236,6 +274,9 @@ def file_geometry(path: str, lenient: bool = False) -> dict:
     if fmt not in _FORMATS:
         raise SegyFormatError(
             f"data format code {fmt}: supported {sorted(_FORMATS)}")
+    if fmt == 1 and hdr["endianness"] == "little":
+        raise SegyFormatError(
+            "IBM-float samples in a little-endian rev2 file are unsupported")
     ns = hdr["samples_per_trace"]
     if ns <= 0:
         raise SegyFormatError(f"samples per trace {ns} must be positive")
@@ -267,7 +308,7 @@ def file_geometry(path: str, lenient: bool = False) -> dict:
 # ------------------------------------------------------- distributed scan
 
 
-def _decode_samples(raw: np.ndarray, fmt: int) -> np.ndarray:
+def _decode_samples(raw: np.ndarray, fmt: int, endian: str = "big") -> np.ndarray:
     """(ntraces, ns*sample_bytes) u1 view → (ntraces, ns) float64."""
     kind, width = _FORMATS[fmt]
     if kind == "ibm":
@@ -278,6 +319,8 @@ def _decode_samples(raw: np.ndarray, fmt: int) -> np.ndarray:
             u32[:, :, 2].astype(np.uint32) << 8
         ) | u32[:, :, 3]
         return ibm_to_ieee(vals)
+    if endian == "little":
+        kind = kind.replace(">", "<")
     return (
         raw.reshape(raw.shape[0], -1)
         .view(kind)
@@ -295,25 +338,29 @@ def _validate_fields(fields: list[HeaderField]) -> None:
 
 def _parse_trace_matrix(
     mat: np.ndarray, ids: np.ndarray, fields: list[HeaderField],
-    fmt: int, with_samples: bool,
+    fmt: int, with_samples: bool, endian: str = "big",
 ) -> pd.DataFrame:
     """(n, trace_bytes) u1 matrix + trace ids → one row per trace."""
     cols: dict = {"trace": ids}
     for fld in fields:
         dt, width = _FIELD_FMT[fld.format]
+        if endian == "little":
+            dt = dt.replace(">", "<")
         sl = mat[:, fld.byte - 1 : fld.byte - 1 + width]
         cols[fld.name] = (
             np.ascontiguousarray(sl).view(dt).astype(np.int64).ravel()
         )
     if with_samples:
         body = mat[:, TRACE_HEADER_LEN:]
-        cols["samples"] = list(_decode_samples(np.ascontiguousarray(body), fmt))
+        cols["samples"] = list(
+            _decode_samples(np.ascontiguousarray(body), fmt, endian))
     return pd.DataFrame(cols)
 
 
 def _read_trace_range(
     path: str, lo: int, hi: int, tb: int, start: int,
     fields: list[HeaderField], fmt: int, with_samples: bool,
+    endian: str = "big",
 ) -> pd.DataFrame:
     """ONE contiguous read of traces [lo, hi) → parsed rows."""
     kv, key = _file_kv(path)
@@ -323,7 +370,7 @@ def _read_trace_range(
             f"trace range [{lo}, {hi}) runs past the file (truncated?)")
     mat = np.frombuffer(buf, dtype=np.uint8).reshape(-1, tb)
     return _parse_trace_matrix(mat, np.arange(lo, hi, dtype=np.int64),
-                               fields, fmt, with_samples)
+                               fields, fmt, with_samples, endian)
 
 
 def scan_traces(
@@ -344,6 +391,7 @@ def scan_traces(
     geo = file_geometry(path)
     n, tb, start, fmt = (geo["n_traces"], geo["trace_bytes"],
                          geo["data_start"], geo["format"])
+    endian = geo["endianness"]
     fields = list(header_fields or [])
     _validate_fields(fields)
 
@@ -361,7 +409,8 @@ def scan_traces(
             buf = kv.read_range(key, start + lo * tb, (hi - lo + 1) * tb)
             mat = np.frombuffer(buf, dtype=np.uint8).reshape(-1, tb)
             mat = mat[ids - lo]  # robust to non-contiguous ids
-            yield _parse_trace_matrix(mat, ids, fields, fmt, with_samples)
+            yield _parse_trace_matrix(mat, ids, fields, fmt, with_samples,
+                                      endian)
 
     schema = "trace long" + "".join(f", {f.name} long" for f in fields)
     if with_samples:
@@ -420,7 +469,8 @@ def ingest_to_store(
         "segy_format": int(geo["format"]),
         "segy_text_header": read_text_header(segy_path),
         "segy_binary_header": {
-            k: int(v) for k, v in read_binary_header(segy_path).items()
+            k: (v if isinstance(v, str) else int(v))
+            for k, v in read_binary_header(segy_path).items()
         },
     })
     long = traces.select(
@@ -491,14 +541,17 @@ def ingest_to_store(
 # ---------------------------------------------------------------- export
 
 
-def _encode_samples(vals: np.ndarray, fmt: int) -> bytes:
-    """(ntraces, ns) float64 → big-endian sample bytes for one task."""
+def _encode_samples(vals: np.ndarray, fmt: int, endian: str = "big") -> bytes:
+    """(ntraces, ns) float64 → sample bytes for one task in the target
+    byte order (fmt 1 is byte-order-defined by the IBM layout)."""
     if fmt == 1:
         return ieee_to_ibm(vals).astype(">u4").tobytes()
     kind, _ = _FORMATS[fmt]
-    if kind == "b":
-        return np.rint(vals).astype("i1").tobytes()
-    if kind in (">i4", ">i2"):
+    if endian == "little":
+        kind = kind.replace(">", "<")
+    if kind in ("b", "B"):
+        return np.rint(vals).astype(kind.replace("B", "u1").replace("b", "i1")).tobytes()
+    if "i" in kind or "u" in kind:
         return np.rint(vals).astype(kind).tobytes()
     return vals.astype(kind).tobytes()
 
@@ -511,6 +564,7 @@ def export_segy(
     fmt: int = 1,
     text: str = "C 1 exported by mdio-spark",
     rows_per_task: int = 64,
+    endian: str = "big",
 ) -> dict:
     """Store → SEG-Y rev1 file, the reverse of ingest_to_store — the step
     a processed cube takes back to legacy seismic tooling. The reference
@@ -532,6 +586,11 @@ def export_segy(
 
     if fmt not in _FORMATS:
         raise SegyFormatError(f"data format code {fmt}: supported {sorted(_FORMATS)}")
+    if endian not in ("big", "little"):
+        raise SegyFormatError(f"endian {endian!r}: 'big' or 'little'")
+    if endian == "little" and fmt == 1:
+        raise SegyFormatError(
+            "IBM-float samples in a little-endian rev2 file are unsupported")
     p = out_path[len("file://"):] if out_path.startswith("file://") else out_path
     if "://" in p:
         raise SegyFormatError(
@@ -564,15 +623,23 @@ def export_segy(
         if f"{dims[1]}_coord" in arrays:
             xl_coord = [int(x) for x in st.read_array(f"{dims[1]}_coord")]
 
-    # ---- driver: the two file headers + pre-sized data region
+    # ---- driver: the two file headers + pre-sized data region. A
+    # little-endian target is by definition a rev2 file: every binary
+    # value (file header, trace headers, samples) flips, and the
+    # byte-order mark at bytes 3297-3300 records the order.
+    e = ">" if endian == "big" else "<"
     card = text.ljust(80)[:80]
     txt = (card + " " * 80 * 39)[: 80 * 40]
     bh = bytearray(BIN_LEN)
-    struct.pack_into(">h", bh, 16, interval)
-    struct.pack_into(">h", bh, 20, ns)
-    struct.pack_into(">h", bh, 24, fmt)
-    struct.pack_into(">h", bh, 300, 0x0100)  # rev1
-    struct.pack_into(">h", bh, 302, 1)  # fixed-length traces
+    struct.pack_into(f"{e}h", bh, 16, interval)
+    struct.pack_into(f"{e}h", bh, 20, ns)
+    struct.pack_into(f"{e}h", bh, 24, fmt)
+    if endian == "little":
+        struct.pack_into("<I", bh, 96, _BOM_BIG)  # mark in the file's order
+        struct.pack_into(f"{e}h", bh, 300, 0x0200)  # rev2
+    else:
+        struct.pack_into(f"{e}h", bh, 300, 0x0100)  # rev1
+    struct.pack_into(f"{e}h", bh, 302, 1)  # fixed-length traces
     with open(out_path, "wb") as f:
         f.write(txt.encode("cp037"))
         f.write(bh)
@@ -597,19 +664,19 @@ def export_segy(
             block = s.read_array(var, ranges=ranges)
             vals = np.asarray(block, dtype=np.float64).reshape(-1, ns)
             t0 = lo * rest
-            samp = _encode_samples(vals, fmt)  # one bulk encode per slab
+            samp = _encode_samples(vals, fmt, endian)  # one bulk encode per slab
             row_b = ns * sample_bytes
             out = bytearray()
             for j in range(vals.shape[0]):
                 t = t0 + j
                 th = bytearray(TRACE_HEADER_LEN)
-                struct.pack_into(">i", th, 0, t + 1)
-                struct.pack_into(">h", th, 114, ns)
-                struct.pack_into(">h", th, 116, interval)
+                struct.pack_into(f"{e}i", th, 0, t + 1)
+                struct.pack_into(f"{e}h", th, 114, ns)
+                struct.pack_into(f"{e}h", th, 116, interval)
                 if il_coord is not None:
-                    struct.pack_into(">i", th, 188, il_coord[t // rest])
+                    struct.pack_into(f"{e}i", th, 188, il_coord[t // rest])
                 if xl_coord is not None:
-                    struct.pack_into(">i", th, 192, xl_coord[t % rest])
+                    struct.pack_into(f"{e}i", th, 192, xl_coord[t % rest])
                 out += th
                 out += samp[j * row_b : (j + 1) * row_b]
             with open(out_path, "r+b") as f:
@@ -747,6 +814,7 @@ class _SegyReadCore:
         self.tb = geo["trace_bytes"]
         self.start = geo["data_start"]
         self.fmt = geo["format"]
+        self.endian = geo["endianness"]
         self.n_traces = geo["n_traces"]
         self.per_task = int(options.get("traces_per_task", 2048) or 2048)
 
@@ -766,7 +834,7 @@ class _SegyReadCore:
             return
         pdf = _read_trace_range(
             self.path, partition.lo, partition.hi, self.tb, self.start,
-            self.fields, self.fmt, self.with_samples,
+            self.fields, self.fmt, self.with_samples, self.endian,
         )
         yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
 

@@ -58,41 +58,49 @@ def write_segy(
     interval_us: int = 2000,
     n_ext_text: int = 0,
     text: str = "C 1 CLIENT spark-graft test fixture",
+    endian: str = "big",
 ) -> None:
-    """Write a SEG-Y rev1 file straight from the public standard."""
+    """Write a SEG-Y rev1 file (rev2 when little-endian or a rev2-only
+    sample format is requested) straight from the public standard."""
     n, ns = samples.shape
+    e = ">" if endian == "big" else "<"
+    rev2 = endian == "little" or fmt in (6, 9, 10, 11, 16)
     out = bytearray()
     card = text.ljust(80)[:80]
     txt = (card + " " * 80 * 39)[: 80 * 40]
     out += txt.encode("cp037")  # EBCDIC, the standard's default
     binhdr = bytearray(400)
-    struct.pack_into(">h", binhdr, 16, interval_us)  # 3217-3218
-    struct.pack_into(">h", binhdr, 20, ns)  # 3221-3222
-    struct.pack_into(">h", binhdr, 24, fmt)  # 3225-3226
-    struct.pack_into(">h", binhdr, 300, 0x0100)  # rev1
-    struct.pack_into(">h", binhdr, 302, 1)  # fixed-length traces
-    struct.pack_into(">h", binhdr, 304, n_ext_text)
+    struct.pack_into(f"{e}h", binhdr, 16, interval_us)  # 3217-3218
+    struct.pack_into(f"{e}h", binhdr, 20, ns)  # 3221-3222
+    struct.pack_into(f"{e}h", binhdr, 24, fmt)  # 3225-3226
+    if endian == "little":
+        # rev2 byte-order mark: 0x01020304 in the file's own order
+        struct.pack_into("<I", binhdr, 96, 0x01020304)
+    struct.pack_into(f"{e}h", binhdr, 300, 0x0200 if rev2 else 0x0100)
+    struct.pack_into(f"{e}h", binhdr, 302, 1)  # fixed-length traces
+    struct.pack_into(f"{e}h", binhdr, 304, n_ext_text)
     out += binhdr
     out += b"\x40" * (3200 * n_ext_text)  # extended text headers (blank)
+    _np_fmt = {2: "i4", 3: "i2", 5: "f4", 6: "f8", 9: "i8",
+               10: "u4", 11: "u2"}
     for t in range(n):
         th = bytearray(240)
-        struct.pack_into(">i", th, 0, t + 1)  # trace sequence in line
-        struct.pack_into(">h", th, 114, ns)  # per-trace nsamples
-        struct.pack_into(">h", th, 116, interval_us)
+        struct.pack_into(f"{e}i", th, 0, t + 1)  # trace sequence in line
+        struct.pack_into(f"{e}h", th, 114, ns)  # per-trace nsamples
+        struct.pack_into(f"{e}h", th, 116, interval_us)
         for byte1, vals in (headers or {}).items():
-            struct.pack_into(">i", th, byte1 - 1, int(vals[t]))
+            struct.pack_into(f"{e}i", th, byte1 - 1, int(vals[t]))
         out += th
         row = samples[t]
         if fmt == 1:
+            assert endian == "big", "IBM floats are big-endian only"
             out += b"".join(struct.pack(">I", ieee_to_ibm(float(v))) for v in row)
-        elif fmt == 2:
-            out += row.astype(">i4").tobytes()
-        elif fmt == 3:
-            out += row.astype(">i2").tobytes()
-        elif fmt == 5:
-            out += row.astype(">f4").tobytes()
         elif fmt == 8:
             out += row.astype("i1").tobytes()
+        elif fmt == 16:
+            out += row.astype("u1").tobytes()
+        elif fmt in _np_fmt:
+            out += row.astype(f"{'<' if endian == 'little' else '>'}{_np_fmt[fmt]}").tobytes()
         else:
             raise AssertionError(fmt)
     with open(path, "wb") as f:
@@ -541,3 +549,89 @@ def test_ingest_saves_file_headers_and_trace_headers(tmp_path, spark):
     root2 = str(tmp_path / "hh2.zarr")
     ingest_to_store(spark, path2, root2, grid_by=("inline", "crossline"))
     assert "segy_text_header" in ZarrStore.open(root2).attrs
+
+
+# --------------------------------------------------------- rev2 byte order
+
+
+def test_rev2_bom_detection(tmp_path):
+    import struct as _st
+
+    big = str(tmp_path / "big.sgy")
+    write_segy(big, np.arange(8.0).reshape(2, 4), fmt=5)
+    assert read_binary_header(big)["endianness"] == "big"
+
+    le = str(tmp_path / "le.sgy")
+    write_segy(le, np.arange(8.0).reshape(2, 4), fmt=6, endian="little")
+    h = read_binary_header(le)
+    assert h["endianness"] == "little"
+    assert h["format"] == 6 and h["samples_per_trace"] == 4
+    assert h["segy_revision"] == 0x0200
+
+    # pairwise-swapped mark and garbage marks are refused loudly
+    raw = bytearray(open(le, "rb").read())
+    for bad in (0x02010403, 0xDEADBEEF):
+        _st.pack_into(">I", raw, 3200 + 96, bad)
+        broken = str(tmp_path / "bad.sgy")
+        open(broken, "wb").write(bytes(raw))
+        with pytest.raises(SegyFormatError):
+            read_binary_header(broken)
+
+
+def test_rev2_little_endian_scan(tmp_path, spark):
+    path = str(tmp_path / "le.sgy")
+    vals = np.array([[1.5, -2.25, 3e10, 0.0], [4.0, 5.5, -6.75, 7.125]])
+    write_segy(path, vals, fmt=6, endian="little",
+               headers={189: np.array([70, 71])})
+    df = scan_traces(spark, path,
+                     header_fields=[HeaderField("inline", 189)])
+    rows = df.orderBy("trace").collect()
+    assert [r.inline for r in rows] == [70, 71]
+    got = np.array([r.samples for r in rows])
+    assert np.array_equal(got, vals)  # float64 is bit-exact through LE
+
+
+@pytest.mark.parametrize("fmt", [6, 9, 10, 11, 16])
+def test_rev2_new_formats_big_endian(tmp_path, spark, fmt):
+    path = str(tmp_path / f"f{fmt}.sgy")
+    lim = {6: 1e6, 9: 1 << 40, 10: 1 << 31, 11: 60000, 16: 250}[fmt]
+    vals = np.array([[0, 1, 2, int(lim)], [3, 4, 5, 6]], dtype=np.float64)
+    write_segy(path, vals, fmt=fmt)
+    rows = scan_traces(spark, path).orderBy("trace").collect()
+    got = np.array([r.samples for r in rows])
+    assert np.array_equal(got, vals)
+
+
+def test_rev2_ibm_little_endian_refused(tmp_path):
+    import struct as _st
+
+    path = str(tmp_path / "ibm_le.sgy")
+    write_segy(path, np.arange(8.0).reshape(2, 4), fmt=5, endian="little")
+    raw = bytearray(open(path, "rb").read())
+    _st.pack_into("<h", raw, 3200 + 24, 1)  # claim IBM in an LE file
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(SegyFormatError, match="IBM"):
+        file_geometry(path)
+
+
+def test_export_little_endian_roundtrip(tmp_path, spark):
+    from mdio_cpp_spark.sources.segy import export_segy, ingest_to_store
+
+    src = str(tmp_path / "src.sgy")
+    vals = np.arange(24, dtype=np.float64).reshape(6, 4) * 0.5 - 3.25
+    write_segy(src, vals, fmt=5)
+    root = str(tmp_path / "cube.zarr")
+    ingest_to_store(spark, src, root)
+
+    out = str(tmp_path / "out_le.sgy")
+    rep = export_segy(spark, root, "amplitude", out, fmt=6, endian="little")
+    assert rep["n_traces"] == 6
+    h = read_binary_header(out)
+    assert h["endianness"] == "little" and h["segy_revision"] == 0x0200
+    got = np.array([r.samples for r in
+                    scan_traces(spark, out).orderBy("trace").collect()])
+    assert np.array_equal(got, vals)  # f4→f8 widening is exact
+
+    with pytest.raises(SegyFormatError, match="IBM"):
+        export_segy(spark, root, "amplitude", out + "x", fmt=1,
+                    endian="little")
