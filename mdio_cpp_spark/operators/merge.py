@@ -183,3 +183,98 @@ def scd2_apply(
         F.lit(None).cast(to_type).alias(to_col),
     )
     return closed.unionByName(new_versions).unionByName(inserts)
+
+
+def merge_changeset_evolve(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """MERGE with SCHEMA EVOLUTION (the Delta-Lake ``WITH SCHEMA
+    EVOLUTION`` semantics on plain columnar tables): the output schema is
+    the UNION of the two sides' value columns, and per-column rules follow
+    which side carries the column —
+
+      * changes-only columns are ADDED to the table: untouched/updated-
+        but-absent rows read NULL, updates and inserts set them;
+      * target-only columns are PRESERVED on update (the changeset cannot
+        unset a column it does not carry) and NULL on insert;
+      * shared columns behave exactly like merge_changeset.
+
+    Physical strategies mirror merge_changeset: ``broadcast_changes=True``
+    never shuffles the target (BroadcastHashJoin LEFT OUTER + broadcast
+    semi/anti insert path); ``False`` is one full-outer shuffle."""
+    ccols = [c for c in changes.columns if c not in (key, op_col)]
+    tcols = [c for c in target.columns if c != key]
+    new_cols = [c for c in ccols if c not in tcols]
+    out_cols = tcols + new_cols
+    ctypes = dict(changes.dtypes)
+    t = target.select(key, *tcols)
+    for c in new_cols:  # evolution: widen the target with NULLs
+        t = t.withColumn(c, F.lit(None).cast(ctypes[c]))
+    c_proj = _changes_projected(changes, key, ccols, op_col)
+    op = F.col("__op")
+
+    def out_val(v):
+        if v in ccols:
+            take = (op == OP_UPDATE) | (op == OP_INSERT)
+            return F.when(take, F.col(f"__c_{v}")).otherwise(F.col(v)).alias(v)
+        return F.col(v).alias(v)
+
+    if broadcast_changes:
+        applied = (
+            t.join(F.broadcast(c_proj), on=key, how="left")
+            .filter(op.isNull() | (op != OP_DELETE))
+            .select(
+                F.col(key),
+                *[
+                    (
+                        F.when(op == OP_UPDATE, F.col(f"__c_{v}"))
+                        .otherwise(F.col(v))
+                        .alias(v)
+                        if v in ccols
+                        else F.col(v).alias(v)
+                    )
+                    for v in out_cols
+                ],
+            )
+        )
+        ins_rows = c_proj.filter(op == OP_INSERT)
+        matched_keys = t.select(key).join(
+            F.broadcast(ins_rows.select(key)), on=key, how="left_semi")
+        inserts = (
+            ins_rows.join(F.broadcast(matched_keys), on=key, how="left_anti")
+            .select(
+                F.col(key),
+                *[
+                    (
+                        F.col(f"__c_{v}").alias(v)
+                        if v in ccols
+                        else F.lit(None).cast(dict(t.dtypes)[v]).alias(v)
+                    )
+                    for v in out_cols
+                ],
+            )
+        )
+        return applied.unionByName(inserts)
+
+    tj = t.withColumn("__t", F.lit(True))
+    joined = tj.join(c_proj, on=key, how="full_outer")
+    t_present = F.col("__t").isNotNull()
+    keep = (
+        op.isNull()
+        | (t_present & (op != OP_DELETE))
+        | (~t_present & (op == OP_INSERT))
+    )
+    take_change = (t_present & (op == OP_UPDATE)) | (~t_present & (op == OP_INSERT))
+    vals = [
+        (
+            F.when(take_change, F.col(f"__c_{v}")).otherwise(F.col(v)).alias(v)
+            if v in ccols
+            else F.col(v).alias(v)
+        )
+        for v in out_cols
+    ]
+    return joined.filter(keep).select(F.col(key), *vals)

@@ -3751,3 +3751,90 @@ def a18(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(m3 / (v2 * F.sqrt(v2)), 4) + 0.0).alias("skewness"),
         (F.round(m4 / (v2 * v2) - 3.0, 4) + 0.0).alias("excess_kurtosis"),
     ).orderBy("l_returnflag")
+
+
+_PSI_EDGES = (50_000.0, 100_000.0, 150_000.0, 200_000.0, 300_000.0)
+_PSI_BASE_YEAR = 1995
+
+
+def _dd_psi_sql() -> str:
+    n_bins = len(_PSI_EDGES) + 1
+    case = "CASE " + " ".join(
+        f"WHEN o_totalprice < {e} THEN {i}" for i, e in enumerate(_PSI_EDGES)
+    ) + f" ELSE {len(_PSI_EDGES)} END"
+    ccols = ",\n        ".join(
+        f"CAST(COUNT(*) FILTER (WHERE b = {i}) AS DOUBLE) AS c{i}"
+        for i in range(n_bins)
+    )
+    tot = " + ".join(f"c{i}" for i in range(n_bins))
+    def share(tbl, i):
+        return f"(({tbl}.c{i} + 0.5) / ({tbl}.tot + {0.5 * n_bins}))"
+    terms = " + ".join(
+        f"({share('y', i)} - {share('b', i)}) * ln({share('y', i)} / {share('b', i)})"
+        for i in range(n_bins)
+    )
+    return f"""
+    WITH binned AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             {case} AS b
+      FROM orders),
+    p AS (
+      SELECT yr,
+        {ccols}
+      FROM binned GROUP BY yr),
+    t AS (SELECT yr, c0, c1, c2, c3, c4, c5, ({tot}) AS tot FROM p),
+    b AS (SELECT * FROM t WHERE yr = {_PSI_BASE_YEAR})
+    SELECT y.yr AS yr, ROUND({terms}, 6) AS psi
+    FROM t y CROSS JOIN b
+    WHERE y.yr > {_PSI_BASE_YEAR}
+    ORDER BY yr
+    """
+
+
+@declared("dq10_psi_drift", oracle=_dd_psi_sql())
+def dq10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — THE model-monitoring drift score:
+    each year's order-value distribution against the 1995 baseline,
+    PSI = Σ_bins (p_y − p_base) · ln(p_y / p_base) over six fixed literal
+    value bins with 0.5 Laplace smoothing (zero-count bins stay finite and
+    the rule is engine-reproducible; >0.2 is the classic 'repopulate your
+    model' alarm). Bin counts pivot into FIXED columns (one conditional
+    count per bin) so the six-term sum adds in literal order on both
+    engines — no float drift from aggregation order. Scale shape: one
+    partial-aggregatable scan to a |years|×|bins| frame; the baseline is
+    a one-row broadcast; everything after the first agg is tiny."""
+    o = _t(spark, sf_dir, "orders")
+    n_bins = len(_PSI_EDGES) + 1
+    b = F.lit(len(_PSI_EDGES))
+    for i, e in reversed(list(enumerate(_PSI_EDGES))):
+        b = F.when(F.col("o_totalprice") < e, F.lit(i)).otherwise(b)
+    binned = o.select(F.year("o_orderdate").cast("long").alias("yr"), b.alias("b"))
+    counts = binned.groupBy("yr").agg(
+        *[
+            F.count(F.when(F.col("b") == i, F.lit(1))).cast("double").alias(f"c{i}")
+            for i in range(n_bins)
+        ]
+    )
+    tot = sum((F.col(f"c{i}") for i in range(1, n_bins)), F.col("c0"))
+    t = counts.withColumn("tot", tot)
+    base = t.filter(F.col("yr") == _PSI_BASE_YEAR).select(
+        *[F.col(f"c{i}").alias(f"b{i}") for i in range(n_bins)],
+        F.col("tot").alias("btot"),
+    )
+    smooth = 0.5 * n_bins
+
+    def share(prefix, i, tot_col):
+        return (F.col(f"{prefix}{i}") + 0.5) / (F.col(tot_col) + smooth)
+
+    terms = [
+        (share("c", i, "tot") - share("b", i, "btot"))
+        * F.log(share("c", i, "tot") / share("b", i, "btot"))
+        for i in range(n_bins)
+    ]
+    psi = sum(terms[1:], terms[0])
+    return (
+        t.crossJoin(F.broadcast(base))
+        .filter(F.col("yr") > _PSI_BASE_YEAR)
+        .select("yr", F.round(psi, 6).alias("psi"))
+        .orderBy("yr")
+    )

@@ -5433,3 +5433,84 @@ def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("island")
         .orderBy("doc_id", "span_start")
     )
+
+
+_U07_OFFSET = 100_000_000
+
+
+@declared(
+    "u07_schema_evolution",
+    oracle=f"""
+    WITH chg AS (
+      SELECT o_orderkey AS k, 'U' AS op,
+             o_totalprice + 500.0 AS p, 'HI' AS priority_flag
+      FROM orders WHERE o_orderkey % 17 = 0
+      UNION ALL
+      SELECT o_orderkey, 'D', NULL, NULL FROM orders WHERE o_orderkey % 17 = 1
+      UNION ALL
+      SELECT o_orderkey + {_U07_OFFSET}, 'I', o_totalprice / 4, 'NEW'
+      FROM orders WHERE o_orderkey % 17 = 2
+    ),
+    merged AS (
+      SELECT COALESCE(t.o_orderkey, c.k) AS o_orderkey,
+             -- o_orderstatus is NOT carried by the changeset: updates
+             -- preserve it, inserts get NULL (schema-evolution rule)
+             t.o_orderstatus AS o_orderstatus,
+             CASE WHEN (t.o_orderkey IS NOT NULL AND c.op = 'U')
+                    OR (t.o_orderkey IS NULL AND c.op = 'I')
+                  THEN c.p ELSE t.o_totalprice END AS o_totalprice,
+             CASE WHEN (t.o_orderkey IS NOT NULL AND c.op = 'U')
+                    OR (t.o_orderkey IS NULL AND c.op = 'I')
+                  THEN c.priority_flag ELSE NULL END AS priority_flag
+      FROM orders t FULL OUTER JOIN chg c ON t.o_orderkey = c.k
+      WHERE c.op IS NULL
+         OR (t.o_orderkey IS NOT NULL AND c.op <> 'D')
+         OR (t.o_orderkey IS NULL AND c.op = 'I')
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice, priority_flag FROM merged
+    WHERE o_orderkey % 17 IN (0, 1, 2) OR o_orderkey >= {_U07_OFFSET}
+    ORDER BY o_orderkey
+    """,
+)
+def u07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with SCHEMA EVOLUTION (the Delta ``WITH SCHEMA EVOLUTION``
+    semantics, operators/merge.merge_changeset_evolve): the changeset
+    carries a column the target lacks (priority_flag — ADDED to the table,
+    NULL for untouched rows) and LACKS a column the target has
+    (o_orderstatus — updates preserve it, inserts land NULL). Updates for
+    key%17=0, deletes for =1, inserts at key+1e8 for =2. Broadcast
+    strategy: the target never shuffles — BroadcastHashJoin LEFT OUTER
+    applies U/D, a broadcast semi/anti pair derives unmatched inserts.
+    The gate returns the affected slice so a misapplied per-column rule
+    (e.g. an update nulling the status it should preserve) hash-fails."""
+    from mdio_cpp_spark.operators.merge import merge_changeset_evolve
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    chg = (
+        o.filter(key % 17 == 0).select(
+            key, F.lit("U").alias("op"),
+            (F.col("o_totalprice") + 500.0).alias("o_totalprice"),
+            F.lit("HI").alias("priority_flag"),
+        )
+        .unionAll(
+            o.filter(key % 17 == 1).select(
+                key, F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+                F.lit(None).cast("string").alias("priority_flag"),
+            )
+        )
+        .unionAll(
+            o.filter(key % 17 == 2).select(
+                (key + _U07_OFFSET).alias("o_orderkey"), F.lit("I").alias("op"),
+                (F.col("o_totalprice") / 4).alias("o_totalprice"),
+                F.lit("NEW").alias("priority_flag"),
+            )
+        )
+    )
+    merged = merge_changeset_evolve(
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice"), chg, "o_orderkey")
+    return (
+        merged.filter((key % 17).isin(0, 1, 2) | (key >= _U07_OFFSET))
+        .orderBy("o_orderkey")
+    )

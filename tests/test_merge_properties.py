@@ -73,3 +73,52 @@ def test_merge_matches_model(spark):
     global _spark
     _spark = spark
     _check()
+
+
+# ------------------------------------------------ schema evolution
+
+
+def test_merge_evolve_column_rules(spark):
+    from mdio_cpp_spark.operators.merge import merge_changeset_evolve
+
+    tdf = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, s string, p double",
+    )
+    # changeset carries p (shared) + f (NEW column) but NOT s (target-only)
+    cdf = spark.createDataFrame(
+        [(1, "U", 11.0, "HI"),      # update: s preserved, f set
+         (2, "D", None, None),      # delete
+         (9, "I", 90.0, "NEW"),     # insert: s lands NULL
+         (3, "I", 99.0, "X")],      # matched insert: no-op
+        "k long, op string, p double, f string",
+    )
+    expect = {
+        1: ("a", 11.0, "HI"),
+        3: ("c", 30.0, None),
+        4: ("d", 40.0, None),
+        9: (None, 90.0, "NEW"),
+    }
+    for bc in (True, False):
+        out = merge_changeset_evolve(tdf, cdf, "k", broadcast_changes=bc)
+        assert set(out.columns) == {"k", "s", "p", "f"}
+        got = {r["k"]: (r["s"], r["p"], r["f"]) for r in out.collect()}
+        assert got == expect, f"strategy bc={bc}"
+
+
+def test_merge_evolve_no_new_columns_matches_merge(spark):
+    """With identical schemas the evolve path degenerates to
+    merge_changeset — pin the equivalence on a small mixed case."""
+    from mdio_cpp_spark.operators.merge import (merge_changeset,
+                                                merge_changeset_evolve)
+
+    tdf = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, s string, p double")
+    cdf = spark.createDataFrame(
+        [(1, "U", "z", 9.0), (2, "D", None, None), (5, "I", "n", 5.0)],
+        "k long, op string, s string, p double",
+    )
+    want = sorted(
+        tuple(r) for r in merge_changeset(tdf, cdf, "k", ["s", "p"]).collect())
+    got = sorted(tuple(r) for r in merge_changeset_evolve(tdf, cdf, "k").collect())
+    assert got == want

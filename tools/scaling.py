@@ -56,6 +56,10 @@ PICKS = [
     ("zarr112_sharded_lz4_pushdown", "sharded + compressed + DSv2 pushdown partial reads"),
     ("zarr114_reshard_struct", "struct reshard migration + SelectField pruned scan"),
     ("segy01_ingest", "SEG-Y trace-parallel ingest -> cube -> pruned isel box"),
+    ("t26_bm25", "BM25 top-k: term-filtered tf + broadcast idf/corpus stats"),
+    ("v16_hybrid_rrf", "RRF fusion: outer join of two distributed top-R lists"),
+    ("d17_substring_spans", "sliding-window duplicated spans (hash-only shuffle)"),
+    ("segy06_rev2_le", "SEG-Y rev2 little-endian DSv2 scan + exact rollup"),
 ]
 
 
