@@ -2434,8 +2434,8 @@ def mm08(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reuses mm06's deterministic fake energies (decode stays env-gated;
     the detection plumbing — per-asset LAG over the frame axis — is real
     and unchanged under a real decoder). The window partitions by asset
-    (parallel across docs, ≤{nf} frames each); deltas subtract identical
-    rounded doubles so both engines agree bit-for-bit.""".format(nf=_MM6_FRAMES)
+    (parallel across docs, a fixed frame count each); deltas subtract
+    identical rounded doubles so both engines agree bit-for-bit."""
     d = _t(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
