@@ -111,6 +111,12 @@ PICKS = {
     "p17_pack_efficiency": "two stacked partial aggs ((shard, pack) then shard) over the packing frame; the packing windows partition by shard — no global stage",
     "zarr114_reshard_struct": "the migrated struct cube scans through the chunk-pruned mapInPandas path (shard grid = chunk grid); the ok2 value filter sits inside the scan before the one-row aggregate — no data-sized exchange",
     "segy01_ingest": "the cube scan plans only the isel box's chunks; aggregate is partial-then-final over the pruned scan — ingest (trace-index-parallel read + chunk-keyed write shuffle) happens once at build, never in the measured query",
+    "t26_bm25": "tf is term-filtered BEFORE its exchange (the shuffled frame is ≤|terms|x|docs| integers); idf and corpus stats broadcast back; rank = TakeOrderedAndProject then a ≤15-row window — no corpus-sized single-partition stage",
+    "v16_hybrid_rrf": "two independent top-50 lists (BM25 pipeline + broadcast-query cosine scan that never shuffles corpus vectors) meet in a full-outer join of two 50-row frames; everything after the lists is constant-size",
+    "d17_substring_spans": "window hashes are md5'd MAP-SIDE so the one exchange carries (hash, doc, pos) triples; the repeated-hash agg and the semi back-join share the hash key (exchange reuse); islands window partitions by doc_id",
+    "u07_schema_evolution": "schema-evolution MERGE keeps u01's shape: the widened target NEVER shuffles (BroadcastHashJoin LeftOuter + broadcast semi/anti inserts); the added column is a NULL literal projection, not a join",
+    "dq10_psi_drift": "one partial-aggregatable scan reduces to a |years|x|bins| frame; the baseline year is a 1-row broadcast; the six PSI terms are fixed-column expressions — nothing data-sized past the first agg",
+    "segy06_rev2_le": "the rev2 little-endian file reads through the same trace-index-partitioned DSv2 scan (byte order is metadata resolved once from the header mark, not a plan change); per-inline rollup is partial-then-final",
 }
 
 
