@@ -5514,3 +5514,110 @@ def u07(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.filter((key % 17).isin(0, 1, 2) | (key >= _U07_OFFSET))
         .orderBy("o_orderkey")
     )
+
+
+_MMR_M, _MMR_K, _MMR_LAMBDA = 8, 4, 0.7
+
+
+def _dd_mmr_sql() -> str:
+    """Unrolled greedy MMR oracle: step k's scores reference the union of
+    the first k-1 picks; every float the greedy ranks on is a ROUND()ed
+    value computed identically on both engines."""
+    cos_q = _dd_cosine("q.qv", "e.embedding")
+    cos_p = _dd_cosine("x.embedding", "y.embedding")
+    parts = [f"""
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_RRF_QVEC}),
+    cand AS (
+      SELECT vec_id, cos AS rel FROM (
+        SELECT vec_id, cos,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rk
+        FROM (SELECT e.vec_id, ROUND({cos_q}, 4) AS cos
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> {_RRF_QVEC}))
+      WHERE rk <= {_MMR_M}),
+    ce AS (SELECT e.vec_id, e.embedding FROM embeddings e
+           JOIN cand c ON c.vec_id = e.vec_id),
+    sims AS (SELECT x.vec_id AS a, y.vec_id AS b, ROUND({cos_p}, 4) AS sim
+             FROM ce x JOIN ce y ON x.vec_id <> y.vec_id),
+    sel1 AS (SELECT CAST(1 AS BIGINT) AS pick_order, vec_id,
+                    ROUND({_MMR_LAMBDA} * rel, 6) AS mmr
+             FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"""]
+    prev_union = "SELECT vec_id FROM sel1"
+    for k in range(2, _MMR_K + 1):
+        parts.append(f"""
+    step{k} AS (
+      SELECT c.vec_id,
+             ROUND({_MMR_LAMBDA} * c.rel - {round(1 - _MMR_LAMBDA, 10)} * MAX(s.sim), 6) AS mmr
+      FROM cand c JOIN sims s ON s.a = c.vec_id
+      WHERE s.b IN ({prev_union})
+        AND c.vec_id NOT IN ({prev_union})
+      GROUP BY c.vec_id, c.rel),
+    sel{k} AS (SELECT CAST({k} AS BIGINT) AS pick_order, vec_id, mmr
+               FROM step{k} ORDER BY mmr DESC, vec_id LIMIT 1)""")
+        prev_union += f" UNION ALL SELECT vec_id FROM sel{k}"
+    union_all = " UNION ALL ".join(
+        f"SELECT * FROM sel{k}" for k in range(1, _MMR_K + 1))
+    return ("WITH " + ",".join(parts)
+            + f"\n    {union_all} ORDER BY pick_order")
+
+
+@declared("v17_mmr_rerank", oracle=_dd_mmr_sql())
+def v17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance RE-RANKING (Carbonell & Goldstein's MMR,
+    λ=0.7) — the diversity pass a retrieval pipeline runs between ANN and
+    the consumer: greedily pick 4 of the top-8 cosine candidates, each
+    step maximizing λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s), ties to
+    the smaller id. Every float the greedy ranks on is a 4dp-rounded
+    cosine (the v01 determinism contract), so the unrolled DuckDB oracle
+    and the engine agree exactly. Scale shape: the candidate frame is
+    ≤M rows (one persisted distributed top-k — corpus vectors never
+    shuffle; the pairwise sim table is M², both sides candidate-pruned by
+    a semi join); each greedy step is a join + argmax over those bounded
+    frames — plan depth grows with K, data size never does."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == _RRF_QVEC)
+    cand = (
+        similarity.cosine_topk(e, q, "vec_id", "embedding", k=_MMR_M)
+        .select("vec_id", F.col("cos").alias("rel"))
+        .persist()
+    )
+    ce = e.join(cand.select("vec_id"), "vec_id", "left_semi").select(
+        "vec_id", "embedding")
+    a = ce.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = ce.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    sims = (
+        a.join(b, F.col("a") != F.col("b"))
+        .select("a", "b",
+                F.round(vectors.cosine(F.col("va"), F.col("vb")), 4).alias("sim"))
+        .persist()
+    )
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    selected = (
+        cand.orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("pick_order"),
+            "vec_id",
+            F.round(F.lit(lam) * F.col("rel"), 6).alias("mmr"),
+        )
+    )
+    for k in range(2, _MMR_K + 1):
+        sel_ids = selected.select("vec_id")
+        msim = (
+            sims.join(F.broadcast(sel_ids.select(F.col("vec_id").alias("b"))), "b")
+            .groupBy(F.col("a").alias("vec_id"))
+            .agg(F.max("sim").alias("msim"))
+        )
+        pick = (
+            cand.join(F.broadcast(sel_ids), "vec_id", "left_anti")
+            .join(msim, "vec_id")
+            .select(
+                "vec_id",
+                F.round(F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("msim"), 6)
+                .alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), F.col("vec_id"))
+            .limit(1)
+            .select(F.lit(k).cast("long").alias("pick_order"), "vec_id", "mmr")
+        )
+        selected = selected.unionByName(pick)
+    return selected.orderBy("pick_order")
