@@ -5575,49 +5575,47 @@ def v17(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames — plan depth grows with K, data size never does."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == _RRF_QVEC)
-    cand = (
+    cand_df = (
         similarity.cosine_topk(e, q, "vec_id", "embedding", k=_MMR_M)
         .select("vec_id", F.col("cos").alias("rel"))
-        .persist()
     )
-    ce = e.join(cand.select("vec_id"), "vec_id", "left_semi").select(
+    ce = e.join(cand_df.select("vec_id"), "vec_id", "left_semi").select(
         "vec_id", "embedding")
     a = ce.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     b = ce.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    sims = (
+    sims_df = (
         a.join(b, F.col("a") != F.col("b"))
         .select("a", "b",
                 F.round(vectors.cosine(F.col("va"), F.col("vb")), 4).alias("sim"))
-        .persist()
     )
+    # The greedy itself is inherently sequential and operates on ≤M
+    # relevances plus ≤M² pairwise sims — index-sized by construction —
+    # so it runs on the driver over the two collected frames. Both
+    # inputs arrive ALREADY rounded to the 4dp contract by the engine;
+    # the driver only combines them (lam·rel − mu·max sim is a ≤5-decimal
+    # product of 4dp values, so the 6dp round below is exact and
+    # engine-agnostic). Building the picks as a recursive DataFrame union
+    # instead would double the physical plan per step (each pick re-reads
+    # the union of all prior picks) — bounded, but O(2^K) plan nodes.
+    cand = sorted(
+        ((r["vec_id"], r["rel"]) for r in cand_df.collect()),
+        key=lambda t: (-t[1], t[0]))
+    sim = {(r["a"], r["b"]): r["sim"] for r in sims_df.collect()}
     lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
-    selected = (
-        cand.orderBy(F.col("rel").desc(), F.col("vec_id"))
-        .limit(1)
-        .select(
-            F.lit(1).cast("long").alias("pick_order"),
-            "vec_id",
-            F.round(F.lit(lam) * F.col("rel"), 6).alias("mmr"),
-        )
-    )
-    for k in range(2, _MMR_K + 1):
-        sel_ids = selected.select("vec_id")
-        msim = (
-            sims.join(F.broadcast(sel_ids.select(F.col("vec_id").alias("b"))), "b")
-            .groupBy(F.col("a").alias("vec_id"))
-            .agg(F.max("sim").alias("msim"))
-        )
-        pick = (
-            cand.join(F.broadcast(sel_ids), "vec_id", "left_anti")
-            .join(msim, "vec_id")
-            .select(
-                "vec_id",
-                F.round(F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("msim"), 6)
-                .alias("mmr"),
-            )
-            .orderBy(F.col("mmr").desc(), F.col("vec_id"))
-            .limit(1)
-            .select(F.lit(k).cast("long").alias("pick_order"), "vec_id", "mmr")
-        )
-        selected = selected.unionByName(pick)
-    return selected.orderBy("pick_order")
+    picks: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    for k in range(1, _MMR_K + 1):
+        best = None
+        for vid, rel in cand:
+            if vid in chosen:
+                continue
+            if not chosen:
+                mmr = round(lam * rel, 6)
+            else:
+                mmr = round(lam * rel - mu * max(sim[(vid, s)] for s in chosen), 6)
+            if best is None or (-mmr, vid) < (-best[1], best[0]):
+                best = (vid, mmr)
+        picks.append((k, best[0], best[1]))
+        chosen.append(best[0])
+    return spark.createDataFrame(
+        picks, "pick_order long, vec_id long, mmr double")
