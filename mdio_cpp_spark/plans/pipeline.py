@@ -5619,3 +5619,175 @@ def v17(spark: SparkSession, sf_dir: str) -> DataFrame:
         chosen.append(best[0])
     return spark.createDataFrame(
         picks, "pick_order long, vec_id long, mmr double")
+
+
+# ------------------------------------------- training-export + tokenizer ops
+
+_SHARD_N, _SHARD_MOD = 8, 1_000_000_007
+
+
+@declared(
+    "p19_shard_manifest",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             len({_DD_TOKS}) AS n_tok,
+             CAST(('0x' || substr(md5(text), 1, 1)) AS BIGINT) % {_SHARD_N} AS shard_id,
+             CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % {_SHARD_MOD} AS h
+      FROM documents)
+    SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           CAST(SUM(h) % {_SHARD_MOD} AS BIGINT) AS checksum
+    FROM scored GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+def p19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export SHARD MANIFEST: the deterministic shard layout +
+    integrity record a 100-TB corpus export ships with. Shard assignment is
+    content-hashed (first md5 hex digit mod 8) so exact duplicates land in
+    the same shard (dedup-local by construction) and re-exports are
+    reproducible without any RNG; the manifest carries per-shard doc/token/
+    byte totals, the doc-id range, and an ORDER-INDEPENDENT checksum (sum of
+    per-doc 60-bit content hashes mod p) so a re-reader can verify a shard
+    without caring about row order within it. Scale shape: ONE scan with
+    map-side partial aggregation into |shards| groups — per-doc work is a
+    hash + token count computed where the row lives, the exchange carries
+    8 keys x |map partitions| partial rows, never document bodies; the
+    modular checksum keeps the running sum inside int64 up to ~9e9 docs per
+    shard (and the actual export write is the same expression used as a
+    partitionBy key, one hash-partitioned write, no global sort)."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5("text")
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        text.token_count("text").alias("n_tok"),
+        (F.conv(F.substring(h, 1, 1), 16, 10).cast("long") % _SHARD_N).alias("shard_id"),
+        (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _SHARD_MOD).alias("h"),
+    )
+    return (
+        scored.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("n_bytes"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            (F.sum("h") % _SHARD_MOD).alias("checksum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+@declared(
+    "t27_bpe_merge_step",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_DD_TOKS}) AS w FROM documents),
+    vocab AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair, c
+      FROM vocab WHERE length(w) >= 2)
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair ORDER BY freq DESC, pair LIMIT 10
+    """,
+)
+def t27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training MERGE STEP: the highest-frequency adjacent
+    symbol pairs over the corpus (symbols = characters on the first
+    iteration), weighted by word occurrence count — exactly the statistic
+    byte-pair-encoding training greedily merges. Scale shape: the corpus
+    collapses to the word VOCABULARY first (one map-side-combined agg whose
+    output is vocab-sized, not corpus-sized); the pair explosion and the
+    pair agg then run over the vocab with occurrence counts as weights —
+    at 100 TB the corpus is touched once and every later stage is bounded
+    by |vocab|. The winner list is a TakeOrdered(10), never a global sort;
+    ties break on the pair string so reruns and engines agree. Subsequent
+    BPE iterations re-run this step over the re-segmented vocab — each is
+    the same vocab-sized job, which is why full BPE training at corpus
+    scale is feasible as a loop of these."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    tok_rows = d.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+    vocab = tok_rows.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        vocab.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "c",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("freq"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(10)
+    )
+
+
+@declared(
+    "u08_deletion_vectors",
+    oracle="""
+    WITH o AS (SELECT o_orderkey % 16 AS file_id, o_orderkey AS pos, o_totalprice
+               FROM orders),
+    dels AS (SELECT file_id, pos FROM o WHERE pos % 13 = 3),
+    live AS (SELECT file_id, COUNT(*) AS live_rows,
+                    ROUND(SUM(o_totalprice), 2) AS live_value
+             FROM o WHERE pos % 13 <> 3 GROUP BY file_id),
+    dv AS (SELECT file_id, COUNT(*) AS deleted_rows,
+                  (MAX(pos) - MIN(pos) + 8) // 8 AS dv_bytes
+           FROM dels GROUP BY file_id)
+    SELECT l.file_id, CAST(l.live_rows AS BIGINT) AS live_rows, l.live_value,
+           CAST(COALESCE(dv.deleted_rows, 0) AS BIGINT) AS deleted_rows,
+           CAST(COALESCE(dv.dv_bytes, 0) AS BIGINT) AS dv_bytes
+    FROM live l LEFT JOIN dv ON dv.file_id = l.file_id ORDER BY l.file_id
+    """,
+)
+def u08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR merge-on-read: the lakehouse delete path where a
+    commit writes per-file bitmaps of dead row positions instead of
+    rewriting data files. The scan must suppress marked rows and the table
+    service needs per-file DV stats (cardinality + bitmap extent bytes) to
+    decide which files to compact. Here files are the 16 key-buckets, the
+    DV is the delete-key set of each file, and the merge-on-read probe
+    compiles to a BroadcastHashJoin LeftAnti on (file, pos) — the
+    Spark-native equivalent of the bitmap membership test: the 100-TB base
+    table NEVER shuffles and is read exactly once; only the index-sized DV
+    (positions of deleted rows) broadcasts. dv_bytes is the roaring-bitmap
+    extent bound ceil(span/8) computed from the same agg that counts the
+    vector — the compaction trigger (deleted_rows / live_rows) falls out of
+    the one result frame. u01/u07 are the copy-on-write twins; this is the
+    read-path contract for the cheap-delete regime."""
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 16).alias("file_id"),
+        F.col("o_orderkey").alias("pos"),
+        "o_totalprice",
+    )
+    dels = o.filter(F.col("pos") % 13 == 3).select("file_id", "pos")
+    live = (
+        o.join(F.broadcast(dels), ["file_id", "pos"], "left_anti")
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("live_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("live_value"),
+        )
+    )
+    dv = dels.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("deleted_rows"),
+        F.floor((F.max("pos") - F.min("pos") + 8) / 8).alias("dv_bytes"),
+    )
+    return (
+        live.join(dv, "file_id", "left")
+        .select(
+            "file_id",
+            "live_rows",
+            "live_value",
+            F.coalesce("deleted_rows", F.lit(0).cast("long")).alias("deleted_rows"),
+            F.coalesce("dv_bytes", F.lit(0).cast("long")).alias("dv_bytes"),
+        )
+        .orderBy("file_id")
+    )

@@ -113,6 +113,12 @@ _PLAN_CONTRACTS = {
     # min_by/max_by pairs, never a sorted window over ticks
     "ts03_ohlc_downsample": ["min_by", "max_by"],
     "d16_fuzzy_split_leakage": ["BroadcastHashJoin", "LeftSemi"],
+    # u08: the merge-on-read probe must stay a broadcast anti join — the
+    # base table never shuffles; a flip to SortMergeJoin would mean the
+    # 100-TB side started exchanging
+    "u08_deletion_vectors": ["BroadcastHashJoin", "LeftAnti"],
+    # t27: the winner list is a distributed top-k, never a global sort
+    "t27_bpe_merge_step": ["TakeOrderedAndProject"],
     "ev17_seasonal_anomaly": ["BroadcastHashJoin"],
     # u06: the target must stream through a broadcast semi prune — never be
     # the build side of the old-value fetch
