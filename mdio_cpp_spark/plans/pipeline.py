@@ -5791,3 +5791,96 @@ def u08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+_BPE_STEPS = 3
+
+
+def _dd_bpe_sql() -> str:
+    """Unrolled BPE training oracle: each step's winner feeds the next
+    step's re-segmentation via scalar subqueries — the same leftmost,
+    non-overlapping replace() semantics the Spark plan uses (probed to
+    agree: both engines scan left-to-right and restart after the
+    replacement)."""
+    head = f"""
+    toks AS (SELECT unnest({_DD_TOKS}) AS w FROM documents),
+    v0 AS (SELECT w, COUNT(*) AS c,
+                  rtrim(regexp_replace(w, '(.)', '_\\1_ ', 'g')) AS sym
+           FROM toks GROUP BY w)"""
+    parts = [head]
+    for k in range(1, _BPE_STEPS + 1):
+        parts.append(f"""
+    p{k} AS (
+      SELECT unnest(list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1])) AS pair, c
+      FROM (SELECT string_split(sym, ' ') AS s, c FROM v{k-1}) WHERE len(s) >= 2),
+    w{k} AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS freq
+             FROM p{k} GROUP BY pair ORDER BY freq DESC, pair LIMIT 1),
+    v{k} AS (SELECT w, c, replace(sym, (SELECT pair FROM w{k}),
+                                  replace((SELECT pair FROM w{k}), '_ _', '')) AS sym
+             FROM v{k-1})""")
+    union = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, "
+        f"replace(replace(pair, '_ _', '+'), '_', '') AS merge_rule, freq FROM w{k}"
+        for k in range(1, _BPE_STEPS + 1))
+    return "WITH " + ",".join(parts) + f"\n    {union} ORDER BY step"
+
+
+@declared("t28_bpe_train", oracle=_dd_bpe_sql())
+def t28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING LOOP: three full merge iterations — count
+    adjacent symbol pairs weighted by word frequency, adopt the most
+    frequent pair as a merge rule, re-segment, repeat (t27 is one step of
+    this). Symbols are sentinel-wrapped (`_a_ _b_`) so a merge rewrite can
+    only match whole symbols and adjacent occurrences never overlap; both
+    engines' replace() is leftmost non-overlapping, so re-segmentation
+    agrees exactly. Scale shape: the corpus is tokenized ONCE into the
+    persisted word vocabulary (map-side-combined agg, vocab-sized output)
+    and never touched again; each iteration is a vocab-sized pair agg +
+    TakeOrdered(1) + a projection — the learned rule (ONE row per step,
+    the model being trained) is the only thing the driver ever sees, and
+    the rewrite applies as a literal replace inside whole-stage codegen.
+    Full BPE training to a 50k vocab is 50k of exactly these iterations;
+    nothing in the loop grows with corpus bytes."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    tok_rows = d.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+    vocab = (
+        tok_rows.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "c",
+            F.rtrim(F.regexp_replace("w", "(.)", "_$1_ ")).alias("sym"),
+        )
+        .persist()
+    )
+    merges: list[tuple[int, str, int]] = []
+    cur = vocab
+    for k in range(1, _BPE_STEPS + 1):
+        s = F.split("sym", " ")
+        pairs = (
+            cur.select(s.alias("s"), "c")
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.concat(
+                            F.element_at("s", i), F.lit(" "),
+                            F.element_at("s", i + F.lit(1))),
+                    )
+                ).alias("pair"),
+                "c",
+            )
+        )
+        win = (
+            pairs.groupBy("pair")
+            .agg(F.sum("c").alias("freq"))
+            .orderBy(F.col("freq").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        pat, freq = win["pair"], int(win["freq"])
+        rep = pat.replace("_ _", "")
+        merges.append((k, pat.replace("_ _", "+").replace("_", ""), freq))
+        cur = cur.select("c", F.replace(F.col("sym"), F.lit(pat), F.lit(rep)).alias("sym"))
+    vocab.unpersist()
+    return spark.createDataFrame(merges, "step long, merge_rule string, freq long")
