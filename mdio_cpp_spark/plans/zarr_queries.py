@@ -5725,3 +5725,66 @@ def segy06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("inline")
     )
+
+
+@declared(
+    "zarr115_resize_append",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vals,
+           ROUND(SUM(price), 2) AS total,
+           MIN(price) AS min_v, MAX(price) AS max_v,
+           CAST(200 AS BIGINT) AS n_fill
+    FROM (SELECT o_totalprice AS price, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 < 1400
+    """,
+)
+def zarr115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIZE/APPEND: the grow direction of the reference's resize seam
+    (trim.h:98-112 drives tensorstore::Resize; utils/trim.grow_dataset is
+    the metadata-only grow). A 1000-cell store is grown to 1600, rows
+    [1000, 1400) are appended through the ordinary chunk-aligned writer —
+    the boundary chunk is read-modify-written, fresh chunks are created —
+    and the grown-but-unwritten margin [1400, 1600) must read back as
+    fill (NaN), never as an error or stale bytes. Scale shape: the grow
+    itself is ONE metadata PUT regardless of array size (unwritten chunks
+    don't exist until written — appending to a 100-TB array is free);
+    the append shuffles only the appended rows, chunk-keyed; the scan-back
+    is the ordinary chunk-pruned distributed read with fill synthesis for
+    the virgin tail. This is the batch half of the streaming tail source's
+    contract (the tail watches exactly this shape+chunk growth)."""
+    from mdio_cpp_spark.sources.writer import write_array
+    from mdio_cpp_spark.utils.trim import grow_dataset
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "resize_append.zarr")
+    marker = os.path.join(base, ".built_resize_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select(
+            "i", F.col("o_totalprice").alias("v"))
+        st = ZarrStore.create(path, version=2, attrs={"name": "resize_append"})
+        st.create_array(
+            "price", shape=(1000,), chunks=(256,), dtype="float64",
+            dims=("i",), compressor={"id": "zlib", "level": 1},
+        )
+        st.consolidate()
+        write_array(ords.filter(F.col("i") < 1000), path, "price", value_cols="v")
+        grown = grow_dataset(path, i=1600)
+        assert grown["price"] == 600, grown
+        write_array(
+            ords.filter((F.col("i") >= 1000) & (F.col("i") < 1400)),
+            path, "price", value_cols="v",
+        )
+        with open(marker, "w") as f:
+            f.write("1")
+    ds = MdioDataset.open(path)
+    # fill cells surface as NULL through the reader (NaN fill → SQL NULL)
+    return ds.isel(i=(0, 1600)).to_df(spark, "price", value_col="v").agg(
+        F.count("v").cast("long").alias("n_vals"),
+        F.round(F.sum("v"), 2).alias("total"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.count(F.when(F.col("v").isNull(), 1)).cast("long").alias("n_fill"),
+    )

@@ -60,3 +60,50 @@ def trim_dataset(path: str, delete_chunks: bool = True, **new_sizes: int) -> dic
         report[name] = deleted
     store.consolidate()
     return report
+
+
+def grow_dataset(path: str, **new_sizes: int) -> dict:
+    """Grow dims to new sizes, e.g. ``grow_dataset(p, inline=9000)`` — the
+    append direction of the reference's resize seam (trim.h:98-112 drives
+    ``tensorstore::Resize`` with ``resize_metadata_only``; growing is the
+    same metadata rewrite with no chunk side effects). A grow is O(1)
+    regardless of array size: unwritten cells beyond the old boundary read
+    as fill until a writer materializes their chunks, so appending to a
+    100-TB array costs one metadata object PUT. Shrinking is rejected —
+    that is ``trim_dataset``'s job (it must also delete stranded chunks).
+
+    Returns {variable: cells_added}. Single-writer metadata operation; the
+    consolidated metadata is republished at the end.
+    """
+    store = ZarrStore.open(path)
+    report: dict[str, int] = {}
+    for name, meta in store.arrays().items():
+        dims = meta.dims or tuple(f"dim_{d}" for d in range(meta.ndim))
+        if not any(d in new_sizes for d in dims):
+            continue
+        new_shape = list(meta.shape)
+        for d, dim in enumerate(dims):
+            if dim in new_sizes:
+                ns = int(new_sizes[dim])
+                if ns < meta.shape[d]:
+                    raise ValueError(
+                        f"grow cannot shrink {dim!r} ({meta.shape[d]} -> {ns}); "
+                        "use trim_dataset"
+                    )
+                new_shape[d] = ns
+        old_cells = 1
+        new_cells = 1
+        for a, b in zip(meta.shape, new_shape):
+            old_cells *= a
+            new_cells *= b
+        if store.version == 2:
+            zarray = store._read_json(f"{name}/.zarray")
+            zarray["shape"] = new_shape
+            store._write_json(f"{name}/.zarray", zarray)
+        else:
+            zjson = store._read_json(f"{name}/zarr.json")
+            zjson["shape"] = new_shape
+            store._write_json(f"{name}/zarr.json", zjson)
+        report[name] = new_cells - old_cells
+    store.consolidate()
+    return report

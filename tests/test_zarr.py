@@ -214,6 +214,29 @@ def test_trim_and_delete():
         delete_dataset(root)
 
 
+def test_grow_dataset():
+    # grow = metadata-only resize (trim.h:98-112 Resize, grow direction):
+    # shape metadata changes, ZERO chunk objects are touched, and the
+    # grown-but-unwritten region reads back as fill
+    root = _fresh("toy6")
+    _toy_ds(root)
+    n_objects = sum(len(fs) for _, _, fs in os.walk(root))
+    from mdio_cpp_spark.utils import grow_dataset
+
+    report = grow_dataset(root, il=64)
+    assert report["img"] == (64 - 48) * 24
+    assert report["il"] == 64 - 48
+    assert sum(len(fs) for _, _, fs in os.walk(root)) == n_objects
+    re_ds = MdioDataset.open(root)
+    assert re_ds.var("img").meta.shape == (64, 24)
+    out = re_ds.var("img").read()
+    assert np.array_equal(
+        out[:48], np.arange(48 * 24, dtype="f4").reshape(48, 24))
+    assert np.isnan(out[48:]).all()
+    with pytest.raises(ValueError, match="cannot shrink"):
+        grow_dataset(root, il=10)
+
+
 def test_header_only_flagging():
     # string dtypes flagged metadata-only like the reference (zarr_v2.h:139-162)
     root = _fresh("hdr")
