@@ -715,6 +715,42 @@ def test_trim_composes_with_sharding():
     assert np.array_equal(st2.read_array("g"), np.arange(10.0))
 
 
+def test_grow_composes_with_sharding(spark):
+    """grow_dataset on a sharded v3 store, then append through the Spark
+    writer: the grow is metadata-only (zero shard objects touched); the
+    append RMWs the boundary SHARD (its index regenerates around the new
+    inner chunks) and creates the fresh shard; the virgin tail reads as
+    fill."""
+    import numpy as np
+
+    from mdio_cpp_spark.sources.writer import write_array
+    from mdio_cpp_spark.utils.trim import grow_dataset
+
+    root = _fresh("grow")
+    st = ZarrStore.create(root, version=3)
+    st.create_array("g", shape=(20,), chunks=(4,), shards=(16,),
+                    dtype="float64", dims=("i",))
+    st.consolidate()
+    st.write_array_numpy("g", np.arange(20.0))
+    n0 = sum(len(f) for _, _, f in os.walk(os.path.join(root, "g")))
+    report = grow_dataset(root, i=44)
+    assert report["g"] == 24
+    assert sum(len(f) for _, _, f in os.walk(os.path.join(root, "g"))) == n0
+    # append [20, 36): completes boundary shard 1 (RMW) + starts shard 2
+    rows = spark.createDataFrame(
+        [(i, float(i)) for i in range(20, 36)], "i long, v double")
+    write_array(rows, root, "g", value_cols="v")
+    st2 = ZarrStore.open(root)
+    assert st2.array_meta("g").shape == (44,)
+    out = st2.read_array("g")
+    assert np.array_equal(out[:36], np.arange(36.0))
+    assert np.isnan(out[36:]).all()
+    # independent spec-derived reader agrees on the RMW'd boundary shard
+    sout = specr.read_zarr_array(root, "g")
+    assert np.array_equal(sout[:36], np.arange(36.0))
+    assert np.isnan(sout[36:]).all()
+
+
 def test_zone_maps_prune_shards(tmp_path, spark):
     """Zone-map value pruning operates on the SHARD grid (meta.chunks is
     the shard shape): a pushed `value >= 7000` filter keeps ONE of four
