@@ -5796,17 +5796,19 @@ def u08(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_STEPS = 3
 
 
-def _dd_bpe_sql() -> str:
-    """Unrolled BPE training oracle: each step's winner feeds the next
-    step's re-segmentation via scalar subqueries — the same leftmost,
-    non-overlapping replace() semantics the Spark plan uses (probed to
-    agree: both engines scan left-to-right and restart after the
-    replacement)."""
+def _dd_bpe_parts(with_lang: bool) -> list[str]:
+    """Shared CTE chain of the BPE oracles: vocabulary (optionally keyed by
+    lang — pair totals are identical either way since they sum over the
+    key), then per step a pair count, a scalar-subquery winner, and the
+    re-segmentation via the same leftmost, non-overlapping replace()
+    semantics the Spark plan uses (probed to agree: both engines scan
+    left-to-right and restart after the replacement)."""
+    key = "lang, w" if with_lang else "w"
     head = f"""
-    toks AS (SELECT unnest({_DD_TOKS}) AS w FROM documents),
-    v0 AS (SELECT w, COUNT(*) AS c,
+    toks AS (SELECT {'lang, ' if with_lang else ''}unnest({_DD_TOKS}) AS w FROM documents),
+    v0 AS (SELECT {key}, COUNT(*) AS c,
                   rtrim(regexp_replace(w, '(.)', '_\\1_ ', 'g')) AS sym
-           FROM toks GROUP BY w)"""
+           FROM toks GROUP BY {key})"""
     parts = [head]
     for k in range(1, _BPE_STEPS + 1):
         parts.append(f"""
@@ -5815,14 +5817,18 @@ def _dd_bpe_sql() -> str:
       FROM (SELECT string_split(sym, ' ') AS s, c FROM v{k-1}) WHERE len(s) >= 2),
     w{k} AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS freq
              FROM p{k} GROUP BY pair ORDER BY freq DESC, pair LIMIT 1),
-    v{k} AS (SELECT w, c, replace(sym, (SELECT pair FROM w{k}),
+    v{k} AS (SELECT {key}, c, replace(sym, (SELECT pair FROM w{k}),
                                   replace((SELECT pair FROM w{k}), '_ _', '')) AS sym
              FROM v{k-1})""")
+    return parts
+
+
+def _dd_bpe_sql() -> str:
     union = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS step, "
         f"replace(replace(pair, '_ _', '+'), '_', '') AS merge_rule, freq FROM w{k}"
         for k in range(1, _BPE_STEPS + 1))
-    return "WITH " + ",".join(parts) + f"\n    {union} ORDER BY step"
+    return "WITH " + ",".join(_dd_bpe_parts(False)) + f"\n    {union} ORDER BY step"
 
 
 @declared("t28_bpe_train", oracle=_dd_bpe_sql())
@@ -5841,31 +5847,54 @@ def t28(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rewrite applies as a literal replace inside whole-stage codegen.
     Full BPE training to a 50k vocab is 50k of exactly these iterations;
     nothing in the loop grows with corpus bytes."""
+    vocab = _bpe_vocab(spark, sf_dir).persist()
+    merges, _ = _bpe_learn(vocab, _BPE_STEPS)
+    vocab.unpersist()
+    rows = [(k, pat.replace("_ _", "+").replace("_", ""), freq)
+            for k, (pat, _rep, freq) in enumerate(merges, start=1)]
+    return spark.createDataFrame(rows, "step long, merge_rule string, freq long")
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str, keys: tuple[str, ...] = ()) -> DataFrame:
+    """Word vocabulary with sentinel-wrapped symbol strings — the ONE
+    corpus-sized stage of BPE training (map-side-combined agg, vocab-sized
+    output). ``keys`` adds grouping columns (e.g. lang) carried through the
+    merge loop; pair totals are unchanged since they sum over the key."""
     d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
-    tok_rows = d.select(F.explode(text.tokens(F.col("text"))).alias("w"))
-    vocab = (
-        tok_rows.groupBy("w")
+    tok_rows = d.select(*keys, F.explode(text.tokens(F.col("text"))).alias("w"))
+    return (
+        tok_rows.groupBy(*keys, "w")
         .agg(F.count(F.lit(1)).alias("c"))
         .select(
+            *keys,
+            "w",
             "c",
             F.rtrim(F.regexp_replace("w", "(.)", "_$1_ ")).alias("sym"),
         )
-        .persist()
     )
-    merges: list[tuple[int, str, int]] = []
+
+
+def _bpe_learn(vocab: DataFrame, steps: int) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Run ``steps`` BPE merge iterations over a (…, c, sym) vocabulary.
+    Each iteration: vocab-sized pair agg + TakeOrdered(1) → the winner (ONE
+    row, the model parameter being learned) is the only driver
+    materialization; re-segmentation is a literal replace() projection.
+    Returns (merges [(pattern, replacement, freq)], re-segmented vocab)."""
+    F_ = F
+    merges: list[tuple[str, str, int]] = []
     cur = vocab
-    for k in range(1, _BPE_STEPS + 1):
-        s = F.split("sym", " ")
+    for _ in range(steps):
+        s = F_.split("sym", " ")
         pairs = (
             cur.select(s.alias("s"), "c")
-            .filter(F.size("s") >= 2)
+            .filter(F_.size("s") >= 2)
             .select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("s") - 1),
-                        lambda i: F.concat(
-                            F.element_at("s", i), F.lit(" "),
-                            F.element_at("s", i + F.lit(1))),
+                F_.explode(
+                    F_.transform(
+                        F_.sequence(F_.lit(1), F_.size("s") - 1),
+                        lambda i: F_.concat(
+                            F_.element_at("s", i), F_.lit(" "),
+                            F_.element_at("s", i + F_.lit(1))),
                     )
                 ).alias("pair"),
                 "c",
@@ -5873,14 +5902,57 @@ def t28(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         win = (
             pairs.groupBy("pair")
-            .agg(F.sum("c").alias("freq"))
-            .orderBy(F.col("freq").desc(), "pair")
+            .agg(F_.sum("c").alias("freq"))
+            .orderBy(F_.col("freq").desc(), "pair")
             .limit(1)
             .collect()[0]
         )
         pat, freq = win["pair"], int(win["freq"])
         rep = pat.replace("_ _", "")
-        merges.append((k, pat.replace("_ _", "+").replace("_", ""), freq))
-        cur = cur.select("c", F.replace(F.col("sym"), F.lit(pat), F.lit(rep)).alias("sym"))
+        merges.append((pat, rep, freq))
+        cur = cur.withColumn("sym", F_.replace(F_.col("sym"), F_.lit(pat), F_.lit(rep)))
+    return merges, cur
+
+
+def _dd_bpe_fertility_sql() -> str:
+    last = f"v{_BPE_STEPS}"
+    return ("WITH " + ",".join(_dd_bpe_parts(True)) + f"""
+    SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(c * length(w)) AS BIGINT) AS n_chars,
+           CAST(SUM(c * len(string_split(sym, ' '))) AS BIGINT) AS n_bpe,
+           ROUND(SUM(c * length(w)) / CAST(SUM(c * len(string_split(sym, ' '))) AS DOUBLE), 4)
+             AS chars_per_bpe
+    FROM {last} GROUP BY lang ORDER BY lang""")
+
+
+@declared("t29_bpe_fertility", oracle=_dd_bpe_fertility_sql())
+def t29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY: segment the corpus with the merge table t28 learns and
+    report per-language fertility — token occurrences, raw chars, BPE
+    symbol count, chars-per-symbol — the before/after evidence a tokenizer
+    change ships with (p15 measures a fixed regex tokenizer; this measures
+    the LEARNED one). Scale shape: training is t28's loop (vocab-sized per
+    step, one-row driver materializations); the APPLY never touches the
+    corpus either — segmented symbol counts live on the (lang, word)
+    vocabulary and per-language totals are Σ c·|symbols(w)|, one
+    vocab-sized agg. The corpus is scanned exactly once (the vocab build);
+    everything after is bounded by |vocab|."""
+    vocab = _bpe_vocab(spark, sf_dir, keys=("lang",)).persist()
+    _, segged = _bpe_learn(vocab, _BPE_STEPS)
+    n_chars = F.sum(F.col("c") * F.length("w"))
+    n_bpe = F.sum(F.col("c") * F.size(F.split("sym", " ")))
+    out = (
+        segged.groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            n_chars.alias("n_chars"),
+            n_bpe.alias("n_bpe"),
+            F.round(n_chars / n_bpe.cast("double"), 4).alias("chars_per_bpe"),
+        )
+        .orderBy("lang")
+    )
+    # the persisted vocab served the learning loop's three winner
+    # materializations; release it — the returned plan re-derives the
+    # (vocab-sized) chain declaratively so the harness sees the real plan
     vocab.unpersist()
-    return spark.createDataFrame(merges, "step long, merge_rule string, freq long")
+    return out
