@@ -5956,3 +5956,41 @@ def t29(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (vocab-sized) chain declaratively so the harness sees the real plan
     vocab.unpersist()
     return out
+
+
+def _dd_incr_minhash_sql() -> str:
+    return f"""
+    {_dd_minhash_ctes()}
+    SELECT DISTINCT n.doc_id AS new_id, b.doc_id AS base_id
+    FROM bands n JOIN bands b ON n.band = b.band AND n.bh = b.bh
+    WHERE n.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+    ORDER BY new_id, base_id
+    """
+
+
+@declared("d18_incremental_minhash", oracle=_dd_incr_minhash_sql())
+def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup ingest: a new batch (here docs with id % 5 = 0)
+    is checked against the existing corpus WITHOUT re-deduplicating the
+    corpus against itself — the asymmetric complement of d02's base-vs-base
+    banding. The delta computes its MinHash band keys and BROADCASTS them
+    (delta-sized by definition) onto the base's band table, so the 100-TB
+    base side scans ONCE with zero exchange (BroadcastHashJoin on
+    (band, bh)), and no base-vs-base pair ever materializes. At production
+    scale the base bands are the PERSISTED signature table d14 already
+    maintains (computed once at ingest, stored narrow), making a daily
+    increment cost O(|delta| + one base-band scan); candidate verification
+    (d04's exact-Jaccard pass) then touches only collision pairs."""
+    d = _t(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    base = d.filter(F.col("doc_id") % 5 != 0)
+    delta_b = dedup.minhash_bands(delta, "doc_id", "text", _MH_BANDS, _MH_ROWS).select(
+        "band", "bh", F.col("doc_id").alias("new_id"))
+    base_b = dedup.minhash_bands(base, "doc_id", "text", _MH_BANDS, _MH_ROWS).select(
+        "band", "bh", F.col("doc_id").alias("base_id"))
+    return (
+        base_b.join(F.broadcast(delta_b), ["band", "bh"])
+        .select("new_id", "base_id")
+        .distinct()
+        .orderBy("new_id", "base_id")
+    )

@@ -119,6 +119,9 @@ _PLAN_CONTRACTS = {
     "u08_deletion_vectors": ["BroadcastHashJoin", "LeftAnti"],
     # t27: the winner list is a distributed top-k, never a global sort
     "t27_bpe_merge_step": ["TakeOrderedAndProject"],
+    # d18: the delta's band keys broadcast onto the base — the base-side
+    # band table must never exchange for the join
+    "d18_incremental_minhash": ["BroadcastHashJoin"],
     "ev17_seasonal_anomaly": ["BroadcastHashJoin"],
     # u06: the target must stream through a broadcast semi prune — never be
     # the build side of the old-value fetch
