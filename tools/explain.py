@@ -117,6 +117,11 @@ PICKS = {
     "u07_schema_evolution": "schema-evolution MERGE keeps u01's shape: the widened target NEVER shuffles (BroadcastHashJoin LeftOuter + broadcast semi/anti inserts); the added column is a NULL literal projection, not a join",
     "dq10_psi_drift": "one partial-aggregatable scan reduces to a |years|x|bins| frame; the baseline year is a 1-row broadcast; the six PSI terms are fixed-column expressions — nothing data-sized past the first agg",
     "segy06_rev2_le": "the rev2 little-endian file reads through the same trace-index-partitioned DSv2 scan (byte order is metadata resolved once from the header mark, not a plan change); per-inline rollup is partial-then-final",
+    "p19_shard_manifest": "ONE scan with map-side partial agg into 8 shard groups — per-doc hash/token work runs where the row lives, the exchange carries 8 keys x |map partitions| partial rows, never bodies; the modular checksum is order-independent",
+    "t28_bpe_train": "the corpus collapses to the persisted vocab once; each merge iteration is a vocab-sized pair agg + TakeOrdered(1) (the 1-row learned rule is the only driver materialization) + a literal-replace codegen projection",
+    "u08_deletion_vectors": "merge-on-read probe = BroadcastHashJoin LeftAnti on (file, pos) — the base table never exchanges; DV stats (cardinality + bitmap extent) come from the delete-side agg in the same frame",
+    "d18_incremental_minhash": "delta band keys BROADCAST onto the base band table (BroadcastHashJoin, no base exchange, no base-vs-base pairs) — the incremental-ingest asymmetry d02 cannot express",
+    "zarr115_resize_append": "grow is one metadata PUT; the append shuffles only appended rows chunk-keyed (boundary-chunk RMW); the scan-back plans fill synthesis for the virgin tail",
 }
 
 

@@ -60,6 +60,12 @@ PICKS = [
     ("v16_hybrid_rrf", "RRF fusion: outer join of two distributed top-R lists"),
     ("d17_substring_spans", "sliding-window duplicated spans (hash-only shuffle)"),
     ("segy06_rev2_le", "SEG-Y rev2 little-endian DSv2 scan + exact rollup"),
+    ("p19_shard_manifest", "export manifest: one map-side-combined scan, 8-key exchange"),
+    ("t28_bpe_train", "BPE training loop: vocab-sized per step, 1-row winners"),
+    ("t29_bpe_fertility", "BPE apply: per-lang fertility off the segmented vocab"),
+    ("u08_deletion_vectors", "merge-on-read DV probe (broadcast anti, base never shuffles)"),
+    ("d18_incremental_minhash", "delta-vs-base near-dup (delta bands broadcast)"),
+    ("zarr115_resize_append", "metadata-only grow + boundary-chunk RMW append"),
 ]
 
 
