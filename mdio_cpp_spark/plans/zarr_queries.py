@@ -5788,3 +5788,86 @@ def zarr115(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("max_v"),
         F.count(F.when(F.col("v").isNull(), 1)).cast("long").alias("n_fill"),
     )
+
+
+@declared(
+    "zarr116_multiscale",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v_e2
+      FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+      WHERE rn - 1 < 1024)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(v_e2) AS DOUBLE) / (100.0 * COUNT(*)) AS box_mean,
+           CAST(2 AS BIGINT) AS level_factor
+    FROM cells
+    """,
+)
+def zarr116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISCALE PYRAMID: a coarse level persisted IN the store (the
+    OME-NGFF/seismic-overview convention) and an overview query ROUTED to
+    it. The build is one distributed pass over the STORED base: scan L0,
+    2x2 block-sum to exact integer cents (zarr28's pooling, but persisted),
+    write the 4x-smaller L1 array through the chunk-aligned writer; the
+    ``multiscales`` attr records the level table the router consults. The
+    overview query (full-extent mean — the thumbnail/QC case) then reads
+    ONLY L1: 4x fewer cells, 4x fewer chunk GETs than the base scan
+    (tests/test_zarr.py pins the planned-chunk ratio), while the stored
+    integer block-sums make the routed answer EXACTLY the base answer —
+    not an approximation. At 100 TB this is the difference between an
+    overview costing a full-array scan and costing 1/4 (or 1/4^L) of one;
+    deeper levels repeat the same build pass on the previous level."""
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "pyramid.zarr")
+    marker = os.path.join(base, ".built_pyramid_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        from mdio_cpp_spark.sources.writer import write_array
+
+        shutil.rmtree(path, ignore_errors=True)
+        cells = _orders_indexed(spark, sf_dir).filter(F.col("i") < 16 * 64).select(
+            F.expr("i div 64").alias("row"),
+            (F.col("i") % 64).alias("col"),
+            F.col("o_totalprice").alias("v"),
+        )
+        st = ZarrStore.create(
+            path, version=2,
+            attrs={"multiscales": [
+                {"path": "img", "factor": 1},
+                {"path": "img_l1_sum", "factor": 2, "stat": "sum_e2"},
+            ]},
+        )
+        st.create_array("img", shape=(16, 64), chunks=(8, 16), dtype="float64",
+                        dims=("row", "col"))
+        st.create_array("img_l1_sum", shape=(8, 32), chunks=(8, 16), dtype="int64",
+                        dims=("prow", "pcol"))
+        st.consolidate()
+        write_array(cells, path, "img", value_cols="v")
+        # pyramid build: one distributed pass over the stored base
+        l1 = (
+            MdioDataset.open(path).var("img").to_df(spark, value_col="v")
+            .select(
+                F.expr("row div 2").alias("prow"),
+                F.expr("col div 2").alias("pcol"),
+                F.round(F.col("v") * 100).cast("long").alias("e2"),
+            )
+            .groupBy("prow", "pcol")
+            .agg(F.sum("e2").alias("s"))
+        )
+        write_array(l1, path, "img_l1_sum", value_cols="s")
+        with open(marker, "w") as f:
+            f.write("1")
+    ds = MdioDataset.open(path)
+    levels = ds.store.attrs["multiscales"]
+    coarse = levels[-1]  # router: full-extent overview → coarsest level
+    factor = int(coarse["factor"])
+    return (
+        ds.var(coarse["path"]).to_df(spark, value_col="s")
+        .agg(
+            (F.count(F.lit(1)) * factor * factor).cast("long").alias("n_cells"),
+            (F.sum("s").cast("double")
+             / (F.lit(100.0) * F.count(F.lit(1)) * factor * factor)).alias("box_mean"),
+            F.lit(factor).cast("long").alias("level_factor"),
+        )
+    )

@@ -950,3 +950,31 @@ def test_spec_compressor_all_cnames_honored_natively():
             {"name": "blosc", "cname": cname, "clevel": 7})
         assert out == {"id": "blosc", "cname": cname, "clevel": 7,
                        "shuffle": 1}, cname
+
+
+def test_multiscale_routing_cuts_planned_chunks(spark):
+    """The zarr116 pyramid's routed overview must plan strictly fewer chunk
+    GETs than the same query on the base level — the IO claim of the gate
+    (4x fewer cells AND 4x fewer chunk objects at factor 2 here)."""
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.plans import REGISTRY
+    from tests.conftest import SF_DIR
+
+    REGISTRY["zarr116_multiscale"].spark(spark, SF_DIR).collect()  # builds
+    ds = MdioDataset.open(
+        os.path.join("/root/repo/.zarr_cache", os.path.basename(SF_DIR), "pyramid.zarr"))
+    base_chunks = ds.var("img").planned_chunks()
+    l1_chunks = ds.var("img_l1_sum").planned_chunks()
+    assert base_chunks == 8 and l1_chunks == 2, (base_chunks, l1_chunks)
+    # routed answer equals the base answer exactly (integer block sums)
+    import math
+
+    base_mean = (
+        ds.var("img").to_df(spark, value_col="v")
+        .agg(F.avg(F.round(F.col("v") * 100).cast("long") / 100.0))
+        .collect()[0][0]
+    )
+    routed = REGISTRY["zarr116_multiscale"].spark(spark, SF_DIR).collect()[0]
+    assert routed["n_cells"] == 1024
+    assert math.isclose(routed["box_mean"], base_mean, rel_tol=1e-12)
