@@ -66,6 +66,7 @@ PICKS = [
     ("u08_deletion_vectors", "merge-on-read DV probe (broadcast anti, base never shuffles)"),
     ("d18_incremental_minhash", "delta-vs-base near-dup (delta bands broadcast)"),
     ("zarr115_resize_append", "metadata-only grow + boundary-chunk RMW append"),
+    ("zarr116_multiscale", "overview routed to the stored pyramid level (4x fewer GETs)"),
 ]
 
 
