@@ -124,3 +124,39 @@ def test_hash_split_deterministic_and_complete(spark):
     n_train = sum(1 for v in a.values() if v == "train")
     assert 0.7 * 500 < n_train < 0.9 * 500  # cut lands near the target rate
     assert set(a.values()) == {"train", "val"}
+
+
+def test_bpe_merge_conserves_symbol_count(spark):
+    """BPE invariant: adopting a merge with weighted frequency f reduces
+    the corpus-wide symbol count by EXACTLY f (each occurrence of the pair
+    collapses two symbols into one). Pins both the pair counting and the
+    sentinel-wrapped replace against each other — a miscounted pair or an
+    overlapping/partial rewrite breaks the equality."""
+    from mdio_cpp_spark.plans.pipeline import _bpe_learn
+
+    rows = [
+        ("low",), ("low",), ("low",), ("lower",), ("lower",),
+        ("newest",), ("newest",), ("newest",), ("newest",), ("widest",),
+    ]
+    vocab = (
+        spark.createDataFrame(rows, "w string")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .select("w", "c",
+                F.rtrim(F.regexp_replace("w", "(.)", "_$1_ ")).alias("sym"))
+    )
+
+    def total_symbols(df):
+        return df.select(
+            F.sum(F.col("c") * F.size(F.split("sym", " "))).alias("n")
+        ).collect()[0]["n"]
+
+    cur = vocab
+    for _ in range(3):
+        merges, nxt = _bpe_learn(cur, 1)
+        (_pat, _rep, freq), = merges
+        assert total_symbols(cur) - total_symbols(nxt) == freq
+        cur = nxt
+    # classic corpus: the first merges must involve the 'es'/'est' mass
+    # (newest x4 + widest -> 'e s' appears 5 times weighted)
+    merges, _ = _bpe_learn(vocab, 1)
+    assert merges[0][2] >= 5

@@ -978,3 +978,20 @@ def test_multiscale_routing_cuts_planned_chunks(spark):
     routed = REGISTRY["zarr116_multiscale"].spark(spark, SF_DIR).collect()[0]
     assert routed["n_cells"] == 1024
     assert math.isclose(routed["box_mean"], base_mean, rel_tol=1e-12)
+
+
+def test_grow_then_trim_roundtrip():
+    """grow followed by trim back to the original size must be a perfect
+    no-op on the data: grow touches no chunks, trim deletes only
+    beyond-boundary chunks (there are none written), so the array reads
+    back identical."""
+    root = _fresh("toy7")
+    _toy_ds(root)
+    from mdio_cpp_spark.utils import grow_dataset, trim_dataset
+
+    before = MdioDataset.open(root).var("img").read().copy()
+    grow_dataset(root, il=96)
+    trim_dataset(root, il=48)
+    after = MdioDataset.open(root)
+    assert after.var("img").meta.shape == (48, 24)
+    assert np.array_equal(after.var("img").read(), before)
