@@ -3838,3 +3838,80 @@ def dq10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("yr", F.round(psi, 6).alias("psi"))
         .orderBy("yr")
     )
+
+
+@declared(
+    "ga06_transitive_closure",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT o_orderkey AS node, o_orderkey // 8 AS parent
+      FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 4096
+    ), cl AS (
+      SELECT node, parent AS anc, 1 AS dist FROM e WHERE parent >= 1
+      UNION ALL
+      SELECT cl.node, e2.parent AS anc, cl.dist + 1 AS dist
+      FROM cl JOIN e e2 ON e2.node = cl.anc WHERE e2.parent >= 1
+    )
+    SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_pairs,
+           CAST(SUM(anc) AS BIGINT) AS sum_anc
+    FROM cl GROUP BY dist ORDER BY dist
+    """,
+)
+def ga06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE CLOSURE (ancestor expansion) — the recursive-CTE shape
+    warehouses express with WITH RECURSIVE and Spark has no native operator
+    for: a parent edge table (here the div-8 parentage over order keys, a
+    BOM/org-chart stand-in) expands to all (node, ancestor, dist) pairs by
+    iterated frontier joins. The oracle IS a DuckDB recursive CTE; the
+    Spark side is the canonical iterative-join equivalent: the frontier
+    joins the persisted edge table on the ancestor key each level and the
+    loop stops when a level's count probe reports an empty frontier —
+    iteration count equals graph DEPTH (log-bounded here, bounded by the
+    hierarchy in any real BOM), never its size. Scale shape: edges persist
+    once and every level is ONE equi-join keyed on the node id + a
+    frontier-sized union; per-level driver work is a single count. The
+    closure report aggregates per depth (pair counts + ancestor checksum)
+    so the gate pins every level of the expansion."""
+    o = _t(spark, sf_dir, "orders")
+    e = (
+        o.filter((F.col("o_orderkey") >= 1) & (F.col("o_orderkey") < 4096))
+        .select(
+            F.col("o_orderkey").alias("node"),
+            F.floor(F.col("o_orderkey") / 8).cast("long").alias("parent"),
+        )
+        .persist()
+    )
+    frontier = (
+        e.filter(F.col("parent") >= 1)
+        .select("node", F.col("parent").alias("anc"), F.lit(1).alias("dist"))
+        .persist()
+    )
+    levels = [frontier]
+    while frontier.count() > 0:
+        nxt = (
+            frontier.join(
+                e.select(F.col("node").alias("anc"), F.col("parent").alias("anc2")),
+                "anc",
+            )
+            .filter(F.col("anc2") >= 1)
+            .select("node", F.col("anc2").alias("anc"), (F.col("dist") + 1).alias("dist"))
+            .persist()
+        )
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        levels.append(nxt)
+        frontier = nxt
+    closure = levels[0]
+    for lv in levels[1:]:
+        closure = closure.unionByName(lv)
+    out = (
+        closure.groupBy(F.col("dist").cast("long").alias("dist"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("anc").alias("sum_anc"))
+        .orderBy("dist")
+    )
+    rows = out.collect()
+    for lv in levels:
+        lv.unpersist()
+    e.unpersist()
+    return spark.createDataFrame(rows, out.schema)
