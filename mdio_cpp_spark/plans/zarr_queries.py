@@ -1397,7 +1397,10 @@ def zarr34(spark: SparkSession, sf_dir: str) -> DataFrame:
         if tuple(cur) != want_shape:  # testdata regenerated → rebuild store
             ZarrStore.open(pyr).delete()
             raise FileNotFoundError
-    except FileNotFoundError:
+    except (FileNotFoundError, KeyError):
+        import shutil
+
+        shutil.rmtree(pyr, ignore_errors=True)
         st = ZarrStore.create(pyr, version=2)
         st.create_array("l1", shape=want_shape, chunks=(16, 16),
                         dtype="float64", dims=("row", "col"))
@@ -5804,22 +5807,22 @@ def zarr115(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def zarr116(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MULTISCALE PYRAMID: a coarse level persisted IN the store (the
-    OME-NGFF/seismic-overview convention) and an overview query ROUTED to
-    it. The build is one distributed pass over the STORED base: scan L0,
-    2x2 block-sum to exact integer cents (zarr28's pooling, but persisted),
-    write the 4x-smaller L1 array through the chunk-aligned writer; the
-    ``multiscales`` attr records the level table the router consults. The
-    overview query (full-extent mean — the thumbnail/QC case) then reads
-    ONLY L1: 4x fewer cells, 4x fewer chunk GETs than the base scan
-    (tests/test_zarr.py pins the planned-chunk ratio), while the stored
-    integer block-sums make the routed answer EXACTLY the base answer —
-    not an approximation. At 100 TB this is the difference between an
-    overview costing a full-array scan and costing 1/4 (or 1/4^L) of one;
-    deeper levels repeat the same build pass on the previous level."""
+    """MULTISCALE ROUTER: zarr34 scans a stored mean level and zarr71
+    builds one; this gate adds the two pieces a viewer/overview SERVICE
+    needs on top: (1) the ``multiscales`` level-table attr (the
+    OME-NGFF-style contract) that the query ROUTER consults to pick the
+    cheapest level for a full-extent query, and (2) an exact integer
+    block-SUM level (not stored means), so the routed answer equals the
+    base-scan answer bit-for-bit — aggregation pyramids stay lossless for
+    sums/means/counts where mean pyramids are approximations under
+    re-aggregation. Build is one distributed pass over the stored base
+    writing the 4x-smaller level; the routed overview then reads 4x fewer
+    cells AND 4x fewer chunk GETs (planned-chunk ratio pinned in
+    tests/test_zarr.py). At 100 TB each extra level divides overview cost
+    by 4 again."""
     base = ensure_stores(spark, sf_dir)
-    path = os.path.join(base, "pyramid.zarr")
-    marker = os.path.join(base, ".built_pyramid_v1")
+    path = os.path.join(base, "pyramid_router.zarr")
+    marker = os.path.join(base, ".built_pyramid_router_v1")
     if not os.path.exists(marker):
         import shutil
 

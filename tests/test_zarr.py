@@ -963,7 +963,7 @@ def test_multiscale_routing_cuts_planned_chunks(spark):
 
     REGISTRY["zarr116_multiscale"].spark(spark, SF_DIR).collect()  # builds
     ds = MdioDataset.open(
-        os.path.join("/root/repo/.zarr_cache", os.path.basename(SF_DIR), "pyramid.zarr"))
+        os.path.join("/root/repo/.zarr_cache", os.path.basename(SF_DIR), "pyramid_router.zarr"))
     base_chunks = ds.var("img").planned_chunks()
     l1_chunks = ds.var("img_l1_sum").planned_chunks()
     assert base_chunks == 8 and l1_chunks == 2, (base_chunks, l1_chunks)
