@@ -5994,3 +5994,524 @@ def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("new_id", "base_id")
     )
+
+
+# ------------------------------------------- round-8 wave 4: curation stack
+
+_DSIR_BUCKETS, _DSIR_TOPK = 256, 100
+_DSIR_TARGET_LANG = "en"
+
+_DD_FEATS = (
+    "list_concat(w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))"
+)
+
+
+def _dd_dsir_sql() -> str:
+    b = _DSIR_BUCKETS
+    return f"""
+    WITH docs AS (SELECT doc_id, lang, {_DD_TOKS} AS w FROM documents),
+    feat AS (
+      SELECT doc_id, lang, unnest({_DD_FEATS}) AS f
+      FROM docs WHERE len(w) >= 1
+    ),
+    fb AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(f), 1, 2)) AS BIGINT) % {b} AS b
+      FROM feat
+    ),
+    bc AS (
+      SELECT b, COUNT(*) AS cr,
+             COUNT(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}') AS ct
+      FROM fb GROUP BY b
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_r,
+             COUNT(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}') AS n_t
+      FROM fb
+    ),
+    lr AS (
+      SELECT g.range AS b,
+             ln((COALESCE(ct, 0) + 1) / CAST(n_t + {b} AS DOUBLE))
+               - ln((COALESCE(cr, 0) + 1) / CAST(n_r + {b} AS DOUBLE)) AS lw
+      FROM range({b}) g LEFT JOIN bc ON bc.b = g.range CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+             ROUND(SUM(lw), 4) AS logw
+      FROM fb JOIN lr USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, n_feat, logw FROM scored
+    ORDER BY logw DESC, doc_id LIMIT {_DSIR_TOPK}
+    """
+
+
+@declared("p20_dsir_resample", oracle=_dd_dsir_sql())
+def p20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (arXiv:2302.03169,
+    the public method behind 'pick raw-web documents that look like the
+    target domain'): featurize every document into hashed n-grams
+    (unigrams + space-joined bigrams, md5 → 256 buckets), estimate the
+    TARGET feature distribution (here: the '{lang=en}' slice standing in
+    for the paper's Wikipedia target) and the RAW distribution with
+    Laplace +1 smoothing, and score each document by its summed
+    log-likelihood ratio Σ ln p_t(b(f)) − ln p_r(b(f)); the top-K by
+    weight are the resampled picks (the paper adds Gumbel noise — this is
+    the deterministic top-k variant so the oracle agrees bit-for-bit).
+
+    Scale shape: TWO passes over the hashed feature stream and nothing
+    data-sized anywhere else — pass 1 is one map-side-combined groupBy
+    producing the 256-row bucket table (target and raw counts as ONE
+    conditional aggregate, not two scans), pass 2 joins the BROADCAST
+    256-row log-ratio table back onto the features and reduces per doc.
+    The final top-K is a TakeOrdered, never a global sort. At 100 TB the
+    shuffle carries (bucket) partials and (doc_id, weight) rows only;
+    document bodies stay where the scan put them."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    w = F.col("w")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feat = (
+        d.select("doc_id", "lang", text.tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 1)
+        .select("doc_id", "lang", F.explode(F.concat(w, bigrams)).alias("f"))
+    )
+    fb = feat.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("f"), 1, 2), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    is_t = F.col("lang") == _DSIR_TARGET_LANG
+    bc = fb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(is_t, F.lit(1))).alias("ct"),
+    )
+    tot = fb.agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.count(F.when(is_t, F.lit(1))).alias("n_t"),
+    )
+    lr = (
+        spark.range(_DSIR_BUCKETS)
+        .select(F.col("id").alias("b"))
+        .join(bc, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    / (F.col("n_t") + _DSIR_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                    / (F.col("n_r") + _DSIR_BUCKETS).cast("double")
+                )
+            ).alias("lw"),
+        )
+    )
+    return (
+        fb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feat"),
+            F.round(F.sum("lw"), 4).alias("logw"),
+        )
+        .orderBy(F.col("logw").desc(), "doc_id")
+        .limit(_DSIR_TOPK)
+    )
+
+
+_KN_D = 0.75
+
+_DD_BG_CTES = f"""
+    toks AS (SELECT doc_id, {_DD_TOKS} AS w FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+             unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      FROM toks WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1,
+                  CAST(COUNT(*) AS BIGINT) AS foll FROM c2 GROUP BY w1),
+    pre AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS pred FROM c2 GROUP BY w2),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c2)
+"""
+
+
+def _dd_kn_sql() -> str:
+    d = _KN_D
+    return f"""
+    WITH {_DD_BG_CTES}
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(-ln(
+             (GREATEST(n2 - {d}, 0)
+              + {d} * foll * (pred / CAST(n_types AS DOUBLE))) / n1
+           )) / COUNT(*), 4) AS avg_kn_surprisal
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+            JOIN pre USING (w2) CROSS JOIN tt
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@declared("t31_kneser_ney", oracle=_dd_kn_sql())
+def t31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram surprisal — the LM estimator CCNet-
+    style quality filters actually ship (t17's MLE assigns zero mass to
+    unseen continuations; KN discounts every seen bigram by D=0.75 and
+    backs off to the CONTINUATION unigram — how many distinct predecessors
+    a word follows — which is the famous 'san francisco' correction):
+    P(w2|w1) = (max(c(w1,w2)−D, 0) + D·foll(w1)·pred(w2)/T) / c(w1), each
+    document scored by mean −ln P over its bigrams.
+
+    Scale shape: identical to t17's — the corpus collapses to the bigram-
+    TYPE table first (one map-side-combined agg); c1/foll, the predecessor-
+    type table, and the global type count T all derive from that vocab-
+    sized frame, never from the corpus stream; the per-doc pass joins the
+    bigram stream against those tables (AQE splits the stopword skew) and
+    reduces per doc_id. All model statistics are integers, so the only
+    float contract is the final ln-sum's 4dp round (t12's rule)."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    toks = text.tokens(F.col("text"))
+    w = d.select("doc_id", toks.alias("w")).filter(F.size("w") >= 2)
+    bg = w.select(
+        "doc_id",
+        F.posexplode(F.slice("w", 1, F.size("w") - 1)).alias("i", "w1"),
+        F.col("w").alias("__w"),
+    ).select("doc_id", "w1", F.element_at("__w", F.col("i") + 2).alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("n2").alias("n1"), F.count(F.lit(1)).alias("foll")
+    )
+    pre = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("pred"))
+    tt = c2.agg(F.count(F.lit(1)).alias("n_types"))
+    p_kn = (
+        F.greatest(F.col("n2") - _KN_D, F.lit(0.0))
+        + _KN_D * F.col("foll") * (F.col("pred") / F.col("n_types").cast("double"))
+    ) / F.col("n1")
+    return (
+        bg.join(c2, ["w1", "w2"]).join(c1, ["w1"]).join(pre, ["w2"])
+        .crossJoin(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(-F.log(p_kn)) / F.count(F.lit(1)), 4).alias(
+                "avg_kn_surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dd_ppl_bucket_sql() -> str:
+    return f"""
+    WITH {_DD_BG_CTES},
+    scored AS (
+      SELECT bg.doc_id,
+             ROUND(SUM(-ln(CAST(n2 AS DOUBLE) / n1)) / COUNT(*), 4) AS ppl
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY bg.doc_id
+    ),
+    langd AS (
+      SELECT s.doc_id, d.lang, s.ppl FROM scored s JOIN documents d USING (doc_id)
+    ),
+    vals AS (
+      SELECT lang, ppl, CAST(COUNT(*) AS BIGINT) AS c FROM langd GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT lang, ppl,
+             SUM(c) OVER (PARTITION BY lang ORDER BY ppl) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS n
+      FROM vals
+    ),
+    bands AS (
+      SELECT lang,
+             MIN(CASE WHEN 4 * cum >= n THEN ppl END) AS p25,
+             MIN(CASE WHEN 4 * cum >= 3 * n THEN ppl END) AS p75
+      FROM cum GROUP BY lang
+    )
+    SELECT lang,
+           CASE WHEN ppl <= p25 THEN 'head'
+                WHEN ppl <= p75 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(ppl), 4) AS avg_ppl
+    FROM langd JOIN bands USING (lang)
+    GROUP BY 1, 2 ORDER BY lang, bucket
+    """
+
+
+@declared("p21_perplexity_buckets", oracle=_dd_ppl_bucket_sql())
+def p21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (arXiv:1911.00359): score every
+    document with a corpus bigram LM (t17's surprisal, the wheel-free
+    stand-in for CCNet's KenLM), then split EACH LANGUAGE into
+    head / middle / tail quality bands at its own [p25, p75] perplexity
+    cuts — the language-equalized curation gate that keeps 'low perplexity'
+    from meaning 'looks like English'. Report the per-(lang, band) doc
+    count and mean perplexity. Cuts are CCNet's cumulative-share kind, not
+    interpolated: p25 is the smallest score whose cumulative doc count
+    reaches a quarter of the language (4·cum ≥ n — pure integer
+    arithmetic, so the engine and the oracle band identically; an
+    interpolated quantile_cont cut can land exactly between two 4dp
+    scores, where cross-engine ulp noise flips the round).
+
+    Scale shape: the LM passes are t17's (vocab-sized model aggs + one
+    skew-split scoring join). The cut computation never buffers per-doc
+    values: scores collapse to the per-(lang, score) COUNT lattice first —
+    bounded by the score range × 1e4 (4dp rounding), not by doc count —
+    and the cumulative window runs over that bounded frame; the band
+    table is |langs| rows, so banding is a broadcast join onto the
+    doc-id-sized score frame and the final agg has ≤ 3·|langs| groups.
+    Document text is read exactly once, in the scoring pass."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    toks = text.tokens(F.col("text"))
+    w = d.select("doc_id", toks.alias("w")).filter(F.size("w") >= 2)
+    bg = w.select(
+        "doc_id",
+        F.posexplode(F.slice("w", 1, F.size("w") - 1)).alias("i", "w1"),
+        F.col("w").alias("__w"),
+    ).select("doc_id", "w1", F.element_at("__w", F.col("i") + 2).alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    scored = (
+        bg.join(c2, ["w1", "w2"]).join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(-F.log(F.col("n2").cast("double") / F.col("n1")))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("ppl")
+        )
+    )
+    langd = scored.join(d.select("doc_id", "lang"), "doc_id")
+    from pyspark.sql import Window as W
+
+    vals = langd.groupBy("lang", "ppl").agg(F.count(F.lit(1)).alias("c"))
+    cum = vals.select(
+        "lang",
+        "ppl",
+        F.sum("c").over(
+            W.partitionBy("lang").orderBy("ppl")
+        ).alias("cum"),
+        F.sum("c").over(W.partitionBy("lang")).alias("n"),
+    )
+    bands = cum.groupBy("lang").agg(
+        F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("ppl"))).alias("p25"),
+        F.min(
+            F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("ppl"))
+        ).alias("p75"),
+    )
+    bucket = (
+        F.when(F.col("ppl") <= F.col("p25"), "head")
+        .when(F.col("ppl") <= F.col("p75"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        langd.join(F.broadcast(bands), "lang")
+        .select("lang", bucket.alias("bucket"), "ppl")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def _dd_c4_sql() -> str:
+    return f"""
+    WITH d AS (
+      SELECT source, text, {_DD_TOKS} AS w FROM documents
+    ),
+    flags AS (
+      SELECT source,
+             (len(w) < 5) AS f_short,
+             NOT regexp_matches(text, '[.!?]\\s*$') AS f_noterm,
+             contains(text, '{{') AS f_brace,
+             contains(lower(text), 'lorem ipsum') AS f_lorem,
+             (len(w) > 0 AND
+              list_max(list_transform(w, x -> length(x))) > 25) AS f_longword,
+             (len(w) > 0 AND
+              (list_sum(list_transform(w, x -> length(x)))
+                 / CAST(len(w) AS DOUBLE) < 3
+               OR list_sum(list_transform(w, x -> length(x)))
+                 / CAST(len(w) AS DOUBLE) > 10)) AS f_badmwl
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE f_short) AS BIGINT) AS n_short,
+           CAST(COUNT(*) FILTER (WHERE f_noterm) AS BIGINT) AS n_noterm,
+           CAST(COUNT(*) FILTER (WHERE f_brace) AS BIGINT) AS n_brace,
+           CAST(COUNT(*) FILTER (WHERE f_lorem) AS BIGINT) AS n_lorem,
+           CAST(COUNT(*) FILTER (WHERE f_longword) AS BIGINT) AS n_longword,
+           CAST(COUNT(*) FILTER (WHERE f_badmwl) AS BIGINT) AS n_badmwl,
+           CAST(COUNT(*) FILTER (WHERE NOT (f_short OR f_noterm OR f_brace
+             OR f_lorem OR f_longword OR f_badmwl)) AS BIGINT) AS n_pass
+    FROM flags GROUP BY source ORDER BY source
+    """
+
+
+@declared("t30_c4_filters", oracle=_dd_c4_sql())
+def t30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 / Gopher rule-based filter audit (arXiv:1910.10683 §2.2,
+    arXiv:2112.11446 A.1.1): the classic cheap heuristics a web corpus is
+    strained through BEFORE any model-based scoring — too few words (<5),
+    no terminal punctuation, a curly brace (code/template tell), 'lorem
+    ipsum' placeholder text, any 25+-char token, and mean word length
+    outside [3, 10] — rolled up per source as flag counts plus the
+    survivors (a document must clear ALL rules to pass). The per-source
+    view is the triage dashboard: it localizes WHICH ingest feed is
+    contaminated, not just how much.
+
+    Scale shape: every rule is a JVM-side expression (regexp / contains /
+    higher-order list fold) evaluated where the row lives — the whole
+    query is one scan with map-side partial aggregation into |sources|
+    groups; the exchange carries 8 counters per source per map partition
+    and no text ever shuffles. Zero-token documents define mean word
+    length as not-flaggable (explicit len>0 guard on BOTH sides) so the
+    ANSI division path is never reached."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    w = text.tokens(F.col("text"))
+    wlen = F.transform(w, lambda x: F.length(x))
+    mwl = F.aggregate(
+        wlen, F.lit(0).cast("long"), lambda a, x: a + x
+    ).cast("double") / F.size(w).cast("double")
+    nonempty = F.size(w) > 0
+    flags = d.select(
+        "source",
+        (F.size(w) < 5).alias("f_short"),
+        (~F.col("text").rlike(r"[.!?]\s*$")).alias("f_noterm"),
+        F.col("text").contains("{").alias("f_brace"),
+        F.lower(F.col("text")).contains("lorem ipsum").alias("f_lorem"),
+        (nonempty & (F.array_max(wlen) > 25)).alias("f_longword"),
+        (nonempty & ((mwl < 3) | (mwl > 10))).alias("f_badmwl"),
+    )
+    def _n(c: str, alias: str):
+        return F.count(F.when(F.col(c), F.lit(1))).alias(alias)
+    all_pass = ~(
+        F.col("f_short") | F.col("f_noterm") | F.col("f_brace")
+        | F.col("f_lorem") | F.col("f_longword") | F.col("f_badmwl")
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _n("f_short", "n_short"),
+            _n("f_noterm", "n_noterm"),
+            _n("f_brace", "n_brace"),
+            _n("f_lorem", "n_lorem"),
+            _n("f_longword", "n_longword"),
+            _n("f_badmwl", "n_badmwl"),
+            F.count(F.when(all_pass, F.lit(1))).alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+_JL_DIM, _JL_CELL = 64, 2.0
+
+
+def _dd_jl_grid_sql() -> str:
+    planes = hashing.hyperplane_weights(2, _JL_DIM)
+    rows = ",\n      ".join(
+        f"({p}, [{', '.join(str(x) for x in row)}]::DOUBLE[])"
+        for p, row in enumerate(planes)
+    )
+    proj = _dd_dot("embedding", "w")
+    return f"""
+    WITH planes(p, w) AS (VALUES
+      {rows}),
+    proj AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN p = 0 THEN ROUND({proj}, 4) END) AS x,
+             MAX(CASE WHEN p = 1 THEN ROUND({proj}, 4) END) AS y
+      FROM embeddings CROSS JOIN planes
+      GROUP BY vec_id, label
+    ),
+    cells AS (
+      SELECT CAST(FLOOR(x / {_JL_CELL}) AS BIGINT) AS cx,
+             CAST(FLOOR(y / {_JL_CELL}) AS BIGINT) AS cy,
+             label
+      FROM proj
+    ),
+    lc AS (
+      SELECT cx, cy, label, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY cx, cy
+                                ORDER BY COUNT(*) DESC, label) AS rk
+      FROM cells GROUP BY cx, cy, label
+    ),
+    tot AS (SELECT cx, cy, CAST(SUM(n) AS BIGINT) AS n_vecs FROM lc GROUP BY cx, cy)
+    SELECT t.cx, t.cy, t.n_vecs,
+           CAST(l.label AS INT) AS top_label,
+           ROUND(l.n / CAST(t.n_vecs AS DOUBLE), 4) AS top_share
+    FROM tot t JOIN lc l ON l.cx = t.cx AND l.cy = t.cy AND l.rk = 1
+    ORDER BY t.cx, t.cy
+    """
+
+
+@declared("v18_jl_grid", oracle=_dd_jl_grid_sql())
+def v18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-map OCCUPANCY GRID — the datashader/UMAP-debug view of an
+    embedding corpus at scale: project every vector onto two deterministic
+    ±1 hyperplanes (the Johnson–Lindenstrauss/Achlioptas sparse-projection
+    family — the same literals as the sign-LSH stack, kept as raw values
+    instead of sign bits), snap the (x, y) to a 2.0-wide grid, and report
+    each occupied cell's population, majority label, and label purity —
+    the 'is my embedding space separating classes' audit that needs no
+    plotting library and no driver-side vectors.
+
+    Scale shape: the 2×64 plane matrix is a PLAN LITERAL (broadcast by
+    construction); the projection is one narrow map (two zip_with dot
+    products per row, JVM-side), and everything after aggregates on the
+    BOUNDED cell grid — (cell, label) partials then a cell rollup, both
+    map-side combined. The window that picks the majority label runs over
+    the grid-sized frame, never the corpus. Projections are rounded to
+    4dp BEFORE the floor so both engines bin the same doubles; corpus
+    vectors never shuffle anywhere."""
+    e = _t(spark, sf_dir, "embeddings")
+    planes = hashing.hyperplane_weights(2, _JL_DIM)
+    px = F.array(*[F.lit(v) for v in planes[0]])
+    py = F.array(*[F.lit(v) for v in planes[1]])
+    cells = e.select(
+        (
+            F.floor(F.round(vectors.dot(F.col("embedding"), px), 4) / _JL_CELL)
+        ).alias("cx"),
+        (
+            F.floor(F.round(vectors.dot(F.col("embedding"), py), 4) / _JL_CELL)
+        ).alias("cy"),
+        "label",
+    )
+    lc = cells.groupBy("cx", "cy", "label").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("cx", "cy").orderBy(F.col("n").desc(), "label")
+    )
+    top = lc.select("cx", "cy", "label", "n", rk.alias("rk")).filter(
+        F.col("rk") == 1
+    )
+    tot = lc.groupBy("cx", "cy").agg(F.sum("n").alias("n_vecs"))
+    return (
+        tot.join(top, ["cx", "cy"])
+        .select(
+            "cx", "cy", "n_vecs",
+            F.col("label").alias("top_label"),
+            F.round(F.col("n") / F.col("n_vecs").cast("double"), 4).alias(
+                "top_share"
+            ),
+        )
+        .orderBy("cx", "cy")
+    )
