@@ -122,6 +122,9 @@ PICKS = {
     "u08_deletion_vectors": "merge-on-read probe = BroadcastHashJoin LeftAnti on (file, pos) — the base table never exchanges; DV stats (cardinality + bitmap extent) come from the delete-side agg in the same frame",
     "d18_incremental_minhash": "delta band keys BROADCAST onto the base band table (BroadcastHashJoin, no base exchange, no base-vs-base pairs) — the incremental-ingest asymmetry d02 cannot express",
     "zarr115_resize_append": "grow is one metadata PUT; the append shuffles only appended rows chunk-keyed (boundary-chunk RMW); the scan-back plans fill synthesis for the virgin tail",
+    "p20_dsir_resample": "the hashed feature stream is scanned twice (bucket counts as ONE conditional agg, then scoring); the 256-row log-ratio model is built off spark.range and BROADCAST back — the doc-side join is BroadcastHashJoin, the top-K is TakeOrderedAndProject, no global sort, no text in any exchange",
+    "v18_jl_grid": "the 2x64 plane matrix is a plan literal — projection is codegen'd zip_with/aggregate column math; both aggs (cell-label, cell rollup) are map-side combined into the bounded grid; the majority-label window partitions by cell over the grid-sized frame, never the corpus",
+    "p21_perplexity_buckets": "LM scoring reuses t17's skew-split joins; the band cuts come from a cumulative window over the per-(lang, 4dp-score) COUNT lattice (bounded by score range x 1e4, not docs) and band assignment is a broadcast join of the |langs|-row cut table",
 }
 
 

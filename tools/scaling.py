@@ -67,6 +67,11 @@ PICKS = [
     ("d18_incremental_minhash", "delta-vs-base near-dup (delta bands broadcast)"),
     ("zarr115_resize_append", "metadata-only grow + boundary-chunk RMW append"),
     ("zarr116_multiscale", "overview routed to the stored pyramid level (4x fewer GETs)"),
+    ("p20_dsir_resample", "DSIR: two feature passes + 256-row broadcast log-ratio model"),
+    ("p21_perplexity_buckets", "CCNet bands: LM scoring join + value-lattice cum window"),
+    ("t31_kneser_ney", "KN bigram LM: all model stats off the vocab-sized type table"),
+    ("t30_c4_filters", "C4 rule audit: one scan, 8 counters per source"),
+    ("v18_jl_grid", "JL embedding map: plan-literal projection, bounded-grid aggs"),
 ]
 
 
