@@ -3915,3 +3915,124 @@ def ga06(spark: SparkSession, sf_dir: str) -> DataFrame:
         lv.unpersist()
     e.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+@declared(
+    "ga07_modularity",
+    oracle="""
+    WITH e AS (
+      SELECT l1.l_suppkey AS a, l2.l_suppkey AS b,
+             CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS w
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+      GROUP BY a, b
+    ),
+    en AS (
+      SELECT e.w, sa.s_nationkey AS na, sb.s_nationkey AS nb
+      FROM e JOIN supplier sa ON sa.s_suppkey = e.a
+             JOIN supplier sb ON sb.s_suppkey = e.b
+    ),
+    m AS (SELECT CAST(SUM(w) AS DOUBLE) AS m FROM en),
+    deg AS (
+      SELECT n, CAST(SUM(w) AS BIGINT) AS degree_w FROM (
+        SELECT na AS n, w FROM en UNION ALL SELECT nb AS n, w FROM en
+      ) GROUP BY n
+    ),
+    win AS (SELECT na AS n, CAST(SUM(w) AS BIGINT) AS w_in FROM en
+            WHERE na = nb GROUP BY na)
+    SELECT CAST(deg.n AS BIGINT) AS nationkey,
+           COALESCE(win.w_in, 0) AS w_in, deg.degree_w,
+           ROUND(COALESCE(win.w_in, 0) / m.m
+                 - (degree_w / (2 * m.m)) * (degree_w / (2 * m.m)), 6) + 0.0
+             AS q_contrib
+    FROM deg LEFT JOIN win ON win.n = deg.n CROSS JOIN m
+    ORDER BY nationkey
+    """,
+)
+def ga07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of a node partition over the supplier
+    co-occurrence graph — community-quality scoring, with the supplier's
+    NATION as the partition under test (the assortativity question 'do
+    same-nation suppliers co-serve orders more than chance?'): per
+    community c, q_c = w_in(c)/m − (deg(c)/2m)², where w_in counts
+    intra-community edge weight, deg the community's total weighted
+    degree, m the graph's weight; Q = Σ q_c (pinned in pytest; near 0
+    here — TPC-H order composition is nation-blind, which is exactly
+    what the null-model term predicts).
+
+    Scale shape: edges come from ga01's bounded within-order expansion
+    (never a corpus self-join in the engine); both endpoint nation
+    lookups are one BROADCAST dimension join; m is a 1-row broadcast;
+    degrees flow from ONE mirrored explode + groupBy (ga05's pattern) and
+    the result frame is |nations| rows. Everything through the aggregates
+    is exact integer weight arithmetic; the only floats are the final
+    per-community divisions (identical literal expression both engines,
+    6dp round)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("supps")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("supps"),
+                        lambda a: F.transform(
+                            F.col("supps"),
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    e = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    en = (
+        e.join(
+            F.broadcast(sup.select(F.col("s_suppkey").alias("a"),
+                                   F.col("s_nationkey").alias("na"))), "a")
+        .join(
+            F.broadcast(sup.select(F.col("s_suppkey").alias("b"),
+                                   F.col("s_nationkey").alias("nb"))), "b")
+        .select("w", "na", "nb")
+    )
+    m = en.agg(F.sum("w").cast("double").alias("m"))
+    deg = (
+        en.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("na").alias("n"), F.col("w").alias("w")),
+                    F.struct(F.col("nb").alias("n"), F.col("w").alias("w")),
+                )
+            ).alias("x")
+        )
+        .groupBy(F.col("x.n").alias("n"))
+        .agg(F.sum("x.w").alias("degree_w"))
+    )
+    win = (
+        en.filter(F.col("na") == F.col("nb"))
+        .groupBy(F.col("na").alias("n"))
+        .agg(F.sum("w").alias("w_in"))
+    )
+    return (
+        deg.join(win, "n", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("n").cast("long").alias("nationkey"),
+            F.coalesce(F.col("w_in"), F.lit(0)).alias("w_in"),
+            "degree_w",
+            (
+                F.round(
+                    F.coalesce(F.col("w_in"), F.lit(0)) / F.col("m")
+                    - (F.col("degree_w") / (2 * F.col("m")))
+                    * (F.col("degree_w") / (2 * F.col("m"))),
+                    6,
+                )
+                + 0.0
+            ).alias("q_contrib"),
+        )
+        .orderBy("nationkey")
+    )

@@ -6037,7 +6037,7 @@ def _dd_dsir_sql() -> str:
     ),
     scored AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
-             ROUND(SUM(lw), 4) AS logw
+             ROUND(SUM(lw), 4) + 0.0 AS logw
       FROM fb JOIN lr USING (b) GROUP BY doc_id
     )
     SELECT doc_id, n_feat, logw FROM scored
@@ -6123,7 +6123,7 @@ def p20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_feat"),
-            F.round(F.sum("lw"), 4).alias("logw"),
+            (F.round(F.sum("lw"), 4) + 0.0).alias("logw"),
         )
         .orderBy(F.col("logw").desc(), "doc_id")
         .limit(_DSIR_TOPK)
@@ -6514,4 +6514,258 @@ def v18(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("cx", "cy")
+    )
+
+
+def _dd_pack_spans_sql() -> str:
+    e = "CAST(doc_id AS VARCHAR)"
+    shard = (
+        f"((4096 * {_dd_hexv_of(e, 1)} + 256 * {_dd_hexv_of(e, 2)} "
+        f"+ 16 * {_dd_hexv_of(e, 3)} + {_dd_hexv_of(e, 4)}) % {_PACK_SHARDS})"
+    )
+    b = _PACK_BUDGET
+    return f"""
+    WITH packed AS (
+      SELECT doc_id, shard, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_off
+      FROM (
+        SELECT doc_id, CAST({shard} AS BIGINT) AS shard,
+               CAST(len({_DD_TOKS}) AS BIGINT) AS n_tok
+        FROM documents
+      )
+    ),
+    spans AS (
+      SELECT doc_id, shard, start_off, n_tok,
+             unnest(generate_series(start_off // {b},
+                                    (start_off + n_tok - 1) // {b})) AS pack_id
+      FROM packed WHERE n_tok >= 1
+    )
+    SELECT doc_id, shard, CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(GREATEST(start_off, pack_id * {b}) - pack_id * {b} AS BIGINT)
+             AS pos_start,
+           CAST(LEAST((pack_id + 1) * {b}, start_off + n_tok)
+                - GREATEST(start_off, pack_id * {b}) AS BIGINT) AS len_in_pack
+    FROM spans ORDER BY doc_id, pack_id
+    """
+
+
+@declared("p22_pack_spans", oracle=_dd_pack_spans_sql())
+def p22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack SPAN table — the attention-boundary/position-id record the
+    data loader actually consumes after p01's packing: a document whose
+    token range crosses one or more budget boundaries is split into one
+    row per pack it touches, carrying its within-pack start position and
+    the length of the resident slice (Σ len_in_pack per doc = n_tok; Σ per
+    (shard, pack) ≤ budget except the one boundary-spilling doc p01's
+    greedy allows). This is what position-id assignment, cross-doc
+    attention masking, and loss-span bookkeeping key on.
+
+    Scale shape: p01's shard-partitioned running-offset window (parallelism
+    = shard count at any corpus size), then a pure map-side sequence-
+    explode whose fan-out per doc is ceil(n_tok/budget)+1 — bounded by
+    document length, never corpus size. Every derived column is exact
+    int64 arithmetic (DIV/GREATEST/LEAST) — no float anywhere, so the
+    engine and oracle agree bit-for-bit at any scale."""
+    from mdio_cpp_spark.operators.sampling import sequence_packing
+
+    d = _t(spark, sf_dir, "documents")
+    b = _PACK_BUDGET
+    packed = sequence_packing(
+        d, "doc_id", text.token_count("text"), budget=b, n_shards=_PACK_SHARDS
+    ).filter(F.col("n_tok") >= 1)
+    spans = packed.select(
+        "doc_id",
+        "shard",
+        "start_off",
+        "n_tok",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_off div {b}"),
+                F.expr(f"(start_off + n_tok - 1) div {b}"),
+            )
+        ).alias("pack_id"),
+    )
+    gstart = F.greatest(F.col("start_off"), F.col("pack_id") * b)
+    return spans.select(
+        "doc_id",
+        "shard",
+        "pack_id",
+        (gstart - F.col("pack_id") * b).alias("pos_start"),
+        (
+            F.least((F.col("pack_id") + 1) * b, F.col("start_off") + F.col("n_tok"))
+            - gstart
+        ).alias("len_in_pack"),
+    ).orderBy("doc_id", "pack_id")
+
+
+@declared(
+    "ml11_embedding_cov",
+    oracle="""
+    WITH pos AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    mu AS (SELECT d, SUM(x) AS sx FROM pos GROUP BY d),
+    prods AS (
+      SELECT a.d AS i, b.d AS j, SUM(a.x * b.x) AS sxy
+      FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.d <= b.d
+      GROUP BY 1, 2
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           ROUND(sxy / n.n - (mi.sx / n.n) * (mj.sx / n.n), 6) + 0.0 AS cov
+    FROM prods JOIN mu mi ON mi.d = prods.i JOIN mu mj ON mj.d = prods.j
+    CROSS JOIN n
+    ORDER BY i, j
+    """,
+)
+def ml11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full covariance matrix of the embedding dimensions — the PCA /
+    whitening / drift-fingerprint precursor (ml05 is the matrix-FREE
+    power-iteration step; this materializes the 64×64 Gram statistics for
+    the driver-side eigensolve when dim is small enough that dim² beats k
+    matrix-vector passes). Upper triangle only (2080 cells).
+
+    Scale shape: each row expands its own dim² upper-triangle products
+    IN PLACE (the ga01 within-group expansion pattern — a higher-order
+    transform, never a self-join in the engine) and the partial agg
+    collapses them map-side, so the exchange carries ≤ 2080 partial rows
+    per map partition REGARDLESS of corpus size; the per-dim mean table
+    (64 rows) broadcasts back onto the 2080-row sum frame. Per-row work
+    is dim²/2 multiplications where the vector lives — the classic
+    one-pass distributed covariance. The oracle states the same
+    computation as a positional self-join (row-count-bounded, fine for
+    DuckDB; the engine's in-place expansion is what survives 100 TB)."""
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    arr = F.col("embedding").cast("array<double>")
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                arr,
+                lambda x, i: F.transform(
+                    arr,
+                    lambda y, j: F.struct(
+                        i.alias("i"), j.alias("j"), (x * y).alias("xy")
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["i"] <= p["j"],
+    )
+    prods = (
+        e.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(F.sum("xy").alias("sxy"))
+    )
+    mu = (
+        e.select(F.posexplode(arr).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.sum("x").alias("sx"))
+    )
+    nn = float(n)
+    mi = F.broadcast(mu.select(F.col("d").alias("i"), F.col("sx").alias("sxi")))
+    mj = F.broadcast(mu.select(F.col("d").alias("j"), F.col("sx").alias("sxj")))
+    return (
+        prods.join(mi, "i").join(mj, "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            (
+                F.round(
+                    F.col("sxy") / nn
+                    - (F.col("sxi") / nn) * (F.col("sxj") / nn),
+                    6,
+                )
+                + 0.0
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+_SQ_LEVELS = 255
+
+
+@declared(
+    "v19_scalar_quant",
+    oracle=f"""
+    WITH pos AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    mm AS (SELECT d, MIN(x) AS lo, MAX(x) AS hi FROM pos GROUP BY d),
+    rec AS (
+      SELECT vec_id, label, x,
+             CASE WHEN hi > lo THEN
+               lo + FLOOR((x - lo) * {_SQ_LEVELS} / (hi - lo) + 0.5)
+                    * (hi - lo) / {_SQ_LEVELS}
+             ELSE lo END AS xr
+      FROM pos JOIN mm USING (d)
+    ),
+    per_vec AS (
+      SELECT vec_id, label, SUM((x - xr) * (x - xr)) / COUNT(*) AS mse,
+             MAX(ABS(x - xr)) AS mae
+      FROM rec GROUP BY vec_id, label
+    )
+    SELECT CAST(label AS INT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(mse), 6) AS avg_mse, ROUND(MAX(mae), 6) AS max_abs_err
+    FROM per_vec GROUP BY label ORDER BY label
+    """,
+)
+def v19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 scalar quantization audit — the embedding-compression mode
+    every production vector store ships alongside PQ (v11/v12 are the
+    codebook half; SQ is the per-dimension affine half): quantize each
+    dimension to {_SQ_LEVELS + 1} levels on its own global [min, max]
+    grid, reconstruct, and report per-label mean squared error and the
+    corpus-wide worst absolute error — the numbers that decide whether
+    serving can run 4× cheaper.
+
+    Scale shape: the per-dim [lo, hi] table is ONE posexplode partial agg
+    into 64 rows, broadcast back onto the element stream; quantize/
+    reconstruct/error is pure map-side column math and the result
+    aggregates per label (bounded groups). Quantization uses
+    floor(t + 0.5) — not banker's rint — so the grid index is identical
+    arithmetic on both engines; max_abs_err is an order-independent MAX
+    (exact), only the MSE means carry the usual 6dp sum-order round.
+    Constant dims degrade to lossless (hi == lo guard on both sides)."""
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x"),
+    )
+    mm = pos.groupBy("d").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    step = (F.col("hi") - F.col("lo")) / _SQ_LEVELS
+    xr = F.when(
+        F.col("hi") > F.col("lo"),
+        F.col("lo")
+        + F.floor((F.col("x") - F.col("lo")) / step + 0.5) * step,
+    ).otherwise(F.col("lo"))
+    per_vec = (
+        pos.join(F.broadcast(mm), "d")
+        .select(
+            "vec_id", "label",
+            ((F.col("x") - xr) * (F.col("x") - xr)).alias("se"),
+            F.abs(F.col("x") - xr).alias("ae"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            (F.sum("se") / F.count(F.lit(1))).alias("mse"),
+            F.max("ae").alias("mae"),
+        )
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("mse"), 6).alias("avg_mse"),
+            F.round(F.max("mae"), 6).alias("max_abs_err"),
+        )
+        .orderBy("label")
     )

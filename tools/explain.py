@@ -125,6 +125,8 @@ PICKS = {
     "p20_dsir_resample": "the hashed feature stream is scanned twice (bucket counts as ONE conditional agg, then scoring); the 256-row log-ratio model is built off spark.range and BROADCAST back — the doc-side join is BroadcastHashJoin, the top-K is TakeOrderedAndProject, no global sort, no text in any exchange",
     "v18_jl_grid": "the 2x64 plane matrix is a plan literal — projection is codegen'd zip_with/aggregate column math; both aggs (cell-label, cell rollup) are map-side combined into the bounded grid; the majority-label window partitions by cell over the grid-sized frame, never the corpus",
     "p21_perplexity_buckets": "LM scoring reuses t17's skew-split joins; the band cuts come from a cumulative window over the per-(lang, 4dp-score) COUNT lattice (bounded by score range x 1e4, not docs) and band assignment is a broadcast join of the |langs|-row cut table",
+    "ml11_embedding_cov": "each row expands its dim-squared upper-triangle products IN PLACE (higher-order transform — no self-join, no vector shuffle); partial agg collapses to <=2080 rows per map partition regardless of corpus size; the 64-row mean table broadcasts onto the sum frame",
+    "p22_pack_spans": "p01's shard-partitioned offset windows, then a pure map-side sequence explode (fan-out ceil(n_tok/budget)+1 per doc); every span column is exact int64 DIV/GREATEST/LEAST math — zero exchanges beyond p01's",
 }
 
 

@@ -72,6 +72,10 @@ PICKS = [
     ("t31_kneser_ney", "KN bigram LM: all model stats off the vocab-sized type table"),
     ("t30_c4_filters", "C4 rule audit: one scan, 8 counters per source"),
     ("v18_jl_grid", "JL embedding map: plan-literal projection, bounded-grid aggs"),
+    ("p22_pack_spans", "pack spans: shard windows + bounded map-side sequence explode"),
+    ("ml11_embedding_cov", "one-pass covariance: in-place dim-pair expansion, 2080 partials"),
+    ("v19_scalar_quant", "SQ audit: 64-row broadcast grid + map-side reconstruct"),
+    ("ga07_modularity", "modularity: bounded pair expansion + broadcast nation dims"),
 ]
 
 
