@@ -49,15 +49,28 @@ def main() -> None:
     # 3. quality + language filters (pure column expressions)
     docs = docs.filter(text.quality_score("text") >= 0.1)
 
-    # 4. stratified rebalance: downsample English to 50%
+    # 4. model-based curation: DSIR target-likeness + CCNet perplexity bands
+    #    (the registry queries run these standalone; here we just surface
+    #    their headline numbers on the surviving corpus)
+    from mdio_cpp_spark.plans import REGISTRY
+
+    print("DSIR top picks (target-distribution resampling):")
+    REGISTRY["p20_dsir_resample"].spark(spark, sf_dir).show(5)
+    print("per-language perplexity bands (CCNet head/middle/tail):")
+    REGISTRY["p21_perplexity_buckets"].spark(spark, sf_dir).show(6)
+
+    # 5. stratified rebalance: downsample English to 50%
     docs = stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.5})
     print(f"after quality + rebalance: {docs.count()}")
 
-    # 5. pack into 512-token sequences across 8 shards
+    # 6. pack into 512-token sequences across 8 shards
     packed = sequence_packing(docs, "doc_id", text.token_count("text"), budget=512, n_shards=8)
     packed.groupBy("shard").agg(
         F.countDistinct("pack_id").alias("packs"), F.sum("n_tok").alias("tokens")
     ).orderBy("shard").show()
+
+    # 7. position spans for the data loader (docs split at pack boundaries)
+    REGISTRY["p22_pack_spans"].spark(spark, sf_dir).show(5)
 
 
 if __name__ == "__main__":

@@ -2276,3 +2276,79 @@ def w17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", F.round(slope, 4).alias("slope"))
         .orderBy("event_type", "day")
     )
+
+
+_EWM_SPAN = 32  # trailing observations; 2^-32 is far below the 4dp contract
+
+
+@declared(
+    "w18_ewma",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM d),
+    pairs AS (
+      SELECT t.event_type, t.day, t.rn,
+             s.x AS xs,
+             1.0 / CAST(1 << (t.rn - s.rn) AS DOUBLE) AS w
+      FROM r t JOIN r s
+        ON s.event_type = t.event_type
+       AND s.rn <= t.rn AND s.rn > t.rn - {_EWM_SPAN})
+    SELECT event_type, day,
+           ROUND(SUM(xs * w) / SUM(w) / 100.0, 4) AS ewma
+    FROM pairs GROUP BY event_type, day ORDER BY event_type, day
+    """,
+)
+def w18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue per event
+    type (pandas ``ewm(halflife=1 step, adjust=True)`` semantics over the
+    per-day series) — THE smoothing every metrics dashboard ships next to
+    the raw line, and the one rolling shape w01–w17 lack. The decay
+    weight is 2^-k computed as an exact integer SHIFT (1.0 / (1 << k)),
+    never pow() — bit-identical on any engine — and the memory is
+    truncated at {_EWM_SPAN} trailing observations, where the dropped
+    tail (≤ 2^-32 relative) sits far below the 4dp output contract.
+
+    Scale shape: w16's prep (events collapse to exact integer cents per
+    (type, day) in one partial agg); the weighted sum runs on the
+    BOUNDED per-day frame as a banded self-join (≤ {_EWM_SPAN} partners
+    per row, equi-keyed on event_type) — state is rows-per-day, never
+    per-event, and the band keeps work linear in days. Daily x is exact;
+    only the final weighted mean carries the sum-order round."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    rn = F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+    r = d.select("event_type", "day", "x", rn.alias("rn"))
+    t = r.select("event_type", "day", F.col("rn").alias("rt"))
+    s = r.select(
+        F.col("event_type").alias("event_type"),
+        F.col("x").alias("xs"),
+        F.col("rn").alias("rs"),
+    )
+    pairs = t.join(s, "event_type").filter(
+        (F.col("rs") <= F.col("rt"))
+        & (F.col("rs") > F.col("rt") - _EWM_SPAN)
+    )
+    w = F.lit(1.0) / F.expr(
+        "cast(shiftleft(1L, cast(rt - rs as int)) as double)"
+    )
+    return (
+        pairs.groupBy("event_type", "day")
+        .agg(
+            F.round(
+                F.sum(F.col("xs") * w) / F.sum(w) / 100.0, 4
+            ).alias("ewma")
+        )
+        .orderBy("event_type", "day")
+    )

@@ -6769,3 +6769,84 @@ def v19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_OPT_MIN, _OPT_TARGET = 1500, 4000  # bytes: small-file cutoff, output target
+
+
+@declared(
+    "u09_compaction_plan",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT doc_id AS file_id, source AS part, n_chars AS bytes
+      FROM documents
+    ),
+    small AS (
+      SELECT file_id, part, bytes,
+             CAST(COALESCE(SUM(bytes) OVER (PARTITION BY part ORDER BY file_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) // {_OPT_TARGET} AS group_id
+      FROM manifest WHERE bytes < {_OPT_MIN}
+    ),
+    compacted AS (
+      SELECT part, group_id, CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(bytes) AS BIGINT) AS bytes, 'compact' AS kind
+      FROM small GROUP BY part, group_id
+    ),
+    passthrough AS (
+      SELECT part, file_id AS group_id, CAST(1 AS BIGINT) AS n_files,
+             CAST(bytes AS BIGINT) AS bytes, 'keep' AS kind
+      FROM manifest WHERE bytes >= {_OPT_MIN}
+    )
+    SELECT * FROM compacted UNION ALL SELECT * FROM passthrough
+    ORDER BY part, kind, group_id
+    """,
+)
+def u09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION PLAN — the lakehouse ``OPTIMIZE`` planner
+    (the read-amplification fix every table format ships: Delta OPTIMIZE,
+    Iceberg rewrite_data_files): files under the small-file cutoff are
+    binned into target-sized output groups, partition-locally and in
+    stable file order (re-planning is idempotent — no RNG, no timestamps);
+    files already at healthy size pass through untouched. The documents
+    table stands in as the file manifest (doc_id/source/n_chars =
+    file/partition/bytes). Emits the work list a compactor executes:
+    (partition, group, file count, bytes, kind).
+
+    Scale shape: the pass-through split is a pure map-side filter; only
+    SMALL files enter the p01-style running-offset window, which
+    partitions by table-partition (parallelism = partition count at any
+    manifest size — and a manifest is metadata, millions of rows per
+    100 TB, not billions). Greedy first-fit in file order is the same
+    boundary-spill convention as p01: a group may overshoot the target by
+    at most one small file (< cutoff), so every planned group is
+    < target + cutoff bytes — pinned in pytest. Exact integer arithmetic
+    end to end."""
+    d = _t(spark, sf_dir, "documents")
+    manifest = d.select(
+        F.col("doc_id").alias("file_id"),
+        F.col("source").alias("part"),
+        F.col("n_chars").alias("bytes"),
+    )
+    small = manifest.filter(F.col("bytes") < _OPT_MIN)
+    grouped = small.select(
+        "part",
+        "bytes",
+        F.expr(
+            f"coalesce(sum(bytes) over (partition by part order by file_id"
+            f" rows between unbounded preceding and 1 preceding), 0)"
+            f" div {_OPT_TARGET}"
+        ).alias("group_id"),
+    )
+    compacted = grouped.groupBy("part", "group_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("bytes"),
+    ).select("part", "group_id", "n_files", "bytes", F.lit("compact").alias("kind"))
+    passthrough = manifest.filter(F.col("bytes") >= _OPT_MIN).select(
+        "part",
+        F.col("file_id").alias("group_id"),
+        F.lit(1).cast("long").alias("n_files"),
+        F.col("bytes"),
+        F.lit("keep").alias("kind"),
+    )
+    return compacted.unionAll(passthrough).orderBy("part", "kind", "group_id")

@@ -103,3 +103,53 @@ def test_ga07_modularity_identities(spark, sf_dir):
     for r in out.itertuples():
         want = r.w_in / m - (r.degree_w / (2 * m)) ** 2
         assert r.q_contrib == pytest.approx(want, abs=1e-6)
+
+
+# --------------------------------------------------------------------- w18
+
+
+def test_w18_matches_python_ewma(spark, sf_dir):
+    out = REGISTRY["w18_ewma"].spark(spark, sf_dir).toPandas()
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e["day"] = (e["ts"].dt.normalize() - pd.Timestamp("2024-01-01")).dt.days
+    e["cents"] = (e["value"] * 100).round().astype("int64")
+    daily = (
+        e.groupby(["event_type", "day"])["cents"].sum().reset_index()
+        .sort_values(["event_type", "day"])
+    )
+    got = {(r.event_type, r.day): r.ewma for r in out.itertuples()}
+    for et, g in daily.groupby("event_type"):
+        xs = g["cents"].tolist()
+        days = g["day"].tolist()
+        for t in range(len(xs)):
+            lo = max(0, t - 31)
+            num = sum(xs[i] / (1 << (t - i)) for i in range(lo, t + 1))
+            den = sum(1.0 / (1 << (t - i)) for i in range(lo, t + 1))
+            want = round(num / den / 100.0, 4)
+            assert got[(et, days[t])] == pytest.approx(want, abs=1e-4)
+    assert len(got) == len(daily)
+
+
+# --------------------------------------------------------------------- u09
+
+
+def test_u09_compaction_plan_invariants(spark, sf_dir):
+    out = REGISTRY["u09_compaction_plan"].spark(spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    # file conservation: every manifest file lands in exactly one group
+    assert out["n_files"].sum() == len(docs)
+    assert out["bytes"].sum() == docs["n_chars"].sum()
+    keep = out[out["kind"] == "keep"]
+    comp = out[out["kind"] == "compact"]
+    # pass-through rows are exactly the healthy files, one group each
+    assert (keep["n_files"] == 1).all()
+    assert (keep["bytes"] >= 1500).all()
+    assert (comp["bytes"] < 1500 * comp["n_files"]).all()
+    # first-fit overshoot bound: a planned group never exceeds
+    # target + cutoff (the one boundary-spilling small file)
+    assert (comp["bytes"] < 4000 + 1500).all()
+    # idempotence: re-planning the same manifest yields the same plan
+    again = REGISTRY["u09_compaction_plan"].spark(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), again.reset_index(drop=True)
+    )

@@ -127,6 +127,7 @@ PICKS = {
     "p21_perplexity_buckets": "LM scoring reuses t17's skew-split joins; the band cuts come from a cumulative window over the per-(lang, 4dp-score) COUNT lattice (bounded by score range x 1e4, not docs) and band assignment is a broadcast join of the |langs|-row cut table",
     "ml11_embedding_cov": "each row expands its dim-squared upper-triangle products IN PLACE (higher-order transform — no self-join, no vector shuffle); partial agg collapses to <=2080 rows per map partition regardless of corpus size; the 64-row mean table broadcasts onto the sum frame",
     "p22_pack_spans": "p01's shard-partitioned offset windows, then a pure map-side sequence explode (fan-out ceil(n_tok/budget)+1 per doc); every span column is exact int64 DIV/GREATEST/LEAST math — zero exchanges beyond p01's",
+    "u09_compaction_plan": "pass-through files split off as a pure map-side Filter; only sub-cutoff files enter the per-partition running-offset window (parallelism = partition count); the plan is exact integer arithmetic and idempotent — no RNG, no timestamps",
 }
 
 

@@ -76,6 +76,8 @@ PICKS = [
     ("ml11_embedding_cov", "one-pass covariance: in-place dim-pair expansion, 2080 partials"),
     ("v19_scalar_quant", "SQ audit: 64-row broadcast grid + map-side reconstruct"),
     ("ga07_modularity", "modularity: bounded pair expansion + broadcast nation dims"),
+    ("w18_ewma", "EWMA: banded self-join on the bounded per-day frame, shift weights"),
+    ("u09_compaction_plan", "OPTIMIZE planner: map-side split + per-partition offset window"),
 ]
 
 
