@@ -6850,3 +6850,175 @@ def u09(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("keep").alias("kind"),
     )
     return compacted.unionAll(passthrough).orderBy("part", "kind", "group_id")
+
+
+_PATCH, _PATCH_MOD = 16, 29  # ViT patch side; doc subset for the span listing
+
+
+@declared(
+    "mm10_patch_grid",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             64 + 16 * {{h1}} + {{h2}} AS width,
+             64 + 16 * {{h3}} + {{h4}} AS height,
+             1 + {{h5}} % 3 AS channels
+      FROM documents WHERE doc_id % {_PATCH_MOD} = 0
+    ),
+    grid AS (
+      SELECT doc_id, width, height, channels,
+             width // {_PATCH} AS nx, height // {_PATCH} AS ny
+      FROM meta
+    ),
+    patches AS (
+      SELECT doc_id, width, channels, nx,
+             unnest(generate_series(0, CAST(nx * ny - 1 AS BIGINT))) AS patch_id
+      FROM grid
+    )
+    SELECT doc_id, CAST(patch_id AS BIGINT) AS patch_id,
+           CAST((patch_id // nx) * {_PATCH} AS BIGINT) AS y0,
+           CAST((patch_id % nx) * {_PATCH} AS BIGINT) AS x0,
+           CAST(((patch_id // nx) * {_PATCH} * width
+                 + (patch_id % nx) * {_PATCH}) * channels AS BIGINT) AS byte_off
+    FROM patches ORDER BY doc_id, patch_id
+    """.format(
+        h1=_dd_hexv(1), h2=_dd_hexv(2), h3=_dd_hexv(3), h4=_dd_hexv(4),
+        h5=_dd_hexv(5),
+    ),
+)
+def mm10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT PATCH-GRID plumbing — the tokenization step of every
+    vision-transformer ingest: split each image into {_PATCH}×{_PATCH}
+    patches (bottom/right remainder cropped, the standard ViT behavior)
+    and emit per patch its grid id, pixel origin, and the byte offset of
+    its first pixel in the row-major channels-last payload — exactly what
+    a loader needs to slice patch tensors out of the stored blob without
+    decoding whole images. Image dims come from mm02's deterministic fake
+    decoder (no image wheel in this container); the gate subsets to
+    doc_id % {_PATCH_MOD} = 0 so the patch listing stays bounded while
+    every arithmetic path (grid div/mod, offset multiply) is pinned.
+
+    Scale shape: metadata-only — ONE pass over the (already decoded)
+    dimension columns, a map-side sequence explode of nx·ny ≤ a few
+    hundred rows per image, zero shuffles, zero payload bytes moved; at
+    100 TB the patch manifest generation never touches pixels, and the
+    byte offsets drive suffix-range GETs instead of full-object reads
+    (the same partial-read discipline as the sharded zarr scans)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % _PATCH_MOD == 0)
+    meta = multimodal.decode_image_meta(
+        multimodal.attach_binary_payload(d, "doc_id", "text")
+    ).select("doc_id", "width", "height", "channels")
+    grid = meta.select(
+        "doc_id", "width", "channels",
+        F.expr(f"width div {_PATCH}").alias("nx"),
+        F.expr(f"height div {_PATCH}").alias("ny"),
+    )
+    patches = grid.select(
+        "doc_id", "width", "channels", "nx",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), (F.col("nx") * F.col("ny") - 1).cast("long"))
+        ).alias("patch_id"),
+    )
+    py = F.expr(f"(patch_id div nx) * {_PATCH}")
+    px = (F.col("patch_id") % F.col("nx")) * _PATCH
+    return patches.select(
+        "doc_id",
+        "patch_id",
+        py.cast("long").alias("y0"),
+        px.cast("long").alias("x0"),
+        ((py * F.col("width") + px) * F.col("channels")).cast("long").alias("byte_off"),
+    ).orderBy("doc_id", "patch_id")
+
+
+_BQ_QUERY, _BQ_K = 0, 10
+
+
+def _dd_binary_quant_sql() -> str:
+    return f"""
+    WITH pos AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN x >= 0 AND d < 32
+                           THEN CAST(1 AS BIGINT) << CAST(d AS INTEGER)
+                           ELSE 0 END) AS BIGINT) AS w_lo,
+             CAST(SUM(CASE WHEN x >= 0 AND d >= 32
+                           THEN CAST(1 AS BIGINT) << CAST(d - 32 AS INTEGER)
+                           ELSE 0 END) AS BIGINT) AS w_hi
+      FROM pos GROUP BY vec_id
+    ),
+    q AS (SELECT w_lo AS q_lo, w_hi AS q_hi FROM sig WHERE vec_id = {_BQ_QUERY}),
+    ham AS (
+      SELECT s.vec_id,
+             CAST(bit_count(xor(s.w_lo, q.q_lo))
+                  + bit_count(xor(s.w_hi, q.q_hi)) AS BIGINT) AS hamming
+      FROM sig s CROSS JOIN q WHERE s.vec_id <> {_BQ_QUERY}
+    ),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_BQ_QUERY})
+    SELECT h.vec_id, h.hamming,
+           ROUND({{cos}}, 4) AS cos
+    FROM ham h JOIN embeddings e ON e.vec_id = h.vec_id CROSS JOIN qv
+    ORDER BY h.hamming, h.vec_id LIMIT {_BQ_K}
+    """.format(cos=_dd_cosine("e.embedding", "qe"))
+
+
+@declared("v20_binary_quant", oracle=_dd_binary_quant_sql())
+def v20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY quantization search — the 1-bit compression mode modern
+    vector stores ship beside PQ (v11/v12) and SQ (v19): each 64-dim
+    vector collapses to a 64-bit SIGN SIGNATURE (two exact int32 words
+    built by integer shift-sums — no floats in the index), candidates
+    rank by Hamming distance (bit_count of XOR — the 32×-cheaper screen),
+    and the top-{_BQ_K} re-rank against the exact cosine. Ties break on
+    vec_id so engines agree.
+
+    Scale shape: signature building is one posexplode partial agg into a
+    row per vector (64 bits of index per corpus vector — the whole index
+    for a billion vectors is 8 GB and the scan of it is sequential
+    integer XOR/POPCNT, no vector data touched); the query signature is
+    a 1-row broadcast; only the {_BQ_K} survivors fetch their float
+    vectors for the exact rerank (broadcast semi shape). The Hamming
+    top-k compiles to TakeOrderedAndProject, never a global sort."""
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x"),
+    )
+    bit = F.expr("shiftleft(1L, cast(d % 32 as int))")
+    sig = pos.groupBy("vec_id").agg(
+        F.sum(F.when((F.col("x") >= 0) & (F.col("d") < 32), bit).otherwise(0)).alias("w_lo"),
+        F.sum(F.when((F.col("x") >= 0) & (F.col("d") >= 32), bit).otherwise(0)).alias("w_hi"),
+    )
+    q = F.broadcast(
+        sig.filter(F.col("vec_id") == _BQ_QUERY).select(
+            F.col("w_lo").alias("q_lo"), F.col("w_hi").alias("q_hi")
+        )
+    )
+    ham = (
+        sig.filter(F.col("vec_id") != _BQ_QUERY)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            (
+                F.bit_count(F.col("w_lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("w_hi").bitwiseXOR(F.col("q_hi")))
+            ).cast("long").alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(_BQ_K)
+    )
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == _BQ_QUERY).select(F.col("embedding").alias("qe"))
+    )
+    return (
+        ham.join(e.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(qv)
+        .select(
+            "vec_id", "hamming",
+            F.round(vectors.cosine(F.col("embedding"), F.col("qe")), 4).alias("cos"),
+        )
+        .orderBy("hamming", "vec_id")
+    )

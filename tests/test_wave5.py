@@ -153,3 +153,52 @@ def test_u09_compaction_plan_invariants(spark, sf_dir):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), again.reset_index(drop=True)
     )
+
+
+# --------------------------------------------------------------------- mm10
+
+
+def test_mm10_patch_grid_tiles_the_image(spark, sf_dir):
+    out = REGISTRY["mm10_patch_grid"].spark(spark, sf_dir).toPandas()
+    meta = REGISTRY["mm02_decode_meta"].spark(spark, sf_dir).toPandas()
+    meta = meta[meta["doc_id"] % 29 == 0].set_index("doc_id")
+    P = 16
+    for doc_id, g in out.groupby("doc_id"):
+        w, h, c = (
+            int(meta.loc[doc_id, "width"]),
+            int(meta.loc[doc_id, "height"]),
+            int(meta.loc[doc_id, "channels"]),
+        )
+        nx, ny = w // P, h // P
+        assert len(g) == nx * ny
+        assert list(g["patch_id"]) == list(range(nx * ny))
+        # origins stay inside the cropped grid, offsets inside the payload
+        assert (g["x0"] % P == 0).all() and (g["y0"] % P == 0).all()
+        assert (g["x0"] <= w - P).all() and (g["y0"] <= h - P).all()
+        assert (g["byte_off"] == (g["y0"] * w + g["x0"]) * c).all()
+        assert (g["byte_off"] < w * h * c).all()
+    assert set(out["doc_id"]) == set(meta.index)
+
+
+# --------------------------------------------------------------------- v20
+
+
+def test_v20_matches_numpy_hamming(spark, sf_dir):
+    out = REGISTRY["v20_binary_quant"].spark(spark, sf_dir).toPandas()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    bits = X >= 0
+    qbits = bits[ids == 0][0]
+    ham = (bits ^ qbits).sum(axis=1)
+    order = sorted(
+        [(int(h), int(i)) for h, i in zip(ham, ids) if i != 0]
+    )[:10]
+    assert list(zip(out["hamming"], out["vec_id"])) == order
+    # the rerank column is the true cosine to the query
+    qv = X[ids == 0][0]
+    byid = {int(i): X[k] for k, i in enumerate(ids)}
+    for r in out.itertuples():
+        v = byid[r.vec_id]
+        want = float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+        assert r.cos == pytest.approx(want, abs=1e-4)

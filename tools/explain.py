@@ -128,6 +128,7 @@ PICKS = {
     "ml11_embedding_cov": "each row expands its dim-squared upper-triangle products IN PLACE (higher-order transform — no self-join, no vector shuffle); partial agg collapses to <=2080 rows per map partition regardless of corpus size; the 64-row mean table broadcasts onto the sum frame",
     "p22_pack_spans": "p01's shard-partitioned offset windows, then a pure map-side sequence explode (fan-out ceil(n_tok/budget)+1 per doc); every span column is exact int64 DIV/GREATEST/LEAST math — zero exchanges beyond p01's",
     "u09_compaction_plan": "pass-through files split off as a pure map-side Filter; only sub-cutoff files enter the per-partition running-offset window (parallelism = partition count); the plan is exact integer arithmetic and idempotent — no RNG, no timestamps",
+    "v20_binary_quant": "signatures are one posexplode partial agg (two int32 shift-sum words per vector — 8 bytes of index per corpus vector); the query signature is a 1-row broadcast, the Hamming screen is integer XOR/POPCNT compiling to TakeOrderedAndProject, and only the K survivors fetch float vectors for the exact rerank",
 }
 
 

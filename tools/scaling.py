@@ -78,6 +78,8 @@ PICKS = [
     ("ga07_modularity", "modularity: bounded pair expansion + broadcast nation dims"),
     ("w18_ewma", "EWMA: banded self-join on the bounded per-day frame, shift weights"),
     ("u09_compaction_plan", "OPTIMIZE planner: map-side split + per-partition offset window"),
+    ("mm10_patch_grid", "ViT patch manifest: metadata-only, zero payload movement"),
+    ("v20_binary_quant", "1-bit signatures + Hamming screen + exact top-k rerank"),
 ]
 
 
