@@ -4036,3 +4036,107 @@ def ga07(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+_KM_CENSOR_H = 48  # purchasers active in the final 2 days are right-censored
+
+
+@declared(
+    "ev19_survival_km",
+    oracle=f"""
+    WITH spans AS (
+      SELECT user_id,
+             CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', MIN(ts))
+                  AS BIGINT) AS first_h,
+             CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', MAX(ts))
+                  AS BIGINT) AS last_h
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(last_h) AS max_h FROM spans),
+    obs AS (
+      SELECT last_h - first_h AS t,
+             CASE WHEN last_h > max_h - {_KM_CENSOR_H} THEN 0 ELSE 1 END AS ev
+      FROM spans CROSS JOIN horizon
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
+    byday AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at,
+             CAST(SUM(ev) AS BIGINT) AS d_churn
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d_churn,
+             n - CAST(COALESCE(SUM(n_at) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM byday CROSS JOIN total
+    )
+    SELECT t, n_risk, d_churn,
+           ROUND(CAST(d_churn AS DOUBLE) / n_risk, 6) AS hazard,
+           ROUND(EXP(SUM(LN(1.0 - CAST(d_churn AS DOUBLE) / n_risk))
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4)
+             AS survival
+    FROM risk WHERE d_churn > 0 OR n_risk > 0
+    ORDER BY t
+    """,
+)
+def ev19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier churn SURVIVAL curve — the retention question ev02's
+    cohort matrix cannot answer once observation windows are ragged:
+    survival time = HOURS between a user's first and last purchase,
+    purchasers still active in the final {_KM_CENSOR_H} hours RIGHT-CENSORED
+    (they count in the at-risk denominator but never as churn events —
+    dropping them, or counting them as churned, both bias retention down).
+    Emits the lifetime table: per duration t the at-risk count n_t, churn
+    events d_t, hazard d_t/n_t, and the KM product-limit estimator
+    S(t) = Π(1 − d_i/n_i).
+
+    Scale shape: the corpus collapses to one (first, last) row per user
+    in a single map-side-combined pass; everything after lives on the
+    BOUNDED duration grid (≤ observation-window days): the at-risk counts
+    come from the total minus a prefix sum over that grid — never a
+    per-user window — and the running product runs in log space over the
+    same bounded frame (exp-sum-ln, the engines' shared 4dp contract;
+    hazards are exact integer ratios rounded at 6dp). The one
+    SinglePartition window is over the duration grid — a bounded frame,
+    the documented plan-quality exception class."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    epoch0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    hours_since = lambda c: F.floor(
+        (c.cast("long") - epoch0.cast("long")) / 3600
+    ).cast("long")
+    spans = e.groupBy("user_id").agg(
+        hours_since(F.min("ts")).alias("first_h"),
+        hours_since(F.max("ts")).alias("last_h"),
+    )
+    horizon = F.broadcast(spans.agg(F.max("last_h").alias("max_h")))
+    obs = spans.crossJoin(horizon).select(
+        (F.col("last_h") - F.col("first_h")).alias("t"),
+        F.when(
+            F.col("last_h") > F.col("max_h") - _KM_CENSOR_H, F.lit(0)
+        ).otherwise(F.lit(1)).alias("ev"),
+    )
+    total = F.broadcast(obs.agg(F.count(F.lit(1)).alias("n")))
+    byday = obs.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_at"), F.sum("ev").alias("d_churn")
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = byday.crossJoin(total).select(
+        "t",
+        "d_churn",
+        (F.col("n") - F.coalesce(F.sum("n_at").over(wprev), F.lit(0))).alias(
+            "n_risk"
+        ),
+    )
+    haz = F.col("d_churn").cast("double") / F.col("n_risk")
+    return (
+        risk.select(
+            "t", "n_risk", "d_churn",
+            F.round(haz, 6).alias("hazard"),
+            F.round(
+                F.exp(F.sum(F.log(1.0 - haz)).over(wcum)), 4
+            ).alias("survival"),
+        )
+        .orderBy("t")
+    )

@@ -202,3 +202,24 @@ def test_v20_matches_numpy_hamming(spark, sf_dir):
         v = byid[r.vec_id]
         want = float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
         assert r.cos == pytest.approx(want, abs=1e-4)
+
+
+# --------------------------------------------------------------------- ev19
+
+
+def test_ev19_km_estimator_invariants(spark, sf_dir):
+    out = REGISTRY["ev19_survival_km"].spark(spark, sf_dir).toPandas()
+    # duration grid sorted, at-risk strictly decreasing, hazards in [0, 1]
+    assert list(out["t"]) == sorted(out["t"])
+    assert (out["n_risk"].diff().dropna() < 0).all()
+    assert ((out["hazard"] >= 0) & (out["hazard"] <= 1)).all()
+    # survival is a non-increasing product-limit curve starting <= 1
+    assert (out["survival"].diff().dropna() <= 1e-9).all()
+    assert out["survival"].iloc[0] <= 1.0 + 1e-9
+    # python recompute of the product-limit estimator
+    s = 1.0
+    for r in out.itertuples():
+        s *= 1.0 - r.d_churn / r.n_risk
+        assert r.survival == pytest.approx(round(s, 4), abs=2e-4)
+    # censoring really happened: fewer churn events than observations
+    assert out["d_churn"].sum() < out["n_risk"].iloc[0]

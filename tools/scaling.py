@@ -80,6 +80,7 @@ PICKS = [
     ("u09_compaction_plan", "OPTIMIZE planner: map-side split + per-partition offset window"),
     ("mm10_patch_grid", "ViT patch manifest: metadata-only, zero payload movement"),
     ("v20_binary_quant", "1-bit signatures + Hamming screen + exact top-k rerank"),
+    ("ev19_survival_km", "KM churn curve: per-user collapse then bounded duration grid"),
 ]
 
 
