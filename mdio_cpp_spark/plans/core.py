@@ -2317,9 +2317,12 @@ def w18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: w16's prep (events collapse to exact integer cents per
     (type, day) in one partial agg); the weighted sum runs on the
-    BOUNDED per-day frame as a banded self-join (≤ {_EWM_SPAN} partners
-    per row, equi-keyed on event_type) — state is rows-per-day, never
-    per-event, and the band keeps work linear in days. Daily x is exact;
+    BOUNDED per-day frame as a banded self-join (≤ {_EWM_SPAN} surviving
+    partners per row, equi-keyed on event_type; the hash join still
+    evaluates |days|² candidate pairs per type before the band filter —
+    day-grid-sized, zero in corpus size; a multi-year grid would swap in
+    the asof-style bucketed range decomposition) — state is rows-per-day,
+    never per-event. Daily x is exact;
     only the final weighted mean carries the sum-order round."""
     e = _t(spark, sf_dir, "events")
     d = e.groupBy(

@@ -6095,9 +6095,11 @@ def p20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cr"),
         F.count(F.when(is_t, F.lit(1))).alias("ct"),
     )
-    tot = fb.agg(
-        F.count(F.lit(1)).alias("n_r"),
-        F.count(F.when(is_t, F.lit(1))).alias("n_t"),
+    # totals roll up from the 256-row bucket table (exchange-reused subtree)
+    # — never a separate corpus-wide aggregation pass
+    tot = bc.agg(
+        F.sum("cr").alias("n_r"),
+        F.sum("ct").alias("n_t"),
     )
     lr = (
         spark.range(_DSIR_BUCKETS)
