@@ -38,6 +38,12 @@ def main() -> None:
     print("== leave-one-out weekday-seasonal anomaly days (|z| > 3)")
     REGISTRY["ev15_seasonal_anomaly"].spark(spark, SF).show(8)
 
+    print("== EWMA-smoothed daily revenue (exact shift-weight decay)")
+    REGISTRY["w18_ewma"].spark(spark, SF).show(8)
+
+    print("== Kaplan-Meier churn survival (right-censored purchase lifespans)")
+    REGISTRY["ev19_survival_km"].spark(spark, SF).show(8)
+
     print("== hourly OHLC, the streaming-capable formulation (batch twin)")
     REGISTRY["st09_stream_ohlc"].spark(spark, SF).show(8)
     print("   (streaming parity: tests/test_streaming.py::test_ohlc_parity)")

@@ -44,6 +44,12 @@ def main() -> None:
 
     REGISTRY["v09_stored_ivf"].spark(spark, SF_DIR).show()
 
+    print("== binary-quantized screen (64-bit signatures, Hamming + exact rerank) ==")
+    REGISTRY["v20_binary_quant"].spark(spark, SF_DIR).show()
+
+    print("== int8 scalar-quantization error audit ==")
+    REGISTRY["v19_scalar_quant"].spark(spark, SF_DIR).show()
+
 
 if __name__ == "__main__":
     main()
