@@ -7024,3 +7024,288 @@ def v20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hamming", "vec_id")
     )
+
+
+@declared(
+    "ml12_auc",
+    oracle="""
+    WITH pos AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (SELECT label AS cid, pos, AVG(x) AS c FROM pos GROUP BY label, pos),
+    cn AS (SELECT cid, sqrt(SUM(c * c)) AS cn FROM cent GROUP BY cid),
+    vn AS (SELECT vec_id, sqrt(SUM(x * x)) AS vn FROM pos GROUP BY vec_id),
+    dots AS (SELECT v.vec_id, v.label, c.cid, SUM(v.x * c.c) AS dot
+             FROM pos v JOIN cent c ON v.pos = c.pos
+             GROUP BY v.vec_id, v.label, c.cid),
+    scored AS (SELECT d.vec_id, d.label, d.cid,
+                      ROUND(d.dot / (vn.vn * cn.cn), 6) AS cc
+               FROM dots d JOIN vn USING (vec_id) JOIN cn USING (cid)),
+    lattice AS (
+      SELECT cid, cc, CAST(COUNT(*) AS BIGINT) AS n_v,
+             CAST(COUNT(*) FILTER (WHERE label = cid) AS BIGINT) AS p_v
+      FROM scored GROUP BY cid, cc
+    ),
+    ranked AS (
+      SELECT cid, cc, n_v, p_v,
+             CAST(COALESCE(SUM(n_v) OVER (PARTITION BY cid ORDER BY cc
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before
+      FROM lattice
+    ),
+    agg AS (
+      SELECT cid,
+             CAST(SUM(p_v) AS BIGINT) AS n_pos,
+             CAST(SUM(n_v - p_v) AS BIGINT) AS n_neg,
+             SUM(p_v * (cum_before + (n_v + 1) / 2.0)) AS r_pos
+      FROM ranked GROUP BY cid
+    )
+    SELECT CAST(cid AS INT) AS class,
+           n_pos, n_neg,
+           ROUND((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6)
+             AS auc
+    FROM agg ORDER BY class
+    """,
+)
+def ml12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ROC AUC per class — the rank-statistic evaluation
+    (Mann–Whitney U) missing between ml06's thresholded precision/recall
+    and ml07's calibration bins: for each class, score every vector by
+    its 6dp-rounded cosine to that class centroid and compute
+    AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻) with AVERAGE ranks over ties —
+    threshold-free separability.
+
+    Scale shape: no per-row rank window anywhere — scores collapse to
+    the per-(class, 6dp-score) COUNT LATTICE first (p21's cut idiom:
+    lattice size is bounded by classes × the 6dp score range, never by
+    corpus rows), the tie-averaged ranks come from a prefix sum over
+    that bounded frame (window partitions by class), and R⁺ is one more
+    lattice-sized aggregate. All rank arithmetic is half-integer exact;
+    the only rounding is the final AUC division. Ties carry identical
+    structure on both engines because the scores themselves are the
+    6dp-rounded cosine contract (ml07)."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "x"),
+    )
+    cent = pos.groupBy(F.col("label").alias("cid"), "p").agg(
+        F.avg("x").alias("c")
+    )
+    cn = cent.groupBy("cid").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"))
+    vn = pos.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vn"))
+    dots = (
+        pos.join(cent, "p")
+        .groupBy("vec_id", "label", "cid")
+        .agg(F.sum(F.col("x") * F.col("c")).alias("dot"))
+    )
+    scored = (
+        dots.join(vn, "vec_id")
+        .join(F.broadcast(cn), "cid")
+        .select(
+            "cid", "label",
+            F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 6).alias("cc"),
+        )
+    )
+    lattice = scored.groupBy("cid", "cc").agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.count(F.when(F.col("label") == F.col("cid"), F.lit(1))).alias("p_v"),
+    )
+    wprev = (
+        W.partitionBy("cid").orderBy("cc").rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = lattice.select(
+        "cid", "n_v", "p_v",
+        F.coalesce(F.sum("n_v").over(wprev), F.lit(0)).alias("cum_before"),
+    )
+    agg = ranked.groupBy("cid").agg(
+        F.sum("p_v").alias("n_pos"),
+        F.sum(F.col("n_v") - F.col("p_v")).alias("n_neg"),
+        F.sum(
+            F.col("p_v") * (F.col("cum_before") + (F.col("n_v") + 1) / 2.0)
+        ).alias("r_pos"),
+    )
+    return agg.select(
+        F.col("cid").cast("int").alias("class"),
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    ).orderBy("class")
+
+
+# Poisson(1) CDF thresholds, driver-computed ONCE and embedded as identical
+# literals in the Spark plan and the SQL oracle (the shared-constant
+# convention of the LSH hyperplanes). Tail capped at k=8 (P ≈ 1e-5).
+_BOOT_B, _BOOT_MOD = 32, 16 ** 13
+_BOOT_CDF = []
+_acc, _term = 0.0, 2.718281828459045 ** -1
+for _k in range(8):
+    _acc += _term
+    _BOOT_CDF.append(_acc)
+    _term /= (_k + 1)
+del _acc, _term, _k
+
+
+def _dd_bootstrap_sql() -> str:
+    ladder = " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+    )
+    return f"""
+    WITH reps AS (SELECT CAST(range AS BIGINT) AS b FROM range({_BOOT_B})),
+    drawn AS (
+      SELECT b, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+                   CAST(b AS VARCHAR)), 1, 13)) AS BIGINT)
+               / CAST({_BOOT_MOD} AS DOUBLE) AS u
+      FROM orders CROSS JOIN reps
+    ),
+    weighted AS (SELECT b, cents, CASE {ladder} ELSE 8 END AS k FROM drawn)
+    SELECT b, CAST(SUM(k) AS BIGINT) AS n_eff,
+           ROUND(SUM(k * cents) / CAST(SUM(k) AS DOUBLE) / 100.0, 4)
+             AS boot_mean
+    FROM weighted GROUP BY b ORDER BY b
+    """
+
+
+@declared("s12_poisson_bootstrap", oracle=_dd_bootstrap_sql())
+def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP — the at-scale resampling scheme (each of B
+    replicates gives every row an independent Poisson(1) multiplicity, the
+    streaming-friendly stand-in for multinomial resampling whose per-row
+    draws need no global coordination): {_BOOT_B} deterministic replicates
+    of the mean order value, weights drawn by inverse-CDF over an
+    id+replicate hash fraction (no RNG state — membership is recomputable
+    from the id alone, s03's auditability contract; the CDF thresholds
+    are driver-computed literals shared with the oracle, the hyperplane
+    convention). Emits the replicate table (b, effective n, resampled
+    mean) — the spread across rows IS the standard-error estimate, pinned
+    in pytest against the analytic SE.
+
+    Scale shape: one scan fanned out ×B against a BROADCAST {_BOOT_B}-row
+    replicate frame — per-row work is a hash + CASE ladder where the row
+    lives, the exchange carries B partial (Σk·cents, Σk) pairs per map
+    partition, and resampled totals ride exact int64 cents (k ≤ 8,
+    cents ≤ 5e7: no overflow until ~1e10 rows per replicate partial).
+    At 100 TB the B× fan-out is the textbook trade (B passes of map-side
+    math, zero extra shuffles); fusing the B draws into one array column
+    per row halves nothing at the exchange, which is already B-bounded."""
+    o = _t(spark, sf_dir, "orders")
+    reps = F.broadcast(
+        spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(_BOOT_MOD))
+    )
+    k = F.lit(8)
+    for kk in range(len(_BOOT_CDF) - 1, -1, -1):
+        k = F.when(F.col("u") < _BOOT_CDF[kk], F.lit(kk)).otherwise(k)
+    drawn = o.crossJoin(reps).select(
+        "b",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        u.alias("u"),
+    )
+    weighted = drawn.select("b", "cents", k.alias("k"))
+    return (
+        weighted.groupBy("b")
+        .agg(
+            F.sum("k").alias("n_eff"),
+            F.round(
+                F.sum(F.col("k") * F.col("cents")) / F.sum("k").cast("double") / 100.0,
+                4,
+            ).alias("boot_mean"),
+        )
+        .orderBy("b")
+    )
+
+
+@declared(
+    "t32_flesch",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, {_DD_TOKS} AS w FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sents,
+             CAST(list_sum(list_transform(w,
+                  x -> GREATEST(len(regexp_extract_all(x, '[aeiou]+')), 1)))
+                  AS BIGINT) AS n_syl
+      FROM d WHERE len(w) >= 1
+    )
+    SELECT doc_id, n_words, n_sents, n_syl,
+           ROUND(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                 - 84.6 * (CAST(n_syl AS DOUBLE) / n_words), 4) AS flesch
+    FROM m ORDER BY doc_id
+    """,
+)
+def t32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease per document — the composite readability score
+    (206.835 − 1.015·words/sentence − 84.6·syllables/word) that t23's
+    per-language syllable ratio feeds but never assembles: the standard
+    legibility gate for instruction-tuning and kid-safe corpus curation.
+    Sentences count terminator RUNS ('...' is one boundary), floored at 1
+    so headline-style fragments score rather than divide by zero;
+    syllables use t23's vowel-group heuristic floored at 1 per word (the
+    'rhythm'-class all-consonant token still counts one).
+
+    Scale shape: three integer counters per document, all codegen'd
+    regex/length folds evaluated where the row lives — ONE scan, one
+    doc-keyed result, no exchange beyond the scan's partitioning; the
+    formula itself is exact-input division (two integer ratios), rounded
+    once at 4dp."""
+    d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
+    w = text.tokens(F.col("text"))
+    base = d.select("doc_id", "text", w.alias("w")).filter(F.size("w") >= 1)
+    n_words = F.size("w").cast("long")
+    n_sents = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("long")
+    n_syl = F.aggregate(
+        F.transform(
+            F.col("w"),
+            lambda x: F.greatest(
+                F.size(F.regexp_extract_all(x, F.lit("[aeiou]+"), F.lit(0))),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syl.alias("n_syl"),
+        F.round(
+            206.835
+            - 1.015 * (n_words.cast("double") / n_sents)
+            - 84.6 * (n_syl.cast("double") / n_words),
+            4,
+        ).alias("flesch"),
+    ).orderBy("doc_id")

@@ -223,3 +223,76 @@ def test_ev19_km_estimator_invariants(spark, sf_dir):
         assert r.survival == pytest.approx(round(s, 4), abs=2e-4)
     # censoring really happened: fewer churn events than observations
     assert out["d_churn"].sum() < out["n_risk"].iloc[0]
+
+
+# --------------------------------------------------------------------- ml12
+
+
+def test_ml12_auc_matches_numpy_rank_recompute(spark, sf_dir):
+    out = REGISTRY["ml12_auc"].spark(spark, sf_dir).toPandas().set_index("class")
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    y = emb["label"].to_numpy()
+    for c in np.unique(y):
+        cent = X[y == c].mean(axis=0)
+        cc = np.round(
+            X @ cent / (np.linalg.norm(X, axis=1) * np.linalg.norm(cent)), 6
+        )
+        # tie-averaged ranks (1-based)
+        order = np.argsort(cc, kind="mergesort")
+        ranks = np.empty(len(cc))
+        sorted_cc = cc[order]
+        i = 0
+        while i < len(cc):
+            j = i
+            while j + 1 < len(cc) and sorted_cc[j + 1] == sorted_cc[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + 1 + j + 1) / 2.0
+            i = j + 1
+        pos = y == c
+        n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+        auc = (ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+        assert out.loc[c, "n_pos"] == n_pos
+        assert out.loc[c, "auc"] == pytest.approx(auc, abs=2e-6), c
+        # a trained-on-own-centroid score must separate better than chance
+        assert out.loc[c, "auc"] > 0.5
+
+
+# --------------------------------------------------------------------- s12
+
+
+def test_s12_bootstrap_distribution_is_sane(spark, sf_dir):
+    out = REGISTRY["s12_poisson_bootstrap"].spark(spark, sf_dir).toPandas()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    n, mu, sd = len(cents), cents.mean() / 100, cents.std(ddof=1) / 100
+    assert len(out) == 32
+    # Poisson(1) weights: each replicate's effective n concentrates at n
+    assert ((out["n_eff"] - n).abs() < 5 * np.sqrt(n)).all()
+    # replicate means scatter around the true mean at ~ the analytic SE
+    se = sd / np.sqrt(n)
+    assert abs(out["boot_mean"].mean() - mu) < 4 * se
+    boot_se = out["boot_mean"].std(ddof=1)
+    assert 0.4 * se < boot_se < 2.5 * se
+    # determinism: a rerun is bit-identical (no RNG state anywhere)
+    again = REGISTRY["s12_poisson_bootstrap"].spark(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(out, again)
+
+
+# --------------------------------------------------------------------- t32
+
+
+def test_t32_flesch_matches_python_recompute(spark, sf_dir):
+    import re as _re
+
+    out = REGISTRY["t32_flesch"].spark(spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet").set_index("doc_id")
+    tok = _re.compile(r"[^a-z0-9]+")
+    for r in out.sample(n=min(60, len(out)), random_state=7).itertuples():
+        text = docs.loc[r.doc_id, "text"]
+        w = [t for t in tok.split(text.lower()) if t]
+        sents = max(len(_re.findall(r"[.!?]+", text)), 1)
+        syl = sum(max(len(_re.findall(r"[aeiou]+", x)), 1) for x in w)
+        want = round(206.835 - 1.015 * len(w) / sents - 84.6 * syl / len(w), 4)
+        assert (r.n_words, r.n_sents, r.n_syl) == (len(w), sents, syl)
+        assert r.flesch == pytest.approx(want, abs=1e-4)

@@ -81,6 +81,9 @@ PICKS = [
     ("mm10_patch_grid", "ViT patch manifest: metadata-only, zero payload movement"),
     ("v20_binary_quant", "1-bit signatures + Hamming screen + exact top-k rerank"),
     ("ev19_survival_km", "KM churn curve: per-user collapse then bounded duration grid"),
+    ("ml12_auc", "rank AUC off the bounded (class, score) lattice - no row window"),
+    ("s12_poisson_bootstrap", "32 deterministic replicates, B-bounded exchange"),
+    ("t32_flesch", "readability: three codegen'd counters, one scan"),
 ]
 
 
