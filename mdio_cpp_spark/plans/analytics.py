@@ -4140,3 +4140,139 @@ def ev19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+_CV_FOLDS = 5
+_CV_LAMBDA = "1000.0"
+
+
+@declared(
+    "ml13_ridge_cv",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1))
+                  AS BIGINT) % {_CV_FOLDS} AS fold,
+             CAST(l_quantity AS BIGINT) AS u,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS v,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    fs AS (
+      SELECT fold,
+             CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(u) AS DOUBLE) AS su,
+             CAST(SUM(v) AS DOUBLE) AS sv, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(u * u) AS DOUBLE) AS suu, CAST(SUM(v * v) AS DOUBLE) AS svv,
+             CAST(SUM(u * v) AS DOUBLE) AS suv, CAST(SUM(u * y) AS DOUBLE) AS suy,
+             CAST(SUM(v * y) AS DOUBLE) AS svy
+      FROM rows_ GROUP BY fold
+    ),
+    tot AS (
+      SELECT SUM(n) AS n, SUM(su) AS su, SUM(sv) AS sv, SUM(sy) AS sy,
+             SUM(suu) AS suu, SUM(svv) AS svv, SUM(suv) AS suv,
+             SUM(suy) AS suy, SUM(svy) AS svy
+      FROM fs
+    ),
+    train AS (
+      SELECT fold,
+             tot.n - fs.n AS n, tot.su - fs.su AS su, tot.sv - fs.sv AS sv,
+             tot.sy - fs.sy AS sy, tot.suu - fs.suu AS suu,
+             tot.svv - fs.svv AS svv, tot.suv - fs.suv AS suv,
+             tot.suy - fs.suy AS suy, tot.svy - fs.svy AS svy
+      FROM fs CROSS JOIN tot
+    ),
+    beta AS (
+      SELECT fold,
+             ((n*svv - sv*sv + {_CV_LAMBDA}) * (n*suy - su*sy)
+              - (n*suv - su*sv) * (n*svy - sv*sy))
+             / ((n*suu - su*su + {_CV_LAMBDA}) * (n*svv - sv*sv + {_CV_LAMBDA})
+                - (n*suv - su*sv) * (n*suv - su*sv)) AS b1,
+             ((n*suu - su*su + {_CV_LAMBDA}) * (n*svy - sv*sy)
+              - (n*suv - su*sv) * (n*suy - su*sy))
+             / ((n*suu - su*su + {_CV_LAMBDA}) * (n*svv - sv*sv + {_CV_LAMBDA})
+                - (n*suv - su*sv) * (n*suv - su*sv)) AS b2,
+             su, sv, sy, n
+      FROM train
+    ),
+    model AS (
+      SELECT fold, b1, b2, (sy - b1 * su - b2 * sv) / n AS b0 FROM beta
+    )
+    SELECT r.fold AS fold, CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(MAX(m.b1), 6) AS beta_qty, ROUND(MAX(m.b2), 6) AS beta_disc,
+           ROUND(SQRT(SUM((r.y - m.b0 - m.b1 * r.u - m.b2 * r.v)
+                          * (r.y - m.b0 - m.b1 * r.u - m.b2 * r.v))
+                      / COUNT(*)) / 100.0, 4) AS rmse
+    FROM rows_ r JOIN model m ON m.fold = r.fold
+    GROUP BY r.fold ORDER BY fold
+    """,
+)
+def ml13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold CROSS-VALIDATED ridge regression — ml02's closed form under
+    honest evaluation, at the cost of TWO corpus passes TOTAL (not 2·k):
+    fold membership is an id-hash (grouped by order, so leakage across a
+    split order is impossible), pass 1 collects the 9 sufficient
+    statistics PER FOLD, and each fold's TRAINING stats are total − fold —
+    the leave-one-fold-out identity that makes distributed CV k-free.
+    Pass 2 joins the broadcast 5-row model table back by fold and scores
+    held-out rows only against the model that never saw them. Emits per
+    fold the betas and held-out RMSE.
+
+    Exactness: sufficient statistics are exact integer sums; betas are
+    the same rational expression on both engines (bit-identical, rounded
+    6dp for display only); the residual sum is the one order-exposed
+    float, rounded at 4dp inside RMSE (t12's contract)."""
+    li = _t(spark, sf_dir, "lineitem")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1), 16, 10)
+        .cast("long") % _CV_FOLDS
+    )
+    rows = li.select(
+        fold.alias("fold"),
+        F.col("l_quantity").cast("long").alias("u"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("v"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    u, v, y = F.col("u"), F.col("v"), F.col("y")
+    fs = rows.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(u).cast("double").alias("su"),
+        F.sum(v).cast("double").alias("sv"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(u * u).cast("double").alias("suu"),
+        F.sum(v * v).cast("double").alias("svv"),
+        F.sum(u * v).cast("double").alias("suv"),
+        F.sum(u * y).cast("double").alias("suy"),
+        F.sum(v * y).cast("double").alias("svy"),
+    )
+    stats = ["n", "su", "sv", "sy", "suu", "svv", "suv", "suy", "svy"]
+    tot = fs.agg(*[F.sum(c).alias(f"t_{c}") for c in stats])
+    train = fs.crossJoin(F.broadcast(tot)).select(
+        "fold", *[(F.col(f"t_{c}") - F.col(c)).alias(c) for c in stats]
+    )
+    lam = F.lit(float(_CV_LAMBDA))
+    n, su, sv, sy = F.col("n"), F.col("su"), F.col("sv"), F.col("sy")
+    a = n * F.col("suu") - su * su + lam
+    b = n * F.col("svv") - sv * sv + lam
+    c = n * F.col("suv") - su * sv
+    p = n * F.col("suy") - su * sy
+    q = n * F.col("svy") - sv * sy
+    det = a * b - c * c
+    b1 = (b * p - c * q) / det
+    b2 = (a * q - c * p) / det
+    model = train.select(
+        "fold", b1.alias("b1"), b2.alias("b2"),
+        ((sy - b1 * su - b2 * sv) / n).alias("b0"),
+    )
+    resid = y - F.col("b0") - F.col("b1") * u - F.col("b2") * v
+    return (
+        rows.join(F.broadcast(model), "fold")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(F.max("b1"), 6).alias("beta_qty"),
+            F.round(F.max("b2"), 6).alias("beta_disc"),
+            F.round(
+                F.sqrt(F.sum(resid * resid) / F.count(F.lit(1))) / 100.0, 4
+            ).alias("rmse"),
+        )
+        .orderBy("fold")
+    )

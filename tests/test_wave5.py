@@ -296,3 +296,41 @@ def test_t32_flesch_matches_python_recompute(spark, sf_dir):
         want = round(206.835 - 1.015 * len(w) / sents - 84.6 * syl / len(w), 4)
         assert (r.n_words, r.n_sents, r.n_syl) == (len(w), sents, syl)
         assert r.flesch == pytest.approx(want, abs=1e-4)
+
+
+# --------------------------------------------------------------------- ml13
+
+
+def test_ml13_cv_matches_numpy_fold_models(spark, sf_dir):
+    import hashlib as _hl
+
+    out = REGISTRY["ml13_ridge_cv"].spark(spark, sf_dir).toPandas().set_index("fold")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    folds = li["l_orderkey"].map(
+        lambda k: int(_hl.md5(str(k).encode()).hexdigest()[0], 16) % 5
+    ).to_numpy()
+    u = li["l_quantity"].astype("int64").to_numpy()
+    v = (li["l_discount"] * 100).round().astype("int64").to_numpy()
+    y = (li["l_extendedprice"] * 100).round().astype("int64").to_numpy()
+    lam = 1000.0
+    for f in range(5):
+        tr = folds != f
+        n = float(tr.sum())
+        su, sv, sy = u[tr].sum(), v[tr].sum(), y[tr].sum()
+        a = n * (u[tr] * u[tr]).sum() - su * su + lam
+        b = n * (v[tr] * v[tr]).sum() - sv * sv + lam
+        c = n * (u[tr] * v[tr]).sum() - su * sv
+        p = n * (u[tr] * y[tr]).sum() - su * sy
+        q = n * (v[tr] * y[tr]).sum() - sv * sy
+        det = a * b - c * c
+        b1, b2 = (b * p - c * q) / det, (a * q - c * p) / det
+        b0 = (sy - b1 * su - b2 * sv) / n
+        te = ~tr
+        rmse = float(
+            np.sqrt(((y[te] - b0 - b1 * u[te] - b2 * v[te]) ** 2).mean()) / 100
+        )
+        assert out.loc[f, "n_test"] == int(te.sum())
+        assert out.loc[f, "beta_qty"] == pytest.approx(b1, abs=2e-6)
+        assert out.loc[f, "rmse"] == pytest.approx(rmse, abs=1e-3)
+    # honest evaluation: every row is held out exactly once
+    assert out["n_test"].sum() == len(li)

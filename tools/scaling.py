@@ -84,6 +84,7 @@ PICKS = [
     ("ml12_auc", "rank AUC off the bounded (class, score) lattice - no row window"),
     ("s12_poisson_bootstrap", "32 deterministic replicates, B-bounded exchange"),
     ("t32_flesch", "readability: three codegen'd counters, one scan"),
+    ("ml13_ridge_cv", "5-fold CV in TWO passes: total-minus-fold training stats"),
 ]
 
 
