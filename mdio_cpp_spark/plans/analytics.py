@@ -4276,3 +4276,111 @@ def ml13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@declared(
+    "ml14_decision_stump",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    lattice AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS n_v,
+             CAST(SUM(y) AS BIGINT) AS sy_v,
+             CAST(SUM(y * y) AS BIGINT) AS syy_v
+      FROM rows_ GROUP BY x
+    ),
+    tot AS (SELECT SUM(n_v) AS n, SUM(sy_v) AS sy, SUM(syy_v) AS syy FROM lattice),
+    cum AS (
+      SELECT x,
+             SUM(n_v) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS nl,
+             SUM(sy_v) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS syl,
+             SUM(syy_v) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS syyl
+      FROM lattice
+    ),
+    cand AS (
+      SELECT x AS split_x, nl, n - nl AS nr, syl, sy - syl AS syr,
+             (syyl - CAST(syl AS DOUBLE) * syl / nl)
+             + ((syy - syyl) - CAST(sy - syl AS DOUBLE) * (sy - syl) / (n - nl))
+               AS sse,
+             syy - CAST(sy AS DOUBLE) * sy / n AS sse0
+      FROM cum CROSS JOIN tot WHERE nl < n
+    )
+    SELECT CAST(split_x AS BIGINT) AS split_x,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           ROUND(CAST(syl AS DOUBLE) / nl, 4) AS mean_left,
+           ROUND(CAST(syr AS DOUBLE) / nr, 4) AS mean_right,
+           ROUND(sse0 - sse, 2) AS sse_gain
+    FROM cand ORDER BY sse, split_x LIMIT 1
+    """,
+)
+def ml14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-STUMP training (depth-1 regression tree — the weak learner
+    one round of gradient boosting fits): choose the split 'quantity ≤ v'
+    minimizing total SSE of whole-DOLLAR extendedprice, evaluated for EVERY
+    candidate threshold in one pass — the exact-split algorithm (XGBoost's
+    'exact greedy') rather than a sampled/sketched approximation.
+
+    Scale shape: the corpus collapses to the feature VALUE LATTICE
+    (count, Σy, Σy² per distinct x — one map-side-combined agg; quantity
+    has ≤50 distinct values, and any bounded-cardinality or quantized
+    feature keeps this frame tiny); candidate split scores come from ONE
+    prefix-sum window over that lattice (left stats cumulate, right =
+    total − left), and the argmin is a TakeOrdered(1) on the lattice.
+    All sufficient statistics are exact int64 — the target is WHOLE
+    dollars (y ≤ 6e5, y² ≤ 3.6e11) precisely so Σy² holds headroom to
+    ~2.5e7 rows per lattice value (sf~40); a cents-scaled target
+    overflows at sf0.1, which the gate caught live — past that, the
+    same lattice carries DECIMAL(38) sums; SSE compares as identical
+    rational-double
+    expressions on both engines, ties break on the smaller threshold."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    lattice = rows.groupBy("x").agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.sum("y").alias("sy_v"),
+        F.sum(F.col("y") * F.col("y")).alias("syy_v"),
+    )
+    tot = lattice.agg(
+        F.sum("n_v").alias("n"), F.sum("sy_v").alias("sy"), F.sum("syy_v").alias("syy")
+    )
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = lattice.select(
+        "x",
+        F.sum("n_v").over(wcum).alias("nl"),
+        F.sum("sy_v").over(wcum).alias("syl"),
+        F.sum("syy_v").over(wcum).alias("syyl"),
+    )
+    n, sy, syy = F.col("n"), F.col("sy"), F.col("syy")
+    nl, syl, syyl = F.col("nl"), F.col("syl"), F.col("syyl")
+    nr, syr = n - nl, sy - syl
+    sse = (syyl - syl.cast("double") * syl / nl) + (
+        (syy - syyl) - syr.cast("double") * syr / nr
+    )
+    sse0 = syy - sy.cast("double") * sy / n
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(nl < n)
+        .select(
+            F.col("x").alias("split_x"),
+            nl.alias("n_left"),
+            nr.alias("n_right"),
+            F.round(syl.cast("double") / nl, 4).alias("mean_left"),
+            F.round(syr.cast("double") / nr, 4).alias("mean_right"),
+            sse.alias("sse"),
+            (sse0 - sse).alias("gain"),
+        )
+    )
+    return (
+        cand.orderBy("sse", "split_x")
+        .limit(1)
+        .select(
+            "split_x", "n_left", "n_right", "mean_left", "mean_right",
+            F.round("gain", 2).alias("sse_gain"),
+        )
+    )

@@ -334,3 +334,32 @@ def test_ml13_cv_matches_numpy_fold_models(spark, sf_dir):
         assert out.loc[f, "rmse"] == pytest.approx(rmse, abs=1e-3)
     # honest evaluation: every row is held out exactly once
     assert out["n_test"].sum() == len(li)
+
+
+# --------------------------------------------------------------------- ml14
+
+
+def test_ml14_stump_matches_numpy_exact_greedy(spark, sf_dir):
+    out = REGISTRY["ml14_decision_stump"].spark(spark, sf_dir).toPandas()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    x = li["l_quantity"].astype("int64").to_numpy()
+    # Spark ROUND is half-up; numpy/pandas round is half-to-even
+    y = np.floor(li["l_extendedprice"].to_numpy() + 0.5).astype("int64")
+    best = None
+    for v in sorted(set(x))[:-1]:  # nl < n
+        l, r = y[x <= v], y[x > v]
+        sse = (
+            (l * l).sum() - l.sum() ** 2 / len(l)
+            + (r * r).sum() - r.sum() ** 2 / len(r)
+        )
+        if best is None or (sse, v) < best[:2]:
+            best = (sse, v, len(l), len(r), l.mean(), r.mean())
+    sse0 = (y * y).sum() - y.sum() ** 2 / len(y)
+    assert len(out) == 1
+    r0 = out.iloc[0]
+    assert r0["split_x"] == best[1]
+    assert (r0["n_left"], r0["n_right"]) == (best[2], best[3])
+    assert r0["mean_left"] == pytest.approx(best[4], abs=1e-3)
+    assert r0["mean_right"] == pytest.approx(best[5], abs=1e-3)
+    assert r0["sse_gain"] == pytest.approx(sse0 - best[0], rel=1e-9)
+    assert r0["sse_gain"] > 0  # quantity genuinely predicts price

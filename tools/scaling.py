@@ -85,6 +85,7 @@ PICKS = [
     ("s12_poisson_bootstrap", "32 deterministic replicates, B-bounded exchange"),
     ("t32_flesch", "readability: three codegen'd counters, one scan"),
     ("ml13_ridge_cv", "5-fold CV in TWO passes: total-minus-fold training stats"),
+    ("ml14_decision_stump", "exact-greedy stump: value-lattice prefix sums, 1-row result"),
 ]
 
 
