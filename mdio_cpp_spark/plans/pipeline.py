@@ -6388,10 +6388,16 @@ def t30(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
     w = text.tokens(F.col("text"))
     wlen = F.transform(w, lambda x: F.length(x))
-    mwl = F.aggregate(
-        wlen, F.lit(0).cast("long"), lambda a, x: a + x
-    ).cast("double") / F.size(w).cast("double")
     nonempty = F.size(w) > 0
+    # the when() wraps the DIVISION, not just the flag: ANSI mode raises on
+    # 0/0 even for doubles, and boolean AND does not short-circuit the error
+    mwl = F.when(
+        nonempty,
+        F.aggregate(wlen, F.lit(0).cast("long"), lambda a, x: a + x).cast(
+            "double"
+        )
+        / F.size(w).cast("double"),
+    )
     flags = d.select(
         "source",
         (F.size(w) < 5).alias("f_short"),

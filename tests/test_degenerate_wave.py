@@ -1,0 +1,104 @@
+"""Degenerate-input hardening for the round-8 wave queries, run END TO END
+through the registry against a crafted tiny sf_dir: empty documents,
+punctuation-only text, single-word docs (no bigrams), a target language
+absent from the corpus, single-purchase users, and an all-duplicate window.
+Under Spark 4's ANSI mode a missed guard aborts the whole job — these pin
+graceful degradation at the query level, not just the operator level."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from mdio_cpp_spark.plans import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def weird_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("weird_sf")
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "",                       # empty — zero tokens
+                "!!! ??? ...",            # punctuation only — zero tokens
+                "one",                    # single word — no bigrams
+                "a b. c d! e f?",         # normal, multi-sentence
+                "lorem ipsum { dolor sit amet consectetur.",
+                "the quick brown fox jumps over the lazy dog.",
+            ],
+            "lang": ["zh", "zh", "de", "de", "fr", "fr"],  # NO 'en' anywhere
+            "source": ["s0", "s0", "s1", "s1", "s2", "s2"],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    docs.to_parquet(d / "documents.parquet")
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [10, 10, 20],
+            "event_type": ["purchase", "purchase", "purchase"],
+            "ts": pd.to_datetime(
+                ["2024-01-02 08:00:00", "2024-01-05 09:30:00", "2024-01-01 06:00:00"]
+            ),
+            "value": [10.0, 20.0, 30.0],
+            "props": ['{"k": 1}'] * 3,
+        }
+    )
+    ev.to_parquet(d / "events.parquet")
+    return str(d)
+
+
+def test_text_wave_survives_empty_and_tokenless_docs(spark, weird_sf):
+    # t30: empty/punct-only docs must flag as short, never divide by zero
+    t30 = REGISTRY["t30_c4_filters"].spark(spark, weird_sf).toPandas()
+    assert t30.set_index("source").loc["s0", "n_short"] == 2
+    assert t30.set_index("source").loc["s2", "n_lorem"] == 1
+    # t32: tokenless docs drop out; the single-word doc still scores
+    t32 = REGISTRY["t32_flesch"].spark(spark, weird_sf).toPandas()
+    assert set(t32["doc_id"]) == {3, 4, 5, 6}
+    assert (t32[t32["doc_id"] == 3]["n_words"] == 1).all()
+    # t31/p21: only docs with >= 2 tokens participate; no ANSI abort
+    t31 = REGISTRY["t31_kneser_ney"].spark(spark, weird_sf).toPandas()
+    assert set(t31["doc_id"]) <= {4, 5, 6}
+    assert (t31["avg_kn_surprisal"] >= 0).all()
+    p21 = REGISTRY["p21_perplexity_buckets"].spark(spark, weird_sf).toPandas()
+    assert (p21["n_docs"] >= 1).all()
+
+
+def test_p20_dsir_with_absent_target_language(spark, weird_sf):
+    """No document matches the target distribution: every bucket's target
+    count is 0, Laplace smoothing keeps the model finite, and the ranking
+    still returns (uniform-ish weights, ties broken by doc_id)."""
+    out = REGISTRY["p20_dsir_resample"].spark(spark, weird_sf).toPandas()
+    assert len(out) == 4  # docs with >= 1 token
+    assert out["logw"].notna().all()
+
+
+def test_ev19_km_single_purchase_users(spark, weird_sf):
+    """One user's span is 73 hours, the other's is a single instant (t=0)
+    99 hours before the horizon — a churn event, not censored; survival
+    stays in (0, 1] with no division hazard."""
+    out = REGISTRY["ev19_survival_km"].spark(spark, weird_sf).toPandas()
+    assert (out["n_risk"] >= 1).all()
+    assert ((out["survival"] > 0) & (out["survival"] <= 1)).all()
+    t0 = out[out["t"] == 0]
+    assert len(t0) == 1 and int(t0["d_churn"].iloc[0]) == 1
+
+
+def test_w18_ewma_single_day_series(spark, weird_sf):
+    """Each type has <= 3 observation days; the banded self-join and the
+    shift weights must handle a 1..3-row partition without pow or overflow."""
+    out = REGISTRY["w18_ewma"].spark(spark, weird_sf).toPandas()
+    assert len(out) == 3  # three distinct purchase days
+    # first observation of a series is its own EWMA
+    first_day = out.sort_values("day").iloc[0]
+    assert first_day["ewma"] == pytest.approx(30.0, abs=1e-4)
+
+
+def test_u09_all_files_small_or_all_large(spark, weird_sf):
+    """Every crafted doc is far below the 1500-byte cutoff: the plan must
+    be pure compaction groups (no passthrough), conserving files."""
+    out = REGISTRY["u09_compaction_plan"].spark(spark, weird_sf).toPandas()
+    assert (out["kind"] == "compact").all()
+    assert out["n_files"].sum() == 6
