@@ -4073,7 +4073,8 @@ _KM_CENSOR_H = 48  # purchasers active in the final 2 days are right-censored
     )
     SELECT t, n_risk, d_churn,
            ROUND(CAST(d_churn AS DOUBLE) / n_risk, 6) AS hazard,
-           ROUND(EXP(SUM(LN(1.0 - CAST(d_churn AS DOUBLE) / n_risk))
+           ROUND(EXP(SUM(LN(GREATEST(1.0 - CAST(d_churn AS DOUBLE) / n_risk,
+                                     1e-12)))
                      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4)
              AS survival
     FROM risk WHERE d_churn > 0 OR n_risk > 0
@@ -4099,7 +4100,10 @@ def ev19(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bounded frame (exp-sum-ln, the engines' shared 4dp contract;
     hazards are exact integer ratios rounded at 6dp). The one
     SinglePartition window is over the duration grid — a bounded frame,
-    the documented plan-quality exception class."""
+    the documented plan-quality exception class. A duration where EVERY
+    remaining at-risk user churns has hazard 1; ln is clamped at 1e-12 on
+    both engines (Spark's log(0) is NULL, DuckDB's is -inf — unclamped,
+    the engines diverge) so survival snaps to 0.0 and stays there."""
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     epoch0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
     hours_since = lambda c: F.floor(
@@ -4135,7 +4139,12 @@ def ev19(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t", "n_risk", "d_churn",
             F.round(haz, 6).alias("hazard"),
             F.round(
-                F.exp(F.sum(F.log(1.0 - haz)).over(wcum)), 4
+                F.exp(
+                    F.sum(
+                        F.log(F.greatest(1.0 - haz, F.lit(1e-12)))
+                    ).over(wcum)
+                ),
+                4,
             ).alias("survival"),
         )
         .orderBy("t")
@@ -4179,6 +4188,7 @@ _CV_LAMBDA = "1000.0"
              tot.svv - fs.svv AS svv, tot.suv - fs.suv AS suv,
              tot.suy - fs.suy AS suy, tot.svy - fs.svy AS svy
       FROM fs CROSS JOIN tot
+      WHERE tot.n - fs.n > 0
     ),
     beta AS (
       SELECT fold,
@@ -4245,8 +4255,14 @@ def ml13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = ["n", "su", "sv", "sy", "suu", "svv", "suv", "suy", "svy"]
     tot = fs.agg(*[F.sum(c).alias(f"t_{c}") for c in stats])
-    train = fs.crossJoin(F.broadcast(tot)).select(
-        "fold", *[(F.col(f"t_{c}") - F.col(c)).alias(c) for c in stats]
+    train = (
+        fs.crossJoin(F.broadcast(tot))
+        .select(
+            "fold", *[(F.col(f"t_{c}") - F.col(c)).alias(c) for c in stats]
+        )
+        # a corpus hashing into a single fold has no training data for it:
+        # drop the fold (empty result) instead of dividing by zero
+        .filter(F.col("n") > 0)
     )
     lam = F.lit(float(_CV_LAMBDA))
     n, su, sv, sy = F.col("n"), F.col("su"), F.col("sv"), F.col("sy")

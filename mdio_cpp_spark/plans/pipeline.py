@@ -7150,7 +7150,7 @@ def ml12(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Poisson(1) CDF thresholds, driver-computed ONCE and embedded as identical
 # literals in the Spark plan and the SQL oracle (the shared-constant
 # convention of the LSH hyperplanes). Tail capped at k=8 (P ≈ 1e-5).
-_BOOT_B, _BOOT_MOD = 32, 16 ** 13
+_BOOT_B, _BOOT_MOD = 32, 16 ** 8
 _BOOT_CDF = []
 _acc, _term = 0.0, 2.718281828459045 ** -1
 for _k in range(8):
@@ -7160,23 +7160,45 @@ for _k in range(8):
 del _acc, _term, _k
 
 
+# hex-string forms of the CDF cuts: a fixed-width lowercase hex slice
+# compares lexicographically exactly as its integer value, so the draw
+# ladder needs NO base conversion at all (conv() measured ~7x the digest
+# cost — the string compare keeps the whole draw codegen'd)
+_BOOT_HEX = [format(int(t * _BOOT_MOD), "08x") for t in _BOOT_CDF]
+
+
 def _dd_bootstrap_sql() -> str:
     ladder = " ".join(
-        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+        f"WHEN u < '{h}' THEN {k}" for k, h in enumerate(_BOOT_HEX)
     )
     return f"""
     WITH reps AS (SELECT CAST(range AS BIGINT) AS b FROM range({_BOOT_B})),
+    pre AS (
+      -- the B/4 digests per ROW are computed BEFORE the replicate fan-out
+      -- (digest work is per order, not per (order, replicate)); each digest
+      -- carves into four 8-hex-digit fractions => 8 digests serve B=32
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             md5(CAST(o_orderkey AS VARCHAR) || ':0') AS h0,
+             md5(CAST(o_orderkey AS VARCHAR) || ':1') AS h1,
+             md5(CAST(o_orderkey AS VARCHAR) || ':2') AS h2,
+             md5(CAST(o_orderkey AS VARCHAR) || ':3') AS h3,
+             md5(CAST(o_orderkey AS VARCHAR) || ':4') AS h4,
+             md5(CAST(o_orderkey AS VARCHAR) || ':5') AS h5,
+             md5(CAST(o_orderkey AS VARCHAR) || ':6') AS h6,
+             md5(CAST(o_orderkey AS VARCHAR) || ':7') AS h7
+      FROM orders
+    ),
     drawn AS (
-      SELECT b, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
-                   CAST(b AS VARCHAR)), 1, 13)) AS BIGINT)
-               / CAST({_BOOT_MOD} AS DOUBLE) AS u
-      FROM orders CROSS JOIN reps
+      SELECT b, cents,
+             substr(CASE b // 4 WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 WHEN 3 THEN h3 WHEN 4 THEN h4 WHEN 5 THEN h5 WHEN 6 THEN h6 ELSE h7 END,
+                    1 + 8 * CAST(b % 4 AS INTEGER), 8) AS u
+      FROM pre CROSS JOIN reps
     ),
     weighted AS (SELECT b, cents, CASE {ladder} ELSE 8 END AS k FROM drawn)
     SELECT b, CAST(SUM(k) AS BIGINT) AS n_eff,
-           ROUND(SUM(k * cents) / CAST(SUM(k) AS DOUBLE) / 100.0, 4)
-             AS boot_mean
+           CASE WHEN SUM(k) > 0 THEN
+             ROUND(SUM(k * cents) / CAST(SUM(k) AS DOUBLE) / 100.0, 4)
+           END AS boot_mean
     FROM weighted GROUP BY b ORDER BY b
     """
 
@@ -7191,7 +7213,9 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
     id+replicate hash fraction (no RNG state — membership is recomputable
     from the id alone, s03's auditability contract; the CDF thresholds
     are driver-computed literals shared with the oracle, the hyperplane
-    convention). Emits the replicate table (b, effective n, resampled
+    convention — compared as fixed-width HEX STRINGS, one digest per 8
+    replicates plus codegen'd string compares; the conv() base conversion
+    this replaces measured ~7× the digest cost). Emits the replicate table (b, effective n, resampled
     mean) — the spread across rows IS the standard-error estimate, pinned
     in pytest against the analytic SE.
 
@@ -7207,40 +7231,41 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = F.broadcast(
         spark.range(_BOOT_B).select(F.col("id").alias("b"))
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col("o_orderkey").cast("string"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(float(_BOOT_MOD))
+    # B/4 digests per ROW, computed BEFORE the replicate fan-out (digest
+    # work scales with orders, not orders × B); each digest carves into
+    # four 8-hex-digit fractions (8 digests serve B=32) and each replicate
+    # slices its fraction and compares against hex-STRING thresholds
+    # (fixed width => lexicographic == numeric), no conv() anywhere
+    pre = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        *[
+            F.md5(
+                F.concat(F.col("o_orderkey").cast("string"), F.lit(f":{g}".format(g=g)))
+            ).alias(f"h{g}".format(g=g))
+            for g in range(8)
+        ],
+    )
+    u = F.expr(
+        "substring(CASE b div 4 WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 WHEN 3 THEN h3 WHEN 4 THEN h4 WHEN 5 THEN h5 WHEN 6 THEN h6 ELSE h7 END,"
+        " 1 + 8 * cast(b % 4 as int), 8)"
     )
     k = F.lit(8)
-    for kk in range(len(_BOOT_CDF) - 1, -1, -1):
-        k = F.when(F.col("u") < _BOOT_CDF[kk], F.lit(kk)).otherwise(k)
-    drawn = o.crossJoin(reps).select(
-        "b",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        u.alias("u"),
-    )
+    for kk in range(len(_BOOT_HEX) - 1, -1, -1):
+        k = F.when(F.col("u") < _BOOT_HEX[kk], F.lit(kk)).otherwise(k)
+    drawn = pre.crossJoin(reps).select("b", "cents", u.alias("u"))
     weighted = drawn.select("b", "cents", k.alias("k"))
     return (
         weighted.groupBy("b")
         .agg(
             F.sum("k").alias("n_eff"),
-            F.round(
-                F.sum(F.col("k") * F.col("cents")) / F.sum("k").cast("double") / 100.0,
-                4,
+            F.when(
+                F.sum("k") > 0,
+                F.round(
+                    F.sum(F.col("k") * F.col("cents"))
+                    / F.sum("k").cast("double")
+                    / 100.0,
+                    4,
+                ),
             ).alias("boot_mean"),
         )
         .orderBy("b")

@@ -102,3 +102,89 @@ def test_u09_all_files_small_or_all_large(spark, weird_sf):
     out = REGISTRY["u09_compaction_plan"].spark(spark, weird_sf).toPandas()
     assert (out["kind"] == "compact").all()
     assert out["n_files"].sum() == 6
+
+
+@pytest.fixture(scope="module")
+def tiny_sf(tmp_path_factory):
+    """Second crafted dir: full-churn survival tail, one-order lineitem
+    (single fold), three-row orders (zero-draw bootstrap replicates are
+    plausible at n=3)."""
+    d = tmp_path_factory.mktemp("tiny_sf")
+    # every user's last purchase sits > 48h before the horizon => at the
+    # final duration ALL remaining at-risk users churn (hazard = 1)
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [10, 10, 20],
+            "event_type": ["purchase"] * 3,
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10:00", "2024-01-02 00:10:00",
+                 "2024-01-01 01:00:00"]
+            ),
+            "value": [10.0, 20.0, 30.0],
+            "props": ['{"k": 1}'] * 3,
+        }
+    )
+    # horizon extender: another user's purchase far later, itself censored
+    ev = pd.concat(
+        [ev, pd.DataFrame({
+            "event_id": [4], "user_id": [99], "event_type": ["purchase"],
+            "ts": pd.to_datetime(["2024-01-20 00:00:00"]),
+            "value": [5.0], "props": ['{"k": 1}'],
+        })],
+        ignore_index=True,
+    )
+    ev.to_parquet(d / "events.parquet")
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [1, 1, 2],
+            "o_orderstatus": ["F", "O", "F"],
+            "o_totalprice": [100.0, 200.0, 300.0],
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * 3),
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }
+    )
+    orders.to_parquet(d / "orders.parquet")
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [7, 7],  # ONE order -> every row in one fold
+            "l_linenumber": [1, 2],
+            "l_suppkey": [1, 2],
+            "l_quantity": [5.0, 10.0],
+            "l_discount": [0.05, 0.1],
+            "l_extendedprice": [500.0, 1000.0],
+            "l_returnflag": ["N", "N"],
+        }
+    )
+    li.to_parquet(d / "lineitem.parquet")
+    return str(d)
+
+
+def test_ev19_full_churn_tail_snaps_survival_to_zero(spark, tiny_sf):
+    """hazard = 1 at the last non-censored duration: Spark's log(0) is
+    NULL and DuckDB's is -inf — the shared 1e-12 clamp makes both snap
+    survival to 0.0 instead of diverging."""
+    out = REGISTRY["ev19_survival_km"].spark(spark, tiny_sf).toPandas()
+    full = out[out["hazard"] == 1.0]
+    assert len(full) >= 1
+    last = out.sort_values("t").iloc[-2]  # t=24h row (churn of user 10)
+    assert out.sort_values("t")["survival"].iloc[-2] == 0.0 or (
+        full["survival"] == 0.0
+    ).all()
+
+
+def test_ml13_single_fold_corpus_returns_empty_not_div0(spark, tiny_sf):
+    out = REGISTRY["ml13_ridge_cv"].spark(spark, tiny_sf).toPandas()
+    # one order -> one fold -> training stats would be empty; the fold is
+    # dropped instead of dividing by zero
+    assert len(out) == 0
+
+
+def test_s12_bootstrap_tiny_corpus_no_div0(spark, tiny_sf):
+    out = REGISTRY["s12_poisson_bootstrap"].spark(spark, tiny_sf).toPandas()
+    assert len(out) == 32
+    # zero-draw replicates (all three orders at k=0) surface as NULL means,
+    # never as an ANSI abort; any non-null mean is a valid resample mean
+    nn = out["boot_mean"].dropna()
+    assert ((nn >= 100.0 - 1e-6) & (nn <= 300.0 + 1e-6)).all()
