@@ -130,7 +130,7 @@ PICKS = {
     "u09_compaction_plan": "pass-through files split off as a pure map-side Filter; only sub-cutoff files enter the per-partition running-offset window (parallelism = partition count); the plan is exact integer arithmetic and idempotent — no RNG, no timestamps",
     "v20_binary_quant": "signatures are one posexplode partial agg (two int32 shift-sum words per vector — 8 bytes of index per corpus vector); the query signature is a 1-row broadcast, the Hamming screen is integer XOR/POPCNT compiling to TakeOrderedAndProject, and only the K survivors fetch float vectors for the exact rerank",
     "ml12_auc": "no per-row rank window: scores collapse to the (class, 6dp-score) count lattice, tie-averaged ranks come from a class-partitioned prefix sum over that bounded frame, and the Mann-Whitney statistic is one more lattice-sized aggregate",
-    "s12_poisson_bootstrap": "one scan fanned x32 against a BROADCAST replicate frame; per-row work is hash + CASE ladder where the row lives; the exchange carries 32 exact-int64 (sum_k_cents, sum_k) partials per map partition",
+    "s12_poisson_bootstrap": "the 8 digests per ORDER are computed below the x32 broadcast fan-out (digest work scales with rows, not rows x B); each replicate slices its 8-hex fraction and the inverse-CDF ladder is codegen'd STRING compares (no conv); the exchange carries 32 exact-int64 (sum_k_cents, sum_k) partials per map partition",
     "ml13_ridge_cv": "k-free distributed CV: pass 1 is one map-side-combined agg into 5 fold rows; training stats are total-minus-fold on that 5-row frame; pass 2 scores held-out rows against the broadcast 5-row model table — two corpus passes for any k",
 }
 
