@@ -4400,3 +4400,203 @@ def ml14(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("gain", 2).alias("sse_gain"),
         )
     )
+
+
+_TRIM_FRAC_NUM, _TRIM_FRAC_DEN = 1, 10  # trim 10% of rows from EACH tail
+
+
+@declared(
+    "a19_trimmed_mean",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    lat AS (
+      SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c FROM rows_ GROUP BY grp, v
+    ),
+    cum AS (
+      SELECT grp, v, c,
+             CAST(COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS below,
+             CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n,
+             CAST(SUM(c * v) OVER (PARTITION BY grp) AS BIGINT) AS s
+      FROM lat
+    ),
+    k AS (SELECT grp, n, s, n * {_TRIM_FRAC_NUM} // {_TRIM_FRAC_DEN} AS k
+          FROM cum GROUP BY grp, n, s),
+    lo AS (
+      SELECT c.grp,
+             SUM(CASE WHEN c.below + c.c <= k.k THEN c.c * c.v
+                      WHEN c.below < k.k THEN (k.k - c.below) * c.v
+                      ELSE 0 END) AS cut_lo
+      FROM cum c JOIN k ON k.grp = c.grp GROUP BY c.grp
+    ),
+    hi AS (
+      SELECT c.grp,
+             SUM(CASE WHEN c.n - (c.below + c.c) + c.c <= k.k THEN c.c * c.v
+                      WHEN c.n - (c.below + c.c) < k.k
+                        THEN (k.k - (c.n - (c.below + c.c))) * c.v
+                      ELSE 0 END) AS cut_hi
+      FROM cum c JOIN k ON k.grp = c.grp GROUP BY c.grp
+    )
+    SELECT k.grp AS grp, k.n, CAST(k.k AS BIGINT) AS k_trim,
+           ROUND(CAST(k.s - lo.cut_lo - hi.cut_hi AS DOUBLE)
+                 / (k.n - 2 * k.k) / 100.0, 4) AS trimmed_mean,
+           ROUND(CAST(k.s AS DOUBLE) / k.n / 100.0, 4) AS plain_mean
+    FROM k JOIN lo ON lo.grp = k.grp JOIN hi ON hi.grp = k.grp
+    ORDER BY grp
+    """,
+)
+def a19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed 10%-trimmed mean per group — the robust average
+    (a11's MAD sibling) that a percentile-then-filter approximation gets
+    WRONG whenever ties straddle the cut rank: the bottom/top k=⌊n/10⌋
+    ROWS are removed exactly, with partial-tie corrections in pure int64
+    arithmetic ((k − below)·v for the value the k-th rank lands inside).
+
+    Scale shape: rows collapse to the per-(group, cents-value) COUNT
+    lattice first (bounded by the price range in cents, never by row
+    count); the rank bookkeeping is one per-group prefix window over that
+    lattice and two lattice-sized conditional aggregates (low cut / high
+    cut mirrored); every quantity through the final division is an exact
+    integer, so both engines emit identical doubles before the 4dp
+    display round."""
+    o = _t(spark, sf_dir, "orders")
+    rows = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    lat = rows.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+    wprev = (
+        Window.partitionBy("grp").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("grp")
+    cum = lat.select(
+        "grp", "v", "c",
+        F.coalesce(F.sum("c").over(wprev), F.lit(0)).alias("below"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum(F.col("c") * F.col("v")).over(wall).alias("s"),
+    )
+    k = (
+        cum.groupBy("grp", "n", "s")
+        .agg(F.first(F.lit(0)).alias("_"))
+        .select(
+            "grp", "n", "s",
+            F.expr(f"n * {_TRIM_FRAC_NUM} div {_TRIM_FRAC_DEN}").alias("k"),
+        )
+    )
+    j = cum.join(k.select("grp", "k"), "grp")
+    above = F.col("n") - (F.col("below") + F.col("c"))
+    lo = j.groupBy("grp").agg(
+        F.sum(
+            F.when(F.col("below") + F.col("c") <= F.col("k"), F.col("c") * F.col("v"))
+            .when(F.col("below") < F.col("k"), (F.col("k") - F.col("below")) * F.col("v"))
+            .otherwise(F.lit(0))
+        ).alias("cut_lo")
+    )
+    hi = j.groupBy("grp").agg(
+        F.sum(
+            F.when(above + F.col("c") <= F.col("k"), F.col("c") * F.col("v"))
+            .when(above < F.col("k"), (F.col("k") - above) * F.col("v"))
+            .otherwise(F.lit(0))
+        ).alias("cut_hi")
+    )
+    return (
+        k.join(lo, "grp").join(hi, "grp")
+        .select(
+            "grp", "n", F.col("k").alias("k_trim"),
+            F.round(
+                (F.col("s") - F.col("cut_lo") - F.col("cut_hi")).cast("double")
+                / (F.col("n") - 2 * F.col("k")) / 100.0, 4,
+            ).alias("trimmed_mean"),
+            F.round(F.col("s").cast("double") / F.col("n") / 100.0, 4).alias(
+                "plain_mean"
+            ),
+        )
+        .orderBy("grp")
+    )
+
+
+@declared(
+    "ev20_gini",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY event_type, user_id
+    ),
+    lat AS (
+      SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM per_user GROUP BY event_type, v
+    ),
+    cum AS (
+      SELECT event_type, v, c,
+             CAST(COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS below,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(SUM(c * v) OVER (PARTITION BY event_type) AS BIGINT) AS s
+      FROM lat
+    ),
+    g AS (
+      -- Σ rank·x over ties in closed form: ranks below+1 .. below+c share
+      -- value v, their rank sum is c·below + c(c+1)/2 — exact integers
+      SELECT event_type, n, s,
+             SUM(v * (2 * (c * below + (c * (c + 1)) // 2) - c * (n + 1))) AS num
+      FROM cum GROUP BY event_type, n, s
+    )
+    SELECT event_type, n AS n_users,
+           ROUND(CAST(s AS DOUBLE) / n / 100.0, 4) AS mean_rev,
+           ROUND(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * s), 6) AS gini
+    FROM g ORDER BY event_type
+    """,
+)
+def ev20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of per-user revenue by event type — the inequality
+    index behind every 'whale concentration' readout (ev11's top-decile
+    share is one point of this curve; Gini integrates the whole Lorenz
+    area): G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) with tie-safe rank sums in
+    closed form — the c tied users at value v occupy ranks below+1..below+c,
+    whose rank total is c·below + c(c+1)/2, all exact int64.
+
+    Scale shape: users collapse to per-(type, cents) value-lattice counts
+    (one partial agg after the per-user rollup); the rank bookkeeping is a
+    prefix window over the bounded lattice and ONE closed-form aggregate —
+    no row-level rank window, no sort of users anywhere. Every term until
+    the final two display divisions is exact integer arithmetic, so the
+    engines agree bit-for-bit."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
+    )
+    lat = per_user.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    wprev = (
+        Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = lat.select(
+        "event_type", "v", "c",
+        F.coalesce(F.sum("c").over(wprev), F.lit(0)).alias("below"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum(F.col("c") * F.col("v")).over(wall).alias("s"),
+    )
+    c, below, n = F.col("c"), F.col("below"), F.col("n")
+    rank_sum = c * below + F.expr("(c * (c + 1)) div 2")
+    g = cum.groupBy("event_type", "n", "s").agg(
+        F.sum(F.col("v") * (2 * rank_sum - c * (n + 1))).alias("num")
+    )
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.round(F.col("s").cast("double") / F.col("n") / 100.0, 4).alias(
+            "mean_rev"
+        ),
+        F.round(
+            F.col("num").cast("double") / (F.col("n").cast("double") * F.col("s")), 6
+        ).alias("gini"),
+    ).orderBy("event_type")

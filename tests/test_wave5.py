@@ -363,3 +363,44 @@ def test_ml14_stump_matches_numpy_exact_greedy(spark, sf_dir):
     assert r0["mean_right"] == pytest.approx(best[5], abs=1e-3)
     assert r0["sse_gain"] == pytest.approx(sse0 - best[0], rel=1e-9)
     assert r0["sse_gain"] > 0  # quantity genuinely predicts price
+
+
+# --------------------------------------------------------------------- a19
+
+
+def test_a19_matches_scipy_free_trimmed_mean(spark, sf_dir):
+    out = (
+        REGISTRY["a19_trimmed_mean"].spark(spark, sf_dir).toPandas()
+        .set_index("grp")
+    )
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+    for grp, g in orders.assign(v=cents).groupby("o_orderpriority"):
+        v = np.sort(g["v"].to_numpy())
+        k = len(v) // 10
+        want = v[k : len(v) - k].mean() / 100 if len(v) > 2 * k else None
+        assert out.loc[grp, "k_trim"] == k
+        assert out.loc[grp, "trimmed_mean"] == pytest.approx(want, abs=1e-4)
+        assert out.loc[grp, "plain_mean"] == pytest.approx(
+            v.mean() / 100, abs=1e-4
+        )
+
+
+# --------------------------------------------------------------------- ev20
+
+
+def test_ev20_matches_numpy_gini(spark, sf_dir):
+    out = (
+        REGISTRY["ev20_gini"].spark(spark, sf_dir).toPandas()
+        .set_index("event_type")
+    )
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e["cents"] = np.floor(e["value"].to_numpy() * 100 + 0.5).astype("int64")
+    per_user = e.groupby(["event_type", "user_id"])["cents"].sum()
+    for et, g in per_user.groupby(level=0):
+        x = np.sort(g.to_numpy()).astype("float64")
+        n = len(x)
+        gini = (2 * np.arange(1, n + 1) @ x - (n + 1) * x.sum()) / (n * x.sum())
+        assert out.loc[et, "n_users"] == n
+        assert out.loc[et, "gini"] == pytest.approx(gini, abs=2e-6)
+        assert 0 <= out.loc[et, "gini"] < 1

@@ -86,6 +86,8 @@ PICKS = [
     ("t32_flesch", "readability: three codegen'd counters, one scan"),
     ("ml13_ridge_cv", "5-fold CV in TWO passes: total-minus-fold training stats"),
     ("ml14_decision_stump", "exact-greedy stump: value-lattice prefix sums, 1-row result"),
+    ("a19_trimmed_mean", "exact trimmed mean: cents-lattice ranks, int tie corrections"),
+    ("ev20_gini", "Gini: closed-form tie-safe rank sums on the value lattice"),
 ]
 
 
