@@ -207,3 +207,90 @@ def _ltr_dot(v: np.ndarray, w: np.ndarray) -> float:
     for a, b in zip(v.tolist(), w.tolist()):
         acc += float(a) * float(b)
     return acc
+
+
+# ------------------------------------------------- from-raw model recomputes
+
+
+def test_p21_bands_match_full_python_model(spark, sf_dir, docs):
+    """End-to-end CCNet-band recompute from raw documents: bigram-LM
+    surprisal (4dp), per-language cumulative-share cuts (4*cum >= n),
+    band counts and means — the whole p21 pipeline in ~30 lines of
+    pure python."""
+    from collections import Counter, defaultdict
+
+    c2, c1 = Counter(), Counter()
+    doc_bigrams = {}
+    for r in docs.itertuples():
+        w = _tokens(r.text)
+        if len(w) < 2:
+            continue
+        bg = list(zip(w, w[1:]))
+        doc_bigrams[r.doc_id] = bg
+        for a, b in bg:
+            c2[(a, b)] += 1
+            c1[a] += 1
+    lang = docs.set_index("doc_id")["lang"]
+    ppl = {
+        d: round(sum(-math.log(c2[p] / c1[p[0]]) for p in bg) / len(bg), 4)
+        for d, bg in doc_bigrams.items()
+    }
+    by_lang = defaultdict(list)
+    for d, v in ppl.items():
+        by_lang[lang.loc[d]].append(v)
+    want = {}
+    for lg, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        # discrete cumulative-share cuts over the 4dp value lattice
+        cum, p25, p75 = 0, None, None
+        for v, cnt in sorted(Counter(vals).items()):
+            cum += cnt
+            if p25 is None and 4 * cum >= n:
+                p25 = v
+            if p75 is None and 4 * cum >= 3 * n:
+                p75 = v
+        for v in vals:
+            b = "head" if v <= p25 else ("middle" if v <= p75 else "tail")
+            key = (lg, b)
+            c, s = want.get(key, (0, 0.0))
+            want[key] = (c + 1, s + v)
+    out = REGISTRY["p21_perplexity_buckets"].spark(spark, sf_dir).toPandas()
+    assert len(out) == len(want)
+    for r in out.itertuples():
+        c, s = want[(r.lang, r.bucket)]
+        assert r.n_docs == c, (r.lang, r.bucket)
+        assert r.avg_ppl == pytest.approx(round(s / c, 4), abs=2e-4)
+
+
+def test_ev19_km_matches_lifelines_style_recompute(spark, sf_dir):
+    """Kaplan–Meier from raw events: per-user purchase spans in hours,
+    right-censor inside the final 48h, product-limit survival — the
+    textbook estimator, independently of the engine's SQL shapes."""
+    from collections import Counter
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    p = e[e["event_type"] == "purchase"]
+    t0 = pd.Timestamp("2024-01-01")
+    hours = ((p["ts"] - t0).dt.total_seconds() // 3600).astype("int64")
+    g = pd.DataFrame({"u": p["user_id"], "h": hours}).groupby("u")["h"]
+    first, last = g.min(), g.max()
+    max_h = int(last.max())
+    t = (last - first).astype(int)
+    event = (last <= max_h - 48).astype(int)
+    n = len(t)
+    d_at = Counter(t[event == 1])
+    all_at = Counter(t)
+    out = REGISTRY["ev19_survival_km"].spark(spark, sf_dir).toPandas()
+    s, removed = 1.0, 0
+    expect = {}
+    for ti in sorted(all_at):
+        n_risk = n - removed
+        d = d_at.get(ti, 0)
+        s *= max(1.0 - d / n_risk, 1e-12)
+        expect[ti] = (n_risk, d, round(s, 4))
+        removed += all_at[ti]
+    got = {
+        r.t: (r.n_risk, r.d_churn, r.survival) for r in out.itertuples()
+    }
+    assert got == expect
