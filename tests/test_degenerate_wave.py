@@ -7,6 +7,7 @@ graceful degradation at the query level, not just the operator level."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -188,3 +189,64 @@ def test_s12_bootstrap_tiny_corpus_no_div0(spark, tiny_sf):
     # never as an ANSI abort; any non-null mean is a valid resample mean
     nn = out["boot_mean"].dropna()
     assert ((nn >= 100.0 - 1e-6) & (nn <= 300.0 + 1e-6)).all()
+
+
+@pytest.fixture(scope="module")
+def ties_sf(tmp_path_factory):
+    """Adversarial tie mass: 40 orders, HALF of them at the exact same
+    total, arranged so the trim cut rank k lands INSIDE the tied run —
+    the case a percentile-then-filter trimmed mean silently gets wrong
+    and a19's (k - below)·v partial-tie correction must get right. The
+    same values drive ev20's tie-safe rank sums."""
+    d = tmp_path_factory.mktemp("ties_sf")
+    vals = [50.0] * 3 + [100.0] * 20 + [150.0] * 14 + [9000.0] * 3
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(vals) + 1),
+            "o_custkey": [1] * len(vals),
+            "o_orderstatus": ["F"] * len(vals),
+            "o_totalprice": vals,
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * len(vals)),
+            "o_orderpriority": ["1-URGENT"] * len(vals),
+        }
+    )
+    orders.to_parquet(d / "orders.parquet")
+    ev = pd.DataFrame(
+        {
+            "event_id": range(1, len(vals) + 1),
+            "user_id": range(1, len(vals) + 1),  # one user per value
+            "event_type": ["purchase"] * len(vals),
+            "ts": pd.to_datetime(["2024-01-05 10:00:00"] * len(vals)),
+            "value": vals,
+            "props": ['{"k": 1}'] * len(vals),
+        }
+    )
+    ev.to_parquet(d / "events.parquet")
+    return str(d)
+
+
+def test_a19_partial_tie_correction_exact(spark, ties_sf):
+    """n=40, k=4: the low cut removes the three 50s plus exactly ONE of
+    the twenty tied 100s; the high cut removes the three 9000s plus ONE
+    150. Python oracle by literal sort-and-slice."""
+    out = REGISTRY["a19_trimmed_mean"].spark(spark, ties_sf).toPandas()
+    vals = sorted([50.0] * 3 + [100.0] * 20 + [150.0] * 14 + [9000.0] * 3)
+    k = len(vals) // 10
+    want = sum(vals[k:-k]) / (len(vals) - 2 * k)
+    assert len(out) == 1
+    assert out.iloc[0]["k_trim"] == k
+    assert out.iloc[0]["trimmed_mean"] == pytest.approx(want, abs=1e-4)
+    # the outlier-resistance this operator exists for: the 9000s moved the
+    # plain mean far above every typical value; the trimmed mean ignores them
+    assert out.iloc[0]["plain_mean"] > 700
+    assert out.iloc[0]["trimmed_mean"] < 130
+
+
+def test_ev20_gini_with_mass_ties(spark, ties_sf):
+    out = REGISTRY["ev20_gini"].spark(spark, ties_sf).toPandas()
+    x = np.sort(np.array([50.0] * 3 + [100.0] * 20 + [150.0] * 14 + [9000.0] * 3) * 100)
+    n = len(x)
+    want = (2 * np.arange(1, n + 1) @ x - (n + 1) * x.sum()) / (n * x.sum())
+    assert len(out) == 1
+    assert out.iloc[0]["n_users"] == n
+    assert out.iloc[0]["gini"] == pytest.approx(want, abs=2e-6)
