@@ -7340,3 +7340,176 @@ def t32(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     ).orderBy("doc_id")
+
+
+@declared(
+    "ml15_pr_curve",
+    oracle="""
+    WITH pos AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (SELECT pos, AVG(x) AS c FROM pos WHERE label = 0 GROUP BY pos),
+    cn AS (SELECT sqrt(SUM(c * c)) AS cn FROM cent),
+    vn AS (SELECT vec_id, sqrt(SUM(x * x)) AS vn FROM pos GROUP BY vec_id),
+    dots AS (SELECT v.vec_id, MAX(v.label) AS label, SUM(v.x * c.c) AS dot
+             FROM pos v JOIN cent c ON v.pos = c.pos GROUP BY v.vec_id),
+    scored AS (SELECT d.label, ROUND(d.dot / (vn.vn * cn.cn), 6) AS cc
+               FROM dots d JOIN vn USING (vec_id) CROSS JOIN cn),
+    lattice AS (
+      SELECT cc, CAST(COUNT(*) AS BIGINT) AS n_v,
+             CAST(COUNT(*) FILTER (WHERE label = 0) AS BIGINT) AS p_v
+      FROM scored GROUP BY cc
+    ),
+    tot AS (SELECT CAST(SUM(p_v) AS BIGINT) AS n_pos FROM lattice),
+    sweep AS (
+      -- predict positive iff score >= threshold: suffix sums over the grid
+      SELECT cc AS thr,
+             CAST(SUM(p_v) OVER (ORDER BY cc DESC ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS tp,
+             CAST(SUM(n_v - p_v) OVER (ORDER BY cc DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+      FROM lattice
+    )
+    SELECT thr, tp, fp,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+           ROUND(CAST(tp AS DOUBLE) / n_pos, 6) AS recall,
+           ROUND(2.0 * tp / (tp + fp + n_pos), 6) AS f1
+    FROM sweep CROSS JOIN tot
+    ORDER BY thr
+    """,
+)
+def ml15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION–RECALL CURVE + F1 sweep — the threshold-tuning readout
+    between ml06's fixed-threshold metrics and ml12's threshold-free AUC:
+    score every vector by its 6dp cosine to the class-0 centroid and emit,
+    for EVERY distinct score as the candidate cutoff 'predict positive iff
+    score ≥ θ', the exact TP/FP counts, precision, recall, and
+    F1 = 2TP/(2TP+FP+FN) (that algebraic form needs no FN column — the
+    denominator is TP+FP+n_pos). The argmax row of f1 IS the tuned
+    threshold; downstream reads it with a trivial ORDER BY f1 DESC LIMIT 1.
+
+    Scale shape: ml12's lattice discipline — scores collapse to the
+    (6dp-score) COUNT lattice (one map-side-combined agg, bounded by the
+    score range, never corpus rows); the whole sweep is ONE descending
+    suffix-sum window over that bounded frame and every count is exact
+    int64, so both engines emit identical doubles. No per-row window, no
+    sort of the corpus, one broadcast 1-row total."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "x"),
+    )
+    cent = (
+        pos.filter(F.col("label") == 0)
+        .groupBy("p")
+        .agg(F.avg("x").alias("c"))
+    )
+    cn = cent.agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"))
+    vn = pos.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vn")
+    )
+    dots = (
+        pos.join(cent, "p")
+        .groupBy("vec_id")
+        .agg(F.max("label").alias("label"), F.sum(F.col("x") * F.col("c")).alias("dot"))
+    )
+    scored = (
+        dots.join(vn, "vec_id")
+        .crossJoin(F.broadcast(cn))
+        .select(
+            "label",
+            F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 6).alias("cc"),
+        )
+    )
+    lattice = scored.groupBy("cc").agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.count(F.when(F.col("label") == 0, F.lit(1))).alias("p_v"),
+    )
+    tot = F.broadcast(lattice.agg(F.sum("p_v").alias("n_pos")))
+    wdesc = W.orderBy(F.col("cc").desc()).rowsBetween(W.unboundedPreceding, 0)
+    sweep = lattice.select(
+        F.col("cc").alias("thr"),
+        F.sum("p_v").over(wdesc).alias("tp"),
+        F.sum(F.col("n_v") - F.col("p_v")).over(wdesc).alias("fp"),
+    )
+    return (
+        sweep.crossJoin(tot)
+        .select(
+            "thr", "tp", "fp",
+            F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+            F.round(F.col("tp").cast("double") / F.col("n_pos"), 6).alias("recall"),
+            F.round(2.0 * F.col("tp") / (F.col("tp") + F.col("fp") + F.col("n_pos")), 6).alias("f1"),
+        )
+        .orderBy("thr")
+    )
+
+
+_OOO_TOL_S = 600  # watermark tolerance under audit: 10 minutes
+
+
+@declared(
+    "st10_out_of_order_audit",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                 ORDER BY event_id)) AS d_us,
+             event_id
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+           CAST(COUNT(*) FILTER (WHERE d_us < 0) AS BIGINT) AS n_regress,
+           CAST(COUNT(*) FILTER (WHERE d_us < -{_OOO_TOL_S} * 1000000)
+                AS BIGINT) AS n_beyond_wm,
+           CAST(COALESCE(MIN(CASE WHEN d_us < 0 THEN d_us END) // -1000000, 0)
+                AS BIGINT) AS worst_regress_s
+    FROM seq WHERE d_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-ORDER ARRIVAL AUDIT — the measurement that PICKS a watermark
+    before st01/st05 consume one: within each user's stream (event_id =
+    arrival order, the per-key ordering stateful operators actually care
+    about), how often does event time step BACKWARD, and how far? Emits
+    per event type the arrival count, timestamp regressions, regressions
+    beyond the {_OOO_TOL_S}s candidate watermark (exactly the rows a
+    `withWatermark('{_OOO_TOL_S}s')` pipeline would drop), and the worst
+    regression in whole seconds — the evidence for tolerance tuning.
+
+    Scale shape: ONE lag window partitioned by user_id (st02's
+    sessionization shape — per-key partitions, parallel at any key
+    cardinality, never a global order), then a map-side-combined agg into
+    |types| groups. All comparisons are exact integer microseconds; the
+    worst-regression display divides with integer `div` so no float
+    appears anywhere in the query."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    # exact integer microseconds via unix_micros — no float time math
+    d = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("d_us"),
+    ).filter(F.col("d_us").isNotNull())
+    neg = F.col("d_us") < 0
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_arrivals"),
+            F.count(F.when(neg, F.lit(1))).alias("n_regress"),
+            F.count(
+                F.when(F.col("d_us") < -_OOO_TOL_S * 1_000_000, F.lit(1))
+            ).alias("n_beyond_wm"),
+            F.coalesce(
+                F.expr("min(CASE WHEN d_us < 0 THEN d_us END) div -1000000"),
+                F.lit(0),
+            ).alias("worst_regress_s"),
+        )
+        .orderBy("event_type")
+    )

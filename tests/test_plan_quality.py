@@ -54,6 +54,9 @@ from mdio_cpp_spark.plans import REGISTRY
 #  - ev19: the at-risk prefix and the KM log-product cumulate over the
 #    |durations|-row lifetime grid — bounded by the observation window in
 #    hours, never by users or events (plans/analytics.py ev19 docstring).
+#  - ml15: the PR sweep's suffix sums cumulate over the (6dp-score)
+#    COUNT lattice — bounded by the score range, never corpus rows
+#    (plans/pipeline.py ml15 docstring; ml12's lattice discipline).
 #  - ml14: the split-candidate prefix sums cumulate over the feature
 #    VALUE LATTICE (≤ |distinct quantity| ≈ 50 rows by construction —
 #    plans/analytics.py ml14 docstring); no data-sized window exists.
@@ -71,6 +74,7 @@ _ALLOW_GLOBAL = {
     "p14_curriculum", "zarr86_hist_equalize", "mm09_shard_plan",
     "s10_priority_sample", "w15_rolling_corr",
     "t26_bm25", "v16_hybrid_rrf", "ev19_survival_km", "ml14_decision_stump",
+    "ml15_pr_curve",
 }
 
 

@@ -404,3 +404,57 @@ def test_ev20_matches_numpy_gini(spark, sf_dir):
         assert out.loc[et, "n_users"] == n
         assert out.loc[et, "gini"] == pytest.approx(gini, abs=2e-6)
         assert 0 <= out.loc[et, "gini"] < 1
+
+
+# --------------------------------------------------------------------- ml15
+
+
+def test_ml15_pr_curve_matches_sklearn_free_sweep(spark, sf_dir):
+    out = REGISTRY["ml15_pr_curve"].spark(spark, sf_dir).toPandas()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    y = (emb["label"].to_numpy() == 0)
+    cent = X[y].mean(axis=0)
+    cc = np.round(
+        X @ cent / (np.linalg.norm(X, axis=1) * np.linalg.norm(cent)), 6
+    )
+    n_pos = int(y.sum())
+    got = out.set_index("thr")
+    for thr in np.unique(cc):
+        pred = cc >= thr
+        tp, fp = int((pred & y).sum()), int((pred & ~y).sum())
+        assert got.loc[thr, "tp"] == tp
+        assert got.loc[thr, "fp"] == fp
+        assert got.loc[thr, "precision"] == pytest.approx(tp / (tp + fp), abs=2e-6)
+        assert got.loc[thr, "f1"] == pytest.approx(
+            2 * tp / (2 * tp + fp + (n_pos - tp)), abs=2e-6
+        )
+    # curve endpoints: loosest threshold has recall 1; monotone tp growth
+    assert got.sort_index().iloc[0]["recall"] == pytest.approx(1.0)
+    assert (got.sort_index(ascending=False)["tp"].diff().dropna() >= 0).all()
+    # the tuned threshold must beat the trivial accept-all F1
+    assert got["f1"].max() >= got.sort_index().iloc[0]["f1"]
+
+
+# --------------------------------------------------------------------- st10
+
+
+def test_st10_matches_pandas_lag_audit(spark, sf_dir):
+    out = (
+        REGISTRY["st10_out_of_order_audit"].spark(spark, sf_dir).toPandas()
+        .set_index("event_type")
+    )
+    e = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "event_id"]
+    )
+    e["d_us"] = (
+        e.groupby("user_id")["ts"].diff().dt.total_seconds() * 1_000_000
+    )
+    d = e.dropna(subset=["d_us"])
+    for et, g in d.groupby("event_type"):
+        assert out.loc[et, "n_arrivals"] == len(g)
+        assert out.loc[et, "n_regress"] == int((g["d_us"] < 0).sum())
+        assert out.loc[et, "n_beyond_wm"] == int((g["d_us"] < -600e6).sum())
+        neg = g.loc[g["d_us"] < 0, "d_us"]
+        want_worst = int((-neg.min()) // 1e6) if len(neg) else 0
+        assert out.loc[et, "worst_regress_s"] == want_worst

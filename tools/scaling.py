@@ -88,6 +88,8 @@ PICKS = [
     ("ml14_decision_stump", "exact-greedy stump: value-lattice prefix sums, 1-row result"),
     ("a19_trimmed_mean", "exact trimmed mean: cents-lattice ranks, int tie corrections"),
     ("ev20_gini", "Gini: closed-form tie-safe rank sums on the value lattice"),
+    ("ml15_pr_curve", "PR/F1 sweep: one suffix-sum window over the score lattice"),
+    ("st10_out_of_order_audit", "arrival-order audit: per-key lag window + type rollup"),
 ]
 
 
