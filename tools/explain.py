@@ -132,6 +132,8 @@ PICKS = {
     "ml12_auc": "no per-row rank window: scores collapse to the (class, 6dp-score) count lattice, tie-averaged ranks come from a class-partitioned prefix sum over that bounded frame, and the Mann-Whitney statistic is one more lattice-sized aggregate",
     "s12_poisson_bootstrap": "the 8 digests per ORDER are computed below the x32 broadcast fan-out (digest work scales with rows, not rows x B); each replicate slices its 8-hex fraction and the inverse-CDF ladder is codegen'd STRING compares (no conv); the exchange carries 32 exact-int64 (sum_k_cents, sum_k) partials per map partition",
     "ml13_ridge_cv": "k-free distributed CV: pass 1 is one map-side-combined agg into 5 fold rows; training stats are total-minus-fold on that 5-row frame; pass 2 scores held-out rows against the broadcast 5-row model table — two corpus passes for any k",
+    "ml15_pr_curve": "scores collapse to the (6dp-score) count lattice (map-side combined, bounded by score range); the entire threshold sweep is ONE descending suffix-sum window over that bounded frame + a broadcast 1-row total — no per-row window, no corpus sort",
+    "st10_out_of_order_audit": "one lag window partitioned by user_id (per-key parallel at any cardinality) feeding a map-side-combined rollup into |types| groups; all time math is exact integer microseconds (unix_micros), zero floats in the plan",
 }
 
 
