@@ -49,16 +49,21 @@ def main() -> None:
     )
     print(f"wrote {N} cells through df.write.format('mdio')")
 
-    # 2. build + publish the manifest (one distributed pass, one row/chunk)
-    stats = zonemap.ensure_chunk_stats(spark, root, "v")
-    print(f"manifest: {len(stats)} chunk zones, e.g. chunk 0 → {stats['0']}")
+    # 2. build + publish the manifest — the canonical form is a SIDECAR
+    #    store (vmin/vmax arrays keyed by linear chunk id): no attr-size
+    #    cap, no per-chunk driver collect
+    info = zonemap.ensure_chunk_stats(spark, root, "v")
+    meta = ZarrStore.open(root).array_meta("v")
+    zones = zonemap.open_zones(meta, root)
+    known0, zone0 = zones[1].lookup_coords((0,))
+    print(f"sidecar manifest over {info['nchunks']} chunks; chunk 0 zone → {zone0}")
 
     # 3. selective predicate: only the last chunk can satisfy it
-    meta = ZarrStore.open(root).array_meta("v")
     lit = float(N - 1000)
+    fill = meta.fill_scalar()
     survivors = [
-        k for k, zone in stats.items()
-        if zonemap.chunk_compatible(zone, ">=", lit, meta.fill_scalar())
+        c for c in range(meta.nchunks())
+        if zonemap.zone_keep(zones, (c,), ">=", lit, fill, True)
     ]
     n = scan_array(spark, root, "v", value_filter=(">=", lit)).count()
     print(
@@ -72,8 +77,9 @@ def main() -> None:
     repartition_by_chunks(upd, root, "v").write.format("mdio").option(
         "path", root
     ).option("variable", "v").mode("append").save()
-    fresh = zonemap.load_stats(ZarrStore.open(root).array_meta("v"))
-    print(f"after overwrite, chunk 0 zone → {fresh['0']} (manifest stayed coherent)")
+    fresh = zonemap.open_zones(ZarrStore.open(root).array_meta("v"), root)
+    _, z0 = fresh[1].lookup_coords((0,))
+    print(f"after overwrite, chunk 0 zone → {z0} (manifest stayed coherent)")
 
     shutil.rmtree(root, ignore_errors=True)
 
