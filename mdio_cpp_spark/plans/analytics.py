@@ -4551,7 +4551,9 @@ def a19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n AS n_users,
            ROUND(CAST(s AS DOUBLE) / n / 100.0, 4) AS mean_rev,
-           ROUND(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * s), 6) AS gini
+           CASE WHEN s <> 0
+                THEN ROUND(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * s), 6)
+                ELSE NULL END AS gini
     FROM g ORDER BY event_type
     """,
 )
@@ -4568,7 +4570,9 @@ def ev20(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix window over the bounded lattice and ONE closed-form aggregate —
     no row-level rank window, no sort of users anywhere. Every term until
     the final two display divisions is exact integer arithmetic, so the
-    engines agree bit-for-bit."""
+    engines agree bit-for-bit. Zero-mass groups (an event type whose
+    per-user revenue sums to 0) emit NULL gini rather than ANSI-aborting
+    the job on n·s = 0 — same CASE in the oracle."""
     e = _t(spark, sf_dir, "events")
     per_user = e.groupBy("event_type", "user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
@@ -4596,7 +4600,12 @@ def ev20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s").cast("double") / F.col("n") / 100.0, 4).alias(
             "mean_rev"
         ),
-        F.round(
-            F.col("num").cast("double") / (F.col("n").cast("double") * F.col("s")), 6
+        F.when(
+            F.col("s") != 0,
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("n").cast("double") * F.col("s")),
+                6,
+            ),
         ).alias("gini"),
     ).orderBy("event_type")

@@ -2309,7 +2309,11 @@ def w18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average of daily revenue per event
     type (pandas ``ewm(halflife=1 step, adjust=True)`` semantics over the
     per-day series) — THE smoothing every metrics dashboard ships next to
-    the raw line, and the one rolling shape w01–w17 lack. The decay
+    the raw line, and the one rolling shape w01–w17 lack. ts02_ewma
+    (analytics.py) smooths the same metric but decays by CALENDAR-DAY lag
+    with dyadic half-life; this one decays by OBSERVATION INDEX (rn − rn′,
+    span-{_EWM_SPAN} adjust=True semantics) — the two differ whenever the
+    day grid has gaps, and both shapes ship deliberately. The decay
     weight is 2^-k computed as an exact integer SHIFT (1.0 / (1 << k)),
     never pow() — bit-identical on any engine — and the memory is
     truncated at {_EWM_SPAN} trailing observations, where the dropped

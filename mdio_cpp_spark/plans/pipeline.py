@@ -1270,21 +1270,56 @@ def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.enrich_with_type_stats(e, ev.type_reference_stats(e)).orderBy("event_id")
 
 
-@declared("a09_approx_sketches", oracle=None)
+@declared(
+    "a09_approx_sketches",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(ABS(approx_count_distinct(user_id)
+                    - COUNT(DISTINCT user_id))
+                <= 0.05 * COUNT(DISTINCT user_id) AS INTEGER)
+             AS hll_within_5pct,
+           CAST(ABS(approx_quantile(value, 0.5)
+                    - quantile_cont(value, 0.5))
+                <= 0.05 * ABS(quantile_cont(value, 0.5)) AS INTEGER)
+             AS kll_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def a09(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregation — the 100-TB answer when exact
     distinct counts / percentiles are not worth their shuffle: HLL++
     approx_count_distinct (constant-size sketch per group, map-side merge)
-    and approx_percentile (mergeable KLL-style summary). NOT oracle-gated:
-    sketch estimates are engine-specific by design (DuckDB's approx_*
-    differs); the driver records the rows-only check and pytest pins a
-    ±5 % envelope against the exact answers (test_declared_queries)."""
+    and approx_percentile (mergeable KLL-style summary). Raw sketch
+    estimates are engine-specific by design (DuckDB's approx_* uses a
+    different HLL register layout), so the HASH-GATED output is the
+    ENVELOPE VERDICT: each engine checks its OWN sketch against its OWN
+    exact answer — |est − exact| ≤ 5 %·exact as a 0/1 flag — plus the
+    exact distinct count, which is integer-exact on both engines. The 5 %
+    threshold sits 4.7× away from the worst observed deviation (1.07 %
+    HLL at sf0.1 in DuckDB; Spark 0.4 %; KLL ≤ 0.22 % on either), so the
+    booleans agree unless a sketch drifts by 4×, which IS the failure we
+    want to catch. Raw estimates remain pytest-audited with the same
+    envelope (test_streaming.test_approx_sketches_within_envelope).
+
+    Scale shape: one groupBy with mergeable constant-size sketch state;
+    the exact twin is the same shuffle carrying (type, user_id) distinct
+    pairs — both map-side partial, no row-level window anywhere."""
     e = _t(spark, sf_dir, "events")
+    exact_u = F.count_distinct("user_id")
+    approx_u = F.approx_count_distinct("user_id", rsd=0.02)
+    exact_p = F.expr("percentile(value, 0.5)")
+    approx_p = F.percentile_approx("value", 0.5, 10_000)
     return (
         e.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
+            exact_u.alias("exact_users"),
+            (F.abs(approx_u - exact_u) <= 0.05 * exact_u)
+            .cast("int")
+            .alias("hll_within_5pct"),
+            (F.abs(approx_p - exact_p) <= 0.05 * F.abs(exact_p))
+            .cast("int")
+            .alias("kll_within_5pct"),
         )
         .orderBy("event_type")
     )
@@ -6749,11 +6784,15 @@ def v19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x"),
     )
     mm = pos.groupBy("d").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-    step = (F.col("hi") - F.col("lo")) / _SQ_LEVELS
+    # Association matches the oracle LITERALLY — (x-lo)*255/(hi-lo) for the
+    # grid index and lo + q*(hi-lo)/255 for reconstruction — because
+    # differently-associated IEEE expressions can differ by 1 ulp, and at a
+    # floor(t+0.5) boundary that flips a full quantization level.
+    span = F.col("hi") - F.col("lo")
+    q = F.floor((F.col("x") - F.col("lo")) * _SQ_LEVELS / span + 0.5)
     xr = F.when(
         F.col("hi") > F.col("lo"),
-        F.col("lo")
-        + F.floor((F.col("x") - F.col("lo")) / step + 0.5) * step,
+        F.col("lo") + q * span / _SQ_LEVELS,
     ).otherwise(F.col("lo"))
     per_vec = (
         pos.join(F.broadcast(mm), "d")
@@ -7070,8 +7109,10 @@ def v20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(cid AS INT) AS class,
            n_pos, n_neg,
-           ROUND((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6)
-             AS auc
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN ROUND((r_pos - n_pos * (n_pos + 1) / 2.0)
+                           / (n_pos * n_neg), 6)
+                ELSE NULL END AS auc
     FROM agg ORDER BY class
     """,
 )
@@ -7091,7 +7132,9 @@ def ml12(spark: SparkSession, sf_dir: str) -> DataFrame:
     lattice-sized aggregate. All rank arithmetic is half-integer exact;
     the only rounding is the final AUC division. Ties carry identical
     structure on both engines because the scores themselves are the
-    6dp-rounded cosine contract (ml07)."""
+    6dp-rounded cosine contract (ml07). Degenerate classes (all vectors
+    on one side: n_pos·n_neg = 0) emit NULL auc rather than ANSI-aborting
+    the job — same CASE in the oracle."""
     from pyspark.sql import Window as W
 
     e = _t(spark, sf_dir, "embeddings")
@@ -7139,10 +7182,13 @@ def ml12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").cast("int").alias("class"),
         "n_pos",
         "n_neg",
-        F.round(
-            (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
-            / (F.col("n_pos") * F.col("n_neg")),
-            6,
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+                / (F.col("n_pos") * F.col("n_neg")),
+                6,
+            ),
         ).alias("auc"),
     ).orderBy("class")
 

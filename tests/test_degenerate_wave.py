@@ -250,3 +250,53 @@ def test_ev20_gini_with_mass_ties(spark, ties_sf):
     assert len(out) == 1
     assert out.iloc[0]["n_users"] == n
     assert out.iloc[0]["gini"] == pytest.approx(want, abs=2e-6)
+
+
+@pytest.fixture(scope="module")
+def zero_mass_sf(tmp_path_factory):
+    """The ADVICE-r8 degenerate pair: an event type whose per-user revenue
+    sums to ZERO (views priced at 0.0 — s = 0, the gini denominator), and
+    an embeddings corpus where ONE label owns every vector (n_neg = 0, the
+    AUC denominator). Under ANSI mode an unguarded divide aborts the job;
+    the contract is NULL for the degenerate group, real values elsewhere."""
+    d = tmp_path_factory.mktemp("zero_mass_sf")
+    ev = pd.DataFrame(
+        {
+            "event_id": range(1, 7),
+            "user_id": [10, 20, 30, 10, 20, 30],
+            "event_type": ["view"] * 3 + ["purchase"] * 3,
+            "ts": pd.to_datetime(["2024-01-02 08:00:00"] * 6),
+            "value": [0.0, 0.0, 0.0, 10.0, 20.0, 70.0],
+            "props": ['{"k": 1}'] * 6,
+        }
+    )
+    ev.to_parquet(d / "events.parquet")
+    rng = np.random.default_rng(7)
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(1, 9, dtype="int64"),
+            "embedding": [rng.normal(size=4).astype("float32") for _ in range(8)],
+            "label": np.full(8, 3, dtype="int32"),  # one class owns ALL vectors
+        }
+    )
+    emb.to_parquet(d / "embeddings.parquet")
+    return str(d)
+
+
+def test_ev20_gini_zero_revenue_type_is_null_not_div0(spark, zero_mass_sf):
+    out = REGISTRY["ev20_gini"].spark(spark, zero_mass_sf).toPandas()
+    byt = out.set_index("event_type")
+    assert pd.isna(byt.loc["view", "gini"])          # s = 0 → NULL, no abort
+    assert byt.loc["view", "n_users"] == 3
+    # the non-degenerate group still computes the exact tie-safe Gini
+    x = np.sort(np.array([10.0, 20.0, 70.0]) * 100)
+    n = len(x)
+    want = (2 * np.arange(1, n + 1) @ x - (n + 1) * x.sum()) / (n * x.sum())
+    assert byt.loc["purchase", "gini"] == pytest.approx(want, abs=2e-6)
+
+
+def test_ml12_auc_single_class_corpus_is_null_not_div0(spark, zero_mass_sf):
+    out = REGISTRY["ml12_auc"].spark(spark, zero_mass_sf).toPandas()
+    assert len(out) == 1 and out.iloc[0]["class"] == 3
+    assert out.iloc[0]["n_pos"] == 8 and out.iloc[0]["n_neg"] == 0
+    assert pd.isna(out.iloc[0]["auc"])               # n_neg = 0 → NULL, no abort

@@ -324,28 +324,35 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir):
 
 
 def test_approx_sketches_within_envelope(spark, sf_dir):
-    """a09's HLL++/KLL estimates must land within the declared ±5 % envelope
-    of the exact answers (the honesty gate for the non-oracled query)."""
+    """The RAW HLL++/KLL estimates must land within the declared ±5 %
+    envelope of the exact answers (the audit behind a09's hash-gated
+    envelope booleans — this is where the raw-estimate form lives now),
+    and a09 itself must report every flag as 1."""
     from pyspark.sql import functions as F
 
     from mdio_cpp_spark.plans import REGISTRY
 
-    approx = {r["event_type"]: r for r in REGISTRY["a09_approx_sketches"].spark(spark, sf_dir).collect()}
     e = table(spark, sf_dir, "events")
-    exact = {
+    raw = {
         r["event_type"]: r
         for r in e.groupBy("event_type")
         .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
             F.count_distinct("user_id").alias("users"),
             F.expr("percentile(value, 0.5)").alias("p50"),
         )
         .collect()
     }
-    assert set(approx) == set(exact) and len(exact) > 0
-    for et, ex in exact.items():
-        ap = approx[et]
-        assert abs(ap["approx_users"] - ex["users"]) <= max(2, 0.05 * ex["users"])
-        assert abs(ap["approx_p50"] - ex["p50"]) <= max(1e-6, 0.05 * abs(ex["p50"]))
+    assert len(raw) > 0
+    for et, r in raw.items():
+        assert abs(r["approx_users"] - r["users"]) <= max(2, 0.05 * r["users"])
+        assert abs(r["approx_p50"] - r["p50"]) <= max(1e-6, 0.05 * abs(r["p50"]))
+    flags = REGISTRY["a09_approx_sketches"].spark(spark, sf_dir).collect()
+    assert set(r["event_type"] for r in flags) == set(raw)
+    for r in flags:
+        assert r["hll_within_5pct"] == 1 and r["kll_within_5pct"] == 1
+        assert r["exact_users"] == raw[r["event_type"]]["users"]
 
 
 def test_transformWithState_matches_batch(spark, sf_dir):
