@@ -8,6 +8,11 @@ Each query is timed as plan-build + execution to completion: small results
 the noop sink consumes every column, so the optimizer cannot prune the very
 operators being measured (a bare ``count()`` would let EliminateSorts +
 ColumnPruning reduce a window query to a metadata-only scan).
+
+Run-time ``WindowExec: No Partition Defined`` warnings in the log are the
+22 allowlisted bounded windows of tests/test_plan_quality.py (each runs over
+a tiny-by-construction frame — chunk counts, day grids, value lattices —
+never over data-sized input); they are expected, not scale-killers.
 """
 
 from __future__ import annotations
@@ -147,6 +152,54 @@ def main() -> None:
     if all(n in timings for n in CORE30):
         # the fixed-subset subtotal that IS round-over-round comparable
         out["core30_wall"] = round(sum(timings[n] for n in CORE30), 3)
+    # absolute anchor gate: BASELINE_BENCH.json holds quiet-box per-query
+    # medians (sf0.1); any query >2x its anchor is a loud regression, not a
+    # round-over-round delta that quietly re-bases. Only full-scale runs
+    # compare (subset/sf-mismatched runs would false-positive), and the
+    # recorded load1 lets a reader discount a noisy-box run.
+    anchor_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json")
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            anchor = json.load(f)
+        if out["sf"] == anchor.get("sf"):
+            # ratio gate plus an absolute-excess floor: sub-second queries
+            # are fixed-overhead-dominated and would false-positive 2x on
+            # any loaded box; +0.75 s of real excess is the signal threshold
+            regressions = {
+                n: {"now": s, "anchor": anchor["queries"][n],
+                    "ratio": round(s / anchor["queries"][n], 2)}
+                for n, s in timings.items()
+                if n in anchor["queries"]
+                and s > 2.0 * anchor["queries"][n]
+                and s > anchor["queries"][n] + 0.75
+            }
+            if regressions:
+                out["n_regressions"] = len(regressions)
+                worst = sorted(regressions.items(),
+                               key=lambda kv: -kv[1]["ratio"])[:5]
+                out["regressions"] = dict(worst)
+                print(
+                    f"BENCH REGRESSION: {len(regressions)} queries >2x their "
+                    f"quiet-box anchor (worst: "
+                    + ", ".join(f"{n} {v['ratio']}x" for n, v in worst)
+                    + f"; load1={out['load1_start']}-{out['load1_end']} — "
+                    "re-run on a quiet box before trusting)",
+                    file=sys.stderr,
+                )
+            if os.environ.get("REFRESH_BASELINE") == "1":
+                # adopt anchors for queries that have none yet (new this
+                # round); existing anchors are never overwritten here
+                added = 0
+                for n, s in timings.items():
+                    if n not in anchor["queries"]:
+                        anchor["queries"][n] = s
+                        added += 1
+                if added:
+                    with open(anchor_path, "w") as f:
+                        json.dump(anchor, f, indent=1, sort_keys=True)
+                    print(f"BASELINE_BENCH.json: +{added} new anchors",
+                          file=sys.stderr)
     if errors:
         # bounded: a systemic failure (bad sf_dir) must not blow the
         # compact line's budget with 180 error strings

@@ -843,12 +843,17 @@ def _map_spec_compressor(comp: dict | None) -> dict | None:
         # + zstd.py implement the public formats wheel-free (zstd WRITE is
         # store-mode — valid frames, no entropy coding — until a wheel
         # exists; decode is full RFC 8878)
-        cname = comp.get("cname", "lz4")
+        # "algorithm" is the legacy MDIO-cpp key for cname
+        # (resolve_blosc_cname, dataset_factory.h:237-246)
+        cname = comp.get("cname", comp.get("algorithm", "lz4"))
+        shuffle = comp.get("shuffle", 1)
+        if isinstance(shuffle, str):  # blosc_shuffle_to_int analog (:198-210)
+            shuffle = {"noshuffle": 0, "shuffle": 1, "bitshuffle": 2}.get(shuffle, 1)
         return {
             "id": "blosc",
             "cname": cname,
-            "clevel": comp.get("clevel", 5),
-            "shuffle": comp.get("shuffle", 1),
+            "clevel": comp.get("clevel", comp.get("level", 5)),
+            "shuffle": shuffle,
         }
     if name in ("zlib", "gzip"):
         return {"id": name, "level": int(comp.get("clevel", comp.get("level", 5)))}

@@ -5874,3 +5874,165 @@ def zarr116(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(factor).cast("long").alias("level_factor"),
         )
     )
+
+
+def _handcraft_v2_store(path: str, zarray: dict, zattrs: dict,
+                        chunks: dict[str, bytes]) -> None:
+    """Write a v2 store BY HAND — json + raw chunk objects, zero engine
+    encode-path involvement — so the reading gate is a true external-store
+    differential (the store stands in for one written by numcodecs/
+    zarr-python, which the reference reads via TensorStore passthrough,
+    zarr_v2.h:78)."""
+    import json
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(os.path.join(path, "v"), exist_ok=True)
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    with open(os.path.join(path, ".zattrs"), "w") as f:
+        json.dump({"name": "external_v2"}, f)
+    with open(os.path.join(path, "v", ".zarray"), "w") as f:
+        json.dump(zarray, f)
+    with open(os.path.join(path, "v", ".zattrs"), "w") as f:
+        json.dump(zattrs, f)
+    for key, raw in chunks.items():
+        with open(os.path.join(path, "v", key), "wb") as f:
+            f.write(raw)
+
+
+@declared(
+    "zarr117_delta_filter_store",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(o_custkey) AS BIGINT) AS total,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_v,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_v
+    FROM (SELECT o_custkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 300 AND rn - 1 < 7000
+    """,
+)
+def zarr117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READ an externally-written v2 store whose chunks pass through a
+    numcodecs DELTA filter chain (filters: [{"id": "delta", "dtype":
+    "<i4"}] + zlib) — the filter passthrough the reference inherits from
+    TensorStore (zarr_v2.h:78) and this engine decodes natively
+    (codecs.decode_v2_filters). The fixture chunks are assembled BY HAND
+    from the numcodecs spec in this builder (np.diff per full chunk, then
+    zlib), so engine encode code never touches the bytes under test; the
+    chunk-pruned isel scan must then hash-match SQL over the original
+    parquet. Builder is driver-side by design (it fakes an external
+    writer; bytes are 4·|orders| ≈ 6 MB even at sf1) — the READ under
+    test is the usual distributed chunk-pruned scan."""
+    import zlib
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "delta_filtered.zarr")
+    marker = os.path.join(base, ".built_delta_v1")
+    if not os.path.exists(marker):
+        vals = np.array(
+            [r["o_custkey"] for r in _orders_indexed(spark, sf_dir)
+             .select("o_custkey").orderBy("i").collect()],
+            dtype="<i4",
+        )
+        n = len(vals)
+        n_chunks = (n + CHUNK - 1) // CHUNK
+        chunk_objs: dict[str, bytes] = {}
+        for k in range(n_chunks):
+            # v2 edge chunks are stored FULL SIZE: pad with the fill value
+            block = np.zeros(CHUNK, dtype="<i4")
+            part = vals[k * CHUNK:(k + 1) * CHUNK]
+            block[: len(part)] = part
+            enc = np.empty(CHUNK, dtype="<i4")
+            enc[0] = block[0]
+            enc[1:] = np.diff(block)
+            chunk_objs[str(k)] = zlib.compress(enc.tobytes(), 1)
+        _handcraft_v2_store(
+            path,
+            {"zarr_format": 2, "shape": [n], "chunks": [CHUNK],
+             "dtype": "<i4", "compressor": {"id": "zlib", "level": 1},
+             "fill_value": 0, "order": "C",
+             "filters": [{"id": "delta", "dtype": "<i4"}],
+             "dimension_separator": "."},
+            {"_ARRAY_DIMENSIONS": ["i"]},
+            chunk_objs,
+        )
+        with open(marker, "w") as f:
+            f.write("1")
+    ds = MdioDataset.open(path)
+    return ds.isel(i=(300, 7000)).to_df(spark, "v", value_col="v").agg(
+        F.count("v").cast("long").alias("cnt"),
+        F.sum("v").cast("long").alias("total"),
+        F.min("v").cast("long").alias("min_v"),
+        F.max("v").cast("long").alias("max_v"),
+    )
+
+
+@declared(
+    "zarr118_be_struct_store",
+    oracle="""
+    SELECT CAST(rn - 1 AS BIGINT) AS i,
+           CAST(o_custkey AS BIGINT) AS ck,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM (SELECT o_custkey, o_totalprice,
+                 ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 100 AND rn - 1 < 3000
+    ORDER BY i
+    """,
+)
+def zarr118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READ an externally-written v2 store with BIG-ENDIAN STRUCT FIELDS
+    (dtype [["ok", ">i8"], ["ck", ">i4"], ["cents", ">i8"]]) — the
+    seismic-land trace-header layout (SEG-Y headers are BE; a v2 export
+    keeps them so), matching the reference's v2 dtype matrix
+    (zarr_v2.h:579-595). The decoder keeps the mixed-order on-disk dtype
+    as stored_dtype and astypes to the all-native twin — a per-field
+    byteswap, same path plain BE scalars use — then SelectField pruning
+    ships only the two requested fields across the Arrow boundary.
+    Fixture bytes handcrafted (numpy BE struct + zlib, no engine encode
+    path); the scan must hash-match SQL over the original parquet."""
+    import zlib
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "be_struct.zarr")
+    marker = os.path.join(base, ".built_bestruct_v1")
+    if not os.path.exists(marker):
+        rows = (
+            _orders_indexed(spark, sf_dir)
+            .select("o_orderkey", "o_custkey",
+                    F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+            .orderBy("i")
+            .collect()
+        )
+        be = np.dtype([("ok", ">i8"), ("ck", ">i4"), ("cents", ">i8")])
+        vals = np.array(
+            [(r["o_orderkey"], r["o_custkey"], r["cents"]) for r in rows],
+            dtype=be,
+        )
+        n = len(vals)
+        n_chunks = (n + CHUNK - 1) // CHUNK
+        chunk_objs: dict[str, bytes] = {}
+        for k in range(n_chunks):
+            block = np.zeros(CHUNK, dtype=be)
+            part = vals[k * CHUNK:(k + 1) * CHUNK]
+            block[: len(part)] = part
+            chunk_objs[str(k)] = zlib.compress(block.tobytes(), 1)
+        _handcraft_v2_store(
+            path,
+            {"zarr_format": 2, "shape": [n], "chunks": [CHUNK],
+             "dtype": [["ok", ">i8"], ["ck", ">i4"], ["cents", ">i8"]],
+             "compressor": {"id": "zlib", "level": 1},
+             "fill_value": None, "order": "C", "dimension_separator": "."},
+            {"_ARRAY_DIMENSIONS": ["i"]},
+            chunk_objs,
+        )
+        with open(marker, "w") as f:
+            f.write("1")
+    from mdio_cpp_spark.sources.reader import scan_array
+
+    return (
+        scan_array(spark, path, "v", ranges={"i": (100, 3000)},
+                   fields=["ck", "cents"])
+        .select("i", F.col("ck").cast("long").alias("ck"), "cents")
+        .orderBy("i")
+    )

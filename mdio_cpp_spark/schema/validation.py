@@ -101,6 +101,39 @@ def _check_structure(spec: dict) -> None:
             # we additionally accept the stdlib codecs our chunks use
             if comp.get("name") not in ("blosc", "zlib", "gzip", None):
                 _err(f"variable {name!r}: unsupported compressor {comp.get('name')!r}")
+            # parameter parity with the reference's compressor matrix
+            # (resolve_blosc_clevel, dataset_factory.h:253-265: clevel/legacy
+            # 'level' must be in [0,9]; the 1,134-LoC error-path suite is
+            # dataset_factory_test.cc:668-902) — refuse BEFORE any store I/O
+            clevel = comp.get("clevel", comp.get("level", 5))
+            if isinstance(clevel, bool) or not isinstance(clevel, int) or not (0 <= clevel <= 9):
+                _err(
+                    f"variable {name!r}: compressor level must be between "
+                    f"0 and 9 (got {clevel!r})"
+                )
+            if comp.get("name") == "blosc":
+                cname = comp.get("cname", comp.get("algorithm", "lz4"))
+                if cname not in ("zlib", "lz4", "blosclz", "snappy", "zstd"):
+                    _err(
+                        f"variable {name!r}: unsupported blosc cname "
+                        f"{cname!r} (supported: zlib/lz4/blosclz/snappy/zstd)"
+                    )
+                shuffle = comp.get("shuffle", 1)
+                if not (
+                    (isinstance(shuffle, int) and not isinstance(shuffle, bool)
+                     and shuffle in (0, 1, 2))
+                    or shuffle in ("noshuffle", "shuffle", "bitshuffle")
+                ):
+                    _err(
+                        f"variable {name!r}: blosc shuffle must be 0/1/2 or "
+                        f"noshuffle/shuffle/bitshuffle (got {shuffle!r})"
+                    )
+                blocksize = comp.get("blocksize", 0)
+                if isinstance(blocksize, bool) or not isinstance(blocksize, int) or blocksize < 0:
+                    _err(
+                        f"variable {name!r}: blosc blocksize must be a "
+                        f"non-negative int (got {blocksize!r})"
+                    )
         cg = (var.get("metadata") or {}).get("chunkGrid")
         if cg is not None:
             shape = (cg.get("configuration") or {}).get("chunkShape")

@@ -133,6 +133,73 @@ def compress_v2(data: bytes, compressor: dict | None) -> bytes:
     raise CodecError(f"unsupported v2 compressor {cid!r}")
 
 
+# ---------------------------------------------------------------- v2 filters
+#
+# numcodecs array-to-array filter chain (zarr v2 `.zarray` "filters"). The
+# reference passes the chain straight through to TensorStore
+# (/root/reference/mdio/zarr/zarr_v2.h:78); here the two filters that appear
+# in externally-written seismic/scientific v2 stores are implemented from the
+# numcodecs spec. Wire contract (per numcodecs): ENCODE applies filters in
+# declaration order, each stage viewing the previous stage's BYTES as its
+# `dtype` and emitting `astype` (default: dtype); the compressor runs last.
+# DECODE reverses: decompress, then walk the chain BACKWARDS, each stage
+# viewing bytes as `astype` and emitting `dtype`. Unknown filter ids refuse
+# loudly at metadata-parse time (zarr_store._meta_from_v2), never here.
+
+V2_FILTER_IDS = ("delta", "fixedscaleoffset")
+
+
+def _filter_dtypes(f: dict) -> tuple[Any, Any]:
+    import numpy as np
+
+    dtype = np.dtype(f["dtype"])
+    astype = np.dtype(f["astype"]) if f.get("astype") else dtype
+    return dtype, astype
+
+
+def encode_v2_filters(raw: bytes, filters: list[dict] | tuple) -> bytes:
+    """Run the filter chain forward over serialized chunk bytes."""
+    import numpy as np
+
+    buf = raw
+    for f in filters:
+        dtype, astype = _filter_dtypes(f)
+        arr = np.frombuffer(buf, dtype=dtype)
+        fid = f.get("id")
+        if fid == "delta":
+            # numcodecs.Delta: enc[0] = arr[0]; enc[1:] = diff(arr), cast
+            enc = np.empty(arr.shape, dtype=astype)
+            if len(arr):
+                enc[0] = arr[0]
+                enc[1:] = np.diff(arr)
+        elif fid == "fixedscaleoffset":
+            # numcodecs.FixedScaleOffset: round((x - offset) * scale), cast
+            enc = np.around((arr - f["offset"]) * f["scale"]).astype(astype)
+        else:  # pragma: no cover - refused at parse time
+            raise CodecError(f"unsupported v2 filter {fid!r}")
+        buf = enc.tobytes()
+    return buf
+
+
+def decode_v2_filters(raw: bytes, filters: list[dict] | tuple) -> bytes:
+    """Run the filter chain backward over decompressed chunk bytes."""
+    import numpy as np
+
+    buf = raw
+    for f in reversed(list(filters)):
+        dtype, astype = _filter_dtypes(f)
+        enc = np.frombuffer(buf, dtype=astype)
+        fid = f.get("id")
+        if fid == "delta":
+            dec = np.cumsum(enc, dtype=dtype)
+        elif fid == "fixedscaleoffset":
+            dec = (enc / f["scale"] + f["offset"]).astype(dtype)
+        else:  # pragma: no cover - refused at parse time
+            raise CodecError(f"unsupported v2 filter {fid!r}")
+        buf = dec.tobytes()
+    return buf
+
+
 def decompress_v2(data: bytes, compressor: dict | None) -> bytes:
     if compressor is None:
         return data

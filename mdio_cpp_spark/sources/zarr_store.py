@@ -77,6 +77,10 @@ class ZarrArrayMeta:
     stored_dtype: Any = None         # on-disk dtype when it differs (big-endian)
     zarr_version: int = 2
     compressor: dict | None = None   # v2
+    # v2 numcodecs filter chain (tuple of {"id", "dtype", ...} dicts, applied
+    # between the typed bytes and the compressor; () = none). Supported ids
+    # are codecs.V2_FILTER_IDS; anything else refuses at parse time.
+    filters: tuple = ()
     v3_codecs: list = field(default_factory=list)
     order: str = "C"
     separator: str = "."
@@ -157,7 +161,7 @@ def _v2_array_json(meta: ZarrArrayMeta) -> dict:
             else (meta.fill.item() if hasattr(meta.fill, "item") and not meta.is_struct else meta.fill)
         ) if not meta.is_struct else _struct_fill_b64(meta),
         "order": meta.order,
-        "filters": None,
+        "filters": list(meta.filters) or None,
         "dimension_separator": meta.separator,
     }
 
@@ -332,23 +336,38 @@ def _encode_shard(meta: ZarrArrayMeta, block: np.ndarray) -> bytes:
 
 
 def _meta_from_v2(name: str, zarray: dict, zattrs: dict) -> ZarrArrayMeta:
-    if zarray.get("filters"):
-        # a filter chain we don't implement would decode to garbage — refuse
-        # loudly rather than return wrong values (delta/quantize etc.)
-        raise NotImplementedError(
-            f"array {name!r} uses v2 filters {zarray['filters']!r}; "
-            "filter chains are not supported"
-        )
+    filters = tuple(zarray.get("filters") or ())
+    for f in filters:
+        # delta / fixedscaleoffset are implemented from the numcodecs spec
+        # (codecs.decode_v2_filters; the reference passes the chain through
+        # to TensorStore, zarr_v2.h:78). Any OTHER filter would decode to
+        # garbage — refuse loudly rather than return wrong values.
+        if not isinstance(f, dict) or f.get("id") not in _codecs.V2_FILTER_IDS:
+            raise NotImplementedError(
+                f"array {name!r} uses v2 filter {f!r}; supported filter ids "
+                f"are {list(_codecs.V2_FILTER_IDS)}"
+            )
+        if "dtype" not in f:
+            raise ValueError(f"array {name!r}: v2 filter {f!r} lacks 'dtype'")
+        if f["id"] == "fixedscaleoffset" and not (
+            "scale" in f and "offset" in f and f["scale"]
+        ):
+            raise ValueError(
+                f"array {name!r}: fixedscaleoffset filter needs nonzero "
+                f"'scale' and an 'offset' ({f!r})"
+            )
     mdio_name, np_dt, header_only = parse_v2_dtype(zarray["dtype"])
+    stored = None
     if np_dt.fields is not None and any(
         np_dt.fields[n][0].byteorder == ">" for n in np_dt.names
     ):
-        # a BE struct field would decode silently wrong — refuse loudly
-        raise NotImplementedError(
-            f"array {name!r} has big-endian struct fields; not supported"
-        )
-    stored = None
-    if np_dt.fields is None and np_dt.byteorder == ">":
+        # external big-endian struct store (common for seismic-land header
+        # structs): keep the on-disk mixed-order dtype for the decoder;
+        # astype to the all-native twin byteswaps per field (zarr_v2.h's
+        # dtype matrix, :579-595 — TensorStore does the same swap)
+        stored = np_dt
+        np_dt = np_dt.newbyteorder("=")
+    elif np_dt.fields is None and np_dt.byteorder == ">":
         # external big-endian store: keep the on-disk dtype for the decoder,
         # surface the native one everywhere else
         stored = np_dt
@@ -365,6 +384,7 @@ def _meta_from_v2(name: str, zarray: dict, zattrs: dict) -> ZarrArrayMeta:
         stored_dtype=stored,
         zarr_version=2,
         compressor=zarray.get("compressor"),
+        filters=filters,
         order=zarray.get("order", "C"),
         separator=zarray.get("dimension_separator", "."),
         dims=dims,
@@ -855,6 +875,8 @@ class ZarrStore:
             return None
         if meta.zarr_version == 2:
             raw = _codecs.decompress_v2(raw, meta.compressor)
+            if meta.filters:
+                raw = _codecs.decode_v2_filters(raw, meta.filters)
         elif meta.shard is not None:
             return _decode_shard(meta, raw)
         else:
@@ -987,6 +1009,8 @@ class ZarrStore:
         if meta.zarr_version == 2:
             disk_dtype = meta.stored_dtype or meta.np_dtype
             raw = np.ascontiguousarray(block, dtype=disk_dtype).tobytes(order=meta.order)
+            if meta.filters:
+                raw = _codecs.encode_v2_filters(raw, meta.filters)
             return _codecs.compress_v2(raw, meta.compressor)
         return _codecs.compress_v3(_raw_from_block(meta, block), meta.v3_codecs)
 

@@ -607,6 +607,25 @@ def _assemble(shape, chunks, dt, fill, order, chunk_bytes_fn) -> np.ndarray:
     return out
 
 
+def _unfilter_v2(raw: bytes, filters) -> bytes:
+    """Numcodecs v2 filter-chain decode, from the numcodecs docs: walk the
+    declared chain BACKWARDS; each stage views the bytes as its storage
+    dtype (`astype`, default `dtype`) and emits `dtype`. Delta decodes by
+    cumulative sum; FixedScaleOffset by enc/scale + offset."""
+    for f in reversed(filters or []):
+        dtype = np.dtype(f["dtype"])
+        astype = np.dtype(f["astype"]) if f.get("astype") else dtype
+        enc = np.frombuffer(raw, dtype=astype)
+        if f["id"] == "delta":
+            dec = np.cumsum(enc, dtype=dtype)
+        elif f["id"] == "fixedscaleoffset":
+            dec = (enc / f["scale"] + f["offset"]).astype(dtype)
+        else:
+            raise NotImplementedError(f"v2 filter {f['id']!r}")
+        raw = dec.tobytes()
+    return raw
+
+
 def _read_v2(root: str, name: str) -> np.ndarray:
     adir = os.path.join(root, name)
     with open(os.path.join(adir, ".zarray")) as f:
@@ -619,13 +638,14 @@ def _read_v2(root: str, name: str) -> np.ndarray:
     sep = zarray.get("dimension_separator", ".")
     fill = _fill_np(zarray.get("fill_value"), dt)
     compressor = zarray.get("compressor")
+    filters = zarray.get("filters")
 
     def chunk_bytes(coords):
         path = os.path.join(adir, sep.join(str(c) for c in coords))
         if not os.path.exists(path):
             return None
         with open(path, "rb") as f:
-            return _decompress(f.read(), compressor, None)
+            return _unfilter_v2(_decompress(f.read(), compressor, None), filters)
 
     return _assemble(shape, chunks, dt, fill, order, chunk_bytes)
 
