@@ -675,6 +675,7 @@ class ZarrStore:
         fill: Any = "auto",
         chunk_key_encoding: str = "default",
         shards: tuple[int, ...] | list[int] | None = None,
+        filters: list[dict] | tuple = (),
     ) -> ZarrArrayMeta:
         """Create one array with MDIO fill semantics (IO2/IO3 analog).
 
@@ -691,6 +692,17 @@ class ZarrStore:
         attrs = dict(attrs or {})
         if shards is not None and self.version != 3:
             raise ValueError("shards requires a v3 store (sharding_indexed is a v3 codec)")
+        filters = tuple(filters or ())
+        if filters and self.version != 2:
+            raise ValueError("filters are a zarr v2 (numcodecs) concept; v3 uses codecs")
+        for f in filters:
+            if not isinstance(f, dict) or f.get("id") not in _codecs.V2_FILTER_IDS:
+                raise ValueError(
+                    f"unsupported v2 filter {f!r}; supported ids: "
+                    f"{list(_codecs.V2_FILTER_IDS)}"
+                )
+            if "dtype" not in f:
+                raise ValueError(f"v2 filter {f!r} lacks 'dtype'")
         if shards is not None:
             shards = tuple(int(x) for x in shards)
             inner_chunks = tuple(int(c) for c in chunks)
@@ -776,6 +788,7 @@ class ZarrStore:
             fill=fill_np,
             zarr_version=self.version,
             compressor=compressor if self.version == 2 else None,
+            filters=filters,
             v3_codecs=v3_chain,
             shard=shard_conf,
             separator=(

@@ -698,35 +698,32 @@ def test_v2_fixedscaleoffset_filter_read():
 
 def test_v2_filter_chain_engine_write_roundtrip():
     """The engine's OWN v2 encode path applies the declared filter chain
-    (delta then compressor) and round-trips through both the engine decode
-    and the independent spec reader; the chain survives in .zarray."""
+    (delta then compressor), persists it in .zarray, and the bytes are
+    readable by a fresh open AND the independent spec reader."""
     root = _fresh("delta_rt")
     st = ZarrStore.create(root, version=2, attrs={"name": "rt"})
-    st.create_array(
+    meta = st.create_array(
         "v", shape=(10,), chunks=(10,), dtype="int32", dims=("i",),
         compressor={"id": "zlib", "level": 1},
+        filters=[{"id": "delta", "dtype": "<i4"}],
     )
-    meta = st.array_meta("v")
-    meta = type(meta)(**{**meta.__dict__,
-                         "filters": ({"id": "delta", "dtype": "<i4"},)})
     vals = np.arange(10, dtype="<i4") * 3 - 7
     st.write_chunk(meta, (0,), vals)
-    assert np.array_equal(st.decode_chunk(meta, (0,)), vals)
-    # persist the chain and reopen: the filters column of .zarray is real
-    import json
-
-    za_path = os.path.join(root, "v", ".zarray")
-    with open(za_path) as f:
-        za = json.load(f)
-    za["filters"] = [{"id": "delta", "dtype": "<i4"}]
-    with open(za_path, "w") as f:
-        json.dump(za, f)
     st2 = ZarrStore.open(root)
     assert st2.array_meta("v").filters == ({"id": "delta", "dtype": "<i4"},)
     assert np.array_equal(st2.read_array("v"), vals)
     from tests.spec_zarr_reader import read_zarr_array
 
     assert np.array_equal(read_zarr_array(root, "v"), vals)
+    # refusals: unknown id, and filters on a v3 store
+    with pytest.raises(ValueError, match="filter"):
+        st.create_array("w", shape=(4,), chunks=(4,), dtype="int32",
+                        filters=[{"id": "packbits"}])
+    root3 = _fresh("delta_v3")
+    st3 = ZarrStore.create(root3, version=3)
+    with pytest.raises(ValueError, match="v3 uses codecs"):
+        st3.create_array("v", shape=(4,), chunks=(4,), dtype="int32",
+                         filters=[{"id": "delta", "dtype": "<i4"}])
 
 
 def test_v2_unknown_filter_still_rejected():
