@@ -146,7 +146,7 @@ def compress_v2(data: bytes, compressor: dict | None) -> bytes:
 # viewing bytes as `astype` and emitting `dtype`. Unknown filter ids refuse
 # loudly at metadata-parse time (zarr_store._meta_from_v2), never here.
 
-V2_FILTER_IDS = ("delta", "fixedscaleoffset")
+V2_FILTER_IDS = ("delta", "fixedscaleoffset", "quantize", "shuffle")
 
 
 def _filter_dtypes(f: dict) -> tuple[Any, Any]:
@@ -157,15 +157,46 @@ def _filter_dtypes(f: dict) -> tuple[Any, Any]:
     return dtype, astype
 
 
+def _quantize_scale(digits: int) -> float:
+    """numcodecs.Quantize's bit-truncation scale for a decimal precision:
+    the smallest power of two that resolves 10**-digits."""
+    import math
+
+    exp = math.log10(10.0 ** -int(digits))
+    exp = int(math.floor(exp)) if exp < 0 else int(math.ceil(exp))
+    bits = math.ceil(math.log(10.0 ** -exp, 2))
+    return 2.0 ** bits
+
+
+def _byte_shuffle(raw: bytes, elementsize: int, forward: bool) -> bytes:
+    """numcodecs.Shuffle: regroup bytes by intra-element lane. A trailing
+    partial element (len % elementsize) passes through unshuffled, matching
+    the numcodecs implementation."""
+    import numpy as np
+
+    es = max(1, int(elementsize))
+    n = len(raw) // es * es
+    body, tail = raw[:n], raw[n:]
+    a = np.frombuffer(body, dtype="u1")
+    if forward:
+        out = a.reshape(-1, es).T.tobytes(order="C")
+    else:
+        out = a.reshape(es, -1).T.tobytes(order="C")
+    return out + tail
+
+
 def encode_v2_filters(raw: bytes, filters: list[dict] | tuple) -> bytes:
     """Run the filter chain forward over serialized chunk bytes."""
     import numpy as np
 
     buf = raw
     for f in filters:
+        fid = f.get("id")
+        if fid == "shuffle":
+            buf = _byte_shuffle(buf, f.get("elementsize", 4), forward=True)
+            continue
         dtype, astype = _filter_dtypes(f)
         arr = np.frombuffer(buf, dtype=dtype)
-        fid = f.get("id")
         if fid == "delta":
             # numcodecs.Delta: enc[0] = arr[0]; enc[1:] = diff(arr), cast
             enc = np.empty(arr.shape, dtype=astype)
@@ -175,6 +206,11 @@ def encode_v2_filters(raw: bytes, filters: list[dict] | tuple) -> bytes:
         elif fid == "fixedscaleoffset":
             # numcodecs.FixedScaleOffset: round((x - offset) * scale), cast
             enc = np.around((arr - f["offset"]) * f["scale"]).astype(astype)
+        elif fid == "quantize":
+            # numcodecs.Quantize: LOSSY bit truncation to ~digits decimals —
+            # round(scale*x)/scale with a power-of-two scale, then cast
+            scale = _quantize_scale(f["digits"])
+            enc = (np.around(scale * arr) / scale).astype(astype)
         else:  # pragma: no cover - refused at parse time
             raise CodecError(f"unsupported v2 filter {fid!r}")
         buf = enc.tobytes()
@@ -187,13 +223,21 @@ def decode_v2_filters(raw: bytes, filters: list[dict] | tuple) -> bytes:
 
     buf = raw
     for f in reversed(list(filters)):
+        fid = f.get("id")
+        if fid == "shuffle":
+            buf = _byte_shuffle(buf, f.get("elementsize", 4), forward=False)
+            continue
         dtype, astype = _filter_dtypes(f)
         enc = np.frombuffer(buf, dtype=astype)
-        fid = f.get("id")
         if fid == "delta":
             dec = np.cumsum(enc, dtype=dtype)
-        elif fid == "fixedscaleoffset":
-            dec = (enc / f["scale"] + f["offset"]).astype(dtype)
+        elif fid in ("fixedscaleoffset", "quantize"):
+            # quantize decode is a plain view-and-cast (the loss happened
+            # at encode); fso reverses its affine map
+            if fid == "fixedscaleoffset":
+                dec = (enc / f["scale"] + f["offset"]).astype(dtype)
+            else:
+                dec = enc.astype(dtype)
         else:  # pragma: no cover - refused at parse time
             raise CodecError(f"unsupported v2 filter {fid!r}")
         buf = dec.tobytes()

@@ -347,7 +347,7 @@ def _meta_from_v2(name: str, zarray: dict, zattrs: dict) -> ZarrArrayMeta:
                 f"array {name!r} uses v2 filter {f!r}; supported filter ids "
                 f"are {list(_codecs.V2_FILTER_IDS)}"
             )
-        if "dtype" not in f:
+        if f["id"] != "shuffle" and "dtype" not in f:
             raise ValueError(f"array {name!r}: v2 filter {f!r} lacks 'dtype'")
         if f["id"] == "fixedscaleoffset" and not (
             "scale" in f and "offset" in f and f["scale"]
@@ -355,6 +355,14 @@ def _meta_from_v2(name: str, zarray: dict, zattrs: dict) -> ZarrArrayMeta:
             raise ValueError(
                 f"array {name!r}: fixedscaleoffset filter needs nonzero "
                 f"'scale' and an 'offset' ({f!r})"
+            )
+        if f["id"] == "quantize" and "digits" not in f:
+            raise ValueError(
+                f"array {name!r}: quantize filter needs 'digits' ({f!r})"
+            )
+        if f["id"] == "shuffle" and int(f.get("elementsize", 4)) < 1:
+            raise ValueError(
+                f"array {name!r}: shuffle elementsize must be >= 1 ({f!r})"
             )
     mdio_name, np_dt, header_only = parse_v2_dtype(zarray["dtype"])
     stored = None
@@ -701,7 +709,7 @@ class ZarrStore:
                     f"unsupported v2 filter {f!r}; supported ids: "
                     f"{list(_codecs.V2_FILTER_IDS)}"
                 )
-            if "dtype" not in f:
+            if f["id"] != "shuffle" and "dtype" not in f:
                 raise ValueError(f"v2 filter {f!r} lacks 'dtype'")
         if shards is not None:
             shards = tuple(int(x) for x in shards)

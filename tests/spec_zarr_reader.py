@@ -613,6 +613,12 @@ def _unfilter_v2(raw: bytes, filters) -> bytes:
     dtype (`astype`, default `dtype`) and emits `dtype`. Delta decodes by
     cumulative sum; FixedScaleOffset by enc/scale + offset."""
     for f in reversed(filters or []):
+        if f["id"] == "shuffle":
+            es = max(1, int(f.get("elementsize", 4)))
+            n = len(raw) // es * es
+            body = np.frombuffer(raw[:n], dtype="u1")
+            raw = body.reshape(es, -1).T.tobytes(order="C") + raw[n:]
+            continue
         dtype = np.dtype(f["dtype"])
         astype = np.dtype(f["astype"]) if f.get("astype") else dtype
         enc = np.frombuffer(raw, dtype=astype)
@@ -620,6 +626,8 @@ def _unfilter_v2(raw: bytes, filters) -> bytes:
             dec = np.cumsum(enc, dtype=dtype)
         elif f["id"] == "fixedscaleoffset":
             dec = (enc / f["scale"] + f["offset"]).astype(dtype)
+        elif f["id"] == "quantize":
+            dec = enc.astype(dtype)  # loss happened at encode
         else:
             raise NotImplementedError(f"v2 filter {f['id']!r}")
         raw = dec.tobytes()

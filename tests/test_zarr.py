@@ -726,14 +726,60 @@ def test_v2_filter_chain_engine_write_roundtrip():
                          filters=[{"id": "delta", "dtype": "<i4"}])
 
 
+def test_v2_quantize_and_shuffle_filters():
+    """quantize (numcodecs lossy bit truncation — decode is view+cast) and
+    shuffle (byte-lane regrouping, partial trailing element passes through)
+    round-trip through encode_v2_filters/decode_v2_filters and decode in a
+    real store, including a CHAINED quantize→shuffle pipeline."""
+    import zlib
+
+    from mdio_cpp_spark.sources import codecs as C
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(scale=10.0, size=64).astype("<f8")
+    # quantize alone: decode(encode(x)) == x rounded to the 2^bits grid
+    q = [{"id": "quantize", "digits": 3, "dtype": "<f8"}]
+    enc = C.encode_v2_filters(vals.tobytes(), q)
+    dec = np.frombuffer(C.decode_v2_filters(enc, q), dtype="<f8")
+    assert np.allclose(dec, vals, atol=10.0 ** -3)
+    assert not np.array_equal(dec, vals)  # it IS lossy
+    assert np.array_equal(  # and idempotent (already on the grid)
+        np.frombuffer(C.decode_v2_filters(C.encode_v2_filters(dec.tobytes(), q), q), dtype="<f8"),
+        dec,
+    )
+    # shuffle alone: exact round-trip incl. a non-divisible tail
+    raw = bytes(range(251))  # 251 % 4 == 3 -> 3-byte passthrough tail
+    sh = [{"id": "shuffle", "elementsize": 4}]
+    shuffled = C.encode_v2_filters(raw, sh)
+    assert shuffled != raw and C.decode_v2_filters(shuffled, sh) == raw
+    assert shuffled[-3:] == raw[-3:]
+    # chained quantize -> shuffle inside a handcrafted store, spec-read twin
+    chain = [{"id": "quantize", "digits": 3, "dtype": "<f8"},
+             {"id": "shuffle", "elementsize": 8}]
+    chunk = zlib.compress(C.encode_v2_filters(vals.tobytes(), chain))
+    root = _write_v2_single_chunk(
+        "qshuf",
+        {"zarr_format": 2, "shape": [64], "chunks": [64], "dtype": "<f8",
+         "compressor": {"id": "zlib", "level": 1}, "fill_value": 0.0,
+         "order": "C", "filters": chain},
+        chunk,
+    )
+    st = ZarrStore.open(root)
+    got = st.read_array("v")
+    assert np.array_equal(got, dec)
+    from tests.spec_zarr_reader import read_zarr_array
+
+    assert np.array_equal(read_zarr_array(root, "v"), dec)
+
+
 def test_v2_unknown_filter_still_rejected():
     """Filters outside the implemented set would decode to garbage — the
-    loud refusal stays for those (quantize, shuffle, packbits, ...)."""
+    loud refusal stays for those (packbits, astype, categorize, ...)."""
     root = _write_v2_single_chunk(
         "badfilter",
         {"zarr_format": 2, "shape": [10], "chunks": [10], "dtype": "<i4",
          "compressor": None, "fill_value": 0, "order": "C",
-         "filters": [{"id": "quantize", "digits": 3, "dtype": "<f8"}]},
+         "filters": [{"id": "packbits", "dtype": "|b1"}]},
         b"",
     )
     with pytest.raises(NotImplementedError, match="filter"):
