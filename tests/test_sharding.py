@@ -786,3 +786,32 @@ def test_zone_maps_prune_shards(tmp_path, spark):
     rows = [row for p in r.partitions() for b in r.read(p)
             for row in b.to_pylist()]
     assert sorted(x["i"] for x in rows) == list(range(7000, 8000))
+
+
+def test_reshard_from_delta_filtered_v2_source(tmp_path, spark):
+    """A DELTA-FILTERED legacy v2 store (the numcodecs chain an external
+    writer left behind) resharding into v3: the filter decode happens
+    inside the source read seam, the destination is filterless v3 — the
+    migration is also the escape hatch off the v2-only filter feature."""
+    import numpy as np
+
+    from mdio_cpp_spark.utils.transcode import reshard_array
+
+    src = str(tmp_path / "filtered.zarr")
+    st = ZarrStore.create(src, version=2, attrs={"name": "filtered"})
+    st.create_array("v", shape=(32,), chunks=(8,), dtype="int32",
+                    dims=("i",), compressor={"id": "zlib", "level": 1},
+                    fill=0, filters=[{"id": "delta", "dtype": "<i4"}])
+    st.consolidate()
+    vals = (np.arange(32, dtype="<i4") * 7 - 50)
+    st.write_array_numpy("v", vals)
+    assert np.array_equal(specr.read_zarr_array(src, "v"), vals)
+
+    dst = str(tmp_path / "resharded.zarr")
+    report = reshard_array(spark, src, dst, "v", shards=(16,),
+                           inner_chunks=(8,))
+    assert report["shards_written"] == 2
+    d = ZarrStore.open(dst)
+    assert d.array_meta("v").filters == ()  # v3: no numcodecs chain
+    assert np.array_equal(d.read_array("v"), vals)
+    assert np.array_equal(specr.read_zarr_array(dst, "v"), vals)

@@ -134,6 +134,7 @@ PICKS = {
     "ml13_ridge_cv": "k-free distributed CV: pass 1 is one map-side-combined agg into 5 fold rows; training stats are total-minus-fold on that 5-row frame; pass 2 scores held-out rows against the broadcast 5-row model table — two corpus passes for any k",
     "ml15_pr_curve": "scores collapse to the (6dp-score) count lattice (map-side combined, bounded by score range); the entire threshold sweep is ONE descending suffix-sum window over that bounded frame + a broadcast 1-row total — no per-row window, no corpus sort",
     "st10_out_of_order_audit": "one lag window partitioned by user_id (per-key parallel at any cardinality) feeding a map-side-combined rollup into |types| groups; all time math is exact integer microseconds (unix_micros), zero floats in the plan",
+    "a09_approx_sketches": "three independent passes JOINED at 5 rows, never one Expand plan: sketch agg (HLL + KLL, map-side mergeable), two-phase (type,user) exact-distinct pre-aggregate, and the lattice-exact median (count lattice -> type-partitioned prefix window -> rank-covering rows); mixing count_distinct into the sketch agg would Expand-replicate every row (measured 6.8s vs 1.3s)",
     "zarr117_delta_filter_store": "the delta-filtered EXTERNAL store scans through the same chunk-pruned mapInPandas stage as any v2 array (filter decode happens inside the Python decoder, per chunk — no extra plan stage); the isel range prunes the manifest before any GET; one partial-then-final agg to 1 row",
     "zarr118_be_struct_store": "BE-struct decode is a per-field astype inside the chunk decoder — the Spark plan is the standard pruned scan; SelectField pruning means only the two requested fields (not the 20-byte record) cross the Arrow boundary; output sort is the gate's own ORDER BY",
 }
