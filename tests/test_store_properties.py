@@ -136,3 +136,107 @@ def test_multi_run_point_sel_matches_numpy(data):
     got = sel.var("v").read()
     assert np.array_equal(got, vals[np.flatnonzero(coord == value)])
     assert sel.var("v").num_samples() == len(hit_idx)
+
+
+# ------------------------------------------------------ v2 filter properties
+
+from mdio_cpp_spark.sources import codecs as _C
+
+_FILTER_INT_DTYPES = ["<i2", "<i4", "<i8"]
+
+
+@st.composite
+def filter_chain_case(draw):
+    """A random int array plus a random LOSSLESS numcodecs chain (delta and
+    shuffle compose losslessly on ints; fso with scale=1 offset=int is an
+    exact affine on ints)."""
+    dtype = draw(st.sampled_from(_FILTER_INT_DTYPES))
+    n = draw(st.integers(0, 200))
+    info = np.iinfo(dtype)
+    # keep |values| small enough that delta diffs can't overflow the dtype
+    bound = int(min(2 ** 14, info.max // 4))
+    vals = np.array(
+        draw(st.lists(st.integers(-bound, bound), min_size=n, max_size=n)),
+        dtype=dtype,
+    )
+    chain = []
+    seen_shuffle = False
+    for _ in range(draw(st.integers(1, 3))):
+        kind = draw(st.sampled_from(["delta", "shuffle", "fso"]))
+        if kind == "shuffle":
+            seen_shuffle = True
+            chain.append({"id": "shuffle",
+                          "elementsize": draw(st.sampled_from([1, 2, 4, 8]))})
+        elif kind == "delta":
+            # delta after shuffle is still lossless: diff/cumsum wrap mod
+            # 2**bits symmetrically, whatever the byte-soup values are
+            chain.append({"id": "delta", "dtype": dtype})
+        elif not seen_shuffle:
+            # fso must NOT follow a byte shuffle: its decode is float64
+            # division (numcodecs' own formula), which corrupts shuffled
+            # byte-soup int64s beyond 2**53 — hypothesis found exactly this.
+            # Real chains put array->array filters before byte-level ones.
+            chain.append({"id": "fixedscaleoffset", "dtype": dtype,
+                          "astype": dtype, "scale": 1,
+                          "offset": draw(st.integers(-50, 50))})
+    if not chain:
+        chain.append({"id": "delta", "dtype": dtype})
+    return vals, chain
+
+
+@settings(max_examples=60, deadline=None)
+@given(filter_chain_case())
+def test_filter_chain_roundtrip_lossless(case):
+    """decode(encode(x)) == x for ANY composition of lossless v2 filters,
+    any int dtype, any length (incl. 0 and shuffle-indivisible tails)."""
+    vals, chain = case
+    enc = _C.encode_v2_filters(vals.tobytes(), chain)
+    dec = np.frombuffer(_C.decode_v2_filters(enc, chain), dtype=vals.dtype)
+    assert np.array_equal(dec, vals)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False), max_size=150),
+    st.integers(1, 6),
+)
+def test_quantize_idempotent_and_bounded(xs, digits):
+    """quantize is a projection: one application moves each value at most
+    10**-digits (the numcodecs precision contract), and re-encoding the
+    decoded output is the identity (already on the grid)."""
+    vals = np.array(xs, dtype="<f8")
+    q = [{"id": "quantize", "digits": digits, "dtype": "<f8"}]
+    once = np.frombuffer(
+        _C.decode_v2_filters(_C.encode_v2_filters(vals.tobytes(), q), q),
+        dtype="<f8",
+    )
+    assert np.all(np.abs(once - vals) <= 10.0 ** -digits)
+    twice = np.frombuffer(
+        _C.decode_v2_filters(_C.encode_v2_filters(once.tobytes(), q), q),
+        dtype="<f8",
+    )
+    assert np.array_equal(twice, once)
+
+
+@settings(max_examples=25, deadline=None)
+@given(filter_chain_case())
+def test_filtered_store_vs_spec_reader(case):
+    """Engine-written filtered v2 chunks are readable by the INDEPENDENT
+    spec-derived reader for any lossless chain — the cross-implementation
+    differential, randomized."""
+    vals, chain = case
+    if len(vals) == 0:
+        return
+    from tests import spec_zarr_reader as specr
+
+    root = os.path.join(TMP, "filterprop")
+    shutil.rmtree(root, ignore_errors=True)
+    st_ = ZarrStore.create(root, version=2)
+    meta = st_.create_array(
+        "v", shape=(len(vals),), chunks=(min(len(vals), 7),),
+        dtype=str(np.dtype(vals.dtype).name), dims=("i",),
+        compressor={"id": "zlib", "level": 1}, filters=chain,
+    )
+    st_.write_array_numpy("v", vals)
+    assert np.array_equal(st_.read_array("v"), vals)
+    assert np.array_equal(specr.read_zarr_array(root, "v"), vals)
