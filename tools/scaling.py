@@ -90,6 +90,9 @@ PICKS = [
     ("ev20_gini", "Gini: closed-form tie-safe rank sums on the value lattice"),
     ("ml15_pr_curve", "PR/F1 sweep: one suffix-sum window over the score lattice"),
     ("st10_out_of_order_audit", "arrival-order audit: per-key lag window + type rollup"),
+    ("a09_approx_sketches", "sketches vs exact twins: 3 passes joined at 5 rows, lattice median"),
+    ("zarr117_delta_filter_store", "external delta-filtered v2 store: pruned scan, filter decode in-task"),
+    ("zarr118_be_struct_store", "BE-struct store: per-field byteswap decode + SelectField pruning"),
 ]
 
 
