@@ -108,6 +108,7 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     load_start = os.getloadavg()[0]
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         d = REGISTRY[name]
@@ -137,6 +138,7 @@ def main() -> None:
             mid = len(srt) // 2
             med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
             timings[name] = round(med, 3)
+            timings_min[name] = round(srt[0], 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -211,7 +213,10 @@ def main() -> None:
     if not sys.argv[1:]:
         full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
         with open(full_path, "w") as f:
-            json.dump(out, f, indent=1, sort_keys=True)
+            # the on-disk artifact additionally records per-query MIN of the
+            # runs — less load-sensitive than the median on this shared box,
+            # the better signal for cross-round comparisons at unequal load1
+            json.dump(dict(out, queries_min=timings_min), f, indent=1, sort_keys=True)
     # The driver captures only the LAST ~2000 chars of stdout and parses the
     # JSON from that tail — a line longer than the buffer is truncated at the
     # head and unparseable (BENCH_r01–r03 all recorded parsed=null for this
