@@ -1256,3 +1256,42 @@ def test_v2_filtered_array_spark_write_and_scan(spark):
 
     full = read_zarr_array(root, "v")
     assert list(full) == [x * 11 - 7 for x in range(300)]
+
+
+def test_v2_filtered_store_zonemap_and_dsv2(spark):
+    """The two seams a filtered store must compose with: (a) zone-map stats
+    are computed from DECODED values (filters applied), so value-filtered
+    scans prune correctly over a delta store; (b) the format('mdio') DSv2
+    source reads the same store through its own partition reader."""
+    import pandas as pd
+
+    from mdio_cpp_spark.sources import zonemap
+    from mdio_cpp_spark.sources.datasource import register
+    from mdio_cpp_spark.sources.reader import scan_array
+    from mdio_cpp_spark.sources.writer import write_array
+
+    root = _fresh("delta_zone")
+    st = ZarrStore.create(root, version=2, attrs={"name": "dz"})
+    st.create_array(
+        "v", shape=(256,), chunks=(32,), dtype="int64", dims=("i",),
+        compressor={"id": "zlib", "level": 1}, fill=0,
+        filters=[{"id": "delta", "dtype": "<i8"}],
+    )
+    st.consolidate()
+    # chunk k holds values centered at 1000*k: the zone maps separate cleanly
+    vals = [1000 * (x // 32) + (x % 32) for x in range(256)]
+    df = spark.createDataFrame(pd.DataFrame({"i": range(256), "v": vals}))
+    write_array(df, root, "v", value_cols="v")
+    zonemap.ensure_chunk_stats(spark, root, "v")
+    # value filter that only chunk 7 can satisfy: zone pruning must both
+    # keep correctness AND reflect the decoded (unfiltered-domain) values
+    got = scan_array(spark, root, "v", value_filter=(">=", 7000)).orderBy("i").toPandas()
+    assert list(got["i"]) == list(range(224, 256))
+    assert list(got["value"]) == vals[224:]
+    # DSv2 source over the same filtered store
+    register(spark)
+    dsv2 = (
+        spark.read.format("mdio").option("path", root).option("variable", "v")
+        .load().filter("i >= 100 AND i < 140").orderBy("i").toPandas()
+    )
+    assert list(dsv2["value"]) == vals[100:140]
