@@ -126,6 +126,18 @@ def test_fsspec_backend_with_stub_module(monkeypatch):
             for k in [k for k in files if k.startswith(pref) or k == path]:
                 del files[k]
 
+        # the ranged-GET surface FsspecKVStore.read_range actually calls —
+        # without these the partial-shard-read branch never executes
+        def size(self, path):
+            if path not in files:
+                raise FileNotFoundError(path)
+            return len(files[path])
+
+        def cat_file(self, path, start=None, end=None):
+            if path not in files:
+                raise FileNotFoundError(path)
+            return files[path][start:end]
+
     fake = types.ModuleType("fsspec")
     fake.core = types.SimpleNamespace(
         url_to_fs=lambda url: (_FakeFS(), url.split("://", 1)[1])
@@ -143,6 +155,25 @@ def test_fsspec_backend_with_stub_module(monkeypatch):
     report = trim_dataset(root, i=40)
     assert report["a"] == 2  # chunks 2,3 wholly beyond ceil(40/32)=2
     delete_dataset(root)
+    assert not files
+
+    # SHARDED v3 over the cloud scheme: the box-aware partial read goes
+    # through FsspecKVStore.read_range (suffix-ranged index GET + one
+    # ranged GET per touched inner chunk) — the object-store codepath the
+    # shard index exists for (gcs_test.cc's role, wheel-free)
+    sroot = "gs://bucket/sharded"
+    s3 = ZarrStore.create(sroot, version=3)
+    meta = s3.create_array("a", shape=(128,), chunks=(16,), dtype="int64",
+                           dims=("i",), shards=(64,),
+                           compressor={"id": "gzip", "level": 1})
+    s3.write_array_numpy("a", np.arange(128, dtype="i8") * 3)
+    got = s3.decode_chunk_box(meta, (0,), ((20, 25),))
+    assert np.array_equal(np.asarray(got)[20:25], np.arange(20, 25) * 3)
+    assert np.array_equal(
+        ZarrStore.open(sroot).read_array("a", ranges={"i": (60, 70)}),
+        np.arange(60, 70) * 3,
+    )
+    delete_dataset(sroot)
     assert not files
 
 
