@@ -268,12 +268,12 @@ def compress_v3(data: bytes, codecs: list[dict[str, Any]]) -> bytes:
     for codec in codecs:
         name = codec.get("name")
         conf = codec.get("configuration") or {}
-        if name == "bytes":
-            if conf.get("endian", "little") != "little":
-                raise CodecError("big-endian 'bytes' codec not supported")
+        if name in ("bytes", "transpose"):
+            # both are array-level concerns the chunk codec already applied:
+            # endianness via stored_dtype (the caller serializes with the
+            # declared on-disk byte order — decode mirrors this), transpose
+            # via the permuted layout in _raw_from_block
             continue
-        if name == "transpose":
-            continue  # array-level permutation; applied by the chunk codec
         if name == "gzip":
             data = gzip.compress(data, compresslevel=conf.get("level", 5))
         elif name == "zlib":

@@ -503,13 +503,11 @@ def _meta_from_v3(name: str, zjson: dict) -> ZarrArrayMeta:
         if codec.get("name") == "bytes":
             endian = (codec.get("configuration") or {}).get("endian", "little")
             if endian == "big":
-                if np_dt.kind == "V":
-                    # same refusal as the v2 BE-struct path — silent
-                    # byte-swapped fields are worse than an error
-                    raise NotImplementedError(
-                        f"array {name!r}: big-endian struct on v3 not supported"
-                    )
-                if np_dt.kind in "iufc" and np_dt.itemsize > 1:
+                # scalars AND structs: keep the on-disk big-endian dtype as
+                # stored_dtype; the decoder astypes to native (per-field
+                # byteswap for structs — the v2 BE-struct path's mechanism;
+                # v3's 'bytes' endian applies uniformly to every field)
+                if np_dt.kind == "V" or (np_dt.kind in "iufc" and np_dt.itemsize > 1):
                     stored = np_dt.newbyteorder(">")
             break
     # chunk-key encoding: both spec schemes are implemented — 'default'

@@ -772,9 +772,11 @@ def _read_v3(root: str, name: str) -> np.ndarray:
     for codec in codecs:  # v3 transpose codec: stored layout is permuted
         if codec.get("name") == "transpose":
             perm = tuple(codec["configuration"]["order"])
-    for codec in codecs:  # default 'bytes' codec: little-endian only here
+    for codec in codecs:  # 'bytes' codec: endian applies to every element
         if codec.get("name") == "bytes":
-            assert codec.get("configuration", {}).get("endian", "little") == "little"
+            if codec.get("configuration", {}).get("endian", "little") == "big":
+                dt = dt.newbyteorder(">")
+                fill = _fill_np(zjson.get("fill_value"), dt)
 
     def chunk_bytes(coords):
         # default encoding: "c" + sep + sep-joined coords — with a "."

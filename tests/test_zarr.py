@@ -874,6 +874,61 @@ def test_v3_big_endian_bytes_codec_decodes(tmp_path):
     block = st.decode_chunk(st.array_meta("a"), (0,))
     assert block.dtype.str == "<f8"
     assert np.allclose(block, np.arange(8) * 1.5)
+    from tests.spec_zarr_reader import read_zarr_array
+
+    assert np.allclose(read_zarr_array(root, "a").astype("<f8"), np.arange(8) * 1.5)
+
+
+def test_v3_big_endian_struct_decodes(tmp_path):
+    """v3 struct data_type under a big-endian 'bytes' codec: the per-field
+    byteswap path (v2 BE-structs' mechanism — the endian applies uniformly
+    to every field). Round-trips through decode AND the engine's own
+    encode (write_chunk serializes back to BE on disk)."""
+    import json
+    import zlib
+
+    import numpy as np
+
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+    root = str(tmp_path / "bestruct3.zarr")
+    (tmp_path / "bestruct3.zarr" / "a" / "c").mkdir(parents=True)
+    (tmp_path / "bestruct3.zarr" / "zarr.json").write_text(json.dumps(
+        {"zarr_format": 3, "node_type": "group", "attributes": {}}))
+    be = np.dtype([("ok", ">i8"), ("amp", ">f4")])
+    vals = np.array([(1, 2.5), (-9, 0.25), (1 << 40, -8.0), (0, 0.0)], dtype=be)
+    (tmp_path / "bestruct3.zarr" / "a" / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [4],
+        "data_type": {"name": "struct", "configuration": {"fields": [
+            {"name": "ok", "data_type": "int64"},
+            {"name": "amp", "data_type": "float32"}]}},
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": None,
+        "codecs": [{"name": "bytes", "configuration": {"endian": "big"}},
+                   {"name": "zlib", "configuration": {"level": 1}}],
+        "dimension_names": ["i"], "attributes": {},
+    }))
+    (tmp_path / "bestruct3.zarr" / "a" / "c" / "0").write_bytes(
+        zlib.compress(vals.tobytes(), 1))
+    st = ZarrStore.open(root)
+    meta = st.array_meta("a")
+    assert meta.stored_dtype == be
+    block = st.decode_chunk(meta, (0,))
+    assert block["ok"].tolist() == [1, -9, 1 << 40, 0]
+    assert block["amp"].tolist() == [2.5, 0.25, -8.0, 0.0]
+    # engine write keeps the declared on-disk endianness
+    native = block.copy()
+    native["ok"] *= 2
+    st.write_chunk(meta, (0,), native)
+    raw = zlib.decompress(st.read_bytes(meta.chunk_key((0,))))
+    assert np.array_equal(np.frombuffer(raw, dtype=be)["ok"].astype("<i8"),
+                          np.array([2, -18, 1 << 41, 0]))
+    from tests.spec_zarr_reader import read_zarr_array
+
+    spec = read_zarr_array(root, "a")
+    assert spec["ok"].astype("<i8").tolist() == [2, -18, 1 << 41, 0]
+    assert spec["amp"].astype("<f4").tolist() == [2.5, 0.25, -8.0, 0.0]
 
 
 def test_write_arrays_rejects_out_of_domain_rows(tmp_path, spark):
