@@ -272,7 +272,7 @@ def _decode_shard(meta: ZarrArrayMeta, raw: bytes) -> np.ndarray:
             f"index ({isize} B)")
     enc_idx = raw[-isize:] if meta.shard["index_location"] == "end" else raw[:isize]
     idx = _codecs.decompress_v3(enc_idx, meta.shard["index_codecs"])
-    pairs = np.frombuffer(idx, dtype="<u8").reshape(n, 2)
+    pairs = np.frombuffer(idx, dtype=meta.shard.get("index_dtype", "<u8")).reshape(n, 2)
     block = np.full(meta.chunks, meta.fill_scalar(), dtype=meta.np_dtype)
     for k in range(n):
         off, ln = int(pairs[k, 0]), int(pairs[k, 1])
@@ -313,7 +313,8 @@ def _encode_shard(meta: ZarrArrayMeta, block: np.ndarray) -> bytes:
     isize = _shard_index_size(meta, n)
     at_start = meta.shard["index_location"] == "start"
     fill = meta.fill_scalar()
-    pairs = np.full((n, 2), _SHARD_MISSING, dtype="<u8")
+    pairs = np.full((n, 2), _SHARD_MISSING,
+                    dtype=meta.shard.get("index_dtype", "<u8"))
     parts: list[bytes] = []
     cursor = isize if at_start else 0
     for k in range(n):
@@ -461,12 +462,14 @@ def _meta_from_v3(name: str, zjson: dict) -> ZarrArrayMeta:
         index_codecs = list(conf.get("index_codecs") or
                             [{"name": "bytes", "configuration": {"endian": "little"}},
                              {"name": "crc32c"}])
+        index_dtype = "<u8"
         for ic in index_codecs:
             icn = ic.get("name")
             if icn == "bytes":
-                if (ic.get("configuration") or {}).get("endian", "little") != "little":
-                    raise NotImplementedError(
-                        f"array {name!r}: big-endian shard index not supported")
+                # the spec allows either endianness for the (offset, nbytes)
+                # u64 pairs; honor it on decode AND on writes into the store
+                if (ic.get("configuration") or {}).get("endian", "little") == "big":
+                    index_dtype = ">u8"
             elif icn != "crc32c":
                 # a variable-size index codec would make the index
                 # unlocatable without the spec's fixed-size guarantee
@@ -482,6 +485,7 @@ def _meta_from_v3(name: str, zjson: dict) -> ZarrArrayMeta:
                            [{"name": "bytes", "configuration": {"endian": "little"}}]),
             "index_codecs": index_codecs,
             "index_location": loc,
+            "index_dtype": index_dtype,
         }
     # the endianness-bearing 'bytes' codec lives at the top level for plain
     # arrays and INSIDE the sharding config for sharded ones
@@ -952,7 +956,7 @@ class ZarrStore:
             raise ValueError(
                 f"shard for {meta.name!r} shorter than its index ({isize} B)")
         idx = _codecs.decompress_v3(enc_idx, meta.shard["index_codecs"])
-        pairs = np.frombuffer(idx, dtype="<u8").reshape(n, 2)
+        pairs = np.frombuffer(idx, dtype=meta.shard.get("index_dtype", "<u8")).reshape(n, 2)
         block = np.full(meta.chunks, meta.fill_scalar(), dtype=meta.np_dtype)
         for coords_in in itertools.product(*rngs):
             k = int(np.ravel_multi_index(coords_in, grid))
@@ -998,7 +1002,7 @@ class ZarrStore:
             raise ValueError(
                 f"shard for {meta.name!r} shorter than its index ({isize} B)")
         idx = _codecs.decompress_v3(enc_idx, meta.shard["index_codecs"])
-        pairs = np.frombuffer(idx, dtype="<u8").reshape(n, 2)
+        pairs = np.frombuffer(idx, dtype=meta.shard.get("index_dtype", "<u8")).reshape(n, 2)
         inner = meta.shard["chunk_shape"]
 
         def gen() -> Iterator[tuple[tuple[int, ...], np.ndarray | None]]:

@@ -718,7 +718,13 @@ def _shard_block_bytes(raw, conf, shard_shape, dt, fill):
             idx = body
         else:
             assert cn == "bytes", cn
-    pairs = list(_st.iter_unpack("<QQ", idx))
+    idx_fmt = "<QQ"
+    for codec in index_codecs:  # spec: the index 'bytes' codec sets endian
+        if codec.get("name") == "bytes" and (
+            codec.get("configuration", {}).get("endian", "little") == "big"
+        ):
+            idx_fmt = ">QQ"
+    pairs = list(_st.iter_unpack(idx_fmt, idx))
     block = np.zeros(shard_shape, dtype=dt) if fill is None else np.full(
         shard_shape, fill, dtype=dt)
     missing = (1 << 64) - 1

@@ -815,3 +815,55 @@ def test_reshard_from_delta_filtered_v2_source(tmp_path, spark):
     assert d.array_meta("v").filters == ()  # v3: no numcodecs chain
     assert np.array_equal(d.read_array("v"), vals)
     assert np.array_equal(specr.read_zarr_array(dst, "v"), vals)
+
+
+def test_big_endian_shard_index(tmp_path):
+    """A sharded store whose INDEX 'bytes' codec declares big-endian (the
+    spec permits either order for the (offset, nbytes) u64 pairs): full
+    decode, the box-aware partial read, and the independent spec reader
+    all honor it. Writes INTO the store keep the declared order."""
+    import json
+
+    root = tmp_path / "beidx.zarr"
+    (root / "a" / "c").mkdir(parents=True)
+    (root / "zarr.json").write_text(json.dumps(
+        {"zarr_format": 3, "node_type": "group", "attributes": {}}))
+    index_codecs = [{"name": "bytes", "configuration": {"endian": "big"}},
+                    {"name": "crc32c"}]
+    (root / "a" / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [8],
+        "data_type": "int32",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [8]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": 0,
+        "codecs": [{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": [4],
+            "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+            "index_codecs": index_codecs,
+            "index_location": "end"}}],
+        "dimension_names": ["i"], "attributes": {},
+    }))
+    inner0 = np.arange(4, dtype="<i4").tobytes()
+    inner1 = (np.arange(4, dtype="<i4") + 100).tobytes()
+    pairs = np.array([[0, 16], [16, 16]], dtype=">u8")  # BE index pairs
+    idx = pairs.tobytes()
+    idx += struct.pack("<I", crc32c(idx))
+    (root / "a" / "c" / "0").write_bytes(inner0 + inner1 + idx)
+
+    st = ZarrStore.open(str(root))
+    meta = st.array_meta("a")
+    assert meta.shard["index_dtype"] == ">u8"
+    want = np.concatenate([np.arange(4), np.arange(4) + 100]).astype("i4")
+    assert np.array_equal(st.decode_chunk(meta, (0,)), want)
+    # partial read touches only the second inner chunk through the BE index
+    got = st.decode_chunk_box(meta, (0,), ((5, 7),))
+    assert np.array_equal(np.asarray(got)[5:7], want[5:7])
+    assert np.array_equal(specr.read_zarr_array(str(root), "a"), want)
+    # write-back keeps the declared BE order on disk
+    st.write_chunk(meta, (0,), want * 2)
+    assert np.array_equal(st.decode_chunk(meta, (0,)), want * 2)
+    assert np.array_equal(specr.read_zarr_array(str(root), "a"), want * 2)
+    raw = st.read_bytes(meta.chunk_key((0,)))
+    isize = 2 * 16 + 4
+    stored_pairs = np.frombuffer(raw[-isize:-4], dtype=">u8").reshape(2, 2)
+    assert int(stored_pairs[0, 1]) == 16  # reads as 16 only under BE
