@@ -161,29 +161,41 @@ def main() -> None:
     # recorded load1 lets a reader discount a noisy-box run.
     anchor_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json")
+    # The gate fields are UNCONDITIONAL on every anchored full-scale run
+    # (n_regressions: 0 + regressions: {} when clean) — round 9 shipped a
+    # "zero regressions" claim off an artifact where the gate had silently
+    # not run; an absent field must mean "not comparable", never "clean".
+    out["regression_gate"] = "skipped: no BASELINE_BENCH.json"
     if os.path.exists(anchor_path):
         with open(anchor_path) as f:
             anchor = json.load(f)
-        if out["sf"] == anchor.get("sf"):
+        if out["sf"] != anchor.get("sf"):
+            out["regression_gate"] = (
+                f"skipped: sf {out['sf']} != anchor sf {anchor.get('sf')}")
+        else:
             # ratio gate plus an absolute-excess floor: sub-second queries
             # are fixed-overhead-dominated and would false-positive 2x on
-            # any loaded box; +0.75 s of real excess is the signal threshold
+            # any loaded box; +0.75 s of real excess is the signal
+            # threshold. Gate on MIN-of-runs, not the median — the min is
+            # the least load-sensitive statistic on this shared box, so a
+            # >2x min is a real plan/code regression, not ambient noise.
             regressions = {
                 n: {"now": s, "anchor": anchor["queries"][n],
                     "ratio": round(s / anchor["queries"][n], 2)}
-                for n, s in timings.items()
+                for n, s in timings_min.items()
                 if n in anchor["queries"]
                 and s > 2.0 * anchor["queries"][n]
                 and s > anchor["queries"][n] + 0.75
             }
+            out["regression_gate"] = "min_of_runs_vs_anchor"
+            out["n_regressions"] = len(regressions)
+            worst = sorted(regressions.items(),
+                           key=lambda kv: -kv[1]["ratio"])[:5]
+            out["regressions"] = dict(worst)
             if regressions:
-                out["n_regressions"] = len(regressions)
-                worst = sorted(regressions.items(),
-                               key=lambda kv: -kv[1]["ratio"])[:5]
-                out["regressions"] = dict(worst)
                 print(
                     f"BENCH REGRESSION: {len(regressions)} queries >2x their "
-                    f"quiet-box anchor (worst: "
+                    f"quiet-box anchor at min-of-runs (worst: "
                     + ", ".join(f"{n} {v['ratio']}x" for n, v in worst)
                     + f"; load1={out['load1_start']}-{out['load1_end']} — "
                     "re-run on a quiet box before trusting)",

@@ -1325,17 +1325,29 @@ def a09(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10_000).alias("ap50"),
     )
     exact = (
-        e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("_"))
+        # NULL user_id must not count as a user: COUNT(DISTINCT) (and
+        # Spark's approx_count_distinct) exclude NULLs, but a bare
+        # groupBy would keep the NULL group as one row — filter first
+        # (a no-op on the current corpus, semantics-exact on any corpus)
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("_"))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("exact_users"))
     )
-    base = exact.join(sketches, "event_type").select(
-        "event_type",
-        "exact_users",
-        (F.abs(F.col("au") - F.col("exact_users")) <= 0.05 * F.col("exact_users"))
-        .cast("int")
-        .alias("hll_within_5pct"),
-        "ap50",
+    # left join FROM sketches (whose groupBy keeps every event_type, even
+    # an all-NULL-user one the filtered exact frame would drop) so the
+    # all-NULL edge case yields exact_users=0 like COUNT(DISTINCT)
+    base = (
+        sketches.join(exact, "event_type", "left")
+        .withColumn("exact_users", F.coalesce("exact_users", F.lit(0).cast("long")))
+        .select(
+            "event_type",
+            "exact_users",
+            (F.abs(F.col("au") - F.col("exact_users")) <= 0.05 * F.col("exact_users"))
+            .cast("int")
+            .alias("hll_within_5pct"),
+            "ap50",
+        )
     )
     lat = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
     wprev = (

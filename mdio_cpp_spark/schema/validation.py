@@ -43,6 +43,14 @@ def normalize_legacy_compressors(spec: dict) -> dict:
                 comp["cname"] = comp.pop("algorithm")
             if "level" in comp and "clevel" not in comp:
                 comp["clevel"] = comp.pop("level")
+            # JSON numbers are untyped: the reference's resolve_blosc_clevel
+            # (dataset_factory.h:253-265) compares numerically, so an
+            # integral float like 5.0 is a valid level — canonicalize it to
+            # int here so every downstream consumer sees an int
+            lvl = comp.get("clevel")
+            if (isinstance(lvl, float) and not isinstance(lvl, bool)
+                    and lvl.is_integer()):
+                comp["clevel"] = int(lvl)
     return spec
 
 

@@ -170,8 +170,14 @@ def _quantize_scale(digits: int) -> float:
 
 def _byte_shuffle(raw: bytes, elementsize: int, forward: bool) -> bytes:
     """numcodecs.Shuffle: regroup bytes by intra-element lane. A trailing
-    partial element (len % elementsize) passes through unshuffled, matching
-    the numcodecs implementation."""
+    partial element (len % elementsize) passes through unshuffled — the
+    c-blosc shuffle's documented leftover handling (memcpy of the remainder
+    after the lane transpose). Zarr v2 chunks from numcodecs always have
+    len % elementsize == 0 (chunk bytes are a whole number of elements), so
+    the divisible case is the interop surface; the indivisible remainder
+    rule is pinned against numcodecs by
+    tests/test_zarr.py::test_shuffle_numcodecs_differential (importorskip —
+    skipped where the wheel is absent)."""
     import numpy as np
 
     es = max(1, int(elementsize))

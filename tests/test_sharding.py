@@ -867,3 +867,48 @@ def test_big_endian_shard_index(tmp_path):
     isize = 2 * 16 + 4
     stored_pairs = np.frombuffer(raw[-isize:-4], dtype=">u8").reshape(2, 2)
     assert int(stored_pairs[0, 1]) == 16  # reads as 16 only under BE
+
+
+def test_big_endian_inner_data_under_sharding(tmp_path):
+    """A sharded store whose INNER 'bytes' codec declares big-endian (the
+    endian-bearing codec lives inside the sharding configuration, not the
+    top-level chain — zarr_store.py endian_chain logic): the engine's full
+    decode, its box-aware partial read, AND the independent spec reader all
+    byteswap inner-chunk data. Handcrafted BE bytes our encoder never
+    touched, so this is a true cross-implementation differential."""
+    import json
+
+    root = tmp_path / "beinner.zarr"
+    (root / "a" / "c").mkdir(parents=True)
+    (root / "zarr.json").write_text(json.dumps(
+        {"zarr_format": 3, "node_type": "group", "attributes": {}}))
+    (root / "a" / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [8],
+        "data_type": "int32",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [8]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": 0,
+        "codecs": [{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": [4],
+            "codecs": [{"name": "bytes", "configuration": {"endian": "big"}}],
+            "index_codecs": [{"name": "bytes"}, {"name": "crc32c"}],
+            "index_location": "end"}}],
+        "dimension_names": ["i"], "attributes": {},
+    }))
+    want = np.concatenate([np.arange(4), np.arange(4) + 100]).astype("i4")
+    inner0 = want[:4].astype(">i4").tobytes()  # BIG-endian payloads
+    inner1 = want[4:].astype(">i4").tobytes()
+    pairs = np.array([[0, 16], [16, 16]], dtype="<u8")
+    idx = pairs.tobytes()
+    idx += struct.pack("<I", crc32c(idx))
+    (root / "a" / "c" / "0").write_bytes(inner0 + inner1 + idx)
+
+    st = ZarrStore.open(str(root))
+    meta = st.array_meta("a")
+    got = np.asarray(st.decode_chunk(meta, (0,)))
+    assert got.dtype.isnative
+    assert np.array_equal(got, want)
+    box = st.decode_chunk_box(meta, (0,), ((5, 7),))
+    assert np.array_equal(np.asarray(box)[5:7], want[5:7])
+    spec = specr.read_zarr_array(str(root), "a")
+    assert np.array_equal(spec, want)

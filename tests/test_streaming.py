@@ -607,3 +607,47 @@ def test_ohlc_parity(spark, sf_dir):
     )
     assert len(streamed) == len(batch) and len(batch) > 0
     assert streamed == batch
+
+
+def test_a09_null_user_id_matches_count_distinct(spark, tmp_path):
+    """COUNT(DISTINCT user_id) excludes NULLs; a09's two-phase exact twin
+    must too (ADVICE r9). Differential vs DuckDB on a corpus that HAS null
+    user_ids — including one event_type whose users are ALL null (the
+    left-join + coalesce edge: exact_users must come back 0, not a dropped
+    row)."""
+    import duckdb
+    import pandas as pd
+
+    from mdio_cpp_spark.plans import REGISTRY
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(12),
+            "event_type": ["click"] * 6 + ["ghost"] * 3 + ["view"] * 3,
+            "user_id": [1, 1, 2, None, 3, None, None, None, None, 4, 4, None],
+            "value": [float(i) for i in range(12)],
+            "ts": pd.to_datetime("2026-01-01")
+            + pd.to_timedelta(range(12), unit="min"),
+        }
+    )
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/events.parquet", index=False)
+
+    got = (
+        REGISTRY["a09_approx_sketches"].spark(spark, sf)
+        .toPandas().reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = con.execute(REGISTRY["a09_approx_sketches"].oracle).df()
+    assert list(got["event_type"]) == ["click", "ghost", "view"]
+    assert list(got["exact_users"]) == list(want["exact_users"]) == [3, 0, 1]
+    assert list(got["hll_within_5pct"]) == list(want["hll_within_5pct"])
+    # kll flags are NOT asserted here: on a 6-value group percentile_approx
+    # returns a data value while quantile_cont interpolates between two, so
+    # the ±5 % envelope legitimately differs engine-to-engine at tiny n —
+    # the envelope contract assumes production-sized groups (see a09's
+    # docstring); this test pins only the NULL-user_id distinct semantics.

@@ -110,8 +110,16 @@ def test_compressor_parameter_matrix():
         {"name": "blosc", "cname": "blosclz", "blocksize": 65536},
         {"name": "zlib", "level": 9},
         {"name": "blosc", "algorithm": "snappy", "level": 1},  # legacy keys
+        # JSON numbers are untyped — an integral float level is accepted
+        # numerically like the reference (dataset_factory.h:253-265) and
+        # canonicalized to int for downstream consumers
+        {"name": "blosc", "clevel": 5.0},
+        {"name": "zlib", "level": 9.0},
     ):
         validate_dataset_spec(spec_with(comp))
+    got = validate_dataset_spec(spec_with({"name": "blosc", "clevel": 5.0}))
+    assert got["variables"][1]["compressor"]["clevel"] == 5
+    assert isinstance(got["variables"][1]["compressor"]["clevel"], int)
     # clevel out of [0,9] — both directions, both key spellings, wrong type
     for comp in (
         {"name": "blosc", "clevel": 10},
@@ -120,6 +128,7 @@ def test_compressor_parameter_matrix():
         {"name": "zlib", "level": 11},
         {"name": "blosc", "clevel": "five"},
         {"name": "blosc", "clevel": True},
+        {"name": "blosc", "clevel": 5.5},  # non-integral float stays refused
     ):
         with pytest.raises(SpecValidationError, match="between 0 and 9"):
             validate_dataset_spec(spec_with(comp))
@@ -1350,3 +1359,33 @@ def test_v2_filtered_store_zonemap_and_dsv2(spark):
         .load().filter("i >= 100 AND i < 140").orderBy("i").toPandas()
     )
     assert list(dsv2["value"]) == vals[100:140]
+
+
+def test_shuffle_numcodecs_differential():
+    """Differential against numcodecs.Shuffle itself (ADVICE r9): encode
+    equality and decode-of-their-bytes for divisible buffers, plus the
+    indivisible remainder (len % elementsize != 0) where our rule is
+    c-blosc's copy-through. Skipped where the wheel is absent — the
+    divisible case is separately pinned by the handcrafted-store fixtures
+    (engine encoder never touches those bytes)."""
+    numcodecs = pytest.importorskip("numcodecs")
+    from mdio_cpp_spark.sources.codecs import _byte_shuffle
+
+    rng = np.random.default_rng(7)
+    for es in (2, 4, 8):
+        for extra in (0, 1, es - 1):
+            buf = rng.integers(0, 256, size=5 * es + extra, dtype="u1").tobytes()
+            theirs = bytes(numcodecs.Shuffle(es).encode(np.frombuffer(buf, "u1")))
+            ours = _byte_shuffle(buf, es, forward=True)
+            if extra == 0:
+                assert ours == theirs, (es, extra)
+            else:
+                # lane body must agree regardless of remainder policy
+                n = len(buf) // es * es
+                assert ours[:n] == theirs[:n], (es, extra)
+            # and our decoder must invert our own encoder bit-for-bit
+            assert _byte_shuffle(ours, es, forward=False) == buf
+            # their decoder accepts our bytes on the shared (divisible) body
+            if extra == 0:
+                back = bytes(numcodecs.Shuffle(es).decode(np.frombuffer(ours, "u1")))
+                assert back == buf
