@@ -4967,6 +4967,35 @@ def v15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ranked(pairs, 5).orderBy("q_id", "rk")
 
 
+def _ensure_sharded_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once fixture: the v3 sharded orders-price store zarr109 reads
+    locally and zarr119 re-reads over loopback HTTP."""
+    from mdio_cpp_spark.sources.writer import write_array
+
+    base = ensure_stores(spark, sf_dir)
+    path = os.path.join(base, "sharded.zarr")
+    marker = os.path.join(base, ".built_sharded_v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ords = _orders_indexed(spark, sf_dir).select(
+            "i", F.col("o_totalprice").alias("v")
+        )
+        n = ords.count()
+        st = ZarrStore.create(path, version=3, attrs={"name": "sharded_mdio"})
+        st.create_array(
+            "price", shape=(n,), chunks=(512,), shards=(CHUNK * 2,),
+            dtype="float64", dims=("i",),
+            compressor={"id": "gzip", "level": 3},
+        )
+        write_array(ords, path, "price", value_cols="v")
+        st.consolidate()
+        with open(marker, "w") as f:
+            f.write("1")
+    return path
+
+
 @declared(
     "zarr109_sharded_store",
     oracle="""
@@ -4991,28 +5020,7 @@ def zarr109(spark: SparkSession, sf_dir: str) -> DataFrame:
     as MISSING index entries, and the chunk-pruned isel read aggregates
     against the orders oracle. Independent decode is pinned by the
     spec reader's own shard/crc32c parser (tests/test_sharding.py)."""
-    from mdio_cpp_spark.sources.writer import write_array
-
-    base = ensure_stores(spark, sf_dir)
-    path = os.path.join(base, "sharded.zarr")
-    marker = os.path.join(base, ".built_sharded_v1")
-    if not os.path.exists(marker):
-        import shutil
-
-        shutil.rmtree(path, ignore_errors=True)
-        ords = _orders_indexed(spark, sf_dir).select(
-            "i", F.col("o_totalprice").alias("v")
-        )
-        n = ords.count()
-        st = ZarrStore.create(path, version=3, attrs={"name": "sharded_mdio"})
-        st.create_array(
-            "price", shape=(n,), chunks=(512,), shards=(CHUNK * 2,),
-            dtype="float64", dims=("i",),
-            compressor={"id": "gzip", "level": 3},
-        )
-        write_array(ords, path, "price", value_cols="v")
-        with open(marker, "w") as f:
-            f.write("1")
+    path = _ensure_sharded_store(spark, sf_dir)
     ds = MdioDataset.open(path)
     return ds.isel(i=(900, 6100)).to_df(spark, "price", value_col="v").agg(
         F.count("v").cast("long").alias("cnt"),
@@ -6035,4 +6043,62 @@ def zarr118(spark: SparkSession, sf_dir: str) -> DataFrame:
                    fields=["ck", "cents"])
         .select("i", F.col("ck").cast("long").alias("ck"), "cents")
         .orderBy("i")
+    )
+
+
+# One loopback server per served directory, living for the Spark session —
+# the returned DataFrame is LAZY, so the server must outlive this call (the
+# driver/bench collect later). Daemon threads; the interpreter exit reaps
+# them. This mirrors how the reference tests cloud IO: gcs_test.cc/s3_test.cc
+# run against a server endpoint, not the SDK mocked out.
+_HTTP_SERVERS: dict = {}
+
+
+def _http_base_url(base: str) -> str:
+    srv = _HTTP_SERVERS.get(base)
+    if srv is None:
+        from mdio_cpp_spark.sources.http_loopback import LoopbackHttpServer
+
+        srv = LoopbackHttpServer(base).start()
+        _HTTP_SERVERS[base] = srv
+    return srv.url
+
+
+@declared(
+    "zarr119_http_store",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+    FROM (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+    WHERE rn - 1 >= 1500 AND rn - 1 < 5200
+    """,
+)
+def zarr119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sharded v3 store read over REAL HTTP — genuine network ranged
+    GETs with zero wheels (IO10's live-cloud analog; the reference's
+    gcs_test.cc/s3_test.cc run the same shape against a server endpoint).
+    A stdlib loopback server (sources/http_loopback.py) serves the sf
+    cache dir on 127.0.0.1; the engine opens
+    ``http://127.0.0.1:<port>/sharded.zarr`` through the scheme-routed
+    HttpKVStore (RFC 9110 Range reads, retry-on-5xx wrapping) and runs the
+    ordinary chunk-pruned isel scan: O(1) metadata GETs via v3
+    consolidated metadata (no LIST — plain HTTP has none), then each
+    executor's Python worker fetches ONLY its pruned shards' windows over
+    its own socket. Every byte of this query's store I/O crosses the
+    network stack; at 100 TB the same plan runs against any HTTP-fronted
+    object store with per-shard ranged reads. Fetch shapes and retry
+    behavior are pinned by tests/test_http_kvstore.py."""
+    path = _ensure_sharded_store(spark, sf_dir)
+    st = ZarrStore.open(path)
+    if st._consolidated_v3() is None:
+        st.consolidate()  # pre-r10 cached fixture: publish once, locally
+    base = os.path.dirname(path)
+    url = f"{_http_base_url(base)}/{os.path.basename(path)}"
+    ds = MdioDataset.open(url)
+    return ds.isel(i=(1500, 5200)).to_df(spark, "price", value_col="v").agg(
+        F.count("v").cast("long").alias("cnt"),
+        F.round(F.sum("v"), 2).alias("total"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
     )

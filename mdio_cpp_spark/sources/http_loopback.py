@@ -1,0 +1,211 @@
+"""Loopback HTTP object-store server — the wheel-free twin of the
+reference's live-cloud tests.
+
+The reference exercises its GCS/S3 kvstore drivers against servers
+(`gcs_test.cc` 374 LoC, `s3_test.cc` 372 LoC — both talk HTTP under the
+SDKs). This module is that testbench for our ``HttpKVStore``: a stdlib
+``ThreadingHTTPServer`` on 127.0.0.1 serving a directory with the object
+-store verb set the engine needs —
+
+  * ``GET``    with RFC 9110 single-range support (206 / 416 semantics),
+  * ``HEAD``   (existence + Content-Length),
+  * ``PUT``    (atomic tmp+rename publish, like a real object PUT),
+  * ``DELETE`` (file → unlink, directory → recursive, for DeleteDataset),
+  * directory ``GET`` → a minimal HTML index (the listing fallback).
+
+It also records every request (method, path, Range header, status) so
+tests can pin fetch SHAPES — "the partial shard read issued two ranged
+GETs and never fetched the full object" — and injects failures
+(``fail_first`` consecutive 5xx per key) to exercise the retry layer the
+way a throttling object store would.
+
+Real Spark executors' Python workers are separate OS processes; they reach
+127.0.0.1 like any remote host, so distributed scans/writes through this
+server traverse genuine sockets, not an in-process fake.
+"""
+
+from __future__ import annotations
+
+import html
+import os
+import re
+import shutil
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_RANGE_RE = re.compile(r"bytes=(\d*)-(\d*)$")
+
+
+class LoopbackHttpServer:
+    """Serve ``root_dir`` over http://127.0.0.1:<ephemeral-port>.
+
+    ``fail_first``: each distinct (method, path) answers its first N
+    requests with ``fail_status`` before succeeding — deterministic
+    transient-failure injection for the retry suite. ``ignore_range``:
+    answer ranged GETs with 200 + full body (a server that does not
+    implement Range), which clients must handle by slicing locally.
+    """
+
+    def __init__(self, root_dir: str, fail_first: int = 0,
+                 fail_status: int = 503, fail_methods: tuple = ("GET",),
+                 ignore_range: bool = False):
+        self.root_dir = os.path.abspath(root_dir)
+        self.requests: list[tuple[str, str, str | None, int]] = []
+        self._fail_left: dict[tuple[str, str], int] = {}
+        self._lock = threading.Lock()
+        self.fail_first = fail_first
+        self.fail_status = fail_status
+        self.fail_methods = tuple(fail_methods)
+        self.ignore_range = ignore_range
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet
+                pass
+
+            # ----------------------------------------------------- plumbing
+            def _local(self) -> str | None:
+                raw = urllib.parse.unquote(
+                    urllib.parse.urlsplit(self.path).path)
+                parts = [p for p in raw.split("/") if p]
+                if any(p == ".." for p in parts):
+                    return None
+                return os.path.join(outer.root_dir, *parts)
+
+            def _record(self, status: int) -> None:
+                with outer._lock:
+                    outer.requests.append((
+                        self.command, urllib.parse.urlsplit(self.path).path,
+                        self.headers.get("Range"), status))
+
+            def _fail_injected(self) -> bool:
+                if not outer.fail_first or self.command not in outer.fail_methods:
+                    return False
+                key = (self.command, self.path)
+                with outer._lock:
+                    left = outer._fail_left.setdefault(key, outer.fail_first)
+                    if left <= 0:
+                        return False
+                    outer._fail_left[key] = left - 1
+                self._reply(outer.fail_status, b"injected transient failure")
+                return True
+
+            def _reply(self, status: int, body: bytes = b"",
+                       extra: dict | None = None) -> None:
+                self._record(status)
+                self.send_response(status)
+                for k, v in (extra or {}).items():
+                    self.send_header(k, v)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                if self.command != "HEAD":
+                    self.wfile.write(body)
+
+            # -------------------------------------------------------- verbs
+            def do_HEAD(self):
+                self.do_GET()
+
+            def do_GET(self):
+                if self._fail_injected():
+                    return
+                path = self._local()
+                if path is None:
+                    return self._reply(400, b"bad path")
+                if os.path.isdir(path):
+                    entries = sorted(os.listdir(path))
+                    rows = "".join(
+                        '<a href="{0}{1}">{2}{1}</a>\n'.format(
+                            urllib.parse.quote(e),
+                            "/" if os.path.isdir(os.path.join(path, e)) else "",
+                            html.escape(e))
+                        for e in entries)
+                    body = f"<html><body>\n{rows}</body></html>".encode()
+                    return self._reply(
+                        200, body, {"Content-Type": "text/html; charset=utf-8"})
+                if not os.path.isfile(path):
+                    return self._reply(404, b"not found")
+                with open(path, "rb") as f:
+                    data = f.read()
+                rng = self.headers.get("Range")
+                if rng and not outer.ignore_range:
+                    m = _RANGE_RE.match(rng.strip())
+                    if not m:
+                        return self._reply(400, b"bad range")
+                    a, b = m.group(1), m.group(2)
+                    size = len(data)
+                    if a == "":  # suffix: bytes=-N (clamped to the object)
+                        start = max(0, size - int(b))
+                        end = size - 1
+                    else:
+                        start = int(a)
+                        end = min(size - 1, int(b)) if b else size - 1
+                    if start >= size:
+                        return self._reply(
+                            416, b"", {"Content-Range": f"bytes */{size}"})
+                    return self._reply(
+                        206, data[start:end + 1],
+                        {"Content-Range": f"bytes {start}-{end}/{size}",
+                         "Content-Type": "application/octet-stream"})
+                return self._reply(
+                    200, data, {"Content-Type": "application/octet-stream"})
+
+            def do_PUT(self):
+                if self._fail_injected():
+                    return
+                path = self._local()
+                if path is None:
+                    return self._reply(400, b"bad path")
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                os.makedirs(os.path.dirname(path) or outer.root_dir,
+                            exist_ok=True)
+                tmp = f"{path}.__put_{threading.get_ident()}"
+                with open(tmp, "wb") as f:
+                    f.write(body)
+                os.replace(tmp, path)  # atomic publish, object-PUT style
+                return self._reply(201)
+
+            def do_DELETE(self):
+                if self._fail_injected():
+                    return
+                path = self._local()
+                if path is None:
+                    return self._reply(400, b"bad path")
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                    return self._reply(204)
+                if os.path.isfile(path):
+                    os.remove(path)
+                    return self._reply(204)
+                return self._reply(404, b"not found")
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._server.daemon_threads = True
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True)
+
+    # ------------------------------------------------------------ lifecycle
+    @property
+    def url(self) -> str:
+        return f"http://127.0.0.1:{self._server.server_address[1]}"
+
+    def start(self) -> "LoopbackHttpServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self) -> "LoopbackHttpServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    def clear_log(self) -> None:
+        with self._lock:
+            self.requests.clear()

@@ -8,6 +8,9 @@ that seam for our engine: every byte ZarrStore touches goes through a
   * bare paths / ``file://``  → ``LocalKVStore`` (os-level, atomic publish)
   * ``memory://<bucket>/…``   → ``MemoryKVStore`` (process-local dict; the
     fake filesystem the cloud-path unit tests run against)
+  * ``http://`` / ``https://``  → ``HttpKVStore`` (stdlib urllib; real
+    network GET/HEAD/PUT/DELETE with RFC 9110 ranged reads — no wheels;
+    wrapped in RetryingKVStore by default like the cloud schemes)
   * ``gs://`` / ``s3://`` /
     any fsspec scheme          → ``FsspecKVStore`` when the ``fsspec`` wheel
     (plus gcsfs/s3fs) is importable; otherwise a clear NotImplementedError
@@ -264,6 +267,162 @@ class FsspecKVStore(KVStore):
         self._fs.rm(self._base, recursive=True)
 
 
+class HttpKVStore(KVStore):
+    """KVStore over plain HTTP(S) via stdlib urllib — REAL network ranged
+    GETs with zero wheels (the loopback twin of gcs_test.cc / s3_test.cc:
+    both cloud drivers speak HTTP under their SDKs; this is the same verb
+    set against any HTTP endpoint, including tests' 127.0.0.1 server).
+
+      read        GET         (404 → None)
+      size/exists HEAD        (no byte transfer)
+      read_range  GET + Range (206 → window; 200 → server ignored Range,
+                               slice locally; 416 → b"", matching
+                               LocalKVStore's past-EOF read)
+      write       PUT         (what object-store uploads are)
+      delete      DELETE      (404 → False)
+      delete_all  DELETE on the store root
+      list_dir    GET of the prefix → parse the HTML index's href entries
+                  (stdlib http.server format); raises NotImplementedError
+                  for non-index responses — plain HTTP has no LIST verb
+                  (TensorStore's http kvstore has the same hole), which is
+                  exactly why consolidated metadata is the designed open
+                  path over HTTP.
+
+    Non-2xx other than the mapped statuses raise — open_kvstore wraps HTTP
+    stores in RetryingKVStore by default, so transient 5xx/throttling
+    retries with backoff like the reference's cloud drivers. Instances
+    hold only the root URL: picklable-by-construction for executor
+    closures, one connection per request (HTTP/1.1 keep-alive pooling is
+    deliberately not managed here — Python workers are short-lived and
+    per-request urlopen keeps the store stateless)."""
+
+    TIMEOUT = 30.0
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+
+    def _url(self, key: str) -> str:
+        import urllib.parse
+
+        if not key:
+            return self.root
+        return f"{self.root}/{urllib.parse.quote(key)}"
+
+    def _request(self, key: str, method: str, data: bytes | None = None,
+                 headers: dict | None = None):
+        import urllib.request
+
+        req = urllib.request.Request(
+            self._url(key), data=data, method=method, headers=headers or {})
+        return urllib.request.urlopen(req, timeout=self.TIMEOUT)
+
+    @staticmethod
+    def _status(err) -> int:
+        return getattr(err, "code", 0)
+
+    def read(self, key: str) -> bytes | None:
+        import urllib.error
+
+        try:
+            with self._request(key, "GET") as r:
+                return r.read()
+        except urllib.error.HTTPError as e:
+            if self._status(e) in (404, 410):
+                return None
+            raise
+
+    def size(self, key: str) -> int | None:
+        import urllib.error
+
+        try:
+            with self._request(key, "HEAD") as r:
+                cl = r.headers.get("Content-Length")
+                return int(cl) if cl is not None else None
+        except urllib.error.HTTPError as e:
+            if self._status(e) in (404, 410):
+                return None
+            raise
+
+    def read_range(self, key: str, start: int, length: int) -> bytes | None:
+        import urllib.error
+
+        if start < 0:
+            # HTTP suffix range; server clamps to the object when shorter
+            rng = f"bytes=-{-start}"
+            want = length
+        else:
+            rng = f"bytes={start}-{start + length - 1}"
+            want = None
+        try:
+            with self._request(key, "GET", headers={"Range": rng}) as r:
+                body = r.read()
+                if r.status == 206:
+                    return body[:want] if want is not None else body
+                # 200: server ignored Range — slice to LocalKVStore semantics
+                if start < 0:
+                    s = max(0, len(body) + start)
+                    return body[s : s + length]
+                return body[start : start + length]
+        except urllib.error.HTTPError as e:
+            code = self._status(e)
+            if code in (404, 410):
+                return None
+            if code == 416:  # range past EOF on an existing object
+                return b""
+            raise
+
+    def write(self, key: str, data: bytes) -> None:
+        with self._request(key, "PUT", data=data):
+            pass
+
+    def exists(self, key: str) -> bool:
+        import urllib.error
+
+        try:
+            with self._request(key, "HEAD"):
+                return True
+        except urllib.error.HTTPError as e:
+            if self._status(e) in (404, 410):
+                return False
+            raise
+
+    def delete(self, key: str) -> bool:
+        import urllib.error
+
+        try:
+            with self._request(key, "DELETE"):
+                return True
+        except urllib.error.HTTPError as e:
+            if self._status(e) in (404, 410):
+                return False
+            raise
+
+    def delete_all(self) -> None:
+        self.delete("")
+
+    def list_dir(self, prefix: str = "") -> list[str]:
+        import re
+        import urllib.parse
+
+        raw = self.read(f"{prefix}/" if prefix else "")
+        if raw is None:
+            return []
+        text = raw.decode("utf-8", errors="replace")
+        if "<a href=" not in text:
+            raise NotImplementedError(
+                f"{self.root}: server returned no HTML index for "
+                f"{prefix!r} — plain HTTP has no LIST; publish consolidated "
+                "metadata (ZarrStore.consolidate) so opens need no listing"
+            )
+        names: list[str] = []
+        for href in re.findall(r'<a href="([^"]+)"', text):
+            href = urllib.parse.unquote(href)
+            if href.startswith(("?", "#", "../")) or "://" in href:
+                continue
+            names.append(href.rstrip("/").split("/")[-1])
+        return sorted(set(names))
+
+
 def open_kvstore(path: str, retries: int | None = None) -> KVStore:
     """Scheme-routed store factory (zarr_driver.h:225-274 analog).
 
@@ -277,6 +436,10 @@ def open_kvstore(path: str, retries: int | None = None) -> KVStore:
 
     if path.startswith("memory://"):
         return _wrap(MemoryKVStore(path), False)
+    if path.startswith(("http://", "https://")):
+        # network path → retry by default, like the cloud schemes (5xx and
+        # connection resets are transient; 404 is a RESULT and never retried)
+        return _wrap(HttpKVStore(path), True)
     if path.startswith("file://"):
         return _wrap(LocalKVStore(path[len("file://"):]), False)
     for scheme in CLOUD_SCHEMES:

@@ -637,10 +637,30 @@ class ZarrStore:
             return None
         return obj.get("metadata")
 
+    def _consolidated_v3(self, root_json: dict | None = None) -> dict | None:
+        """The v3 consolidated-metadata map (zarr-python 3 layout: the root
+        ``zarr.json`` carries ``consolidated_metadata`` = {"kind": "inline",
+        "must_understand": false, "metadata": {path: child zarr.json}}).
+        Returns the path→document map, or None when absent/foreign-kind.
+        This is the O(1)-metadata open path for v3: without it, opening an
+        N-variable store on an object store costs a LIST + N GETs
+        (zarr_v3.h:539-625's walk); with it, ONE root GET."""
+        if root_json is None:
+            try:
+                root_json = self._read_json("zarr.json")
+            except FileNotFoundError:
+                return None
+        cm = root_json.get("consolidated_metadata")
+        if not isinstance(cm, dict) or cm.get("kind") != "inline":
+            return None
+        md = cm.get("metadata")
+        return md if isinstance(md, dict) else None
+
     def arrays(self) -> dict[str, ZarrArrayMeta]:
         """All arrays in the store. v2 prefers the consolidated .zmetadata
-        (one read — zarr_v2.h:467-482); v3 walks child zarr.json files
-        (zarr_v3.h:539-625)."""
+        (one read — zarr_v2.h:467-482); v3 prefers the root zarr.json's
+        inline consolidated_metadata (zarr-python 3 layout, one read) and
+        falls back to walking child zarr.json files (zarr_v3.h:539-625)."""
         out: dict[str, ZarrArrayMeta] = {}
         if self.version == 2:
             consolidated = self._consolidated()
@@ -659,6 +679,12 @@ class ZarrStore:
                     except FileNotFoundError:
                         zattrs = {}
                     out[entry] = _meta_from_v2(entry, zarray, zattrs)
+            return out
+        consolidated = self._consolidated_v3()
+        if consolidated is not None:
+            for path, obj in consolidated.items():
+                if isinstance(obj, dict) and obj.get("node_type") == "array":
+                    out[str(path)] = _meta_from_v3(str(path), obj)
             return out
         for entry in self._kv.list_dir():
             if self._kv.exists(f"{entry}/zarr.json"):
@@ -820,6 +846,10 @@ class ZarrStore:
                 self.consolidate()
         else:
             self._write_json(f"{name}/zarr.json", _v3_array_json(meta))
+            # keep the consolidated view coherent if one was already
+            # published (mirror of the v2 .zmetadata refresh above)
+            if self._consolidated_v3() is not None:
+                self.consolidate()
         return meta
 
     def update_array_attrs(self, name: str, attrs: dict,
@@ -842,7 +872,10 @@ class ZarrStore:
             obj["attributes"] = attrs
             self._write_json(f"{name}/zarr.json", obj)
         if reconsolidate is None:
-            reconsolidate = self.version == 2 and self._kv.exists(".zmetadata")
+            reconsolidate = (
+                self._kv.exists(".zmetadata") if self.version == 2
+                else self._consolidated_v3() is not None
+            )
         if reconsolidate:
             self.consolidate()
 
@@ -869,10 +902,25 @@ class ZarrStore:
             self._write_json("zarr.json", obj)
 
     def consolidate(self) -> None:
-        """(Re)build .zmetadata from the per-array files — the single-read
-        open path (zarr_v2.h:221-309). No-op for v3 (no consolidated spec;
-        open() walks the tree)."""
+        """(Re)build the consolidated metadata from the per-array files —
+        the single-read open path. v2: ``.zmetadata`` (zarr_v2.h:221-309).
+        v3: the ``consolidated_metadata`` block inside the root
+        ``zarr.json`` (zarr-python 3's layout, must_understand=false so
+        readers that don't know it fall back to the walk). Either way a
+        10k-variable open on an object store costs O(1) metadata GETs
+        instead of a LIST + one GET per array."""
         if self.version != 2:
+            root_json = self._read_json("zarr.json")
+            metadata_v3: dict[str, Any] = {}
+            for entry in self._kv.list_dir():
+                if self._kv.exists(f"{entry}/zarr.json"):
+                    metadata_v3[entry] = self._read_json(f"{entry}/zarr.json")
+            root_json["consolidated_metadata"] = {
+                "kind": "inline",
+                "must_understand": False,
+                "metadata": metadata_v3,
+            }
+            self._write_json("zarr.json", root_json)
             return
         metadata: dict[str, Any] = {".zgroup": {"zarr_format": 2}}
         try:

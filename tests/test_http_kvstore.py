@@ -1,0 +1,206 @@
+"""Loopback-HTTP kvstore: REAL network ranged GETs with zero wheels.
+
+The reference proves its cloud IO against live GCS/S3 (gcs_test.cc 374 LoC,
+s3_test.cc 372 LoC — HTTP under the SDKs). This suite is that coverage
+shape without credentials: a stdlib ThreadingHTTPServer on 127.0.0.1
+(sources/http_loopback.py) serves a store directory, and every byte crosses
+a genuine socket. Pins: the verb lifecycle, 206/200/416 Range semantics,
+retry-on-5xx with give-up, fetch SHAPES for partial shard reads (ranged
+GETs only — never the full object), and the full engine store lifecycle
+(create → distributed-style write → consolidated open → chunk-pruned read
+→ trim → delete) running entirely over http://."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mdio_cpp_spark.sources.http_loopback import LoopbackHttpServer
+from mdio_cpp_spark.sources.kvstore import (
+    HttpKVStore,
+    RetryingKVStore,
+    open_kvstore,
+)
+from mdio_cpp_spark.sources.zarr_store import ZarrStore
+from mdio_cpp_spark.utils import delete_dataset, trim_dataset
+
+
+@pytest.fixture()
+def served(tmp_path):
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        yield srv, str(tmp_path)
+
+
+def test_http_scheme_routing():
+    kv = open_kvstore("http://127.0.0.1:1/x")
+    assert isinstance(kv, RetryingKVStore)
+    assert isinstance(kv.inner, HttpKVStore)
+    assert isinstance(open_kvstore("https://example.invalid/x", retries=0),
+                      HttpKVStore)
+
+
+def test_http_kvstore_lifecycle(served):
+    srv, root = served
+    kv = open_kvstore(srv.url, retries=0)
+    assert kv.read("a/b") is None and not kv.exists("a/b")
+    assert kv.size("a/b") is None
+    kv.write("a/b", b"hello world")
+    kv.write("a/c/d", b"y")
+    kv.write("e", b"z")
+    assert kv.read("a/b") == b"hello world"
+    assert kv.size("a/b") == 11  # HEAD, no byte transfer
+    assert kv.exists("e")
+    assert kv.list_dir() == ["a", "e"]
+    assert kv.list_dir("a") == ["b", "c"]
+    assert kv.delete("a/b") and not kv.delete("a/b")
+    assert kv.read("a/b") is None
+    kv.delete_all()
+    assert not kv.exists("e")
+
+
+def test_http_ranged_get_semantics(served):
+    srv, root = served
+    kv = open_kvstore(srv.url, retries=0)
+    data = bytes(range(256)) * 4
+    kv.write("blob", data)
+    srv.clear_log()
+    assert kv.read_range("blob", 10, 20) == data[10:30]
+    assert kv.read_range("blob", -16, 16) == data[-16:]
+    assert kv.read_range("blob", -10_000, 24) == data[:24]  # suffix clamps
+    assert kv.read_range("blob", len(data) + 5, 4) == b""   # 416 → b""
+    assert kv.read_range("missing", 0, 4) is None
+    ranged = [r for r in srv.requests if r[0] == "GET" and r[2]]
+    assert [r[3] for r in ranged] == [206, 206, 206, 416, 404]
+    # no full-object GET happened for any of the window reads
+    assert not any(r[0] == "GET" and r[2] is None and r[1].endswith("blob")
+                   for r in srv.requests)
+
+
+def test_http_200_fallback_when_server_ignores_range(tmp_path):
+    with LoopbackHttpServer(str(tmp_path), ignore_range=True) as srv:
+        kv = open_kvstore(srv.url, retries=0)
+        data = b"0123456789" * 10
+        kv.write("blob", data)
+        assert kv.read_range("blob", 10, 5) == data[10:15]
+        assert kv.read_range("blob", -7, 7) == data[-7:]
+        full = [r for r in srv.requests if r[0] == "GET" and r[3] == 200]
+        assert len(full) >= 2  # the server really did ignore Range
+
+
+def test_http_retry_recovers_from_5xx(tmp_path):
+    with LoopbackHttpServer(str(tmp_path), fail_first=2) as srv:
+        (tmp_path / "k").write_bytes(b"v")
+        kv = open_kvstore(srv.url)  # default retry wrap (4 attempts)
+        assert kv.read("k") == b"v"
+        gets = [r for r in srv.requests if r[0] == "GET"]
+        assert [r[3] for r in gets] == [503, 503, 200]
+
+
+def test_http_retry_gives_up_after_attempts(tmp_path):
+    import urllib.error
+
+    with LoopbackHttpServer(str(tmp_path), fail_first=99) as srv:
+        (tmp_path / "k").write_bytes(b"v")
+        kv = open_kvstore(srv.url, retries=3)
+        with pytest.raises(urllib.error.HTTPError):
+            kv.read("k")
+        assert len([r for r in srv.requests if r[0] == "GET"]) == 3
+
+
+def test_http_404_is_result_not_retried(tmp_path):
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        kv = open_kvstore(srv.url)  # retries on
+        assert kv.read("absent") is None
+        assert len(srv.requests) == 1  # one GET, no retry storm on absence
+
+
+def test_http_path_traversal_rejected(served):
+    srv, root = served
+    kv = open_kvstore(srv.url, retries=0)
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        kv.read("../escape")
+
+
+def test_store_lifecycle_over_http(tmp_path):
+    """create → write → consolidate → reopen → exact read → trim → delete,
+    every byte over real sockets (the memory:// lifecycle twin, upgraded
+    from a fake fs to genuine network I/O)."""
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        root = f"{srv.url}/store.zarr"
+        st = ZarrStore.create(root, version=3, attrs={"name": "http"})
+        st.create_array("a", shape=(300,), chunks=(64,), dtype="float32",
+                        dims=("i",), compressor={"id": "gzip", "level": 5})
+        arr = np.linspace(0, 1, 300, dtype="f4")
+        st.write_array_numpy("a", arr)
+        st.consolidate()
+        st2 = ZarrStore.open(root)
+        assert st2.version == 3
+        assert np.array_equal(st2.read_array("a"), arr)
+        assert np.array_equal(
+            st2.read_array("a", ranges={"i": (100, 120)}), arr[100:120])
+        report = trim_dataset(root, i=100)
+        assert report["a"] == 3
+        assert ZarrStore.open(root).array_meta("a").shape == (100,)
+        delete_dataset(root)
+        with pytest.raises(FileNotFoundError):
+            ZarrStore.open(root)
+
+
+def test_consolidated_open_over_http_is_o1_requests(tmp_path):
+    """The VERDICT-4 pairing: over an object store (here: real HTTP), a
+    consolidated v3 open must issue O(1) metadata requests — one HEAD probe
+    plus root zarr.json GETs — independent of variable count, and NO
+    listing GET (plain HTTP has no LIST verb; the engine must not need
+    one)."""
+    local = str(tmp_path / "many.zarr")
+    st = ZarrStore.create(local, version=3)
+    for k in range(8):
+        st.create_array(f"v{k}", shape=(16,), chunks=(8,), dtype="int32",
+                        dims=("i",))
+    st.write_array_numpy("v3", np.arange(16, dtype="i4"))
+    st.consolidate()
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        root = f"{srv.url}/many.zarr"
+        srv.clear_log()
+        st2 = ZarrStore.open(root)
+        metas = st2.arrays()
+        assert set(metas) == {f"v{k}" for k in range(8)}
+        meta_reqs = [r for r in srv.requests]
+        # every request so far targets the root zarr.json — no per-array
+        # GETs, no directory index fetch
+        assert all(r[1].endswith("/many.zarr/zarr.json") for r in meta_reqs), meta_reqs
+        assert len(meta_reqs) <= 4
+        got = st2.read_array("v3")
+        assert np.array_equal(got, np.arange(16, dtype="i4"))
+
+
+def test_partial_shard_read_over_http_uses_ranged_gets(tmp_path):
+    """Sharded v3 store over HTTP: a one-inner-chunk read must fetch the
+    shard INDEX (suffix range) and that inner chunk's window — ranged GETs
+    only, never the whole shard object (the 100-TB read shape: shards are
+    big; reads are small)."""
+    local = str(tmp_path / "sharded.zarr")
+    st = ZarrStore.create(local, version=3)
+    st.create_array("x", shape=(4096,), chunks=(256,), shards=(1024,),
+                    dtype="float64", dims=("i",))
+    vals = np.arange(4096, dtype="f8")
+    st.write_array_numpy("x", vals)
+    st.consolidate()
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        root = f"{srv.url}/sharded.zarr"
+        st2 = ZarrStore.open(root)
+        meta = st2.array_meta("x")
+        srv.clear_log()
+        # box is GLOBAL: [1324, 1404) lives in shard 1, inner chunks 1-2
+        got = np.asarray(st2.decode_chunk_box(meta, (1,), ((1324, 1404),)))
+        gets = [r for r in srv.requests if r[0] == "GET"]
+        assert gets, "no GETs recorded"
+        assert all(r[2] is not None for r in gets), f"full-object GET: {gets}"
+        assert all(r[3] == 206 for r in gets)
+    # correctness of the window itself (positions are shard-relative)
+    assert np.array_equal(got[300:380], vals[1024 + 300:1024 + 380])
