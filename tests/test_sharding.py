@@ -912,3 +912,113 @@ def test_big_endian_inner_data_under_sharding(tmp_path):
     assert np.array_equal(np.asarray(box)[5:7], want[5:7])
     spec = specr.read_zarr_array(str(root), "a")
     assert np.array_equal(spec, want)
+
+
+def _memcpy_blosc_frame(payload: bytes, typesize: int) -> bytes:
+    """Hand-build a c-blosc v1 frame per the public spec (BLOSC.pdf /
+    c-blosc README_HEADER): 16-byte header [version, versionlz, flags,
+    typesize, nbytes(u32le), blocksize(u32le), cbytes(u32le)] with the
+    memcpy flag (bit 1) and the raw payload following — the simplest valid
+    frame an external writer can emit, and one our encoder never produces
+    for compressible data."""
+    n = len(payload)
+    return struct.pack("<BBBBIII", 2, 1, 0x2, typesize, n, n, n + 16) + payload
+
+
+def test_be_shard_index_with_inner_blosc(tmp_path):
+    """Composition fixture (VERDICT r9 #6): BIG-ENDIAN shard index + BLOSC
+    inner codec in one handcrafted v3 store. The index u64 pairs are
+    serialized BE; each present inner chunk is a hand-built memcpy'd blosc
+    frame. Engine full decode, box-aware partial read, and the independent
+    spec reader must all agree — none of these bytes came from our
+    encoder."""
+    import json
+
+    root = tmp_path / "beblosc.zarr"
+    (root / "a" / "c").mkdir(parents=True)
+    (root / "zarr.json").write_text(json.dumps(
+        {"zarr_format": 3, "node_type": "group", "attributes": {}}))
+    (root / "a" / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [12],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [12]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": -1.0,
+        "codecs": [{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": [4],
+            "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+                       {"name": "blosc", "configuration": {"cname": "lz4"}}],
+            "index_codecs": [
+                {"name": "bytes", "configuration": {"endian": "big"}},
+                {"name": "crc32c"}],
+            "index_location": "end"}}],
+        "dimension_names": ["i"], "attributes": {},
+    }))
+    want = np.full(12, -1.0)
+    want[0:4] = [1.5, 2.5, 3.5, 4.5]
+    want[8:12] = [9.0, 10.0, 11.0, 12.0]
+    f0 = _memcpy_blosc_frame(np.asarray(want[0:4], "<f8").tobytes(), 8)
+    f2 = _memcpy_blosc_frame(np.asarray(want[8:12], "<f8").tobytes(), 8)
+    missing = (1 << 64) - 1
+    pairs = np.array(
+        [[0, len(f0)], [missing, missing], [len(f0), len(f2)]], dtype=">u8")
+    idx = pairs.tobytes()
+    idx += struct.pack("<I", crc32c(idx))
+    (root / "a" / "c" / "0").write_bytes(f0 + f2 + idx)
+
+    st = ZarrStore.open(str(root))
+    meta = st.array_meta("a")
+    assert meta.shard["index_dtype"] == ">u8"
+    assert np.array_equal(st.decode_chunk(meta, (0,)), want)
+    # partial read through the BE index touches only inner chunk 2
+    got = np.asarray(st.decode_chunk_box(meta, (0,), ((9, 11),)))
+    assert np.array_equal(got[9:11], want[9:11])
+    assert np.array_equal(specr.read_zarr_array(str(root), "a"), want)
+
+
+def test_be_struct_under_sharding_external(tmp_path):
+    """Composition fixture (VERDICT r9 #6): v3 STRUCT data_type + sharding
+    + BIG-ENDIAN inner 'bytes' codec, all bytes handcrafted. The endian
+    applies uniformly per field (the engine's stored_dtype per-field
+    byteswap path); the spec reader must mirror it inside shards."""
+    import base64
+    import json
+
+    root = tmp_path / "beshstruct.zarr"
+    (root / "a" / "c").mkdir(parents=True)
+    (root / "zarr.json").write_text(json.dumps(
+        {"zarr_format": 3, "node_type": "group", "attributes": {}}))
+    (root / "a" / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [4],
+        "data_type": {"name": "struct", "configuration": {"fields": [
+            {"name": "k", "data_type": "int32"},
+            {"name": "x", "data_type": "float64"}]}},
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": base64.b64encode(bytes(12)).decode("ascii"),
+        "codecs": [{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": [2],
+            "codecs": [{"name": "bytes", "configuration": {"endian": "big"}}],
+            "index_codecs": [{"name": "bytes"}, {"name": "crc32c"}],
+            "index_location": "end"}}],
+        "dimension_names": ["i"], "attributes": {},
+    }))
+    native = np.dtype([("k", "<i4"), ("x", "<f8")])
+    want = np.array([(1, 1.25), (2, -2.5), (3, 3.75), (4, -4.0)], dtype=native)
+    be = want.astype(np.dtype([("k", ">i4"), ("x", ">f8")]))
+    inner0 = be[:2].tobytes()
+    inner1 = be[2:].tobytes()
+    pairs = np.array([[0, len(inner0)], [len(inner0), len(inner1)]], dtype="<u8")
+    idx = pairs.tobytes()
+    idx += struct.pack("<I", crc32c(idx))
+    (root / "a" / "c" / "0").write_bytes(inner0 + inner1 + idx)
+
+    st = ZarrStore.open(str(root))
+    meta = st.array_meta("a")
+    got = np.asarray(st.decode_chunk(meta, (0,)))
+    assert got.dtype == native or got.dtype.isnative
+    assert np.array_equal(got["k"], want["k"])
+    assert np.array_equal(got["x"], want["x"])
+    spec = specr.read_zarr_array(str(root), "a")
+    assert np.array_equal(spec["k"].astype("i4"), want["k"])
+    assert np.array_equal(spec["x"].astype("f8"), want["x"])
