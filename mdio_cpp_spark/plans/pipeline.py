@@ -510,7 +510,11 @@ def _dd_lang_sql() -> str:
 def t01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-token scores, deterministic argmax."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", text.lang_id("text").alias("pred_lang"), "lang").orderBy("doc_id")
+    return (
+        text.with_lang_id(d, "text")  # staged: tokenizer runs once per row
+        .select("doc_id", "pred_lang", "lang")
+        .orderBy("doc_id")
+    )
 
 
 @declared(
@@ -532,11 +536,16 @@ def t01(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length factor × (1 − punct ratio) × stopword factor."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        text.token_count("text").alias("n_tok"),
-        text.quality_score("text").alias("score"),
-    ).orderBy("doc_id")
+    toks = F.col("_toks")
+    return (
+        d.withColumn("_toks", text.tokens(F.col("text")))  # staged once
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tok"),
+            text.quality_score("text", toks=toks).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @declared(
@@ -701,11 +710,11 @@ def p02(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = _t(spark, sf_dir, "documents")
-    scored = d.select(
+    scored = d.withColumn("_toks", text.tokens(F.col("text"))).select(
         "doc_id",
         "text",
-        text.token_count("text").alias("n_tok"),
-        text.quality_score("text").alias("score"),
+        F.size("_toks").cast("long").alias("n_tok"),
+        text.quality_score("text", toks=F.col("_toks")).alias("score"),
     ).filter(
         (F.col("score") >= _CURATE_MIN_SCORE)
         & F.col("n_tok").between(_CURATE_TOK_LO, _CURATE_TOK_HI)
@@ -1517,7 +1526,7 @@ def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
     from mdio_cpp_spark.operators import stats as _stats
 
-    q = d.select("doc_id", "lang", text.quality_score("text").alias("score"))
+    q = text.with_quality_score(d, "text").select("doc_id", "lang", "score")
     bands = _stats.grouped_percentiles(
         q, "lang", "score", [(0.1, "p10"), (0.9, "p90")]
     )
@@ -3110,7 +3119,7 @@ def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells."""
     d = _t(spark, sf_dir, "documents")
     return (
-        d.select("lang", text.lang_id("text").alias("pred_lang"))
+        text.with_lang_id(d, "text").select("lang", "pred_lang")
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "pred_lang")
@@ -3576,7 +3585,7 @@ def p14(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
     # (doc_id, score) feeds the percentile pass AND the banding projection;
     # persist the narrow frame so the quality-score scan runs once
-    q = d.select("doc_id", text.quality_score("text").alias("score")).persist()
+    q = text.with_quality_score(d, "text").select("doc_id", "score").persist()
     cuts = _stats.grouped_percentiles(
         q.withColumn("g", F.lit(1)), "g", "score", [(0.25, "q1"), (0.5, "q2"), (0.75, "q3")]
     ).drop("g")
