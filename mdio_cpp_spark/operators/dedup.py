@@ -77,11 +77,18 @@ def minhash_signatures(
     whole-stage codegen, and take per-doc mins with a partial-aggregating
     groupBy — the shuffle carries one k-hash row per doc per partition, never
     shingles or bodies."""
-    toks = text.tokens(text_col)
-    base = ensure_map_parallelism(df.filter(F.size(toks) >= shingle_n))
+    # STAGE the token array as a real column: word_shingles references its
+    # input 3x and higher-order functions are never CSE'd by codegen, so the
+    # inline form re-runs the regex tokenizer 3x per row (plus once in the
+    # length filter). The filter still pushes to the scan (Catalyst
+    # substitutes the alias); the shingle projection reuses the one array.
+    staged = df.withColumn("__toks", text.tokens(text_col))
+    base = ensure_map_parallelism(staged.filter(F.size("__toks") >= shingle_n))
     exploded = base.select(
         F.col(id_col),
-        F.explode(F.array_distinct(text.word_shingles(toks, shingle_n))).alias("__s"),
+        F.explode(
+            F.array_distinct(text.word_shingles(F.col("__toks"), shingle_n))
+        ).alias("__s"),
     )
     # hash family: Kirsch–Mitzenmacher double hashing — ONE md5 per shingle,
     # h1/h2 = its two leading 32-bit hex slices, member j = (h1 + j*h2) mod

@@ -184,8 +184,13 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 5 doc scans / 3 signature passes in the executed plan. The
     # cached frame is id pairs only (candidates ≪ n²), never bodies.
     cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS).persist()
-    toks = text.tokens("text")
-    base = dedup.ensure_map_parallelism(d.filter(F.size(toks) >= 3))
+    # staged token column: word_shingles references its input 3x and HOFs
+    # are not CSE'd — inline toks would re-run the tokenizer 4x per row
+    base = dedup.ensure_map_parallelism(
+        d.withColumn("__toks", text.tokens(F.col("text")))
+        .filter(F.size("__toks") >= 3)
+    )
+    toks = F.col("__toks")
 
     # semi-join on id BEFORE building shingle arrays: Catalyst pushes the
     # broadcast semi-join below the (expensive) shingle projection, so only
@@ -993,12 +998,14 @@ def p03(spark: SparkSession, sf_dir: str) -> DataFrame:
     unacceptable). Semi-join → the engine may broadcast the small benchmark
     side under AQE; at 100 TB it degrades gracefully to a shuffled semi."""
     d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
-    toks = text.tokens(F.col("text"))
+    staged = d.withColumn("__toks", text.tokens(F.col("text")))
     sh = (
-        d.filter(F.size(toks) >= 3)
+        staged.filter(F.size("__toks") >= 3)
         .select(
             "doc_id",
-            F.explode(F.array_distinct(text.word_shingles(toks, 3))).alias("g"),
+            F.explode(
+                F.array_distinct(text.word_shingles(F.col("__toks"), 3))
+            ).alias("g"),
         )
         .select("doc_id", F.xxhash64("g").alias("h"))
     )
@@ -1037,9 +1044,9 @@ def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregated counts (cardinality = distinct bigrams, not tokens), so
     the sort is orders of magnitude smaller than the corpus."""
     d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
-    toks = text.tokens(F.col("text"))
-    bg = d.filter(F.size(toks) >= 2).select(
-        "lang", F.explode(text.word_shingles(toks, 2)).alias("bigram")
+    staged = d.withColumn("__toks", text.tokens(F.col("text")))
+    bg = staged.filter(F.size("__toks") >= 2).select(
+        "lang", F.explode(text.word_shingles(F.col("__toks"), 2)).alias("bigram")
     )
     cnt = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
     from pyspark.sql import Window
@@ -2368,12 +2375,12 @@ def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes of tokens, and the identical multiply/divide order on both
     engines keeps the rounded doubles hash-stable (t12's contract)."""
     d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
-    toks = text.tokens(F.col("text"))
-    tok_rows = d.select(F.explode(toks).alias("term"))
+    staged = d.withColumn("__toks", text.tokens(F.col("text")))
+    tok_rows = staged.select(F.explode("__toks").alias("term"))
     cu = tok_rows.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     n1 = tok_rows.count()
-    bg = d.filter(F.size(toks) >= 2).select(
-        F.explode(text.word_shingles(toks, 2)).alias("bigram")
+    bg = staged.filter(F.size("__toks") >= 2).select(
+        F.explode(text.word_shingles(F.col("__toks"), 2)).alias("bigram")
     )
     cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cxy"))
     n2 = bg.count()
@@ -3379,8 +3386,13 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers would otherwise re-run the minhash pipeline each), build
     # ONE shingle projection over the union of pair sides, join it twice
     cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS).persist()
-    toks = text.tokens("text")
-    base = dedup.ensure_map_parallelism(d.filter(F.size(toks) >= 3))
+    # staged token column: word_shingles references its input 3x and HOFs
+    # are not CSE'd — inline toks would re-run the tokenizer 4x per row
+    base = dedup.ensure_map_parallelism(
+        d.withColumn("__toks", text.tokens(F.col("text")))
+        .filter(F.size("__toks") >= 3)
+    )
+    toks = F.col("__toks")
     ids = (
         cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
     )
@@ -4105,8 +4117,13 @@ def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sig_wide.select(
         "doc_id", F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig")
     )
-    toks = text.tokens("text")
-    base = dedup.ensure_map_parallelism(d.filter(F.size(toks) >= 3))
+    # staged token column: word_shingles references its input 3x and HOFs
+    # are not CSE'd — inline toks would re-run the tokenizer 4x per row
+    base = dedup.ensure_map_parallelism(
+        d.withColumn("__toks", text.tokens(F.col("text")))
+        .filter(F.size("__toks") >= 3)
+    )
+    toks = F.col("__toks")
 
     def shside(pair_col: str, out_id: str, out_sh: str) -> DataFrame:
         ids = cand.select(F.col(pair_col).alias("doc_id")).distinct()
@@ -4732,8 +4749,13 @@ def d16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()  # feeds the id set AND both verify joins
     )
-    toks = text.tokens("text")
-    base = dedup.ensure_map_parallelism(d.filter(F.size(toks) >= 3))
+    # staged token column: word_shingles references its input 3x and HOFs
+    # are not CSE'd — inline toks would re-run the tokenizer 4x per row
+    base = dedup.ensure_map_parallelism(
+        d.withColumn("__toks", text.tokens(F.col("text")))
+        .filter(F.size("__toks") >= 3)
+    )
+    toks = F.col("__toks")
     ids = (
         cand.select(F.explode(F.array("train_doc", "val_doc")).alias("doc_id")).distinct()
     )
@@ -4948,15 +4970,15 @@ def t25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_cpp_spark.operators import sampling
 
     d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
-    toks = text.tokens("text")
     split = F.when(
         sampling.hash_fraction(F.col("doc_id")) < F.lit(_SPLIT_CUT * 4096.0),
         F.lit("train"),
     ).otherwise(F.lit("val"))
     bg = (
-        d.filter(F.size(toks) >= 2)
+        d.withColumn("__toks", text.tokens(F.col("text")))
+        .filter(F.size("__toks") >= 2)
         .select("lang", split.alias("split"),
-                F.explode(text.word_shingles(toks, 2)).alias("b"))
+                F.explode(text.word_shingles(F.col("__toks"), 2)).alias("b"))
         .distinct()
     )
     v = bg.filter(F.col("split") == "val").select("lang", "b")
