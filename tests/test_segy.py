@@ -635,3 +635,44 @@ def test_export_little_endian_roundtrip(tmp_path, spark):
     with pytest.raises(SegyFormatError, match="IBM"):
         export_segy(spark, root, "amplitude", out + "x", fmt=1,
                     endian="little")
+
+
+def test_segy_over_http_distributed_ingest(tmp_path, spark):
+    """The reference's signature real-data shape — ingest SEG-Y straight
+    from a URL (multidimio_compatibility_test.py:53 pulls Teapot Dome from
+    S3) — over REAL network sockets: a loopback HTTP server serves the
+    spec-derived fixture, the distributed scan reads it through the
+    scheme-routed HttpKVStore (each task one contiguous ranged GET from its
+    own Python worker), ingest lands a local store bit-exact, and the
+    request log proves no task ever fetched the whole file."""
+    from mdio_cpp_spark.sources.http_loopback import LoopbackHttpServer
+    from mdio_cpp_spark.sources.segy import file_geometry, ingest_to_store, scan_traces
+    from mdio_cpp_spark.sources.zarr_store import ZarrStore
+    from tests.spec_zarr_reader import read_zarr_array
+
+    local = str(tmp_path / "h.sgy")
+    n, ns = 64, 8
+    vals = (np.arange(n * ns, dtype="f8") % 977).reshape(n, ns)
+    write_segy(local, vals, fmt=5, headers={189: 100 + np.arange(n)})
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        url = f"{srv.url}/h.sgy"
+        assert read_text_header(url).splitlines()[0].startswith("C 1 CLIENT")
+        geo = file_geometry(url)
+        assert geo["n_traces"] == n
+        srv.clear_log()
+        df = scan_traces(spark, url, [HeaderField("inline", 189)],
+                         traces_per_task=16)
+        rows = df.orderBy("trace").collect()
+        assert [r["inline"] for r in rows] == [100 + t for t in range(n)]
+        got = np.array([r["samples"] for r in rows])
+        assert np.array_equal(got, vals)
+        gets = [r for r in srv.requests if r[0] == "GET"]
+        assert gets and all(r[2] is not None for r in gets), \
+            f"full-object GET over HTTP: {gets}"
+        # distributed ingest from the URL → local store, bit-exact
+        root = str(tmp_path / "h.zarr")
+        rep = ingest_to_store(spark, url, root, var="amp",
+                              compressor={"id": "zlib", "level": 1})
+        assert rep["shape"] == [n, ns]
+        assert np.array_equal(ZarrStore.open(root).read_array("amp"), vals)
+        assert np.array_equal(read_zarr_array(root, "amp"), vals)
