@@ -160,3 +160,35 @@ def test_bpe_merge_conserves_symbol_count(spark):
     # (newest x4 + widest -> 'e s' appears 5 times weighted)
     merges, _ = _bpe_learn(vocab, 1)
     assert merges[0][2] >= 5
+
+
+def test_staged_forms_match_inline_forms(spark):
+    """with_lang_id / with_quality_score are pure evaluation-count
+    optimizations: on a corpus with empty, punctuation-only, mixed-language
+    and long docs they must equal the single-Column forms row for row."""
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat of the house"),
+         (1, "der hund und die katze und der vogel"),
+         (2, "le chien et la souris et le chat"),
+         (3, "el gato y los perros y el raton"),
+         (4, ""),
+         (5, "!!! ... ;;;"),
+         (6, "a " * 250),
+         (7, "woRd CaSe MiXeD the of a der und le et el y los")],
+        "doc_id long, text string")
+    inline = docs.select(
+        "doc_id",
+        text.lang_id("text").alias("pred_lang"),
+        text.quality_score("text").alias("score"),
+    ).orderBy("doc_id").collect()
+    staged = (
+        text.with_quality_score(text.with_lang_id(docs, "text"), "text")
+        .select("doc_id", "pred_lang", "score")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert staged == inline
+    # and the staged frames leave no helper columns behind
+    cols = text.with_lang_id(docs, "text").columns
+    assert cols == ["doc_id", "text", "pred_lang"]
+    assert text.with_quality_score(docs, "text").columns == ["doc_id", "text", "score"]
