@@ -1535,7 +1535,8 @@ def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = text.with_quality_score(d, "text").select("doc_id", "lang", "score")
     bands = _stats.grouped_percentiles(
-        q, "lang", "score", [(0.1, "p10"), (0.9, "p90")]
+        q, "lang", "score", [(0.1, "p10"), (0.9, "p90")],
+        bounds=(0.0, 1.0),  # quality_score is [0,1] by construction: skip the min/max scan
     )
     return (
         q.join(F.broadcast(bands), "lang")
@@ -3599,7 +3600,10 @@ def p14(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the narrow frame so the quality-score scan runs once
     q = text.with_quality_score(d, "text").select("doc_id", "score").persist()
     cuts = _stats.grouped_percentiles(
-        q.withColumn("g", F.lit(1)), "g", "score", [(0.25, "q1"), (0.5, "q2"), (0.75, "q3")]
+        q.withColumn("g", F.lit(1)), "g", "score",
+        [(0.25, "q1"), (0.5, "q2"), (0.75, "q3")],
+        bounds=(0.0, 1.0),  # score is [0,1] by construction: skip the min/max scan
+        input_cached=True,  # q is persisted two lines up
     ).drop("g")
     band = (
         (F.col("score") >= F.col("q1")).cast("int")
