@@ -204,3 +204,39 @@ def test_partial_shard_read_over_http_uses_ranged_gets(tmp_path):
         assert all(r[3] == 206 for r in gets)
     # correctness of the window itself (positions are shard-relative)
     assert np.array_equal(got[300:380], vals[1024 + 300:1024 + 380])
+
+
+def test_zonemap_prunes_chunk_gets_over_http(tmp_path, spark):
+    """The full object-store read discipline in one test: zone-map pruning
+    must prevent the chunk GET entirely over HTTP — the request log shows
+    metadata + zone-map reads and ONLY the two compatible chunks' objects;
+    the eight pruned chunks are never requested. (At 100 TB this is the
+    difference between touching 2 objects and 10 million.)"""
+    from mdio_cpp_spark.sources import zonemap
+    from mdio_cpp_spark.sources.reader import scan_array
+    from pyspark.sql import functions as F
+
+    local = str(tmp_path / "zm.zarr")
+    st = ZarrStore.create(local, version=2)
+    st.create_array("v", shape=(1000,), chunks=(100,), dtype="float64",
+                    dims=("i",))
+    vals = np.arange(1000, dtype=np.float64)
+    st.write_array_numpy("v", vals)
+    zonemap.build_sidecar_stats(spark, local, "v")
+    st.consolidate()
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        root = f"{srv.url}/zm.zarr"
+        srv.clear_log()
+        got = (
+            scan_array(spark, root, "v", value_filter=(">=", 800.0))
+            .agg(F.count("*").alias("c"), F.sum("value").alias("s"))
+            .collect()[0]
+        )
+        assert got["c"] == 200 and got["s"] == float(sum(range(800, 1000)))
+        chunk_gets = sorted({
+            r[1].rsplit("/", 1)[-1] for r in srv.requests
+            if r[0] == "GET" and r[1].split("/")[-2] == "v"
+            and not r[1].endswith((".zarray", ".zattrs", ".zmetadata"))
+        })
+        assert chunk_gets == ["8", "9"], (
+            f"pruned chunks were fetched: {chunk_gets}")
