@@ -346,6 +346,11 @@ class HttpKVStore(KVStore):
     def read_range(self, key: str, start: int, length: int) -> bytes | None:
         import urllib.error
 
+        if length <= 0:
+            # "bytes=N-(N-1)" / "bytes=-0" are malformed per RFC 9110 —
+            # answer locally like LocalKVStore does (b"" when the object
+            # exists, None when absent; one HEAD, no byte transfer)
+            return b"" if self.exists(key) else None
         if start < 0:
             # HTTP suffix range; server clamps to the object when shorter
             rng = f"bytes=-{-start}"

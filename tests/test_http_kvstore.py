@@ -240,3 +240,27 @@ def test_zonemap_prunes_chunk_gets_over_http(tmp_path, spark):
         })
         assert chunk_gets == ["8", "9"], (
             f"pruned chunks were fetched: {chunk_gets}")
+
+
+def test_http_read_range_matches_local_semantics_property(tmp_path):
+    """Property differential: for a grid of (start, length) spanning
+    negatives, zero, past-EOF, and clamped suffixes, HttpKVStore.read_range
+    over the loopback server must return byte-for-byte what
+    LocalKVStore.read_range returns on the same object — the range
+    semantics are defined ONCE (by the local seek implementation) and every
+    backend must agree."""
+    from mdio_cpp_spark.sources.kvstore import LocalKVStore
+
+    data = bytes(range(251)) * 3  # 753 bytes, non-round
+    (tmp_path / "obj").write_bytes(data)
+    local = LocalKVStore(str(tmp_path))
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        http = open_kvstore(srv.url, retries=0)
+        starts = [0, 1, 7, 250, 752, 753, 760, 10_000,
+                  -1, -7, -253, -752, -753, -754, -10_000]
+        lengths = [0, 1, 4, 250, 753, 900]
+        for st in starts:
+            for ln in lengths:
+                want = local.read_range("obj", st, ln)
+                got = http.read_range("obj", st, ln)
+                assert got == want, (st, ln, len(want or b""), len(got or b""))
