@@ -676,3 +676,49 @@ def test_segy_over_http_distributed_ingest(tmp_path, spark):
         assert rep["shape"] == [n, ns]
         assert np.array_equal(ZarrStore.open(root).read_array("amp"), vals)
         assert np.array_equal(read_zarr_array(root, "amp"), vals)
+
+
+def test_segy_stream_tail_over_http(tmp_path, spark):
+    """The streaming acquisition tail running against an HTTP endpoint: the
+    growing file is served by the loopback server; offsets (trace count)
+    come from HEAD probes and each microbatch's traces arrive via ranged
+    GETs — the live-acquisition-in-a-bucket shape, exactly-once across
+    restarts, no local filesystem access by the reader."""
+    from mdio_cpp_spark.sources.http_loopback import LoopbackHttpServer
+    from mdio_cpp_spark.sources.segy import register_segy
+
+    register_segy(spark)
+    local = str(tmp_path / "grow.sgy")
+    ns = 3
+    base = np.arange(30, dtype="f8").reshape(10, ns)
+    write_segy(local, base, fmt=1)  # _append_traces writes IBM records
+    ckpt = str(tmp_path / "ckpt")
+
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        url = f"{srv.url}/grow.sgy"
+
+        def drain():
+            got = {}
+
+            def sink(bdf, _bid):
+                got.update({r["trace"]: list(r["samples"]) for r in bdf.collect()})
+
+            q = (spark.readStream.format("segy").option("path", url)
+                 .option("traces_per_task", "4").load()
+                 .writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            return got
+
+        first = drain()
+        assert sorted(first) == list(range(10))
+        assert first[7] == list(base[7])
+        delta = np.arange(100, 115, dtype="f8").reshape(5, ns)
+        _append_traces(local, delta, ns)
+        second = drain()
+        assert sorted(second) == list(range(10, 15))  # delta only, no replay
+        assert second[12] == list(delta[2])
+        gets = [r for r in srv.requests if r[0] == "GET" and r[1].endswith("grow.sgy")]
+        assert gets and all(r[2] is not None for r in gets), \
+            "stream reader fetched the whole file"
