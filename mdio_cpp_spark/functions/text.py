@@ -104,6 +104,11 @@ def with_lang_id(df, text_col: str, out: str = "pred_lang"):
     ONCE per row. CollapseProject keeps the staged aliases un-inlined
     because each is referenced more than once. Same formula → same result
     as ``lang_id`` bit-for-bit; only the evaluation count changes."""
+    staging = ["_li_toks"] + [f"_li_{lang}" for lang in _LANG_MARKERS]
+    clash = [c for c in staging if c in df.columns]
+    if clash:
+        # silently replacing-then-dropping a caller's column would lose it
+        raise ValueError(f"with_lang_id staging columns already exist: {clash}")
     d = df.withColumn("_li_toks", tokens(F.col(text_col)))
     scores = lang_scores(F.col("_li_toks"))
     d = d.withColumns({f"_li_{lang}": s for lang, s in scores.items()})
@@ -145,6 +150,8 @@ def with_quality_score(df, text_col: str, out: str = "score"):
     """Staged quality score: one tokenizer evaluation per row (the
     single-Column form runs it 4×). Identical arithmetic → identical
     values; only the evaluation count changes."""
+    if "_qs_toks" in df.columns:
+        raise ValueError("with_quality_score staging column _qs_toks already exists")
     d = df.withColumn("_qs_toks", tokens(F.col(text_col)))
     return d.withColumn(
         out, quality_score(text_col, toks=F.col("_qs_toks"))

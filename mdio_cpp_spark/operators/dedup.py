@@ -49,6 +49,20 @@ def ensure_map_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def staged_token_base(df: DataFrame, text_col: str, min_tokens: int) -> DataFrame:
+    """Token-staged length-filtered base frame: materialize the token array
+    as column ``__toks`` ONCE and filter on its size. word_shingles
+    references its input 3x and higher-order functions are never CSE'd by
+    codegen, so inline token expressions re-run the regex tokenizer up to
+    4x per row; every shingle consumer should build on this frame and read
+    F.col("__toks"). The length filter still pushes to the scan (Catalyst
+    substitutes the alias)."""
+    return ensure_map_parallelism(
+        df.withColumn("__toks", text.tokens(F.col(text_col) if isinstance(text_col, str) else text_col))
+        .filter(F.size("__toks") >= min_tokens)
+    )
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """Exact duplicate groups by content hash: (h, keep_id, dup_cnt).
     keep_id = min id in the group (the canonical survivor)."""
@@ -77,13 +91,7 @@ def minhash_signatures(
     whole-stage codegen, and take per-doc mins with a partial-aggregating
     groupBy — the shuffle carries one k-hash row per doc per partition, never
     shingles or bodies."""
-    # STAGE the token array as a real column: word_shingles references its
-    # input 3x and higher-order functions are never CSE'd by codegen, so the
-    # inline form re-runs the regex tokenizer 3x per row (plus once in the
-    # length filter). The filter still pushes to the scan (Catalyst
-    # substitutes the alias); the shingle projection reuses the one array.
-    staged = df.withColumn("__toks", text.tokens(text_col))
-    base = ensure_map_parallelism(staged.filter(F.size("__toks") >= shingle_n))
+    base = staged_token_base(df, text_col, shingle_n)
     exploded = base.select(
         F.col(id_col),
         F.explode(

@@ -184,12 +184,7 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 5 doc scans / 3 signature passes in the executed plan. The
     # cached frame is id pairs only (candidates ≪ n²), never bodies.
     cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS).persist()
-    # staged token column: word_shingles references its input 3x and HOFs
-    # are not CSE'd — inline toks would re-run the tokenizer 4x per row
-    base = dedup.ensure_map_parallelism(
-        d.withColumn("__toks", text.tokens(F.col("text")))
-        .filter(F.size("__toks") >= 3)
-    )
+    base = dedup.staged_token_base(d, "text", min_tokens=3)
     toks = F.col("__toks")
 
     # semi-join on id BEFORE building shingle arrays: Catalyst pushes the
@@ -3387,12 +3382,7 @@ def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers would otherwise re-run the minhash pipeline each), build
     # ONE shingle projection over the union of pair sides, join it twice
     cand = dedup.lsh_candidate_pairs(d, "doc_id", "text", bands=_MH_BANDS, rows=_MH_ROWS).persist()
-    # staged token column: word_shingles references its input 3x and HOFs
-    # are not CSE'd — inline toks would re-run the tokenizer 4x per row
-    base = dedup.ensure_map_parallelism(
-        d.withColumn("__toks", text.tokens(F.col("text")))
-        .filter(F.size("__toks") >= 3)
-    )
+    base = dedup.staged_token_base(d, "text", min_tokens=3)
     toks = F.col("__toks")
     ids = (
         cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
@@ -4121,12 +4111,7 @@ def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sig_wide.select(
         "doc_id", F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig")
     )
-    # staged token column: word_shingles references its input 3x and HOFs
-    # are not CSE'd — inline toks would re-run the tokenizer 4x per row
-    base = dedup.ensure_map_parallelism(
-        d.withColumn("__toks", text.tokens(F.col("text")))
-        .filter(F.size("__toks") >= 3)
-    )
+    base = dedup.staged_token_base(d, "text", min_tokens=3)
     toks = F.col("__toks")
 
     def shside(pair_col: str, out_id: str, out_sh: str) -> DataFrame:
@@ -4753,12 +4738,7 @@ def d16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()  # feeds the id set AND both verify joins
     )
-    # staged token column: word_shingles references its input 3x and HOFs
-    # are not CSE'd — inline toks would re-run the tokenizer 4x per row
-    base = dedup.ensure_map_parallelism(
-        d.withColumn("__toks", text.tokens(F.col("text")))
-        .filter(F.size("__toks") >= 3)
-    )
+    base = dedup.staged_token_base(d, "text", min_tokens=3)
     toks = F.col("__toks")
     ids = (
         cand.select(F.explode(F.array("train_doc", "val_doc")).alias("doc_id")).distinct()

@@ -127,15 +127,13 @@ class LoopbackHttpServer:
                         200, body, {"Content-Type": "text/html; charset=utf-8"})
                 if not os.path.isfile(path):
                     return self._reply(404, b"not found")
-                with open(path, "rb") as f:
-                    data = f.read()
+                size = os.path.getsize(path)
                 rng = self.headers.get("Range")
                 if rng and not outer.ignore_range:
                     m = _RANGE_RE.match(rng.strip())
-                    if not m:
-                        return self._reply(400, b"bad range")
+                    if not m or (m.group(1) == "" and m.group(2) == ""):
+                        return self._reply(400, b"bad range")  # "bytes=-"
                     a, b = m.group(1), m.group(2)
-                    size = len(data)
                     if a == "":  # suffix: bytes=-N (clamped to the object)
                         start = max(0, size - int(b))
                         end = size - 1
@@ -145,10 +143,20 @@ class LoopbackHttpServer:
                     if start >= size:
                         return self._reply(
                             416, b"", {"Content-Range": f"bytes */{size}"})
+                    if end < start:
+                        # inverted range (bytes=5-2): invalid per RFC 9110
+                        return self._reply(400, b"bad range")
+                    # serve O(window) bytes — ranged reads against multi-MB
+                    # objects must not cost a full-file read per request
+                    with open(path, "rb") as f:
+                        f.seek(start)
+                        window = f.read(end - start + 1)
                     return self._reply(
-                        206, data[start:end + 1],
+                        206, window,
                         {"Content-Range": f"bytes {start}-{end}/{size}",
                          "Content-Type": "application/octet-stream"})
+                with open(path, "rb") as f:
+                    data = f.read()
                 return self._reply(
                     200, data, {"Content-Type": "application/octet-stream"})
 

@@ -337,10 +337,30 @@ class HttpKVStore(KVStore):
         try:
             with self._request(key, "HEAD") as r:
                 cl = r.headers.get("Content-Length")
-                return int(cl) if cl is not None else None
+                if cl is not None:
+                    return int(cl)
         except urllib.error.HTTPError as e:
             if self._status(e) in (404, 410):
                 return None
+            raise
+        # 2xx HEAD without Content-Length (legal for chunked/compressed
+        # responses): None here would read as ABSENT to callers like the
+        # SEG-Y geometry probe. Ask for one byte and parse the total from
+        # Content-Range ("bytes 0-0/753"); fall back to a full GET length.
+        try:
+            with self._request(key, "GET", headers={"Range": "bytes=0-0"}) as r:
+                cr = r.headers.get("Content-Range", "")
+                if r.status == 206 and "/" in cr:
+                    total = cr.rsplit("/", 1)[1]
+                    if total.isdigit():
+                        return int(total)
+                body = r.read()  # 200: server ignored Range
+                return len(body)
+        except urllib.error.HTTPError as e:
+            if self._status(e) in (404, 410):
+                return None
+            if self._status(e) == 416:  # zero-byte object
+                return 0
             raise
 
     def read_range(self, key: str, start: int, length: int) -> bytes | None:
@@ -414,6 +434,9 @@ class HttpKVStore(KVStore):
             return []
         text = raw.decode("utf-8", errors="replace")
         if "<a href=" not in text:
+            low = text.lower()
+            if "<html" in low or "<!doctype" in low:
+                return []  # a real index page that is legitimately empty
             raise NotImplementedError(
                 f"{self.root}: server returned no HTML index for "
                 f"{prefix!r} — plain HTTP has no LIST; publish consolidated "
@@ -462,8 +485,8 @@ def open_kvstore(path: str, retries: int | None = None) -> KVStore:
     if "://" in path:
         raise ValueError(
             f"unrecognized store scheme in {path!r}; supported: file://, "
-            f"memory://, {', '.join(CLOUD_SCHEMES)} — a URL must not fall "
-            "through to a relative local directory"
+            f"memory://, http://, https://, {', '.join(CLOUD_SCHEMES)} — "
+            "a URL must not fall through to a relative local directory"
         )
     return _wrap(LocalKVStore(path), False)
 

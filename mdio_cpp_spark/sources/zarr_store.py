@@ -841,15 +841,11 @@ class ZarrStore:
                 meta.attrs.setdefault("_ARRAY_DIMENSIONS", list(meta.dims))
             self._write_json(f"{name}/.zarray", _v2_array_json(meta))
             self._write_json(f"{name}/.zattrs", meta.attrs)
-            # keep the consolidated view coherent if one was already published
-            if self._kv.exists(".zmetadata"):
-                self.consolidate()
         else:
             self._write_json(f"{name}/zarr.json", _v3_array_json(meta))
-            # keep the consolidated view coherent if one was already
-            # published (mirror of the v2 .zmetadata refresh above)
-            if self._consolidated_v3() is not None:
-                self.consolidate()
+        # keep the consolidated view coherent if one was already published
+        # — incrementally (O(1)), not via the full LIST+N-GET walk
+        self._reconsolidate_entry(name)
         return meta
 
     def update_array_attrs(self, name: str, attrs: dict,
@@ -872,11 +868,10 @@ class ZarrStore:
             obj["attributes"] = attrs
             self._write_json(f"{name}/zarr.json", obj)
         if reconsolidate is None:
-            reconsolidate = (
-                self._kv.exists(".zmetadata") if self.version == 2
-                else self._consolidated_v3() is not None
-            )
-        if reconsolidate:
+            # default: incremental — one root read decides AND applies
+            # (no-op when no consolidated doc is published)
+            self._reconsolidate_entry(name)
+        elif reconsolidate:
             self.consolidate()
 
     def patch_array_attrs(self, name: str, attrs: dict,
@@ -901,6 +896,48 @@ class ZarrStore:
             obj["attributes"] = self.attrs
             self._write_json("zarr.json", obj)
 
+    def _reconsolidate_entry(self, name: str) -> None:
+        """Incrementally refresh ONE array's entry in an already-published
+        consolidated document — O(1) metadata I/O where the full
+        ``consolidate()`` walk is LIST + N GETs (re-walking a 10k-variable
+        store on every create_array would be O(N²), and plain-HTTP backends
+        have no LIST at all). No-op when no consolidated doc is published
+        (the store stays walk-discovered, same as before)."""
+        if self.version != 2:
+            root_json = self._read_json("zarr.json")
+            block = self._consolidated_v3(root_json)
+            if block is None:
+                return
+            block[str(name)] = self._read_json(f"{name}/zarr.json")
+            self._write_json("zarr.json", root_json)
+            return
+        try:
+            obj = self._read_json(".zmetadata")
+        except FileNotFoundError:
+            return
+        md = obj.get("metadata")
+        if not isinstance(md, dict):
+            return
+        md[f"{name}/.zarray"] = self._read_json(f"{name}/.zarray")
+        try:
+            md[f"{name}/.zattrs"] = self._read_json(f"{name}/.zattrs")
+        except FileNotFoundError:
+            md.pop(f"{name}/.zattrs", None)
+        self._write_json(".zmetadata", obj)
+
+    def _walk_entries(self, known: list[str]) -> list[str]:
+        """Child names for a consolidation walk. Backends without a LIST
+        verb (plain HTTP) fall back to the already-published names — the
+        only ones discoverable without listing. With nothing published
+        either, re-raise: silently publishing an EMPTY consolidated doc
+        would make every array invisible to subsequent opens."""
+        try:
+            return list(self._kv.list_dir())
+        except NotImplementedError:
+            if known:
+                return known
+            raise
+
     def consolidate(self) -> None:
         """(Re)build the consolidated metadata from the per-array files —
         the single-read open path. v2: ``.zmetadata`` (zarr_v2.h:221-309).
@@ -911,8 +948,9 @@ class ZarrStore:
         instead of a LIST + one GET per array."""
         if self.version != 2:
             root_json = self._read_json("zarr.json")
+            prior = self._consolidated_v3(root_json) or {}
             metadata_v3: dict[str, Any] = {}
-            for entry in self._kv.list_dir():
+            for entry in self._walk_entries(sorted(prior)):
                 if self._kv.exists(f"{entry}/zarr.json"):
                     metadata_v3[entry] = self._read_json(f"{entry}/zarr.json")
             root_json["consolidated_metadata"] = {
@@ -927,7 +965,9 @@ class ZarrStore:
             metadata[".zattrs"] = self._read_json(".zattrs")
         except FileNotFoundError:
             pass
-        for entry in self._kv.list_dir():
+        prior_v2 = self._consolidated() or {}
+        known = sorted({k.split("/", 1)[0] for k in prior_v2 if "/" in k})
+        for entry in self._walk_entries(known):
             if self._kv.exists(f"{entry}/.zarray"):
                 metadata[f"{entry}/.zarray"] = self._read_json(f"{entry}/.zarray")
                 try:
