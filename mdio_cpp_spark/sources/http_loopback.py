@@ -49,7 +49,8 @@ class LoopbackHttpServer:
 
     def __init__(self, root_dir: str, fail_first: int = 0,
                  fail_status: int = 503, fail_methods: tuple = ("GET",),
-                 ignore_range: bool = False):
+                 ignore_range: bool = False,
+                 strip_head_content_length: bool = False):
         self.root_dir = os.path.abspath(root_dir)
         self.requests: list[tuple[str, str, str | None, int]] = []
         self._fail_left: dict[tuple[str, str], int] = {}
@@ -58,6 +59,9 @@ class LoopbackHttpServer:
         self.fail_status = fail_status
         self.fail_methods = tuple(fail_methods)
         self.ignore_range = ignore_range
+        # HEAD without Content-Length is legal (chunked/compressed); this
+        # flag simulates such a server for the size()-fallback test
+        self.strip_head_content_length = strip_head_content_length
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -99,7 +103,10 @@ class LoopbackHttpServer:
                 self.send_response(status)
                 for k, v in (extra or {}).items():
                     self.send_header(k, v)
-                self.send_header("Content-Length", str(len(body)))
+                if outer.strip_head_content_length and self.command == "HEAD":
+                    self.send_header("Connection", "close")
+                else:
+                    self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 if self.command != "HEAD":
                     self.wfile.write(body)

@@ -264,3 +264,65 @@ def test_http_read_range_matches_local_semantics_property(tmp_path):
                 want = local.read_range("obj", st, ln)
                 got = http.read_range("obj", st, ln)
                 assert got == want, (st, ln, len(want or b""), len(got or b""))
+
+
+def test_http_size_without_content_length_falls_back_to_range_probe(tmp_path):
+    """A 2xx HEAD without Content-Length (legal for chunked/compressed
+    replies) must not read as ABSENT: size() falls back to a one-byte
+    ranged GET and parses the Content-Range total."""
+    data = b"x" * 753
+    (tmp_path / "obj").write_bytes(data)
+    with LoopbackHttpServer(str(tmp_path), strip_head_content_length=True) as srv:
+        kv = open_kvstore(srv.url, retries=0)
+        assert kv.size("obj") == 753
+        assert kv.size("absent") is None
+        probe = [r for r in srv.requests if r[0] == "GET" and r[2] == "bytes=0-0"]
+        assert probe and probe[0][3] == 206  # one-byte probe, not a full GET
+
+
+def test_http_list_dir_empty_directory_returns_empty(served):
+    srv, root = served
+    os.makedirs(os.path.join(root, "emptydir"))
+    kv = open_kvstore(srv.url, retries=0)
+    assert kv.list_dir("emptydir") == []
+
+
+def test_http_inverted_and_malformed_ranges_answer_400(served):
+    import urllib.request
+    import urllib.error
+
+    srv, root = served
+    (os.path.join(root, "obj"))
+    open(os.path.join(root, "obj"), "wb").write(b"0123456789")
+    for rng in ("bytes=5-2", "bytes=-"):
+        req = urllib.request.Request(f"{srv.url}/obj", headers={"Range": rng})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 400, rng
+
+
+def test_create_array_over_http_is_incremental_no_list(tmp_path):
+    """Adding an array to a consolidated v3 store over HTTP must patch the
+    published doc with O(1) requests — no directory-index GET, no
+    per-existing-array GETs (the O(N^2) walk the incremental path
+    replaces) — and the new array is immediately visible to a fresh
+    consolidated open."""
+    local = str(tmp_path / "inc.zarr")
+    st = ZarrStore.create(local, version=3)
+    for k in range(5):
+        st.create_array(f"v{k}", shape=(8,), chunks=(8,), dtype="int32",
+                        dims=("i",))
+    st.consolidate()
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        root = f"{srv.url}/inc.zarr"
+        st2 = ZarrStore.open(root)
+        srv.clear_log()
+        st2.create_array("late", shape=(8,), chunks=(8,), dtype="int32",
+                         dims=("j",))
+        paths = {r[1] for r in srv.requests}
+        # only the root doc and the new array's doc are ever touched
+        assert all(p.endswith(("/inc.zarr/zarr.json", "/late/zarr.json"))
+                   for p in paths), paths
+        assert not any("/v0/" in p or "/v4/" in p for p in paths)
+        metas = ZarrStore.open(root).arrays()
+        assert "late" in metas and len(metas) == 6
