@@ -179,13 +179,20 @@ def main() -> None:
             # threshold. Gate on MIN-of-runs, not the median — the min is
             # the least load-sensitive statistic on this shared box, so a
             # >2x min is a real plan/code regression, not ambient noise.
+            # Compare min-now vs the anchor's MIN where recorded
+            # ("queries_min", adopted by REFRESH_BASELINE since r11);
+            # legacy anchors carry medians only, making the gate
+            # min-vs-median there — strictly LOOSER than min-vs-min (the
+            # median >= the min), i.e. the asymmetry can only suppress
+            # false positives, never invent a regression.
+            anchor_min = anchor.get("queries_min", {})
+            ref = {n: anchor_min.get(n, v)
+                   for n, v in anchor["queries"].items()}
             regressions = {
-                n: {"now": s, "anchor": anchor["queries"][n],
-                    "ratio": round(s / anchor["queries"][n], 2)}
+                n: {"now": s, "anchor": ref[n],
+                    "ratio": round(s / ref[n], 2)}
                 for n, s in timings_min.items()
-                if n in anchor["queries"]
-                and s > 2.0 * anchor["queries"][n]
-                and s > anchor["queries"][n] + 0.75
+                if n in ref and s > 2.0 * ref[n] and s > ref[n] + 0.75
             }
             out["regression_gate"] = "min_of_runs_vs_anchor"
             out["n_regressions"] = len(regressions)
@@ -208,6 +215,7 @@ def main() -> None:
                 for n, s in timings.items():
                     if n not in anchor["queries"]:
                         anchor["queries"][n] = s
+                        anchor.setdefault("queries_min", {})[n] = timings_min[n]
                         added += 1
                 if added:
                     with open(anchor_path, "w") as f:

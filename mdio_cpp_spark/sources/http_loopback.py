@@ -77,7 +77,16 @@ class LoopbackHttpServer:
                 parts = [p for p in raw.split("/") if p]
                 if any(p == ".." for p in parts):
                     return None
-                return os.path.join(outer.root_dir, *parts)
+                path = os.path.join(outer.root_dir, *parts)
+                # Containment must hold on the RESOLVED path too: the server
+                # accepts PUT/DELETE, so a symlink inside root_dir pointing
+                # outside it would otherwise let a request read or write
+                # beyond the served tree even with ".." rejected above.
+                root = os.path.realpath(outer.root_dir)
+                real = os.path.realpath(path)
+                if real != root and not real.startswith(root + os.sep):
+                    return None
+                return path
 
             def _record(self, status: int) -> None:
                 with outer._lock:

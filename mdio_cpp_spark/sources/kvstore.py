@@ -445,7 +445,13 @@ class HttpKVStore(KVStore):
         names: list[str] = []
         for href in re.findall(r'<a href="([^"]+)"', text):
             href = urllib.parse.unquote(href)
-            if href.startswith(("?", "#", "../")) or "://" in href:
+            # The parser is scoped to the index formats it claims to support
+            # (stdlib http.server / nginx emit RELATIVE child hrefs only);
+            # query/fragment links, parent links, absolute URLs and
+            # absolute-PATH links (Apache fancy-index's href="/parent/") are
+            # navigation, not children — an absolute parent link would
+            # otherwise report its last segment as a spurious child entry.
+            if href.startswith(("?", "#", "../", "/")) or "://" in href:
                 continue
             names.append(href.rstrip("/").split("/")[-1])
         return sorted(set(names))
@@ -498,15 +504,29 @@ class RetryingKVStore(KVStore):
     our seam, applied uniformly to every backend.
 
     Exponential backoff with deterministic jitter derived from the key (no
-    RNG state — retries are reproducible). Only ``Exception``s from the
-    delegate are retried; ``None`` reads (key absent) are a RESULT, not a
-    failure, and return immediately."""
+    RNG state — retries are reproducible). ``None`` reads (key absent) are a
+    RESULT, not a failure, and return immediately. PERMANENT failures are
+    not retried: an HTTP status < 500 other than 408/429 (auth denials,
+    malformed requests — a 403 will be a 403 on attempt 4 too) and
+    ``NotImplementedError`` (a capability hole like LIST-less plain HTTP,
+    not a transient fault) propagate on the first attempt instead of paying
+    three backoff sleeps; everything else (5xx, throttling, connection
+    resets, truncated reads) retries."""
 
     def __init__(self, inner: KVStore, attempts: int = 4, base_delay: float = 0.05):
         self.inner = inner
         self.root = inner.root
         self.attempts = max(1, attempts)
         self.base_delay = base_delay
+
+    @staticmethod
+    def _transient(e: Exception) -> bool:
+        if isinstance(e, NotImplementedError):
+            return False
+        code = getattr(e, "code", None)  # urllib.error.HTTPError carries .code
+        if isinstance(code, int) and code < 500 and code not in (408, 429):
+            return False
+        return True
 
     def _retry(self, fn, key: str = ""):
         import time as _time
@@ -517,7 +537,7 @@ class RetryingKVStore(KVStore):
                 return fn()
             except Exception as e:  # noqa: BLE001 — seam-level catch is the point
                 last = e
-                if i + 1 == self.attempts:
+                if not self._transient(e) or i + 1 == self.attempts:
                     break
                 jitter = (hash((key, i)) & 0xFF) / 1024.0
                 _time.sleep(self.base_delay * (2**i) + jitter)

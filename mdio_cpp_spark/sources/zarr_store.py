@@ -560,6 +560,12 @@ class ZarrStore:
         self.version = version
         self.attrs = attrs if attrs is not None else {}
         self._kv: KVStore = open_kvstore(self.root)
+        # True once _reconsolidate_entry has observed that no v3 consolidated
+        # doc is published: every subsequent create_array/attr-update skips
+        # the root-zarr.json read entirely (a walk-discovered store must not
+        # pay one root GET per create). Reset when consolidate() publishes.
+        # Valid under the same single-writer contract as consolidation itself.
+        self._v3_no_consolidated = False
 
     # ------------------------------------------------------------- lifecycle
 
@@ -902,11 +908,22 @@ class ZarrStore:
         ``consolidate()`` walk is LIST + N GETs (re-walking a 10k-variable
         store on every create_array would be O(N²), and plain-HTTP backends
         have no LIST at all). No-op when no consolidated doc is published
-        (the store stays walk-discovered, same as before)."""
+        (the store stays walk-discovered, same as before).
+
+        SINGLE-WRITER contract: this is a read-modify-write of the whole
+        consolidated document. Two processes creating arrays concurrently
+        in the same store can each lose the other's entry — the same
+        last-writer-wins posture as the reference's CommitMetadata
+        (dataset.h:1269-1416). Backends with compare-and-swap support
+        (``write_if_match``) turn such a lost update into a loud
+        ConsolidatedMetadataConflict instead of silent entry loss."""
         if self.version != 2:
+            if self._v3_no_consolidated:
+                return
             root_json = self._read_json("zarr.json")
             block = self._consolidated_v3(root_json)
             if block is None:
+                self._v3_no_consolidated = True
                 return
             block[str(name)] = self._read_json(f"{name}/zarr.json")
             self._write_json("zarr.json", root_json)
@@ -959,6 +976,7 @@ class ZarrStore:
                 "metadata": metadata_v3,
             }
             self._write_json("zarr.json", root_json)
+            self._v3_no_consolidated = False  # doc now published
             return
         metadata: dict[str, Any] = {".zgroup": {"zarr_format": 2}}
         try:
