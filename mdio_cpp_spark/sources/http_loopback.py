@@ -54,6 +54,7 @@ class LoopbackHttpServer:
         self.root_dir = os.path.abspath(root_dir)
         self.requests: list[tuple[str, str, str | None, int]] = []
         self._fail_left: dict[tuple[str, str], int] = {}
+        self._faults: list[dict] = []
         self._lock = threading.Lock()
         self.fail_first = fail_first
         self.fail_status = fail_status
@@ -93,6 +94,58 @@ class LoopbackHttpServer:
                     outer.requests.append((
                         self.command, urllib.parse.urlsplit(self.path).path,
                         self.headers.get("Range"), status))
+
+            def _send_faulted(self, status: int, body: bytes,
+                              extra: dict, fault: str) -> None:
+                """Serve ``body`` under an active byte-level fault — the
+                failure modes real object stores exhibit that a clean 5xx
+                test never covers (truncated replies, header/body
+                disagreement, mid-transfer resets)."""
+                if fault == "reset":
+                    # close before any reply, RST-style: client sees a
+                    # connection reset / RemoteDisconnected, not an HTTP
+                    # status. SO_LINGER(0) makes the close abortive so the
+                    # kernel does not deliver a graceful FIN.
+                    self._record(-1)
+                    import socket
+                    import struct
+                    self.connection.setsockopt(
+                        socket.SOL_SOCKET, socket.SO_LINGER,
+                        struct.pack("ii", 1, 0))
+                    self.close_connection = True
+                    self.connection.close()
+                    # the stdlib request loop still flushes wfile after the
+                    # verb handler returns; hand it a sink so the abortive
+                    # close doesn't raise inside the server thread
+                    self.wfile = open(os.devnull, "wb")
+                    return
+                if fault == "wrong_content_range":
+                    # lie in the header: claim a window 3 bytes longer than
+                    # the body actually carries (a metadata/data race on a
+                    # mutating object presents exactly like this)
+                    cr = extra.get("Content-Range")
+                    if cr and "/" in cr:
+                        win, total = cr.rsplit("/", 1)
+                        a, b = win[len("bytes "):].split("-")
+                        extra = dict(extra, **{
+                            "Content-Range":
+                                f"bytes {a}-{int(b) + 3}/{total}"})
+                    self._reply(status, body, extra)
+                    return
+                # "truncate": full headers (Content-Length of the whole
+                # window), half the bytes, abrupt close — the classic
+                # truncated-206 failure
+                self._record(status)
+                self.send_response(status)
+                for k, v in extra.items():
+                    self.send_header(k, v)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body[: max(1, len(body) // 2)])
+                self.wfile.flush()
+                self.close_connection = True
+                self.connection.close()
+                self.wfile = open(os.devnull, "wb")
 
             def _fail_injected(self) -> bool:
                 if not outer.fail_first or self.command not in outer.fail_methods:
@@ -167,12 +220,19 @@ class LoopbackHttpServer:
                     with open(path, "rb") as f:
                         f.seek(start)
                         window = f.read(end - start + 1)
-                    return self._reply(
-                        206, window,
-                        {"Content-Range": f"bytes {start}-{end}/{size}",
-                         "Content-Type": "application/octet-stream"})
+                    hdrs = {"Content-Range": f"bytes {start}-{end}/{size}",
+                            "Content-Type": "application/octet-stream"}
+                    fault = outer._take_fault(self.command, self.path)
+                    if fault is not None:
+                        return self._send_faulted(206, window, hdrs, fault)
+                    return self._reply(206, window, hdrs)
                 with open(path, "rb") as f:
                     data = f.read()
+                fault = outer._take_fault(self.command, self.path)
+                if fault is not None:
+                    return self._send_faulted(
+                        200, data,
+                        {"Content-Type": "application/octet-stream"}, fault)
                 return self._reply(
                     200, data, {"Content-Type": "application/octet-stream"})
 
@@ -233,3 +293,45 @@ class LoopbackHttpServer:
     def clear_log(self) -> None:
         with self._lock:
             self.requests.clear()
+
+    # ------------------------------------------------------- fault schedule
+    def schedule_fault(self, kind: str, times: int = 1, after: int = 0,
+                       path_substr: str | None = None) -> None:
+        """Queue a deterministic byte-level fault on upcoming data GETs
+        (HEADs and the injected-5xx layer are unaffected). Kinds:
+
+          * ``truncate``            — full headers, half the body, abrupt
+                                      close (truncated 206/200),
+          * ``wrong_content_range`` — intact body under a Content-Range
+                                      claiming a longer window,
+          * ``reset``               — abortive close before any reply
+                                      (mid-scan connection reset).
+
+        ``after`` skips that many matching GETs first; ``times`` bounds how
+        many requests the fault hits; ``path_substr`` scopes it to matching
+        URLs. Faults are consumed in scheduling order, so a resilient
+        client's RETRY of the faulted request succeeds — exactly the
+        transient-fault contract cloud object stores present."""
+        with self._lock:
+            self._faults.append({"kind": kind, "times": times,
+                                 "after": after, "path_substr": path_substr})
+
+    def _take_fault(self, method: str, path: str) -> str | None:
+        if method != "GET":
+            return None
+        with self._lock:
+            for f in self._faults:
+                if f["path_substr"] and f["path_substr"] not in path:
+                    continue
+                if f["after"] > 0:
+                    f["after"] -= 1
+                    continue
+                if f["times"] > 0:
+                    f["times"] -= 1
+                    return f["kind"]
+        return None
+
+    def pending_faults(self) -> int:
+        """Scheduled-but-unfired fault count (0 = every fault was hit)."""
+        with self._lock:
+            return sum(f["times"] for f in self._faults)

@@ -320,12 +320,27 @@ class HttpKVStore(KVStore):
     def _status(err) -> int:
         return getattr(err, "code", 0)
 
+    @staticmethod
+    def _verify_length(key: str, body: bytes, declared) -> None:
+        """A reply whose byte count disagrees with its own headers is a
+        TRANSIENT fault (truncated transfer, header/body race on a mutating
+        object) and must surface as an error the retry layer re-attempts —
+        never as silently short data handed to a codec."""
+        if declared is not None and len(body) != declared:
+            raise IOError(
+                f"short/overlong HTTP read for {key!r}: got {len(body)} "
+                f"bytes, headers declared {declared}")
+
     def read(self, key: str) -> bytes | None:
         import urllib.error
 
         try:
             with self._request(key, "GET") as r:
-                return r.read()
+                body = r.read()
+                cl = r.headers.get("Content-Length")
+                self._verify_length(
+                    key, body, int(cl) if cl and cl.isdigit() else None)
+                return body
         except urllib.error.HTTPError as e:
             if self._status(e) in (404, 410):
                 return None
@@ -382,8 +397,35 @@ class HttpKVStore(KVStore):
             with self._request(key, "GET", headers={"Range": rng}) as r:
                 body = r.read()
                 if r.status == 206:
+                    # Trust nothing: the body must match the Content-Range
+                    # window, and the window must be the one we asked for.
+                    # A truncated 206, a lying Content-Range, or a total
+                    # that contradicts the window all raise here — IOError
+                    # carries no .code, so the retry layer treats it as
+                    # transient and re-fetches.
+                    import re as _re
+
+                    cr = r.headers.get("Content-Range", "")
+                    m = _re.match(r"bytes (\d+)-(\d+)/(\d+|\*)", cr)
+                    if not m:
+                        raise IOError(
+                            f"206 without parseable Content-Range for "
+                            f"{key!r}: {cr!r}")
+                    c_start, c_end = int(m.group(1)), int(m.group(2))
+                    total = m.group(3)
+                    self._verify_length(key, body, c_end - c_start + 1)
+                    if start >= 0 and c_start != start:
+                        raise IOError(
+                            f"range mismatch for {key!r}: asked {rng}, "
+                            f"server answered {cr}")
+                    if total != "*" and c_end >= int(total):
+                        raise IOError(
+                            f"inconsistent Content-Range for {key!r}: {cr}")
                     return body[:want] if want is not None else body
                 # 200: server ignored Range — slice to LocalKVStore semantics
+                cl = r.headers.get("Content-Length")
+                self._verify_length(
+                    key, body, int(cl) if cl and cl.isdigit() else None)
                 if start < 0:
                     s = max(0, len(body) + start)
                     return body[s : s + length]

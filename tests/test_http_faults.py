@@ -1,0 +1,167 @@
+"""Fault-injection differential on the HTTP scan path.
+
+The retry suite (test_http_kvstore.py) covers CLEAN 5xx replies; real
+object stores also fail dirty — a 206 whose body is cut short, a
+Content-Range that contradicts the bytes actually sent, a connection reset
+mid-scan. This suite schedules each of those faults on the loopback server
+(sources/http_loopback.py ``schedule_fault``) and asserts the engine's
+scan result stays BIT-IDENTICAL to the local-backend scan: the client
+verifies received-length against the declared window (kvstore.py
+``HttpKVStore._verify_length``), rejects short/lying replies loudly, and
+the retry layer re-fetches. The differential analog of the reference's
+kvstore resilience assumptions (gcs_test.cc / s3_test.cc retry semantics).
+"""
+
+from __future__ import annotations
+
+import urllib.error
+
+import numpy as np
+import pytest
+
+from mdio_cpp_spark.sources.http_loopback import LoopbackHttpServer
+from mdio_cpp_spark.sources.kvstore import open_kvstore
+from mdio_cpp_spark.sources.zarr_store import ZarrStore
+
+FAULTS = ["truncate", "wrong_content_range", "reset"]
+
+
+def _build_plain(tmp_path):
+    """Unsharded v3 store: chunk reads are full-object GETs."""
+    local = str(tmp_path / "plain.zarr")
+    st = ZarrStore.create(local, version=3)
+    st.create_array("x", shape=(1000,), chunks=(100,), dtype="float64",
+                    dims=("i",), compressor={"id": "gzip", "level": 4})
+    vals = np.arange(1000, dtype="f8") * 0.5
+    st.write_array_numpy("x", vals)
+    st.consolidate()
+    return vals
+
+
+def _build_sharded(tmp_path):
+    """Sharded v3 store: chunk reads are suffix-range index GETs plus
+    inner-window ranged GETs — the fault surface the 206 checks protect."""
+    local = str(tmp_path / "sharded.zarr")
+    st = ZarrStore.create(local, version=3)
+    st.create_array("x", shape=(4096,), chunks=(256,), shards=(1024,),
+                    dtype="float64", dims=("i",))
+    vals = np.arange(4096, dtype="f8")
+    st.write_array_numpy("x", vals)
+    st.consolidate()
+    return vals
+
+
+@pytest.mark.parametrize("kind", FAULTS)
+def test_plain_scan_bitidentical_under_fault(tmp_path, kind):
+    vals = _build_plain(tmp_path)
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        st = ZarrStore.open(f"{srv.url}/plain.zarr")
+        # hit the first two chunk-object GETs (keys x/c/<n>)
+        srv.schedule_fault(kind, times=2, path_substr="/c/")
+        got = st.read_array("x")
+        assert srv.pending_faults() == 0, "fault never fired"
+        assert np.array_equal(got, vals)
+
+
+@pytest.mark.parametrize("kind", FAULTS)
+def test_sharded_ranged_scan_bitidentical_under_fault(tmp_path, kind):
+    vals = _build_sharded(tmp_path)
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        st = ZarrStore.open(f"{srv.url}/sharded.zarr")
+        srv.schedule_fault(kind, times=2, path_substr="/c/")
+        got = st.read_array("x")
+        assert srv.pending_faults() == 0
+        assert np.array_equal(got, vals)
+
+
+def test_combined_fault_schedule_full_scan(tmp_path):
+    """All three faults interleaved across successive data GETs (including
+    one left unscoped so a metadata refetch can absorb it): one scan, one
+    hash, zero corruption."""
+    vals = _build_sharded(tmp_path)
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        st = ZarrStore.open(f"{srv.url}/sharded.zarr")
+        srv.schedule_fault("reset", times=1, path_substr="/c/")
+        srv.schedule_fault("truncate", times=1, after=1, path_substr="/c/")
+        srv.schedule_fault("wrong_content_range", times=1, after=2,
+                           path_substr="/c/")
+        got = st.read_array("x")
+        assert srv.pending_faults() == 0
+        assert np.array_equal(got, vals)
+        # the log carries the evidence: at least one reset (-1 status) and
+        # the re-fetches that healed it
+        statuses = [r[3] for r in srv.requests]
+        assert -1 in statuses
+
+
+def test_spark_distributed_scan_under_faults(tmp_path, spark):
+    """The scan through Spark executors (separate OS processes, real
+    sockets) heals mid-scan faults the same way: collect() equals the
+    local-backend collect() row-for-row."""
+    from pyspark.sql import functions as F
+
+    from mdio_cpp_spark.sources.reader import scan_array
+
+    vals = _build_plain(tmp_path)
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        srv.schedule_fault("reset", times=1, path_substr="/c/")
+        srv.schedule_fault("truncate", times=2, after=2, path_substr="/c/")
+        srv.schedule_fault("wrong_content_range", times=2, after=4,
+                           path_substr="/c/")
+        row = (
+            scan_array(spark, f"{srv.url}/plain.zarr", "x")
+            .agg(F.count("*").alias("c"), F.sum("value").alias("s"))
+            .collect()[0]
+        )
+        assert srv.pending_faults() == 0
+        assert row["c"] == len(vals)
+        assert row["s"] == pytest.approx(float(vals.sum()))
+
+
+def test_truncated_206_rejected_without_retry_layer(tmp_path):
+    """With retries off, a truncated 206 must surface as a loud error —
+    never as short bytes handed to the codec layer."""
+    data = bytes(range(256)) * 8
+    (tmp_path / "obj").write_bytes(data)
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        kv = open_kvstore(srv.url, retries=0)
+        srv.schedule_fault("truncate", times=1)
+        with pytest.raises(Exception) as ei:
+            kv.read_range("obj", 100, 500)
+        # http.client notices the early close (IncompleteRead) or our own
+        # window check fires (IOError); a silent short return is the bug
+        assert not isinstance(ei.value, urllib.error.HTTPError)
+
+
+def test_lying_content_range_rejected_without_retry_layer(tmp_path):
+    data = bytes(range(256)) * 8
+    (tmp_path / "obj").write_bytes(data)
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        kv = open_kvstore(srv.url, retries=0)
+        srv.schedule_fault("wrong_content_range", times=1)
+        with pytest.raises(IOError, match="short|inconsistent|mismatch"):
+            kv.read_range("obj", 100, 500)
+
+
+def test_permanent_4xx_not_retried(tmp_path):
+    """403 is a RESULT (denied), not a transient fault: exactly one request
+    crosses the wire, no backoff sleeps."""
+    (tmp_path / "k").write_bytes(b"v")
+    with LoopbackHttpServer(str(tmp_path), fail_first=99,
+                            fail_status=403) as srv:
+        kv = open_kvstore(srv.url)  # default retry wrap
+        with pytest.raises(urllib.error.HTTPError):
+            kv.read("k")
+        assert len([r for r in srv.requests if r[0] == "GET"]) == 1
+
+
+def test_throttling_429_is_retried(tmp_path):
+    """429 is the throttling status object stores actually emit — it stays
+    on the retry path even though it is < 500."""
+    (tmp_path / "k").write_bytes(b"v")
+    with LoopbackHttpServer(str(tmp_path), fail_first=2,
+                            fail_status=429) as srv:
+        kv = open_kvstore(srv.url)
+        assert kv.read("k") == b"v"
+        gets = [r for r in srv.requests if r[0] == "GET"]
+        assert [r[3] for r in gets] == [429, 429, 200]
