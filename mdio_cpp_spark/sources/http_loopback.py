@@ -50,7 +50,8 @@ class LoopbackHttpServer:
     def __init__(self, root_dir: str, fail_first: int = 0,
                  fail_status: int = 503, fail_methods: tuple = ("GET",),
                  ignore_range: bool = False,
-                 strip_head_content_length: bool = False):
+                 strip_head_content_length: bool = False,
+                 tls_cert: str | None = None, tls_key: str | None = None):
         self.root_dir = os.path.abspath(root_dir)
         self.requests: list[tuple[str, str, str | None, int]] = []
         self._fail_left: dict[tuple[str, str], int] = {}
@@ -268,13 +269,26 @@ class LoopbackHttpServer:
 
         self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         self._server.daemon_threads = True
+        self._scheme = "http"
+        if tls_cert:
+            # TLS termination on the same verb set: wrap the listening
+            # socket so every test above can run identically over https://
+            # (the client side verifies against an env-pinned CA bundle —
+            # see HttpKVStore; there is no verify-off mode).
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(tls_cert, tls_key or tls_cert)
+            self._server.socket = ctx.wrap_socket(
+                self._server.socket, server_side=True)
+            self._scheme = "https"
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True)
 
     # ------------------------------------------------------------ lifecycle
     @property
     def url(self) -> str:
-        return f"http://127.0.0.1:{self._server.server_address[1]}"
+        return f"{self._scheme}://127.0.0.1:{self._server.server_address[1]}"
 
     def start(self) -> "LoopbackHttpServer":
         self._thread.start()

@@ -298,6 +298,12 @@ class HttpKVStore(KVStore):
 
     TIMEOUT = 30.0
 
+    # per-process SSL context cache, keyed by CA-bundle path. Module state,
+    # NOT instance state: HttpKVStore must stay picklable-by-root-string
+    # for executor closures, and each Python worker builds its context once
+    # instead of re-reading the CA file per chunk GET.
+    _ssl_contexts: dict = {}
+
     def __init__(self, root: str):
         self.root = root.rstrip("/")
 
@@ -308,13 +314,33 @@ class HttpKVStore(KVStore):
             return self.root
         return f"{self.root}/{urllib.parse.quote(key)}"
 
+    @classmethod
+    def _https_context(cls):
+        """Verification policy for ``https://`` stores: the system trust
+        store by default; ``MDIO_SPARK_CA_BUNDLE`` pins an explicit CA
+        bundle (private/self-signed deployments — how the TLS loopback
+        tests trust their own cert). There is deliberately NO verify-off
+        mode: an unverifiable peer fails loudly."""
+        import ssl
+
+        cafile = os.environ.get("MDIO_SPARK_CA_BUNDLE") or ""
+        ctx = cls._ssl_contexts.get(cafile)
+        if ctx is None:
+            ctx = ssl.create_default_context(cafile=cafile or None)
+            cls._ssl_contexts[cafile] = ctx
+        return ctx
+
     def _request(self, key: str, method: str, data: bytes | None = None,
                  headers: dict | None = None):
         import urllib.request
 
+        url = self._url(key)
         req = urllib.request.Request(
-            self._url(key), data=data, method=method, headers=headers or {})
-        return urllib.request.urlopen(req, timeout=self.TIMEOUT)
+            url, data=data, method=method, headers=headers or {})
+        kwargs = {}
+        if url.startswith("https://"):
+            kwargs["context"] = self._https_context()
+        return urllib.request.urlopen(req, timeout=self.TIMEOUT, **kwargs)
 
     @staticmethod
     def _status(err) -> int:
