@@ -26,6 +26,7 @@ server traverse genuine sockets, not an in-process fake.
 
 from __future__ import annotations
 
+import hashlib
 import html
 import os
 import re
@@ -35,6 +36,11 @@ import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 _RANGE_RE = re.compile(r"bytes=(\d*)-(\d*)$")
+
+
+def _etag(data: bytes) -> str:
+    """Strong content ETag (what S3 returns for single-part objects)."""
+    return '"' + hashlib.md5(data).hexdigest() + '"'
 
 
 class LoopbackHttpServer:
@@ -57,6 +63,7 @@ class LoopbackHttpServer:
         self._fail_left: dict[tuple[str, str], int] = {}
         self._faults: list[dict] = []
         self._lock = threading.Lock()
+        self._put_lock = threading.Lock()
         self.fail_first = fail_first
         self.fail_status = fail_status
         self.fail_methods = tuple(fail_methods)
@@ -229,13 +236,12 @@ class LoopbackHttpServer:
                     return self._reply(206, window, hdrs)
                 with open(path, "rb") as f:
                     data = f.read()
+                hdrs = {"Content-Type": "application/octet-stream",
+                        "ETag": _etag(data)}
                 fault = outer._take_fault(self.command, self.path)
                 if fault is not None:
-                    return self._send_faulted(
-                        200, data,
-                        {"Content-Type": "application/octet-stream"}, fault)
-                return self._reply(
-                    200, data, {"Content-Type": "application/octet-stream"})
+                    return self._send_faulted(200, data, hdrs, fault)
+                return self._reply(200, data, hdrs)
 
             def do_PUT(self):
                 if self._fail_injected():
@@ -245,13 +251,30 @@ class LoopbackHttpServer:
                     return self._reply(400, b"bad path")
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
-                os.makedirs(os.path.dirname(path) or outer.root_dir,
-                            exist_ok=True)
-                tmp = f"{path}.__put_{threading.get_ident()}"
-                with open(tmp, "wb") as f:
-                    f.write(body)
-                os.replace(tmp, path)  # atomic publish, object-PUT style
-                return self._reply(201)
+                # Conditional-PUT preconditions (RFC 9110 §13): If-Match
+                # must equal the current ETag; If-None-Match: * requires
+                # absence. Checked under the PUT lock so two conditional
+                # writers serialize — the object-store generation-match
+                # guard (GCS ifGenerationMatch / S3 conditional writes).
+                with outer._put_lock:
+                    im = self.headers.get("If-Match")
+                    inm = self.headers.get("If-None-Match")
+                    if im is not None or inm is not None:
+                        current = None
+                        if os.path.isfile(path):
+                            with open(path, "rb") as f:
+                                current = _etag(f.read())
+                        if inm == "*" and current is not None:
+                            return self._reply(412, b"precondition failed")
+                        if im is not None and im != current:
+                            return self._reply(412, b"precondition failed")
+                    os.makedirs(os.path.dirname(path) or outer.root_dir,
+                                exist_ok=True)
+                    tmp = f"{path}.__put_{threading.get_ident()}"
+                    with open(tmp, "wb") as f:
+                        f.write(body)
+                    os.replace(tmp, path)  # atomic publish, object-PUT style
+                return self._reply(201, b"", {"ETag": _etag(body)})
 
             def do_DELETE(self):
                 if self._fail_injected():

@@ -30,6 +30,21 @@ import threading
 CLOUD_SCHEMES = ("gs://", "s3://", "gcs://", "s3a://", "abfs://", "abfss://", "az://")
 
 
+class KVPreconditionFailed(Exception):
+    """A conditional write (``write_if_match``) lost the race: the key's
+    version tag changed since the caller read it. PERMANENT from the retry
+    layer's point of view — re-sending the same stale payload can never
+    succeed; the caller must re-read and re-derive."""
+
+
+def _content_tag(data: bytes) -> str:
+    """Deterministic version tag for backends that tag by content (local
+    files have no server-assigned generation)."""
+    import hashlib
+
+    return '"' + hashlib.md5(data).hexdigest() + '"'
+
+
 class KVStore:
     """Minimal store interface: string keys, bytes values, one-level listing."""
 
@@ -37,6 +52,26 @@ class KVStore:
 
     def read(self, key: str) -> bytes | None:
         raise NotImplementedError
+
+    # -------------------------------------------------- conditional writes
+    def read_with_tag(self, key: str) -> tuple:
+        """``(value, version_tag)`` — the tag is an opaque string naming
+        THIS version of the value (HTTP ETag / GCS generation / S3
+        versionId analog), for later ``write_if_match``. Backends without
+        version tracking return ``(value, None)``: read-modify-write on
+        them stays last-writer-wins."""
+        return self.read(key), None
+
+    def write_if_match(self, key: str, data: bytes, tag) -> None:
+        """Compare-and-swap publish: write only if the key's CURRENT
+        version tag equals ``tag`` (``None`` = the key must not exist yet).
+        Raises :class:`KVPreconditionFailed` when the tag is stale — the
+        guard that turns a two-writer lost update on a read-modify-write
+        document into a loud conflict. Backends that cannot check raise
+        ``NotImplementedError`` and callers fall back to a plain write
+        (documented last-writer-wins)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} has no conditional-write support")
 
     def size(self, key: str) -> int | None:
         """Value size in bytes; None if absent. Object stores answer this
@@ -137,6 +172,26 @@ class LocalKVStore(KVStore):
     def exists(self, key: str) -> bool:
         return os.path.exists(self._path(key))
 
+    def read_with_tag(self, key: str) -> tuple:
+        data = self.read(key)
+        return data, (None if data is None else _content_tag(data))
+
+    def write_if_match(self, key: str, data: bytes, tag) -> None:
+        """Content-hash CAS. Best-effort locally: the compare and the
+        rename are not one atomic step (no OS primitive for
+        compare-content-and-swap), so a writer landing in that microsecond
+        window is not caught — the authoritative backends for multi-writer
+        stores are memory:// (locked) and HTTP (server-checked If-Match);
+        this catches every interleaving coarser than the window, which is
+        what local single-box concurrency produces."""
+        current = self.read(key)
+        current_tag = None if current is None else _content_tag(current)
+        if current_tag != tag:
+            raise KVPreconditionFailed(
+                f"{self.root}/{key}: expected tag {tag!r}, "
+                f"found {current_tag!r}")
+        self.write(key, data)
+
     def delete(self, key: str) -> bool:
         try:
             os.remove(self._path(key))
@@ -165,6 +220,7 @@ class MemoryKVStore(KVStore):
     tests run."""
 
     _buckets: dict[str, dict[str, bytes]] = {}
+    _bucket_gens: dict[str, dict[str, int]] = {}
     _lock = threading.Lock()
 
     def __init__(self, root: str):
@@ -172,6 +228,7 @@ class MemoryKVStore(KVStore):
         name = root[len("memory://"):].strip("/")
         with MemoryKVStore._lock:
             self._data = MemoryKVStore._buckets.setdefault(name, {})
+            self._gens = MemoryKVStore._bucket_gens.setdefault(name, {})
 
     def read(self, key: str) -> bytes | None:
         return self._data.get(key)
@@ -179,6 +236,29 @@ class MemoryKVStore(KVStore):
     def write(self, key: str, data: bytes) -> None:
         with MemoryKVStore._lock:
             self._data[key] = bytes(data)
+            # plain writes bump the generation too, so a CAS holding a tag
+            # from before an unconditional overwrite correctly loses
+            self._gens[key] = self._gens.get(key, 0) + 1
+
+    def read_with_tag(self, key: str) -> tuple:
+        with MemoryKVStore._lock:
+            data = self._data.get(key)
+            if data is None:
+                return None, None
+            return data, str(self._gens.get(key, 0))
+
+    def write_if_match(self, key: str, data: bytes, tag) -> None:
+        """Real CAS: compare and publish under one lock (the object-store
+        generation-match semantics, GCS ifGenerationMatch analog)."""
+        with MemoryKVStore._lock:
+            current = (str(self._gens.get(key, 0))
+                       if key in self._data else None)
+            if current != tag:
+                raise KVPreconditionFailed(
+                    f"{self.root}/{key}: expected tag {tag!r}, "
+                    f"found {current!r}")
+            self._data[key] = bytes(data)
+            self._gens[key] = self._gens.get(key, 0) + 1
 
     def exists(self, key: str) -> bool:
         if key in self._data:
@@ -468,6 +548,42 @@ class HttpKVStore(KVStore):
         with self._request(key, "PUT", data=data):
             pass
 
+    def read_with_tag(self, key: str) -> tuple:
+        import urllib.error
+
+        try:
+            with self._request(key, "GET") as r:
+                body = r.read()
+                cl = r.headers.get("Content-Length")
+                self._verify_length(
+                    key, body, int(cl) if cl and cl.isdigit() else None)
+                return body, r.headers.get("ETag")
+        except urllib.error.HTTPError as e:
+            if self._status(e) in (404, 410):
+                return None, None
+            raise
+
+    def write_if_match(self, key: str, data: bytes, tag) -> None:
+        """Conditional PUT: ``If-Match: <etag>`` (or ``If-None-Match: *``
+        for create-if-absent); the server's 412 maps to
+        KVPreconditionFailed. A server that never emits ETags yields
+        ``tag=None`` reads, whose If-None-Match precondition then fails on
+        any existing key — a loud (over-)conservative outcome, never a
+        silent lost update."""
+        import urllib.error
+
+        hdrs = ({"If-Match": tag} if tag is not None
+                else {"If-None-Match": "*"})
+        try:
+            with self._request(key, "PUT", data=data, headers=hdrs):
+                pass
+        except urllib.error.HTTPError as e:
+            if self._status(e) == 412:
+                raise KVPreconditionFailed(
+                    f"{self.root}/{key}: server rejected conditional PUT "
+                    f"(tag {tag!r} is stale)") from e
+            raise
+
     def exists(self, key: str) -> bool:
         import urllib.error
 
@@ -589,7 +705,9 @@ class RetryingKVStore(KVStore):
 
     @staticmethod
     def _transient(e: Exception) -> bool:
-        if isinstance(e, NotImplementedError):
+        if isinstance(e, (NotImplementedError, KVPreconditionFailed)):
+            # a capability hole / a lost CAS race: re-sending the same
+            # request can never change the outcome
             return False
         code = getattr(e, "code", None)  # urllib.error.HTTPError carries .code
         if isinstance(code, int) and code < 500 and code not in (408, 429):
@@ -622,6 +740,13 @@ class RetryingKVStore(KVStore):
 
     def write(self, key: str, data: bytes) -> None:
         return self._retry(lambda: self.inner.write(key, data), key)
+
+    def read_with_tag(self, key: str) -> tuple:
+        return self._retry(lambda: self.inner.read_with_tag(key), key)
+
+    def write_if_match(self, key: str, data: bytes, tag) -> None:
+        return self._retry(
+            lambda: self.inner.write_if_match(key, data, tag), key)
 
     def exists(self, key: str) -> bool:
         return self._retry(lambda: self.inner.exists(key), key)

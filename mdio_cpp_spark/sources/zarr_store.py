@@ -34,7 +34,11 @@ from typing import Any, Iterator
 import numpy as np
 
 from mdio_cpp_spark.sources import codecs as _codecs
-from mdio_cpp_spark.sources.kvstore import KVStore, open_kvstore
+from mdio_cpp_spark.sources.kvstore import (
+    KVPreconditionFailed,
+    KVStore,
+    open_kvstore,
+)
 from mdio_cpp_spark.schema.types import (
     HEADER_ONLY_KINDS,
     SCALAR_TYPES,
@@ -50,6 +54,14 @@ from mdio_cpp_spark.schema.types import (
 # attrs key of the per-chunk [min,max] zone-map manifest (sources/zonemap.py
 # builds/publishes it; both writers keep it coherent on chunk writes)
 CHUNK_STATS_ATTR = "mdio:chunk_stats"
+
+
+class ConsolidatedMetadataConflict(RuntimeError):
+    """Two writers raced on the consolidated metadata document and this
+    one lost: its copy of the doc is stale and publishing it would drop the
+    other writer's entries. The analog of a failed generation-match on the
+    reference's CommitMetadata read-modify-write (dataset.h:1269-1416) —
+    the store refuses the stale republish instead of losing an entry."""
 
 
 def parse_store_path(path: str) -> str:
@@ -616,6 +628,38 @@ class ZarrStore:
             raise FileNotFoundError(f"{self.root}/{key}")
         return json.loads(raw)
 
+    def _read_json_tagged(self, key: str) -> tuple:
+        """``(document, version_tag)`` — the tag anchors a later
+        ``_write_json_cas`` so a read-modify-write of a shared metadata
+        document cannot silently lose a concurrent writer's update."""
+        raw, tag = self._kv.read_with_tag(key)
+        if raw is None:
+            return None, None
+        return json.loads(raw), tag
+
+    def _write_json_cas(self, key: str, obj: Any, tag) -> None:
+        """Conditional publish of a read-modify-write document. Backends
+        with version tracking (memory://, http(s):// with ETags, local
+        content-hash) enforce the tag and a lost race raises
+        :class:`ConsolidatedMetadataConflict` LOUDLY; backends without
+        (plain fsspec) fall back to last-writer-wins, same as before."""
+        payload = json.dumps(
+            obj, indent=2, allow_nan=False, default=_json_default
+        ).encode("utf-8")
+        try:
+            self._kv.write_if_match(key, payload, tag)
+        except NotImplementedError:
+            self._kv.write(key, payload)
+        except KVPreconditionFailed as e:
+            raise ConsolidatedMetadataConflict(
+                f"{self.root}/{key}: the consolidated metadata document "
+                "changed under this writer (a concurrent process published "
+                "a newer generation). Nothing was lost and nothing was "
+                "written — re-open the store (or re-run consolidate()) to "
+                "pick up the other writer's entries, then retry this "
+                "operation."
+            ) from e
+
     def read_bytes(self, key: str) -> bytes | None:
         return self._kv.read(key)
 
@@ -920,17 +964,20 @@ class ZarrStore:
         if self.version != 2:
             if self._v3_no_consolidated:
                 return
-            root_json = self._read_json("zarr.json")
+            root_json, tag = self._read_json_tagged("zarr.json")
+            if root_json is None:
+                raise FileNotFoundError(f"{self.root}/zarr.json")
             block = self._consolidated_v3(root_json)
             if block is None:
                 self._v3_no_consolidated = True
                 return
             block[str(name)] = self._read_json(f"{name}/zarr.json")
-            self._write_json("zarr.json", root_json)
+            cm = root_json["consolidated_metadata"]
+            cm["generation"] = int(cm.get("generation", 0)) + 1
+            self._write_json_cas("zarr.json", root_json, tag)
             return
-        try:
-            obj = self._read_json(".zmetadata")
-        except FileNotFoundError:
+        obj, tag = self._read_json_tagged(".zmetadata")
+        if obj is None:
             return
         md = obj.get("metadata")
         if not isinstance(md, dict):
@@ -940,7 +987,8 @@ class ZarrStore:
             md[f"{name}/.zattrs"] = self._read_json(f"{name}/.zattrs")
         except FileNotFoundError:
             md.pop(f"{name}/.zattrs", None)
-        self._write_json(".zmetadata", obj)
+        obj["generation"] = int(obj.get("generation", 0)) + 1
+        self._write_json_cas(".zmetadata", obj, tag)
 
     def _walk_entries(self, known: list[str]) -> list[str]:
         """Child names for a consolidation walk. Backends without a LIST
@@ -964,7 +1012,12 @@ class ZarrStore:
         10k-variable open on an object store costs O(1) metadata GETs
         instead of a LIST + one GET per array."""
         if self.version != 2:
-            root_json = self._read_json("zarr.json")
+            root_json, tag = self._read_json_tagged("zarr.json")
+            if root_json is None:
+                raise FileNotFoundError(f"{self.root}/zarr.json")
+            prior_cm = root_json.get("consolidated_metadata")
+            prior_gen = (int(prior_cm.get("generation", 0))
+                         if isinstance(prior_cm, dict) else 0)
             prior = self._consolidated_v3(root_json) or {}
             metadata_v3: dict[str, Any] = {}
             for entry in self._walk_entries(sorted(prior)):
@@ -973,9 +1026,10 @@ class ZarrStore:
             root_json["consolidated_metadata"] = {
                 "kind": "inline",
                 "must_understand": False,
+                "generation": prior_gen + 1,
                 "metadata": metadata_v3,
             }
-            self._write_json("zarr.json", root_json)
+            self._write_json_cas("zarr.json", root_json, tag)
             self._v3_no_consolidated = False  # doc now published
             return
         metadata: dict[str, Any] = {".zgroup": {"zarr_format": 2}}
@@ -983,7 +1037,9 @@ class ZarrStore:
             metadata[".zattrs"] = self._read_json(".zattrs")
         except FileNotFoundError:
             pass
-        prior_v2 = self._consolidated() or {}
+        prior_obj, tag = self._read_json_tagged(".zmetadata")
+        prior_v2 = (prior_obj or {}).get("metadata") or {}
+        prior_gen = int((prior_obj or {}).get("generation", 0))
         known = sorted({k.split("/", 1)[0] for k in prior_v2 if "/" in k})
         for entry in self._walk_entries(known):
             if self._kv.exists(f"{entry}/.zarray"):
@@ -992,7 +1048,12 @@ class ZarrStore:
                     metadata[f"{entry}/.zattrs"] = self._read_json(f"{entry}/.zattrs")
                 except FileNotFoundError:
                     pass
-        self._write_json(".zmetadata", {"zarr_consolidated_format": 1, "metadata": metadata})
+        self._write_json_cas(
+            ".zmetadata",
+            {"zarr_consolidated_format": 1, "generation": prior_gen + 1,
+             "metadata": metadata},
+            tag,
+        )
 
     # ------------------------------------------------------------- chunk I/O
 
