@@ -802,3 +802,67 @@ def _read_v3(root: str, name: str) -> np.ndarray:
         return _unpermute(_decompress(raw, None, codecs), dt, chunks, perm)
 
     return _assemble(shape, chunks, dt, fill, "C", chunk_bytes)
+
+
+def verify_consolidated(root: str) -> list:
+    """Cross-check the PUBLISHED consolidated-metadata document against the
+    WALKED per-node tree; returns the list of disagreements ([] = they
+    agree). Spec basis: v2 `.zmetadata` mirrors each `<name>/.zarray` /
+    `<name>/.zattrs` document verbatim; v3's inline
+    ``consolidated_metadata.metadata`` mirrors each `<name>/zarr.json`.
+    A consolidated doc that has drifted from the tree (a writer updated an
+    array but not the doc, or vice versa) is a CORRUPT open path — readers
+    trusting the doc and readers walking the tree would see different
+    stores — so interop tests treat any non-empty return as a failure
+    rather than trusting either side."""
+    diffs: list = []
+    v3path = os.path.join(root, "zarr.json")
+    if os.path.exists(v3path):
+        with open(v3path) as f:
+            cm = json.load(f).get("consolidated_metadata")
+        if not isinstance(cm, dict) or cm.get("kind") != "inline":
+            return []  # nothing published; the walk is the only truth
+        doc = dict(cm.get("metadata") or {})
+        walked = {}
+        for entry in sorted(os.listdir(root)):
+            p = os.path.join(root, entry, "zarr.json")
+            if os.path.isfile(p):
+                with open(p) as f:
+                    walked[entry] = json.load(f)
+        for name in sorted(set(doc) | set(walked)):
+            if name not in doc:
+                diffs.append(f"{name}: in tree, missing from consolidated doc")
+            elif name not in walked:
+                diffs.append(f"{name}: in consolidated doc, absent from tree")
+            elif doc[name] != walked[name]:
+                diffs.append(
+                    f"{name}: consolidated entry disagrees with "
+                    f"{name}/zarr.json")
+        return diffs
+    zmeta = os.path.join(root, ".zmetadata")
+    if not os.path.exists(zmeta):
+        return []
+    with open(zmeta) as f:
+        md = json.load(f).get("metadata") or {}
+    walked = {}
+    for fname in (".zgroup", ".zattrs"):
+        p = os.path.join(root, fname)
+        if os.path.isfile(p):
+            with open(p) as f:
+                walked[fname] = json.load(f)
+    for entry in sorted(os.listdir(root)):
+        d = os.path.join(root, entry)
+        if os.path.isfile(os.path.join(d, ".zarray")):
+            for fname in (".zarray", ".zattrs"):
+                p = os.path.join(d, fname)
+                if os.path.isfile(p):
+                    with open(p) as f:
+                        walked[f"{entry}/{fname}"] = json.load(f)
+    for key in sorted(set(md) | set(walked)):
+        if key not in md:
+            diffs.append(f"{key}: in tree, missing from .zmetadata")
+        elif key not in walked:
+            diffs.append(f"{key}: in .zmetadata, absent from tree")
+        elif md[key] != walked[key]:
+            diffs.append(f"{key}: .zmetadata entry disagrees with the file")
+    return diffs

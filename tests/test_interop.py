@@ -239,3 +239,65 @@ def test_blosc_frames_via_spec_reader(version, cname, shuffle):
     st.consolidate()
     got = specr.read_zarr_array(root, "a")
     assert np.array_equal(got, vals)
+
+
+@pytest.mark.parametrize("version", [2, 3])
+def test_consolidated_doc_matches_walked_tree(version):
+    """The consolidated document is only trustworthy if it mirrors the
+    per-node tree EXACTLY — the spec reader cross-checks both sides
+    (verify_consolidated) instead of trusting either, through every
+    mutation the engine performs: consolidate, incremental create,
+    attr update, resize."""
+    root = _fresh(f"cons_parity_v{version}")
+    st = ZarrStore.create(root, version=version, attrs={"title": "parity"})
+    comp = {"id": "zlib" if version == 2 else "gzip", "level": 4}
+    st.create_array("a", shape=(100,), chunks=(32,), dtype="float32",
+                    dims=("i",), compressor=comp)
+    st.write_array_numpy("a", np.arange(100, dtype="f4"))
+    st.consolidate()
+    assert specr.verify_consolidated(root) == []
+    # incremental create patches the doc — stays in lockstep with the tree
+    st.create_array("b", shape=(10,), chunks=(10,), dtype="int16",
+                    dims=("j",))
+    assert specr.verify_consolidated(root) == []
+    # attr update rewrites the array doc AND its consolidated entry
+    st.update_array_attrs("a", {"units": "m"})
+    assert specr.verify_consolidated(root) == []
+
+
+@pytest.mark.parametrize("version", [2, 3])
+def test_consolidated_drift_is_detected(version):
+    """A doc/tree disagreement must be reported as a differential failure,
+    never trusted: mutate one per-array file behind the doc's back and the
+    cross-check names the drifted entry."""
+    import json
+
+    root = _fresh(f"cons_drift_v{version}")
+    st = ZarrStore.create(root, version=version)
+    comp = {"id": "zlib" if version == 2 else "gzip", "level": 1}
+    st.create_array("a", shape=(8,), chunks=(8,), dtype="int8", dims=("i",),
+                    compressor=comp)
+    st.consolidate()
+    assert specr.verify_consolidated(root) == []
+    # drift 1: edit the per-array doc directly (doc now stale)
+    leaf = os.path.join(root, "a", "zarr.json" if version == 3 else ".zarray")
+    doc = json.load(open(leaf))
+    (doc.setdefault("attributes", {}) if version == 3 else doc).update(
+        {"fill_value": 7} if version == 2 else {"sneaky": True})
+    json.dump(doc, open(leaf, "w"))
+    diffs = specr.verify_consolidated(root)
+    assert diffs and any("a" in d for d in diffs)
+    # drift 2: an array present in the tree but absent from the doc
+    st2 = ZarrStore.create(_fresh(f"cons_drift2_v{version}"),
+                           version=version)
+    st2.create_array("x", shape=(4,), chunks=(4,), dtype="int8", dims=("i",))
+    st2.consolidate()
+    st2root = st2.root
+    # write a new array's metadata directly, bypassing reconsolidation
+    extra = os.path.join(st2root, "ghost")
+    os.makedirs(extra, exist_ok=True)
+    src = os.path.join(st2root, "x", "zarr.json" if version == 3 else ".zarray")
+    shutil.copy(src, os.path.join(
+        extra, "zarr.json" if version == 3 else ".zarray"))
+    diffs2 = specr.verify_consolidated(st2root)
+    assert any("ghost" in d and "missing from" in d for d in diffs2), diffs2
