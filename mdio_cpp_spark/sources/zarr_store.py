@@ -1219,7 +1219,11 @@ class ZarrStore:
         out_shape = tuple(hi - lo for lo, hi in sel)
         out = np.full(out_shape, meta.fill_scalar(), dtype=meta.np_dtype)
         for coords in chunks_overlapping(meta, sel):
-            block = self.decode_chunk(meta, coords)
+            # box-aware: a window read of a SHARDED array fetches the shard
+            # index + only the intersecting inner chunks (ranged GETs on
+            # object stores), never the whole shard object; plain chunks
+            # fall through to the whole-object path inside decode_chunk_box
+            block = self.decode_chunk_box(meta, coords, sel)
             origin = tuple(c * s for c, s in zip(coords, meta.chunks))
             src_sel, dst_sel = [], []
             for d in range(meta.ndim):

@@ -425,3 +425,57 @@ def test_https_scan_heals_truncation_fault(tmp_path, tls_material,
         got = st2.read_array("x")
         assert srv.pending_faults() == 0
         assert np.array_equal(got, vals)
+
+
+def test_consolidated_open_o1_requests_at_1k_variables(tmp_path):
+    """The scale pin the consolidated path exists for: a 1,024-variable v3
+    store opened over HTTP costs the SAME O(1) metadata requests as an
+    8-variable one (the toy-count twin above) — no walk, no LIST, no
+    per-array GETs. Without consolidation this open is 1,024 round-trips
+    (zarr_v3.h:539-625's walk); at 10k variables on a 50 ms-RTT object
+    store that walk is an 8-minute driver stall."""
+    import time
+
+    N = 1024
+    local = str(tmp_path / "wide.zarr")
+    st = ZarrStore.create(local, version=3)
+    for k in range(N):
+        st.create_array(f"v{k:04d}", shape=(4,), chunks=(4,), dtype="int8",
+                        dims=("i",))
+    st.consolidate()
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        root = f"{srv.url}/wide.zarr"
+        srv.clear_log()
+        t0 = time.time()
+        st2 = ZarrStore.open(root)
+        metas = st2.arrays()
+        wall = time.time() - t0
+        assert len(metas) == N
+        assert len(srv.requests) <= 4, srv.requests[:10]
+        assert all(r[1].endswith("/wide.zarr/zarr.json")
+                   for r in srv.requests), srv.requests[:10]
+        # loose wall bound: parsing a ~1k-entry doc is O(doc), not O(RTT·N)
+        assert wall < 5.0, wall
+
+
+def test_read_array_window_on_sharded_store_uses_ranged_gets(tmp_path):
+    """Driver-side window reads route through the box-aware shard path
+    too: a 100-element window of a 1M-element sharded store over HTTP
+    fetches the shard index (suffix range) plus the intersecting inner
+    chunks — never a whole shard object. (Before r11, read_array pulled
+    the full 131 KB shard for any window.)"""
+    local = str(tmp_path / "win.zarr")
+    st = ZarrStore.create(local, version=3)
+    st.create_array("x", shape=(100_000,), chunks=(1024,), shards=(16_384,),
+                    dtype="float64", dims=("i",))
+    vals = np.arange(100_000, dtype="f8")
+    st.write_array_numpy("x", vals)
+    st.consolidate()
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        st2 = ZarrStore.open(f"{srv.url}/win.zarr")
+        srv.clear_log()
+        got = st2.read_array("x", ranges={"i": (50_037, 50_137)})
+        assert np.array_equal(got, vals[50_037:50_137])
+        gets = [r for r in srv.requests if r[0] == "GET" and "/c/" in r[1]]
+        assert gets and all(r[2] is not None for r in gets), gets
+        assert all(r[3] == 206 for r in gets)
