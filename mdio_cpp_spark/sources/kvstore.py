@@ -400,7 +400,10 @@ class HttpKVStore(KVStore):
         store by default; ``MDIO_SPARK_CA_BUNDLE`` pins an explicit CA
         bundle (private/self-signed deployments — how the TLS loopback
         tests trust their own cert). There is deliberately NO verify-off
-        mode: an unverifiable peer fails loudly."""
+        mode: an unverifiable peer fails loudly. On a cluster, ship the
+        variable to executors with
+        ``spark.executorEnv.MDIO_SPARK_CA_BUNDLE`` (Python workers read
+        it per process; local[n] inherits the driver env)."""
         import ssl
 
         cafile = os.environ.get("MDIO_SPARK_CA_BUNDLE") or ""

@@ -165,3 +165,17 @@ def test_throttling_429_is_retried(tmp_path):
         assert kv.read("k") == b"v"
         gets = [r for r in srv.requests if r[0] == "GET"]
         assert [r[3] for r in gets] == [429, 429, 200]
+
+
+def test_put_5xx_retry_publishes_exactly_one_object(tmp_path):
+    """Writes retry like reads: two injected 503s on the PUT, then the
+    publish lands intact (no torn/partial object — the server's tmp+rename
+    is atomic, and the retry layer re-sends the full payload)."""
+    with LoopbackHttpServer(str(tmp_path), fail_first=2,
+                            fail_methods=("PUT",)) as srv:
+        kv = open_kvstore(srv.url)  # default retry wrap
+        payload = bytes(range(256)) * 4
+        kv.write("obj", payload)
+        assert kv.read("obj") == payload
+        puts = [r for r in srv.requests if r[0] == "PUT"]
+        assert [r[3] for r in puts] == [503, 503, 201]
