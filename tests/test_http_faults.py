@@ -179,3 +179,60 @@ def test_put_5xx_retry_publishes_exactly_one_object(tmp_path):
         assert kv.read("obj") == payload
         puts = [r for r in srv.requests if r[0] == "PUT"]
         assert [r[3] for r in puts] == [503, 503, 201]
+
+
+def test_list_dir_not_implemented_passes_without_retry(tmp_path):
+    """A capability hole is not a transient fault: on a server that
+    returns objects instead of HTML indexes, list_dir's
+    NotImplementedError propagates on the FIRST attempt — no backoff
+    sleeps (the walk fallback in consolidate() depends on this being
+    cheap)."""
+    (tmp_path / "plain").mkdir()
+    # a directory GET answered by a file: simulate by requesting a prefix
+    # that resolves to a non-HTML object
+    (tmp_path / "obj").write_bytes(b"not an index page, no anchors here")
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        kv = open_kvstore(srv.url)  # default retry wrap (4 attempts)
+        srv.clear_log()
+        with pytest.raises(NotImplementedError):
+            kv.list_dir("obj")
+        gets = [r for r in srv.requests if r[0] == "GET"]
+        assert len(gets) == 1, gets  # one probe, zero retries
+
+
+def test_consolidate_on_listless_http_reuses_published_names(tmp_path):
+    """consolidate() on a LIST-less backend (every plain-HTTP server
+    without an index feature) falls back to the already-published names
+    with ONE failed index probe — after the r11 retry classification the
+    NotImplementedError no longer pays 3 backoff sleeps per
+    consolidation."""
+    import time
+
+    local = str(tmp_path / "noidx.zarr")
+    st = ZarrStore.create(local, version=3)
+    for k in range(3):
+        st.create_array(f"v{k}", shape=(4,), chunks=(4,), dtype="int8",
+                        dims=("i",))
+    st.consolidate()
+
+    class NoIndexServer(LoopbackHttpServer):
+        pass
+
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        st2 = ZarrStore.open(f"{srv.url}/noidx.zarr")
+        # make the directory GET non-index by monkeypatching list_dir at
+        # the kv seam (the server DOES serve indexes; the engine contract
+        # is what we pin — walk fallback must not retry the capability
+        # error). Wrap the inner store's list_dir to raise.
+        inner = st2._kv.inner if hasattr(st2._kv, "inner") else st2._kv
+        def _no_list(prefix=""):
+            raise NotImplementedError("no LIST verb")
+        inner.list_dir = _no_list
+        t0 = time.time()
+        st2.consolidate()
+        wall = time.time() - t0
+        # 4 retry attempts with base 0.05 s backoff would cost >0.35 s in
+        # sleeps alone; the classified path is effectively instant
+        assert wall < 0.3, wall
+        assert set(ZarrStore.open(f"{srv.url}/noidx.zarr").arrays()) == \
+            {"v0", "v1", "v2"}
