@@ -106,39 +106,59 @@ def main() -> None:
     # varies by ~3x between rounds, and medians + the recorded load average
     # keep round-over-round comparisons honest
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # SPARK_GRAFT_BENCH_INTERLEAVE=1 runs round-robin over the query list
+    # (all queries once, then again, ...) instead of N consecutive runs per
+    # query: on a shared box whose co-tenant load arrives in multi-minute
+    # BURSTS, consecutive runs put every sample of a query inside the same
+    # burst window and its min-of-runs still reads 2-7x inflated (round 11
+    # saw three full runs flag 11/24/6 DISJOINT query subsets this way).
+    # Interleaving spaces a query's samples ~a full sweep apart, so a burst
+    # inflates one sample of many queries instead of all samples of a few —
+    # the min survives. Default stays consecutive (anchor methodology).
+    interleave = os.environ.get("SPARK_GRAFT_BENCH_INTERLEAVE") == "1"
     load_start = os.getloadavg()[0]
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in names:
+
+    def _time_once(name: str) -> float | None:
         d = REGISTRY[name]
-        samples: list[float] = []
-        for _ in range(runs):
-            # several queries persist() small intermediates (candidate-pair
-            # lists, group medians) as part of their own plan; Spark's
-            # CacheManager would hand run 2+ the SAME cache entry (keyed on
-            # the analyzed plan), making repeat runs artificially free and
-            # the median measure cache hits instead of work. Clear between
-            # runs so every sample pays the query's real cost.
-            spark.catalog.clearCache()
-            t0 = time.time()
-            try:
-                df = d.spark(spark, sf_dir)
-                if name in _NOOP_WRITE:
-                    df.write.format("noop").mode("overwrite").save()
-                else:
-                    df.collect()
-            except Exception as e:  # one broken query must not kill the gate
-                errors[name] = f"{type(e).__name__}: {e}"[:200]
-                samples = []
-                break
-            samples.append(time.time() - t0)
-        if samples:
-            srt = sorted(samples)
-            mid = len(srt) // 2
-            med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
-            timings[name] = round(med, 3)
-            timings_min[name] = round(srt[0], 3)
+        # several queries persist() small intermediates (candidate-pair
+        # lists, group medians) as part of their own plan; Spark's
+        # CacheManager would hand run 2+ the SAME cache entry (keyed on
+        # the analyzed plan), making repeat runs artificially free and
+        # the median measure cache hits instead of work. Clear between
+        # runs so every sample pays the query's real cost.
+        spark.catalog.clearCache()
+        t0 = time.time()
+        try:
+            df = d.spark(spark, sf_dir)
+            if name in _NOOP_WRITE:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.collect()
+        except Exception as e:  # one broken query must not kill the gate
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            return None
+        return time.time() - t0
+
+    schedule = ([(n, r) for r in range(runs) for n in names] if interleave
+                else [(n, r) for n in names for r in range(runs)])
+    samples_by: dict[str, list[float]] = {n: [] for n in names}
+    for name, _r in schedule:
+        if name in errors:
+            continue  # failed once: skip its remaining runs
+        s = _time_once(name)
+        if s is not None:
+            samples_by[name].append(s)
+    for name, samples in samples_by.items():
+        if name in errors or not samples:
+            continue
+        srt = sorted(samples)
+        mid = len(srt) // 2
+        med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
+        timings[name] = round(med, 3)
+        timings_min[name] = round(srt[0], 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -148,6 +168,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": runs,
+        "interleaved": interleave,
         "load1_start": round(load_start, 2),
         "load1_end": round(os.getloadavg()[0], 2),
     }

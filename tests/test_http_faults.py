@@ -236,3 +236,23 @@ def test_consolidate_on_listless_http_reuses_published_names(tmp_path):
         assert wall < 0.3, wall
         assert set(ZarrStore.open(f"{srv.url}/noidx.zarr").arrays()) == \
             {"v0", "v1", "v2"}
+
+
+@pytest.mark.parametrize("kind", FAULTS)
+def test_v2_store_scan_bitidentical_under_fault(tmp_path, kind):
+    """The v2 chunk path (compressor framing, '0'-style keys) heals the
+    same fault schedule to bit-identical values — fault tolerance is a
+    property of the kvstore seam, not of one zarr version's layout."""
+    local = str(tmp_path / "v2.zarr")
+    st = ZarrStore.create(local, version=2)
+    st.create_array("x", shape=(1000,), chunks=(128,), dtype="float32",
+                    dims=("i",), compressor={"id": "zlib", "level": 5})
+    vals = (np.arange(1000, dtype="f4") * 0.25) - 100.0
+    st.write_array_numpy("x", vals)
+    st.consolidate()
+    with LoopbackHttpServer(str(tmp_path)) as srv:
+        st2 = ZarrStore.open(f"{srv.url}/v2.zarr")
+        srv.schedule_fault(kind, times=2, path_substr="/x/")
+        got = st2.read_array("x")
+        assert srv.pending_faults() == 0
+        assert np.array_equal(got, vals)
