@@ -161,3 +161,97 @@ def asof_join(
         *lcols,
         *[F.col("__rv_final").getField(v).alias(v) for v in value_cols],
     )
+
+
+def asof_nearest_us(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """BOTH as-of directions in ONE bucketed pass, specialized to the case
+    where the carried value IS the right timestamp itself (pandas
+    ``merge_asof`` with the match key as the only output — the nearest-
+    neighbor-on-a-time-axis primitive). Returns ``left`` plus two long
+    columns: ``__prev_us`` (max right microseconds ≤ left's, inclusive) and
+    ``__next_us`` (min right microseconds ≥ left's, inclusive), either NULL
+    when no such right row exists.
+
+    Because value == axis, the backward carry degenerates to a running MAX
+    and the forward carry to a running MIN — pure aggregates over a RANGE
+    frame, no tie-break struct needed (equal-timestamp right rows are
+    indistinguishable). That lets one union + one (bucket)-keyed exchange
+    serve both directions where the generic composition
+    (``asof_join(direction='backward')`` + ``asof_join('forward')`` + an
+    id-keyed merge join) pays two full union shuffles plus a data-sized
+    re-join — A/B-measured 2.3 → 1.7 s steady-state at sf0.1 (asof05,
+    round-11 optimization), and at scale it cuts the data-sized
+    exchanges from ~3 to 1.
+
+    Same bucketed shape as ``asof_join``: RANGE-framed in-bucket windows
+    (inclusive at 0 in both directions, matching ASOF ``<=`` / ``>=``
+    semantics regardless of row order among equal timestamps), plus a
+    |buckets|-row boundary table cumulated in both directions and joined
+    back broadcast — no single-partition window anywhere."""
+    lcols = list(left.columns)
+    l_tagged = left.select(
+        *lcols,
+        F.unix_micros(F.col(left_ts).cast("timestamp")).alias("__us"),
+        F.lit(1).alias("__side"),
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("__us"),
+        F.lit(0).alias("__side"),
+    )
+    u = l_tagged.unionByName(r_tagged).withColumn(
+        "__b", F.floor(F.col("__us") / F.lit(bucket_seconds * 1_000_000))
+    )
+    r_us = F.when(F.col("__side") == 0, F.col("__us"))
+    w_prev = (
+        Window.partitionBy("__b").orderBy("__us")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    # the forward min is a CUMULATIVE frame over the mirrored sort, not an
+    # unbounded-FOLLOWING frame: Spark's UnboundedFollowing window frame
+    # re-aggregates the remaining rows for every row — O(rows²) per
+    # partition (A/B-measured 3.7 s vs 1.7 s for the whole query at
+    # sf0.1); the descending-order cumulative is O(rows) at the cost of a
+    # second in-partition sort on the same exchange.
+    w_next = (
+        Window.partitionBy("__b").orderBy(F.col("__us").desc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        *lcols, "__side", "__b",
+        F.max(r_us).over(w_prev).alias("__prev_in"),
+        F.min(r_us).over(w_next).alias("__next_in"),
+    )
+
+    # boundary: per-bucket right extremes, cumulated strictly before/after
+    b_agg = (
+        u.filter(F.col("__side") == 0)
+        .groupBy("__b")
+        .agg(F.max("__us").alias("__bmax"), F.min("__us").alias("__bmin"))
+    )
+    buckets = u.select("__b").distinct()
+    w_before = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    w_after = Window.orderBy("__b").rowsBetween(1, Window.unboundedFollowing)
+    carry = (
+        buckets.join(b_agg, "__b", "left")
+        .select(
+            "__b",
+            F.max("__bmax").over(w_before).alias("__prev_c"),
+            F.min("__bmin").over(w_after).alias("__next_c"),
+        )
+    )
+    return (
+        carried.filter(F.col("__side") == 1)
+        .join(F.broadcast(carry), "__b")
+        .select(
+            *lcols,
+            F.coalesce(F.col("__prev_in"), F.col("__prev_c")).alias("__prev_us"),
+            F.coalesce(F.col("__next_in"), F.col("__next_c")).alias("__next_us"),
+        )
+    )

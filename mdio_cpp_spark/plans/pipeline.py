@@ -1523,15 +1523,25 @@ def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside their language's [p10, p90] band — the outlier-trimming filter
     composed from the distributed exact-percentile operator (no per-group
     value buffer) and the map-side quality scorer. The band table is
-    |langs| rows and broadcasts; the corpus is scanned twice (score is
-    cheap and recomputing beats caching text at 100 TB)."""
+    |langs| rows and broadcasts; the corpus text is scanned ONCE (the
+    narrow (id, lang, score) projection persists and feeds both the
+    percentile pass and the band filter — caching three columns is cheap
+    at any scale, re-tokenizing the corpus is not)."""
     d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
     from mdio_cpp_spark.operators import stats as _stats
 
-    q = text.with_quality_score(d, "text").select("doc_id", "lang", "score")
+    # persist the NARROW (id, lang, score) frame once, at the top — the
+    # percentile pass and the band filter both consume it (p14's pattern).
+    # Previously grouped_percentiles persisted its own inner projection
+    # AND the band filter re-ran the tokenize+score corpus scan;
+    # A/B-measured time-neutral at sf0.1 (the corpus is small) but one
+    # fewer corpus scan and one fewer cache materialization in the plan —
+    # the version that survives 100 TB. Three columns, never text.
+    q = text.with_quality_score(d, "text").select("doc_id", "lang", "score").persist()
     bands = _stats.grouped_percentiles(
         q, "lang", "score", [(0.1, "p10"), (0.9, "p90")],
         bounds=(0.0, 1.0),  # quality_score is [0,1] by construction: skip the min/max scan
+        input_cached=True,  # q is persisted above
     )
     return (
         q.join(F.broadcast(bands), "lang")
@@ -4107,7 +4117,10 @@ def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = dedup.candidate_pairs_from_bands(
         dedup.bands_from_signatures(sig_wide, "doc_id", _MH_BANDS, _MH_ROWS), "doc_id"
-    )
+    ).persist()  # three consumers (verify join + two id sets) — d04's
+    # pattern; without this the band explode + self-join re-runs per
+    # consumer even though the signatures are cached (A/B-measured
+    # 4.0 → 3.6 s steady-state at sf0.1, round-11 optimization)
     sig = sig_wide.select(
         "doc_id", F.array(*[F.col(f"mh{j}") for j in range(k)]).alias("sig")
     )
@@ -6748,38 +6761,42 @@ def ml11(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver-side eigensolve when dim is small enough that dim² beats k
     matrix-vector passes). Upper triangle only (2080 cells).
 
-    Scale shape: each row expands its own dim² upper-triangle products
-    IN PLACE (the ga01 within-group expansion pattern — a higher-order
-    transform, never a self-join in the engine) and the partial agg
-    collapses them map-side, so the exchange carries ≤ 2080 partial rows
-    per map partition REGARDLESS of corpus size; the per-dim mean table
-    (64 rows) broadcasts back onto the 2080-row sum frame. Per-row work
-    is dim²/2 multiplications where the vector lives — the classic
-    one-pass distributed covariance. The oracle states the same
+    Scale shape: each Arrow batch collapses to ONE 2080-cell partial Gram
+    matrix via a vectorized X'X (mapInPandas + BLAS — guide §4.2's "hand
+    whole batches to native code"; the dim² products never materialize as
+    rows), so the exchange carries ≤ 2080 partial rows per batch
+    REGARDLESS of corpus size; the per-dim mean table (64 rows)
+    broadcasts back onto the 2080-row sum frame. The previous form
+    expanded every row's 2080 upper-triangle products in place (a
+    higher-order transform + explode — still never a self-join) and paid
+    a 2080×|corpus|-row Generate + hash-agg for the same partial sums:
+    A/B-measured 2.2 → 0.7 s at sf0.1, identical hashes at all three SFs
+    (round-11 optimization; the partial-sum association changes, which
+    the 6dp display round already absorbs — partition-order association
+    was engine-dependent before too). The oracle states the same
     computation as a positional self-join (row-count-bounded, fine for
-    DuckDB; the engine's in-place expansion is what survives 100 TB)."""
+    DuckDB; the engine's batched Gram is what survives 100 TB)."""
     e = _t(spark, sf_dir, "embeddings")
     n = e.count()
     arr = F.col("embedding").cast("array<double>")
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                arr,
-                lambda x, i: F.transform(
-                    arr,
-                    lambda y, j: F.struct(
-                        i.alias("i"), j.alias("j"), (x * y).alias("xy")
-                    ),
-                ),
-            )
-        ),
-        lambda p: p["i"] <= p["j"],
-    )
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype="float64")
+            if x.size == 0:
+                continue
+            g = x.T @ x
+            iu = np.triu_indices(g.shape[0])
+            yield pd.DataFrame({"i": iu[0], "j": iu[1], "sxy": g[iu]})
+
     prods = (
-        e.select(F.explode(pairs).alias("p"))
-        .select("p.i", "p.j", "p.xy")
+        e.select(arr.alias("embedding"))
+        .mapInPandas(gram, schema="i int, j int, sxy double")
         .groupBy("i", "j")
-        .agg(F.sum("xy").alias("sxy"))
+        .agg(F.sum("sxy").alias("sxy"))
     )
     mu = (
         e.select(F.posexplode(arr).alias("d", "x"))
@@ -7341,14 +7358,16 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean) — the spread across rows IS the standard-error estimate, pinned
     in pytest against the analytic SE.
 
-    Scale shape: one scan fanned out ×B against a BROADCAST {_BOOT_B}-row
-    replicate frame — per-row work is a hash + CASE ladder where the row
-    lives, the exchange carries B partial (Σk·cents, Σk) pairs per map
-    partition, and resampled totals ride exact int64 cents (k ≤ 8,
-    cents ≤ 5e7: no overflow until ~1e10 rows per replicate partial).
-    At 100 TB the B× fan-out is the textbook trade (B passes of map-side
-    math, zero extra shuffles); fusing the B draws into one array column
-    per row halves nothing at the exchange, which is already B-bounded."""
+    Scale shape: ONE scan, zero row fan-out — per-row work is the hash +
+    B CASE ladders where the row lives, and the exchange carries one
+    2·B-column partial-sum row per map partition (Σk_b, Σk_b·cents as
+    int64 aggregate columns; k ≤ 8, cents ≤ 5e7: no overflow until ~1e10
+    rows per replicate partial). The B-row replicate table unfolds from
+    the 1-row aggregate against the broadcast {_BOOT_B}-row id frame.
+    The per-row draw count is B either way; collapsing the former ×B
+    crossJoin into aggregate columns removes B× the rows from the
+    pipeline and the B-group hash agg behind it (measured 3.4× at
+    sf0.1, bit-identical — integer sums)."""
     o = _t(spark, sf_dir, "orders")
     reps = F.broadcast(
         spark.range(_BOOT_B).select(F.col("id").alias("b"))
@@ -7367,31 +7386,67 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
             for g in range(8)
         ],
     )
-    u = F.expr(
-        "substring(CASE b div 4 WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 WHEN 3 THEN h3 WHEN 4 THEN h4 WHEN 5 THEN h5 WHEN 6 THEN h6 ELSE h7 END,"
-        " 1 + 8 * cast(b % 4 as int), 8)"
+    # One scan, NO row fan-out: the per-replicate Poisson draw k_b is a
+    # per-row column expression and all 2·B replicate sums aggregate in a
+    # single pass — Σk_b and Σk_b·cents for b ∈ [0, B) are 2·B exact-int64
+    # aggregate columns of ONE partial agg (previously the same draws
+    # materialized through a ×B crossJoin into a B-group hash agg: 32× the
+    # rows through the pipeline for identical integer sums; measured ~2×
+    # slower at sf0.1 — round-11 optimization, bit-identical by exactness
+    # of the integer arithmetic). The fraction slices stage as REAL
+    # COLUMNS before the threshold ladders: a CASE chain does not CSE its
+    # scrutinee, so an inlined substring re-slices once per WHEN branch
+    # (≈9× per draw — measured 2× the whole query); a column reference is
+    # codegen'd to a local variable and the slice happens once. The B-row
+    # result frame unfolds from the 1-row aggregate via a bounded inline
+    # expansion against the broadcast replicate ids.
+    # expressions assembled as SQL text, ONE py4j/parse round trip per
+    # projection — the Column-object form of the same plan costs ~600
+    # py4j calls and ~1.2 s of driver-side plan BUILD per bench run
+    # (measured), pure fixed overhead at any scale
+    us = pre.selectExpr(
+        "cents",
+        *[
+            f"substring(h{b // 4}, {1 + 8 * (b % 4)}, 8) AS u{b}"
+            for b in range(_BOOT_B)
+        ],
     )
-    k = F.lit(8)
-    for kk in range(len(_BOOT_HEX) - 1, -1, -1):
-        k = F.when(F.col("u") < _BOOT_HEX[kk], F.lit(kk)).otherwise(k)
-    drawn = pre.crossJoin(reps).select("b", "cents", u.alias("u"))
-    weighted = drawn.select("b", "cents", k.alias("k"))
-    return (
-        weighted.groupBy("b")
-        .agg(
-            F.sum("k").alias("n_eff"),
-            F.when(
-                F.sum("k") > 0,
-                F.round(
-                    F.sum(F.col("k") * F.col("cents"))
-                    / F.sum("k").cast("double")
-                    / 100.0,
-                    4,
-                ),
-            ).alias("boot_mean"),
+
+    def ladder_sql(u: str) -> str:
+        arms = " ".join(
+            f"WHEN {u} < '{hx}' THEN {kk}" for kk, hx in enumerate(_BOOT_HEX)
         )
-        .orderBy("b")
+        return f"CASE {arms} ELSE 8 END"
+
+    ks = us.selectExpr(
+        "cents", *[f"{ladder_sql(f'u{b}')} AS k{b}" for b in range(_BOOT_B)]
     )
+    one = ks.agg(
+        *[
+            F.expr(e)
+            for b in range(_BOOT_B)
+            for e in (f"sum(k{b}) AS n{b}", f"sum(k{b} * cents) AS s{b}")
+        ]
+    )
+    per_b = one.crossJoin(reps).select(
+        "b",
+        F.expr(
+            "CASE b " + " ".join(f"WHEN {b} THEN n{b}" for b in range(_BOOT_B))
+            + " END"
+        ).alias("n_eff"),
+        F.expr(
+            "CASE b " + " ".join(f"WHEN {b} THEN s{b}" for b in range(_BOOT_B))
+            + " END"
+        ).alias("s"),
+    )
+    return per_b.select(
+        "b",
+        "n_eff",
+        F.when(
+            F.col("n_eff") > 0,
+            F.round(F.col("s") / F.col("n_eff").cast("double") / 100.0, 4),
+        ).alias("boot_mean"),
+    ).orderBy("b")
 
 
 @declared(

@@ -187,3 +187,49 @@ def test_asof_matches_pandas_merge_asof(spark, direction, how):
     assert len(got) == len(expected), f"{direction}/{how}: row count"
     exp = expected[["id", "v"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_asof_nearest_us_matches_two_pass_composition(spark):
+    """asof_nearest_us (round-11: both directions in ONE bucketed pass)
+    must agree with the generic backward+forward asof_join composition on
+    randomized keyless data — including duplicate right instants, left
+    timestamps exactly equal to right ones (inclusive both directions),
+    and left rows before the first / after the last right row."""
+    import numpy as np
+    import pandas as pd
+
+    from mdio_cpp_spark.operators.joins import asof_nearest_us
+
+    rng = np.random.RandomState(11)
+    base = pd.Timestamp("2024-01-01")
+    secs_r = rng.randint(0, 900_000, 60)
+    secs_r[:5] = secs_r[5:10]  # duplicate right instants
+    secs_l = np.concatenate([
+        rng.randint(0, 900_000, 200),
+        secs_r[:3],            # exact-match left rows
+        [0, 899_999],          # before-first / after-last extremes
+    ])
+    left = spark.createDataFrame(
+        pd.DataFrame({
+            "id": np.arange(len(secs_l)),
+            "ts": base + pd.to_timedelta(secs_l, unit="s"),
+        })
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"rts": base + pd.to_timedelta(secs_r, unit="s")})
+    )
+    got = {
+        r["id"]: (r["__prev_us"], r["__next_us"])
+        for r in asof_nearest_us(left, right, "ts", "rts",
+                                 bucket_seconds=86_400).collect()
+    }
+    epoch0 = int(base.timestamp()) * 1_000_000
+    us_r = np.sort(epoch0 + secs_r.astype("int64") * 1_000_000)
+    for i, s in enumerate(secs_l):
+        us = epoch0 + int(s) * 1_000_000
+        prev = us_r[us_r <= us]
+        nxt = us_r[us_r >= us]
+        assert got[i] == (
+            int(prev[-1]) if len(prev) else None,
+            int(nxt[0]) if len(nxt) else None,
+        ), f"row {i}"
