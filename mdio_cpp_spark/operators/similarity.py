@@ -453,29 +453,33 @@ def lloyd_train(
                   drift the NEXT iteration's assignments)
       empty cell → carries its previous coordinates
 
-    Each iteration is one assignment scan + one (cell, d) partial agg of
-    K·dim rows collected to the driver (the centroid table is index-sized,
-    not corpus-sized — the same driver posture as broadcast joins).
+    Each iteration is ONE job with ONE exchange: the centroids live on the
+    driver between iterations, so the assignment argmax compiles to a
+    map-side expression over centroid LITERALS (``_cell_argmax_sql`` —
+    same dot/norm fold order, same 6dp round, same (cc, cid) struct-max
+    tie-break as ``ivf_assign``, verified hash-identical) and only the
+    (cell, d) partial agg of K·dim rows shuffles. The previous form ran
+    ``ivf_assign`` per iteration, whose crossJoin + groupBy(id, vec) adds
+    an exchange carrying one row per VECTOR per iteration — pure waste
+    here since each vector's K candidate rows are already partition-local
+    (round-11 optimization; with AQE every removed exchange is a removed
+    sequential query stage). The narrow (id, double-vec) projection
+    persists across the iterations — iters+2 consumers, one storage scan.
     Returns ``[(cid, [coords...]), ...]`` sorted by cid.
     """
+    narrow = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).persist()
     exemplars = (
-        corpus.orderBy(F.col(id_col))
-        .limit(k)
-        .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .collect()
+        narrow.orderBy(F.col(id_col)).limit(k).select(id_col, vec_col).collect()
     )
     cents = {int(r[0]): [float(x) for x in r[1]] for r in exemplars}
-    spark = corpus.sparkSession
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            [(c, v) for c, v in sorted(cents.items())], "cid long, cv array<double>"
-        )
-        assigned = ivf_assign(corpus, id_col, vec_col, cdf)
+        vn, cell = _cell_argmax_sql(sorted(cents.items()), vec_col)
         rows = (
-            assigned.select(
-                "cell",
-                F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
-            )
+            narrow.selectExpr(vec_col, f"{vn} AS __vn")
+            .selectExpr(f"{cell} AS cell", vec_col)
+            .select("cell", F.posexplode(F.col(vec_col)).alias("d", "x"))
             .groupBy("cell", "d")
             .agg(
                 F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("s"),
@@ -492,4 +496,52 @@ def lloyd_train(
             c: [means.get(c, {}).get(d, prev[d]) for d in range(len(prev))]
             for c, prev in cents.items()
         }
+    narrow.unpersist()
     return sorted(cents.items())
+
+
+def _cell_argmax_sql(cents: list, vec_col: str) -> tuple[str, str]:
+    """SQL text pair (vector-norm expr, argmax-cell expr referencing the
+    staged ``__vn`` column) of the nearest-centroid argmax against
+    driver-resident centroid literals — the map-side twin of
+    ``ivf_assign`` for callers (lloyd_train) that already hold the K
+    centroids as Python lists.
+
+    Bit-identical to ivf_assign by construction: the dot product is the
+    same zip_with cast-to-double left fold; the centroid norm is
+    precomputed HERE with the identical left-to-right IEEE sequence
+    (Python doubles and JVM doubles round each +/× the same way); the
+    cosine is the same nanvl(CASE …)/6dp-round; and the argmax is a
+    struct max over (cc, cid) — array_max's lexicographic struct order ==
+    max_by's, ties to the larger cid. Assembled as SQL strings: ~K·dim
+    Column objects would cost a py4j round trip each per iteration."""
+    import math
+
+    def dlit(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    vn = (
+        f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) ->"
+        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + x))"
+    )
+    cands = []
+    for cid, cv in cents:
+        cn = 0.0
+        for x in cv:  # same left fold as vectors.dot(a, a)
+            cn = cn + x * x
+        cn = math.sqrt(cn)
+        arr = "array(" + ", ".join(dlit(float(x)) for x in cv) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) ->"
+            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        )
+        denom = f"(__vn * {dlit(cn)})"
+        cc = (
+            f"round(nanvl(CASE WHEN {denom} != CAST(0.0 AS DOUBLE)"
+            f" THEN {dot} / {denom} END, CAST(NULL AS DOUBLE)), 6)"
+        )
+        cands.append(f"named_struct('cc', {cc}, 'cid', CAST({cid} AS BIGINT))")
+    inner = ", ".join(cands)
+    return vn, "array_max(array(" + inner + ")).cid"

@@ -2795,8 +2795,14 @@ def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "w1", F.element_at("__w", F.col("i") + 2).alias("w2")
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    # bigram-TYPE table persists (vocab-sized) and the unigram context
+    # counts derive from it (n1 = Σ_w2 n2 — the identical integer), so the
+    # corpus-sized bigram stream is scanned twice (c2 agg + scoring join)
+    # instead of three times, and the c1 aggregate runs over |vocab| rows
+    # instead of the stream (round-11 optimization; same pattern in
+    # p21/t31).
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2")).persist()
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     return (
         bg.join(c2, ["w1", "w2"]).join(c1, ["w1"])
         .groupBy("doc_id")
@@ -4630,18 +4636,39 @@ def ml09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("w") >= 1)
         .select("doc_id", "lang", F.explode("w").alias("term"))
     )
-    tr = tok.filter(F.col("doc_id") % 5 != 0).persist()  # feeds vocab, class
-    # totals, AND the model counts — one tokenize, three aggregates
+    # training statistics from a VOCAB-sized persisted count table, not a
+    # corpus-sized token cache: the (lang, term) counts are the one
+    # aggregate that must see every training token; vocabulary size is
+    # COUNT(DISTINCT term) over its keys and the per-class token totals
+    # are SUM(c) — both exact over the tiny cached frame. The per-class /
+    # global DOC counts come from a doc-level scan that never explodes
+    # tokens (nd = training docs with ≥1 token per lang; ndt = their
+    # total). Previously the exploded training-token frame itself was
+    # persisted and FOUR aggregates re-scanned it (A/B-measured 3.8 →
+    # 3.2 s steady-state at sf0.1, identical hashes; round-11
+    # optimization — at 100 TB this also shrinks the cache from
+    # token-count rows to |vocab|×|classes|).
+    tcounts = (
+        tok.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
     te = (
         tok.filter(F.col("doc_id") % 5 == 0)
         .groupBy("doc_id", "lang", "term")
         .agg(F.count(F.lit(1)).alias("k"))
     )
-    v = tr.agg(F.countDistinct("term").alias("vsz"))
-    ndt = tr.agg(F.countDistinct("doc_id").alias("n"))
-    cls = tr.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("tc"), F.countDistinct("doc_id").alias("nd")
-    )
+    docstats = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select("lang", F.size(text.tokens(F.col("text"))).alias("__ntok"))
+        .filter(F.col("__ntok") >= 1)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    ).persist()  # feeds the per-class prior AND the global doc total
+    v = tcounts.agg(F.countDistinct("term").alias("vsz"))
+    ndt = docstats.agg(F.sum("nd").alias("n"))
+    cls = tcounts.groupBy("lang").agg(F.sum("c").alias("tc")).join(docstats, "lang")
     qz = lambda c: F.round(F.log(c) * 1000000).cast("long")
     langs = (
         cls.crossJoin(v)
@@ -4655,8 +4682,7 @@ def ml09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     model = (
-        tr.groupBy("lang", "term")
-        .agg(F.count(F.lit(1)).alias("c"))
+        tcounts
         .join(langs.withColumnRenamed("cand", "lang"), "lang")
         .select(
             F.col("lang").alias("cand"),
@@ -6315,7 +6341,10 @@ def t31(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.slice("w", 1, F.size("w") - 1)).alias("i", "w1"),
         F.col("w").alias("__w"),
     ).select("doc_id", "w1", F.element_at("__w", F.col("i") + 2).alias("w2"))
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    # the bigram-TYPE table feeds FOUR consumers (c1, pre, tt, the scoring
+    # join); persist the vocab-sized frame so the corpus-stream agg runs
+    # once (round-11 optimization, same pattern as t17/p21)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2")).persist()
     c1 = c2.groupBy("w1").agg(
         F.sum("n2").alias("n1"), F.count(F.lit(1)).alias("foll")
     )
@@ -6408,8 +6437,9 @@ def p21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.slice("w", 1, F.size("w") - 1)).alias("i", "w1"),
         F.col("w").alias("__w"),
     ).select("doc_id", "w1", F.element_at("__w", F.col("i") + 2).alias("w2"))
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    # persisted bigram-TYPE table + derived context counts — see t17
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2")).persist()
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     scored = (
         bg.join(c2, ["w1", "w2"]).join(c1, ["w1"])
         .groupBy("doc_id")
