@@ -31,6 +31,10 @@ from pyspark.sql import functions as F
 # for the low-latency rank walk; beyond it the metadata stage stays
 # distributed (the limit(+1) probe makes this a guarantee, not a hope)
 _DRIVER_META_BOUND = 65_536
+# covering-bucket sets up to this size compile to map literals instead of
+# broadcast-joined frames (≤ 2·G·|ps| entries; beyond it a literal
+# expression tree stops being free to analyze/codegen)
+_LITERAL_META_BOUND = 1024
 
 
 def summary_stats(df: DataFrame, col: str, round_to: int | None = 2) -> DataFrame:
@@ -252,7 +256,10 @@ def grouped_percentiles(
     #   * ≤ _DRIVER_META_BOUND count rows → the driver walks ranks directly
     #     (zero extra Spark stages — the low-latency path every bounded-
     #     cardinality caller hits; the limit(+1) probe makes the bound a
-    #     GUARANTEE, not a hope).
+    #     GUARANTEE, not a hope). When the covering-bucket set is also
+    #     small and the group dtype stringifies identically in Python and
+    #     SQL, the metadata further compiles to map LITERALS (below) —
+    #     no createDataFrame, no broadcast joins.
     #   * beyond it → the same offsets/targets/covering-bucket metadata is
     #     computed as DataFrames: a prefix-sum window over ≤ nparts rows per
     #     group, joins for the covering buckets, and only the ≤ 2·G·|ps|-row
@@ -266,6 +273,8 @@ def grouped_percentiles(
         counts.unpersist()
         return _empty_result()
     if len(head) <= _DRIVER_META_BOUND:
+        counts.unpersist()  # fully collected — the driver paths never
+        # reference the frame again (the distributed tier below does)
         per_group: dict = {}
         for r in head:
             per_group.setdefault(r[group], {})[r["__pid"]] = r["__s"]
@@ -294,6 +303,27 @@ def grouped_percentiles(
                 tgt_rows.append((g, name, rank, fl, ce))
                 needed.add((g, bucket_of(g, fl)))
                 needed.add((g, bucket_of(g, ce)))
+        # LITERAL driver tier (round-11): every piece of rank metadata is a
+        # Python scalar here, so instead of shipping it back through THREE
+        # createDataFrame + broadcast-join stages, compile it into two map
+        # literals keyed by "group\x1fbucket" / "group" — the needed-bucket
+        # filter, the offset lookup and the target explode all become
+        # map-side expressions, and ONE repartition on (group, __pid)
+        # satisfies both the dedup-agg and the rank-window distribution
+        # (plan: 3 broadcast exchanges + 1 shuffle removed; A/B 1.7→1.2 s
+        # on a07). Gated on (a) a covering set small enough for a literal
+        # expression tree and (b) a group dtype whose Python str() matches
+        # CAST(group AS STRING) exactly — strings and integrals; doubles
+        # (1e-07 vs 1.0E-7), booleans (True vs true) and null group keys
+        # stay on the frame tier (nulls: the equi-joins there drop them,
+        # and omitting them from the maps replicates exactly that).
+        gdt = base.schema[group].dataType.simpleString()
+        if len(needed) <= _LITERAL_META_BOUND and gdt in (
+            "string", "int", "bigint", "smallint", "tinyint"
+        ):
+            return _literal_pass3(
+                tagged, group, col, ps, _rnd, needed, offs_by_gb, tgt_rows
+            )
         tgt = spark.createDataFrame(tgt_rows, [group, "__name", "__rank", "__fl", "__ce"])
         need_df = spark.createDataFrame(sorted(needed), [group, "__pid"])
         off_df = spark.createDataFrame(
@@ -380,6 +410,98 @@ def grouped_percentiles(
             for _, name in ps
         ]
     )
+
+
+def _literal_pass3(tagged, group, col, ps, _rnd, needed, offs_by_gb, tgt_rows):
+    """Targeted pass 3 of grouped_percentiles with ALL rank metadata
+    inlined as map literals (driver tier only — every value is a Python
+    scalar). One repartition on (group, __pid) feeds both the per-value
+    dedup aggregate and the rank window — HashPartitioning(g, pid)
+    satisfies ClusteredDistribution for the (g, pid, value) grouping and
+    the (g, pid) window alike, so the bucket rows shuffle ONCE. The
+    covering/interpolation arithmetic is identical expression-for-
+    expression to the frame tier; the final result folds in a single
+    groupBy(group) (conditional v_lo/v_hi/rank per target, interpolation
+    in the projection) instead of the frame tier's two aggregates."""
+    key = F.concat_ws(
+        "\x1f", F.col(group).cast("string"), F.col("__pid").cast("string")
+    )
+    off_pairs = []
+    for (g, b), o in sorted(
+        offs_by_gb.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
+    ):
+        if (g, b) in needed and g is not None:
+            off_pairs.append(F.lit(f"{g}\x1f{b}"))
+            off_pairs.append(F.lit(int(o)).cast("long"))
+    moff = F.create_map(*off_pairs)
+    tgt_by_g: dict = {}
+    for g, name, rank, fl, ce in tgt_rows:
+        if g is None:
+            continue
+        tgt_by_g.setdefault(g, []).append(
+            F.struct(
+                F.lit(name).alias("__name"),
+                F.lit(float(rank)).alias("__rank"),
+                F.lit(int(fl)).cast("long").alias("__fl"),
+                F.lit(int(ce)).cast("long").alias("__ce"),
+            )
+        )
+    tgt_pairs = []
+    for g in sorted(tgt_by_g, key=str):
+        tgt_pairs.append(F.lit(str(g)))
+        tgt_pairs.append(F.array(*tgt_by_g[g]))
+    mtgt = F.create_map(*tgt_pairs)
+
+    p3 = (
+        tagged.where(F.element_at(moff, key).isNotNull())
+        .repartition(F.col(group), F.col("__pid"))
+        .groupBy(group, "__pid", col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(group, "__pid").orderBy(col)
+    cum = (
+        p3.withColumn("__off", F.element_at(moff, key))
+        .withColumn("__hi_rank", F.sum("__c").over(w) + F.col("__off"))
+        .withColumn("__lo_rank", F.col("__hi_rank") - F.col("__c"))
+    )
+    exploded = cum.select(
+        group, col, "__lo_rank", "__hi_rank",
+        F.explode(F.element_at(mtgt, F.col(group).cast("string"))).alias("__t"),
+    ).select(
+        group, col, "__lo_rank", "__hi_rank",
+        F.col("__t.__name").alias("__name"),
+        F.col("__t.__rank").alias("__rank"),
+        F.col("__t.__fl").alias("__fl"),
+        F.col("__t.__ce").alias("__ce"),
+    )
+    covers_fl = (F.col("__lo_rank") <= F.col("__fl")) & (
+        F.col("__fl") < F.col("__hi_rank")
+    )
+    covers_ce = (F.col("__lo_rank") <= F.col("__ce")) & (
+        F.col("__ce") < F.col("__hi_rank")
+    )
+    is_name = lambda n: F.col("__name") == n
+    agg_cols = []
+    for _, name in ps:
+        agg_cols.append(
+            F.max(F.when(is_name(name) & covers_fl, F.col(col))).alias(f"__lo_{name}")
+        )
+        agg_cols.append(
+            F.max(F.when(is_name(name) & covers_ce, F.col(col))).alias(f"__hi_{name}")
+        )
+        agg_cols.append(
+            F.max(F.when(is_name(name), F.col("__rank"))).alias(f"__rk_{name}")
+        )
+    folded = exploded.where(covers_fl | covers_ce).groupBy(group).agg(*agg_cols)
+    out = [
+        _rnd(
+            F.col(f"__lo_{name}")
+            + (F.col(f"__rk_{name}") - F.floor(F.col(f"__rk_{name}")))
+            * (F.col(f"__hi_{name}") - F.col(f"__lo_{name}"))
+        ).alias(name)
+        for _, name in ps
+    ]
+    return folded.select(group, *out)
 
 
 def _round_half_up(x: float, nd: int) -> float:

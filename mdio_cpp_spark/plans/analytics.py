@@ -2776,7 +2776,12 @@ def ev13(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same answer. The 3-row (axis, lo, hi) result folds into the
     # 6-literal cut row with one conditional aggregate.
     longs = u.selectExpr("stack(3, 'rec', rec, 'freq', freq, 'mon', mon) AS (ax, val)")
-    p = _stats.grouped_percentiles(longs, "ax", "val", [(0.25, "lo"), (0.75, "hi")])
+    # longs is a map-side stack over the persisted u — the operator's
+    # internal second cache of it would only duplicate u in memory
+    # (round-11: one fewer cache materialization job)
+    p = _stats.grouped_percentiles(
+        longs, "ax", "val", [(0.25, "lo"), (0.75, "hi")], input_cached=True
+    )
     pick = lambda ax, c: F.max(F.when(F.col("ax") == ax, F.col(c)))
     cuts = p.agg(
         pick("rec", "lo").alias("r1"), pick("rec", "hi").alias("r2"),
@@ -4241,12 +4246,22 @@ def ml13(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1), 16, 10)
         .cast("long") % _CV_FOLDS
     )
-    rows = li.select(
+    # round-11: (a) spread the scan before the per-row md5 — a few-file
+    # parquet input plans 3 partitions and serializes the hash on 3 of 32
+    # cores (scale-adaptive no-op on real multi-file inputs); (b) persist
+    # the narrow 4-long projection — BOTH corpus passes (fold stats and
+    # held-out scoring) read it, so the md5 runs once, not twice
+    # (A/B: md5 is ~0.55 s of each un-spread pass at sf0.1).
+    from mdio_cpp_spark.operators.dedup import ensure_map_parallelism
+
+    rows = ensure_map_parallelism(
+        li.select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+    ).select(
         fold.alias("fold"),
         F.col("l_quantity").cast("long").alias("u"),
         F.round(F.col("l_discount") * 100).cast("long").alias("v"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
-    )
+    ).persist()
     u, v, y = F.col("u"), F.col("v"), F.col("y")
     fs = rows.groupBy("fold").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
