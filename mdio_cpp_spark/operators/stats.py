@@ -627,3 +627,374 @@ def grouped_mad(
             F.round("mad", round_to).cast("double").alias("mad"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketized weighted/trimmed order statistics (round-11 optimization).
+#
+# a14/a19's original "didactic" forms shuffle the ENTIRE per-(group, value)
+# lattice (~= row cardinality for high-resolution values like prices in
+# cents) into G window partitions and run a per-group cumulative sort — at
+# sf0.1 that is 594k lattice rows through 3 partitions for a14; at 100 TB it
+# is a single-task sort per group, the exact shape grouped_percentiles
+# exists to kill. Both statistics only need RANK arithmetic, so the same
+# two-pass bucket machinery applies: one (group, bucket) partial aggregate
+# (tiny, map-side combined), a driver walk over the ≤ _DRIVER_META_BOUND
+# bucket table to locate the covering bucket(s) and their exact row/weight
+# offsets, then a targeted pass over covering-bucket rows only, with all
+# metadata compiled to map literals (the _literal_pass3 posture: zero
+# broadcast-join stages, one shuffle of covering rows). Every quantity is
+# int64-exact end to end, so the restructuring is bit-identical to the
+# lattice form — both are gated against the DuckDB oracle.
+
+
+def _bucketed_driver_meta(base, group, col, agg_cols):
+    """Shared scaffolding for the bucketized rank operators: bounds pass,
+    monotone uniform bucket tag, per-(group, bucket) aggregate, and the
+    limit(+1)-probed driver collect. Returns (tagged, head, gdt) where
+    head is None when the driver tier is unavailable (over-bound or a
+    group dtype whose Python str() does not round-trip through CAST AS
+    STRING) — callers then take their distributed lattice fallback.
+
+    ``base`` must already be persisted by the caller: the bounds pass
+    materializes the cache and the bucket aggregate + targeted pass read
+    it — three scans would otherwise re-run the upstream plan each (the
+    grouped_percentiles narrow-cache posture)."""
+    spark = base.sparkSession
+    nparts = 4 * max(1, spark.sparkContext.defaultParallelism)
+    lo_hi = base.agg(
+        F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
+    ).first()
+    vmin, vmax = lo_hi[0], lo_hi[1]
+    if vmin is None:
+        return None, "empty", None
+    if vmax == vmin:
+        return None, "constant", None
+    step = (vmax - vmin) / nparts
+    if step <= 0.0 or not math.isfinite(step):
+        step = 1.0
+    v = F.col(col).cast("double")
+    pid = F.least(
+        F.lit(float(nparts - 1)),
+        F.greatest(F.lit(0.0), F.floor((v - F.lit(vmin)) / F.lit(step))),
+    ).cast("int")
+    tagged = base.withColumn("__pid", pid)
+    gdt = base.schema[group].dataType.simpleString()
+    if gdt not in ("string", "int", "bigint", "smallint", "tinyint"):
+        return tagged, None, gdt
+    counts = tagged.groupBy(group, "__pid").agg(*agg_cols)
+    head = counts.limit(_DRIVER_META_BOUND + 1).collect()
+    if len(head) > _DRIVER_META_BOUND:
+        return tagged, None, gdt
+    return tagged, head, gdt
+
+
+def _gb_key(group):
+    return F.concat_ws(
+        "\x1f", F.col(group).cast("string"), F.col("__pid").cast("string")
+    )
+
+
+def _long_map(pairs):
+    """create_map from a {str_key: int} dict, long-valued."""
+    items = []
+    for k in sorted(pairs):
+        items.append(F.lit(k))
+        items.append(F.lit(int(pairs[k])).cast("long"))
+    return F.create_map(*items)
+
+
+def grouped_weighted_median_lower(
+    df: DataFrame, group: str, col: str, weight: str,
+    persist_input: bool = False,
+) -> DataFrame:
+    """EXACT grouped lower weighted median: the smallest ``col`` value v
+    with 2·cumweight(v) ≥ totalweight — a14's crossing rule — returned as
+    (group, __wmed) in the raw col domain (caller scales/renames).
+
+    Values and weights must be integral (int64-exact rank arithmetic);
+    weights must be positive. Fast path: bucket machinery above — one
+    (group, bucket) weight aggregate, driver walk to the single covering
+    bucket per group, one shuffle of covering rows. Fallback (over-bound
+    metadata or non-literal group dtype): the full-lattice cumulative
+    window — correct at any cardinality, serialized per group.
+
+    ``persist_input=False`` (default): the three passes re-read the
+    upstream plan — the right trade when ``df`` is a trivial projection of
+    a columnar scan (guide §5: cache only when recompute beats the memory
+    pressure; a column-pruned parquet re-scan is cheaper than writing a
+    corpus-sized cache). Pass True when the input is derived/expensive."""
+    base = df.select(group, col, weight).where(F.col(col).isNotNull())
+    if persist_input:
+        from pyspark.storagelevel import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _lattice():
+        agg = base.groupBy(group, col).agg(F.sum(weight).alias("__q"))
+        w_cum = (
+            Window.partitionBy(group).orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_tot = Window.partitionBy(group)
+        cum = agg.select(
+            group, col,
+            F.sum("__q").over(w_cum).alias("__cw"),
+            F.sum("__q").over(w_tot).alias("__tw"),
+        )
+        return (
+            cum.filter(2 * F.col("__cw") >= F.col("__tw"))
+            .groupBy(group).agg(F.min(col).alias("__wmed"))
+        )
+
+    tagged, head, _gdt = _bucketed_driver_meta(
+        base, group, col, [F.sum(weight).alias("__w")]
+    )
+    if head == "empty" or head == "constant":
+        # empty: schema-correct empty frame; constant column: the (only)
+        # value IS the weighted median of every group
+        return base.groupBy(group).agg(F.min(col).alias("__wmed"))
+    if head is None:
+        return _lattice()
+
+    per_group: dict = {}
+    for r in head:
+        per_group.setdefault(r[group], {})[r["__pid"]] = int(r["__w"])
+    mcov_d: dict = {}
+    moff_d: dict = {}
+    mtot_d: dict = {}
+    for g, d in per_group.items():
+        if g is None:
+            continue  # null group keys: no covering entry -> rows drop,
+            # mirroring the lattice form's groupBy treatment? (nulls DO
+            # group in SQL) — callers guarantee non-null groups; nulls
+            # would need the lattice path
+        tot = sum(d.values())
+        acc = 0
+        for b in sorted(d):
+            if 2 * (acc + d[b]) >= tot:
+                mcov_d[str(g)] = b
+                moff_d[str(g)] = acc
+                mtot_d[str(g)] = tot
+                break
+            acc += d[b]
+    if any(g is None for g in per_group):
+        return _lattice()  # preserve null-group semantics exactly
+    if len(mcov_d) > _LITERAL_META_BOUND:
+        return _lattice()
+    mcov = _long_map(mcov_d)
+    moff = _long_map(moff_d)
+    mtot = _long_map(mtot_d)
+    gstr = F.col(group).cast("string")
+    p3 = (
+        tagged.where(F.element_at(mcov, gstr) == F.col("__pid"))
+        .repartition(F.col(group))
+        .groupBy(group, col)
+        .agg(F.sum(weight).alias("__q"))
+    )
+    w = (
+        Window.partitionBy(group).orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = p3.withColumn(
+        "__cw", F.sum("__q").over(w) + F.element_at(moff, gstr)
+    )
+    return (
+        cum.filter(2 * F.col("__cw") >= F.element_at(mtot, gstr))
+        .groupBy(group).agg(F.min(col).alias("__wmed"))
+    )
+
+
+def grouped_trimmed_sums(
+    df: DataFrame, group: str, col: str, trim_num: int, trim_den: int,
+    persist_input: bool = False,
+) -> DataFrame:
+    """EXACT per-group trimmed-sum bookkeeping for a19: returns
+    (group, __n, __s, __k, __cut_lo, __cut_hi) — row count, value sum,
+    k = n·trim_num div trim_den, and the exact sums of the k smallest /
+    k largest ROWS (partial-tie corrected), all int64.
+
+    Fast path: (group, bucket) aggregate carries (row count, value sum);
+    the driver walk locates the low/high covering buckets and their exact
+    row offsets and full below/above-bucket sums; only covering-bucket
+    rows take the targeted pass (both tails in ONE shuffle + window).
+    Fallback: the full-lattice prefix-window composition.
+    ``persist_input`` as in grouped_weighted_median_lower."""
+    base = df.select(group, col).where(F.col(col).isNotNull())
+    if persist_input:
+        from pyspark.storagelevel import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    kexpr = F.expr(f"__n * {int(trim_num)} div {int(trim_den)}")
+
+    def _lattice():
+        lat = base.groupBy(group, col).agg(F.count(F.lit(1)).alias("__c"))
+        wprev = (
+            Window.partitionBy(group).orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        wall = Window.partitionBy(group)
+        cum = lat.select(
+            group, col, "__c",
+            F.coalesce(F.sum("__c").over(wprev), F.lit(0)).alias("__below"),
+            F.sum("__c").over(wall).alias("__n"),
+            F.sum(F.col("__c") * F.col(col)).over(wall).alias("__s"),
+        ).withColumn("__k", kexpr)
+        above = F.col("__n") - (F.col("__below") + F.col("__c"))
+        cv = F.col("__c") * F.col(col)
+        lo = (
+            F.when(F.col("__below") + F.col("__c") <= F.col("__k"), cv)
+            .when(F.col("__below") < F.col("__k"),
+                  (F.col("__k") - F.col("__below")) * F.col(col))
+            .otherwise(F.lit(0))
+        )
+        hi = (
+            F.when(above + F.col("__c") <= F.col("__k"), cv)
+            .when(above < F.col("__k"), (F.col("__k") - above) * F.col(col))
+            .otherwise(F.lit(0))
+        )
+        return cum.groupBy(group).agg(
+            F.max("__n").alias("__n"), F.max("__s").alias("__s"),
+            F.max("__k").alias("__k"),
+            F.sum(lo).alias("__cut_lo"), F.sum(hi).alias("__cut_hi"),
+        )
+
+    tagged, head, _gdt = _bucketed_driver_meta(
+        base, group, col,
+        [F.count(F.lit(1)).alias("__c"), F.sum(col).alias("__s")],
+    )
+    if head == "empty":
+        return base.groupBy(group).agg(
+            F.count(F.lit(1)).alias("__n"), F.sum(col).alias("__s"),
+            F.lit(0).cast("long").alias("__k"),
+            F.lit(0).cast("long").alias("__cut_lo"),
+            F.lit(0).cast("long").alias("__cut_hi"),
+        )
+    if head == "constant":
+        # single distinct value v per the whole column: each tail trims
+        # exactly k copies of v
+        return (
+            base.groupBy(group)
+            .agg(F.count(F.lit(1)).alias("__n"), F.sum(col).alias("__s"),
+                 F.min(col).alias("__v"))
+            .withColumn("__k", kexpr)
+            .select(
+                group, "__n", "__s", "__k",
+                (F.col("__k") * F.col("__v")).cast("long").alias("__cut_lo"),
+                (F.col("__k") * F.col("__v")).cast("long").alias("__cut_hi"),
+            )
+        )
+    if head is None:
+        return _lattice()
+
+    per_group: dict = {}
+    for r in head:
+        per_group.setdefault(r[group], {})[r["__pid"]] = (
+            int(r["__c"]), int(r["__s"])
+        )
+    if any(g is None for g in per_group):
+        return _lattice()
+    moff_d: dict = {}   # "g\x1fpid" -> row offset below that bucket
+    mlo_d: dict = {}    # "g" -> low covering bucket pid
+    mhi_d: dict = {}    # "g" -> high covering bucket pid
+    mn_d: dict = {}
+    ms_d: dict = {}
+    mk_d: dict = {}
+    mfull_lo_d: dict = {}
+    mfull_hi_d: dict = {}
+    for g, d in per_group.items():
+        buckets = sorted(d)
+        n = sum(c for c, _ in d.values())
+        s = sum(sv for _, sv in d.values())
+        k = n * int(trim_num) // int(trim_den)
+        gk = str(g)
+        mn_d[gk], ms_d[gk], mk_d[gk] = n, s, k
+        # low covering bucket: first b with cumN >= k (k=0 -> first
+        # bucket, whose rows all evaluate to 0 contribution but keep the
+        # group present in the targeted pass)
+        acc_n, acc_s = 0, 0
+        bl = buckets[0]
+        for b in buckets:
+            c_b, s_b = d[b]
+            if acc_n + c_b >= k:
+                bl = b
+                break
+            acc_n += c_b
+            acc_s += s_b
+        mlo_d[gk] = bl
+        mfull_lo_d[gk] = acc_s
+        off_lo = acc_n
+        # high covering bucket, mirrored from the top
+        acc_n2, acc_s2 = 0, 0
+        bh = buckets[-1]
+        for b in reversed(buckets):
+            c_b, s_b = d[b]
+            if acc_n2 + c_b >= k:
+                bh = b
+                break
+            acc_n2 += c_b
+            acc_s2 += s_b
+        mhi_d[gk] = bh
+        mfull_hi_d[gk] = acc_s2
+        # row offsets below each covering bucket (below-offset for bh is
+        # n - rows-above-bh - rows-in-bh)
+        moff_d[f"{gk}\x1f{bl}"] = off_lo
+        moff_d[f"{gk}\x1f{bh}"] = n - acc_n2 - d[bh][0]
+    if len(moff_d) > _LITERAL_META_BOUND:
+        return _lattice()
+    moff = _long_map(moff_d)
+    mlo = _long_map(mlo_d)
+    mhi = _long_map(mhi_d)
+    mn = _long_map(mn_d)
+    ms = _long_map(ms_d)
+    mk = _long_map(mk_d)
+    mfl = _long_map(mfull_lo_d)
+    mfh = _long_map(mfull_hi_d)
+    gstr = F.col(group).cast("string")
+    key = _gb_key(group)
+    p3 = (
+        tagged.where(F.element_at(moff, key).isNotNull())
+        .repartition(F.col(group), F.col("__pid"))
+        .groupBy(group, "__pid", col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wprev = (
+        Window.partitionBy(group, "__pid").orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = p3.select(
+        group, "__pid", col, "__c",
+        (F.coalesce(F.sum("__c").over(wprev), F.lit(0))
+         + F.element_at(moff, key)).alias("__below"),
+        F.element_at(mn, gstr).alias("__n"),
+        F.element_at(mk, gstr).alias("__k"),
+    )
+    above = F.col("__n") - (F.col("__below") + F.col("__c"))
+    cv = F.col("__c") * F.col(col)
+    in_lo = F.element_at(mlo, gstr) == F.col("__pid")
+    in_hi = F.element_at(mhi, gstr) == F.col("__pid")
+    lo = F.when(
+        in_lo,
+        F.when(F.col("__below") + F.col("__c") <= F.col("__k"), cv)
+        .when(F.col("__below") < F.col("__k"),
+              (F.col("__k") - F.col("__below")) * F.col(col))
+        .otherwise(F.lit(0)),
+    ).otherwise(F.lit(0))
+    hi = F.when(
+        in_hi,
+        F.when(above + F.col("__c") <= F.col("__k"), cv)
+        .when(above < F.col("__k"), (F.col("__k") - above) * F.col(col))
+        .otherwise(F.lit(0)),
+    ).otherwise(F.lit(0))
+    return (
+        cum.groupBy(group)
+        .agg(F.sum(lo).alias("__plo"), F.sum(hi).alias("__phi"))
+        .select(
+            group,
+            F.element_at(mn, gstr).alias("__n"),
+            F.element_at(ms, gstr).alias("__s"),
+            F.element_at(mk, gstr).alias("__k"),
+            (F.element_at(mfl, gstr) + F.col("__plo")).alias("__cut_lo"),
+            (F.element_at(mfh, gstr) + F.col("__phi")).alias("__cut_hi"),
+        )
+    )

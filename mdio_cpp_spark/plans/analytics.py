@@ -1637,24 +1637,26 @@ def a14(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is the didactic form; at extreme per-group cardinality the
     a07 bucket machinery generalizes to weighted ranks (sum weights per
     bucket instead of counts)."""
+    from mdio_cpp_spark.operators.stats import grouped_weighted_median_lower
+
     li = table(spark, sf_dir, "lineitem")
     b = li.select(
         F.col("l_returnflag").alias("f"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
         F.col("l_quantity").cast("long").alias("q"),
     )
-    agg = b.groupBy("f", "pc").agg(F.sum("q").alias("q"))
-    w_cum = Window.partitionBy("f").orderBy("pc").rowsBetween(Window.unboundedPreceding, 0)
-    w_tot = Window.partitionBy("f")
-    cum = agg.select(
-        "f", "pc",
-        F.sum("q").over(w_cum).alias("cw"),
-        F.sum("q").over(w_tot).alias("tw"),
-    )
+    # round-11: bucketized crossing search (stats.grouped_weighted_median_
+    # lower) — the lattice-window form shuffled ~594k distinct (f, pc) rows
+    # into 3 window partitions and sorted each serially; the bucket
+    # machinery reduces that to a (f, bucket) weight aggregate + one
+    # covering bucket's rows per group, int64-exact, oracle-gated. The
+    # lattice form survives as the operator's over-bound fallback.
     return (
-        cum.filter(2 * F.col("cw") >= F.col("tw"))
-        .groupBy(F.col("f").alias("l_returnflag"))
-        .agg((F.min("pc") / 100.0).alias("wmedian"))
+        grouped_weighted_median_lower(b, "f", "pc", "q")
+        .select(
+            F.col("f").alias("l_returnflag"),
+            (F.col("__wmed") / 100.0).alias("wmedian"),
+        )
         .orderBy("l_returnflag")
     )
 
@@ -4485,56 +4487,30 @@ def a19(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut mirrored); every quantity through the final division is an exact
     integer, so both engines emit identical doubles before the 4dp
     display round."""
+    from mdio_cpp_spark.operators.stats import grouped_trimmed_sums
+
     o = _t(spark, sf_dir, "orders")
     rows = o.select(
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
     )
-    lat = rows.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
-    wprev = (
-        Window.partitionBy("grp").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wall = Window.partitionBy("grp")
-    cum = lat.select(
-        "grp", "v", "c",
-        F.coalesce(F.sum("c").over(wprev), F.lit(0)).alias("below"),
-        F.sum("c").over(wall).alias("n"),
-        F.sum(F.col("c") * F.col("v")).over(wall).alias("s"),
-    )
-    k = (
-        cum.groupBy("grp", "n", "s")
-        .agg(F.first(F.lit(0)).alias("_"))
-        .select(
-            "grp", "n", "s",
-            F.expr(f"n * {_TRIM_FRAC_NUM} div {_TRIM_FRAC_DEN}").alias("k"),
-        )
-    )
-    j = cum.join(k.select("grp", "k"), "grp")
-    above = F.col("n") - (F.col("below") + F.col("c"))
-    lo = j.groupBy("grp").agg(
-        F.sum(
-            F.when(F.col("below") + F.col("c") <= F.col("k"), F.col("c") * F.col("v"))
-            .when(F.col("below") < F.col("k"), (F.col("k") - F.col("below")) * F.col("v"))
-            .otherwise(F.lit(0))
-        ).alias("cut_lo")
-    )
-    hi = j.groupBy("grp").agg(
-        F.sum(
-            F.when(above + F.col("c") <= F.col("k"), F.col("c") * F.col("v"))
-            .when(above < F.col("k"), (F.col("k") - above) * F.col("v"))
-            .otherwise(F.lit(0))
-        ).alias("cut_hi")
-    )
+    # round-11: bucketized tail bookkeeping (stats.grouped_trimmed_sums) —
+    # the lattice form shuffled ~150k distinct (grp, v) rows into 5 window
+    # partitions, sorted each serially, then joined two more lattice-sized
+    # conditional aggregates. The bucket machinery aggregates (count, sum)
+    # per (grp, bucket), drives the cut ranks from the driver walk, and
+    # touches only the two covering buckets' rows (both tails in one
+    # shuffle + window); all quantities stay int64 so the result is
+    # bit-identical (oracle-gated). Lattice form = over-bound fallback.
+    t = grouped_trimmed_sums(rows, "grp", "v", _TRIM_FRAC_NUM, _TRIM_FRAC_DEN)
     return (
-        k.join(lo, "grp").join(hi, "grp")
-        .select(
-            "grp", "n", F.col("k").alias("k_trim"),
+        t.select(
+            "grp", F.col("__n").alias("n"), F.col("__k").alias("k_trim"),
             F.round(
-                (F.col("s") - F.col("cut_lo") - F.col("cut_hi")).cast("double")
-                / (F.col("n") - 2 * F.col("k")) / 100.0, 4,
+                (F.col("__s") - F.col("__cut_lo") - F.col("__cut_hi")).cast("double")
+                / (F.col("__n") - 2 * F.col("__k")) / 100.0, 4,
             ).alias("trimmed_mean"),
-            F.round(F.col("s").cast("double") / F.col("n") / 100.0, 4).alias(
+            F.round(F.col("__s").cast("double") / F.col("__n") / 100.0, 4).alias(
                 "plain_mean"
             ),
         )

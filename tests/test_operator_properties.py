@@ -338,3 +338,132 @@ def test_grouped_mad_fallback_honors_round_to(spark):
     slow = {r["g"]: (r["med"], r["mad"])
             for r in grouped_mad(df, "g", "v", round_to=6, distinct_bound=5).collect()}
     assert fast == slow
+
+
+def _wmed_model(rows):
+    """Brute-force lower weighted median per group: smallest v with
+    2*cumweight >= totalweight."""
+    by_g: dict = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, []).append((v, w))
+    out = {}
+    for g, vw in by_g.items():
+        vw.sort()
+        tot = sum(w for _, w in vw)
+        acc = 0
+        for v, w in vw:
+            acc += w
+            if 2 * acc >= tot:
+                out[g] = v
+                break
+    return out
+
+
+def test_grouped_weighted_median_lower_matches_model(spark):
+    """Bucketized crossing search == brute force on mixed-shape groups:
+    ties at the crossing, single-row groups, heavy single-value mass,
+    negative values spanning bucket boundaries."""
+    import random
+
+    from mdio_cpp_spark.operators.stats import grouped_weighted_median_lower
+
+    rng = random.Random(31)
+    rows = [(g, rng.randint(-500, 500), rng.randint(1, 9))
+            for g in ("a", "b", "c") for _ in range(400)]
+    rows += [("d", 42, 3)]                      # single row
+    rows += [("e", 7, 1000), ("e", 8, 1)]       # one value owns the mass
+    rows += [("f", 1, 1), ("f", 2, 1)]          # exact 2*cw == tw tie at v=1
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {r["g"]: r["__wmed"]
+           for r in grouped_weighted_median_lower(df, "g", "v", "w").collect()}
+    assert got == _wmed_model(rows)
+    assert got["f"] == 1  # the >= crossing rule takes the LOWER tie
+
+
+def test_grouped_weighted_median_lower_fast_equals_fallback(spark, monkeypatch):
+    """Force the lattice fallback by zeroing the driver bound; both tiers
+    must agree exactly."""
+    import random
+
+    from mdio_cpp_spark.operators import stats
+
+    rng = random.Random(32)
+    rows = [(g, rng.randint(0, 100), rng.randint(1, 4))
+            for g in ("a", "b") for _ in range(300)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    fast = {r["g"]: r["__wmed"]
+            for r in stats.grouped_weighted_median_lower(df, "g", "v", "w").collect()}
+    monkeypatch.setattr(stats, "_DRIVER_META_BOUND", 0)
+    slow = {r["g"]: r["__wmed"]
+            for r in stats.grouped_weighted_median_lower(df, "g", "v", "w").collect()}
+    assert fast == slow == _wmed_model(rows)
+
+
+def _trim_model(rows, num, den):
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    out = {}
+    for g, vs in by_g.items():
+        vs.sort()
+        n, s = len(vs), sum(vs)
+        k = n * num // den
+        out[g] = (n, s, k, sum(vs[:k]), sum(vs[n - k:]) if k else 0)
+    return out
+
+
+def test_grouped_trimmed_sums_matches_model(spark):
+    """Bucketized tail sums == brute force: tie runs straddling the cut
+    rank, k=0 small groups, negative values, duplicate-heavy groups."""
+    import random
+
+    from mdio_cpp_spark.operators.stats import grouped_trimmed_sums
+
+    rng = random.Random(33)
+    rows = [(g, rng.randint(-50, 50)) for g in ("a", "b") for _ in range(500)]
+    rows += [("c", 5)] * 97          # one value only; k=9 trims ties
+    rows += [("d", 3), ("d", 9)]     # n=2 -> k=0: nothing trimmed
+    rows += [("e", v) for v in (1, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: (r["__n"], r["__s"], r["__k"], r["__cut_lo"], r["__cut_hi"])
+           for r in grouped_trimmed_sums(df, "g", "v", 1, 10).collect()}
+    assert got == _trim_model(rows, 1, 10)
+
+
+def test_grouped_trimmed_sums_fast_equals_fallback(spark, monkeypatch):
+    import random
+
+    from mdio_cpp_spark.operators import stats
+
+    rng = random.Random(34)
+    rows = [(g, rng.randint(0, 1000)) for g in ("a", "b", "c") for _ in range(400)]
+    rows += [("d", 8)]  # single row, k=0
+    df = spark.createDataFrame(rows, "g string, v long")
+    fast = {r["g"]: (r["__n"], r["__s"], r["__k"], r["__cut_lo"], r["__cut_hi"])
+            for r in stats.grouped_trimmed_sums(df, "g", "v", 1, 10).collect()}
+    monkeypatch.setattr(stats, "_DRIVER_META_BOUND", 0)
+    slow = {r["g"]: (r["__n"], r["__s"], r["__k"], r["__cut_lo"], r["__cut_hi"])
+            for r in stats.grouped_trimmed_sums(df, "g", "v", 1, 10).collect()}
+    assert fast == slow == _trim_model(rows, 1, 10)
+
+
+def test_bucketized_rank_ops_constant_and_empty(spark):
+    """The pre-bucket short-circuits: constant column (vmin == vmax) and
+    empty input must stay exact without entering the bucket machinery."""
+    from mdio_cpp_spark.operators.stats import (
+        grouped_trimmed_sums,
+        grouped_weighted_median_lower,
+    )
+
+    const = spark.createDataFrame(
+        [("a", 7, 2)] * 25 + [("b", 7, 1)] * 3, "g string, v long, w long"
+    )
+    got = {r["g"]: r["__wmed"]
+           for r in grouped_weighted_median_lower(const, "g", "v", "w").collect()}
+    assert got == {"a": 7, "b": 7}
+    gt = {r["g"]: (r["__n"], r["__s"], r["__k"], r["__cut_lo"], r["__cut_hi"])
+          for r in grouped_trimmed_sums(const.select("g", "v"), "g", "v", 1, 10).collect()}
+    assert gt == {"a": (25, 175, 2, 14, 14), "b": (3, 21, 0, 0, 0)}
+    empty = spark.createDataFrame([], "g string, v long, w long")
+    assert grouped_weighted_median_lower(empty, "g", "v", "w").collect() == []
+    assert grouped_trimmed_sums(empty.select("g", "v"), "g", "v", 1, 10).collect() == []
