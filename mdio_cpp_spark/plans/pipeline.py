@@ -5322,71 +5322,75 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str, limit: int) -> DataFrame:
     """BM25 ranking of documents against the fixed query-term set:
     (doc_id, score, rk), rk <= limit.
 
-    Scale shape: tokens reduce map-side to a (doc, term) tf table that is
-    query-term-filtered BEFORE the shuffle (3 terms → the shuffled tf frame
-    is at most |terms|·|docs| rows of integers, never corpus-sized); df and
-    the corpus stats (N, avgdl) are single-row / |terms|-row aggregates that
-    BROADCAST back; the per-term contributions pivot into fixed columns so
-    the final score is one map-side expression. The only rank is over the
-    already-tiny scored frame. No document text survives past the first
-    projection."""
+    Scale shape (round-11: single corpus pass): ONE tokenize + explode_outer
+    feeds ONE per-doc conditional aggregate carrying (dl, tf_per_term) — the
+    map-side partial agg reduces each partition to its distinct docs before
+    the only corpus-keyed shuffle (|docs| rows of 1+|terms| ints). The
+    previous form tokenized the corpus TWICE (a dl pass and a filtered tf
+    pass) and equi-joined them back with a separate idf frame; all three
+    joins are gone. Corpus stats (N, avgdl, per-term df) reduce to ONE row
+    that broadcasts back; the score is a map-side expression summed in fixed
+    literal order (double addition order cannot drift the 4dp round), and
+    docs with zero query-term hits are filtered out before ranking — the
+    identical candidate set the tf-join form produced. explode_outer keeps
+    zero-token docs in N/avgdl, as the size()-based dl pass did. No document
+    text survives past the first projection."""
     from pyspark.sql.window import Window
 
     d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", text.tokens(F.col("text")).alias("w"))
-    dl = toks.select("doc_id", F.size("w").cast("long").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    tf = (
-        toks.select("doc_id", F.explode("w").alias("tok"))
-        .filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    idf = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    contrib = (
-        tf.join(F.broadcast(idf), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            "tok",
-            (
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                )
-                * (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0))
-                / (
-                    F.col("tf").cast("double")
-                    + F.lit(_BM25_K1)
-                    * (
-                        F.lit(1.0 - _BM25_B)
-                        + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
-                    )
-                )
-            ).alias("contrib"),
+    nt = len(_BM25_TERMS)
+    per_doc = (
+        d.select("doc_id", F.explode_outer(text.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("tok").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("dl"),
+            *[
+                F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
+                .cast("long").alias(f"tf{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
         )
     )
-    pivoted = contrib.groupBy("doc_id").agg(
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         *[
-            F.coalesce(
-                F.max(F.when(F.col("tok") == t, F.col("contrib"))), F.lit(0.0)
-            ).alias(f"c{i}")
-            for i, t in enumerate(_BM25_TERMS)
-        ]
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("long").alias(f"df{i}")
+            for i in range(nt)
+        ],
     )
-    score = F.round(
-        sum((F.col(f"c{i}") for i in range(1, len(_BM25_TERMS))), F.col("c0")), 4
-    )
+    hits = per_doc.filter(
+        sum((F.col(f"tf{i}") for i in range(1, nt)), F.col("tf0")) > 0
+    ).crossJoin(F.broadcast(stats))
+
+    def _contrib(i: int):
+        # expression-for-expression the old per-(doc, term) contrib; a
+        # zero tf yields exactly +0.0, matching the old pivot's coalesce
+        return (
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+                / (F.col(f"df{i}") + F.lit(0.5))
+            )
+            * (F.col(f"tf{i}").cast("double") * F.lit(_BM25_K1 + 1.0))
+            / (
+                F.col(f"tf{i}").cast("double")
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1.0 - _BM25_B)
+                    + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+                )
+            )
+        )
+
+    score = F.round(sum((_contrib(i) for i in range(1, nt)), _contrib(0)), 4)
     # Distributed top-k (TakeOrderedAndProject), THEN a row_number over the
-    # ≤limit surviving rows — the global window never sees more than `limit`
+    # <=limit surviving rows — the global window never sees more than `limit`
     # rows, so there is no corpus-sized single-partition sort anywhere.
     topk = (
-        pivoted.select("doc_id", score.alias("score"))
+        hits.select("doc_id", score.alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(limit)
     )
