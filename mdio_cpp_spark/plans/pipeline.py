@@ -6455,7 +6455,15 @@ def p21(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ppl")
         )
     )
-    langd = scored.join(d.select("doc_id", "lang"), "doc_id")
+    # (doc_id, ppl, lang) feeds TWO consumers (the band-cut lattice and the
+    # final bucket agg). Relying on exchange reuse to dedupe them breaks
+    # once the cached c2 sits inside the subtree (AQE does not reuse
+    # exchanges across InMemoryTableScan-bearing twins), which re-ran the
+    # whole corpus scoring pipeline — tokenize, two model joins, per-doc
+    # agg — once per consumer. Persist the doc-count-sized score frame
+    # instead: the corpus is tokenized once for the model cache and once
+    # for scoring, and both consumers read ~|docs| cached rows.
+    langd = scored.join(d.select("doc_id", "lang"), "doc_id").persist()
     from pyspark.sql import Window as W
 
     vals = langd.groupBy("lang", "ppl").agg(F.count(F.lit(1)).alias("c"))
