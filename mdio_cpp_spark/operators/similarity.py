@@ -470,33 +470,38 @@ def lloyd_train(
     narrow = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
     ).persist()
-    exemplars = (
-        narrow.orderBy(F.col(id_col)).limit(k).select(id_col, vec_col).collect()
-    )
-    cents = {int(r[0]): [float(x) for x in r[1]] for r in exemplars}
-    for _ in range(iters):
-        vn, cell = _cell_argmax_sql(sorted(cents.items()), vec_col)
-        rows = (
-            narrow.selectExpr(vec_col, f"{vn} AS __vn")
-            .selectExpr(f"{cell} AS cell", vec_col)
-            .select("cell", F.posexplode(F.col(vec_col)).alias("d", "x"))
-            .groupBy("cell", "d")
-            .agg(
-                F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
+    # try/finally: a failure inside the training loop (e.g. a malformed
+    # vector breaking the SQL argmax) must not leak the persisted corpus
+    # projection for the rest of the session
+    try:
+        exemplars = (
+            narrow.orderBy(F.col(id_col)).limit(k).select(id_col, vec_col).collect()
         )
-        means: dict = {}
-        for r in rows:
-            means.setdefault(int(r["cell"]), {})[int(r["d"])] = (
-                float(r["s"]) / (float(r["n"]) * 1e6)
+        cents = {int(r[0]): [float(x) for x in r[1]] for r in exemplars}
+        for _ in range(iters):
+            vn, cell = _cell_argmax_sql(sorted(cents.items()), vec_col)
+            rows = (
+                narrow.selectExpr(vec_col, f"{vn} AS __vn")
+                .selectExpr(f"{cell} AS cell", vec_col)
+                .select("cell", F.posexplode(F.col(vec_col)).alias("d", "x"))
+                .groupBy("cell", "d")
+                .agg(
+                    F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
             )
-        cents = {
-            c: [means.get(c, {}).get(d, prev[d]) for d in range(len(prev))]
-            for c, prev in cents.items()
-        }
-    narrow.unpersist()
+            means: dict = {}
+            for r in rows:
+                means.setdefault(int(r["cell"]), {})[int(r["d"])] = (
+                    float(r["s"]) / (float(r["n"]) * 1e6)
+                )
+            cents = {
+                c: [means.get(c, {}).get(d, prev[d]) for d in range(len(prev))]
+                for c, prev in cents.items()
+            }
+    finally:
+        narrow.unpersist()
     return sorted(cents.items())
 
 
@@ -518,6 +523,14 @@ def _cell_argmax_sql(cents: list, vec_col: str) -> tuple[str, str]:
     import math
 
     def dlit(x: float) -> str:
+        # repr() of inf/nan does not parse as a SQL double literal — a
+        # degenerate upstream coordinate would surface as an opaque
+        # ParseException mid-training; fail with a diagnosable error here
+        if not math.isfinite(x):
+            raise ValueError(
+                f"non-finite centroid coordinate {x!r} cannot be embedded "
+                "as a SQL double literal (degenerate upstream input?)"
+            )
         return f"CAST({x!r} AS DOUBLE)"
 
     vn = (

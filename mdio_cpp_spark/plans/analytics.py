@@ -3894,7 +3894,12 @@ def ga06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     levels = [frontier]
-    while frontier.count() > 0:
+    # ONE count job per level: the count that materializes level N's cache
+    # doubles as the loop condition for expanding level N+1 (the previous
+    # form re-counted the just-counted frontier at the top of each pass —
+    # 2 driver-blocking jobs per level instead of 1; round 12)
+    n_frontier = frontier.count()
+    while n_frontier > 0:
         nxt = (
             frontier.join(
                 e.select(F.col("node").alias("anc"), F.col("parent").alias("anc2")),
@@ -3904,7 +3909,8 @@ def ga06(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.col("anc2").alias("anc"), (F.col("dist") + 1).alias("dist"))
             .persist()
         )
-        if nxt.count() == 0:
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             nxt.unpersist()
             break
         levels.append(nxt)

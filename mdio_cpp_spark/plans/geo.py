@@ -137,12 +137,19 @@ def geo02(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v"), (-F.col("il")).alias("nil"),
             (-F.col("xl")).alias("nxl"), (-F.col("t")).alias("nt"))).alias("pk"),
         F.min(F.struct("v", "il", "xl", "t")).alias("tr"))
-    picks = agg.selectExpr(
+    lazy_picks = agg.selectExpr(
         "inline(array("
         "named_struct('kind', 'peak', 'il', -pk.nil, 'xl', -pk.nxl,"
         "             't', -pk.nt, 'v', pk.v),"
         "named_struct('kind', 'trough', 'il', tr.il, 'xl', tr.xl,"
         "             't', tr.t, 'v', tr.v)))")
+    # materialize the 2-row pick frame ONCE and re-literalize it: the two
+    # broadcasts below each embedded the whole amplitude-volume aggregate
+    # as their build plan, so the full amp scan executed TWICE (round-11
+    # plan showed no ReusedExchange across the two broadcast builds). A
+    # bounded 2-row collect runs the volume aggregate exactly once and
+    # both broadcasts become LocalTableScans (round 12, guide §2.4/§5).
+    picks = spark.createDataFrame(lazy_picks.collect(), lazy_picks.schema)
     # attach the 2-row pick frame to EACH coordinate scan via broadcast
     # BEFORE pairing easting with northing: the full-grid (il, xl)
     # self-join of _grid would shuffle both coordinate grids to pair

@@ -171,12 +171,11 @@ def _dd_jaccard_on_candidates_sql() -> str:
     """
 
 
-@declared("d04_ngram_jaccard", oracle=_dd_jaccard_on_candidates_sql())
-def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard VERIFY stage consuming d02's LSH candidate pairs —
-    exact similarity computed only for bucket-collision pairs, never all
-    pairs (the 100 TB dedup shape: candidates ≪ n², verify is an equi-join
-    of shingle sets onto the candidate list)."""
+def _d04_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSORTED (doc_a, doc_b, jac) verify frame shared by d04 (which adds
+    the display sort) and p16 (which aggregates it — inheriting d04's
+    global orderBy there paid a range-sampling job + a full sort exchange
+    that the groupBy immediately discarded; round-12 split)."""
     d = _t(spark, sf_dir, "documents")
     # the candidate list feeds THREE consumers (the verify join plus the two
     # broadcast id sets); without the persist Spark re-runs the whole minhash
@@ -204,8 +203,16 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")), on="doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")), on="doc_b")
         .select("doc_a", "doc_b", F.round(dedup.ngram_jaccard(F.col("sa"), F.col("sb")), 6).alias("jac"))
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@declared("d04_ngram_jaccard", oracle=_dd_jaccard_on_candidates_sql())
+def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard VERIFY stage consuming d02's LSH candidate pairs —
+    exact similarity computed only for bucket-collision pairs, never all
+    pairs (the 100 TB dedup shape: candidates ≪ n², verify is an equi-join
+    of shingle sets onto the candidate list)."""
+    return _d04_scored_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 # τ=0.30: the synthetic embeddings are near-orthogonal random vectors (max
@@ -2384,12 +2391,19 @@ def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = d.withColumn("__toks", text.tokens(F.col("text")))
     tok_rows = staged.select(F.explode("__toks").alias("term"))
     cu = tok_rows.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    n1 = tok_rows.count()
     bg = staged.filter(F.size("__toks") >= 2).select(
         F.explode(text.word_shingles(F.col("__toks"), 2)).alias("bigram")
     )
     cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cxy"))
-    n2 = bg.count()
+    # the unigram/bigram stream totals derive from the count tables
+    # (n1 = Σ c, n2 = Σ cxy — the identical integers), NOT from separate
+    # .count() jobs over the exploded streams: the two count jobs were two
+    # extra full corpus tokenize passes (4 passes → 2; round-12
+    # optimization, guide §2.3/§2.4). The 1-row totals broadcast onto the
+    # vocab-sized join, and cu/cb's aggregate exchanges are shared with
+    # their other consumers via ReuseExchange — no persist needed.
+    n1f = cu.agg(F.sum("c").alias("__n1"))
+    n2f = cb.agg(F.sum("cxy").alias("__n2"))
     cx = cu.select(F.col("term").alias("__tx"), F.col("c").alias("cx"))
     cy = cu.select(F.col("term").alias("__ty"), F.col("c").alias("cy"))
     joined = (
@@ -2398,11 +2412,13 @@ def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__ty", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
         .join(cx, "__tx")
         .join(cy, "__ty")
+        .crossJoin(F.broadcast(n1f))
+        .crossJoin(F.broadcast(n2f))
     )
     pmi = F.round(
         F.log(
-            (F.col("cxy").cast("double") * F.lit(n1) * F.lit(n1))
-            / (F.col("cx").cast("double") * F.col("cy") * F.lit(n2))
+            (F.col("cxy").cast("double") * F.col("__n1") * F.col("__n1"))
+            / (F.col("cx").cast("double") * F.col("cy") * F.col("__n2"))
         ),
         4,
     )
@@ -2795,13 +2811,17 @@ def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "w1", F.element_at("__w", F.col("i") + 2).alias("w2")
     )
-    # bigram-TYPE table persists (vocab-sized) and the unigram context
-    # counts derive from it (n1 = Σ_w2 n2 — the identical integer), so the
-    # corpus-sized bigram stream is scanned twice (c2 agg + scoring join)
-    # instead of three times, and the c1 aggregate runs over |vocab| rows
-    # instead of the stream (round-11 optimization; same pattern in
-    # p21/t31).
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2")).persist()
+    # bigram-TYPE table: the unigram context counts derive from it
+    # (n1 = Σ_w2 n2 — the identical integer), so the c1 aggregate runs over
+    # |vocab| rows instead of the corpus stream (round-11 optimization;
+    # same pattern in p21/t31). Round 12 drops the round-11 persist: c2's
+    # aggregate EXCHANGE is canonically identical under both consumers
+    # (c1 and the scoring join), so ReuseExchange dedupes it — the corpus
+    # is still tokenized exactly twice (c2 map side + scoring stream), and
+    # the cache write + materialization job that made t17 read 2× its
+    # anchor at sf0.1 is gone (a persist inside the subtree also blocked
+    # AQE exchange reuse for downstream twins — the round-11 p21 lesson).
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     return (
         bg.join(c2, ["w1", "w2"]).join(c1, ["w1"])
@@ -4405,7 +4425,10 @@ def p16(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluating more thresholds costs fan-out, never another verify pass.
     τ literals are exact dyadic-free but compared against 6dp-rounded
     jaccards identically in both engines."""
-    pairs = d04(spark, sf_dir).select("jac")
+    # the UNSORTED verify frame: going through d04 itself inherited its
+    # display orderBy, paying a range-sampling job + a global sort exchange
+    # whose output the groupBy below immediately re-partitioned (round 12)
+    pairs = _d04_scored_pairs(spark, sf_dir).select("jac")
     taus = F.explode(F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])).alias("tau")
     return (
         pairs.select("jac", taus)
@@ -4629,7 +4652,14 @@ def ml09(spark: SparkSession, sf_dir: str) -> DataFrame:
     |classes| rows built by one partial agg; scoring fans each distinct
     (test doc, term) into |classes| rows (bounded fan-out), joins the model
     on (class, term) — AQE handles stopword skew — and reduces per doc. No
-    per-doc state, no driver materialization."""
+    per-doc state, no driver materialization.
+
+    Precondition: ``lang`` is non-null (true of the curated corpus and
+    enforced by the oracle gate). The round-11 rewrite derives class
+    statistics through inner equi-joins on ``lang``, which would silently
+    drop a NULL-lang class that the older ``groupBy("lang")`` form kept as
+    a model candidate — use eqNullSafe joins if null classes ever become
+    meaningful."""
     d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
     tok = (
         d.select("doc_id", "lang", text.tokens(F.col("text")).alias("w"))
@@ -6346,9 +6376,11 @@ def t31(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("__w"),
     ).select("doc_id", "w1", F.element_at("__w", F.col("i") + 2).alias("w2"))
     # the bigram-TYPE table feeds FOUR consumers (c1, pre, tt, the scoring
-    # join); persist the vocab-sized frame so the corpus-stream agg runs
-    # once (round-11 optimization, same pattern as t17/p21)
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2")).persist()
+    # join); all four read the SAME canonical aggregate exchange, which
+    # ReuseExchange dedupes, so the corpus-stream agg runs once without a
+    # persist (round 12 — the round-11 persist added a cache write +
+    # materialization job and blocked AQE exchange reuse downstream)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.groupBy("w1").agg(
         F.sum("n2").alias("n1"), F.count(F.lit(1)).alias("foll")
     )
@@ -6441,8 +6473,11 @@ def p21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.slice("w", 1, F.size("w") - 1)).alias("i", "w1"),
         F.col("w").alias("__w"),
     ).select("doc_id", "w1", F.element_at("__w", F.col("i") + 2).alias("w2"))
-    # persisted bigram-TYPE table + derived context counts — see t17
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2")).persist()
+    # bigram-TYPE table + derived context counts — see t17 (un-persisted
+    # in round 12: ReuseExchange dedupes the aggregate exchange across c1
+    # and the scoring join, and the cache no longer blocks AQE reuse
+    # inside langd's materialization)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     scored = (
         bg.join(c2, ["w1", "w2"]).join(c1, ["w1"])
@@ -6456,13 +6491,14 @@ def p21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # (doc_id, ppl, lang) feeds TWO consumers (the band-cut lattice and the
-    # final bucket agg). Relying on exchange reuse to dedupe them breaks
-    # once the cached c2 sits inside the subtree (AQE does not reuse
-    # exchanges across InMemoryTableScan-bearing twins), which re-ran the
-    # whole corpus scoring pipeline — tokenize, two model joins, per-doc
-    # agg — once per consumer. Persist the doc-count-sized score frame
-    # instead: the corpus is tokenized once for the model cache and once
-    # for scoring, and both consumers read ~|docs| cached rows.
+    # final bucket agg). Round 11 measured that relying on exchange reuse
+    # to dedupe them breaks once any InMemoryTableScan sits inside the
+    # subtree (AQE does not reuse exchanges across cache-bearing twins),
+    # which re-ran the whole corpus scoring pipeline — tokenize, two model
+    # joins, per-doc agg — once per consumer. The explicit persist of the
+    # doc-count-sized score frame keeps the dedup robust (it does not
+    # depend on a fragile reuse rule): the corpus is tokenized twice total
+    # and both consumers read ~|docs| cached rows.
     langd = scored.join(d.select("doc_id", "lang"), "doc_id").persist()
     from pyspark.sql import Window as W
 
@@ -6819,9 +6855,12 @@ def ml11(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation as a positional self-join (row-count-bounded, fine for
     DuckDB; the engine's batched Gram is what survives 100 TB)."""
     e = _t(spark, sf_dir, "embeddings")
-    n = e.count()
     arr = F.col("embedding").cast("array<double>")
 
+    # the corpus row count rides ALONG the Gram pass (each batch stamps its
+    # row count on every emitted cell; per-(i,j) sums of it all equal n) —
+    # the separate e.count() job was one more full pass over the table for
+    # a number the partial aggregate already knew (round 12, guide §2.4)
     def gram(batches):
         import numpy as np
         import pandas as pd
@@ -6832,20 +6871,25 @@ def ml11(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             g = x.T @ x
             iu = np.triu_indices(g.shape[0])
-            yield pd.DataFrame({"i": iu[0], "j": iu[1], "sxy": g[iu]})
+            yield pd.DataFrame(
+                {"i": iu[0], "j": iu[1], "sxy": g[iu],
+                 "c": np.full(len(iu[0]), x.shape[0], dtype="int64")}
+            )
 
     prods = (
         e.select(arr.alias("embedding"))
-        .mapInPandas(gram, schema="i int, j int, sxy double")
+        .mapInPandas(gram, schema="i int, j int, sxy double, c long")
         .groupBy("i", "j")
-        .agg(F.sum("sxy").alias("sxy"))
+        .agg(F.sum("sxy").alias("sxy"), F.sum("c").alias("n"))
     )
     mu = (
         e.select(F.posexplode(arr).alias("d", "x"))
         .groupBy("d")
         .agg(F.sum("x").alias("sx"))
     )
-    nn = float(n)
+    # n as a double column carries the identical IEEE value the old
+    # float(e.count()) literal did — the division arithmetic is unchanged
+    nn = F.col("n").cast("double")
     mi = F.broadcast(mu.select(F.col("d").alias("i"), F.col("sx").alias("sxi")))
     mj = F.broadcast(mu.select(F.col("d").alias("j"), F.col("sx").alias("sxj")))
     return (
@@ -7399,6 +7443,13 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
     this replaces measured ~7× the digest cost). Emits the replicate table (b, effective n, resampled
     mean) — the spread across rows IS the standard-error estimate, pinned
     in pytest against the analytic SE.
+
+    Precondition: ``orders`` is non-empty (true of every declared scale
+    factor and enforced by the oracle gate). On an EMPTY input the
+    single-row aggregate form returns B rows with NULL n_eff/boot_mean
+    where the former crossJoin+groupBy returned zero rows; filter the
+    unfolded frame on ``n_eff IS NOT NULL`` if empty inputs ever become
+    reachable.
 
     Scale shape: ONE scan, zero row fan-out — per-row work is the hash +
     B CASE ladders where the row lives, and the exchange carries one
