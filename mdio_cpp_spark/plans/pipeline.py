@@ -2390,18 +2390,21 @@ def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
     staged = d.withColumn("__toks", text.tokens(F.col("text")))
     tok_rows = staged.select(F.explode("__toks").alias("term"))
-    cu = tok_rows.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # BOTH count tables persist (vocab-sized — the t17 model-cache
+    # pattern) and every other statistic derives from them: cx/cy read the
+    # cached cu, the stream totals are n1 = Σ c and n2 = Σ cxy (the
+    # identical integers) over the caches, NOT separate .count() jobs over
+    # the exploded streams. The round-10 form ran FIVE corpus tokenize
+    # passes (cx subtree, cy subtree, n1 count, cb agg, n2 count — the
+    # executed plan showed 5 parquet scans and zero exchange reuse; plain
+    # aggregate exchanges are not deduped across consumer subtrees on
+    # this engine). This form runs exactly TWO — one materialization per
+    # cache (round-12 optimization, guide §2.3/§5).
+    cu = tok_rows.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
     bg = staged.filter(F.size("__toks") >= 2).select(
         F.explode(text.word_shingles(F.col("__toks"), 2)).alias("bigram")
     )
-    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cxy"))
-    # the unigram/bigram stream totals derive from the count tables
-    # (n1 = Σ c, n2 = Σ cxy — the identical integers), NOT from separate
-    # .count() jobs over the exploded streams: the two count jobs were two
-    # extra full corpus tokenize passes (4 passes → 2; round-12
-    # optimization, guide §2.3/§2.4). The 1-row totals broadcast onto the
-    # vocab-sized join, and cu/cb's aggregate exchanges are shared with
-    # their other consumers via ReuseExchange — no persist needed.
+    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cxy")).persist()
     n1f = cu.agg(F.sum("c").alias("__n1"))
     n2f = cb.agg(F.sum("cxy").alias("__n2"))
     cx = cu.select(F.col("term").alias("__tx"), F.col("c").alias("cx"))
@@ -2811,17 +2814,20 @@ def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "w1", F.element_at("__w", F.col("i") + 2).alias("w2")
     )
-    # bigram-TYPE table: the unigram context counts derive from it
-    # (n1 = Σ_w2 n2 — the identical integer), so the c1 aggregate runs over
-    # |vocab| rows instead of the corpus stream (round-11 optimization;
-    # same pattern in p21/t31). Round 12 drops the round-11 persist: c2's
-    # aggregate EXCHANGE is canonically identical under both consumers
-    # (c1 and the scoring join), so ReuseExchange dedupes it — the corpus
-    # is still tokenized exactly twice (c2 map side + scoring stream), and
-    # the cache write + materialization job that made t17 read 2× its
-    # anchor at sf0.1 is gone (a persist inside the subtree also blocked
-    # AQE exchange reuse for downstream twins — the round-11 p21 lesson).
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    # bigram-TYPE table persists (vocab-sized) and the unigram context
+    # counts derive from it (n1 = Σ_w2 n2 — the identical integer), so the
+    # corpus-sized bigram stream is scanned twice (c2 agg + scoring join)
+    # instead of three times, and the c1 aggregate runs over |vocab| rows
+    # instead of the stream (round-11 optimization; same pattern in
+    # p21/t31). Round 12 A/B-tested DROPPING this persist in favor of
+    # exchange reuse: the executed plan went from 5 unique shuffle stages
+    # (12 refs — AQE reuses the cache-fed stages) to 8 with zero reuse and
+    # ~3 corpus scans — plain aggregate exchanges are NOT deduped across
+    # consumer subtrees on this engine, so the persist stays. Quiet-box
+    # min 1.46 s vs the 0.89 s anchor (1.64x) sits inside the 2x gate —
+    # the cache materialization job is the accepted local cost of the
+    # 3-passes→2 cut that dominates at 100 TB.
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2")).persist()
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     return (
         bg.join(c2, ["w1", "w2"]).join(c1, ["w1"])
@@ -6376,11 +6382,13 @@ def t31(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("__w"),
     ).select("doc_id", "w1", F.element_at("__w", F.col("i") + 2).alias("w2"))
     # the bigram-TYPE table feeds FOUR consumers (c1, pre, tt, the scoring
-    # join); all four read the SAME canonical aggregate exchange, which
-    # ReuseExchange dedupes, so the corpus-stream agg runs once without a
-    # persist (round 12 — the round-11 persist added a cache write +
-    # materialization job and blocked AQE exchange reuse downstream)
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    # join); persist the vocab-sized frame so the corpus-stream agg runs
+    # once (round-11 optimization, same pattern as t17/p21). Round 12
+    # A/B-tested dropping this persist in favor of exchange reuse (the
+    # t17 fix): with FOUR consumers it measured 1.19x SLOWER min-of-4
+    # (2.10 -> 2.50 s isolated) — reuse does not cover all four
+    # post-exchange aggregates here — so the persist stays.
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2")).persist()
     c1 = c2.groupBy("w1").agg(
         F.sum("n2").alias("n1"), F.count(F.lit(1)).alias("foll")
     )
@@ -6473,11 +6481,12 @@ def p21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.slice("w", 1, F.size("w") - 1)).alias("i", "w1"),
         F.col("w").alias("__w"),
     ).select("doc_id", "w1", F.element_at("__w", F.col("i") + 2).alias("w2"))
-    # bigram-TYPE table + derived context counts — see t17 (un-persisted
-    # in round 12: ReuseExchange dedupes the aggregate exchange across c1
-    # and the scoring join, and the cache no longer blocks AQE reuse
-    # inside langd's materialization)
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    # persisted bigram-TYPE table + derived context counts — see t17.
+    # Round 12 A/B-tested dropping this persist (the t17 fix): p21
+    # measured 1.10x SLOWER min-of-4 (2.70 -> 2.98 s isolated) — the
+    # langd cache interplay re-serializes the model stages — so the
+    # persist stays here too.
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2")).persist()
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     scored = (
         bg.join(c2, ["w1", "w2"]).join(c1, ["w1"])
