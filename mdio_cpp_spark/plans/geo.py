@@ -63,6 +63,29 @@ def _cube(spark: SparkSession, sf_dir: str) -> MdioDataset:
     return MdioDataset.open(os.path.join(ensure_stores(spark, sf_dir), "cube_v2.zarr"))
 
 
+def _extent_corners(spark: SparkSession, ds: MdioDataset) -> DataFrame:
+    """The 4-row (corner, easting, northing) bounding-box frame.
+
+    cdp_x and cdp_y share the (il, xl) chunk grid, so the fused aligned
+    scan decodes BOTH variables' chunks in one pass and all four extents
+    come from a single partial aggregate — previously each variable was
+    scanned separately for its own 1-row agg and the two frames
+    cross-joined (two store scans per consumer; geo01/geo04/geo05 all
+    paid it). Min/max are unchanged by the fusion, so results are
+    bit-identical."""
+    both = ds.to_df_aligned(spark, {"cdp_x": "easting", "cdp_y": "northing"})
+    exy = both.agg(
+        F.min("easting").alias("x_min"), F.max("easting").alias("x_max"),
+        F.min("northing").alias("y_min"), F.max("northing").alias("y_max"))
+    corners = spark.createDataFrame(
+        [("nw", 0, 1), ("ne", 1, 1), ("sw", 0, 0), ("se", 1, 0)],
+        "corner string, mx int, my int")
+    return exy.crossJoin(corners).selectExpr(
+        "corner",
+        "CASE WHEN mx = 1 THEN x_max ELSE x_min END AS easting",
+        "CASE WHEN my = 1 THEN y_max ELSE y_min END AS northing")
+
+
 def _grid(spark: SparkSession, ds: MdioDataset) -> DataFrame:
     """The (il, xl, easting, northing) grid read back from the store; the
     join is chunk-aligned (both variables share the [4, 4] chunk grid)."""
@@ -85,18 +108,7 @@ def geo01(spark: SparkSession, sf_dir: str) -> DataFrame:
     are partial-agg min/max over the coordinate scans (exact: the grid is
     integer-valued doubles); the corner table is a 4-row literal crossed
     against the 1-row extent frame — nothing data-sized moves."""
-    ds = _cube(spark, sf_dir)
-    ex = ds.var("cdp_x").to_df(spark, value_col="easting").agg(
-        F.min("easting").alias("x_min"), F.max("easting").alias("x_max"))
-    ey = ds.var("cdp_y").to_df(spark, value_col="northing").agg(
-        F.min("northing").alias("y_min"), F.max("northing").alias("y_max"))
-    corners = spark.createDataFrame(
-        [("nw", 0, 1), ("ne", 1, 1), ("sw", 0, 0), ("se", 1, 0)],
-        "corner string, mx int, my int")
-    pts = ex.crossJoin(ey).crossJoin(corners).selectExpr(
-        "corner",
-        "CASE WHEN mx = 1 THEN x_max ELSE x_min END AS easting",
-        "CASE WHEN my = 1 THEN y_max ELSE y_min END AS northing")
+    pts = _extent_corners(spark, _cube(spark, sf_dir))
     return apply_utm_stages(pts).selectExpr(
         "corner", "easting", "northing", "ROUND(lat, 6) AS lat",
         "ROUND(lon, 6) AS lon").orderBy("corner")
@@ -257,18 +269,7 @@ def geo04(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit ``%.6f`` contract (no locale/ostream defaults), and the encode
     is a fixed replace chain over the characters the string can contain.
     Everything past the 4-row corner frame is constant-size work."""
-    ds = _cube(spark, sf_dir)
-    ex = ds.var("cdp_x").to_df(spark, value_col="easting").agg(
-        F.min("easting").alias("x_min"), F.max("easting").alias("x_max"))
-    ey = ds.var("cdp_y").to_df(spark, value_col="northing").agg(
-        F.min("northing").alias("y_min"), F.max("northing").alias("y_max"))
-    corners = spark.createDataFrame(
-        [("nw", 0, 1), ("ne", 1, 1), ("sw", 0, 0), ("se", 1, 0)],
-        "corner string, mx int, my int")
-    pts = ex.crossJoin(ey).crossJoin(corners).selectExpr(
-        "corner",
-        "CASE WHEN mx = 1 THEN x_max ELSE x_min END AS easting",
-        "CASE WHEN my = 1 THEN y_max ELSE y_min END AS northing")
+    pts = _extent_corners(spark, _cube(spark, sf_dir))
     one = apply_utm_stages(pts).selectExpr(
         f"({_poly_sql('format_string')}) AS geojson")
     return one.selectExpr(
@@ -309,18 +310,7 @@ def geo05(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula; segment lengths round to cm before the 4-term total. Work
     past the coordinate-extent scan is a 4-row broadcast self-join —
     constant-size at any survey scale."""
-    ds = _cube(spark, sf_dir)
-    ex = ds.var("cdp_x").to_df(spark, value_col="easting").agg(
-        F.min("easting").alias("x_min"), F.max("easting").alias("x_max"))
-    ey = ds.var("cdp_y").to_df(spark, value_col="northing").agg(
-        F.min("northing").alias("y_min"), F.max("northing").alias("y_max"))
-    corners = spark.createDataFrame(
-        [("nw", 0, 1), ("ne", 1, 1), ("sw", 0, 0), ("se", 1, 0)],
-        "corner string, mx int, my int")
-    pts = ex.crossJoin(ey).crossJoin(corners).selectExpr(
-        "corner",
-        "CASE WHEN mx = 1 THEN x_max ELSE x_min END AS easting",
-        "CASE WHEN my = 1 THEN y_max ELSE y_min END AS northing")
+    pts = _extent_corners(spark, _cube(spark, sf_dir))
     c = apply_utm_stages(pts).selectExpr(
         "corner", "ROUND(lat, 6) AS lat", "ROUND(lon, 6) AS lon")
     ring = spark.createDataFrame(

@@ -5268,12 +5268,25 @@ def p18(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB ubiquitous boilerplate hashes are exactly the keys AQE's
     skew-join splits. Exact integer token accounting; one rounded ratio."""
     d = dedup.ensure_map_parallelism(_t(spark, sf_dir, "documents"))
-    toksd = d.select("doc_id", text.tokens(F.col("text")).alias("w")).select(
-        "doc_id", F.col("w"), F.size("w").alias("n")
+    # ONE tokenize pass: the plan consumes the corpus three times (shared-set
+    # aggregate, per-doc dropped count, final per-doc report) and this
+    # engine build does not reuse plain exchanges across consumer subtrees
+    # (round-12 executed-plan probe), so unpersisted each consumer re-ran
+    # the tokenizer — 3 scans / 2 block builds in the before-plan. Persist
+    # the NARROW per-doc frame (doc_id, n, block hashes; never w or text):
+    # cache-fed stages dedupe, so the corpus is scanned and tokenized once.
+    toksd = (
+        d.select("doc_id", text.tokens(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            F.size("w").alias("n"),
+            F.when(
+                F.size("w") >= _BLK, text.token_blocks(F.col("w"), _BLK)
+            ).otherwise(F.array().cast("array<string>")).alias("bhs"),
+        )
+        .persist()
     )
-    blocks = toksd.filter(F.col("n") >= _BLK).select(
-        "doc_id", F.explode(text.token_blocks(F.col("w"), _BLK)).alias("bh")
-    )
+    blocks = toksd.select("doc_id", F.explode("bhs").alias("bh"))
     shared = (
         blocks.groupBy("bh")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -5591,14 +5604,23 @@ def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.h").alias("h"))
     )
-    dup = (
-        wins.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .select("h")
-    )
-    hits = wins.join(dup, "h", "left_semi").select("doc_id", "pos")
     from pyspark.sql.window import Window
+
+    # repeated-window detection as ONE pass: count occurrences per hash with
+    # an h-partitioned window instead of aggregate + back semi-join. The old
+    # shape consumed wins twice with different projections, and this engine
+    # build does not reuse plain exchanges across consumer subtrees (round-12
+    # probe), so the tokenize + per-window md5 pass ran TWICE (2 corpus scans
+    # in the before-plan). Shuffle bytes are comparable (the agg's map-side
+    # partials barely reduce — window hashes are near-unique), but the whole
+    # second corpus pass and the broadcast build disappear. Hot boilerplate
+    # hashes group-buffer in the window exactly as they bucketed in the old
+    # exchange; the groups are per-hash, never per-doc.
+    hits = (
+        wins.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "pos")
+    )
 
     byw = Window.partitionBy("doc_id").orderBy("pos")
     fl = hits.withColumn(
@@ -6272,6 +6294,13 @@ def p20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("w") >= 1)
         .select("doc_id", "lang", F.explode(F.concat(w, bigrams)).alias("f"))
     )
+    # ONE featurize pass: fb feeds the bucket-count aggregate AND the final
+    # per-doc scoring join, and bc feeds both the log-ratio table and the
+    # totals row — unpersisted, this engine re-runs the tokenize+explode+md5
+    # pipeline once per consumer subtree (3 corpus scans in the before-plan;
+    # plain aggregate exchanges are not reused across subtrees on this
+    # build, round-12 probe). Persist the NARROW hashed-feature projection
+    # (doc_id, lang, byte bucket — ids and a long, never tokens or text).
     fb = feat.select(
         "doc_id",
         "lang",
@@ -6279,12 +6308,14 @@ def p20(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5("f"), 1, 2), 16, 10).cast("long")
             % _DSIR_BUCKETS
         ).alias("b"),
-    )
+    ).persist()
     is_t = F.col("lang") == _DSIR_TARGET_LANG
+    # bc itself has two consumers (lr, tot); persisting the 256-row table
+    # costs nothing and keeps each from re-aggregating the cached stream
     bc = fb.groupBy("b").agg(
         F.count(F.lit(1)).alias("cr"),
         F.count(F.when(is_t, F.lit(1))).alias("ct"),
-    )
+    ).persist()
     # totals roll up from the 256-row bucket table (exchange-reused subtree)
     # — never a separate corpus-wide aggregation pass
     tot = bc.agg(
