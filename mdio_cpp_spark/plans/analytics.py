@@ -2178,7 +2178,10 @@ def a16(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_cpp_spark.plans.zarr_queries import _zip_index
 
     e = _t(spark, sf_dir, "events")
-    u = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    # _zip_index consumes its input three times (the quantile job, the
+    # in-plan offset subtree, the ranked scan); persist the narrow
+    # |users|-row aggregate so events reduce once, not three times
+    u = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).persist()
     r = _zip_index(u, ["n", "user_id"], F.col("n"), "i0").select(
         "n", (F.col("i0") + 1).alias("i")
     )

@@ -58,13 +58,19 @@ def _zip_index(df: DataFrame, sort_keys: list[str], bucket_expr, out_col: str) -
     """Global dense 0-based index ordered by ``sort_keys`` with NO
     single-partition window — the DataFrame form of zipWithIndex.
 
-    Three light jobs: (1) approx-quantile boundaries of ``bucket_expr`` (a
-    numeric expression order-consistent with the sort keys) — collected once,
-    baked into the plan as literals, so the partition assignment is
-    deterministic across the later jobs with no persist; (2) per-bucket
-    counts → cumulative offsets (driver holds nparts ints); (3) the indexed
-    scan itself: row_number over a PARTITIONED window + broadcast offset
-    join. Every stage is parallel, so this survives the 100× scale-up that
+    ONE light job + a lazy plan: (1) approx-quantile boundaries of
+    ``bucket_expr`` (a numeric expression order-consistent with the sort
+    keys) — collected once, baked into the plan as literals, so the
+    partition assignment is deterministic across the later jobs with no
+    persist; (2) per-bucket counts cumulate IN-PLAN over the ≤nparts-row
+    count table (bounded by cluster parallelism, never by data — the
+    constant partition key makes that boundedness explicit) and broadcast
+    back; (3) row_number over a PARTITIONED window + the broadcast offset
+    join. Until round 12 step (2) was a driver ``collect()`` — a full
+    stop-the-world job per call, paid per run by zarr09/zarr35/zarr49/a16;
+    folding it into the plan removes the barrier and one job while keeping
+    the arithmetic identical (offset of bucket p = Σ counts of buckets
+    < p). Every stage is parallel, so this survives the 100× scale-up that
     a global ``Window.orderBy`` (single-partition WindowExec) would not."""
     spark = df.sparkSession
     nparts = max(1, spark.sparkContext.defaultParallelism)
@@ -77,15 +83,15 @@ def _zip_index(df: DataFrame, sort_keys: list[str], bucket_expr, out_col: str) -
     for b in bounds:
         pid = pid + (F.col("__k") > F.lit(float(b))).cast("int")
     tagged = tagged.withColumn("__pid", pid)
-    counts = {
-        r["__pid"]: r["n"]
-        for r in tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offs, acc = [], 0
-    for p in sorted(counts):
-        offs.append((p, acc))
-        acc += counts[p]
-    off_df = spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
+    cnt = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    woff = (
+        Window.partitionBy(F.lit(0)).orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_df = cnt.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(woff), F.lit(0)).cast("long").alias("__off"),
+    )
     w = Window.partitionBy("__pid").orderBy(*sort_keys)
     return (
         tagged.join(F.broadcast(off_df), "__pid")

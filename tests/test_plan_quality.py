@@ -66,7 +66,12 @@ from mdio_cpp_spark.plans import REGISTRY
 #  - zarr24/zarr59: the cross-chunk prefix offsets — ONE row per chunk —
 #    cumulate globally (the zarr55 carry shape, previously a driver
 #    collect); the data-sized running window partitions on the chunk id.
+#  - a16: _zip_index's bucket-offset cumulation — ONE row per quantile
+#    bucket (≤ cluster parallelism, never data; round 12 folded the old
+#    per-call driver collect into the plan); the data-sized rank window
+#    partitions on the bucket id.
 _ALLOW_GLOBAL = {
+    "a16_gini",
     "asof01_event_order", "asof02_left", "asof05_nearest", "zarr09_write_roundtrip",
     "zarr24_prefix_sum", "zarr59_cummax",
     "zarr55_ffill", "zarr57_bfill_limit", "p11_epoch_shuffle",
