@@ -6163,10 +6163,13 @@ def t29(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
-    # the persisted vocab served the learning loop's three winner
-    # materializations; release it — the returned plan re-derives the
-    # (vocab-sized) chain declaratively so the harness sees the real plan
-    vocab.unpersist()
+    # the persisted vocab MUST outlive the returned lazy plan: releasing it
+    # here (as until round 12) made the final action re-derive the whole
+    # chain from parquet — a second corpus tokenize + vocab aggregate on
+    # top of the loop's cache materialization (alternating A/B: 2.22 ->
+    # 1.90 s min once the plan reads the cache). The leak is one
+    # vocab-sized handle, the posture every other in-plan persist here
+    # takes; the bench clears caches between samples.
     return out
 
 
