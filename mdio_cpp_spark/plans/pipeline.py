@@ -5287,14 +5287,23 @@ def p18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     blocks = toksd.select("doc_id", F.explode("bhs").alias("bh"))
-    shared = (
-        blocks.groupBy("bh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("bh")
-    )
+    # shared-block detection as ONE pass over blocks (d17's idiom): a block
+    # hash is boilerplate iff >=2 DISTINCT docs carry it, i.e. min(doc_id)
+    # != max(doc_id) over the bh partition — two partition-only window
+    # aggregates on one exchange replace the count_distinct aggregate + back
+    # semi-join (whose differing projections defeated exchange reuse).
+    # Shuffle bytes are unchanged (same (doc_id, bh) rows keyed by bh); the
+    # second blocks derivation and the broadcast build disappear. Hot
+    # boilerplate hashes group-buffer in the window exactly as they bucketed
+    # in the old exchange.
+    from pyspark.sql.window import Window as _W
+
+    _wb = _W.partitionBy("bh")
     dropped = (
-        blocks.join(shared, "bh", "left_semi")
+        blocks
+        .withColumn("__lo", F.min("doc_id").over(_wb))
+        .withColumn("__hi", F.max("doc_id").over(_wb))
+        .filter(F.col("__lo") != F.col("__hi"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("dropped_blocks"))
     )
